@@ -1,0 +1,554 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.8).
+  *
+  * The reference's whole relational surface is one flagship query
+  * (`spark_process_script.py:37` — string-equality filter + single-key
+  * hash aggregate with `count(col)` null semantics); q01 reproduces that
+  * shape. The rest is the extension inventory SURVEY.md §2.3–§2.8 commits
+  * to: joins (broadcast/SMJ/semi/anti), windows, sorts/top-k, set ops,
+  * rollup/cube/pivot, distinct aggregates, scalar string/date/json
+  * functions.
+  *
+  * Oracle-parity discipline (driver hash-compares against DuckDB):
+  *  - Sums only over values that are exact in binary (ints, int-valued
+  *    doubles) or over per-row DECIMAL casts (associative, order-free).
+  *  - Per-row double arithmetic (mul/div/sub on identical operands) is
+  *    bit-deterministic across engines; cross-row double accumulation is
+  *    not, and is avoided.
+  *  - Every query ends in a fully deterministic ORDER BY (unique
+  *    tie-break key), and every computed column is aliased identically
+  *    (lowercase) here and in the oracle SQL.
+  *
+  * Scale notes (100 TB): every query below is a pure declarative plan —
+  * filters/pruning reach the parquet scan, aggregates get map-side
+  * partial aggregation, small dims are broadcast explicitly, and the
+  * only shuffles are the unavoidable ones on group/join keys.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Per-row decimal cast → associative exact SUM (oracle-safe revenue). */
+  private def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q01: flagship parity — scan → string-eq filter → groupBy →
+    // count(col) → alias (spark_process_script.py:35-39 re-expressed).
+    // 'F' plays the role of arrest='False': a case-sensitive string
+    // compare, NOT a boolean cast.
+    "q01_crime_flagship" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("o_orderpriority")).as("crime_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── q02: TPC-H Q1-style pricing summary — multi-aggregate hash agg,
+    // partial+final around one shuffle.
+    "q02_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 2)).cast(DoubleType).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"), 2)).cast(DoubleType) / count(col("l_extendedprice")))
+            .as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── q03: star join with explicit broadcast of the small dims
+    // (region 5 rows, nation 25 rows — never shuffle these).
+    "q03_region_revenue" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 2)).cast(DoubleType).as("revenue"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ── q04: fact-fact equi-join (shuffle join at scale; AQE picks
+    // SMJ/shuffled-hash) + aggregate.
+    "q04_priority_revenue" -> ((s, d) => {
+      val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── q05: left-semi join (EXISTS) — never materializes the right side.
+    "q05_big_spenders_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── q06: left-anti join (NOT EXISTS) — customers with no big order.
+    "q06_no_orders_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── q07: top-k per group via ranking window (scale path: the window
+    // shuffles once on p_brand; no self-join).
+    "q07_topk_per_brand" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, d, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("rn").cast(IntegerType).as("rn"))
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // ── q08: analytic window — running sum (decimal-exact) + lag,
+    // deterministic frame order.
+    "q08_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice"), 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("running_spend"), col("prev_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── q09: global top-k — Catalyst collapses orderBy+limit to
+    // TakeOrderedAndProject (no full sort at scale).
+    "q09_top_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ── q10: set operations — INTERSECT / EXCEPT / UNION ALL.
+    "q10_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_building")))
+        .select(col("c_custkey"), col("tag"))
+        .orderBy(col("tag"), col("c_custkey"))
+    }),
+
+    // ── q11: distinct aggregates.
+    "q11_supplier_stats" -> ((s, d) => {
+      val sup = t(s, d, "supplier"); val n = t(s, d, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          sum(dec(col("s_acctbal"), 2)).cast(DoubleType).as("total_bal"),
+          max(col("s_acctbal")).as("max_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ── q12: ROLLUP with grouping-null keys coalesced (keeps the oracle
+    // free of NULL-ordering dialect differences).
+    "q12_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ── q13: CUBE.
+    "q13_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // ── q14: PIVOT (explicit value list → no extra distinct job).
+    "q14_pivot_segments" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val p = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("c_mktsegment", segs)
+        .count()
+      segs.foldLeft(p)((df, sg) =>
+          df.withColumn(sg.toLowerCase, coalesce(col(s"`$sg`"), lit(0L))))
+        .select(col("n_name") +: segs.map(sg => col(sg.toLowerCase)): _*)
+        .orderBy(col("n_name"))
+    }),
+
+    // ── q15: scalar string functions (all codegen'd built-ins).
+    "q15_string_funcs" -> ((s, d) => {
+      t(s, d, "part").select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+          substring(col("p_type"), 1, 3).as("type_pre"),
+          length(col("p_name")).cast(IntegerType).as("name_len"),
+          size(split(col("p_name"), " ")).cast(IntegerType).as("n_words"),
+          lpad(col("p_brand"), 10, "*").as("padded"),
+          concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("joined"),
+          levenshtein(col("p_name"), lit("small ring")).cast(IntegerType).as("lev"),
+          expr("replace(p_type, 'ECONOMY', 'ECO')").as("replaced"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── q16: scalar date/time functions.
+    "q16_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(IntegerType).as("yr"),
+          month(col("o_orderdate")).cast(IntegerType).as("mo"),
+          dayofmonth(col("o_orderdate")).cast(IntegerType).as("dy"),
+          quarter(col("o_orderdate")).cast(IntegerType).as("qtr"),
+          dayofweek(col("o_orderdate")).cast(IntegerType).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+          datediff(col("o_orderdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).cast(IntegerType).as("days_since"),
+          last_day(col("o_orderdate").cast(DateType)).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── q17: JSON extraction over events.props.
+    "q17_json_events" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k_val")).as("sum_k"),
+          countDistinct(col("k_val")).as("distinct_k"),
+          min(col("k_val")).cast(IntegerType).as("min_k"),
+          max(col("k_val")).cast(IntegerType).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── q18: conditional aggregation (exact integer counters).
+    "q18_conditional_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_high_disc"),
+          sum(when(col("l_tax") === 0.0, 1).otherwise(0)).as("n_no_tax"),
+          sum(when(col("l_quantity") >= 25, col("l_quantity")).otherwise(lit(0.0)))
+            .as("bulk_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── q19: correlated EXISTS re-expressed as a semi-join.
+    "q19_exists_bulk" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── q20: 5-table star (TPC-H Q5 shape): two broadcasts + two
+    // shuffle joins, filter pushed to the orders scan.
+    "q20_star_join" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders").filter(year(col("o_orderdate")) === 1997)
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ── q21: analytic windows over events (lag delta, ntile).
+    "q21_event_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(wv).cast(IntegerType))
+        .select(col("event_id"), col("user_id"), col("rn"), col("delta"), col("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── q22: snapshot-merge via unionByName (the reference's daily
+    // re-extract pattern, SURVEY.md §2.7).
+    "q22_snapshot_union" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val s1 = o.filter(col("o_totalprice") < 100000)
+        .select(col("o_orderkey"), col("o_orderstatus")).withColumn("snap", lit("a"))
+      val s2 = o.filter(col("o_totalprice") >= 50000)
+        .withColumn("snap", lit("b"))
+        .select(col("snap"), col("o_orderstatus"), col("o_orderkey")) // shuffled col order
+      s1.unionByName(s2)
+        .groupBy(col("snap"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("snap"), col("o_orderstatus"))
+    }),
+
+    // ── q23: HLL approximate distinct (no oracle — sketch-dependent);
+    // exact countDistinct rides along for the rows-only sanity check.
+    "q23_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("apx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── q24: gap-based sessionization via windows (30-min inactivity),
+    // all-integer microsecond arithmetic for oracle parity.
+    "q24_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_crime_flagship" ->
+      """SELECT o_orderpriority, count(o_orderpriority) AS crime_count
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  AVG(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_region_revenue" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q04_priority_revenue" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_big_spenders_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_no_orders_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_topk_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+        |  FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q08_running_totals" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q09_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q10_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT c_custkey, 'only_building' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q11_supplier_stats" ->
+      """SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  MAX(s_acctbal) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q13_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q14_pivot_segments" ->
+      """SELECT n_name,
+        |  COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+        |  COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS building,
+        |  COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS furniture,
+        |  COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS household,
+        |  COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS machinery
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower,
+        |  regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+        |  substring(p_type, 1, 3) AS type_pre,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+        |  lpad(p_brand, 10, '*') AS padded,
+        |  concat_ws('|', p_name, p_brand, p_type) AS joined,
+        |  CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS lev,
+        |  replace(p_type, 'ECONOMY', 'ECO') AS replaced
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q16_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_json_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |  CAST(SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_tax,
+        |  SUM(CASE WHEN l_quantity >= 25 THEN l_quantity ELSE 0.0 END) AS bulk_qty,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_exists_bulk" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q20_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q21_event_windows" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  value - LAG(value, 1) OVER w AS delta,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
+    "q22_snapshot_union" ->
+      """SELECT snap, o_orderstatus, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, 'a' AS snap FROM orders WHERE o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'b' AS snap FROM orders WHERE o_totalprice >= 50000)
+        |GROUP BY snap, o_orderstatus ORDER BY snap, o_orderstatus""".stripMargin,
+
+    "q24_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+        |    WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
