@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for the large-scale training-data pipeline
+  * (builder-prompt north star; SURVEY.md §2.10).
+  *
+  * Five strategies over `documents` / `embeddings`:
+  *  - d01 exact: hash-groupBy on full text (one shuffle on the text key).
+  *  - d02 MinHash+LSH: shingle → 16-perm minhash → 4 bands → bucket
+  *    join → exact-jaccard rescore. No O(n²) stage; candidate volume is
+  *    bounded by band collisions, which is the property that survives
+  *    100 TB.
+  *  - d03 SimHash: 64-bit sketch via per-token hash bit votes, 8×8-bit
+  *    banding (pigeonhole-complete for hamming ≤ 7), XOR popcount rescore.
+  *  - d04 n-gram Jaccard: exact all-pairs rescore — the correctness
+  *    anchor the probabilistic paths (d02/d03) are judged against; at
+  *    scale you run it only on candidate pairs from d02.
+  *  - d05 embedding near-dup: cosine over the embedding column via the
+  *    custom Catalyst expression.
+  *
+  * d02/d03 have no DuckDB oracle (xxhash64-dependent); d01/d04/d05 are
+  * oracle-checked.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** word-level 3-gram shingle set (distinct), lowercased. */
+  private def withGrams(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+
+  private def jaccard(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"cast(size(array_intersect($a, $b)) as double) / size(array_union($a, $b))")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── d01: exact dedup — groupBy full text, keep min doc_id as the
+    // canonical representative (deterministic, unlike dropDuplicates).
+    "d01_dedup_exact" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── d02: MinHash + LSH banding. 16 hash perms (xxhash64 seeded by
+    // perm index), 4 bands × 4 rows; same-band collision → candidate →
+    // exact jaccard ≥ 0.5 confirms.
+    "d02_dedup_minhash_lsh" -> ((s, d) => {
+      val g = withGrams(docs(s, d)).select(col("doc_id"), col("grams"))
+      val sigs = (0 until 16).foldLeft(g)((df, h) =>
+        df.withColumn(s"mh$h", expr(s"array_min(transform(grams, x -> xxhash64($h, x)))")))
+      val bands = (0 until 4).foldLeft(sigs)((df, b) =>
+        df.withColumn(s"band$b",
+          expr(s"xxhash64(mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, $b)")))
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+            .as(Seq("band_id", "band_hash")))
+      val cands = bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a_id"), col("ids"))
+        .select(col("a_id"), explode(col("ids")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .distinct()
+      val ga = g.select(col("doc_id").as("a_id"), col("grams").as("ga"))
+      val gb = g.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+      cands.join(ga, "a_id").join(gb, "b_id")
+        .withColumn("jac", jaccard("ga", "gb"))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── d03: SimHash — 64-bit sketch from per-token hash bit votes;
+    // 8 bands × 8 bits guarantees full recall for hamming ≤ 7 by
+    // pigeonhole; the rescore keeps pairs at the standard ≤ 3 cutoff.
+    "d03_dedup_simhash" -> ((s, d) => {
+      val votes = docs(s, d)
+        .select(col("doc_id"), explode(expr("split(lower(text), '\\\\s+')")).as("tok"))
+        .withColumn("h", expr("xxhash64(tok)"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(expr("case when (shiftright(h, 0) & 1) = 1 then 1 else -1 end")).as("b0"),
+          (1 until 64).map(j =>
+            sum(expr(s"case when (shiftright(h, $j) & 1) = 1 then 1 else -1 end")).as(s"b$j")): _*)
+      val sim = votes.withColumn("simhash",
+        expr((0 until 64).map(j =>
+          s"(case when b$j > 0 then shiftleft(cast(1 as bigint), $j) else cast(0 as bigint) end)")
+          .mkString(" + ")))
+        .select(col("doc_id"), col("simhash"))
+      val chunks = (0 until 8).foldLeft(sim)((df, c) =>
+        df.withColumn(s"c$c", expr(s"shiftright(simhash, ${8 * c}) & 255")))
+        .select(col("doc_id"),
+          posexplode(array((0 until 8).map(c => col(s"c$c")): _*))
+            .as(Seq("chunk_id", "chunk_val")))
+      val cands = chunks.groupBy(col("chunk_id"), col("chunk_val"))
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a_id"), col("ids"))
+        .select(col("a_id"), explode(col("ids")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .distinct()
+      val sa = sim.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"))
+      val sb = sim.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"))
+      cands.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── d04: exact n-gram Jaccard, all pairs ≥ 0.2 — the oracle-checked
+    // correctness anchor for the sketch-based paths. The streamed side
+    // of the broadcast-nested-loop join is explicitly repartitioned:
+    // a small parquet arrives as ONE input split, and without the
+    // repartition the O(n²) pair evaluation runs in a single task.
+    "d04_dedup_ngram_jaccard" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val g = withGrams(docs(s, d)).select(col("doc_id"), col("grams"))
+      val a = g.select(col("doc_id").as("a_id"), col("grams").as("ga")).repartition(par)
+      val b = g.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("jac_raw", jaccard("ga", "gb"))
+        .filter(col("jac_raw") >= 0.2)
+        .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── d05: embedding near-dup pairs via the custom CosineSimilarity
+    // Catalyst expression (fused loop, no per-row allocation).
+    "d05_dedup_embedding" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val par = s.sparkContext.defaultParallelism
+      val e = Tables(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va")).repartition(par)
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("va"), col("vb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "d04_dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d05_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

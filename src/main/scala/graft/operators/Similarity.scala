@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (builder-prompt north star).
+  *
+  *  - s01 brute-force: exact top-k cosine per query — the baseline and
+  *    the recall oracle. Query side is tiny → broadcast it; the big side
+  *    streams through one scan, top-k via ranking window on the query
+  *    key. At scale this is one pass over the corpus per query batch.
+  *  - s02 LSH (random hyperplanes): 8 tables × 6 sign bits → buckets;
+  *    candidates are the union of the query's buckets, exact rescore
+  *    inside. The bucket join replaces the O(corpus) scan with
+  *    O(candidates) — the 100 TB path. Hyperplanes come from a seeded
+  *    PRNG so the operator is deterministic.
+  */
+object Similarity {
+
+  private val K = 3
+  private val NQ = 5 // vec_id < NQ are the query vectors
+
+  /** Deterministic hyperplanes: seeded PRNG, `tables × bits` planes. */
+  private def planes(n: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(n, dim)(rnd.nextGaussian())
+  }
+
+  /** Multi-table random-hyperplane LSH: `nTables` independent tables of
+    * `nBits` sign bits each. One table of many bits over-partitions a
+    * small/medium corpus into singleton buckets (zero recall); several
+    * small tables union their candidate sets — the standard
+    * recall/selectivity trade. Emits one (table_id, bucket) row per
+    * table per vector. */
+  private def bucketed(df: DataFrame, vecCol: String,
+      nTables: Int, nBits: Int, dim: Int): DataFrame = {
+    val ps = planes(nTables * nBits, dim)
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until nBits).map { j =>
+        val dot = (0 until dim)
+          .map(i => s"(${ps(t * nBits + j)(i)} * cast($vecCol[$i] as double))")
+          .mkString(" + ")
+        s"(case when ($dot) > 0 then shiftleft(cast(1 as bigint), $j) else cast(0 as bigint) end)"
+      }
+      expr(bits.mkString(" + ")).as(s"bkt$t")
+    }
+    df.select((df.columns.map(col) ++ buckets): _*)
+      .select(col("*"),
+        posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
+          .as(Seq("table_id", "bucket")))
+      .drop((0 until nTables).map(t => s"bkt$t"): _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── s01: exact top-k cosine per query vector (brute force).
+    "s01_ann_bruteforce" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── s02: LSH-bucketed ANN — 8 tables × 6 sign bits; candidates are
+    // the union of the query's buckets across tables (distinct), then
+    // exact cosine rescore. The bucket join replaces the full scan.
+    "s02_ann_lsh" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = bucketed(Tables(s, d, "embeddings"), "embedding", 8, 6, 64)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
+      val c = e.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
+      val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+      val vq = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val vn = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      cands.join(broadcast(vq), "q_id").join(vn, "n_id")
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators over `documents` (builder-prompt north star):
+  * language ID (stopword-hit heuristic), quality scoring, token
+  * counting, and rolling-hash fingerprinting.
+  *
+  * Everything is per-row scalar arithmetic over codegen'd built-ins —
+  * embarrassingly parallel, no shuffle except the final presentation
+  * sort. At 100 TB these run as one narrow pass over the corpus.
+  *
+  * Oracle parity: per-row int/int divisions and IEEE double ops are
+  * bit-deterministic across engines; regex character classes are kept
+  * to the Java∩RE2 common subset.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** stopword LIKE-hit score for one language (0..n). SQL text is shared
+    * verbatim with the DuckDB oracle. */
+  private def stopScore(words: Seq[String]): String =
+    words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
+      .mkString(" + ")
+
+  private val EN = Seq("the", "and", "of", "to", "in")
+  private val ES = Seq("el", "la", "de", "que", "los")
+  private val DE = Seq("der", "und", "das", "die", "ist")
+  private val FR = Seq("le", "les", "et", "des", "une")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── t01: n-gram/stopword language ID — argmax of per-language
+    // stopword hits with fixed precedence (en > es > de > fr), 'und'
+    // (undetermined) when nothing hits.
+    "t01_lang_id" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+        .withColumn("sc_en", expr(stopScore(EN)))
+        .withColumn("sc_es", expr(stopScore(ES)))
+        .withColumn("sc_de", expr(stopScore(DE)))
+        .withColumn("sc_fr", expr(stopScore(FR)))
+        .withColumn("best",
+          greatest(col("sc_en"), col("sc_es"), col("sc_de"), col("sc_fr")))
+        .withColumn("pred_lang",
+          when(col("best") === 0, lit("und"))
+            .when(col("sc_en") === col("best"), lit("en"))
+            .when(col("sc_es") === col("best"), lit("es"))
+            .when(col("sc_de") === col("best"), lit("de"))
+            .otherwise(lit("fr")))
+        .select(col("doc_id"), col("pred_lang"),
+          col("best").cast(IntegerType).as("score"), col("lang").as("labeled_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t02: quality scoring — length/punctuation/stopword ratios
+    // combined into one [0,1] score.
+    "t02_quality_score" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("n_chars_calc", length(col("text")).cast(IntegerType))
+        .withColumn("n_words",
+          size(split(trim(col("text")), "\\s+")).cast(IntegerType))
+        .withColumn("punct_raw",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast(DoubleType) / length(col("text")))
+        .withColumn("digit_raw",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast(DoubleType) / length(col("text")))
+        .withColumn("stop_raw",
+          expr("size(filter(split(lower(trim(text)), '\\\\s+'), " +
+            "t -> t in ('the','and','of','a','to','in','is')))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("avg_word_len",
+          round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
+            / col("n_words"), 6))
+        .withColumn("quality",
+          round(lit(0.4) * least(lit(1.0), col("n_words").cast(DoubleType) / 50.0)
+            + lit(0.3) * (lit(1.0) - col("punct_raw"))
+            + lit(0.3) * least(lit(1.0), col("stop_raw") * 5.0), 6))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
+          col("avg_word_len"), round(col("punct_raw"), 6).as("punct_ratio"),
+          round(col("digit_raw"), 6).as("digit_ratio"),
+          round(col("stop_raw"), 6).as("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t03: token counting — whitespace tokens + a BPE-ish regex
+    // segmentation (letter runs / digit runs / single symbols).
+    "t03_token_stats" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("ws_tokens",
+          size(split(trim(col("text")), "\\s+")).cast(IntegerType))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast(IntegerType))
+        .withColumn("alpha_tokens",
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+            .cast(IntegerType))
+        .withColumn("chars_per_tok",
+          round(length(col("text")).cast(DoubleType) / col("bpe_tokens"), 6))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          col("alpha_tokens"), col("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t04: document fingerprinting — rolling character 8-gram hashes,
+    // keep the 4 smallest (winnowing-style min-k sketch). xxhash64-based
+    // → no cross-engine oracle (rows-only check).
+    "t04_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("fp", expr(
+          "slice(array_sort(transform(sequence(0, greatest(length(text)-8, 0)), " +
+            "i -> xxhash64(substring(text, i+1, 8)))), 1, 4)"))
+        .select(col("doc_id"),
+          expr("element_at(fp, 1)").as("fp0"),
+          expr("element_at(fp, 2)").as("fp1"),
+          expr("element_at(fp, 3)").as("fp2"),
+          expr("element_at(fp, 4)").as("fp3"),
+          xxhash64(col("text")).as("full_hash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      def sc(words: Seq[String]): String =
+        words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
+          .mkString(" + ")
+      s"""WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+         |sc AS (SELECT doc_id, lang, ${sc(EN)} AS sc_en, ${sc(ES)} AS sc_es,
+         |         ${sc(DE)} AS sc_de, ${sc(FR)} AS sc_fr FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(sc_en, sc_es, sc_de, sc_fr) = 0 THEN 'und'
+         |       WHEN sc_en = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'en'
+         |       WHEN sc_es = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'es'
+         |       WHEN sc_de = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  CAST(greatest(sc_en, sc_es, sc_de, sc_fr) AS INTEGER) AS score,
+         |  lang AS labeled_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "t02_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_raw,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS digit_raw,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS stop_raw,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS awl_raw
+        |  FROM documents)
+        |SELECT doc_id, n_chars_calc, n_words,
+        |  round(awl_raw, 6) AS avg_word_len,
+        |  round(punct_raw, 6) AS punct_ratio,
+        |  round(digit_raw, 6) AS digit_ratio,
+        |  round(stop_raw, 6) AS stop_ratio,
+        |  round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
+        |    + 0.3 * (1.0 - punct_raw)
+        |    + 0.3 * least(1.0, stop_raw * 5.0), 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t03_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS alpha_tokens,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
