@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused sketch primitives as native Catalyst expressions.
+  *
+  * Each replaces a composition of built-ins whose interpreted/codegen
+  * form was measured as a bench hot spot at sf0.1:
+  *  - SimHash64: replaces explode + 64 conditional SUM aggregates (a
+  *    full shuffle of every token) with one narrow per-row pass.
+  *  - MinHashSignature: replaces k independent `array_min(transform)`
+  *    passes (k hashes/gram) with the standard double-hashing scheme —
+  *    two hashes per gram, k fused min-trackers.
+  *  - LshBuckets: replaces nTables×nBits unrolled dot-product SQL
+  *    expressions (3072 multiply terms in the plan) with one loop.
+  *  - SortedIntersectCount: replaces `array_intersect` (per-pair hash
+  *    set build) with a primitive merge-scan over pre-sorted hash
+  *    arrays — the inner loop of O(n²)/candidate-pair jaccard.
+  *
+  * All hashing is XxHash64 (seed 42), matching Spark's `xxhash64`.
+  * CodegenFallback is deliberate: each eval does O(array) work, so the
+  * per-row virtual call is amortized, and the fused loop stays JIT-hot.
+  */
+object SketchExpressions {
+  private val SEED = 42L
+
+  @inline private[functions] def hashStr(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, SEED)
+}
+
+/** 64-bit SimHash over an array<string> of tokens: per-token XxHash64,
+  * per-bit ±1 votes, sign → bit. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = SketchExpressions.hashStr(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sim)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** k-permutation MinHash signature via double hashing:
+  * h_i(x) = h1(x) + i·h2(x); one pass, two hashes per element. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = SketchExpressions.hashStr(s)
+        val h2 = XxHash64Function.hash(s, StringType, 0x9e3779b97f4a7c15L)
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multi-table random-hyperplane LSH buckets: for each of nTables
+  * tables, nBits sign bits of plane·vec packed into a long. Input
+  * array<float|double>; output array<long> of length nTables. */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+    nTables: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nBits) {
+        val p = planes(t * nBits + j)
+        var dot = 0.0
+        var i = 0
+        val d = math.min(dim, p.length)
+        while (i < d) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          dot += p(i) * x
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of common elements between two SORTED long arrays (merge scan,
+  * no allocation). Callers pre-sort once per row with `array_sort`;
+  * jaccard = ic / (|a| + |b| - ic). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registry + Column API for the sketch expressions. */
+object SketchFunctions {
+
+  /** Deterministic hyperplanes shared by all LSH callers. */
+  def hyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nTables * nBits, dim)(rnd.nextGaussian())
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig16", exprs => MinHashSignature(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_buckets_8x6",
+      exprs => LshBuckets(exprs.head, hyperplanes(8, 6, 64), 8, 6), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def minhashSig16(c: Column): Column = call_function("minhash_sig16", c)
+  def lshBuckets8x6(c: Column): Column = call_function("lsh_buckets_8x6", c)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+}

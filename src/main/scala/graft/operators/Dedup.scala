@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{SketchFunctions, VectorFunctions}
 
 /** Deduplication operators for the large-scale training-data pipeline
   * (builder-prompt north star; SURVEY.md §2.10).
@@ -38,8 +38,19 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
 
-  private def jaccard(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"cast(size(array_intersect($a, $b)) as double) / size(array_union($a, $b))")
+  /** sorted xxhash64 of each gram + set size — the pair-scoring form.
+    * Jaccard over the hash sets equals jaccard over the string sets
+    * (w.h.p.; 64-bit collisions are negligible at this cardinality),
+    * and the sorted-long merge scan beats per-pair string hash sets. */
+  private def withGramHashes(df: DataFrame): DataFrame =
+    withGrams(df)
+      .withColumn("gh", expr("array_sort(transform(grams, g -> xxhash64(g)))"))
+      .withColumn("gsz", size(col("gh")))
+
+  /** jaccard from a sorted-merge intersect count: ic/(|a|+|b|-ic). */
+  private def jaccardSorted(ic: org.apache.spark.sql.Column,
+      sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
+    ic.cast("double") / (sa + sb - ic)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -53,19 +64,18 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
-    // ── d02: MinHash + LSH banding. 16 hash perms (xxhash64 seeded by
-    // perm index), 4 bands × 4 rows; same-band collision → candidate →
-    // exact jaccard ≥ 0.5 confirms.
+    // ── d02: MinHash + LSH banding. 16-perm signature via the fused
+    // double-hashing MinHashSignature expression, 4 bands × 4 rows;
+    // same-band collision → candidate → exact jaccard ≥ 0.5 confirms.
     "d02_dedup_minhash_lsh" -> ((s, d) => {
-      val g = withGrams(docs(s, d)).select(col("doc_id"), col("grams"))
-      val sigs = (0 until 16).foldLeft(g)((df, h) =>
-        df.withColumn(s"mh$h", expr(s"array_min(transform(grams, x -> xxhash64($h, x)))")))
-      val bands = (0 until 4).foldLeft(sigs)((df, b) =>
-        df.withColumn(s"band$b",
-          expr(s"xxhash64(mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, $b)")))
-        .select(col("doc_id"),
-          posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
-            .as(Seq("band_id", "band_hash")))
+      SketchFunctions.register(s)
+      val g = withGramHashes(docs(s, d))
+        .select(col("doc_id"), col("grams"), col("gh"), col("gsz"))
+      val sig = g.withColumn("sig", SketchFunctions.minhashSig16(col("grams")))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}], $b)")): _*))
+          .as(Seq("band_id", "band_hash")))
       val cands = bands.groupBy(col("band_id"), col("band_hash"))
         .agg(collect_set(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -73,10 +83,11 @@ object Dedup {
         .select(col("a_id"), explode(col("ids")).as("b_id"))
         .filter(col("a_id") < col("b_id"))
         .distinct()
-      val ga = g.select(col("doc_id").as("a_id"), col("grams").as("ga"))
-      val gb = g.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+      val ga = g.select(col("doc_id").as("a_id"), col("gh").as("gha"), col("gsz").as("sza"))
+      val gb = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"), col("gsz").as("szb"))
       cands.join(ga, "a_id").join(gb, "b_id")
-        .withColumn("jac", jaccard("ga", "gb"))
+        .withColumn("ic", SketchFunctions.sortedIntersectCount(col("gha"), col("ghb")))
+        .withColumn("jac", jaccardSorted(col("ic"), col("sza"), col("szb")))
         .filter(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -86,19 +97,10 @@ object Dedup {
     // 8 bands × 8 bits guarantees full recall for hamming ≤ 7 by
     // pigeonhole; the rescore keeps pairs at the standard ≤ 3 cutoff.
     "d03_dedup_simhash" -> ((s, d) => {
-      val votes = docs(s, d)
-        .select(col("doc_id"), explode(expr("split(lower(text), '\\\\s+')")).as("tok"))
-        .withColumn("h", expr("xxhash64(tok)"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(expr("case when (shiftright(h, 0) & 1) = 1 then 1 else -1 end")).as("b0"),
-          (1 until 64).map(j =>
-            sum(expr(s"case when (shiftright(h, $j) & 1) = 1 then 1 else -1 end")).as(s"b$j")): _*)
-      val sim = votes.withColumn("simhash",
-        expr((0 until 64).map(j =>
-          s"(case when b$j > 0 then shiftleft(cast(1 as bigint), $j) else cast(0 as bigint) end)")
-          .mkString(" + ")))
-        .select(col("doc_id"), col("simhash"))
+      SketchFunctions.register(s)
+      val sim = docs(s, d)
+        .select(col("doc_id"),
+          SketchFunctions.simhash64(expr("split(lower(text), '\\\\s+')")).as("simhash"))
       val chunks = (0 until 8).foldLeft(sim)((df, c) =>
         df.withColumn(s"c$c", expr(s"shiftright(simhash, ${8 * c}) & 255")))
         .select(col("doc_id"),
@@ -126,12 +128,15 @@ object Dedup {
     // a small parquet arrives as ONE input split, and without the
     // repartition the O(n²) pair evaluation runs in a single task.
     "d04_dedup_ngram_jaccard" -> ((s, d) => {
+      SketchFunctions.register(s)
       val par = s.sparkContext.defaultParallelism
-      val g = withGrams(docs(s, d)).select(col("doc_id"), col("grams"))
-      val a = g.select(col("doc_id").as("a_id"), col("grams").as("ga")).repartition(par)
-      val b = g.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+      val g = withGramHashes(docs(s, d)).select(col("doc_id"), col("gh"), col("gsz"))
+      val a = g.select(col("doc_id").as("a_id"), col("gh").as("gha"), col("gsz").as("sza"))
+        .repartition(par)
+      val b = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"), col("gsz").as("szb"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jac_raw", jaccard("ga", "gb"))
+        .withColumn("ic", SketchFunctions.sortedIntersectCount(col("gha"), col("ghb")))
+        .withColumn("jac_raw", jaccardSorted(col("ic"), col("sza"), col("szb")))
         .filter(col("jac_raw") >= 0.2)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{SketchFunctions, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (builder-prompt north star).
@@ -24,36 +24,19 @@ object Similarity {
   private val K = 3
   private val NQ = 5 // vec_id < NQ are the query vectors
 
-  /** Deterministic hyperplanes: seeded PRNG, `tables × bits` planes. */
-  private def planes(n: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(n, dim)(rnd.nextGaussian())
-  }
-
   /** Multi-table random-hyperplane LSH: `nTables` independent tables of
     * `nBits` sign bits each. One table of many bits over-partitions a
     * small/medium corpus into singleton buckets (zero recall); several
     * small tables union their candidate sets — the standard
     * recall/selectivity trade. Emits one (table_id, bucket) row per
-    * table per vector. */
-  private def bucketed(df: DataFrame, vecCol: String,
-      nTables: Int, nBits: Int, dim: Int): DataFrame = {
-    val ps = planes(nTables * nBits, dim)
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until nBits).map { j =>
-        val dot = (0 until dim)
-          .map(i => s"(${ps(t * nBits + j)(i)} * cast($vecCol[$i] as double))")
-          .mkString(" + ")
-        s"(case when ($dot) > 0 then shiftleft(cast(1 as bigint), $j) else cast(0 as bigint) end)"
-      }
-      expr(bits.mkString(" + ")).as(s"bkt$t")
-    }
-    df.select((df.columns.map(col) ++ buckets): _*)
+    * table per vector. Bucket computation is the fused LshBuckets
+    * Catalyst expression (one loop; the unrolled-SQL form put 3072
+    * multiply terms in the plan and dominated the query's runtime). */
+  private def bucketed(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("buckets", SketchFunctions.lshBuckets8x6(col(vecCol)))
       .select(col("*"),
-        posexplode(array((0 until nTables).map(t => col(s"bkt$t")): _*))
-          .as(Seq("table_id", "bucket")))
-      .drop((0 until nTables).map(t => s"bkt$t"): _*)
-  }
+        posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+      .drop("buckets")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -81,7 +64,8 @@ object Similarity {
     // exact cosine rescore. The bucket join replaces the full scan.
     "s02_ann_lsh" -> ((s, d) => {
       VectorFunctions.register(s)
-      val e = bucketed(Tables(s, d, "embeddings"), "embedding", 8, 6, 64)
+      SketchFunctions.register(s)
+      val e = bucketed(Tables(s, d, "embeddings"), "embedding")
       val q = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
       val c = e.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))

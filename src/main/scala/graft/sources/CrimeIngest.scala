@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest/process parity module for the reference pipeline
+  * (SURVEY.md §7.2 step 2).
+  *
+  * Reproduces, Spark-native, the reference's two stages:
+  *  - ingest (`spark_ingest_script.py:56-105`): full-source extract →
+  *    execution-date partition stamping → partitioned-parquet
+  *    `saveAsTable` overwrite → "latest pointer" external table DDL.
+  *  - process (`spark_process_script.py:35-82`): the flagship
+  *    aggregation (count crimes by type where no arrest was made) over
+  *    the ingested table, written back the same way.
+  *
+  * Deliberate fidelity points:
+  *  - `arrest = 'False'` stays a CASE-SENSITIVE STRING comparison, not
+  *    a boolean cast (`spark_process_script.py:37`).
+  *  - `count(primary_type)` (null-skipping count(col)), not count(*).
+  *  - partition values y/m/d are non-zero-padded strings (`m=3`, not
+  *    `m=03`), matching the reference's `%-m`/`%-d` strftime
+  *    (`spark_ingest_script.py:67-69`), and stay StringType to avoid
+  *    `m=3`/`m=03` drift on read-back.
+  *  - the latest-pointer table is created-or-repointed with
+  *    `spark.catalog.tableExists` + `ALTER TABLE … SET LOCATION` /
+  *    `CREATE TABLE … USING PARQUET LOCATION`
+  *    (`spark_ingest_script.py:97-105`) — the public-API form of the
+  *    reference's `_jsparkSession` hack.
+  *
+  * Deliberate scale departures:
+  *  - source reads go through explicit-schema CSV/Parquet (the
+  *    reference's single-partition JDBC extract is a scale bug we do
+  *    not copy; a JDBC read here would set
+  *    partitionColumn/lowerBound/upperBound/numPartitions on `id`).
+  */
+object CrimeIngest {
+
+  /** Explicit source schema — `create&Load.sql:8-11` (22 columns). */
+  val crimeSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("case_number", StringType, nullable = false),
+    StructField("date_value", StringType),
+    StructField("block_value", StringType),
+    StructField("iucr", StringType),
+    StructField("primary_type", StringType),
+    StructField("description_value", StringType),
+    StructField("local_description", StringType),
+    StructField("arrest", StringType),
+    StructField("domestic", StringType),
+    StructField("beat", StringType),
+    StructField("district", StringType),
+    StructField("ward", IntegerType),
+    StructField("community_area", StringType),
+    StructField("fbi_code", StringType),
+    StructField("x_coordinate", IntegerType),
+    StructField("y_coordinate", IntegerType),
+    StructField("year", IntegerType),
+    StructField("updated_on", StringType),
+    StructField("latitude", DecimalType(11, 9)),
+    StructField("longitude", DecimalType(11, 9)),
+    StructField("location", StringType)))
+
+  /** Schema'd, header-skipping, quote-enclosed CSV read — the Spark
+    * equivalent of `LOAD DATA LOCAL INFILE … ENCLOSED BY '"' …
+    * IGNORE 1 ROWS` (`create&Load.sql:15`). */
+  def readCrimeCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .schema(crimeSchema)
+      .csv(path)
+
+  /** Non-zero-padded execution-date parts (`%Y`, `%-m`, `%-d`). */
+  def datePartitions(execDate: LocalDate): (String, String, String) =
+    (execDate.getYear.toString, execDate.getMonthValue.toString,
+      execDate.getDayOfMonth.toString)
+
+  /** `withColumn(lit)` partition stamping
+    * (`spark_ingest_script.py:64-72`). */
+  def stampPartitions(df: DataFrame, execDate: LocalDate): DataFrame = {
+    val (y, m, d) = datePartitions(execDate)
+    df.withColumn("y", lit(y)).withColumn("m", lit(m)).withColumn("d", lit(d))
+  }
+
+  /** Partitioned overwrite `saveAsTable` with explicit location +
+    * latest-pointer DDL (`spark_ingest_script.py:85-105`). */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, db: String,
+      table: String, tableUrl: String, execDate: LocalDate): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("y", "m", "d")
+      .format("parquet")
+      .option("path", tableUrl)
+      .saveAsTable(s"$db.$table")
+    repointLatest(spark, db, table, tableUrl, execDate)
+  }
+
+  /** Create-or-repoint the unpartitioned "latest" external table at the
+    * newest y=/m=/d= directory (`spark_ingest_script.py:97-105`). */
+  def repointLatest(spark: SparkSession, db: String, table: String,
+      tableUrl: String, execDate: LocalDate): Unit = {
+    val (y, m, d) = datePartitions(execDate)
+    val latestUrl = s"$tableUrl/y=$y/m=$m/d=$d"
+    val latest = s"$db.${table}_latest"
+    if (spark.catalog.tableExists(latest))
+      spark.sql(s"ALTER TABLE $latest SET LOCATION '$latestUrl'")
+    else
+      spark.sql(s"CREATE TABLE $latest USING PARQUET LOCATION '$latestUrl'")
+  }
+
+  /** Stage 1: ingest a crime CSV as the partitioned snapshot table. */
+  def ingest(spark: SparkSession, csvPath: String, db: String,
+      warehouseDir: String, execDate: LocalDate): DataFrame = {
+    val raw = readCrimeCsv(spark, csvPath)
+    val stamped = stampPartitions(raw, execDate)
+    writeSnapshot(spark, stamped, db, "crimes_2001_to_present",
+      s"$warehouseDir/crimes_2001_to_present", execDate)
+    stamped
+  }
+
+  /** Stage 2: the flagship aggregation over the ingested table —
+    * verbatim semantics of `spark_process_script.py:37`. */
+  def process(spark: SparkSession, db: String, warehouseDir: String,
+      execDate: LocalDate): DataFrame = {
+    val agg = spark.sql(
+      s"""SELECT primary_type, count(primary_type) AS crime_count
+         |FROM $db.crimes_2001_to_present
+         |WHERE arrest = 'False'
+         |GROUP BY primary_type""".stripMargin)
+    val stamped = stampPartitions(agg, execDate)
+    writeSnapshot(spark, stamped, db, "crime_type_details",
+      s"$warehouseDir/crime_type_details", execDate)
+    stamped
+  }
+
+  /** Typed view of the raw record where compile-time safety pays. */
+  case class CrimeRecord(id: Int, case_number: String, date_value: String,
+      primary_type: String, arrest: String, domestic: String,
+      year: Option[Int], latitude: Option[java.math.BigDecimal],
+      longitude: Option[java.math.BigDecimal])
+
+  /** Typed parse of `date_value` (`M/d/yyyy h:mm:ss a`) — the
+    * improvement the reference never does (SURVEY.md §1.3). */
+  def withParsedDate(df: DataFrame): DataFrame =
+    df.withColumn("event_ts",
+      to_timestamp(col("date_value"), "M/d/yyyy h:mm:ss a"))
+}
