@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.HigherOrder.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextOps.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.HigherOrder.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextOps.oracles ++

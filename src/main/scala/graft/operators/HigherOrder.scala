@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Array / map / higher-order-function and math scalar coverage
+  * (SURVEY.md §2.8 north-star extensions).
+  *
+  * q25 exercises the Catalyst HOFs (`aggregate`, `transform`, `slice`,
+  * `array_sort`, `array_max/min`, `map`/`element_at`) over the
+  * embedding column — the codegen-friendly alternative to UDFs for
+  * vector math. q26 exercises the math scalar surface.
+  *
+  * Oracle notes: HOF folds are sequential left-to-right in both
+  * engines; transcendentals (ln) are ~1-ulp library calls, so they are
+  * rounded harder than the algebraic columns.
+  */
+object HigherOrder {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q25: array & map functions + HOFs over embeddings.
+    "q25_array_hof" -> ((s, d) => {
+      Tables(s, d, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).cast(IntegerType).as("n"),
+          round(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"), 6)
+            .as("vsum"),
+          round(expr("cast(array_max(embedding) as double)"), 6).as("vmax"),
+          round(expr("cast(array_min(embedding) as double)"), 6).as("vmin"),
+          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4))")
+            .as("first3"),
+          round(expr("cast(element_at(array_sort(embedding), 2) as double)"), 6)
+            .as("second_smallest"),
+          // map plumbing: build → extract (oracle sees just the value)
+          element_at(map(lit("v"), col("vec_id")), "v").as("key_demo"),
+          col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── q26: math scalar functions over lineitem.
+    "q26_math_funcs" -> ((s, d) => {
+      Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("rounded"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          floor(col("l_extendedprice")).cast(LongType).as("fl"),
+          ceil(col("l_extendedprice")).cast(LongType).as("ce"),
+          signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"),
+          pmod(col("l_orderkey"), lit(7)).cast(IntegerType).as("md"),
+          round(log(col("l_quantity")), 6).as("ln_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS first3,
+        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_smallest,
+        |  vec_id AS key_demo,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS rounded,
+        |  abs(l_discount - 0.05) AS absd,
+        |  power(l_quantity, 2) AS qty_sq,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
+        |  CAST(l_orderkey % 7 AS INTEGER) AS md,
+        |  round(ln(l_quantity), 6) AS ln_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

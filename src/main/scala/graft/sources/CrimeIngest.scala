@@ -74,6 +74,27 @@ object CrimeIngest {
       .schema(crimeSchema)
       .csv(path)
 
+  /** Partitioned JDBC extract — the scale-correct form of the
+    * reference's single-connection read (`spark_ingest_script.py:56-61`
+    * shipped the whole `SELECT *` subquery over ONE connection; this
+    * splits the scan into `numPartitions` range slices on a numeric
+    * key, one connection each). No database exists in the offline
+    * harness, so this is exercised only through its parquet/CSV-backed
+    * siblings; the option set is the documented §2.1 mapping. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, dbtable: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, user: String, password: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("user", user)
+      .option("password", password)
+      .load()
+
   /** Non-zero-padded execution-date parts (`%Y`, `%-m`, `%-d`). */
   def datePartitions(execDate: LocalDate): (String, String, String) =
     (execDate.getYear.toString, execDate.getMonthValue.toString,

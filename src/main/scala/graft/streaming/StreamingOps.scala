@@ -32,6 +32,12 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Typed event for the stateful path (µs timestamp). */
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long)
+
+  /** Per-user session summary emitted by the stateful operator. */
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── st01: tumbling 1-hour window aggregation over the event stream.
@@ -61,6 +67,49 @@ object StreamingOps {
       q.awaitTermination()
       s.table(sinkName)
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── st02: custom stateful operator — gap-based sessionization
+    // (30-min inactivity) via flatMapGroupsWithState over a
+    // KeyValueGroupedDataset. Same semantics as the batch window
+    // version (q24_sessionize) and checked against the same oracle —
+    // state here is the per-user event buffer; with a continuous
+    // trigger the buffer + GroupStateTimeout would carry sessions
+    // across micro-batches.
+    "st02_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .as[Ev]
+      def sessionize(userId: Long, evs: Iterator[Ev],
+          state: GroupState[Long]): Iterator[UserSessions] = {
+        val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var sessions = 0L
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e.ts_us - prev > 1800L * 1000000L)
+            sessions += 1
+          prev = e.ts_us
+        }
+        Iterator.single(UserSessions(userId, sorted.length.toLong, sessions))
+      }
+      val sinkName = "st02_out"
+      val q = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("user_id"))
     })
   )
 
@@ -69,6 +118,18 @@ object StreamingOps {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same oracle as the batch window sessionization (q24)
+    "st02_stream_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+        |    WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
