@@ -14,8 +14,8 @@ import graft.functions.{SketchFunctions, VectorFunctions}
   *    join → exact-jaccard rescore. No O(n²) stage; candidate volume is
   *    bounded by band collisions, which is the property that survives
   *    100 TB.
-  *  - d03 SimHash: 64-bit sketch via per-token hash bit votes, 8×8-bit
-  *    banding (pigeonhole-complete for hamming ≤ 7), XOR popcount rescore.
+  *  - d03 SimHash: 64-bit sketch via per-token hash bit votes, 4×16-bit
+  *    banding (pigeonhole-complete for hamming ≤ 3), XOR popcount rescore.
   *  - d04 n-gram Jaccard: exact all-pairs rescore — the correctness
   *    anchor the probabilistic paths (d02/d03) are judged against; at
   *    scale you run it only on candidate pairs from d02.
@@ -30,9 +30,17 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
-  /** word-level 3-gram shingle set (distinct), lowercased. */
+  /** word-level 3-gram shingle set (distinct), lowercased.
+    *
+    * Repartitions first: a small corpus parquet is ONE input split, and
+    * the gram pipeline (regex split + HOF transform + hash + sort) is
+    * interpreted (higher-order lambdas are not codegen'd), so without
+    * the spread every downstream stage that fuses with this projection
+    * — including a broadcast join's streamed side — runs on one core
+    * (measured: 25s single-task vs ~2s spread at sf0.1). */
   private def withGrams(df: DataFrame): DataFrame =
-    df.withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
       .filter(size(col("toks")) >= 3)
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(0, size(toks)-3), " +
@@ -69,16 +77,24 @@ object Dedup {
     // same-band collision → candidate → exact jaccard ≥ 0.5 confirms.
     "d02_dedup_minhash_lsh" -> ((s, d) => {
       SketchFunctions.register(s)
+      // localCheckpoint: three consumers (signature branch + both
+      // rescore sides) would each recompute the interpreted gram
+      // pipeline; materializing it once collapses the diamond lineage.
       val g = withGramHashes(docs(s, d))
         .select(col("doc_id"), col("grams"), col("gh"), col("gsz"))
+        .localCheckpoint()
       val sig = g.withColumn("sig", SketchFunctions.minhashSig16(col("grams")))
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
           expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}], $b)")): _*))
           .as(Seq("band_id", "band_hash")))
+      // cap bucket size: a band value shared by hundreds of docs is a
+      // stop-gram artifact, not near-duplication, and its k² pair
+      // explosion runs inside ONE task (explode of a single row does
+      // not parallelize). Exact-dup clusters are d01's job.
       val cands = bands.groupBy(col("band_id"), col("band_hash"))
         .agg(collect_set(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
         .select(explode(col("ids")).as("a_id"), col("ids"))
         .select(col("a_id"), explode(col("ids")).as("b_id"))
         .filter(col("a_id") < col("b_id"))
@@ -94,21 +110,22 @@ object Dedup {
     }),
 
     // ── d03: SimHash — 64-bit sketch from per-token hash bit votes;
-    // 8 bands × 8 bits guarantees full recall for hamming ≤ 7 by
-    // pigeonhole; the rescore keeps pairs at the standard ≤ 3 cutoff.
+    // 4 bands × 16 bits is pigeonhole-complete for the hamming ≤ 3
+    // rescore cutoff, with 65536 buckets per band — 8-bit chunks would
+    // give only 256 buckets and O(n²/256) spurious candidates at scale.
     "d03_dedup_simhash" -> ((s, d) => {
       SketchFunctions.register(s)
       val sim = docs(s, d)
         .select(col("doc_id"),
           SketchFunctions.simhash64(expr("split(lower(text), '\\\\s+')")).as("simhash"))
-      val chunks = (0 until 8).foldLeft(sim)((df, c) =>
-        df.withColumn(s"c$c", expr(s"shiftright(simhash, ${8 * c}) & 255")))
+      val chunks = (0 until 4).foldLeft(sim)((df, c) =>
+        df.withColumn(s"c$c", expr(s"shiftright(simhash, ${16 * c}) & 65535")))
         .select(col("doc_id"),
-          posexplode(array((0 until 8).map(c => col(s"c$c")): _*))
+          posexplode(array((0 until 4).map(c => col(s"c$c")): _*))
             .as(Seq("chunk_id", "chunk_val")))
       val cands = chunks.groupBy(col("chunk_id"), col("chunk_val"))
         .agg(collect_set(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
         .select(explode(col("ids")).as("a_id"), col("ids"))
         .select(col("a_id"), explode(col("ids")).as("b_id"))
         .filter(col("a_id") < col("b_id"))
@@ -122,20 +139,27 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ── d04: exact n-gram Jaccard, all pairs ≥ 0.2 — the oracle-checked
-    // correctness anchor for the sketch-based paths. The streamed side
-    // of the broadcast-nested-loop join is explicitly repartitioned:
-    // a small parquet arrives as ONE input split, and without the
-    // repartition the O(n²) pair evaluation runs in a single task.
+    // ── d04: exact n-gram Jaccard ≥ 0.2 via an INVERTED INDEX — the
+    // oracle-checked anchor for the sketch paths. Exploding (doc,
+    // gram-hash) postings and equi-joining on the hash computes
+    // |A∩B| per pair with two hash shuffles and NO O(n²) cross join:
+    // pairs sharing zero grams (jaccard 0, below any threshold) are
+    // never materialized. A cross-join formulation measured 15s at
+    // sf0.1 from 25M wide-row copies; this runs the same semantics as
+    // a ~3M-row equi-join. Hot-gram posting lists are the scale knob
+    // (here max 25; prefix filtering would cap them at 100 TB).
     "d04_dedup_ngram_jaccard" -> ((s, d) => {
-      SketchFunctions.register(s)
-      val par = s.sparkContext.defaultParallelism
+      // localCheckpoint collapses the self-join diamond (both posting
+      // sides + the final stage would recompute the gram pipeline).
       val g = withGramHashes(docs(s, d)).select(col("doc_id"), col("gh"), col("gsz"))
-      val a = g.select(col("doc_id").as("a_id"), col("gh").as("gha"), col("gsz").as("sza"))
-        .repartition(par)
-      val b = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"), col("gsz").as("szb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("ic", SketchFunctions.sortedIntersectCount(col("gha"), col("ghb")))
+        .localCheckpoint()
+      val p = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
+      val a = p.select(col("doc_id").as("a_id"), col("gsz").as("sza"), col("h"))
+      val b = p.select(col("doc_id").as("b_id"), col("gsz").as("szb"), col("h"))
+      a.join(b, Seq("h"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("sza"), col("szb"))
+        .agg(count(lit(1)).as("ic"))
         .withColumn("jac_raw", jaccardSorted(col("ic"), col("sza"), col("szb")))
         .filter(col("jac_raw") >= 0.2)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))

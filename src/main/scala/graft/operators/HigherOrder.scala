@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.functions.TopKFunctions
+import graft.plans.Skew
 
 /** Array / map / higher-order-function and math scalar coverage
   * (SURVEY.md §2.8 north-star extensions).
@@ -54,6 +56,33 @@ object HigherOrder {
           pmod(col("l_orderkey"), lit(7)).cast(IntegerType).as("md"),
           round(log(col("l_quantity")), 6).as("ln_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── q27: custom TypedImperativeAggregate top-k — same result as the
+    // window formulation (q07) and checked against the same oracle, but
+    // with k-bounded heaps instead of per-group sorts (map-side partial
+    // top-k; the shuffle carries ≤ k rows per group per task).
+    "q27_topk_aggregate" -> ((s, d) => {
+      TopKFunctions.register(s)
+      Tables(s, d, "part")
+        .groupBy(col("p_brand"))
+        .agg(TopKFunctions.topkBy(col("p_retailprice"), col("p_partkey"), 3).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("p_brand"), col("entry.payload").as("p_partkey"),
+          col("entry.ord").as("p_retailprice"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // ── q28: skew-salted equi-join — result-identical to the plain
+    // join (the oracle is the unsalted SQL), with the big side's hot
+    // keys spread over 8 shuffle partitions.
+    "q28_salted_join" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
+      Skew.saltedEquiJoin(l, o, "l_orderkey", "o_orderkey", 8, col("l_linenumber"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -81,6 +110,20 @@ object HigherOrder {
         |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
         |  CAST(l_orderkey % 7 AS INTEGER) AS md,
         |  round(ln(l_quantity), 6) AS ln_qty
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same semantics as q07's window formulation
+    "q27_topk_aggregate" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+        |  FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    // the unsalted join — salting must not change the result set
+    "q28_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
