@@ -74,6 +74,38 @@ object HigherOrder {
         .orderBy(col("p_brand"), col("rn"))
     }),
 
+    // ── q29: distributed statistics from decimal-exact moments — var,
+    // stddev, corr derived from associative SUMs (map-side partial,
+    // order-independent), not from streaming one-pass estimators whose
+    // accumulation order would differ per engine. Exact percentiles via
+    // linear interpolation ride along.
+    "q29_stats_moments" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      def dsum(e: String, sc: Int) =
+        sum(expr(e).cast(DecimalType(28, sc))).cast(DoubleType)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum("l_extendedprice", 2).as("sx"),
+          dsum("l_extendedprice * l_extendedprice", 4).as("sxx"),
+          dsum("l_quantity", 0).as("sy"),
+          dsum("l_quantity * l_quantity", 0).as("syy"),
+          dsum("l_extendedprice * l_quantity", 2).as("sxy"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+            .as("var_price"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+            .as("stddev_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_price_qty"),
+          col("median_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions.
@@ -119,6 +151,24 @@ object HigherOrder {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
         |  FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q29_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+        |    quantile_cont(l_quantity, 0.5) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty,
+        |  median_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // the unsalted join — salting must not change the result set
     "q28_salted_join" ->
