@@ -106,6 +106,24 @@ object HigherOrder {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── q30: AS-OF JOIN composed from built-ins (SURVEY §2.10
+    // preference (a)): each event is matched to its user's most recent
+    // signup at-or-before its timestamp. One RANGE-frame window over a
+    // single sorted shuffle — no custom plan, no per-row subquery. The
+    // RANGE (not ROWS) frame makes same-timestamp signups visible,
+    // matching the correlated-subquery oracle exactly.
+    "q30_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions.
@@ -169,6 +187,14 @@ object HigherOrder {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty,
         |  median_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // as-of semantics stated as a correlated subquery
+    "q30_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  (SELECT max(s.ts) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= e.ts) AS signup_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin,
 
     // the unsalted join — salting must not change the result set
     "q28_salted_join" ->
