@@ -25,9 +25,9 @@ object Multimodal {
   case class Asset(doc_id: Long, fmt: String, width: Int, height: Int,
       data: Array[Byte])
 
-  /** Decoded features per asset. */
+  /** Decoded features per asset, including sampled "frames". */
   case class AssetFeatures(doc_id: Long, n_frames: Int, mean_byte: Double,
-      checksum: Long)
+      checksum: Long, frame_samples: Array[Int])
 
   /** STUB decoder — deterministic fake. A real implementation would
     * decode `a.data` with an image/audio codec; this one derives
@@ -35,7 +35,9 @@ object Multimodal {
     * its tests) are real while the codec is not present:
     *  - n_frames: 256-byte blocks ≈ "frames" sampled from a video
     *  - mean_byte: stand-in for mean pixel intensity
-    *  - checksum: FNV-1a over the payload (decode integrity check) */
+    *  - checksum: FNV-1a over the payload (decode integrity check)
+    *  - frame_samples: first byte of every "frame" — the frame-sampling
+    *    shape (every Nth unit of an opaque payload → a typed array) */
   private def decodeStub(a: Asset): AssetFeatures = {
     val bytes = a.data
     var acc = 0L
@@ -46,8 +48,10 @@ object Multimodal {
       sum += (bytes(i) & 0xff)
       i += 1
     }
-    AssetFeatures(a.doc_id, (bytes.length + 255) / 256,
-      if (bytes.length == 0) 0.0 else sum / bytes.length, acc)
+    val nFrames = (bytes.length + 255) / 256
+    val frames = Array.tabulate(nFrames)(f => bytes(f * 256) & 0xff)
+    AssetFeatures(a.doc_id, nFrames,
+      if (bytes.length == 0) 0.0 else sum / bytes.length, acc, frames)
   }
 
   /** documents → assets: text bytes stand in for the media payload;
@@ -85,7 +89,8 @@ object Multimodal {
       ds.mapPartitions(it => it.map(decodeStub))
         .toDF()
         .select(col("doc_id"), col("n_frames"),
-          round(col("mean_byte"), 6).as("mean_byte"), col("checksum"))
+          round(col("mean_byte"), 6).as("mean_byte"), col("checksum"),
+          col("frame_samples"))
         .orderBy(col("doc_id"))
     })
   )
