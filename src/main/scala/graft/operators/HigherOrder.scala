@@ -28,13 +28,16 @@ object HigherOrder {
       Tables(s, d, "embeddings").select(
           col("vec_id"),
           size(col("embedding")).cast(IntegerType).as("n"),
-          round(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"), 6)
+          // "+ 0.0" normalizes IEEE negative zero: DuckDB's round()
+          // keeps -0.0, Spark's BigDecimal round yields +0.0 — found as
+          // a real hash mismatch at sf0.1.
+          (round(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"), 6) + 0.0)
             .as("vsum"),
-          round(expr("cast(array_max(embedding) as double)"), 6).as("vmax"),
-          round(expr("cast(array_min(embedding) as double)"), 6).as("vmin"),
-          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4))")
+          (round(expr("cast(array_max(embedding) as double)"), 6) + 0.0).as("vmax"),
+          (round(expr("cast(array_min(embedding) as double)"), 6) + 0.0).as("vmin"),
+          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4) + 0.0d)")
             .as("first3"),
-          round(expr("cast(element_at(array_sort(embedding), 2) as double)"), 6)
+          (round(expr("cast(element_at(array_sort(embedding), 2) as double)"), 6) + 0.0)
             .as("second_smallest"),
           // map plumbing: build → extract (oracle sees just the value)
           element_at(map(lit("v"), col("vec_id")), "v").as("key_demo"),
@@ -98,9 +101,9 @@ object HigherOrder {
             .as("var_price"),
           round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
             .as("stddev_price"),
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
+          (round((col("n") * col("sxy") - col("sx") * col("sy"))
             / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + 0.0)
             .as("corr_price_qty"),
           col("median_qty"))
         .orderBy(col("l_returnflag"))
@@ -140,11 +143,11 @@ object HigherOrder {
     "q25_array_hof" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS n,
-        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
-        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
-        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS first3,
-        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_smallest,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0 AS vsum,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS vmax,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS vmin,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS first3,
+        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) + 0.0 AS second_smallest,
         |  vec_id AS key_demo,
         |  label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -184,7 +187,7 @@ object HigherOrder {
         |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
         |  round((n * sxy - sx * sy)
-        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty,
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS corr_price_qty,
         |  median_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
 

@@ -55,7 +55,8 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("q_id"), col("n_id"),
-          col("rank").cast("int").as("rank"), round(col("cos"), 6).as("cos"))
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos")) // +0.0: normalize -0.0
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -83,7 +84,8 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("q_id"), col("n_id"),
-          col("rank").cast("int").as("rank"), round(col("cos"), 6).as("cos"))
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos")) // +0.0: normalize -0.0
         .orderBy(col("q_id"), col("rank"))
     })
   )
@@ -97,7 +99,7 @@ object Similarity {
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |    list_cosine_similarity(q.v, c.v) AS cos
         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-        |SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM (
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
         |  SELECT q_id, n_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
