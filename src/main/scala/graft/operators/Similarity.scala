@@ -87,6 +87,54 @@ object Similarity {
           col("rank").cast("int").as("rank"),
           (round(col("cos"), 6) + 0.0).as("cos")) // +0.0: normalize -0.0
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── s03: IVF (inverted-file) ANN — coarse k-means quantizer
+    // (seeded, deterministic), vectors assigned to their nearest
+    // centroid cell, queries probe the 2 nearest cells, exact cosine
+    // rescore inside the probed cells. The centroid set is tiny and
+    // broadcast; at 100 TB the cell assignment is one narrow pass and
+    // each query touches ~nProbe/nCells of the corpus.
+    "s03_ann_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val nCells = 16; val nProbe = 2
+      val e = Tables(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(nCells).setSeed(42L)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint() // reused by query + candidate sides
+      // centroid list is tiny: rank cells per query by centroid cosine
+      val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      val centsDf = s.createDataFrame(cents).toDF("cell", "centroid")
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val probed = q.crossJoin(broadcast(centsDf))
+        .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("centroid")))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= nProbe)
+        .select(col("q_id"), col("qv"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 
