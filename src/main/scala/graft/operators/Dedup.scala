@@ -73,8 +73,11 @@ object Dedup {
     }),
 
     // ── d02: MinHash + LSH banding. 16-perm signature via the fused
-    // double-hashing MinHashSignature expression, 4 bands × 4 rows;
-    // same-band collision → candidate → exact jaccard ≥ 0.5 confirms.
+    // double-hashing MinHashSignature expression; 5 bands × 3 rows
+    // (perms 0–14) put the S-curve threshold at (1/5)^(1/3) ≈ 0.58,
+    // aligned with the ≥ 0.5 rescore cutoff — 4×4 banding targeted
+    // ≈ 0.71 and halved recall for borderline pairs. Same-band
+    // collision → candidate → exact jaccard ≥ 0.5 confirms.
     "d02_dedup_minhash_lsh" -> ((s, d) => {
       SketchFunctions.register(s)
       // localCheckpoint: three consumers (signature branch + both
@@ -85,8 +88,8 @@ object Dedup {
         .localCheckpoint()
       val sig = g.withColumn("sig", SketchFunctions.minhashSig16(col("grams")))
       val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          expr(s"xxhash64(sig[${4 * b}], sig[${4 * b + 1}], sig[${4 * b + 2}], sig[${4 * b + 3}], $b)")): _*))
+        posexplode(array((0 until 5).map(b =>
+          expr(s"xxhash64(sig[${3 * b}], sig[${3 * b + 1}], sig[${3 * b + 2}], $b)")): _*))
           .as(Seq("band_id", "band_hash")))
       // cap bucket size: a band value shared by hundreds of docs is a
       // stop-gram artifact, not near-duplication, and its k² pair

@@ -138,6 +138,34 @@ object StreamingOps {
       q.awaitTermination()
       s.table(sinkName)
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── st04: streaming deduplication — the stream unioned with itself
+    // (every event arrives twice) through stateful dropDuplicates on
+    // the event key, then aggregated. The oracle is the batch distinct
+    // count: dedup state must collapse the doubled input exactly. At
+    // scale the same plan runs with dropDuplicatesWithinWatermark so
+    // the key state is evicted instead of growing unboundedly.
+    "st04_stream_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .select(col("event_id"), col("event_type"))
+      val doubled = src().union(src())
+      val agg = doubled
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val sinkName = "st04_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("event_type"))
     })
   )
 
@@ -168,6 +196,11 @@ object StreamingOps {
         |  event_type, COUNT(*) AS n
         |FROM events, mx
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts - INTERVAL 10 MINUTE
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stateful dedup must collapse the doubled stream to batch-distinct
+    "st04_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
