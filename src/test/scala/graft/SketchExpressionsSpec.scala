@@ -85,6 +85,29 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(est > 0.4 && est <= 1.0) // coarse: 16 perms, high-jaccard pair
   }
 
+  test("simhash64 is token-order and multiplicity-sign invariant") {
+    SketchFunctions.register(spark)
+    val toks = "alpha beta gamma delta epsilon zeta".split(" ").toSeq
+    val perms = Seq(toks, scala.util.Random.shuffle(toks), toks ++ toks)
+    val hs = perms.map { p =>
+      Seq(Tuple1(p)).toDF("t")
+        .select(SketchFunctions.simhash64($"t")).as[Long].collect()(0)
+    }
+    assert(hs(0) == hs(1), "order-invariant (votes are a bag sum)")
+    assert(hs(0) == hs(2), "doubling every vote preserves all signs")
+  }
+
+  test("minhash_sig16 of a union is the elementwise min of signatures") {
+    SketchFunctions.register(spark)
+    val a = (1 to 30).map(i => s"a$i")
+    val b = (1 to 30).map(i => s"b$i")
+    def sig(xs: Seq[String]): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("t")
+        .select(SketchFunctions.minhashSig16($"t")).collect()(0).getSeq[Long](0)
+    val sa = sig(a); val sb = sig(b); val su = sig(a ++ b)
+    assert(su == sa.zip(sb).map { case (x, y) => math.min(x, y) })
+  }
+
   test("lsh_buckets_8x6 emits 8 bucket ids in [0, 64)") {
     SketchFunctions.register(spark)
     val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat)))
