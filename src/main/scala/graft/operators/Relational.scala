@@ -52,6 +52,20 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── q31: the flagship through the SQL-string entry path — the
+    // reference is SQL-first (`spark.sql(...)`,
+    // spark_process_script.py:37), so the same query also ships as
+    // literal SQL over a registered view, exercising Catalyst's
+    // parse → analyze → optimize pipeline end-to-end. Same oracle
+    // shape as q01.
+    "q31_flagship_sql" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, count(o_orderpriority) AS crime_count
+          |FROM orders_v WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ── q02: TPC-H Q1-style pricing summary — multi-aggregate hash agg,
     // partial+final around one shuffle.
     "q02_pricing_summary" -> ((s, d) => {
@@ -363,6 +377,11 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q01_crime_flagship" ->
+      """SELECT o_orderpriority, count(o_orderpriority) AS crime_count
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_flagship_sql" ->
       """SELECT o_orderpriority, count(o_orderpriority) AS crime_count
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
