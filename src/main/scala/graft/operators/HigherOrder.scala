@@ -127,6 +127,32 @@ object HigherOrder {
         .orderBy(col("event_id"))
     }),
 
+    // ── q32: NOT IN subquery — Catalyst plans this as a null-aware
+    // anti join (different from NOT EXISTS when the subquery can yield
+    // NULL); exercised through the SQL path to get the real NOT IN
+    // resolution.
+    "q32_not_in_subquery" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("customer_v32")
+      Tables(s, d, "orders").createOrReplaceTempView("orders_v32")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n FROM orders_v32
+          |WHERE o_custkey NOT IN
+          |  (SELECT c_custkey FROM customer_v32 WHERE c_acctbal < 0)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // ── q33: ordered string aggregation — collect_list is unordered by
+    // contract, so determinism comes from array_sort before the join;
+    // the oracle's string_agg(… ORDER BY) states the same result.
+    "q33_string_agg" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier"); val n = Tables(s, d, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("array_join(array_sort(collect_list(s_name)), ',')").as("suppliers"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions.
@@ -190,6 +216,19 @@ object HigherOrder {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS corr_price_qty,
         |  median_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q32_not_in_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q33_string_agg" ->
+      """SELECT n_name,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        |  COUNT(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // as-of semantics stated as a correlated subquery
     "q30_asof_join" ->

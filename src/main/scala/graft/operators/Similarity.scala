@@ -103,7 +103,9 @@ object Similarity {
       val e = Tables(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fv", array_to_vector(col("embedding")))
-      val model = new KMeans().setK(nCells).setSeed(42L)
+      // a coarse quantizer only partitions space — 5 iterations is
+      // plenty and halves the fit cost vs the default 20
+      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(e)
       val assigned = model.transform(e)
