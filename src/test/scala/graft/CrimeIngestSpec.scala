@@ -72,6 +72,16 @@ class CrimeIngestSpec extends AnyFunSuite {
     val parsed = CrimeIngest.withParsedDate(CrimeIngest.readCrimeCsv(spark, csv))
       .select("event_ts").collect()
     assert(parsed.forall(!_.isNullAt(0)))
+
+    // partition pruning: a y/m/d predicate must reach the scan as a
+    // PartitionFilter (SURVEY §4 — predicate-addressable partitions),
+    // so day-2 consumers read one directory, not the whole table.
+    val pruned = spark.table(s"$db.crimes_2001_to_present")
+      .filter(org.apache.spark.sql.functions.col("d") === "8")
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: [isnotnull(d"),
+      s"expected partition filter in scan:\n$scanPlan")
+    assert(pruned.count() == 5)
   }
 
   test("count(col) vs count(*) null semantics (property)") {
