@@ -60,6 +60,24 @@ object Dedup {
       sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
     ic.cast("double") / (sa + sb - ic)
 
+  /** Exact n-gram jaccard pairs ≥ 0.2 via the inverted index (d04's
+    * core, shared with the clustering operator d06). localCheckpoint
+    * collapses the self-join diamond: both posting sides and every
+    * consumer would otherwise recompute the interpreted gram pipeline. */
+  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val g = withGramHashes(docs(s, d)).select(col("doc_id"), col("gh"), col("gsz"))
+      .localCheckpoint()
+    val p = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
+    val a = p.select(col("doc_id").as("a_id"), col("gsz").as("sza"), col("h"))
+    val b = p.select(col("doc_id").as("b_id"), col("gsz").as("szb"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("ic"))
+      .withColumn("jac_raw", jaccardSorted(col("ic"), col("sza"), col("szb")))
+      .filter(col("jac_raw") >= 0.2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── d01: exact dedup — groupBy full text, keep min doc_id as the
@@ -151,22 +169,41 @@ object Dedup {
     // sf0.1 from 25M wide-row copies; this runs the same semantics as
     // a ~3M-row equi-join. Hot-gram posting lists are the scale knob
     // (here max 25; prefix filtering would cap them at 100 TB).
-    "d04_dedup_ngram_jaccard" -> ((s, d) => {
-      // localCheckpoint collapses the self-join diamond (both posting
-      // sides + the final stage would recompute the gram pipeline).
-      val g = withGramHashes(docs(s, d)).select(col("doc_id"), col("gh"), col("gsz"))
-        .localCheckpoint()
-      val p = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
-      val a = p.select(col("doc_id").as("a_id"), col("gsz").as("sza"), col("h"))
-      val b = p.select(col("doc_id").as("b_id"), col("gsz").as("szb"), col("h"))
-      a.join(b, Seq("h"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("sza"), col("szb"))
-        .agg(count(lit(1)).as("ic"))
-        .withColumn("jac_raw", jaccardSorted(col("ic"), col("sza"), col("szb")))
-        .filter(col("jac_raw") >= 0.2)
+    "d04_dedup_ngram_jaccard" -> ((s, d) =>
+      exactJaccardPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-        .orderBy(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ── d06: near-dup CLUSTERING — connected components over the exact
+    // pair graph via min-label propagation: each iteration every node
+    // takes the min of its own label and its neighbors', until
+    // fixpoint. Iterative DataFrame jobs need lineage control — each
+    // iteration localCheckpoints, or the plan depth doubles per round.
+    // Converges in O(log diameter) rounds; components here are tiny.
+    "d06_dedup_clusters" -> ((s, d) => {
+      val pairs = exactJaccardPairs(s, d)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val edges = pairs
+        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst").localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── d05: embedding near-dup pairs via the custom CosineSimilarity
@@ -208,6 +245,32 @@ object Dedup {
         |  round(CAST(ic AS DOUBLE) / (sza + szb - ic), 6) AS jac
         |FROM pc WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // connected components as a recursive CTE: transitive closure, then
+    // min reachable id per node — the declarative fixpoint matching the
+    // label-propagation loop
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM pc
+        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "d05_dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
