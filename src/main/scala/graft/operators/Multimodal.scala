@@ -25,9 +25,11 @@ object Multimodal {
   case class Asset(doc_id: Long, fmt: String, width: Int, height: Int,
       data: Array[Byte])
 
-  /** Decoded features per asset, including sampled "frames". */
+  /** Decoded features per asset, including sampled "frames" and the
+    * resized payload's size/checksum. */
   case class AssetFeatures(doc_id: Long, n_frames: Int, mean_byte: Double,
-      checksum: Long, frame_samples: Array[Int])
+      checksum: Long, frame_samples: Array[Int], resized_n_bytes: Int,
+      resized_checksum: Long)
 
   /** STUB decoder — deterministic fake. A real implementation would
     * decode `a.data` with an image/audio codec; this one derives
@@ -50,8 +52,16 @@ object Multimodal {
     }
     val nFrames = (bytes.length + 255) / 256
     val frames = Array.tabulate(nFrames)(f => bytes(f * 256) & 0xff)
+    // "resize": nearest-neighbor down-sample of the payload to ≤128
+    // units — the stub for image/audio resampling; a real resize swaps
+    // the byte picker for a pixel interpolator, the shape is identical.
+    val step = math.max(1, bytes.length / 128)
+    val resized = Array.range(0, bytes.length, step).map(bytes(_))
+    var racc = 0L
+    resized.foreach(b => racc = (racc ^ (b & 0xffL)) * 1099511628211L)
     AssetFeatures(a.doc_id, nFrames,
-      if (bytes.length == 0) 0.0 else sum / bytes.length, acc, frames)
+      if (bytes.length == 0) 0.0 else sum / bytes.length, acc, frames,
+      resized.length, racc)
   }
 
   /** documents → assets: text bytes stand in for the media payload;
@@ -90,7 +100,7 @@ object Multimodal {
         .toDF()
         .select(col("doc_id"), col("n_frames"),
           round(col("mean_byte"), 6).as("mean_byte"), col("checksum"),
-          col("frame_samples"))
+          col("frame_samples"), col("resized_n_bytes"), col("resized_checksum"))
         .orderBy(col("doc_id"))
     })
   )
