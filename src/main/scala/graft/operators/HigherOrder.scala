@@ -35,8 +35,16 @@ object HigherOrder {
             .as("vsum"),
           (round(expr("cast(array_max(embedding) as double)"), 6) + 0.0).as("vmax"),
           (round(expr("cast(array_min(embedding) as double)"), 6) + 0.0).as("vmin"),
-          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4) + 0.0d)")
-            .as("first3"),
+          // transform+slice HOF, emitted as SCALARS: the driver's diff
+          // sorts rows in pandas, and an array column is unhashable
+          // there (round-1 `err`); three double columns carry the same
+          // check and stay comparable.
+          expr("element_at(transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4) + 0.0d), 1)")
+            .as("first3_1"),
+          expr("element_at(transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4) + 0.0d), 2)")
+            .as("first3_2"),
+          expr("element_at(transform(slice(embedding, 1, 3), x -> round(cast(x as double), 4) + 0.0d), 3)")
+            .as("first3_3"),
           (round(expr("cast(element_at(array_sort(embedding), 2) as double)"), 6) + 0.0)
             .as("second_smallest"),
           // map plumbing: build → extract (oracle sees just the value)
@@ -172,7 +180,9 @@ object HigherOrder {
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0 AS vsum,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS vmax,
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS vmin,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS first3,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0)[1] AS first3_1,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0)[2] AS first3_2,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0)[3] AS first3_3,
         |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) + 0.0 AS second_smallest,
         |  vec_id AS key_demo,
         |  label

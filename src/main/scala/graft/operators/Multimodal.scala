@@ -26,10 +26,30 @@ object Multimodal {
       data: Array[Byte])
 
   /** Decoded features per asset, including sampled "frames" and the
-    * resized payload's size/checksum. */
+    * resized payload's size/checksum. `frame_firsts` is a canonical
+    * comma-joined string, not an array: the driver's differential diff
+    * sorts rows in pandas, where array cells are unhashable (the
+    * round-1 `err`), and a string survives both the sort and the
+    * cross-engine hash. */
   case class AssetFeatures(doc_id: Long, n_frames: Int, mean_byte: Double,
-      checksum: Long, frame_samples: Array[Int], resized_n_bytes: Int,
+      checksum: Long, frame_firsts: String, resized_n_bytes: Int,
       resized_checksum: Long)
+
+  /** 31-polynomial checksum mod 1e9+7 over unsigned bytes. Portable by
+    * construction: every intermediate fits in an int64 (acc < 2^30,
+    * acc*31 + 255 < 2^35), so a DuckDB `list_reduce` computes the
+    * identical value — which is what upgrades m02 from rows-only to a
+    * fully oracle-checked row. */
+  private def polyChecksum(bytes: Array[Byte], step: Int): Long = {
+    val P = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % P
+      i += step
+    }
+    acc
+  }
 
   /** STUB decoder — deterministic fake. A real implementation would
     * decode `a.data` with an image/audio codec; this one derives
@@ -37,31 +57,25 @@ object Multimodal {
     * its tests) are real while the codec is not present:
     *  - n_frames: 256-byte blocks ≈ "frames" sampled from a video
     *  - mean_byte: stand-in for mean pixel intensity
-    *  - checksum: FNV-1a over the payload (decode integrity check)
-    *  - frame_samples: first byte of every "frame" — the frame-sampling
-    *    shape (every Nth unit of an opaque payload → a typed array) */
+    *  - checksum: portable 31-poly hash (decode integrity check)
+    *  - frame_firsts: first byte of every "frame" — the frame-sampling
+    *    shape (every Nth unit of an opaque payload → a typed sample) */
   private def decodeStub(a: Asset): AssetFeatures = {
     val bytes = a.data
-    var acc = 0L
     var sum = 0.0
     var i = 0
-    while (i < bytes.length) {
-      acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L // FNV-1a
-      sum += (bytes(i) & 0xff)
-      i += 1
-    }
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
     val nFrames = (bytes.length + 255) / 256
     val frames = Array.tabulate(nFrames)(f => bytes(f * 256) & 0xff)
     // "resize": nearest-neighbor down-sample of the payload to ≤128
     // units — the stub for image/audio resampling; a real resize swaps
     // the byte picker for a pixel interpolator, the shape is identical.
     val step = math.max(1, bytes.length / 128)
-    val resized = Array.range(0, bytes.length, step).map(bytes(_))
-    var racc = 0L
-    resized.foreach(b => racc = (racc ^ (b & 0xffL)) * 1099511628211L)
+    val resizedN = if (bytes.isEmpty) 0 else (bytes.length - 1) / step + 1
     AssetFeatures(a.doc_id, nFrames,
-      if (bytes.length == 0) 0.0 else sum / bytes.length, acc, frames,
-      resized.length, racc)
+      if (bytes.length == 0) 0.0 else sum / bytes.length,
+      polyChecksum(bytes, 1), frames.mkString(","),
+      resizedN, polyChecksum(bytes, step))
   }
 
   /** documents → assets: text bytes stand in for the media payload;
@@ -89,8 +103,9 @@ object Multimodal {
     }),
 
     // ── m02: decode + feature extraction via typed mapPartitions
-    // (decoder is a marked stub; plumbing is real). No oracle —
-    // rows-only check.
+    // (decoder is a marked stub; plumbing is real). Oracle-checked:
+    // the stub's arithmetic is deliberately portable (poly-31 mod
+    // 1e9+7 over ASCII bytes == DuckDB's char-code fold).
     "m02_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       val ds: Dataset[Asset] = assets(s, d)
@@ -100,7 +115,7 @@ object Multimodal {
         .toDF()
         .select(col("doc_id"), col("n_frames"),
           round(col("mean_byte"), 6).as("mean_byte"), col("checksum"),
-          col("frame_samples"), col("resized_n_bytes"), col("resized_checksum"))
+          col("frame_firsts"), col("resized_n_bytes"), col("resized_checksum"))
         .orderBy(col("doc_id"))
     })
   )
@@ -114,6 +129,27 @@ object Multimodal {
         |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST((doc_id % 16 + 1) * 64 * ((doc_id % 9 + 1) * 64) AS BIGINT) AS n_pixels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decode stub's arithmetic restated over DuckDB char codes —
+    // valid because the corpus is ASCII (byte i == ord(char i)), which
+    // the m01 n_bytes==length check pins
+    "m02_multimodal_decode" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((n + 255) // 256 AS INTEGER) AS n_frames,
+        |  round(CAST(list_sum(codes) AS DOUBLE) / n, 6) AS mean_byte,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+        |  array_to_string(list_transform(range(0, (n + 255) // 256),
+        |    f -> codes[f * 256 + 1]), ',') AS frame_firsts,
+        |  CAST(len(range(0, n, greatest(1, n // 128))) AS INTEGER) AS resized_n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, n, greatest(1, n // 128)), i -> codes[i + 1])),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS resized_checksum
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

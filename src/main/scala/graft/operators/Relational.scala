@@ -348,14 +348,21 @@ object Relational {
         .orderBy(col("snap"), col("o_orderstatus"))
     }),
 
-    // ── q23: HLL approximate distinct (no oracle — sketch-dependent);
-    // exact countDistinct rides along for the rows-only sanity check.
+    // ── q23: HLL approximate distinct, fully oracle-checked via a
+    // tolerance predicate: the raw sketch estimate is engine-specific
+    // (DuckDB's HLL ≠ Spark's), but |apx − exact| ≤ 5%·exact is a
+    // deterministic boolean on both sides (Spark's HLL is seeded and
+    // deterministic; rsd=0.01 gives a ~5σ margin against the 5% band).
+    // The exact countDistinct column is hash-compared as usual.
     "q23_approx_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("apx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("apx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("apx") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("apx_within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -558,6 +565,13 @@ object Relational {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'b' AS snap FROM orders WHERE o_totalprice >= 50000)
         |GROUP BY snap, o_orderstatus ORDER BY snap, o_orderstatus""".stripMargin,
+
+    // the HLL estimate itself is engine-specific; the oracle states the
+    // exact distinct plus the tolerance predicate the sketch must meet
+    "q23_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS apx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (

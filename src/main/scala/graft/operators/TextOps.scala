@@ -108,20 +108,22 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // ── t04: document fingerprinting — rolling character 8-gram hashes,
-    // keep the 4 smallest (winnowing-style min-k sketch). xxhash64-based
-    // → no cross-engine oracle (rows-only check).
+    // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
+    // character 8-gram hashes via the fused RollingMinK expression,
+    // keeping the 4 smallest (winnowing-style min-k sketch). The hash
+    // is the portable 31-polynomial, so the full result — sketch values
+    // included — is oracle-checked against a DuckDB restatement
+    // (round 1 left this rows-only behind xxhash64).
     "t04_fingerprint" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
       docs(s, d)
-        .withColumn("fp", expr(
-          "slice(array_sort(transform(sequence(0, greatest(length(text)-8, 0)), " +
-            "i -> xxhash64(substring(text, i+1, 8)))), 1, 4)"))
+        .withColumn("fp", graft.functions.PortableHashFunctions.rollingMin4W8(col("text")))
         .select(col("doc_id"),
           expr("element_at(fp, 1)").as("fp0"),
           expr("element_at(fp, 2)").as("fp1"),
           expr("element_at(fp, 3)").as("fp2"),
           expr("element_at(fp, 4)").as("fp3"),
-          xxhash64(col("text")).as("full_hash"))
+          graft.functions.PortableHashFunctions.polyHash(col("text")).as("full_hash"))
         .orderBy(col("doc_id"))
     })
   )
@@ -177,6 +179,23 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS alpha_tokens,
         |  round(CAST(length(text) AS DOUBLE)
         |    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // each 8-char window's 31-poly hash restated as a per-window char
+    // fold (the engine rolls it in O(1)/position; the oracle may be
+    // O(window) — same values)
+    "t04_fingerprint" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents),
+        |w AS (SELECT doc_id, codes,
+        |    list_sort(list_transform(range(0, greatest(n - 8, 0) + 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i+1:i+8]),
+        |             (a, b) -> (a * 31 + b) % 1000000007))) AS hs
+        |  FROM c)
+        |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS full_hash
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{PolyHash, PortableHashFunctions, RollingMinK}
+
+/** Properties of the portable (DuckDB-replayable) hash expressions, plus
+  * the d05 plan-shape assertion the round-1 verdict asked for. The
+  * rolling/min-k kernels are property-tested at the expression level
+  * (Literal + eval — no Spark job per sample); the Spark-side wiring is
+  * covered by the oracle-checked t04/d03/m02 queries themselves. */
+class PortableHashSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val P = 1000000007L
+
+  private def polyRef(s: String, mult: Long, mod: Long): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * mult + (b & 0xffL)) % mod)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+
+  test("PolyHash equals the naive fold for arbitrary ASCII strings") {
+    check(Prop.forAll(asciiGen) { s =>
+      PolyHash(Literal(s)).eval(null).asInstanceOf[Long] == polyRef(s, 31L, P)
+    })
+  }
+
+  test("RollingMinK equals sort-all-windows-take-k (rolling == naive)") {
+    check(Prop.forAll(asciiGen, Gen.chooseNum(1, 12), Gen.chooseNum(1, 6)) { (s, w, k) =>
+      (s.isEmpty) || {
+        val got = RollingMinK(Literal(s), w, k).eval(null)
+          .asInstanceOf[ArrayData].toLongArray().toSeq
+        val windows = (0 to math.max(s.length - w, 0))
+          .map(i => polyRef(s.substring(i, math.min(i + w, s.length)), 31L, P))
+        got == windows.sorted.take(k)
+      }
+    })
+  }
+
+  test("portable_simhash60 stays in 60 bits, is deterministic, and ranks similarity") {
+    PortableHashFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away",
+      "the quick brown fox jumps over the lazy dog and runs far home",
+      "completely different words entirely unrelated to anything above now")
+    def run() = docs.toDF("text")
+      .select(PortableHashFunctions.portableSimhash60(split(lower($"text"), "\\s+")))
+      .as[Long].collect().toSeq
+    val h = run()
+    assert(h == run())
+    assert(h.forall(v => v >= 0L && v < (1L << 60)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+  }
+
+  test("d05 plan has no nested-loop or cartesian operator (round-1 verdict item)") {
+    val plan = SparkEntry.queries("d05_dedup_embedding")(spark, SparkSuite.sf)
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"scale-killer operators in d05 plan: $bad")
+  }
+
+  test("d05 block decomposition matches the direct all-pairs result") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables(spark, SparkSuite.sf, "embeddings")
+    val direct = e.select($"vec_id".as("a_id"), $"embedding".as("va"))
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("vb")), $"a_id" < $"b_id")
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim($"va", $"vb"))
+      .filter($"cos" >= 0.35)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val blocked = SparkEntry.queries("d05_dedup_embedding")(spark, SparkSuite.sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(blocked == direct)
+  }
+}
