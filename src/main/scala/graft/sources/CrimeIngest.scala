@@ -78,9 +78,9 @@ object CrimeIngest {
     * reference's single-connection read (`spark_ingest_script.py:56-61`
     * shipped the whole `SELECT *` subquery over ONE connection; this
     * splits the scan into `numPartitions` range slices on a numeric
-    * key, one connection each). No database exists in the offline
-    * harness, so this is exercised only through its parquet/CSV-backed
-    * siblings; the option set is the documented §2.1 mapping. */
+    * key, one connection each). Exercised for real in CrimeIngestSpec
+    * against embedded Derby (ships with Spark's jars): 3 range slices
+    * over the crime fixture, flagship semantics asserted on top. */
   def readJdbcPartitioned(spark: SparkSession, url: String, dbtable: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
       numPartitions: Int, user: String, password: String): DataFrame =
@@ -170,4 +170,18 @@ object CrimeIngest {
   def withParsedDate(df: DataFrame): DataFrame =
     df.withColumn("event_ts",
       to_timestamp(col("date_value"), "M/d/yyyy h:mm:ss a"))
+
+  /** Typed boolean casts for `arrest`/`domestic` — the other §1.3
+    * improvement. The source stores booleans as strings
+    * (`create&Load.sql:8-11`), canonically 'True'/'False'; those map to
+    * true/false, and any other spelling (a lowercase 'false', empty,
+    * garbage) maps to NULL rather than a silent guess — deliberately
+    * consistent with the reference's case-sensitive `arrest = 'False'`
+    * filter, which also treats non-canonical spellings as non-matches. */
+  def withTypedFlags(df: DataFrame): DataFrame =
+    Seq("arrest", "domestic").foldLeft(df)((d, c) =>
+      d.withColumn(s"${c}_bool",
+        when(col(c) === "True", lit(true))
+          .when(col(c) === "False", lit(false))
+          .otherwise(lit(null).cast(BooleanType))))
 }

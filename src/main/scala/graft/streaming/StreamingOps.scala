@@ -38,6 +38,45 @@ object StreamingOps {
   /** Per-user session summary emitted by the stateful operator. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  /** Incremental interval-merge sessionization kernel: consumes event
+    * timestamps in ANY order, maintaining sorted, disjoint,
+    * gap-separated (start, end) session intervals — each timestamp
+    * joins an interval (possibly bridging two) or starts its own.
+    * Memory is O(sessions), not O(events); the result equals sorted
+    * gap-sessionization (the intervals are the connected components of
+    * the "within gapUs" adjacency — property-tested in
+    * StreamingKernelSpec). Returns (nEvents, nSessions). */
+  private[graft] def mergeSessions(ts: Iterator[Long], gapUs: Long): (Long, Long) = {
+    val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var nEvents = 0L
+    ts.foreach { t =>
+      nEvents += 1
+      // first interval whose end is within reach of t (end ≥ t−gap)
+      var lo = 0
+      var hi = iv.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (iv(m)._2 < t - gapUs) lo = m + 1 else hi = m
+      }
+      if (lo == iv.length || iv(lo)._1 > t + gapUs) {
+        iv.insert(lo, (t, t)) // out of reach of every interval
+      } else {
+        // absorb t; gap-separation means t bridges at most 2 intervals,
+        // but sweep generally
+        val start = math.min(iv(lo)._1, t)
+        var end = math.max(iv(lo)._2, t)
+        var j = lo + 1
+        while (j < iv.length && iv(j)._1 <= t + gapUs) {
+          end = math.max(end, iv(j)._2)
+          j += 1
+        }
+        iv.remove(lo + 1, j - lo - 1)
+        iv(lo) = (start, end)
+      }
+    }
+    (nEvents, iv.length.toLong)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── st01: tumbling 1-hour window aggregation over the event stream.
@@ -72,10 +111,18 @@ object StreamingOps {
     // ── st02: custom stateful operator — gap-based sessionization
     // (30-min inactivity) via flatMapGroupsWithState over a
     // KeyValueGroupedDataset. Same semantics as the batch window
-    // version (q24_sessionize) and checked against the same oracle —
-    // state here is the per-user event buffer; with a continuous
-    // trigger the buffer + GroupStateTimeout would carry sessions
-    // across micro-batches.
+    // version (q24_sessionize) and checked against the same oracle.
+    //
+    // The round-1 version buffered + sorted ALL of a user's events in
+    // executor memory (a hot key OOMs at scale). This one streams the
+    // iterator through incremental INTERVAL MERGING: disjoint
+    // gap-separated session intervals, each new event either joins an
+    // interval (possibly bridging two) or starts its own. Memory is
+    // O(sessions-per-user), not O(events-per-user), and the result is
+    // order-insensitive — provably the connected components of the
+    // "within 30 min" adjacency, i.e. exactly sorted-gap sessions.
+    // With a continuous trigger the interval list is what you'd persist
+    // in GroupState (+ watermark timeout to emit and evict).
     "st02_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -87,15 +134,9 @@ object StreamingOps {
         .as[Ev]
       def sessionize(userId: Long, evs: Iterator[Ev],
           state: GroupState[Long]): Iterator[UserSessions] = {
-        val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
-        var sessions = 0L
-        var prev = Long.MinValue
-        sorted.foreach { e =>
-          if (prev == Long.MinValue || e.ts_us - prev > 1800L * 1000000L)
-            sessions += 1
-          prev = e.ts_us
-        }
-        Iterator.single(UserSessions(userId, sorted.length.toLong, sessions))
+        val (nEvents, nSessions) =
+          StreamingOps.mergeSessions(evs.map(_.ts_us), 1800L * 1000000L)
+        Iterator.single(UserSessions(userId, nEvents, nSessions))
       }
       val sinkName = "st02_out"
       val q = stream

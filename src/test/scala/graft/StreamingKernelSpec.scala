@@ -1,0 +1,40 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** The st02 interval-merge kernel vs the sorted-gap reference: same
+  * session count for ANY arrival order — the property that lets the
+  * stateful operator drop the O(events) sort buffer. */
+class StreamingKernelSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sortedGapSessions(ts: Seq[Long], gap: Long): Long = {
+    val s = ts.sorted
+    if (s.isEmpty) 0L
+    else 1L + s.zip(s.tail).count { case (a, b) => b - a > gap }
+  }
+
+  test("mergeSessions equals sorted-gap sessionization for any arrival order") {
+    val gen = for {
+      gap <- Gen.chooseNum(1L, 50L)
+      ts <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      shuffled <- Gen.const(scala.util.Random.shuffle(ts))
+    } yield (gap, shuffled)
+    check(Prop.forAll(gen) { case (gap, ts) =>
+      val (n, sessions) = StreamingOps.mergeSessions(ts.iterator, gap)
+      n == ts.length.toLong && sessions == sortedGapSessions(ts, gap)
+    })
+  }
+
+  test("duplicate timestamps collapse into one session, never split") {
+    val (n, s) = StreamingOps.mergeSessions(Iterator(10L, 10L, 10L, 100L), 5L)
+    assert(n == 4L && s == 2L)
+  }
+}
