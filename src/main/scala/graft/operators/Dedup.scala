@@ -207,13 +207,16 @@ object Dedup {
       while (changed > 0 && iter < 20) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        // carry a moved flag through the checkpoint so convergence is a
+        // cheap scan of the just-materialized partitions — not a second
+        // join against the previous labels (round-1 verdict minor)
         val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"),
+            (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("moved"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("moved")).count()
+        labels = next.select(col("id"), col("new_lbl").as("lbl"))
         iter += 1
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -163,7 +163,11 @@ object HigherOrder {
 
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
-    // keys spread over 8 shuffle partitions.
+    // keys spread over 8 shuffle partitions. This is the DEMO of the
+    // manual technique: AQE skew-join handling is the default tool (on
+    // in Bench), and the ×8 small-side replication is why q28 costs
+    // ~5× the unsalted q04 on unskewed data — you pay it only when a
+    // known hot key would otherwise serialize one reducer.
     "q28_salted_join" -> ((s, d) => {
       val l = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
       Skew.saltedEquiJoin(l, o, "l_orderkey", "o_orderkey", 8, col("l_linenumber"))
