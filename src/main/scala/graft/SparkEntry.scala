@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
+      sources.Bucketing.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.TextOps.oracles ++
       operators.Multimodal.oracles ++
+      sources.Bucketing.oracles ++
       streaming.StreamingOps.oracles
 }

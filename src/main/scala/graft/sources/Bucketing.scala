@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Bucketed-table utilities (builder-prompt "bucketing for co-located
   * joins").
@@ -16,14 +18,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, catalog-registered table. */
+  /** Write `df` as a bucketed, catalog-registered table. An explicit
+    * `path` makes it an external table (keeps driver-run sessions from
+    * writing a spark-warehouse dir into the working directory). */
   def writeBucketed(df: DataFrame, db: String, table: String,
-      bucketCol: String, nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+      bucketCol: String, nBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     df.sparkSession.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val w = df.write
+    var w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
+    path.foreach(p => w = w.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(s"$db.$table")
   }
@@ -36,4 +42,44 @@ object Bucketing {
     val r = spark.table(s"$db.$right")
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Ensure the bucketed lineitem/orders copies of `sfDir` exist in the
+    * session catalog (writes once per session/scale, under tmpdir). */
+  private def ensureBucketedCopies(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_buckets_$tag"
+    if (!s.catalog.databaseExists(db) || !s.catalog.tableExists(s"$db.lineitem_b")) {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$tag"
+      writeBucketed(graft.Tables(s, d, "orders"), db, "orders_b",
+        "o_orderkey", 8, Seq("o_orderkey"), Some(s"$base/orders_b"))
+      writeBucketed(graft.Tables(s, d, "lineitem"), db, "lineitem_b",
+        "l_orderkey", 8, Seq("l_orderkey"), Some(s"$base/lineitem_b"))
+    }
+    db
+  }
+
+  /** q34: the bucketed co-located fact-fact join as a driver-visible
+    * CORRECTNESS row (round 1 had only the sbt plan assertion). The
+    * bucket write is the once-per-dataset cost (amortized across a
+    * session — the bench's min-of-2 measures the steady state: a join
+    * with ZERO exchanges on either side); the oracle is the plain join,
+    * which bucketing must not change. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_bucketed_join" -> ((s, d) => {
+      val db = ensureBucketedCopies(s, d)
+      coLocatedJoin(s, db, "lineitem_b", "orders_b", "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
 }
