@@ -181,6 +181,40 @@ object StreamingOps {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ── st05: streaming → PARTITIONED BATCH SINK parity via
+    // foreachBatch — the reference's partitioned-snapshot sink
+    // (CrimeIngest.writeSnapshot's layout) fed by a stream instead of a
+    // scheduled batch. foreachBatch hands each micro-batch to the batch
+    // writer, so the sink keeps the partition layout, overwrite
+    // atomicity, and catalog story of the batch path — the
+    // streaming/batch sink unification §2.9 promises. The query's
+    // RESULT is the sink read back from disk, so the oracle checks the
+    // whole write-read round trip, partition-column typing included.
+    "st05_stream_sink_parity" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st05/$tag"
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").partitionBy("event_type").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ── st04: streaming deduplication — the stream unioned with itself
     // (every event arrives twice) through stateful dropDuplicates on
     // the event key, then aggregated. The oracle is the batch distinct
@@ -238,6 +272,13 @@ object StreamingOps {
         |FROM events, mx
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts - INTERVAL 10 MINUTE
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the partitioned-sink round trip must preserve the hourly agg
+    // exactly (same statement as st01's, minus the value sum)
+    "st05_stream_sink_parity" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // stateful dedup must collapse the doubled stream to batch-distinct
     "st04_stream_dedup" ->
