@@ -25,8 +25,9 @@ import graft.functions.{SketchFunctions, VectorFunctions}
   *    via the custom Catalyst expression, block-decomposed into
   *    B(B+1)/2 equi-join tasks (no nested-loop operator).
   *
-  * d02 has no DuckDB oracle (xxhash64-dependent minhash perms);
-  * d01/d03/d04/d05/d06 are oracle-checked.
+  * All six dedup operators are oracle-checked (d02 against the
+  * exact-jaccard restatement its banding fully recalls on the harness
+  * corpora — see its query comment).
   */
 object Dedup {
 
@@ -106,6 +107,14 @@ object Dedup {
     // aligned with the ≥ 0.5 rescore cutoff — 4×4 banding targeted
     // ≈ 0.71 and halved recall for borderline pairs. Same-band
     // collision → candidate → exact jaccard ≥ 0.5 confirms.
+    //
+    // Oracle: the exact-jaccard ≥ 0.5 restatement. LSH recall is
+    // probabilistic in general, but hashes and corpus are fixed, so the
+    // result is deterministic — and the banding achieves FULL recall on
+    // the harness corpora (pair-identical at sf0.001/0.01/0.1, verified
+    // offline; rescore values are exact jaccard on both sides). A
+    // recall miss would surface as a hash mismatch — which is the
+    // signal a dedup pipeline wants from its differential gate.
     "d02_dedup_minhash_lsh" -> ((s, d) => {
       SketchFunctions.register(s)
       // localCheckpoint: three consumers (signature branch + both
@@ -318,6 +327,25 @@ object Dedup {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // exact-jaccard ≥ 0.5 — the LSH pipeline's full-recall contract on
+    // the harness corpora (same inverted-index formulation as d04)
+    "d02_dedup_minhash_lsh" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |  round(CAST(ic AS DOUBLE) / (sza + szb - ic), 6) AS jac
+        |FROM pc WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // the full d03 pipeline restated: portable per-token double hash →
     // 60 bit votes → packed simhash → 4×15-bit banding with the 2..64
