@@ -161,6 +161,41 @@ object HigherOrder {
         .orderBy(col("n_name"))
     }),
 
+    // ── q35: RANGE JOIN (interval join) — events matched to the
+    // maintenance windows containing them (120 deterministic 90-minute
+    // windows, every 6 h over the event month). Spark has no native
+    // range-join operator; the naive theta join (ts BETWEEN start AND
+    // end) plans as BroadcastNestedLoopJoin — the d05 scale-killer
+    // shape. This is the standard BUCKETED decomposition instead
+    // (SURVEY §2.10 preference (a) — compose built-ins): every range
+    // explodes to the hour buckets it overlaps (⌈90min/1h⌉+1 ≤ 2 rows),
+    // events map to their single bucket, the join is an EQUI-join on
+    // the bucket, and the exact interval predicate filters inside the
+    // join's output — candidates are bounded by per-bucket overlap, not
+    // |events|×|ranges|. Plan-asserted BNLJ-free (PortableHashSpec).
+    "q35_range_join" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+      val ranges = s.range(120).select(
+        col("id").cast(IntegerType).as("range_id"),
+        (lit(baseUs) + col("id") * lit(6L * hourUs)).as("r_start_us"),
+        (lit(baseUs) + col("id") * lit(6L * hourUs) + lit(90L * 60L * 1000000L))
+          .as("r_end_us"))
+      val rb = ranges.withColumn("hour_bucket",
+        explode(expr(s"sequence(r_start_us div $hourUs, (r_end_us - 1) div $hourUs)")))
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("hour_bucket", expr(s"ts_us div $hourUs"))
+      ev.join(broadcast(rb), "hour_bucket") // ranges tiny → broadcast; at
+        // scale both sides shuffle on the bucket — same equi-join plan
+        .filter(col("ts_us") >= col("r_start_us") && col("ts_us") < col("r_end_us"))
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("range_id"))
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions. This is the DEMO of the
@@ -251,6 +286,22 @@ object HigherOrder {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND s.ts <= e.ts) AS signup_ts
         |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    // the declarative interval-containment statement; epoch_us mirrors
+    // the engine's ns→µs truncation so boundary events agree
+    "q35_range_join" ->
+      """WITH r AS (SELECT i AS range_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR AS r_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR
+        |      + INTERVAL 90 MINUTE AS r_end
+        |  FROM generate_series(0, 119) t(i))
+        |SELECT CAST(range_id AS INTEGER) AS range_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN r
+        |  ON epoch_us(e.ts) >= epoch_us(r.r_start)
+        | AND epoch_us(e.ts) < epoch_us(r.r_end)
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
 
     // the unsalted join — salting must not change the result set
     "q28_salted_join" ->

@@ -65,14 +65,16 @@ class PortableHashSpec extends AnyFunSuite {
     assert(ham(h(0), h(1)) < ham(h(0), h(2)))
   }
 
-  test("d05 plan has no nested-loop or cartesian operator (round-1 verdict item)") {
-    val plan = SparkEntry.queries("d05_dedup_embedding")(spark, SparkSuite.sf)
-      .queryExecution.executedPlan
-    val bad = plan.collect {
-      case j: BroadcastNestedLoopJoinExec => j
-      case c: CartesianProductExec => c
+  test("d05/q35 plans have no nested-loop or cartesian operator") {
+    for (q <- Seq("d05_dedup_embedding", "q35_range_join")) {
+      val plan = SparkEntry.queries(q)(spark, SparkSuite.sf)
+        .queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty, s"scale-killer operators in $q plan: $bad")
     }
-    assert(bad.isEmpty, s"scale-killer operators in d05 plan: $bad")
   }
 
   test("d05 block decomposition matches the direct all-pairs result") {
