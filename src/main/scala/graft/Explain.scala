@@ -13,6 +13,7 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_crime_flagship", "q02_pricing_summary", "q03_region_revenue",
         "q20_star_join", "q09_top_orders", "d04_dedup_ngram_jaccard",
+        "d05_dedup_embedding", "q34_bucketed_join", "q35_range_join",
         "s01_ann_bruteforce")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -217,6 +217,44 @@ object Relational {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // ── q36: GROUPING SETS — the general form rollup/cube specialize
+    // (q12/q13); arbitrary set list + grouping() to tell a real NULL
+    // from a superaggregate row. One Expand + one aggregation, same as
+    // cube — no per-set re-scan.
+    "q36_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v36")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS priority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          |  COUNT(*) AS n
+          |FROM orders_v36
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // ── q37: approximate percentile, tolerance-checked like q23's HLL:
+    // the raw estimate is engine-specific, but Spark's KLL-style sketch
+    // at accuracy 10000 has bounded rank error ≈ 1e-4, so agreement
+    // with the exact percentile within 1% of the group's value range is
+    // a deterministic boolean; the exact percentile rides along and is
+    // hash-compared.
+    "q37_approx_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("apx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+          ((max(col("l_extendedprice")) - min(col("l_extendedprice"))) * 0.01)
+            .as("tol"))
+        .select(col("l_returnflag"),
+          round(col("exact_med"), 6).as("exact_med"),
+          (abs(col("apx_med") - col("exact_med")) <= col("tol"))
+            .as("apx_within_1pct_range"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── q14: PIVOT (explicit value list → no extra distinct job).
     "q14_pivot_segments" -> ((s, d) => {
       val c = t(s, d, "customer"); val n = t(s, d, "nation")
@@ -565,6 +603,24 @@ object Relational {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'b' AS snap FROM orders WHERE o_totalprice >= 50000)
         |GROUP BY snap, o_orderstatus ORDER BY snap, o_orderstatus""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    // the sketch estimate is engine-specific; the oracle states the
+    // exact median plus the tolerance predicate the sketch must meet
+    "q37_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_med,
+        |  TRUE AS apx_within_1pct_range
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the HLL estimate itself is engine-specific; the oracle states the
     // exact distinct plus the tolerance predicate the sketch must meet

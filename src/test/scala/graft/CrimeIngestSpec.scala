@@ -133,6 +133,12 @@ class CrimeIngestSpec extends AnyFunSuite {
     // genuinely partitioned: three range-slice scan tasks
     assert(df.rdd.getNumPartitions == 3)
     assert(df.count() == 5)
+    // predicate pushdown reaches the JDBC scan (ships as WHERE to the
+    // database, same as the parquet PushedFilters contract)
+    val jdbcPlan = df.filter(org.apache.spark.sql.functions.col("id") > 2)
+      .queryExecution.executedPlan.toString
+    assert(jdbcPlan.contains("PushedFilters") && jdbcPlan.contains("GreaterThan(ID,2)"),
+      s"expected pushed JDBC filter in plan:\n$jdbcPlan")
     // reference flagship semantics hold over the JDBC source too:
     // case-sensitive string match, count(col) null skipping
     import org.apache.spark.sql.functions._
@@ -141,6 +147,31 @@ class CrimeIngestSpec extends AnyFunSuite {
       .agg(count(col("primary_type")).as("n"))
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(byType == Map(Some("THEFT") -> 2L, None -> 0L))
+  }
+
+  test("malformed CSV rows: PERMISSIVE nulls vs FAILFAST abort") {
+    // The reference's LOAD DATA silently coerces bad rows; Spark makes
+    // the policy explicit. Default (PERMISSIVE) keeps the row with
+    // nulls for unparsable fields; FAILFAST turns ingest into a hard
+    // gate — both are one option away from readCrimeCsv's schema'd read.
+    val tmp = Files.createTempDirectory("crime-badcsv")
+    val header = "id,case_number,date_value,block_value,iucr,primary_type," +
+      "description_value,local_description,arrest,domestic,beat,district," +
+      "ward,community_area,fbi_code,x_coordinate,y_coordinate,year," +
+      "updated_on,latitude,longitude,location"
+    val good = """1,HY001,"3/7/2024 1:02:03 PM",100 MAIN ST,0110,THEFT,OVER $500,STREET,False,False,111,1,5,10,06,1100,1900,2024,"3/7/2024 1:02:03 PM",41.88,-87.63,"(41.88, -87.63)""""
+    val badInt = """NOT_AN_INT,HY002,"3/7/2024 2:02:03 PM",200 OAK AVE,0120,THEFT,UNDER $500,ALLEY,False,True,112,1,6,11,06,1100,1900,2024,"3/7/2024 2:02:03 PM",41.88,-87.63,"x""""
+    val f = tmp.resolve("bad.csv")
+    Files.writeString(f, Seq(header, good, badInt).mkString("\n"))
+
+    val permissive = CrimeIngest.readCrimeCsv(spark, f.toString).collect()
+    assert(permissive.length == 2)
+    assert(permissive.count(_.isNullAt(0)) == 1) // bad id → null, row kept
+
+    val failfast = spark.read
+      .option("header", "true").option("quote", "\"").option("mode", "FAILFAST")
+      .schema(CrimeIngest.crimeSchema).csv(f.toString)
+    intercept[org.apache.spark.SparkException](failfast.collect())
   }
 
   test("count(col) vs count(*) null semantics (property)") {
