@@ -108,6 +108,27 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t05: text normalization — the canonicalization pass a training
+    // pipeline runs before dedup/tokenization: lowercase, strip
+    // non-alphanumerics, collapse whitespace, trim. Emits the
+    // normalized text's length, prefix, and PORTABLE hash (so the
+    // oracle checks the full normalized string without hauling it
+    // through the diff). One narrow codegen'd pass, no shuffle.
+    "t05_normalize" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      docs(s, d)
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " ")))
+        .select(col("doc_id"),
+          length(col("norm")).cast(IntegerType).as("norm_len"),
+          substring(col("norm"), 1, 40).as("norm_prefix"),
+          graft.functions.PortableHashFunctions.polyHash(col("norm")).as("norm_hash"),
+          (length(col("text")) - length(col("norm"))).cast(IntegerType)
+            .as("chars_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -180,6 +201,20 @@ object TextOps {
         |  round(CAST(length(text) AS DOUBLE)
         |    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_normalize" ->
+      """WITH n AS (SELECT doc_id, length(text) AS orig_len,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(norm) AS INTEGER) AS norm_len,
+        |  substring(norm, 1, 40) AS norm_prefix,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(norm, ''), ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS norm_hash,
+        |  CAST(orig_len - length(norm) AS INTEGER) AS chars_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // each 8-char window's 31-poly hash restated as a per-window char
     // fold (the engine rolls it in O(1)/position; the oracle may be

@@ -215,6 +215,43 @@ object StreamingOps {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ── st06: STREAM-STREAM inner join — clicks joined to the same
+    // user's purchases within 30 minutes. Both sides are unbounded, so
+    // the join is stateful: each side buffers rows until the other
+    // side's watermark passes the time-range bound, then evicts — the
+    // state-cleanup contract the time constraint exists for. Inner
+    // join emits matches as they meet; the oracle is the batch
+    // self-join restatement.
+    "st06_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String) = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+      val clicks = src("click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src("purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      val sinkName = "st06_out"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // ── st04: streaming deduplication — the stream unioned with itself
     // (every event arrives twice) through stateful dropDuplicates on
     // the event key, then aggregated. The oracle is the batch distinct
@@ -279,6 +316,17 @@ object StreamingOps {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch restatement of the windowed stream-stream join; epoch_us
+    // mirrors the engine's ns→µs truncation
+    "st06_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // stateful dedup must collapse the doubled stream to batch-distinct
     "st04_stream_dedup" ->
