@@ -35,6 +35,24 @@ object StreamingOps {
   /** Typed event for the stateful path (µs timestamp). */
   case class Ev(event_id: Long, user_id: Long, ts_us: Long)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`:
+    * stateful streaming queries size their STATE partitioning here.
+    * Every state partition carries a fixed per-batch cost (delta +
+    * snapshot files, store maintenance) regardless of how many keys it
+    * holds, so state partitions should track key volume and
+    * throughput, not core count — measured on the stream-stream join:
+    * 32 partitions 16.2s vs 8 partitions 4.0s for ~1500 keys at sf0.1.
+    * A production deployment sizes this once at first start (the
+    * partitioning is frozen into the checkpoint thereafter). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** 8 state partitions suit the harness's 10³–10⁴ key cardinality. */
+  private val StateParts = 8
+
   /** Per-user session summary emitted by the stateful operator. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
@@ -80,7 +98,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── st01: tumbling 1-hour window aggregation over the event stream.
-    "st01_stream_hourly" -> ((s, d) => {
+    "st01_stream_hourly" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // file-source streams want a directory basePath; a glob that
       // matches exactly events.parquet keeps the source scoped to the
@@ -123,7 +141,7 @@ object StreamingOps {
     // "within 30 min" adjacency, i.e. exactly sorted-gap sessions.
     // With a continuous trigger the interval list is what you'd persist
     // in GroupState (+ watermark timeout to emit and evict).
-    "st02_stream_sessionize" -> ((s, d) => {
+    "st02_stream_sessionize" -> ((s, d) => withStatePartitions(s, StateParts) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -158,7 +176,7 @@ object StreamingOps {
     // mode emits only FINALIZED windows (window_end ≤ max event time −
     // delay; AvailableNow runs the closing no-data batch). The oracle
     // states exactly that closed-window semantics in batch SQL.
-    "st03_stream_watermark" -> ((s, d) => {
+    "st03_stream_watermark" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
@@ -190,7 +208,7 @@ object StreamingOps {
     // streaming/batch sink unification §2.9 promises. The query's
     // RESULT is the sink read back from disk, so the oracle checks the
     // whole write-read round trip, partition-column typing included.
-    "st05_stream_sink_parity" -> ((s, d) => {
+    "st05_stream_sink_parity" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st05/$tag"
@@ -222,7 +240,7 @@ object StreamingOps {
     // state-cleanup contract the time constraint exists for. Inner
     // join emits matches as they meet; the oracle is the batch
     // self-join restatement.
-    "st06_stream_join" -> ((s, d) => {
+    "st06_stream_join" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def src(tpe: String) = s.readStream
         .schema(eventsSchema)
@@ -258,7 +276,7 @@ object StreamingOps {
     // count: dedup state must collapse the doubled input exactly. At
     // scale the same plan runs with dropDuplicatesWithinWatermark so
     // the key state is evicted instead of growing unboundedly.
-    "st04_stream_dedup" -> ((s, d) => {
+    "st04_stream_dedup" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def src() = s.readStream
         .schema(eventsSchema)
