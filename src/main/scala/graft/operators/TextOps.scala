@@ -33,59 +33,88 @@ object TextOps {
   private val DE = Seq("der", "und", "das", "die", "ist")
   private val FR = Seq("le", "les", "et", "des", "une")
 
+  /** Language-ID stage: argmax of per-language stopword hits with fixed
+    * precedence (en > es > de > fr), 'und' when nothing hits. Shared by
+    * t01 and the p01 selection pipeline. */
+  private def withLangPred(df: DataFrame): DataFrame =
+    df.withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("sc_en", expr(stopScore(EN)))
+      .withColumn("sc_es", expr(stopScore(ES)))
+      .withColumn("sc_de", expr(stopScore(DE)))
+      .withColumn("sc_fr", expr(stopScore(FR)))
+      .withColumn("best",
+        greatest(col("sc_en"), col("sc_es"), col("sc_de"), col("sc_fr")))
+      .withColumn("pred_lang",
+        when(col("best") === 0, lit("und"))
+          .when(col("sc_en") === col("best"), lit("en"))
+          .when(col("sc_es") === col("best"), lit("es"))
+          .when(col("sc_de") === col("best"), lit("de"))
+          .otherwise(lit("fr")))
+
+  /** Quality stage: length/punctuation/stopword ratios combined into
+    * one [0,1] score. Shared by t02 and p01. */
+  private def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("n_chars_calc", length(col("text")).cast(IntegerType))
+      .withColumn("n_words",
+        size(split(trim(col("text")), "\\s+")).cast(IntegerType))
+      .withColumn("punct_raw",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast(DoubleType) / length(col("text")))
+      .withColumn("digit_raw",
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast(DoubleType) / length(col("text")))
+      .withColumn("stop_raw",
+        expr("size(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "t -> t in ('the','and','of','a','to','in','is')))")
+          .cast(DoubleType) / col("n_words"))
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
+          / col("n_words"), 6))
+      .withColumn("quality",
+        round(lit(0.4) * least(lit(1.0), col("n_words").cast(DoubleType) / 50.0)
+          + lit(0.3) * (lit(1.0) - col("punct_raw"))
+          + lit(0.3) * least(lit(1.0), col("stop_raw") * 5.0), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ── t01: n-gram/stopword language ID — argmax of per-language
-    // stopword hits with fixed precedence (en > es > de > fr), 'und'
-    // (undetermined) when nothing hits.
+    // ── t01: n-gram/stopword language ID.
     "t01_lang_id" -> ((s, d) => {
-      docs(s, d)
-        .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
-        .withColumn("sc_en", expr(stopScore(EN)))
-        .withColumn("sc_es", expr(stopScore(ES)))
-        .withColumn("sc_de", expr(stopScore(DE)))
-        .withColumn("sc_fr", expr(stopScore(FR)))
-        .withColumn("best",
-          greatest(col("sc_en"), col("sc_es"), col("sc_de"), col("sc_fr")))
-        .withColumn("pred_lang",
-          when(col("best") === 0, lit("und"))
-            .when(col("sc_en") === col("best"), lit("en"))
-            .when(col("sc_es") === col("best"), lit("es"))
-            .when(col("sc_de") === col("best"), lit("de"))
-            .otherwise(lit("fr")))
+      withLangPred(docs(s, d))
         .select(col("doc_id"), col("pred_lang"),
           col("best").cast(IntegerType).as("score"), col("lang").as("labeled_lang"))
         .orderBy(col("doc_id"))
     }),
 
-    // ── t02: quality scoring — length/punctuation/stopword ratios
-    // combined into one [0,1] score.
+    // ── t02: quality scoring.
     "t02_quality_score" -> ((s, d) => {
-      docs(s, d)
-        .withColumn("n_chars_calc", length(col("text")).cast(IntegerType))
-        .withColumn("n_words",
-          size(split(trim(col("text")), "\\s+")).cast(IntegerType))
-        .withColumn("punct_raw",
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-            .cast(DoubleType) / length(col("text")))
-        .withColumn("digit_raw",
-          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-            .cast(DoubleType) / length(col("text")))
-        .withColumn("stop_raw",
-          expr("size(filter(split(lower(trim(text)), '\\\\s+'), " +
-            "t -> t in ('the','and','of','a','to','in','is')))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("avg_word_len",
-          round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
-            / col("n_words"), 6))
-        .withColumn("quality",
-          round(lit(0.4) * least(lit(1.0), col("n_words").cast(DoubleType) / 50.0)
-            + lit(0.3) * (lit(1.0) - col("punct_raw"))
-            + lit(0.3) * least(lit(1.0), col("stop_raw") * 5.0), 6))
+      withQualityCols(docs(s, d))
         .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
           col("avg_word_len"), round(col("punct_raw"), 6).as("punct_ratio"),
           round(col("digit_raw"), 6).as("digit_ratio"),
           round(col("stop_raw"), 6).as("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── p01: the CORPUS-SELECTION PIPELINE — what the operator family
+    // exists for, composed as ONE declarative plan: language gate →
+    // quality gate → exact dedup (canonical min doc_id per text, keyed
+    // on the narrow (length, xxhash64) digest as in d01) → token
+    // stats for the survivors. Catalyst fuses the scalar stages into a
+    // single codegen'd pass; the only shuffle is the dedup window on
+    // the 12-byte digest over the ALREADY-FILTERED rows — gate early,
+    // shuffle late, which is the 100 TB ordering.
+    "p01_corpus_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = withQualityCols(withLangPred(docs(s, d)))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.7)
+      val w = Window.partitionBy(length(col("text")), xxhash64(col("text")))
+      gated
+        .withColumn("canon_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canon_id"))
+        .select(col("doc_id"), col("quality"), col("n_words"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast(IntegerType)
+            .as("bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -201,6 +230,36 @@ object TextOps {
         |  round(CAST(length(text) AS DOUBLE)
         |    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the whole selection pipeline restated declaratively; QUALIFY
+    // keeps the canonical (min doc_id) row per surviving text
+    "p01_corpus_select" -> {
+      def psc(words: Seq[String]): String =
+        words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
+          .mkString(" + ")
+      s"""WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
+         |sc AS (SELECT doc_id, text, ${psc(EN)} AS sc_en, ${psc(ES)} AS sc_es,
+         |         ${psc(DE)} AS sc_de, ${psc(FR)} AS sc_fr FROM p),
+         |l AS (SELECT doc_id, text,
+         |  CASE WHEN greatest(sc_en, sc_es, sc_de, sc_fr) = 0 THEN 'und'
+         |       WHEN sc_en = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'en'
+         |       WHEN sc_es = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'es'
+         |       WHEN sc_de = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'de'
+         |       ELSE 'fr' END AS pred_lang FROM sc),
+         |q AS (SELECT doc_id, text, pred_lang,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+         |  round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0)
+         |    + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
+         |    + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |        t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
+         |      / len(string_split_regex(trim(text), '\\s+')) * 5.0), 6) AS quality
+         | FROM l)
+         |SELECT doc_id, quality, n_words,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+         |FROM q WHERE pred_lang = 'en' AND quality >= 0.7
+         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t05_normalize" ->
       """WITH n AS (SELECT doc_id, length(text) AS orig_len,
