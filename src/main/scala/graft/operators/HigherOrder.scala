@@ -196,6 +196,21 @@ object HigherOrder {
         .orderBy(col("range_id"))
     }),
 
+    // ── q38: correlated SCALAR subquery — Catalyst decorrelates the
+    // per-row subquery into an aggregate + left outer join (one
+    // shuffle), not a per-row probe; the SQL path is used so the real
+    // RewriteCorrelatedScalarSubquery rule runs. COALESCE(0) states
+    // the no-orders case explicitly on both engines.
+    "q38_correlated_subquery" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("customer_v38")
+      Tables(s, d, "orders").createOrReplaceTempView("orders_v38")
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  COALESCE((SELECT COUNT(*) FROM orders_v38 o
+          |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+          |FROM customer_v38 c ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions. This is the DEMO of the
@@ -302,6 +317,12 @@ object HigherOrder {
         |  ON epoch_us(e.ts) >= epoch_us(r.r_start)
         | AND epoch_us(e.ts) < epoch_us(r.r_end)
         |GROUP BY range_id ORDER BY range_id""".stripMargin,
+
+    "q38_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |  COALESCE((SELECT COUNT(*) FROM orders o
+        |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     // the unsalted join — salting must not change the result set
     "q28_salted_join" ->
