@@ -25,7 +25,10 @@ import graft.functions.{SketchFunctions, VectorFunctions}
   *    via the custom Catalyst expression, block-decomposed into
   *    B(B+1)/2 equi-join tasks (no nested-loop operator).
   *
-  * All six dedup operators are oracle-checked (d02 against the
+  * Clustering runs twice: d06 min-label propagation (O(diameter)
+  * rounds) and d07 alternating large-star/small-star (O(log n) rounds,
+  * degree-shrinking — the billion-edge choice); same components, same
+  * oracle. All dedup operators are oracle-checked (d02 against the
   * exact-jaccard restatement its banding fully recalls on the harness
   * corpora — see its query comment).
   */
@@ -232,6 +235,67 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ── d07: near-dup clustering via the ALTERNATING STAR algorithm
+    // (large-star/small-star, Kiveris et al., "Connected Components in
+    // MapReduce and Beyond") — the billion-edge-scale alternative to
+    // d06's label propagation. Each round is a groupBy-min plus a
+    // re-emit of edges toward component minima:
+    //  - large-star: every node points its LARGER neighbors at the min
+    //    of its neighborhood (∪ itself);
+    //  - small-star: edges oriented to their larger endpoint; that
+    //    endpoint points its smaller neighbors (and itself) at the min.
+    // Converges in O(log n) rounds REGARDLESS of component diameter
+    // (label propagation needs O(diameter)), and hot high-degree nodes
+    // shrink monotonically — the properties that matter at 10⁹ edges.
+    // Same output and oracle as d06: (doc_id, min doc_id of component).
+    "d07_dedup_clusters_star" -> ((s, d) => {
+      val pairs = exactJaccardPairs(s, d)
+        .select(col("a_id").as("u"), col("b_id").as("v")).localCheckpoint()
+
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        sym.join(mn, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+      }
+
+      def smallStar(e: DataFrame): DataFrame = {
+        val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        val mn = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+        dir.join(mn, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mn.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+      }
+
+      var edges = pairs
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 30) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        // fixpoint when the (canonically oriented) edge set is stable;
+        // except() on the checkpointed sets — two scans, no recompute
+        val prevDir = edges.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v")).distinct()
+        changed = next.exceptAll(prevDir).count() + prevDir.exceptAll(next).count()
+        edges = next
+        iter += 1
+      }
+      // converged: star edges (node > root) → labels; roots label themselves
+      val nodes = pairs
+        .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
+      val lbl = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+      nodes.join(lbl, nodes("doc_id") === lbl("u"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d05: embedding near-dup pairs via the custom CosineSimilarity
     // Catalyst expression, on a BLOCK-DECOMPOSED equi-join (round-1
     // all-pairs theta join was a BroadcastNestedLoopJoin — O(n²) pair
@@ -380,6 +444,31 @@ object Dedup {
         |FROM cand JOIN sim sa ON sa.doc_id = a_id JOIN sim sb ON sb.doc_id = b_id
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // identical contract to d06 — the star algorithm must produce the
+    // same components
+    "d07_dedup_clusters_star" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM pc
+        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "d05_dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
