@@ -249,8 +249,12 @@ object Dedup {
     // shrink monotonically — the properties that matter at 10⁹ edges.
     // Same output and oracle as d06: (doc_id, min doc_id of component).
     "d07_dedup_clusters_star" -> ((s, d) => {
+      // canonical orientation (u > v) from the start: every round's
+      // output is then a distinct canonical SET, so fixpoint detection
+      // is a count compare plus ONE one-sided exceptAll (equal-size
+      // sets with an empty one-sided difference are equal).
       val pairs = exactJaccardPairs(s, d)
-        .select(col("a_id").as("u"), col("b_id").as("v")).localCheckpoint()
+        .select(col("b_id").as("u"), col("a_id").as("v")).localCheckpoint()
 
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -275,15 +279,15 @@ object Dedup {
       }
 
       var edges = pairs
+      var cnt = edges.count()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 30) {
         val next = smallStar(largeStar(edges)).localCheckpoint()
-        // fixpoint when the (canonically oriented) edge set is stable;
-        // except() on the checkpointed sets — two scans, no recompute
-        val prevDir = edges.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v")).distinct()
-        changed = next.exceptAll(prevDir).count() + prevDir.exceptAll(next).count()
+        val nextCnt = next.count()
+        changed =
+          if (nextCnt != cnt) 1L else next.exceptAll(edges).count()
+        cnt = nextCnt
         edges = next
         iter += 1
       }
