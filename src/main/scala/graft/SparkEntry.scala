@@ -26,6 +26,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
       sources.Bucketing.queries ++
+      sources.Formats.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Multimodal.oracles ++
       sources.Bucketing.oracles ++
+      sources.Formats.oracles ++
       streaming.StreamingOps.oracles
 }

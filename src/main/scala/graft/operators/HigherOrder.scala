@@ -211,6 +211,24 @@ object HigherOrder {
           |FROM customer_v38 c ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ── q39: LATERAL join — a correlated subquery in FROM position
+    // with its own ORDER BY + LIMIT (top-2 suppliers per nation).
+    // Catalyst plans the correlated limit through DomainJoin
+    // decorrelation (a ranked window under the hood), not a per-row
+    // re-execution — the same top-k-per-group shape as q07, reached
+    // from the SQL surface a reference user would write.
+    "q39_lateral_join" -> ((s, d) => {
+      Tables(s, d, "nation").createOrReplaceTempView("nation_v39")
+      Tables(s, d, "supplier").createOrReplaceTempView("supplier_v39")
+      s.sql(
+        """SELECT n_name, t.s_name, t.s_acctbal
+          |FROM nation_v39 n,
+          |LATERAL (SELECT s_name, s_acctbal FROM supplier_v39
+          |         WHERE s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          |ORDER BY n_name, t.s_acctbal DESC, t.s_name""".stripMargin)
+    }),
+
     // ── q28: skew-salted equi-join — result-identical to the plain
     // join (the oracle is the unsalted SQL), with the big side's hot
     // keys spread over 8 shuffle partitions. This is the DEMO of the
@@ -323,6 +341,14 @@ object HigherOrder {
         |  COALESCE((SELECT COUNT(*) FROM orders o
         |            WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
         |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "q39_lateral_join" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n_name, t.s_acctbal DESC, t.s_name""".stripMargin,
 
     // the unsalted join — salting must not change the result set
     "q28_salted_join" ->
