@@ -32,10 +32,41 @@ object Formats {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // q41: JSON-lines round trip — schema-on-read with an EXPLICIT
+    // schema (no inference job), and the text column pinned through the
+    // portable hash: a single mis-escaped quote or lost codepoint in
+    // the write→read cycle breaks the hash match against the parquet
+    // original.
+    "q41_json_roundtrip" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json/$tag"
+      graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").json(out)
+      val schema = "doc_id LONG, lang STRING, text STRING"
+      s.read.schema(schema).json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.PortableHashFunctions.polyHash(col("text")))
+            .as("text_hash_sum"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"))
+        .orderBy(col("lang"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // per-doc char-fold hash summed per language over the ORIGINAL
+    // parquet — any JSON escaping loss surfaces as a sum mismatch
+    "q41_json_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS text_hash_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // stated over the ORIGINAL parquet table: the ORC round trip must
     // be lossless for the aggregate to hash-match
     "q40_orc_roundtrip" ->
