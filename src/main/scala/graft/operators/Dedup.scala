@@ -85,6 +85,64 @@ object Dedup {
       .filter(col("jac_raw") >= 0.2)
   }
 
+  /** Connected components via the alternating star algorithm, over an
+    * edge DataFrame with columns (u, v) — orientation and duplicates
+    * don't matter (canonicalized on entry). Returns (doc_id,
+    * cluster_id = min id of the component). Public for the d07 query
+    * and for StarComponentsSpec's random-graph differential test
+    * against a driver-side union-find.
+    *
+    * Fixpoint detection: every round's output is a distinct canonical
+    * (u > v) SET, so equal counts plus ONE empty one-sided exceptAll
+    * prove stability. */
+  private[graft] def starComponents(rawEdges: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mn = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mn, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mn.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    val pairs = rawEdges
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var edges = pairs
+    var cnt = edges.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCnt = next.count()
+      changed = if (nextCnt != cnt) 1L else next.exceptAll(edges).count()
+      cnt = nextCnt
+      edges = next
+      iter += 1
+    }
+    // converged: star edges (node > root) → labels; roots label themselves
+    val nodes = pairs
+      .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
+    val lbl = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+    nodes.join(lbl, nodes("doc_id") === lbl("u"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── d01: exact dedup — groupBy (length, xxhash64) of the text, keep
@@ -249,55 +307,9 @@ object Dedup {
     // shrink monotonically — the properties that matter at 10⁹ edges.
     // Same output and oracle as d06: (doc_id, min doc_id of component).
     "d07_dedup_clusters_star" -> ((s, d) => {
-      // canonical orientation (u > v) from the start: every round's
-      // output is then a distinct canonical SET, so fixpoint detection
-      // is a count compare plus ONE one-sided exceptAll (equal-size
-      // sets with an empty one-sided difference are equal).
       val pairs = exactJaccardPairs(s, d)
         .select(col("b_id").as("u"), col("a_id").as("v")).localCheckpoint()
-
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-        val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
-          .select(col("u"), least(col("mv"), col("u")).as("m"))
-        sym.join(mn, "u")
-          .filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-      }
-
-      def smallStar(e: DataFrame): DataFrame = {
-        val dir = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        val mn = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-        dir.join(mn, "u")
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(mn.select(col("u"), col("m").as("v")))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-      }
-
-      var edges = pairs
-      var cnt = edges.count()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 30) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
-        val nextCnt = next.count()
-        changed =
-          if (nextCnt != cnt) 1L else next.exceptAll(edges).count()
-        cnt = nextCnt
-        edges = next
-        iter += 1
-      }
-      // converged: star edges (node > root) → labels; roots label themselves
-      val nodes = pairs
-        .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
-      val lbl = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
-      nodes.join(lbl, nodes("doc_id") === lbl("u"), "left")
-        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
-        .orderBy(col("doc_id"))
+      starComponents(pairs).orderBy(col("doc_id"))
     }),
 
     // ── d05: embedding near-dup pairs via the custom CosineSimilarity
