@@ -65,8 +65,20 @@ class PortableHashSpec extends AnyFunSuite {
     assert(ham(h(0), h(1)) < ham(h(0), h(2)))
   }
 
-  test("d05/q35 plans have no nested-loop or cartesian operator") {
-    for (q <- Seq("d05_dedup_embedding", "q35_range_join")) {
+  test("pair-generating and join-heavy plans have no nested-loop or cartesian operator") {
+    // Every query whose candidate/pair volume grows with the data must
+    // stay on equi-join machinery. Deliberately NOT asserted: s01
+    // (brute-force ANN baseline — the broadcast nested loop over 5
+    // query vectors IS the semantics) and s03 (16-centroid broadcast
+    // cross is the probe-ranking step).
+    val pairHeavy = Seq(
+      "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
+      "d04_dedup_ngram_jaccard", "d05_dedup_embedding",
+      "q03_region_revenue", "q04_priority_revenue", "q20_star_join",
+      "q28_salted_join", "q30_asof_join", "q34_bucketed_join",
+      "q35_range_join", "q38_correlated_subquery", "q39_lateral_join",
+      "s02_ann_lsh", "p01_corpus_select")
+    for (q <- pairHeavy) {
       val plan = SparkEntry.queries(q)(spark, SparkSuite.sf)
         .queryExecution.executedPlan
       val bad = plan.collect {
