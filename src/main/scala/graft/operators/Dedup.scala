@@ -8,7 +8,7 @@ import graft.functions.{SketchFunctions, VectorFunctions}
 /** Deduplication operators for the large-scale training-data pipeline
   * (builder-prompt north star; SURVEY.md §2.10).
   *
-  * Five strategies over `documents` / `embeddings`:
+  * Seven operators over `documents` / `embeddings`:
   *  - d01 exact: hash-groupBy on a (length, xxhash64) text digest — one
   *    narrow shuffle; the text bodies never leave their scan tasks.
   *  - d02 MinHash+LSH: shingle → 16-perm minhash → 4 bands → bucket
