@@ -135,6 +135,14 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // the label extraction below is only guaranteed correct at the star
+    // fixpoint — a silent cap-out would return plausible-but-wrong
+    // cluster ids (round-2 advisor finding). 30 rounds is ~2^30 nodes
+    // for an O(log n) algorithm; hitting the cap means a bug, so fail
+    // loudly rather than degrade.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"starComponents did not converge after $iter rounds ($cnt edges)")
     // converged: star edges (node > root) → labels; roots label themselves
     val nodes = pairs
       .select(explode(array(col("u"), col("v"))).as("doc_id")).distinct()
@@ -176,6 +184,16 @@ object Dedup {
     // offline; rescore values are exact jaccard on both sides). A
     // recall miss would surface as a hash mismatch — which is the
     // signal a dedup pipeline wants from its differential gate.
+    //
+    // RECALL-SENSITIVE (round-2 advisor): the pair-identical gate
+    // encodes a corpus-specific claim — on a NEW corpus or scale
+    // factor, a legitimate probabilistic recall miss (a ≥0.5 pair whose
+    // 5 bands all differ) or a stop-gram band bucket blowing the 64-doc
+    // cap would surface here as an engine-correctness failure even
+    // though the engine is behaving as specified. Changing datasets
+    // requires re-verifying full recall against the d04 exact anchor
+    // (DedupSpec's recall/zero-false-positive check does this at test
+    // scale) before trusting a d02 hash mismatch as an engine bug.
     "d02_dedup_minhash_lsh" -> ((s, d) => {
       SketchFunctions.register(s)
       // localCheckpoint: three consumers (signature branch + both

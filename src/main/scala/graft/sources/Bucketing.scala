@@ -49,7 +49,7 @@ object Bucketing {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val db = s"graft_buckets_$tag"
     if (!s.catalog.databaseExists(db) || !s.catalog.tableExists(s"$db.lineitem_b")) {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$tag"
+      val base = graft.Scratch.dir(s, "graft_buckets", tag)
       writeBucketed(graft.Tables(s, d, "orders"), db, "orders_b",
         "o_orderkey", 8, Seq("o_orderkey"), Some(s"$base/orders_b"))
       writeBucketed(graft.Tables(s, d, "lineitem"), db, "lineitem_b",

@@ -18,7 +18,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_orc_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc/$tag"
+      val out = graft.Scratch.dir(s, "graft_orc", tag)
       graft.Tables(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_quantity"), col("l_extendedprice"))
@@ -42,7 +42,7 @@ object Formats {
     "q41_json_roundtrip" -> ((s, d) => {
       graft.functions.PortableHashFunctions.register(s)
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json/$tag"
+      val out = graft.Scratch.dir(s, "graft_json", tag)
       graft.Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").json(out)

@@ -63,7 +63,16 @@ object StreamingOps {
     * Memory is O(sessions), not O(events); the result equals sorted
     * gap-sessionization (the intervals are the connected components of
     * the "within gapUs" adjacency — property-tested in
-    * StreamingKernelSpec). Returns (nEvents, nSessions). */
+    * StreamingKernelSpec). Returns (nEvents, nSessions).
+    *
+    * CPU bound: insert/remove shift the ArrayBuffer, so a key whose
+    * events arrive as many disjoint sessions in adverse order (e.g.
+    * newest-first) costs O(sessions) shifting per event — O(n²/gap)
+    * worst case per key, though lookups stay O(log sessions). Real
+    * event-time streams arrive roughly ordered (appends hit the LAST
+    * interval) and watermark eviction bounds the live-interval count;
+    * if a deployment can't assume that, swap the store for a TreeMap
+    * keyed by interval start for O(log s) insert. */
   private[graft] def mergeSessions(ts: Iterator[Long], gapUs: Long): (Long, Long) = {
     val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var nEvents = 0L
@@ -211,7 +220,7 @@ object StreamingOps {
     "st05_stream_sink_parity" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st05/$tag"
+      val outDir = graft.Scratch.dir(s, "graft_st05", tag)
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
