@@ -27,6 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
+      sources.Partitioned.queries ++
+      plans.Adaptive.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +42,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
+      sources.Partitioned.oracles ++
+      plans.Adaptive.oracles ++
       streaming.StreamingOps.oracles
 }

@@ -118,6 +118,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ── p02: deterministic stratified sampling + train/val/test split.
+    // A training-data pipeline's sampling must be REPRODUCIBLE — across
+    // reruns, engines, and repartitions — so membership is a pure
+    // function of the row key, not of an RNG whose stream depends on
+    // partition layout (Spark's `sample()` does, and is irreproducible
+    // after a repartition). Two independent portable-hash buckets:
+    // `samp` gates per-language keep-rates (downsample over-represented
+    // en, lightly trim zh), `split` assigns 80/10/10 train/val/test.
+    // Both are narrow codegen'd scalar passes; the only shuffle is the
+    // final tiny (lang, split) rollup with map-side partial agg — at
+    // 100 TB this is one corpus scan. Domain-prefixed keys ("samp:",
+    // "split:") decorrelate the two decisions; the portable 31-poly
+    // hash lets DuckDB replay membership bit-identically.
+    "p02_sample_split" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      def bucket(prefix: String) =
+        pmod(graft.functions.PortableHashFunctions.polyHash(
+          concat(lit(prefix), col("doc_id").cast(StringType))), lit(100L))
+      val keepRate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 80).otherwise(100)
+      docs(s, d)
+        .withColumn("samp_b", bucket("samp:"))
+        .filter(col("samp_b") < keepRate)
+        .withColumn("split_b", bucket("split:"))
+        .withColumn("split",
+          when(col("split_b") < 80, lit("train"))
+            .when(col("split_b") < 90, lit("val")).otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // ── t03: token counting — whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / digit runs / single symbols).
     "t03_token_stats" -> ((s, d) => {
@@ -259,6 +292,28 @@ object TextOps {
          |FROM q WHERE pred_lang = 'en' AND quality >= 0.7
          |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // membership replayed bit-identically: 31-poly mod 1e9+7 over the
+    // ASCII codes of the domain-prefixed doc_id string
+    "p02_sample_split" -> {
+      def bucket(prefix: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split('$prefix' || CAST(doc_id AS VARCHAR), ''),
+           |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+      s"""WITH h AS (SELECT lang, n_chars, doc_id,
+         |    ${bucket("samp:")} AS samp_b,
+         |    ${bucket("split:")} AS split_b
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN split_b < 80 THEN 'train'
+         |       WHEN split_b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM h
+         |WHERE samp_b < CASE WHEN lang = 'en' THEN 50
+         |                    WHEN lang = 'zh' THEN 80 ELSE 100 END
+         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
 
     "t05_normalize" ->

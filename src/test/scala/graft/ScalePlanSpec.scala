@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Adaptive
+import graft.sources.Partitioned
+
+/** Plan-level assertions for the two runtime-adaptivity scale features:
+  * dynamic partition pruning (q42) and AQE skew-join splitting (q43).
+  * Correctness of both is the DuckDB oracle's job; these tests pin that
+  * the OPTIMIZATION actually engages — a silently-disabled DPP or skew
+  * split would still return correct rows while reading 7× the data (or
+  * serializing one reducer). */
+class ScalePlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  test("q42 fact scan carries a runtime partition filter (DPP)") {
+    val df = Partitioned.dppJoin(spark, sf)
+    df.collect() // execute so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in fact scan PartitionFilters:\n$plan")
+  }
+
+  test("q42 partitioned copy prunes to the dim's years") {
+    val dir = Partitioned.ensureShipYearCopy(spark, sf)
+    val years = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("l_shipyear=")).map(_.getName).sorted
+    // 1995..2001 in the fixture → 7 partition dirs; the q42 dim keeps 2
+    assert(years.length == 7, s"expected 7 year partitions, got ${years.toSeq}")
+  }
+
+  test("q43 adaptive plan splits the hot partition (skew=true)") {
+    // thresholds shrunk to engage at sf0.001's tiny shuffle blocks (the
+    // query's 256 KB setting is scaled for the sf0.1 bench corpus)
+    Adaptive.withSkewConfs(spark, sizeBytes = 256L) {
+      val df = Adaptive.skewedAgg(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$plan")
+    }
+  }
+
+  test("q43 result is invariant under skew handling") {
+    val base = Adaptive.skewedAgg(spark, sf).collect().toSeq
+    val handled = Adaptive.withSkewConfs(spark, sizeBytes = 256L) {
+      Adaptive.skewedAgg(spark, sf).collect().toSeq
+    }
+    assert(base == handled)
+  }
+}
