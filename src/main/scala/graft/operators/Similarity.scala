@@ -153,6 +153,33 @@ object Similarity {
           col("rank").cast("int").as("rank"),
           (round(col("cos"), 6) + 0.0).as("cos"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── s04: the ANN quality gate — recall@k of the LSH and IVF paths
+    // against the exact baseline, computed in-engine as one plan. The
+    // approximate result sets themselves are engine-specific (hence
+    // s02/s03 stay rows-only), but "recall is at least X" is an
+    // engine-independent CONTRACT, so emitting the thresholded boolean
+    // next to the oracle-checkable pair count turns ANN quality into a
+    // driver-visible green row (the q23 HLL-tolerance trick). A recall
+    // regression in either index now fails CORRECTNESS instead of
+    // hiding in a rows-only entry.
+    "s04_ann_recall" -> ((s, d) => {
+      val pair = Seq("q_id", "n_id")
+      val exact = queries("s01_ann_bruteforce")(s, d).select(pair.map(col): _*)
+      val lsh = queries("s02_ann_lsh")(s, d).select(pair.map(col): _*)
+      val ivf = queries("s03_ann_ivf")(s, d).select(pair.map(col): _*)
+      val n = exact.agg(count(lit(1)).as("n_pairs"))
+      val lshHits = exact.join(lsh, pair, "left_semi")
+        .agg(count(lit(1)).as("lsh_hits"))
+      val ivfHits = exact.join(ivf, pair, "left_semi")
+        .agg(count(lit(1)).as("ivf_hits"))
+      n.crossJoin(lshHits).crossJoin(ivfHits).select(
+        col("n_pairs"),
+        (col("lsh_hits").cast("double") / col("n_pairs") >= 0.2)
+          .as("lsh_recall_ok"),
+        (col("ivf_hits").cast("double") / col("n_pairs") >= 0.3)
+          .as("ivf_recall_ok"))
     })
   )
 
@@ -169,6 +196,25 @@ object Similarity {
         |  SELECT q_id, n_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
-        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // n_pairs is independently derivable (5 queries × top-3); the
+    // booleans are the recall contract the engine must meet
+    "s04_ann_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS lsh_recall_ok,
+        |  TRUE AS ivf_recall_ok FROM topk""".stripMargin
   )
 }

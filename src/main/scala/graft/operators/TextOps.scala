@@ -191,6 +191,23 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t06: the UDTF surface — word-level 3-gram shingling via the
+    // custom ShingleGenerator (a Catalyst Generator, the one-row→
+    // many-rows operator form). Plans as a Generate node: per-partition
+    // row streaming with no intermediate per-document shingle array
+    // (contrast the array_distinct+explode form in Dedup, which
+    // materializes each document's full gram list). Scoped to 10 docs
+    // to keep the driver diff bounded; at 100 TB the same Generate
+    // streams the whole corpus shard-parallel.
+    "t06_shingle_udtf" -> ((s, d) => {
+      graft.functions.GeneratorFunctions.register(s)
+      docs(s, d)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          expr("shingles(split(lower(text), '\\\\s+'), 3)"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -296,6 +313,16 @@ object TextOps {
 
     // membership replayed bit-identically: 31-poly mod 1e9+7 over the
     // ASCII codes of the domain-prefixed doc_id string
+    // parallel unnests zip in DuckDB: positions and shingle texts align
+    "t06_shingle_udtf" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, len(toks) - 3)) AS INTEGER) AS pos,
+        |  unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
+
     "p02_sample_split" -> {
       def bucket(prefix: String): String =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -305,6 +305,42 @@ object StreamingOps {
         .start()
       q.awaitTermination()
       s.table(sinkName).orderBy(col("event_type"))
+    }),
+
+    // ── st07: the st04 stateful dedup on the RocksDB state store. The
+    // default (HDFS-backed) provider keeps every live key's state as
+    // JVM objects on the executor heap — at 100 TB stream scale
+    // (billions of in-watermark keys) that is an OOM/GC wall. RocksDB
+    // moves state off-heap onto local disk with changelog-style
+    // incremental snapshots; the heap holds only block cache. The swap
+    // must be RESULT-INVARIANT, so st07 runs the same dedup semantics
+    // as st04 against the same oracle — a differential gate over the
+    // state backend itself.
+    "st07_rocksdb_dedup" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src() = s.readStream
+          .schema(eventsSchema)
+          .parquet(s"$d/events.parque[t]")
+          .select(col("event_id"), col("event_type"))
+        val agg = src().union(src())
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val sinkName = "st07_out"
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sinkName).orderBy(col("event_type"))
+      } finally old.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     })
   )
 
@@ -357,6 +393,12 @@ object StreamingOps {
 
     // stateful dedup must collapse the doubled stream to batch-distinct
     "st04_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the state-backend swap must not change the answer: st07 shares
+    // st04's oracle
+    "st07_rocksdb_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
