@@ -28,6 +28,7 @@ object SparkEntry {
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
+      sources.Compaction.queries ++
       plans.Adaptive.queries ++
       streaming.StreamingOps.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++
+      sources.Compaction.oracles ++
       plans.Adaptive.oracles ++
       streaming.StreamingOps.oracles
 }

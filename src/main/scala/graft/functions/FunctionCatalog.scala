@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Single source of truth for every custom Catalyst function the
+  * library ships: name → expression builder. Consumed two ways:
+  *
+  *  - per-module `register(spark)` calls (session-scoped temp
+  *    functions, the form the query registry uses), and
+  *  - [[graft.GraftExtensions]], which injects the whole catalog at
+  *    session build time via `SparkSessionExtensions` — the deploy-time
+  *    form (`spark.sql.extensions=graft.GraftExtensions`) that gives
+  *    every session, including pure-SQL ones, the full surface with no
+  *    driver-side register calls.
+  */
+object FunctionCatalog {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (e => SimHash64(e.head)),
+    "minhash_sig16" -> (e => MinHashSignature(e.head, 16)),
+    "lsh_buckets_8x6" ->
+      (e => LshBuckets(e.head, SketchFunctions.hyperplanes(8, 6, 64), 8, 6)),
+    "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
+    "poly_hash" -> (e => PolyHash(e.head)),
+    "rolling_min4_w8" -> (e => RollingMinK(e.head, 8, 4)),
+    "portable_simhash60" -> (e => PortableSimHash60(e.head)),
+    "cosine_sim" -> (e => CosineSimilarity(e(0), e(1))),
+    "shingles" ->
+      (e => ShingleGenerator(e.head, foldableInt(e(1), "shingles: n"))),
+    "topk_by" ->
+      (e => TopKByAggregate(e(0), e(1), foldableInt(e(2), "topk_by: k"))
+        .toAggregateExpression())
+  )
+
+  private def foldableInt(e: Expression, what: String): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a foldable integer literal, got $other")
+    }
+
+  /** Session-scoped registration of the named catalog subset. */
+  def register(spark: SparkSession, names: String*): Unit = {
+    val byName = builders.toMap
+    names.foreach { n =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(n, byName(n), "built-in")
+    }
+  }
+}

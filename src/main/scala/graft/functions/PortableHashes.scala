@@ -140,15 +140,9 @@ case class PortableSimHash60(child: Expression)
 
 /** Registry + Column API for the portable hash expressions. */
 object PortableHashFunctions {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "rolling_min4_w8", exprs => RollingMinK(exprs.head, 8, 4), "built-in")
-    reg.createOrReplaceTempFunction(
-      "portable_simhash60", exprs => PortableSimHash60(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionCatalog.register(spark, "poly_hash", "rolling_min4_w8",
+      "portable_simhash60")
 
   def polyHash(c: Column): Column = call_function("poly_hash", c)
   def rollingMin4W8(c: Column): Column = call_function("rolling_min4_w8", c)

@@ -69,13 +69,8 @@ case class ShingleGenerator(child: Expression, n: Int)
 }
 
 object GeneratorFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles",
-      exprs => ShingleGenerator(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]),
-      "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionCatalog.register(spark, "shingles")
 
   def shingles(tokens: Column, n: Column): Column =
     call_function("shingles", tokens, n)

@@ -186,19 +186,9 @@ object SketchFunctions {
     Array.fill(nTables * nBits, dim)(rnd.nextGaussian())
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig16", exprs => MinHashSignature(exprs.head, 16), "built-in")
-    reg.createOrReplaceTempFunction(
-      "lsh_buckets_8x6",
-      exprs => LshBuckets(exprs.head, hyperplanes(8, 6, 64), 8, 6), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionCatalog.register(spark, "simhash64", "minhash_sig16",
+      "lsh_buckets_8x6", "sorted_intersect_count")
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashSig16(c: Column): Column = call_function("minhash_sig16", c)

@@ -141,20 +141,8 @@ object TopKBuffer {
 
 object TopKFunctions {
   /** Registers `topk_by(ord, payload, k)`; k must be a foldable int. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by",
-      { exprs =>
-        val k = exprs(2).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk_by: k must be a foldable integer literal, got $other")
-        }
-        TopKByAggregate(exprs(0), exprs(1), k).toAggregateExpression()
-      },
-      "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionCatalog.register(spark, "topk_by")
 
   def topkBy(ord: Column, payload: Column, k: Int): Column =
     call_function("topk_by", ord, payload, org.apache.spark.sql.functions.lit(k))

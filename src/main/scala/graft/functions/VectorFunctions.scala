@@ -110,10 +110,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object VectorFunctions {
 
   /** Idempotent session registration; queries call this before use. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionCatalog.register(spark, "cosine_sim")
 
   /** Column API for the custom expression (post-`register`). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

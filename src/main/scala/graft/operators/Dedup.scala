@@ -276,6 +276,37 @@ object Dedup {
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ── d08: INCREMENTAL dedup — the production crawl cadence: each new
+    // batch dedups against the ACCUMULATED corpus, not itself. A new
+    // document survives iff no OLD document is an exact duplicate
+    // (narrow (length, xxhash64) digest anti-join — the d01 digest,
+    // same negligible-collision assumption) or a ≥0.5 n-gram-jaccard
+    // near-duplicate (the d04 inverted-index pair machinery reused,
+    // filtered to old×new pairs). At 100 TB the digest anti-join
+    // shuffles 12-byte keys and the gram join is the already-bucketed
+    // d04 plan — nothing rescans the old corpus's text. The old/new
+    // cutoff is the top 20% of the id space, computed in-plan (no
+    // collect) and broadcast.
+    "d08_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val cut = all.agg(
+        ((max(col("doc_id")) + lit(1)) * lit(0.8)).cast("long").as("c"))
+      val dig = all
+        .select(col("doc_id"), length(col("text")).as("len"),
+          xxhash64(col("text")).as("dg"))
+        .crossJoin(broadcast(cut))
+      val newDig = dig.filter(col("doc_id") >= col("c")).drop("c")
+      val oldDig = dig.filter(col("doc_id") < col("c")).drop("c")
+      val exactSurvivors = newDig
+        .join(oldDig.select(col("len"), col("dg")), Seq("len", "dg"), "left_anti")
+      val nearDupNew = exactJaccardPairs(s, d).crossJoin(broadcast(cut))
+        .filter(col("a_id") < col("c") && col("b_id") >= col("c") &&
+          col("jac_raw") >= 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      exactSurvivors.join(nearDupNew, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ── d06: near-dup CLUSTERING — connected components over the exact
     // pair graph via min-label propagation: each iteration every node
     // takes the min of its own label and its neighbors', until
@@ -383,6 +414,34 @@ object Dedup {
 
     // inverted-index formulation on the oracle side too — identical
     // results to the all-pairs list jaccard (verified), 76× faster
+    // exact dup via text equality (the engine's digest is assumed
+    // collision-free, as in d01); near dup via the d04 inverted index
+    // restricted to old×new pairs
+    "d08_dedup_incremental" ->
+      """WITH cut AS (SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS c
+        |             FROM documents),
+        |exact_dup AS (
+        |  SELECT DISTINCT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c
+        |  JOIN documents o ON n.text = o.text AND o.doc_id < c),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |near AS (SELECT DISTINCT b_id AS doc_id FROM pc JOIN cut
+        |           ON a_id < c AND b_id >= c
+        |         WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.5)
+        |SELECT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c
+        |WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        |  AND n.doc_id NOT IN (SELECT doc_id FROM near)
+        |ORDER BY n.doc_id""".stripMargin,
+
     "d04_dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -54,6 +54,31 @@ object Formats {
             .as("text_hash_sum"),
           sum(length(col("text")).cast(LongType)).as("total_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // ── q44: CSV round trip — the treacherous format: the props column
+    // is JSON text holding the CSV quote, delimiter-adjacent braces,
+    // and colons, so correct quoting/escaping on write AND quote-aware
+    // parsing on read are both load-bearing. Fidelity is pinned the
+    // q41 way: a portable per-row hash of props summed per group over
+    // the round-tripped data must equal the same sum over the original
+    // parquet — one mis-escaped quote anywhere shifts the sum.
+    "q44_csv_roundtrip" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = graft.Scratch.dir(s, "graft_csv", tag)
+      graft.Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").csv(out)
+      val schema = "event_id LONG, event_type STRING, props STRING"
+      s.read.schema(schema).option("header", "true").csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.PortableHashFunctions.polyHash(col("props")))
+            .as("props_hash_sum"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -67,6 +92,16 @@ object Formats {
         |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS text_hash_sum,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same fidelity statement over events: any CSV quoting loss in
+    // props shifts the per-type hash sum
+    "q44_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(props, ''), ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS props_hash_sum,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // stated over the ORIGINAL parquet table: the ORC round trip must
     // be lossless for the aggregate to hash-match
     "q40_orc_roundtrip" ->

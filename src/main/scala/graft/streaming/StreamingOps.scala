@@ -307,6 +307,39 @@ object StreamingOps {
       s.table(sinkName).orderBy(col("event_type"))
     }),
 
+    // ── st08: STREAM-STATIC enrichment join — the standard streaming
+    // shape: an unbounded fact stream joined against a bounded
+    // dimension snapshot (customer). The static side is broadcast, so
+    // enrichment is STATELESS — no watermark, no join state, each
+    // micro-batch hash-probes the dim — which is what makes it cheap at
+    // 100 TB/day ingest; only the downstream aggregation keeps state.
+    // (The dim snapshot is read once per (re)start; a slowly-changing
+    // dim is a restart or a foreachBatch re-read away.)
+    "st08_stream_static_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .select(col("user_id"), col("value"))
+      val dim = graft.Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+      val sinkName = "st08_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("c_mktsegment"))
+    }),
+
     // ── st07: the st04 stateful dedup on the RocksDB state store. The
     // default (HDFS-backed) provider keeps every live key's state as
     // JVM objects on the executor heap — at 100 TB stream scale
@@ -395,6 +428,13 @@ object StreamingOps {
     "st04_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // stream-static enrichment equals the batch join
+    "st08_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the state-backend swap must not change the answer: st07 shares
     // st04's oracle
