@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
+      operators.ChangeCapture.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.TextOps.oracles ++
       operators.Multimodal.oracles ++
+      operators.ChangeCapture.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++

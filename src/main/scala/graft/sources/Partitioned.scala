@@ -51,8 +51,44 @@ object Partitioned {
       .orderBy(col("l_shipyear"))
   }
 
+  /** Once per session: a partitioned events snapshot, then a DYNAMIC
+    * partition overwrite of just the `click` partition (rows re-written
+    * with user_id+1). Under the default STATIC mode, `mode(Overwrite)`
+    * on a partitioned path deletes EVERY partition first — the classic
+    * footgun that turns "refresh today's partition" into "drop the
+    * table"; dynamic mode replaces only partitions present in the
+    * incoming data, which is how a 100 TB date-partitioned table takes
+    * daily restatements. The q46 oracle proves both halves: click rows
+    * carry the update AND the untouched partitions survived. */
+  private[graft] def ensureDynamicOverwrite(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.Scratch.dir(s, "graft_dynow", tag)
+    val done = new java.io.File(s"$out/_GRAFT_DONE")
+    if (!done.exists()) {
+      val ev = graft.Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try ev.filter(col("event_type") === "click")
+        .withColumn("user_id", col("user_id") + lit(1L))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally old.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      done.createNewFile()
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_dpp_join" -> ((s, d) => dppJoin(s, d))
+    "q42_dpp_join" -> ((s, d) => dppJoin(s, d)),
+
+    "q46_dynamic_overwrite" -> ((s, d) => {
+      s.read.parquet(ensureDynamicOverwrite(s, d))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,6 +101,14 @@ object Partitioned {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN dim ON CAST(year(l_shipdate) AS INTEGER) = y
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // click rows updated, every other partition intact — a static-mode
+    // leak would collapse the non-click groups to zero rows
+    "q46_dynamic_overwrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(user_id + CASE WHEN event_type = 'click'
+        |                          THEN 1 ELSE 0 END) AS BIGINT) AS user_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -340,6 +340,43 @@ object StreamingOps {
       s.table(sinkName).orderBy(col("c_mktsegment"))
     }),
 
+    // ── st09: CHECKPOINT RECOVERY — the property that makes streaming
+    // restartable at all: source offsets are committed to the
+    // checkpoint, so a NEW query started on the same checkpoint resumes
+    // after what was already processed instead of replaying it. The
+    // query runs the same AvailableNow pass TWICE into an append-mode
+    // parquet sink; if restart semantics were broken the second pass
+    // would double every row and the count oracle would fail. (This is
+    // restart-level exactly-once — the per-batch idempotence of a
+    // foreachBatch retry is the sink's job, e.g. overwrite-by-batch-id;
+    // here each source file is exactly one committed batch.)
+    "st09_checkpoint_recovery" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = graft.Scratch.dir(s, "graft_st09", tag)
+      val ckpt = graft.Scratch.dir(s, "graft_st09_ckpt", tag)
+      def runOnce(): Unit = {
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(s"$d/events.parque[t]")
+          .select(col("event_id"), col("event_type"))
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // restart from the same checkpoint: nothing to replay
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── st07: the st04 stateful dedup on the RocksDB state store. The
     // default (HDFS-backed) provider keeps every live key's state as
     // JVM objects on the executor heap — at 100 TB stream scale
@@ -435,6 +472,12 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a broken restart would double every count
+    "st09_checkpoint_recovery" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the state-backend swap must not change the answer: st07 shares
     // st04's oracle
