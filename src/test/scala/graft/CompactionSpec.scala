@@ -31,4 +31,19 @@ class CompactionSpec extends AnyFunSuite {
     val b = spark.read.parquet(compacted.getPath).count()
     assert(a == b)
   }
+
+  test("maxRecordsPerFile splits an oversized partition into bounded files") {
+    val compacted = new java.io.File(Compaction.ensureCompacted(spark, sf))
+    val frag = compacted.getPath.replace("graft_compact", "graft_frag")
+    val out = compacted.getPath.replace("graft_compact", "graft_split")
+    Compaction.compact(spark, frag, out, "event_type", 100L)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_type="))
+    dirs.foreach { dir =>
+      val rows = spark.read.parquet(dir.getPath).count()
+      val expected = math.ceil(rows / 100.0).toInt
+      assert(parquetFiles(dir) == expected,
+        s"${dir.getName}: $rows rows in ${parquetFiles(dir)} files, want $expected")
+    }
+  }
 }
