@@ -417,6 +417,42 @@ object Relational {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
         .orderBy(col("user_id"))
+    }),
+
+    // ── q49: UNPIVOT — the inverse of q14: the wide per-segment counts
+    // melt back to (nation, segment, n) rows via the stack() generator.
+    // Wide→long is a per-row row-generating projection (no shuffle
+    // beyond q14's own aggregation); stack is the SQL-surface
+    // counterpart of the custom ShingleGenerator's one-row→many-rows
+    // form.
+    "q49_unpivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val wide = queries("q14_pivot_segments")(s, d)
+      val stackArgs = segs.map(sg => s"'$sg', ${sg.toLowerCase}").mkString(", ")
+      wide.selectExpr("n_name",
+          s"stack(${segs.length}, $stackArgs) AS (segment, n)")
+        .filter(col("n") > 0) // melt only segments present in the nation
+        .orderBy(col("n_name"), col("segment"))
+    }),
+
+    // ── q48: the BUILT-IN session_window operator — same semantics as
+    // q24's lag-based formulation (and it shares q24's oracle), but as
+    // the native dynamic-gap groupBy Spark merges in the aggregation
+    // itself: no window-function sort over the full event set, and the
+    // identical expression works under readStream. Boundary caveat:
+    // session_window starts a NEW session at gap exactly == 30 min
+    // (half-open windows) where the lag formulation (`> 30 min`) would
+    // not; the fixture has no exact-boundary gaps at any SF (checked),
+    // so the two stay oracle-identical.
+    "q48_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).cast("long").as("n_sessions"))
+        .select(col("user_id"), col("n_events"), col("n_sessions"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -630,6 +666,26 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+        |    WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the round trip pivot→unpivot is just the grouped counts in long
+    // form
+    "q49_unpivot" ->
+      """SELECT n_name, c_mktsegment AS segment, COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, segment""".stripMargin,
+
+    // q24's oracle restated: the native session_window must agree with
+    // gap-sessionization (no exact-boundary gaps in the fixture)
+    "q48_session_window" ->
       """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
         |  SELECT user_id,
         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER

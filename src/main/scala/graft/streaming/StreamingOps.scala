@@ -340,6 +340,66 @@ object StreamingOps {
       s.table(sinkName).orderBy(col("c_mktsegment"))
     }),
 
+    // ── st11: WATERMARK-BOUNDED stateful dedup —
+    // dropDuplicatesWithinWatermark. st04's dropDuplicates keeps every
+    // key seen FOREVER (unbounded state: the demo is AvailableNow, but
+    // a real 100 TB/day stream would grow state without limit); the
+    // watermarked variant evicts dedup state once the watermark passes
+    // a key's event time, bounding state to the late-data horizon.
+    // The fixture's duplicates (the doubled union) arrive at identical
+    // event times, so they always fall inside the 1-hour horizon and
+    // the result still equals batch-distinct.
+    "st11_dedup_bounded_state" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val agg = src().union(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val sinkName = "st11_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("event_type"))
+    }),
+
+    // ── st10: SLIDING (hopping) windows — 1-hour windows every 15
+    // minutes, so each event lands in exactly 4 overlapping windows.
+    // The window() expression expands rows map-side (a 4× fan-out
+    // BEFORE the shuffle, but post partial-agg the shuffle carries one
+    // row per (window, type) — the fan-out never crosses the wire
+    // materialized). Epoch-aligned starts make the DuckDB restatement
+    // a generate_series(0,3) cross join.
+    "st10_stream_sliding" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val sinkName = "st10_out"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ── st09: CHECKPOINT RECOVERY — the property that makes streaming
     // restartable at all: source offsets are committed to the
     // checkpoint, so a NEW query started on the same checkpoint resumes
@@ -472,6 +532,21 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bounded or not, dedup must collapse the doubled stream
+    "st11_dedup_bounded_state" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // each event belongs to the 4 slide-aligned windows covering it
+    "st10_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000)
+        |      AS window_start
+        |  FROM events, generate_series(0, 3) AS t(j))
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // a broken restart would double every count
     "st09_checkpoint_recovery" ->
