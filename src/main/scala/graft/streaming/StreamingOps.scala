@@ -104,6 +104,22 @@ object StreamingOps {
     (nEvents, iv.length.toLong)
   }
 
+  /** Drain a streaming frame through one AvailableNow run into a named
+    * memory sink and return the sink table — every stXX query's last
+    * mile (complete vs append follows the aggregation's output
+    * semantics). */
+  private def runToMemory(spark: SparkSession, frame: DataFrame,
+      sinkName: String, mode: String): DataFrame = {
+    val q = frame.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── st01: tumbling 1-hour window aggregation over the event stream.
@@ -123,15 +139,7 @@ object StreamingOps {
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
-      val sinkName = "st01_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName)
+      runToMemory(s, agg, "st01_out", "complete")
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -165,19 +173,13 @@ object StreamingOps {
           StreamingOps.mergeSessions(evs.map(_.ts_us), 1800L * 1000000L)
         Iterator.single(UserSessions(userId, nEvents, nSessions))
       }
-      val sinkName = "st02_out"
-      val q = stream
+      runToMemory(s,
+        stream
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
         .toDF()
-        .writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("user_id"))
+        ,
+        "st02_out", "append").orderBy(col("user_id"))
     }),
 
     // ── st03: watermarked append-mode window aggregation — the
@@ -196,15 +198,7 @@ object StreamingOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-      val sinkName = "st03_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName)
+      runToMemory(s, agg, "st03_out", "append")
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -268,15 +262,7 @@ object StreamingOps {
         expr("""c_user = p_user AND
                 p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
-      val sinkName = "st06_out"
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("click_id"), col("purchase_id"))
+      runToMemory(s, joined, "st06_out", "append").orderBy(col("click_id"), col("purchase_id"))
     }),
 
     // ── st04: streaming deduplication — the stream unioned with itself
@@ -296,15 +282,7 @@ object StreamingOps {
         .dropDuplicates("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val sinkName = "st04_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("event_type"))
+      runToMemory(s, agg, "st04_out", "complete").orderBy(col("event_type"))
     }),
 
     // ── st08: STREAM-STATIC enrichment join — the standard streaming
@@ -329,15 +307,7 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_value"))
-      val sinkName = "st08_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("c_mktsegment"))
+      runToMemory(s, agg, "st08_out", "complete").orderBy(col("c_mktsegment"))
     }),
 
     // ── st11: WATERMARK-BOUNDED stateful dedup —
@@ -361,15 +331,7 @@ object StreamingOps {
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val sinkName = "st11_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("event_type"))
+      runToMemory(s, agg, "st11_out", "complete").orderBy(col("event_type"))
     }),
 
     // ── st10: SLIDING (hopping) windows — 1-hour windows every 15
@@ -389,15 +351,7 @@ object StreamingOps {
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-      val sinkName = "st10_out"
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName).orderBy(col("window_start"), col("event_type"))
+      runToMemory(s, agg, "st10_out", "complete").orderBy(col("window_start"), col("event_type"))
     }),
 
     // ── st09: CHECKPOINT RECOVERY — the property that makes streaming
@@ -461,15 +415,7 @@ object StreamingOps {
           .dropDuplicates("event_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-        val sinkName = "st07_out"
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(sinkName)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(sinkName).orderBy(col("event_type"))
+        runToMemory(s, agg, "st07_out", "complete").orderBy(col("event_type"))
       } finally old.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     })
   )

@@ -77,7 +77,9 @@ class PortableHashSpec extends AnyFunSuite {
       "q03_region_revenue", "q04_priority_revenue", "q20_star_join",
       "q28_salted_join", "q30_asof_join", "q34_bucketed_join",
       "q35_range_join", "q38_correlated_subquery", "q39_lateral_join",
-      "s02_ann_lsh", "p01_corpus_select")
+      "s02_ann_lsh", "p01_corpus_select",
+      "d08_dedup_incremental", "q42_dpp_join", "q47_snapshot_diff",
+      "q48_session_window")
     for (q <- pairHeavy) {
       val plan = SparkEntry.queries(q)(spark, SparkSuite.sf)
         .queryExecution.executedPlan
