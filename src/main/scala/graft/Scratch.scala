@@ -1,10 +1,13 @@
 package graft
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-process scratch directories for queries that round-trip through
-  * a filesystem sink (bucketed copies, ORC/JSON round trips, streaming
-  * sinks).
+  * a filesystem sink (bucketed copies, ORC/JSON/CSV round trips,
+  * partitioned copies, streaming sinks).
   *
   * Keyed by `applicationId` so two concurrent JVMs on the same machine
   * (e.g. `sbt test` alongside a driver run) never `mode(Overwrite)` the
@@ -13,10 +16,31 @@ import org.apache.spark.sql.SparkSession
   * finding). Within one application the path is stable, so
   * once-per-session caches (bucketed table copies, IVF indexes) still
   * amortize across a bench's min-of-2 runs.
+  *
+  * Because the key is per-application, no later run ever overwrites a
+  * predecessor's directory — so each application's subtree is deleted
+  * on JVM exit (a shutdown hook per (group, appId)); otherwise repeated
+  * test/bench runs would fill tmpdir with abandoned table copies.
   */
 object Scratch {
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def dir(s: SparkSession, group: String, tag: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
-    s"$tmp/$group/${s.sparkContext.applicationId}/$tag"
+    val appRoot = s"$tmp/$group/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.add(appRoot)) {
+      sys.addShutdownHook(deleteRecursively(Paths.get(appRoot)))
+    }
+    s"$appRoot/$tag"
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
 }

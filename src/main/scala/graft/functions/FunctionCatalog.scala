@@ -27,18 +27,20 @@ object FunctionCatalog {
     "portable_simhash60" -> (e => PortableSimHash60(e.head)),
     "cosine_sim" -> (e => CosineSimilarity(e(0), e(1))),
     "shingles" ->
-      (e => ShingleGenerator(e.head, foldableInt(e(1), "shingles: n"))),
+      (e => ShingleGenerator(e.head, positiveInt(e(1), "shingles: n"))),
     "topk_by" ->
-      (e => TopKByAggregate(e(0), e(1), foldableInt(e(2), "topk_by: k"))
+      (e => TopKByAggregate(e(0), e(1), positiveInt(e(2), "topk_by: k"))
         .toAggregateExpression())
   )
 
-  private def foldableInt(e: Expression, what: String): Int =
+  // both takers are sizes: n = 0 would emit phantom empty rows from the
+  // generator, k = 0 a useless aggregate — reject at registration
+  private def positiveInt(e: Expression, what: String): Int =
     e.eval(null) match {
-      case i: Int  => i
-      case l: Long => l.toInt
+      case i: Int if i >= 1  => i
+      case l: Long if l >= 1 => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$what must be a foldable integer literal, got $other")
+        s"$what must be a positive foldable integer literal, got $other")
     }
 
   /** Session-scoped registration of the named catalog subset. */

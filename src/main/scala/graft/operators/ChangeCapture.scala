@@ -24,9 +24,12 @@ object ChangeCapture {
       (col(key).as("_ak") +: compareCols.map(c => col(c).as(s"_a_$c"))): _*)
     val b = after.select(
       (col(key).as("_bk") +: compareCols.map(c => col(c).as(s"_b_$c"))): _*)
+    // foldLeft, not reduce: with no comparand columns (key-presence-only
+    // CDC) nothing ever differs and the classes collapse to
+    // added/removed/unchanged
     val differs: Column = compareCols
       .map(c => !(col(s"_a_$c") <=> col(s"_b_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     a.join(b, col("_ak") === col("_bk"), "full_outer")
       .withColumn("change_type",
         when(col("_ak").isNull, lit("added"))

@@ -305,8 +305,12 @@ object Dedup {
     // collect) and broadcast.
     "d08_dedup_incremental" -> ((s, d) => {
       val all = docs(s, d)
+      // integer-exact cutoff (floor div on both sides): double math here
+      // would TRUNCATE in Spark's cast but ROUND in an oracle
+      // CAST(... AS BIGINT) — divergent on corpus sizes not divisible
+      // by 5
       val cut = all.agg(
-        ((max(col("doc_id")) + lit(1)) * lit(0.8)).cast("long").as("c"))
+        expr("(max(doc_id) + 1) * 4 div 5").as("c"))
       val dig = all
         .select(col("doc_id"), length(col("text")).as("len"),
           xxhash64(col("text")).as("dg"))
@@ -434,7 +438,7 @@ object Dedup {
     // collision-free, as in d01); near dup via the d04 inverted index
     // restricted to old×new pairs
     "d08_dedup_incremental" ->
-      """WITH cut AS (SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS c
+      """WITH cut AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS c
         |             FROM documents),
         |exact_dup AS (
         |  SELECT DISTINCT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c

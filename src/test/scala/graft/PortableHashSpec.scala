@@ -1,7 +1,12 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -65,12 +70,45 @@ class PortableHashSpec extends AnyFunSuite {
     assert(ham(h(0), h(1)) < ham(h(0), h(2)))
   }
 
+  /** Full operator-tree walk. Under AQE the root is an
+    * AdaptiveSparkPlanExec, which is a LeafExecNode — a naive
+    * plan.collect sees NOTHING inside it (a sweep written that way is
+    * vacuously green; round-3 review finding). Descend through the
+    * adaptive wrapper, materialized query stages, and plan-level
+    * subqueries. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child) // leaf aliasing the original
+      case _                        => Nil
+    }
+    p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
+  }
+
+  /** A nested-loop join is benign iff its BUILD side is a single-row
+    * global aggregate (the in-plan scalar-broadcast pattern, e.g. d08's
+    * id-space cutoff): the "loop" runs once per streamed row against
+    * one value. Anything else is a scale-killer. */
+  private def isSingleRowBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case BuildLeft  => j.left
+      case BuildRight => j.right
+    }
+    allNodes(build).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _                    => false
+    }
+  }
+
   test("pair-generating and join-heavy plans have no nested-loop or cartesian operator") {
     // Every query whose candidate/pair volume grows with the data must
-    // stay on equi-join machinery. Deliberately NOT asserted: s01
+    // stay on equi-join machinery (single-row-build nested loops
+    // excepted — see isSingleRowBuild). Deliberately NOT asserted: s01
     // (brute-force ANN baseline — the broadcast nested loop over 5
-    // query vectors IS the semantics) and s03 (16-centroid broadcast
-    // cross is the probe-ranking step).
+    // query vectors IS the semantics), s03 (16-centroid broadcast
+    // cross is the probe-ranking step), and s04 (recall arithmetic
+    // over those baselines).
     val pairHeavy = Seq(
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
       "d04_dedup_ngram_jaccard", "d05_dedup_embedding",
@@ -81,13 +119,17 @@ class PortableHashSpec extends AnyFunSuite {
       "d08_dedup_incremental", "q42_dpp_join", "q47_snapshot_diff",
       "q48_session_window")
     for (q <- pairHeavy) {
-      val plan = SparkEntry.queries(q)(spark, SparkSuite.sf)
-        .queryExecution.executedPlan
-      val bad = plan.collect {
-        case j: BroadcastNestedLoopJoinExec => j
+      val df = SparkEntry.queries(q)(spark, SparkSuite.sf)
+      df.collect() // finalize adaptive plans before inspecting
+      val bad = allNodes(df.queryExecution.executedPlan).collect {
+        case j: BroadcastNestedLoopJoinExec if !isSingleRowBuild(j) => j
         case c: CartesianProductExec => c
       }
-      assert(bad.isEmpty, s"scale-killer operators in $q plan: $bad")
+      assert(bad.isEmpty,
+        s"scale-killer operators in $q plan: ${bad.map(_.nodeName)}")
+      // the walk itself must be non-vacuous: every swept plan has at
+      // least one real operator under the adaptive wrapper
+      assert(allNodes(df.queryExecution.executedPlan).size > 3, q)
     }
   }
 
