@@ -56,6 +56,10 @@ object StreamingOps {
   /** Per-user session summary emitted by the stateful operator. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  /** st12's persisted per-user state: event count + the sorted disjoint
+    * session intervals as columnar arrays (product-encodable). */
+  case class SessionIvState(n_events: Long, starts: Array[Long], ends: Array[Long])
+
   /** Incremental interval-merge sessionization kernel: consumes event
     * timestamps in ANY order, maintaining sorted, disjoint,
     * gap-separated (start, end) session intervals — each timestamp
@@ -75,6 +79,17 @@ object StreamingOps {
     * keyed by interval start for O(log s) insert. */
   private[graft] def mergeSessions(ts: Iterator[Long], gapUs: Long): (Long, Long) = {
     val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val nEvents = mergeInto(iv, ts, gapUs)
+    (nEvents, iv.length.toLong)
+  }
+
+  /** The kernel's mergeable form: folds `ts` into an EXISTING sorted
+    * disjoint interval store (st12's transformWithState processor
+    * seeds it from persisted state, making sessionization incremental
+    * ACROSS micro-batches, not just within one). Returns the event
+    * count consumed. */
+  private[graft] def mergeInto(iv: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      ts: Iterator[Long], gapUs: Long): Long = {
     var nEvents = 0L
     ts.foreach { t =>
       nEvents += 1
@@ -101,7 +116,7 @@ object StreamingOps {
         iv(lo) = (start, end)
       }
     }
-    (nEvents, iv.length.toLong)
+    nEvents
   }
 
   /** Drain a streaming frame through one AvailableNow run into a named
@@ -334,6 +349,54 @@ object StreamingOps {
       runToMemory(s, agg, "st11_out", "complete").orderBy(col("event_type"))
     }),
 
+    // ── st12: the transformWithState API — Spark 4's arbitrary-state
+    // processor, the successor to flatMapGroupsWithState: typed,
+    // composable per-key state cells (ValueState/ListState/MapState
+    // with optional TTL) behind a StatefulProcessor. The processor
+    // persists the interval store through the kernel's mergeable form,
+    // so sessionization is incremental ACROSS micro-batches — a
+    // session split over two batches merges when its second half
+    // arrives (exactly what st02's within-batch demo could not do).
+    // transformWithState requires the RocksDB state store. Same
+    // semantics and oracle as st02/q24.
+    "st12_transform_with_state" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(pk)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(s"$d/events.parque[t]")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+          .as[Ev]
+        class SessionProcessor extends StatefulProcessor[Long, Ev, UserSessions] {
+          @transient private var state: ValueState[SessionIvState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[SessionIvState]("sessions",
+              Encoders.product[SessionIvState], TTLConfig.NONE)
+          override def handleInputRows(userId: Long, rows: Iterator[Ev],
+              tv: TimerValues): Iterator[UserSessions] = {
+            val prev = if (state.exists()) Option(state.get()) else None
+            val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            prev.foreach(p => iv ++= p.starts.zip(p.ends))
+            val n = StreamingOps.mergeInto(iv, rows.map(_.ts_us), 1800L * 1000000L)
+            val total = prev.map(_.n_events).getOrElse(0L) + n
+            state.update(
+              SessionIvState(total, iv.map(_._1).toArray, iv.map(_._2).toArray))
+            Iterator.single(UserSessions(userId, total, iv.length.toLong))
+          }
+        }
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
+        runToMemory(s, out.toDF(), "st12_out", "append").orderBy(col("user_id"))
+      } finally old.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
+    }),
+
     // ── st10: SLIDING (hopping) windows — 1-hour windows every 15
     // minutes, so each event lands in exactly 4 overlapping windows.
     // The window() expression expands rows map-side (a 4× fan-out
@@ -478,6 +541,19 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the new-API processor must agree with the old-API one (st02) and
+    // the batch window formulation (q24)
+    "st12_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+        |    WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 THEN 1
+        |    ELSE 0 END AS is_new
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // bounded or not, dedup must collapse the doubled stream
     "st11_dedup_bounded_state" ->

@@ -37,4 +37,24 @@ class StreamingKernelSpec extends AnyFunSuite {
     val (n, s) = StreamingOps.mergeSessions(Iterator(10L, 10L, 10L, 100L), 5L)
     assert(n == 4L && s == 2L)
   }
+
+  test("batch-split merging equals one-shot merging (st12's cross-batch property)") {
+    // splitting the event stream at ANY point and seeding the second
+    // merge with the first merge's interval store must equal merging
+    // everything at once — the invariant that makes transformWithState
+    // sessionization correct across micro-batch boundaries
+    val gen = for {
+      gap <- Gen.chooseNum(1L, 50L)
+      ts <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      cut <- Gen.chooseNum(0, ts.length)
+    } yield (gap, ts, cut)
+    check(Prop.forAll(gen) { case (gap, ts, cut) =>
+      val (batch1, batch2) = ts.splitAt(cut)
+      val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val n1 = StreamingOps.mergeInto(iv, batch1.iterator, gap)
+      val n2 = StreamingOps.mergeInto(iv, batch2.iterator, gap)
+      n1 + n2 == ts.length.toLong &&
+        iv.length.toLong == sortedGapSessions(ts, gap)
+    })
+  }
 }
