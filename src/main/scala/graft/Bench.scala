@@ -36,7 +36,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a tail of stdout; a noisy shutdown once pushed
+    // the JSON line past the capture window and BENCH_r03 recorded
+    // "parsed": null with ~21 of 83 entries lost. Belt and braces:
+    // print the line first, flush, AND persist a copy the driver (or a
+    // human) can always read whole.
+    println(json)
+    Console.out.flush()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // repeat after teardown so the LAST lines of stdout also carry the
+    // full JSON even if Spark's stop() logs flooded the tail capture.
+    println(json)
   }
 }

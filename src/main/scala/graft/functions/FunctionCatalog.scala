@@ -36,11 +36,15 @@ object FunctionCatalog {
   // both takers are sizes: n = 0 would emit phantom empty rows from the
   // generator, k = 0 a useless aggregate — reject at registration
   private def positiveInt(e: Expression, what: String): Int =
-    e.eval(null) match {
+    (if (e.foldable) e.eval(null) else null) match {
       case i: Int if i >= 1  => i
       case l: Long if l >= 1 => l.toInt
+      // non-foldable (a column reference from SQL), null literal, zero,
+      // negative, non-integer: one friendly message instead of a raw
+      // eval exception from inside Catalyst
       case other => throw new IllegalArgumentException(
-        s"$what must be a positive foldable integer literal, got $other")
+        s"$what must be a positive foldable integer literal, got " +
+          (if (other == null) e.sql else other.toString))
     }
 
   /** Session-scoped registration of the named catalog subset. */

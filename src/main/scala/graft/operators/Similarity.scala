@@ -25,14 +25,42 @@ object Similarity {
   private val NQ = 5 // vec_id < NQ are the query vectors
 
   /** Session-scoped IVF index cache: (quantizer cell assignment,
-    * centroid table) per (application, dataset). The fit is the
-    * build-once index cost; rebuilding it per query would charge every
-    * search with index construction. */
+    * centroid table) per (session, dataset). The fit is the build-once
+    * index cost; rebuilding it per query would charge every search with
+    * index construction.
+    *
+    * Lifecycle (round-3 advisor): keyed by the owning SparkSession and
+    * LRU-bounded — the eldest index's checkpoint blocks are released on
+    * eviction, so a long-lived session serving many datasets doesn't
+    * leak materialized indexes. */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)](
+      16, 0.75f, true)
+  private val ivfCacheCap = 4
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => () // ContextCleaner reclaims once the RDD is unreferenced
+    }
 
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$d", {
+    ivfCache.synchronized {
+      Option(ivfCache.get((s, d))).getOrElse {
+        val built = ivfFit(s, d)
+        ivfCache.put((s, d), built)
+        if (ivfCache.size > ivfCacheCap) {
+          val it = ivfCache.entrySet().iterator()
+          val eldest = it.next()
+          it.remove()
+          releaseCheckpoint(eldest.getValue._1)
+        }
+        built
+      }
+    }
+
+  private def ivfFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val nCells = 16
@@ -52,7 +80,7 @@ object Similarity {
         (i, c.toArray.map(_.toFloat))
       }.toSeq
       (assigned, s.createDataFrame(cents).toDF("cell", "centroid"))
-    })
+  }
 
   /** Multi-table random-hyperplane LSH: `nTables` independent tables of
     * `nBits` sign bits each. One table of many bits over-partitions a

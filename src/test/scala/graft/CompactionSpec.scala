@@ -35,7 +35,9 @@ class CompactionSpec extends AnyFunSuite {
   test("maxRecordsPerFile splits an oversized partition into bounded files") {
     val compacted = new java.io.File(Compaction.ensureCompacted(spark, sf))
     val frag = compacted.getPath.replace("graft_compact", "graft_frag")
-    val out = compacted.getPath.replace("graft_compact", "graft_split")
+    // register under Scratch (not a string-replace path) so the split
+    // output gets the same per-application shutdown-hook cleanup
+    val out = graft.Scratch.dir(spark, "graft_split", compacted.getName)
     Compaction.compact(spark, frag, out, "event_type", 100L)
     val dirs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("event_type="))
