@@ -60,34 +60,93 @@ object StreamingOps {
     * session intervals as columnar arrays (product-encodable). */
   case class SessionIvState(n_events: Long, starts: Array[Long], ends: Array[Long])
 
-  /** Incremental interval-merge sessionization kernel: consumes event
+  /** Incremental interval-merge sessionization store: consumes event
     * timestamps in ANY order, maintaining sorted, disjoint,
-    * gap-separated (start, end) session intervals — each timestamp
-    * joins an interval (possibly bridging two) or starts its own.
-    * Memory is O(sessions), not O(events); the result equals sorted
+    * gap-separated (start, end) session intervals in a TreeMap keyed by
+    * interval start — each timestamp joins an interval (possibly
+    * bridging two) or starts its own, in O(log sessions). Memory is
+    * O(sessions), not O(events); the result equals sorted
     * gap-sessionization (the intervals are the connected components of
     * the "within gapUs" adjacency — property-tested in
-    * StreamingKernelSpec). Returns (nEvents, nSessions).
+    * StreamingKernelSpec against the ArrayBuffer reference kernel,
+    * including adverse newest-first arrival).
     *
-    * CPU bound: insert/remove shift the ArrayBuffer, so a key whose
-    * events arrive as many disjoint sessions in adverse order (e.g.
-    * newest-first) costs O(sessions) shifting per event — O(n²/gap)
-    * worst case per key, though lookups stay O(log sessions). Real
-    * event-time streams arrive roughly ordered (appends hit the LAST
-    * interval) and watermark eviction bounds the live-interval count;
-    * if a deployment can't assume that, swap the store for a TreeMap
-    * keyed by interval start for O(log s) insert. */
-  private[graft] def mergeSessions(ts: Iterator[Long], gapUs: Long): (Long, Long) = {
-    val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val nEvents = mergeInto(iv, ts, gapUs)
-    (nEvents, iv.length.toLong)
+    * The TreeMap replaces the round-3 ArrayBuffer store, whose
+    * insert/remove shifting cost O(sessions) per event — O(n²/gap)
+    * per hot key when events arrive newest-first. Gap-separation means
+    * one event reaches at most two intervals (its floor neighbor at
+    * t+gap and that neighbor's predecessor), so `add` touches ≤ 2
+    * entries. */
+  private[graft] final class IntervalStore {
+    private val m = new java.util.TreeMap[Long, Long]()
+
+    /** Fold one timestamp in, preserving the invariant. */
+    def add(t: Long, gapUs: Long): Unit = {
+      var start = t
+      var end = t
+      // walk left from the largest start ≤ t+gap, absorbing every
+      // reachable interval (≤ 2 under the invariant); ends are ordered
+      // with starts for disjoint intervals, so the first unreachable
+      // floor proves everything further left is unreachable too
+      var probe = t + gapUs
+      var done = false
+      while (!done) {
+        val e = m.floorEntry(probe)
+        if (e == null || e.getValue < t - gapUs) done = true
+        else {
+          start = math.min(start, e.getKey)
+          end = math.max(end, e.getValue)
+          probe = e.getKey - 1
+          m.remove(e.getKey)
+        }
+      }
+      m.put(start, end)
+    }
+
+    /** Fold a whole iterator; returns the event count consumed. */
+    def addAll(ts: Iterator[Long], gapUs: Long): Long = {
+      var n = 0L
+      ts.foreach { t => n += 1; add(t, gapUs) }
+      n
+    }
+
+    def size: Int = m.size
+
+    /** Persistence form: parallel (starts, ends) arrays in start order
+      * (st12's product-encodable state cell). */
+    def toArrays: (Array[Long], Array[Long]) = {
+      val starts = new Array[Long](m.size)
+      val ends = new Array[Long](m.size)
+      var i = 0
+      m.entrySet().forEach { e =>
+        starts(i) = e.getKey; ends(i) = e.getValue; i += 1
+      }
+      (starts, ends)
+    }
   }
 
-  /** The kernel's mergeable form: folds `ts` into an EXISTING sorted
-    * disjoint interval store (st12's transformWithState processor
-    * seeds it from persisted state, making sessionization incremental
-    * ACROSS micro-batches, not just within one). Returns the event
-    * count consumed. */
+  private[graft] object IntervalStore {
+    /** Seed from persisted state (assumed sorted, disjoint,
+      * gap-separated — exactly what toArrays emitted). */
+    def from(starts: Array[Long], ends: Array[Long]): IntervalStore = {
+      val s = new IntervalStore
+      var i = 0
+      while (i < starts.length) { s.m.put(starts(i), ends(i)); i += 1 }
+      s
+    }
+  }
+
+  private[graft] def mergeSessions(ts: Iterator[Long], gapUs: Long): (Long, Long) = {
+    val store = new IntervalStore
+    val nEvents = store.addAll(ts, gapUs)
+    (nEvents, store.size.toLong)
+  }
+
+  /** REFERENCE kernel (ArrayBuffer store): same semantics as
+    * [[IntervalStore]], kept as the independent property-test oracle in
+    * StreamingKernelSpec — the two implementations must agree on every
+    * arrival order. Production paths (st02/st12) use the TreeMap
+    * store. */
   private[graft] def mergeInto(iv: scala.collection.mutable.ArrayBuffer[(Long, Long)],
       ts: Iterator[Long], gapUs: Long): Long = {
     var nEvents = 0L
@@ -382,18 +441,30 @@ object StreamingOps {
           override def handleInputRows(userId: Long, rows: Iterator[Ev],
               tv: TimerValues): Iterator[UserSessions] = {
             val prev = if (state.exists()) Option(state.get()) else None
-            val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            prev.foreach(p => iv ++= p.starts.zip(p.ends))
-            val n = StreamingOps.mergeInto(iv, rows.map(_.ts_us), 1800L * 1000000L)
+            val store = prev.fold(new StreamingOps.IntervalStore)(p =>
+              StreamingOps.IntervalStore.from(p.starts, p.ends))
+            val n = store.addAll(rows.map(_.ts_us), 1800L * 1000000L)
             val total = prev.map(_.n_events).getOrElse(0L) + n
-            state.update(
-              SessionIvState(total, iv.map(_._1).toArray, iv.map(_._2).toArray))
-            Iterator.single(UserSessions(userId, total, iv.length.toLong))
+            val (starts, ends) = store.toArrays
+            state.update(SessionIvState(total, starts, ends))
+            Iterator.single(UserSessions(userId, total, store.size.toLong))
           }
         }
         val out = stream.groupByKey(_.user_id)
           .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
-        runToMemory(s, out.toDF(), "st12_out", "append").orderBy(col("user_id"))
+        // the processor emits a CUMULATIVE row per key per micro-batch;
+        // an AvailableNow run over one fixture file happens to be a
+        // single batch, but if the source ever splits (maxFilesPerTrigger,
+        // multi-file fixtures) the append sink holds stale totals too —
+        // keep only each user's final row (n_events strictly grows per
+        // emitted row) instead of relying on the single-batch accident
+        // (round-3 advisor).
+        runToMemory(s, out.toDF(), "st12_out", "append")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
+          .select(col("user_id"), col("last.n_events").as("n_events"),
+            col("last.n_sessions").as("n_sessions"))
+          .orderBy(col("user_id"))
       } finally old.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
     }),
 

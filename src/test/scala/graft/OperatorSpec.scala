@@ -39,6 +39,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(minhash.subsetOf(exact))
   }
 
+  test("q48 fixture guard: no per-user gap of exactly 30 minutes at any SF") {
+    // q24's lag oracle splits sessions on gap > 30 min; Spark's
+    // half-open session_window (q48 shares that oracle) splits at
+    // gap >= 30 min. Parity rests on the fixture never hitting the
+    // boundary exactly — pin that here so a future fixture change fails
+    // loudly as a FIXTURE property, not as a confusing q48 hash
+    // mismatch (round-3 advisor).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for {
+      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      if new java.io.File(dir).exists()
+    } {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val boundaryGaps = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us") === 1800000000L)
+        .count()
+      assert(boundaryGaps == 0L,
+        s"$dir has $boundaryGaps exact-30-min per-user gaps: q48's " +
+          "session_window (>= boundary) and q24's lag oracle (> boundary) " +
+          "would diverge — regenerate or re-verify the fixture")
+    }
+  }
+
   test("ANN brute force is the exact top-k baseline") {
     val bf = SparkEntry.queries("s01_ann_bruteforce")(spark, sf).collect()
     assert(bf.length == 15) // 5 queries × k=3

@@ -38,6 +38,58 @@ class StreamingKernelSpec extends AnyFunSuite {
     assert(n == 4L && s == 2L)
   }
 
+  test("TreeMap store equals the ArrayBuffer reference kernel on any order") {
+    val gen = for {
+      gap <- Gen.chooseNum(1L, 50L)
+      ts <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      shuffled <- Gen.const(scala.util.Random.shuffle(ts))
+    } yield (gap, shuffled)
+    check(Prop.forAll(gen) { case (gap, ts) =>
+      val store = new StreamingOps.IntervalStore
+      val n = store.addAll(ts.iterator, gap)
+      val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      StreamingOps.mergeInto(iv, ts.iterator, gap)
+      val (starts, ends) = store.toArrays
+      n == ts.length.toLong &&
+        starts.zip(ends).toSeq == iv.toSeq // identical intervals, not just counts
+    })
+  }
+
+  test("adverse newest-first arrival: store stays correct (the O(log s) case)") {
+    // descending timestamps spaced past the gap create a NEW leftmost
+    // session per event — the arrival order that cost the ArrayBuffer
+    // store O(sessions) shifting per event and motivated the TreeMap
+    val gap = 10L
+    val ts = (0 until 2000).map(i => (1999 - i) * 100L) // 2000 disjoint sessions
+    val store = new StreamingOps.IntervalStore
+    val n = store.addAll(ts.iterator, gap)
+    assert(n == 2000L && store.size == 2000)
+    assert(sortedGapSessions(ts, gap) == 2000L)
+    // and with a bridging pass after: every other event closes a gap
+    val bridge = (0 until 1999).map(i => i * 100L + 50L)
+    val store2 = new StreamingOps.IntervalStore
+    store2.addAll(scala.util.Random.shuffle(ts ++ bridge).iterator, 50L)
+    assert(store2.size.toLong == sortedGapSessions(ts ++ bridge, 50L))
+  }
+
+  test("batch-split merging via seeded TreeMap store (st12's persisted form)") {
+    val gen = for {
+      gap <- Gen.chooseNum(1L, 50L)
+      ts <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      cut <- Gen.chooseNum(0, ts.length)
+    } yield (gap, ts, cut)
+    check(Prop.forAll(gen) { case (gap, ts, cut) =>
+      val (batch1, batch2) = ts.splitAt(cut)
+      val s1 = new StreamingOps.IntervalStore
+      val n1 = s1.addAll(batch1.iterator, gap)
+      val (starts, ends) = s1.toArrays // round-trip through persistence
+      val s2 = StreamingOps.IntervalStore.from(starts, ends)
+      val n2 = s2.addAll(batch2.iterator, gap)
+      n1 + n2 == ts.length.toLong &&
+        s2.size.toLong == sortedGapSessions(ts, gap)
+    })
+  }
+
   test("batch-split merging equals one-shot merging (st12's cross-batch property)") {
     // splitting the event stream at ANY point and seeding the second
     // merge with the first merge's interval store must equal merging
