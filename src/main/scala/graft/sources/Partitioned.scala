@@ -80,8 +80,54 @@ object Partitioned {
     out
   }
 
+  /** Once per session: two daily customer snapshots with SCHEMA DRIFT.
+    * The reference re-extracts the full upstream table every day
+    * (`/root/reference/spark_ingest_script.py:85-95`, overwrite +
+    * saveAsTable per run); within weeks of operating that cadence an
+    * upstream ALTER TABLE lands and one day's snapshot carries a column
+    * the previous days' don't. Day 1 here is (c_custkey, c_acctbal);
+    * day 2 drops every 3rd customer (an ordinary day-over-day delta)
+    * and ADDS c_mktsegment. */
+  private[graft] def ensureDriftSnapshots(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val day1 = graft.Scratch.dir(s, "graft_drift1", tag)
+    val day2 = graft.Scratch.dir(s, "graft_drift2", tag)
+    if (!new java.io.File(s"$day2/_SUCCESS").exists()) {
+      val c = graft.Tables(s, d, "customer")
+      c.select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(day1)
+      c.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(day2)
+    }
+    (day1, day2)
+  }
+
+  /** The drift-tolerant read: ONE scan over both snapshot dirs with
+    * parquet schema merging — pre-drift rows surface NULL for the new
+    * column; nothing is rewritten. Kept as a method so SchemaDriftSpec
+    * can assert it equals the explicit
+    * `unionByName(allowMissingColumns = true)` two-read formulation. */
+  private[graft] def driftMergedRead(s: SparkSession, d: String): DataFrame = {
+    val (day1, day2) = ensureDriftSnapshots(s, d)
+    s.read.option("mergeSchema", "true").parquet(day1, day2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_dpp_join" -> ((s, d) => dppJoin(s, d)),
+
+    // ── q50: aggregate ACROSS the drifted snapshots — the day the
+    // upstream adds a column must not break (or silently drop) history.
+    // Pre-drift rows land in a sentinel group via coalesce.
+    "q50_schema_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      driftMergedRead(s, d)
+        .groupBy(coalesce(col("c_mktsegment"), lit("(pre-drift)")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("bal_sum"))
+        .orderBy(col("segment"))
+    }),
 
     "q46_dynamic_overwrite" -> ((s, d) => {
       s.read.parquet(ensureDynamicOverwrite(s, d))
@@ -102,6 +148,19 @@ object Partitioned {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN dim ON CAST(year(l_shipdate) AS INTEGER) = y
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // union-by-name restatement of the two snapshots: day 1 without the
+    // drifted column, day 2 (every 3rd customer dropped) with it
+    "q50_schema_drift" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_acctbal, NULL AS c_mktsegment FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 <> 0)
+        |SELECT COALESCE(c_mktsegment, '(pre-drift)') AS segment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // click rows updated, every other partition intact — a static-mode
     // leak would collapse the non-click groups to zero rows
