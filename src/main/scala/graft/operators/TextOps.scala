@@ -208,6 +208,67 @@ object TextOps {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ── t07: benchmark DECONTAMINATION — the training-data hygiene op
+    // every LM pipeline runs: drop (or flag) corpus documents that
+    // share an n-gram with a held-out evaluation set, so benchmark
+    // answers don't leak into training. Here the "benchmark" is every
+    // 50th document; a corpus doc is contaminated if any of its word
+    // 3-grams appears in any benchmark doc. The plan is the d04-style
+    // posting join — corpus grams equi-joined against the DISTINCT
+    // benchmark gram set — with the aggregate counting distinct shared
+    // grams per doc. At 100 TB the benchmark side is tiny relative to
+    // the corpus (eval suites are MBs), so it broadcasts and the scan
+    // stays one pass; grams would be posted as hashes there (strings
+    // here keep the oracle exact), same join shape either way.
+    "t07_decontaminate" -> ((s, d) => {
+      val g = docs(s, d)
+        .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("g"))
+      val bench = g.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct()
+      g.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(bench, "g") // grams are distinct per doc → count = |shared set|
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t08: PII SCRUBBING — redact emails and phone-shaped tokens
+    // before training. The fixture text carries no PII, so each doc is
+    // deterministically augmented with a synthetic email + phone first
+    // (the operator under test is the scrub, not the fixture); counts,
+    // scrubbed length, and the portable hash of the full scrubbed text
+    // are all oracle-checked, so a single mis-replaced character fails
+    // the row. Regexes stay in the Java∩RE2 common subset. One narrow
+    // codegen'd pass, no shuffle — at 100 TB this rides the same scan
+    // as the other per-row gates.
+    "t08_pii_scrub" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      docs(s, d)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+          lit(" now")))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+            phone, "<PHONE>"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+            .cast(IntegerType).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+            .cast(IntegerType).as("n_phones"),
+          length(col("scrubbed")).cast(IntegerType).as("scrub_len"),
+          graft.functions.PortableHashFunctions.polyHash(col("scrubbed"))
+            .as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -356,6 +417,45 @@ object TextOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS norm_hash,
         |  CAST(orig_len - length(norm) AS INTEGER) AS chars_removed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // inverted-index restatement: corpus 3-grams joined to the distinct
+    // benchmark-gram set, distinct shared grams counted per doc
+    "t07_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shared_grams
+        |FROM g JOIN bench USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same augment → count → double regexp_replace → portable hash
+    // of the scrubbed string ('g' flag: DuckDB replaces first-only by
+    // default, Spark replaces all)
+    "t08_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS aug
+        |  FROM documents),
+        |s AS (SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  CAST(length(scrubbed) AS INTEGER) AS scrub_len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(scrubbed, ''), ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS scrub_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // each 8-char window's 31-poly hash restated as a per-window char
     // fold (the engine rolls it in O(1)/position; the oracle may be
