@@ -57,6 +57,38 @@ object ChangeCapture {
         .groupBy(col("change_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
         .orderBy(col("change_type"))
+    }),
+
+    // ── q51: MERGE-style UPSERT APPLY — the CDC CONSUMER side (q47 is
+    // the producer): fold a keyed changeset of inserts/updates/deletes
+    // into a base snapshot. Spark's parquet tables have no native MERGE
+    // INTO, so the apply is the canonical one-shuffle formulation: full
+    // outer join base↔changes on the key, drop deleted keys, take the
+    // change's value over the base's. At 100 TB both sides
+    // hash-partition by key once (bucketed layouts make it
+    // shuffle-free), and the changeset side — a day's worth of changes
+    // against years of accumulated base — is typically broadcastable.
+    // Changeset here: every 10th key deleted, every 7th surviving key
+    // restated (+100), inserts minted on negative keys from every 13th.
+    "q51_upsert_apply" -> ((s, d) => {
+      val c = graft.Tables(s, d, "customer")
+      val base = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val changes = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("k"),
+          lit(null).cast("double").as("new_bal"), lit("D").as("op"))
+        .unionByName(
+          c.filter(pmod(col("c_custkey"), lit(7)) === 0 &&
+              pmod(col("c_custkey"), lit(10)) =!= 0)
+            .select(col("c_custkey").as("k"),
+              (col("c_acctbal") + 100.0).as("new_bal"), lit("U").as("op")))
+        .unionByName(
+          c.filter(pmod(col("c_custkey"), lit(13)) === 0)
+            .select((-col("c_custkey") - 1).as("k"),
+              col("c_acctbal").as("new_bal"), lit("I").as("op")))
+      base.join(changes, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"), coalesce(col("new_bal"), col("bal")).as("bal"))
+        .orderBy(col("k"))
     })
   )
 
@@ -78,6 +110,25 @@ object ChangeCapture {
         |            WHEN abal <> bbal THEN 'changed'
         |            ELSE 'unchanged' END AS change_type,
         |  COUNT(*) AS n, CAST(SUM(COALESCE(ak, bk)) AS BIGINT) AS key_sum
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the applied snapshot row-for-row: deletes gone, updates restated,
+    // inserts present, everything else untouched
+    "q51_upsert_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS k, CAST(NULL AS DOUBLE) AS new_bal, 'D' AS op
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, 'U' FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, c_acctbal, 'I' FROM customer
+        |  WHERE c_custkey % 13 = 0),
+        |j AS (SELECT COALESCE(b.k, c.k) AS k, b.bal, c.new_bal, c.op
+        |      FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+        |SELECT k, COALESCE(new_bal, bal) AS bal FROM j
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY k""".stripMargin
   )
 }

@@ -463,6 +463,22 @@ object Dedup {
       starComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ── d09: SEMANTIC dedup clustering — connected components over the
+    // embedding-cosine pair graph (d05's block-decomposed output feeds
+    // the d07 star algorithm). This is the "semantic dedup" recipe:
+    // near-dup TEXT clusters catch verbatim copies, embedding clusters
+    // catch paraphrases; the representative (min vec_id per component)
+    // is what survives into training. At sf0.1 the 0.35 graph is one
+    // ~2000-node component — the O(log n) star rounds are exercised for
+    // real, not on toy 2-node islands.
+    "d09_semantic_clusters" -> ((s, d) => {
+      val pairs = queries("d05_dedup_embedding")(s, d)
+        .select(col("a_id").as("u"), col("b_id").as("v")).localCheckpoint()
+      starComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── d05: embedding near-dup pairs via the custom CosineSimilarity
     // Catalyst expression, on a BLOCK-DECOMPOSED equi-join (round-1
     // all-pairs theta join was a BroadcastNestedLoopJoin — O(n²) pair
@@ -664,6 +680,24 @@ object Dedup {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // transitive closure over the cosine pair graph, min reachable id
+    // per node — the same declarative fixpoint as d06/d07's oracle
+    "d09_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |e2 AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |       UNION ALL SELECT b_id, a_id FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e2
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src)
+        |SELECT src AS vec_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
 
     "d05_dedup_embedding" ->
       """WITH e AS (SELECT vec_id,

@@ -151,6 +151,40 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // ── p03: TOKEN-BUDGET SHARD PACKING — assign documents (in stable
+    // doc_id order) to contiguous training shards of ~5000 tokens via a
+    // running token total. The naive formulation is a GLOBAL cumulative
+    // window — ONE task owns the whole corpus, a scale-killer — so the
+    // prefix sum is decomposed the textbook way: docs bucket by id
+    // range; per-bucket subtotals roll up in a bucket-level window
+    // (corpus/64 rows, and the same two-level trick recurses if even
+    // that is large); offsets broadcast back; the intra-bucket
+    // cumulative window runs PARTITIONED by bucket, fully parallel.
+    // The oracle states the same contract as one SUM() OVER (ORDER BY
+    // doc_id) — the decomposition must be bit-exact against it.
+    "p03_token_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+        .withColumn("bkt", expr("doc_id div 64"))
+      val wBkt = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bkt_tok"))
+        .withColumn("offset", coalesce(sum(col("bkt_tok")).over(wBkt), lit(0L)))
+        .select(col("bkt"), col("offset"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(broadcast(offsets), "bkt")
+        .withColumn("cum_before",
+          col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .withColumn("shard_id", expr("cum_before div 5000"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard_id"))
+    }),
+
     // ── t03: token counting — whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / digit runs / single symbols).
     "t03_token_stats" -> ((s, d) => {
@@ -332,6 +366,22 @@ object TextOps {
         |    + 0.3 * (1.0 - punct_raw)
         |    + 0.3 * least(1.0, stop_raw * 5.0), 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // the decomposed prefix sum must equal the single global running
+    // total (ROWS ... 1 PRECEDING = "tokens before this doc")
+    "p03_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT cum_before // 5000 AS shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t03_token_stats" ->
       """SELECT doc_id,

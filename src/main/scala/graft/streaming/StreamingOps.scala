@@ -53,6 +53,9 @@ object StreamingOps {
   /** 8 state partitions suit the harness's 10³–10⁴ key cardinality. */
   private val StateParts = 8
 
+  /** st13 invocation counter — each run gets its own checkpoint dir. */
+  private val st13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Per-user session summary emitted by the stateful operator. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
@@ -525,6 +528,52 @@ object StreamingOps {
         .orderBy(col("event_type"))
     }),
 
+    // ── st13: RocksDB CHANGELOG CHECKPOINTING — the production knob on
+    // top of st07: instead of uploading full RocksDB snapshots to the
+    // checkpoint per batch, only the batch's state CHANGELOG is
+    // persisted (snapshots upload in the background, decoupled from the
+    // commit path). At 100 TB stream scale this is the difference
+    // between per-batch checkpoint cost tracking STATE SIZE vs tracking
+    // BATCH SIZE. The swap must be result-invariant, so st13 runs the
+    // st04/st07 dedup semantics against the same oracle, with a real
+    // (per-invocation) checkpoint dir since changelogs need one.
+    "st13_changelog_ckpt" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val oldP = s.conf.getOption(pk)
+      val oldC = s.conf.getOption(ck)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(ck, "true")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src() = s.readStream
+          .schema(eventsSchema)
+          .parquet(s"$d/events.parque[t]")
+          .select(col("event_id"), col("event_type"))
+        val agg = src().union(src())
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        // fresh checkpoint per invocation: reusing one would make the
+        // second run (bench's min-of-2) a no-op against an already-
+        // committed offset log and drain an empty memory table
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + st13Runs.incrementAndGet()
+        val ckpt = graft.Scratch.dir(s, "graft_st13_ckpt", tag)
+        val q = agg.writeStream
+          .format("memory").queryName("st13_out").outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st13_out").orderBy(col("event_type"))
+      } finally {
+        oldP.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
+        oldC.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
+      }
+    }),
+
     // ── st07: the st04 stateful dedup on the RocksDB state store. The
     // default (HDFS-backed) provider keeps every live key's state as
     // JVM objects on the executor heap — at 100 TB stream scale
@@ -646,6 +695,12 @@ object StreamingOps {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // checkpoint mechanics must never change the answer: st13 shares
+    // st04/st07's oracle
+    "st13_changelog_ckpt" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the state-backend swap must not change the answer: st07 shares
     // st04's oracle

@@ -117,7 +117,8 @@ class PortableHashSpec extends AnyFunSuite {
       "q35_range_join", "q38_correlated_subquery", "q39_lateral_join",
       "s02_ann_lsh", "p01_corpus_select",
       "d08_dedup_incremental", "q42_dpp_join", "q47_snapshot_diff",
-      "q48_session_window")
+      "q48_session_window", "t07_decontaminate", "q50_schema_drift",
+      "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards")
     for (q <- pairHeavy) {
       val df = SparkEntry.queries(q)(spark, SparkSuite.sf)
       df.collect() // finalize adaptive plans before inspecting
