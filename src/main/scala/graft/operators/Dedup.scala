@@ -84,30 +84,16 @@ object Dedup {
     * the day's dedup passes rather than re-shingling the corpus per
     * query.
     *
-    * Lifecycle (round-3 advisor): keyed by the OWNING SparkSession (not
-    * just applicationId — a second session in the same app must never
-    * receive a frame bound to the first session's state), LRU-bounded
-    * to [[pairsCacheCap]] datasets, and the evicted frame's checkpoint
-    * blocks are released eagerly; a long-lived service iterating over
-    * many corpora no longer accumulates checkpoint blocks without
-    * bound. */
+    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded,
+    * eager checkpoint release on eviction — round-3 advisor). */
   private val pairsCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
-  private val pairsCacheCap = 4
+    new graft.SessionLruCache[DataFrame](4, graft.SessionLruCache.releaseCheckpoint)
 
-  /** Best-effort eager release of a localCheckpoint'd frame's blocks.
-    * The checkpoint is an RDD-level persist, so `Dataset.unpersist`
-    * (cache-manager scoped) cannot see it — unpersist the underlying
-    * LogicalRDD. If the plan shape ever changes, dropping the map
-    * reference still lets the ContextCleaner reclaim the blocks once
-    * the RDD is garbage-collected; eager release is an optimization,
-    * not a correctness requirement. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  /** The d05 cosine pair table gets the same index treatment: d05
+    * (pairs) and d09 (semantic clustering) share one materialized
+    * build per (session, dataset). */
+  private val cosineCache =
+    new graft.SessionLruCache[DataFrame](4, graft.SessionLruCache.releaseCheckpoint)
 
   /** Exact n-gram jaccard pairs ≥ 0.2 via the inverted index (d04's
     * core, shared with the clustering operator d06). localCheckpoint
@@ -115,20 +101,8 @@ object Dedup {
     * consumer would otherwise recompute the interpreted gram pipeline;
     * the final checkpoint materializes the pair set for the cache. */
   private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.synchronized {
-      val k = (s, d)
-      Option(pairsCache.get(k)).getOrElse {
-        val built = exactJaccardPairsUncached(s, d).localCheckpoint()
-        pairsCache.put(k, built)
-        if (pairsCache.size > pairsCacheCap) {
-          val it = pairsCache.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          releaseCheckpoint(eldest.getValue)
-        }
-        built
-      }
-    }
+    pairsCache.getOrElseUpdate(s, d)(
+      exactJaccardPairsUncached(s, d).localCheckpoint())
 
   /** The inverted-index pair computation, with PREFIX FILTERING on the
     * posting lists (Chaudhuri et al., "A Primitive Operator for
@@ -181,6 +155,39 @@ object Dedup {
       .filter(col("jac_raw") >= 0.2)
       .select(col("a_id"), col("b_id"), col("sza"), col("szb"),
         col("ic"), col("jac_raw"))
+  }
+
+  /** Block-decomposed exact cosine pairs ≥ 0.35 over the embedding
+    * column — the SEMANTIC-dedup index, shared by d05 (pair listing)
+    * and d09 (clustering), built once per (session, dataset). See the
+    * d05 query comment for the blocking rationale. */
+  private def cosinePairs(s: SparkSession, d: String): DataFrame =
+    cosineCache.getOrElseUpdate(s, d)(
+      cosinePairsUncached(s, d).localCheckpoint())
+
+  private def cosinePairsUncached(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val B = 8
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("bid"))
+    // driver-side block-pair task list: B(B+1)/2 rows, a LocalRelation
+    // (building it with a crossJoin would put a CartesianProduct node
+    // in the plan for 36 constant rows).
+    val tasks = (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj")
+    val left = e.join(broadcast(tasks), col("bid") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("l_id"), col("embedding").as("vl"))
+    val right = e.join(broadcast(tasks), col("bid") === col("bj"))
+      .select(col("bi").as("bi2"), col("bj").as("bj2"),
+        col("vec_id").as("r_id"), col("embedding").as("vr"))
+    left.join(right, col("bi") === col("bi2") && col("bj") === col("bj2"))
+      .filter(col("bi") < col("bj") || col("l_id") < col("r_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("vl"), col("vr")))
+      .filter(col("cos") >= 0.35)
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Connected components via the alternating star algorithm, over an
@@ -472,8 +479,8 @@ object Dedup {
     // ~2000-node component — the O(log n) star rounds are exercised for
     // real, not on toy 2-node islands.
     "d09_semantic_clusters" -> ((s, d) => {
-      val pairs = queries("d05_dedup_embedding")(s, d)
-        .select(col("a_id").as("u"), col("b_id").as("v")).localCheckpoint()
+      val pairs = cosinePairs(s, d)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
       starComponents(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
@@ -498,31 +505,8 @@ object Dedup {
     //  - plan: LocalRelation task list + two hash equi-joins — no
     //    BroadcastNestedLoopJoin, no CartesianProduct (plan-asserted in
     //    DedupPlanSpec).
-    "d05_dedup_embedding" -> ((s, d) => {
-      VectorFunctions.register(s)
-      import s.implicits._
-      val B = 8
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          pmod(col("vec_id"), lit(B)).cast("int").as("bid"))
-      // driver-side block-pair task list: B(B+1)/2 rows, a LocalRelation
-      // (building it with a crossJoin would put a CartesianProduct node
-      // in the plan for 36 constant rows).
-      val tasks = (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj")
-      val left = e.join(broadcast(tasks), col("bid") === col("bi"))
-        .select(col("bi"), col("bj"), col("vec_id").as("l_id"), col("embedding").as("vl"))
-      val right = e.join(broadcast(tasks), col("bid") === col("bj"))
-        .select(col("bi").as("bi2"), col("bj").as("bj2"),
-          col("vec_id").as("r_id"), col("embedding").as("vr"))
-      left.join(right, col("bi") === col("bi2") && col("bj") === col("bj2"))
-        .filter(col("bi") < col("bj") || col("l_id") < col("r_id"))
-        .withColumn("cos", VectorFunctions.cosineSim(col("vl"), col("vr")))
-        .filter(col("cos") >= 0.35)
-        .select(least(col("l_id"), col("r_id")).as("a_id"),
-          greatest(col("l_id"), col("r_id")).as("b_id"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("a_id"), col("b_id"))
-    })
+    "d05_dedup_embedding" -> ((s, d) =>
+      cosinePairs(s, d).orderBy(col("a_id"), col("b_id")))
   )
 
   val oracles: Map[String, String] = Map(

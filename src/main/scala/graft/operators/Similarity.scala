@@ -29,36 +29,13 @@ object Similarity {
     * index cost; rebuilding it per query would charge every search with
     * index construction.
     *
-    * Lifecycle (round-3 advisor): keyed by the owning SparkSession and
-    * LRU-bounded — the eldest index's checkpoint blocks are released on
-    * eviction, so a long-lived session serving many datasets doesn't
-    * leak materialized indexes. */
-  private val ivfCache =
-    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)](
-      16, 0.75f, true)
-  private val ivfCacheCap = 4
-
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => () // ContextCleaner reclaims once the RDD is unreferenced
-    }
+    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded,
+    * eager checkpoint release on eviction — round-3 advisor). */
+  private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](
+    4, v => graft.SessionLruCache.releaseCheckpoint(v._1))
 
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfCache.synchronized {
-      Option(ivfCache.get((s, d))).getOrElse {
-        val built = ivfFit(s, d)
-        ivfCache.put((s, d), built)
-        if (ivfCache.size > ivfCacheCap) {
-          val it = ivfCache.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          releaseCheckpoint(eldest.getValue._1)
-        }
-        built
-      }
-    }
+    ivfCache.getOrElseUpdate(s, d)(ivfFit(s, d))
 
   private def ivfFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       import org.apache.spark.ml.clustering.KMeans
