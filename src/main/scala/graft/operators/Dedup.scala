@@ -158,9 +158,11 @@ object Dedup {
   }
 
   /** Block-decomposed exact cosine pairs ≥ 0.35 over the embedding
-    * column — the SEMANTIC-dedup index, shared by d05 (pair listing)
-    * and d09 (clustering), built once per (session, dataset). See the
-    * d05 query comment for the blocking rationale. */
+    * column — the SEMANTIC-dedup index consumed by d09 (clustering),
+    * built once per (session, dataset). The d05 query deliberately runs
+    * [[cosinePairsUncached]] LIVE instead: its value to the suite is
+    * the block-join plan itself (PLANS.md dump + the BNLJ-free sweep in
+    * PortableHashSpec), which a checkpoint scan would make vacuous. */
   private def cosinePairs(s: SparkSession, d: String): DataFrame =
     cosineCache.getOrElseUpdate(s, d)(
       cosinePairsUncached(s, d).localCheckpoint())
@@ -506,7 +508,7 @@ object Dedup {
     //    BroadcastNestedLoopJoin, no CartesianProduct (plan-asserted in
     //    DedupPlanSpec).
     "d05_dedup_embedding" -> ((s, d) =>
-      cosinePairs(s, d).orderBy(col("a_id"), col("b_id")))
+      cosinePairsUncached(s, d).orderBy(col("a_id"), col("b_id")))
   )
 
   val oracles: Map[String, String] = Map(
