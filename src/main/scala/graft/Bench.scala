@@ -45,9 +45,10 @@ object Bench {
     // human) can always read whole.
     println(json)
     Console.out.flush()
-    java.nio.file.Files.write(
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // best-effort copy only
     spark.stop()
     // repeat after teardown so the LAST lines of stdout also carry the
     // full JSON even if Spark's stop() logs flooded the tail capture.

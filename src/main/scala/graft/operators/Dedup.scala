@@ -61,6 +61,14 @@ object Dedup {
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
   }
 
+  /** Gram postings (doc_id, gram string) with the parallelism-gated
+    * spread — shared with TextOps's decontamination operator so the
+    * single-split small-corpus pathology is handled in exactly one
+    * place. */
+  private[operators] def gramPostings(s: SparkSession, d: String): DataFrame =
+    withGrams(docs(s, d))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+
   /** sorted xxhash64 of each gram + set size — the pair-scoring form.
     * Jaccard over the hash sets equals jaccard over the string sets
     * (w.h.p.; 64-bit collisions are negligible at this cardinality),
@@ -84,16 +92,13 @@ object Dedup {
     * the day's dedup passes rather than re-shingling the corpus per
     * query.
     *
-    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded,
-    * eager checkpoint release on eviction — round-3 advisor). */
-  private val pairsCache =
-    new graft.SessionLruCache[DataFrame](4, graft.SessionLruCache.releaseCheckpoint)
+    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded —
+    * round-3 advisor). */
+  private val pairsCache = new graft.SessionLruCache[DataFrame](4)
 
-  /** The d05 cosine pair table gets the same index treatment: d05
-    * (pairs) and d09 (semantic clustering) share one materialized
-    * build per (session, dataset). */
-  private val cosineCache =
-    new graft.SessionLruCache[DataFrame](4, graft.SessionLruCache.releaseCheckpoint)
+  /** The d09 cosine pair table gets the same index treatment (d05 runs
+    * live — see [[cosinePairs]]). */
+  private val cosineCache = new graft.SessionLruCache[DataFrame](4)
 
   /** Exact n-gram jaccard pairs ≥ 0.2 via the inverted index (d04's
     * core, shared with the clustering operator d06). localCheckpoint
@@ -376,8 +381,10 @@ object Dedup {
     // pairs sharing zero grams (jaccard 0, below any threshold) are
     // never materialized. A cross-join formulation measured 15s at
     // sf0.1 from 25M wide-row copies; this runs the same semantics as
-    // a ~3M-row equi-join. Hot-gram posting lists are the scale knob
-    // (here max 25; prefix filtering would cap them at 100 TB).
+    // a ~3M-row equi-join. Hot-gram posting lists are capped by the
+    // prefix filter (see exactJaccardPairsUncached): only each doc's
+    // df-ordered gram prefix is posted, so stop-gram lists shrink
+    // toward zero instead of exploding on 100 TB corpora.
     "d04_dedup_ngram_jaccard" -> ((s, d) =>
       exactJaccardPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))

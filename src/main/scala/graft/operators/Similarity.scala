@@ -29,10 +29,9 @@ object Similarity {
     * index cost; rebuilding it per query would charge every search with
     * index construction.
     *
-    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded,
-    * eager checkpoint release on eviction — round-3 advisor). */
-  private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](
-    4, v => graft.SessionLruCache.releaseCheckpoint(v._1))
+    * Lifecycle: [[graft.SessionLruCache]] (session-keyed, LRU-bounded —
+    * round-3 advisor). */
+  private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](4)
 
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s, d)(ivfFit(s, d))

@@ -255,12 +255,10 @@ object TextOps {
     // stays one pass; grams would be posted as hashes there (strings
     // here keep the oracle exact), same join shape either way.
     "t07_decontaminate" -> ((s, d) => {
-      val g = docs(s, d)
-        .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(toks)-3), " +
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("g"))
+      // Dedup's gram pipeline (with its parallelism-gated spread);
+      // checkpointed because BOTH self-join branches consume it and
+      // the interpreted gram lambdas are the expensive part
+      val g = Dedup.gramPostings(s, d).localCheckpoint()
       val bench = g.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("g")).distinct()
       g.filter(pmod(col("doc_id"), lit(50)) =!= 0)

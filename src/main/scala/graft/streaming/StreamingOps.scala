@@ -186,11 +186,13 @@ object StreamingOps {
     * mile (complete vs append follows the aggregation's output
     * semantics). */
   private def runToMemory(spark: SparkSession, frame: DataFrame,
-      sinkName: String, mode: String): DataFrame = {
+      sinkName: String, mode: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val q = frame.writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode(mode)
+      .options(options)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -561,13 +563,9 @@ object StreamingOps {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + st13Runs.incrementAndGet()
         val ckpt = graft.Scratch.dir(s, "graft_st13_ckpt", tag)
-        val q = agg.writeStream
-          .format("memory").queryName("st13_out").outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table("st13_out").orderBy(col("event_type"))
+        runToMemory(s, agg, "st13_out", "complete",
+          Map("checkpointLocation" -> ckpt))
+          .orderBy(col("event_type"))
       } finally {
         oldP.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
         oldC.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
