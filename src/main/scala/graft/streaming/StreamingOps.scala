@@ -344,6 +344,41 @@ object StreamingOps {
       runToMemory(s, joined, "st06_out", "append").orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // ── st14: LEFT-OUTER stream-stream join — st06's inner join only
+    // emits matches; the outer variant must ALSO emit unmatched clicks
+    // with nulls, and may only do so once the watermark proves no
+    // matching purchase can still arrive (the null row would otherwise
+    // be retractable). State rows whose join window the watermark has
+    // closed emit null-extended and evict; clicks still inside the
+    // horizon when the query ends are discarded unemitted — so the
+    // oracle restates exactly the watermark-closed subset: unmatched
+    // clicks qualify iff c_ts + 30 min < min(max c_ts, max p_ts) − 1 h
+    // (the final global watermark; AvailableNow's closing no-data batch
+    // advances it).
+    "st14_stream_left_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String) = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+      val clicks = src("click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src("purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
+        "left_outer")
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      runToMemory(s, joined, "st14_out", "append")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // ── st04: streaming deduplication — the stream unioned with itself
     // (every event arrives twice) through stateful dropDuplicates on
     // the event key, then aggregated. The oracle is the batch distinct
@@ -647,6 +682,27 @@ object StreamingOps {
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // matches as in st06, PLUS null rows for clicks whose join window
+    // the final watermark closed without a match; NULLS FIRST mirrors
+    // Spark's asc ordering
+    "st14_stream_left_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        |    - 3600000000 AS w),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |    epoch_us(c.ts) AS c_us
+        |  FROM events c LEFT JOIN events p
+        |    ON p.event_type = 'purchase' AND p.user_id = c.user_id
+        |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |  WHERE c.event_type = 'click')
+        |SELECT user_id, click_id, purchase_id FROM m, wm
+        |WHERE purchase_id IS NOT NULL OR c_us + 1800000000 < w
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     // stateful dedup must collapse the doubled stream to batch-distinct
     "st04_stream_dedup" ->
