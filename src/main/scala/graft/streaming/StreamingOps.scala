@@ -59,6 +59,12 @@ object StreamingOps {
   /** Per-user session summary emitted by the stateful operator. */
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  /** A closed session emitted by st15's timer path (µs bounds). */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long)
+
+  /** Typed event with a real timestamp column for watermarking. */
+  case class EvT(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
   /** st12's persisted per-user state: event count + the sorted disjoint
     * session intervals as columnar arrays (product-encodable). */
   case class SessionIvState(n_events: Long, starts: Array[Long], ends: Array[Long])
@@ -508,6 +514,85 @@ object StreamingOps {
       } finally old.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
     }),
 
+    // ── st15: EVENT-TIME TIMERS in transformWithState — the capstone of
+    // the arbitrary-state API: the processor maintains the per-user
+    // interval store (as st12) AND registers one event-time timer per
+    // open session at (session end + gap). When the WATERMARK passes a
+    // timer, handleExpiredTimer fires: every interval whose close point
+    // (end + gap) the watermark has passed is emitted as a CLOSED
+    // session and evicted — emission driven by time, not by data
+    // arrival, which is what flatMapGroupsWithState timeouts and plain
+    // aggregation cannot express per-session. AvailableNow's closing
+    // no-data batch advances the watermark to max(ts) − 1h, so exactly
+    // the sessions closed by THAT watermark emit; still-open sessions
+    // are discarded with the query — and the oracle restates precisely
+    // that subset (end + gap ≤ final watermark).
+    "st15_timer_sessions" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(pk)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val gapUs = 1800L * 1000000L
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(s"$d/events.parque[t]")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
+          .withWatermark("ts", "1 hour")
+          .as[EvT]
+        class TimerSessions extends StatefulProcessor[Long, EvT, ClosedSession] {
+          @transient private var state: ValueState[SessionIvState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[SessionIvState]("iv",
+              Encoders.product[SessionIvState], TTLConfig.NONE)
+          private def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          override def handleInputRows(userId: Long, rows: Iterator[EvT],
+              tv: TimerValues): Iterator[ClosedSession] = {
+            val prev = if (state.exists()) Option(state.get()) else None
+            val store = prev.fold(new StreamingOps.IntervalStore)(p =>
+              StreamingOps.IntervalStore.from(p.starts, p.ends))
+            val n = store.addAll(rows.map(e => micros(e.ts)), gapUs)
+            val (starts, ends) = store.toArrays
+            state.update(SessionIvState(
+              prev.map(_.n_events).getOrElse(0L) + n, starts, ends))
+            // one timer per open session at its close point; intervals
+            // merge as events arrive, so re-derive the timer set from
+            // the current store (stale timers fire harmlessly: expiry
+            // emits only what the watermark really closed)
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+            ends.foreach(e => getHandle.registerTimer((e + gapUs) / 1000L + 1))
+            Iterator.empty
+          }
+          override def handleExpiredTimer(userId: Long, tv: TimerValues,
+              info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+            if (!state.exists()) return Iterator.empty
+            val p = state.get()
+            // timers live in MILLISECOND granularity; compare close
+            // points at that granularity too, or a sub-ms close/watermark
+            // skew strands a session whose only timer already fired
+            val wmMs = tv.getCurrentWatermarkInMs
+            val (closed, open) = p.starts.zip(p.ends)
+              .partition { case (_, e) => (e + gapUs) / 1000L < wmMs }
+            if (open.isEmpty) state.clear()
+            else state.update(
+              SessionIvState(p.n_events, open.map(_._1), open.map(_._2)))
+            closed.iterator.map { case (st, en) => ClosedSession(userId, st, en) }
+          }
+        }
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new TimerSessions, TimeMode.EventTime(),
+            OutputMode.Append())
+        runToMemory(s, out.toDF(), "st15_out", "append")
+          .orderBy(col("user_id"), col("start_us"))
+      } finally old.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
+    }),
+
     // ── st10: SLIDING (hopping) windows — 1-hour windows every 15
     // minutes, so each event lands in exactly 4 overlapping windows.
     // The window() expression expands rows map-side (a 4× fan-out
@@ -733,6 +818,30 @@ object StreamingOps {
     "st11_dedup_bounded_state" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the closed-by-final-watermark subset of batch gap-sessions, at
+    // the timers' millisecond granularity: a session emits iff its
+    // close point (end + gap, in ms) precedes the final watermark
+    // (max event time − 1 h, in ms)
+    "st15_timer_sessions" ->
+      """WITH mx AS (
+        |  SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+        |sess AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |g AS (SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sess),
+        |iv AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+        |       FROM g GROUP BY 1, 2)
+        |SELECT user_id, start_us, end_us FROM iv, mx
+        |WHERE (end_us + 1800000000) // 1000 < wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // each event belongs to the 4 slide-aligned windows covering it
     "st10_stream_sliding" ->
