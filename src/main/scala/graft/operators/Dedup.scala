@@ -49,25 +49,39 @@ object Dedup {
     * (round-3 verdict): at 100 TB the scan already yields far more
     * splits than cores and an unconditional repartition would be a
     * full-corpus shuffle of raw text bodies — there it is a no-op. */
-  private def withGrams(df: DataFrame): DataFrame = {
+  private def spreadSmall(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-    spread
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  private val gramArraySql =
+    "array_distinct(transform(sequence(0, size(toks)-3), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+
+  private def withToks(df: DataFrame): DataFrame =
+    spreadSmall(df)
       .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-  }
+
+  private def withGrams(df: DataFrame): DataFrame =
+    withToks(df).withColumn("grams", expr(gramArraySql))
 
   /** Gram postings (doc_id, gram string) with the parallelism-gated
     * spread — shared with TextOps's decontamination operator so the
     * single-split small-corpus pathology is handled in exactly one
-    * place. */
+    * place.
+    *
+    * The gram expression is inlined INTO the explode rather than
+    * exploded as a computed column: `explode(col)` over a fresh
+    * interpreted-lambda column re-evaluates the generator input per
+    * OUTPUT row (measured 9s vs 0.4s at sf0.1 — ~50 grams/doc means
+    * ~50× the lambda work), while `explode(expr(...))` — or explode
+    * over a localCheckpoint'd attribute, the d04/d02 pattern — pays it
+    * once per input row. Same pathology class the t06 custom Generator
+    * exists to avoid. */
   private[operators] def gramPostings(s: SparkSession, d: String): DataFrame =
-    withGrams(docs(s, d))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+    withToks(docs(s, d))
+      .select(col("doc_id"), explode(expr(gramArraySql)).as("g"))
 
   /** sorted xxhash64 of each gram + set size — the pair-scoring form.
     * Jaccard over the hash sets equals jaccard over the string sets

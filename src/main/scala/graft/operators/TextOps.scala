@@ -255,10 +255,14 @@ object TextOps {
     // stays one pass; grams would be posted as hashes there (strings
     // here keep the oracle exact), same join shape either way.
     "t07_decontaminate" -> ((s, d) => {
-      // Dedup's gram pipeline (with its parallelism-gated spread);
-      // checkpointed because BOTH self-join branches consume it and
-      // the interpreted gram lambdas are the expensive part
-      val g = Dedup.gramPostings(s, d).localCheckpoint()
+      // Dedup's gram pipeline (with its parallelism-gated spread). Both
+      // self-join branches recompute it — deliberately NOT checkpointed:
+      // materializing the full exploded posting set costs far more than
+      // re-running the narrow gram projection (measured 10.3s vs 1.4s at
+      // sf0.1), and at real scale a pipeline that needs the postings
+      // twice keeps a materialized gram INDEX (the d04 cache), not a
+      // per-query checkpoint of the corpus
+      val g = Dedup.gramPostings(s, d)
       val bench = g.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("g")).distinct()
       g.filter(pmod(col("doc_id"), lit(50)) =!= 0)
