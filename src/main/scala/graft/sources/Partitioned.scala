@@ -113,8 +113,52 @@ object Partitioned {
     s.read.option("mergeSchema", "true").parquet(day1, day2)
   }
 
+  /** Once per session: a RANGE-PARTITIONED, WITHIN-PARTITION-SORTED
+    * copy of lineitem on `l_shipdate` — the third leg of layout
+    * optimization next to directory partitioning (q42) and bucketing
+    * (q34). Each output file covers a narrow, near-disjoint shipdate
+    * range and its pages are sorted, so a date-range query skips whole
+    * files on parquet footer min/max and whole pages on page stats —
+    * at 100 TB the difference between scanning a quarter and scanning
+    * seven years, WITHOUT the directory explosion a per-day
+    * `partitionBy` would create. RangeLayoutSpec pins the per-file
+    * span property; the q52 oracle pins row-level correctness. */
+  private[graft] def ensureRangeSorted(s: SparkSession, d: String): String = {
+    // "r" prefix: the sanitized sfDir starts with "_", and a FLAT
+    // parquet dir whose leaf name starts with "_" is invisible to
+    // Spark's reader (hidden-path filter) — it silently yields an
+    // EMPTY frame. The partitioned scratch dirs get away with it;
+    // this one must not.
+    val tag = "r" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.Scratch.dir(s, "graft_range", tag)
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_dpp_join" -> ((s, d) => dppJoin(s, d)),
+
+    // ── q52: a quarter-scoped aggregate over the range-sorted layout —
+    // the pushed l_shipdate range prunes most files via footer stats
+    // before any row is read; results must equal the flat table.
+    "q52_range_layout" -> ((s, d) => {
+      // half-open bounds: shipdates are TIMESTAMPs, and a closed
+      // BETWEEN '…-03-31' would silently drop Mar 31 intra-day times
+      s.read.parquet(ensureRangeSorted(s, d))
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy(month(col("l_shipdate")).cast(IntegerType).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy(col("m"))
+    }),
 
     // ── q50: aggregate ACROSS the drifted snapshots — the day the
     // upstream adds a column must not break (or silently drop) history.
@@ -147,6 +191,16 @@ object Partitioned {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN dim ON CAST(year(l_shipdate) AS INTEGER) = y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the layout rewrite must be row-invariant: same quarter aggregate
+    // as the flat table
+    "q52_range_layout" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // union-by-name restatement of the two snapshots: day 1 without the
