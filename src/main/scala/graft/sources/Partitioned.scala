@@ -124,12 +124,7 @@ object Partitioned {
     * `partitionBy` would create. RangeLayoutSpec pins the per-file
     * span property; the q52 oracle pins row-level correctness. */
   private[graft] def ensureRangeSorted(s: SparkSession, d: String): String = {
-    // "r" prefix: the sanitized sfDir starts with "_", and a FLAT
-    // parquet dir whose leaf name starts with "_" is invisible to
-    // Spark's reader (hidden-path filter) — it silently yields an
-    // EMPTY frame. The partitioned scratch dirs get away with it;
-    // this one must not.
-    val tag = "r" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val out = graft.Scratch.dir(s, "graft_range", tag)
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       graft.Tables(s, d, "lineitem")
