@@ -31,6 +31,7 @@ object SparkEntry {
       sources.Partitioned.queries ++
       sources.Compaction.queries ++
       plans.Adaptive.queries ++
+      plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       sources.Partitioned.oracles ++
       sources.Compaction.oracles ++
       plans.Adaptive.oracles ++
+      plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles
 }

@@ -2,15 +2,16 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.Adaptive
+import graft.plans.{Adaptive, RuntimeFilter}
 import graft.sources.Partitioned
 
-/** Plan-level assertions for the two runtime-adaptivity scale features:
-  * dynamic partition pruning (q42) and AQE skew-join splitting (q43).
-  * Correctness of both is the DuckDB oracle's job; these tests pin that
-  * the OPTIMIZATION actually engages — a silently-disabled DPP or skew
-  * split would still return correct rows while reading 7× the data (or
-  * serializing one reducer). */
+/** Plan-level assertions for the runtime-adaptivity scale features:
+  * dynamic partition pruning (q42), AQE skew-join splitting (q43), and
+  * runtime Bloom-filter join pruning (q53). Correctness of all three is
+  * the DuckDB oracle's job; these tests pin that the OPTIMIZATION
+  * actually engages — a silently-disabled DPP, skew split, or runtime
+  * filter would still return correct rows while reading 7× the data (or
+  * serializing one reducer, or shuffling the full fact table). */
 class ScalePlanSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val sf = SparkSuite.sf
@@ -41,6 +42,24 @@ class ScalePlanSpec extends AnyFunSuite {
       assert(plan.contains("skew=true"),
         s"expected a skew-split join in the adaptive plan:\n$plan")
     }
+  }
+
+  test("q53 fact side carries the injected Bloom filter (might_contain)") {
+    RuntimeFilter.withBloomConfs(spark) {
+      val df = RuntimeFilter.urgentJoin(spark, sf)
+      // the injection is a logical-optimizer rule — visible pre-execution
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom-filter gate on the fact side:\n$plan")
+    }
+  }
+
+  test("q53 result is invariant under runtime filtering") {
+    val base = RuntimeFilter.urgentJoin(spark, sf).collect().toSeq
+    val filtered = RuntimeFilter.withBloomConfs(spark) {
+      RuntimeFilter.urgentJoin(spark, sf).collect().toSeq
+    }
+    assert(base == filtered)
   }
 
   test("q43 result is invariant under skew handling") {
