@@ -49,7 +49,7 @@ object Dedup {
     * (round-3 verdict): at 100 TB the scan already yields far more
     * splits than cores and an unconditional repartition would be a
     * full-corpus shuffle of raw text bodies — there it is a no-op. */
-  private def spreadSmall(df: DataFrame): DataFrame = {
+  private[operators] def spreadSmall(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }

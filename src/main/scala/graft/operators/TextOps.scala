@@ -305,6 +305,42 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t09: REPETITION statistics — the Gopher-style quality gate
+    // that catches boilerplate/spam text which per-token stats (t02)
+    // miss: natural prose has diverse word bigrams, while templated or
+    // keyword-stuffed text repeats a few. Per document: total / distinct
+    // word-2-gram counts, the top bigram's share of all bigrams, and
+    // the distinct-bigram ratio; `repetitive` flags docs whose top
+    // bigram exceeds 10% of the text (the Gopher-rule shape).
+    //
+    // Plan: non-distinct bigram postings explode from the same
+    // parallelism-gated token projection as the dedup family (the gram
+    // expression inlined INTO the generator — the f963675 lesson), then
+    // two keyed aggregations: (doc, gram) counts → per-doc moments.
+    // Both shuffles hash on doc_id-prefixed keys with map-side partial
+    // aggregation; nothing is quadratic and no global ordering exists
+    // before the presentation sort — one corpus pass at 100 TB.
+    "t09_repetition" -> ((s, d) => {
+      Dedup.spreadSmall(docs(s, d))
+        .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1]))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_grams"), count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top_n"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_n"),
+          round(col("top_n").cast(DoubleType) / col("n_grams"), 6)
+            .as("top_frac"),
+          round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6)
+            .as("distinct_frac"),
+          (col("top_n").cast(DoubleType) / col("n_grams") > 0.1)
+            .as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -508,6 +544,23 @@ object TextOps {
         |      list_transform(string_split(scrubbed, ''), ch -> ord(ch))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS scrub_hash
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // non-distinct bigram counts restated over the same tokenization;
+    // the HUGEINT sums cast back to BIGINT, doubles only in the final
+    // per-row division
+    "t09_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS g
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n,
+        |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS top_frac,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS distinct_frac,
+        |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) > 0.1 AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // each 8-char window's 31-poly hash restated as a per-window char
     // fold (the engine rolls it in O(1)/position; the oracle may be
