@@ -137,8 +137,67 @@ object Partitioned {
     out
   }
 
+  /** Morton (Z-order) key: bit-interleave two non-negative ints so that
+    * a sort by the key clusters rows that are close in BOTH dimensions.
+    * Unrolled to 2·bits codegen'd shift/mask ops — stays inside
+    * whole-stage codegen, no UDF. */
+  private def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Once per session: a Z-ORDERED copy of lineitem on
+    * (l_shipdate, l_partkey) — the multi-dimensional extension of q52's
+    * single-column range layout. A range sort on shipdate gives perfect
+    * date skipping but ZERO partkey skipping (every file spans all
+    * parts); interleaving the two keys' bits bounds every file's extent
+    * in BOTH dimensions, so footer min/max stats prune files for
+    * date-only, part-only, AND date×part predicates. This is the
+    * standard at-rest layout for multi-predicate fact tables at 100 TB
+    * (Delta/Iceberg `ZORDER BY`), here expressed with nothing but
+    * codegen'd bit ops + repartitionByRange. ZOrderLayoutSpec pins the
+    * both-dims file-pruning property; the q54 oracle pins row parity.
+    *
+    * 12 bits/dim cover the fixture domains (dates span ~2500 days,
+    * partkey < 4096 at bench SFs); wider domains would bucket values
+    * first (zValue over `value div cell`) — the curve needs bounded
+    * cardinality, not bounded values. */
+  private[graft] def ensureZOrdered(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.Scratch.dir(s, "graft_zorder", tag)
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val zv = zValue(
+        datediff(col("l_shipdate"), lit("1995-01-01")).cast(LongType),
+        col("l_partkey"), 12)
+      graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_partkey"),
+          col("l_quantity"))
+        .repartitionByRange(16, zv)
+        .sortWithinPartitions(zv)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_dpp_join" -> ((s, d) => dppJoin(s, d)),
+
+    // ── q54: a date×part box query over the Z-ordered layout — both
+    // pushed predicates prune files via footer stats; results must
+    // equal the flat table.
+    "q54_zorder_layout" -> ((s, d) => {
+      s.read.parquet(ensureZOrdered(s, d))
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1997-07-01" &&
+          col("l_partkey") >= 400 && col("l_partkey") < 600)
+        .groupBy(month(col("l_shipdate")).cast(IntegerType).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy(col("m"))
+    }),
 
     // ── q52: a quarter-scoped aggregate over the range-sorted layout —
     // the pushed l_shipdate range prunes most files via footer stats
@@ -196,6 +255,17 @@ object Partitioned {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Z-order rewrite must be row-invariant: same box aggregate as
+    // the flat table
+    "q54_zorder_layout" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  AND l_partkey >= 400 AND l_partkey < 600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // union-by-name restatement of the two snapshots: day 1 without the

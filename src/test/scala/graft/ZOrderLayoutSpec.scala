@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Partitioned
+
+/** The q54 layout contract: bit-interleaving (l_shipdate, l_partkey)
+  * into the sort key must bound every file's extent in BOTH dimensions
+  * — the property footer-stats skipping keys on, and exactly what a
+  * plain single-column sort cannot deliver (a shipdate-sorted file
+  * spans every partkey). Row-level value parity is the q54 DuckDB
+  * oracle's job. */
+class ZOrderLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  test("narrow predicates in EACH dimension skip files by footer stats") {
+    val dir = Partitioned.ensureZOrdered(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 8, s"expected a multi-file layout, got ${files.length}")
+    // per-file [min,max] in each dimension — what a parquet footer
+    // holds (l_shipdate reads back TIMESTAMP_NTZ; unix_micros needs
+    // TIMESTAMP, the RangeLayoutSpec pattern)
+    val us = unix_micros(col("l_shipdate").cast("timestamp"))
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(us), max(us), min(col("l_partkey")), max(col("l_partkey")))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def overlapDate(lo: Long, hi: Long) =
+      spans.count { case (a, b, _, _) => a <= hi && b >= lo }
+    def overlapPart(lo: Long, hi: Long) =
+      spans.count { case (_, _, a, b) => a <= hi && b >= lo }
+    def micros(day: String) =
+      java.time.LocalDate.parse(day).toEpochDay * 86400L * 1000000L
+    // the q54 box, as two independent single-dim predicates: each must
+    // prune a strict majority of files or the interleave is broken in
+    // that dimension (a pure date sort leaves partkey overlap at 100%)
+    val dateHit = overlapDate(micros("1997-01-01"), micros("1997-07-01") - 1)
+    val partHit = overlapPart(400L, 599L)
+    assert(dateHit * 2 < files.length,
+      s"date range hits $dateHit of ${files.length} files: no date locality")
+    assert(partHit * 2 < files.length,
+      s"part range hits $partHit of ${files.length} files: no part locality")
+  }
+}
