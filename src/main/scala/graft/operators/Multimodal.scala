@@ -51,6 +51,24 @@ object Multimodal {
     acc
   }
 
+  /** One sampled frame of an opaque payload, as its own row. */
+  case class FrameSample(doc_id: Long, frame_no: Int, byte_off: Int,
+      n_bytes: Int, frame_checksum: Long)
+
+  /** 31-poly checksum over a byte slice (the per-frame variant of
+    * [[polyChecksum]]; same portability argument). */
+  private def polyChecksumSlice(bytes: Array[Byte], from: Int, len: Int): Long = {
+    val P = 1000000007L
+    var acc = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+
   /** STUB decoder — deterministic fake. A real implementation would
     * decode `a.data` with an image/audio codec; this one derives
     * stand-in features from the raw bytes so the pipeline shape (and
@@ -117,6 +135,35 @@ object Multimodal {
           round(col("mean_byte"), 6).as("mean_byte"), col("checksum"),
           col("frame_firsts"), col("resized_n_bytes"), col("resized_checksum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── m03: FRAME SAMPLING as one-to-many rows — the other decode
+    // shape a video/audio pipeline needs: not per-asset features (m02)
+    // but a FRAME DATASET (every 2nd 128-byte "frame" → its own row
+    // with offset/length/checksum), the input to downstream per-frame
+    // feature extraction or training-example packing. A typed flatMap
+    // keeps it streaming: no per-asset frame array is ever
+    // materialized, and output rows vastly outnumbering input rows is
+    // the normal regime (hours of video → millions of frames). The
+    // "decode" is the same marked stub byte-slicer as m02 — swap it
+    // for a codec's frame iterator and the plan is identical. Narrow,
+    // shuffle-free until the presentation sort; at 100 TB the frame
+    // rows flow straight into the next stage without landing.
+    "m03_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val ds: Dataset[Asset] = assets(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[Asset]
+      ds.flatMap { a =>
+        val n = a.data.length
+        val nFrames = (n + 127) / 128
+        Iterator.range(0, nFrames, 2).map { f =>
+          val off = f * 128
+          val len = math.min(128, n - off)
+          FrameSample(a.doc_id, f, off, len, polyChecksumSlice(a.data, off, len))
+        }
+      }.toDF()
+        .orderBy(col("doc_id"), col("frame_no"))
     })
   )
 
@@ -150,6 +197,24 @@ object Multimodal {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(0, n, greatest(1, n // 128)), i -> codes[i + 1])),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS resized_checksum
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // every 2nd 128-byte block restated as an unnest over the frame
+    // range; DuckDB list slices are 1-based inclusive
+    "m03_frame_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, codes,
+        |    unnest(range(0, (n + 127) // 128, 2)) AS frame_no FROM c)
+        |SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(frame_no * 128 AS INTEGER) AS byte_off,
+        |  CAST(least(128, n - frame_no * 128) AS INTEGER) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      codes[frame_no * 128 + 1 :
+        |            frame_no * 128 + least(128, n - frame_no * 128)]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_checksum
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin
   )
 }
