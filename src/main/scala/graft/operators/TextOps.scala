@@ -185,6 +185,46 @@ object TextOps {
         .orderBy(col("shard_id"))
     }),
 
+    // ── p04: MIXTURE BALANCING — hit a target source mixture (web-heavy
+    // / code-medium / wiki-light, here keyed off the source index mod 3
+    // with weights 5/3/2) with a DETERMINISTIC downsample. The corpus
+    // size is bounded by the scarcest source relative to its weight:
+    // T = min_s floor(n_s·W/w_s); each source then keeps
+    // k_s = floor(T·w_s/W) docs via a portable-hash Bernoulli gate at
+    // rate_ppm = floor(k_s·10⁶/n_s). ALL integer arithmetic — the
+    // oracle replays membership bit-identically — and the gate is
+    // rate-based, NOT a per-source row_number window: no global
+    // per-source ordering exists anywhere, so a 100 TB corpus pays one
+    // narrow pass plus a broadcast of the per-source rate dim (the
+    // per-source counts come from a column-pruned aggregate here;
+    // table stats at real scale).
+    "p04_mixture_balance" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val weight = when(
+        pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType),
+          lit(3L)) === 0, 5L)
+        .when(pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType),
+          lit(3L)) === 1, 3L)
+        .otherwise(2L)
+      val dw = docs(s, d).withColumn("w", weight)
+      val counts = dw.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totalW = counts.agg(sum(col("w")).as("bigw"))
+      val cap = counts.crossJoin(broadcast(totalW))
+        .agg(min(expr("n_docs * bigw div w")).as("t"))
+      val rates = counts.crossJoin(broadcast(totalW)).crossJoin(broadcast(cap))
+        .withColumn("rate_ppm", expr("(t * w div bigw) * 1000000 div n_docs"))
+        .select(col("source"), col("w"), col("n_docs"), col("rate_ppm"))
+      dw.select(col("doc_id"), col("source"))
+        .join(broadcast(rates), "source")
+        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
+          concat(lit("mix:"), col("doc_id").cast(StringType))),
+          lit(1000000L)) < col("rate_ppm"))
+        .groupBy(col("source"), col("w"), col("n_docs"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // ── t03: token counting — whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / digit runs / single symbols).
     "t03_token_stats" -> ((s, d) => {
@@ -420,6 +460,29 @@ object TextOps {
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same integer mixture arithmetic + portable-hash gate; the
+    // HUGEINT sums cast back to BIGINT
+    "p04_mixture_balance" ->
+      """WITH dw AS (SELECT doc_id, source,
+        |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
+        |      WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, COUNT(*) AS n_docs FROM dw GROUP BY 1, 2),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS bigw FROM c),
+        |cap AS (SELECT MIN(n_docs * bigw // w) AS t FROM c, tw),
+        |r AS (SELECT source, w, n_docs,
+        |    (t * w // bigw) * 1000000 // n_docs AS rate_ppm FROM c, tw, cap),
+        |k AS (SELECT dw.doc_id, dw.source, r.w, r.n_docs, r.rate_ppm
+        |  FROM dw JOIN r USING (source)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('mix:' || CAST(doc_id AS VARCHAR), ''),
+        |        ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 < rate_ppm)
+        |SELECT source, CAST(w AS BIGINT) AS w, n_docs,
+        |  CAST(rate_ppm AS BIGINT) AS rate_ppm, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
 
     "t03_token_stats" ->
       """SELECT doc_id,
