@@ -435,6 +435,31 @@ object Relational {
         .orderBy(col("n_name"), col("segment"))
     }),
 
+    // ── q55: EXCHANGE REUSE — one shuffle, two consumers. The monthly
+    // revenue aggregate feeds BOTH the output rows and the grand total
+    // it is normalized by; Catalyst plans the identical aggregate
+    // subtree once and wires the second consumer to a `ReusedExchange`
+    // (pinned in ScalePlanSpec), so the fact table is scanned and
+    // shuffled ONCE. At 100 TB "reuse a partitioning across stages" is
+    // the difference between one corpus shuffle and two — the
+    // self-referential normalize/compare-to-total query shape shows up
+    // constantly in reporting pipelines, and the reuse is free as long
+    // as both branches are built from the SAME DataFrame (a re-read
+    // from source would plan two scans).
+    "q55_exchange_reuse" -> ((s, d) => {
+      val monthly = t(s, d, "lineitem")
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast(IntegerType).as("mon"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_dec"))
+      val total = monthly.agg(sum(col("rev_dec")).as("tot_dec"))
+      monthly.crossJoin(broadcast(total))
+        .select(col("mon"), col("rev_dec").cast(DoubleType).as("rev"),
+          round(col("rev_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType), 6)
+            .as("rev_share"))
+        .orderBy(col("mon"))
+    }),
+
     // ── q48: the BUILT-IN session_window operator — same semantics as
     // q24's lag-based formulation (and it shares q24's oracle), but as
     // the native dynamic-gap groupBy Spark merges in the aggregation
@@ -682,6 +707,17 @@ object Relational {
       """SELECT n_name, c_mktsegment AS segment, COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY n_name, segment""".stripMargin,
+
+    // the CTE is computed once on the oracle side too; shares the q02
+    // decimal idiom so the normalized shares match bit-for-bit
+    "q55_exchange_reuse" ->
+      """WITH m AS (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS mon,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev_dec) AS tot_dec FROM m)
+        |SELECT mon, CAST(rev_dec AS DOUBLE) AS rev,
+        |  round(CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6) AS rev_share
+        |FROM m, t ORDER BY mon""".stripMargin,
 
     // q24's oracle restated: the native session_window must agree with
     // gap-sessionization (no exact-boundary gaps in the fixture)

@@ -62,6 +62,14 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(base == filtered)
   }
 
+  test("q55 plans the monthly aggregate's shuffle once (ReusedExchange)") {
+    val df = SparkEntry.queries("q55_exchange_reuse")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("(reuse)"),
+      s"expected the total branch to reuse the monthly agg's exchange:\n$plan")
+  }
+
   test("q43 result is invariant under skew handling") {
     val base = Adaptive.skewedAgg(spark, sf).collect().toSeq
     val handled = Adaptive.withSkewConfs(spark, sizeBytes = 256L) {
