@@ -36,11 +36,15 @@ class ZOrderLayoutSpec extends AnyFunSuite {
       spans.count { case (_, _, a, b) => a <= hi && b >= lo }
     def micros(day: String) =
       java.time.LocalDate.parse(day).toEpochDay * 86400L * 1000000L
-    // the q54 box, as two independent single-dim predicates: each must
-    // prune a strict majority of files or the interleave is broken in
-    // that dimension (a pure date sort leaves partkey overlap at 100%)
+    // two independent single-dim predicates (the q54 box shape): each
+    // must prune a strict majority of files or the interleave is broken
+    // in that dimension (a pure date sort leaves partkey overlap at
+    // 100%). The part window is 10% of the ACTUAL key domain so the
+    // check stays non-vacuous at every SF's cardinality.
     val dateHit = overlapDate(micros("1997-01-01"), micros("1997-07-01") - 1)
-    val partHit = overlapPart(400L, 599L)
+    val (pMin, pMax) = (spans.map(_._3).min, spans.map(_._4).max)
+    val w = pMax - pMin + 1
+    val partHit = overlapPart(pMin + 3 * w / 10, pMin + 4 * w / 10 - 1)
     assert(dateHit * 2 < files.length,
       s"date range hits $dateHit of ${files.length} files: no date locality")
     assert(partHit * 2 < files.length,
