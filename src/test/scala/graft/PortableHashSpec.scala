@@ -118,7 +118,9 @@ class PortableHashSpec extends AnyFunSuite {
       "s02_ann_lsh", "p01_corpus_select",
       "d08_dedup_incremental", "q42_dpp_join", "q47_snapshot_diff",
       "q48_session_window", "t07_decontaminate", "q50_schema_drift",
-      "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards")
+      "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards",
+      "q53_bloom_join", "t09_repetition", "p04_mixture_balance",
+      "q55_exchange_reuse")
     for (q <- pairHeavy) {
       val df = SparkEntry.queries(q)(spark, SparkSuite.sf)
       df.collect() // finalize adaptive plans before inspecting
