@@ -94,6 +94,37 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── s05: batch kNN JOIN — same exact semantics as s01 but at query
+    // BATCH scale (100 queries) and with per-query top-k computed by
+    // the custom bounded TopKByAggregate instead of a ranking window.
+    // The difference is the 100 TB plan: the window form sorts EVERY
+    // scored (query, candidate) pair through the q_id shuffle
+    // (|batch|·|corpus| rows), while the aggregate form reduces
+    // map-side to a k-bounded heap — the shuffle carries at most k
+    // pairs per query PER MAP TASK and merge is O(k). ObjectHashAgg
+    // partial/final, one corpus pass. Query batches too big to
+    // broadcast would take d05's block decomposition on the join; the
+    // aggregate shape is unchanged.
+    "s05_knn_batch" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKFunctions.topkBy(
+          VectorFunctions.cosineSim(col("qv"), col("nv")),
+          col("n_id"), K).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("q_id"), col("entry.payload").as("n_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          (round(col("entry.ord"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── s02: LSH-bucketed ANN — 8 tables × 6 sign bits; candidates are
     // the union of the query's buckets across tables (distinct), then
     // exact cosine rescore. The bucket join replaces the full scan.
@@ -196,6 +227,22 @@ object Similarity {
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |    list_cosine_similarity(q.v, c.v) AS cos
         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // the s01 oracle at batch scale: the bounded-heap aggregate must
+    // reproduce the ranking window's (cos DESC, n_id ASC) order exactly
+    "s05_knn_batch" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id)
         |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
         |  SELECT q_id, n_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
