@@ -50,4 +50,25 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     assert(partHit * 2 < files.length,
       s"part range hits $partHit of ${files.length} files: no part locality")
   }
+
+  test("both box predicates are pushed to the parquet scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => Nil
+      }
+      p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("q54_zorder_layout")(spark, sf)
+    df.collect()
+    val pushed = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_partkey"),
+      s"both dimensions must reach the scan as pushed filters: $pushed")
+  }
 }
