@@ -381,6 +381,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t10: CHARACTERISTIC-TERM extraction — each document's top-3
+    // terms by a TF-IDF-style score, the corpus-analysis op behind
+    // topic labeling / domain tagging of training shards. The score is
+    // an INTEGER surrogate (tf · (N·10⁶ div df)): same ranking shape as
+    // tf·ln(N/df) for top-k purposes, but exact across engines — a
+    // float log would risk ulp-level rank flips between Spark and the
+    // oracle. Plan: letter-run tokens explode once; (doc, term) counts
+    // and the term document-frequency dictionary are two keyed
+    // hash-aggs; the corpus size joins as a broadcast scalar; the
+    // final per-doc window ranks each doc's OWN distinct terms (groups
+    // bounded by vocabulary-per-doc, not corpus) — at 100 TB the only
+    // wide stages are the two keyed aggregations, and the df
+    // dictionary is the natural broadcast/bucketed dimension.
+    "t10_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Dedup.spreadSmall(docs(s, d))
+        .select(col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("n_docs * 1000000 div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast(IntegerType).as("rank"),
+          col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -624,6 +656,23 @@ object TextOps {
         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS distinct_frac,
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) > 0.1 AS repetitive
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same integer score (a float log would flip ranks at ulp
+    // level); tf rows are already distinct (doc, term), so df is a
+    // plain count over them
+    "t10_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT doc_id, term, tf, df, tf * (n_docs * 1000000 // df) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * (n_docs * 1000000 // df) DESC, term ASC) AS INTEGER) AS rank
+        |  FROM tf JOIN dfreq USING (term), n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // each 8-char window's 31-poly hash restated as a per-window char
     // fold (the engine rolls it in O(1)/position; the oracle may be
