@@ -225,6 +225,31 @@ object TextOps {
         .orderBy(col("source"))
     }),
 
+    // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
+    // subset (k docs per language), reproducible across reruns,
+    // engines, and repartitions. Ranking by the portable hash gives a
+    // uniform, seedless draw; computing it with the bounded
+    // TopKByAggregate (hash negated: the heap keeps ord-DESC-best)
+    // instead of a row_number window means NO per-group sort exists in
+    // the plan — each map task forwards at most k candidates per group
+    // and merge is O(k), which is what survives a group with 10⁹ rows.
+    // The hash (≤ 10⁹+6) is exact in the aggregate's double ord slot.
+    "p05_group_sample" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      graft.functions.TopKFunctions.register(s)
+      val h = graft.functions.PortableHashFunctions.polyHash(
+        concat(lit("gsamp:"), col("doc_id").cast(StringType)))
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKFunctions.topkBy(
+          (h * lit(-1L)).cast(DoubleType), col("doc_id"), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("entry.payload").as("doc_id"),
+          (col("entry.ord") * lit(-1.0)).cast(LongType).as("samp_hash"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ── t03: token counting — whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / digit runs / single symbols).
     "t03_token_stats" -> ((s, d) => {
@@ -656,6 +681,21 @@ object TextOps {
         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS distinct_frac,
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) > 0.1 AS repetitive
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the bounded-heap sample restated as the hash-ranking window it
+    // must equal exactly
+    "p05_group_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split('gsamp:' || CAST(doc_id AS VARCHAR), ''),
+        |          ch -> ord(ch))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS samp_hash
+        |  FROM documents)
+        |SELECT lang, rank, doc_id, samp_hash FROM (
+        |  SELECT lang, doc_id, samp_hash,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY samp_hash ASC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM h) WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     // the same integer score (a float log would flip ranks at ulp
     // level); tf rows are already distinct (doc, term), so df is a

@@ -120,7 +120,7 @@ class PortableHashSpec extends AnyFunSuite {
       "q48_session_window", "t07_decontaminate", "q50_schema_drift",
       "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards",
       "q53_bloom_join", "t09_repetition", "p04_mixture_balance",
-      "q55_exchange_reuse")
+      "q55_exchange_reuse", "t10_tfidf_terms")
     for (q <- pairHeavy) {
       val df = SparkEntry.queries(q)(spark, SparkSuite.sf)
       df.collect() // finalize adaptive plans before inspecting
