@@ -430,6 +430,35 @@ object StreamingOps {
       runToMemory(s, agg, "st08_out", "complete").orderBy(col("c_mktsegment"))
     }),
 
+    // ── st16: stream-static ANTI join — the streaming BLOCKLIST
+    // filter (drop events from suppressed users: opt-outs, bots,
+    // abuse) that runs in front of every production event pipeline.
+    // The static side is read fresh per micro-batch, so a blocklist
+    // update applies from the next batch without a restart; as with
+    // st08, the small static side broadcasts and the stream never
+    // shuffles for the join. Left-anti is one of the four supported
+    // stream-static shapes (inner/left-outer/semi/anti with the
+    // static side on the right) — this pins the anti contract:
+    // unmatched-only, stream rows never duplicated or buffered.
+    "st16_stream_anti_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val blocklist = graft.Tables(s, d, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      val agg = stream
+        .join(broadcast(blocklist), col("user_id") === col("c_custkey"),
+          "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+      runToMemory(s, agg, "st16_out", "complete").orderBy(col("event_type"))
+    }),
+
     // ── st11: WATERMARK-BOUNDED stateful dedup —
     // dropDuplicatesWithinWatermark. st04's dropDuplicates keeps every
     // key seen FOREVER (unbounded state: the demo is AvailableNow, but
@@ -799,6 +828,16 @@ object StreamingOps {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streaming blocklist equals the batch NOT-IN (c_custkey is
+    // never null, so NOT IN == anti join)
+    "st16_stream_anti_join" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the new-API processor must agree with the old-API one (st02) and
