@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Alternate columnar format coverage: the engine's sink/source surface
   * is not parquet-only. q40 pushes a fact slice through a PARTITIONED
@@ -79,6 +79,43 @@ object Formats {
             .as("props_hash_sum"),
           sum(col("event_id")).as("id_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // ── q56: MALFORMED-RECORD tolerance — the ops contract that keeps
+    // a 100 TB ingest alive: a CSV feed where every 37th record is
+    // corrupted (a non-numeric id field) must parse the good rows,
+    // quarantine EXACTLY the bad ones into the corrupt-record column,
+    // and never fail the job. PERMISSIVE mode + columnNameOfCorruptRecord
+    // is the quarantine mechanism (DROPMALFORMED would silently lose
+    // data — unacceptable in a pipeline that must account for every
+    // input record; FAILFAST turns one bad upstream row into a dead
+    // daily run). The oracle derives the expected good/bad split and
+    // the parsed sums ARITHMETICALLY from the clean table — so the row
+    // checks quarantine precision, not just "it didn't crash".
+    "q56_corrupt_tolerant" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = graft.Scratch.dir(s, "graft_badcsv", tag)
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        graft.Tables(s, d, "events")
+          .select(when(pmod(col("event_id"), lit(37)) === 0,
+              concat_ws(",", col("event_id"), col("event_type"), lit("oops")))
+            .otherwise(
+              concat_ws(",", col("event_id"), col("event_type"), col("user_id")))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+        .groupBy(col("_bad").isNotNull.as("is_corrupt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_sum"),
+          count(col("user_id")).as("n_parsed_ids"))
+        .orderBy(col("is_corrupt"))
     })
   )
 
@@ -102,6 +139,18 @@ object Formats {
         |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS props_hash_sum,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the good/bad split restated arithmetically over the clean table:
+    // quarantine must hit exactly the event_id % 37 rows, parse the
+    // rest, and surface NULL user_id (excluded from both aggregates)
+    // for the quarantined ones
+    "q56_corrupt_tolerant" ->
+      """SELECT event_id % 37 = 0 AS is_corrupt, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END)
+        |    AS BIGINT) AS user_sum,
+        |  COUNT(CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END)
+        |    AS n_parsed_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // stated over the ORIGINAL parquet table: the ORC round trip must
     // be lossless for the aggregate to hash-match
     "q40_orc_roundtrip" ->
