@@ -126,9 +126,11 @@ object Multimodal {
     // 1e9+7 over ASCII bytes == DuckDB's char-code fold).
     "m02_multimodal_decode" -> ((s, d) => {
       import s.implicits._
-      val ds: Dataset[Asset] = assets(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[Asset]
+      // parallelism-gated spread (Dedup.spreadSmall): the harness
+      // corpus is one input split, so without it the whole decode runs
+      // on one core; at real scale the scan already yields more splits
+      // than cores and this is a no-op — no payload shuffle.
+      val ds: Dataset[Asset] = Dedup.spreadSmall(assets(s, d)).as[Asset]
       ds.mapPartitions(it => it.map(decodeStub))
         .toDF()
         .select(col("doc_id"), col("n_frames"),
@@ -146,14 +148,13 @@ object Multimodal {
     // materialized, and output rows vastly outnumbering input rows is
     // the normal regime (hours of video → millions of frames). The
     // "decode" is the same marked stub byte-slicer as m02 — swap it
-    // for a codec's frame iterator and the plan is identical. Narrow,
-    // shuffle-free until the presentation sort; at 100 TB the frame
-    // rows flow straight into the next stage without landing.
+    // for a codec's frame iterator and the plan is identical. At real
+    // scale this is narrow and shuffle-free until the presentation
+    // sort (the spread below is a no-op there, as in m02): frame rows
+    // flow straight into the next stage without landing.
     "m03_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val ds: Dataset[Asset] = assets(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[Asset]
+      val ds: Dataset[Asset] = Dedup.spreadSmall(assets(s, d)).as[Asset]
       ds.flatMap { a =>
         val n = a.data.length
         val nFrames = (n + 127) / 128

@@ -207,8 +207,16 @@ object TextOps {
           lit(3L)) === 1, 3L)
         .otherwise(2L)
       val dw = docs(s, d).withColumn("w", weight)
+      // materialize the tiny per-source count table once: it feeds
+      // three downstream aggregates (ΣW, min capacity, rates), and
+      // without the checkpoint each replanned subtree re-scans the
+      // corpus — exchange reuse would usually dedupe them at runtime,
+      // but that is an AQE behavior, not a plan guarantee (q55 pins it
+      // where it is load-bearing; here one eager 20-row materialization
+      // removes the dependence entirely)
       val counts = dw.groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
       val totalW = counts.agg(sum(col("w")).as("bigw"))
       val cap = counts.crossJoin(broadcast(totalW))
         .agg(min(expr("n_docs * bigw div w")).as("t"))

@@ -56,8 +56,10 @@ object RuntimeFilter {
 
   /** Urgent-orders revenue: lineitem ⋈ (orders WHERE urgent). The
     * equality predicate on the dimension is what marks it "likely
-    * selective" for the injection rule. */
-  private[graft] def urgentJoin(s: SparkSession, d: String): DataFrame = {
+    * selective" for the injection rule. Unsorted — the write path has
+    * no use for row order; callers that compare collected rows add the
+    * presentation sort via [[urgentJoin]]. */
+  private[graft] def urgentJoinCore(s: SparkSession, d: String): DataFrame = {
     val urgent = graft.Tables(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
     graft.Tables(s, d, "lineitem")
@@ -65,15 +67,17 @@ object RuntimeFilter {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast(LongType)).as("sum_qty"))
-      .orderBy(col("l_returnflag"))
   }
+
+  private[graft] def urgentJoin(s: SparkSession, d: String): DataFrame =
+    urgentJoinCore(s, d).orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_bloom_join" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val out = graft.Scratch.dir(s, "graft_q53", tag)
       withBloomConfs(s) {
-        urgentJoin(s, d).write.mode("overwrite").parquet(out)
+        urgentJoinCore(s, d).write.mode("overwrite").parquet(out)
       }
       s.read.parquet(out).orderBy(col("l_returnflag"))
     })

@@ -107,8 +107,11 @@ class PortableHashSpec extends AnyFunSuite {
     // excepted — see isSingleRowBuild). Deliberately NOT asserted: s01
     // (brute-force ANN baseline — the broadcast nested loop over 5
     // query vectors IS the semantics), s03 (16-centroid broadcast
-    // cross is the probe-ranking step), and s04 (recall arithmetic
-    // over those baselines).
+    // cross is the probe-ranking step), s04 (recall arithmetic over
+    // those baselines), and s05 (the 100-vector query-batch broadcast
+    // is the same bounded-build class as s01 — the corpus side still
+    // makes exactly one pass; what scales is reduced by the k-heap
+    // aggregate, not the join).
     val pairHeavy = Seq(
       "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
       "d04_dedup_ngram_jaccard", "d05_dedup_embedding",
@@ -119,10 +122,16 @@ class PortableHashSpec extends AnyFunSuite {
       "d08_dedup_incremental", "q42_dpp_join", "q47_snapshot_diff",
       "q48_session_window", "t07_decontaminate", "q50_schema_drift",
       "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards",
-      "q53_bloom_join", "t09_repetition", "p04_mixture_balance",
+      "t09_repetition", "p04_mixture_balance",
       "q55_exchange_reuse", "t10_tfidf_terms")
-    for (q <- pairHeavy) {
-      val df = SparkEntry.queries(q)(spark, SparkSuite.sf)
+    // q53's queries entry returns only the scratch read-back (the join
+    // runs inside the conf-scoped write), so sweep the LIVE join plan
+    // directly instead of the vacuous closure
+    val plans = pairHeavy.map(q =>
+      q -> SparkEntry.queries(q)(spark, SparkSuite.sf)) :+
+      ("q53_bloom_join (urgentJoin)" ->
+        graft.plans.RuntimeFilter.urgentJoin(spark, SparkSuite.sf))
+    for ((q, df) <- plans) {
       df.collect() // finalize adaptive plans before inspecting
       val bad = allNodes(df.queryExecution.executedPlan).collect {
         case j: BroadcastNestedLoopJoinExec if !isSingleRowBuild(j) => j
