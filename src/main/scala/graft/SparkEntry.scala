@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.TimeSeries.queries ++
       operators.HigherOrder.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.TimeSeries.oracles ++
       operators.HigherOrder.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

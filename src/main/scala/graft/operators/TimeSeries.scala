@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Time-series / distribution analytics (SURVEY.md §2.4–§2.5 depth).
+  *
+  * The reference's crime feed is a daily time series
+  * (`spark_ingest_script.py:85-95` re-extracts per day;
+  * `da-capstone-emr-airflow.py` schedules it), so the operations a
+  * consumer of that table runs next are time-series shapes: rolling
+  * event-time windows, calendar densification over days with no
+  * incidents, carry-forward of sparse attributes, and distribution
+  * summaries. None of these exist in the reference's two scripts — they
+  * are the §2.5 extension surface, expressed as declarative plans.
+  *
+  * Oracle discipline follows Relational.scala: integer day/month
+  * arithmetic (never float time math), DECIMAL casts under sums, unique
+  * sort keys everywhere, and per-row double arithmetic only where both
+  * engines evaluate the identical IEEE expression.
+  */
+object TimeSeries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q57: ROLLING EVENT-TIME WINDOW — per-customer trailing-30-day
+    // spend via a RANGE frame over the integer epoch-day. A ROWS frame
+    // would be wrong (it counts rows, not days: a customer with two
+    // orders in one day gets a different window), and a self-join
+    // `o2.day BETWEEN o.day-29 AND o.day` would shuffle the fact table
+    // against itself — the RANGE frame computes the same answer in ONE
+    // pass over each customer partition after a single shuffle on
+    // o_custkey. At 100 TB the frame bound is evaluated with a sliding
+    // two-pointer over the sorted partition (no per-row rescan), so
+    // cost stays O(rows) per partition.
+    "q57_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(dec(col("o_totalprice"), 2)).over(w).cast(DoubleType)
+            .as("spend_30d"),
+          count(lit(1)).over(w).as("n_orders_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── q58: CALENDAR GAP FILL — one customer's monthly revenue
+    // densified against the CORPUS-WIDE month spine, so months where
+    // the customer ordered nothing surface as explicit 0 rows (the
+    // per-entity reporting series; the corpus itself has no empty
+    // months at any SF, a single customer always does — the fill is
+    // never vacuous). The dense month spine is generated IN-PLAN from
+    // the global aggregate's min/max (`sequence` + `explode` — rows
+    // from a one-row frame, no driver-side collect), so the only
+    // full-corpus work is one month-keyed aggregate; the spine build
+    // and the left join touch #months rows (~80 here, a few thousand
+    // even for a century).
+    "q58_gap_fill" -> ((s, d) => {
+      def monIdx: Column = year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+      val monthly = t(s, d, "orders")
+        .filter(col("o_custkey") === 1)
+        .groupBy(monIdx.as("mon_idx"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 2)).as("rev_dec"))
+      val spine = t(s, d, "orders")
+        .agg(min(monIdx).as("mn"), max(monIdx).as("mx"))
+        .selectExpr("explode(sequence(mn, mx)) AS mon_idx")
+      spine.join(monthly, Seq("mon_idx"), "left")
+        .select(col("mon_idx"),
+          expr("mon_idx div 12").cast(IntegerType).as("y"),
+          (col("mon_idx") % 12 + 1).cast(IntegerType).as("mon"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev_dec"), lit(0).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("rev"))
+        .orderBy(col("mon_idx"))
+    }),
+
+    // ── q59: FORWARD FILL (last observation carried forward) — each
+    // event carries the user's most recent purchase amount. `last(...,
+    // ignoreNulls)` over a running ROWS frame is the declarative LOCF:
+    // one shuffle on user_id, one sort, no self-join, no loop. The
+    // ordering key (ts, event_id) is total, so the fill is
+    // deterministic even with simultaneous events. The filled value is
+    // a pass-through double (no cross-row arithmetic), so oracle parity
+    // is bit-exact.
+    "q59_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── q60: DISTRIBUTION RANKS — percent_rank + cume_dist per brand
+    // (where does each part's price sit within its brand?). The window
+    // ORDER BY ends in the unique p_partkey, so ranks are tie-free and
+    // the (rank-1)/(n-1) and cume counts are integers — the only
+    // doubles are single IEEE divisions both engines evaluate
+    // identically. One shuffle on p_brand; the rank pass is O(rows) per
+    // partition after the sort.
+    "q60_rank_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          row_number().over(w).cast(IntegerType).as("rn"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── q61: ARGMAX/ARGMIN AGGREGATION — which order is each
+    // priority's biggest/smallest? `max_by`/`min_by` computes the
+    // answer inside the hash aggregate (map-side partials carry one
+    // candidate each) — no rank window, no self-join back to the
+    // aggregate. The ordering value is made UNIQUE by folding the
+    // 2-decimal price into integer cents and appending the orderkey
+    // (cents·10^7 + key, exact in int64): a raw price tie would
+    // otherwise make the result engine-dependent.
+    "q61_argmax_groups" -> ((s, d) => {
+      val ord = round(col("o_totalprice") * 100).cast(LongType) *
+        lit(10000000L) + col("o_orderkey")
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), ord).as("top_orderkey"),
+          min_by(col("o_orderkey"), ord).as("bottom_orderkey"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── q62: FIXED-WIDTH HISTOGRAM — order-value distribution in 50k
+    // bins. Binning is a codegen'd per-row floor over the scan feeding
+    // one small-key aggregate (bin count ≈ range/width, independent of
+    // corpus size), so the full-data histogram costs one map pass + one
+    // tiny shuffle at any scale. The floor(v/width) form is stated
+    // identically in both engines; Spark's width_bucket would compute
+    // the same bins but its clamped formula has no DuckDB twin to pin
+    // against.
+    "q62_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(50000.0))
+          .cast(IntegerType).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("bin"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q57_rolling_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_orders_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q58_gap_fill" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS INTEGER) AS mon_idx,
+        |    COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders WHERE o_custkey = 1 GROUP BY 1),
+        |b AS (SELECT CAST(MIN(year(o_orderdate)*12 + month(o_orderdate) - 1) AS INTEGER) AS mn,
+        |      CAST(MAX(year(o_orderdate)*12 + month(o_orderdate) - 1) AS INTEGER) AS mx
+        |      FROM orders),
+        |spine AS (SELECT CAST(UNNEST(generate_series(mn, mx)) AS INTEGER) AS mon_idx FROM b)
+        |SELECT spine.mon_idx,
+        |  CAST(spine.mon_idx // 12 AS INTEGER) AS y,
+        |  CAST(spine.mon_idx % 12 + 1 AS INTEGER) AS mon,
+        |  CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(m.rev_dec, 0) AS DOUBLE) AS rev
+        |FROM spine LEFT JOIN m ON spine.mon_idx = m.mon_idx
+        |ORDER BY spine.mon_idx""".stripMargin,
+
+    "q59_forward_fill" ->
+      """SELECT event_id, user_id, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q60_rank_distribution" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |  PERCENT_RANK() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice ASC, p_partkey ASC) AS pct_rank,
+        |  CUME_DIST() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice ASC, p_partkey ASC) AS cume,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice ASC, p_partkey ASC) AS INTEGER) AS rn
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q61_argmax_groups" ->
+      """SELECT o_orderpriority,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS top_orderkey,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS bottom_orderkey,
+        |  MAX(o_totalprice) AS max_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q62_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bin,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

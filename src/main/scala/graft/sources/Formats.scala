@@ -92,6 +92,15 @@ object Formats {
     // daily run). The oracle derives the expected good/bad split and
     // the parsed sums ARITHMETICALLY from the clean table — so the row
     // checks quarantine precision, not just "it didn't crash".
+    //
+    // The parsed split is PERSISTED to parquet before any aggregation:
+    // Spark refuses raw-file queries whose pruned scan schema is only
+    // the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    // e.g. a downstream `.count()` prunes the payload columns away and
+    // leaves just `_bad` as the group key), and the documented contract
+    // is "save the parsed results, then query". That materialization is
+    // also what a real quarantine pipeline does anyway: the split is
+    // the audit artifact, not a throwaway intermediate.
     "q56_corrupt_tolerant" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val out = graft.Scratch.dir(s, "graft_badcsv", tag)
@@ -107,10 +116,13 @@ object Formats {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("user_id", LongType), StructField("_bad", StringType)))
+      val parsed = graft.Scratch.dir(s, "graft_badcsv_parsed", tag)
       s.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .csv(out)
+        .write.mode("overwrite").parquet(parsed)
+      s.read.parquet(parsed)
         .groupBy(col("_bad").isNotNull.as("is_corrupt"))
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("user_sum"),

@@ -747,6 +747,62 @@ object StreamingOps {
           .agg(count(lit(1)).as("n"))
         runToMemory(s, agg, "st07_out", "complete").orderBy(col("event_type"))
       } finally old.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }),
+
+    // ── st17: UPDATE output mode over a genuinely MULTI-BATCH run —
+    // the third output contract (complete: whole result each batch;
+    // append: finalized rows only; update: rows whose value CHANGED
+    // this batch). The fixture is re-laid-out as 8 files and streamed
+    // 2 per micro-batch, so the aggregation really does update the same
+    // keys across ~4 batches and the sink accumulates one row per
+    // (key, updating batch) — update mode's sink contract is upsert,
+    // which the memory sink doesn't implement, so the drain applies the
+    // upsert itself by keeping each key's LAST emitted row (counts grow
+    // monotonically per key, making "last" = max(n)). Update is what a
+    // real dashboard sink wants: per-batch deltas without append's
+    // wait-for-watermark latency or complete's full-result rewrite.
+    "st17_update_mode" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.Scratch.dir(s, "graft_st17_src", tag)
+      if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+        s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+          .repartition(8).write.mode("overwrite").parquet(src)
+      }
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+      val agg = stream
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+      runToMemory(s, agg, "st17_out", "update")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n"), col("user_sum"))).as("last"))
+        .select(col("event_type"), col("last.n").as("n"),
+          col("last.user_sum").as("user_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── st18: streaming TOP-K leaderboard — global ORDER BY + LIMIT
+    // inside the streaming query itself, legal ONLY in complete mode
+    // (append/update cannot sort an unbounded result; Spark rejects
+    // them at analysis). Each micro-batch recomputes the full top-5
+    // from the running aggregate — the live-leaderboard shape. The
+    // orderBy carries the unique user_id tie-break, so the emitted
+    // top-5 is deterministic and the oracle can restate it exactly.
+    "st18_stream_topk" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+      val top = stream
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(5)
+      runToMemory(s, top, "st18_out", "complete")
+        .orderBy(col("n").desc, col("user_id").asc)
     })
   )
 
@@ -908,6 +964,19 @@ object StreamingOps {
     // st04's oracle
     "st07_rocksdb_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // after the drain's upsert, update mode must land on the full-input
+    // aggregate — batching must not lose or double any delta
+    "st17_update_mode" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the final complete-mode emission is exactly the batch top-5
+    // (unique user_id tie-break makes the cut deterministic)
+    "st18_stream_topk" ->
+      """SELECT user_id, COUNT(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 5""".stripMargin
   )
 }
