@@ -242,6 +242,29 @@ object HigherOrder {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── q63: the typed Aggregator + udaf() surface — the third custom
+    // aggregate API (next to q27's TypedImperativeAggregate and the
+    // built-ins): quantity-weighted mean unit price per return flag,
+    // registered as a SQL function and driven through spark.sql so the
+    // whole parse→plan→two-phase-aggregate path runs. Inputs are
+    // integer units/cents; the only float step is the final division
+    // (see WeightedMeanAggregator's oracle-discipline note).
+    "q63_udaf_aggregator" -> ((s, d) => {
+      s.udf.register("wmean_cents",
+        org.apache.spark.sql.functions.udaf(graft.functions.WeightedMeanAggregator,
+          org.apache.spark.sql.Encoders.product[graft.functions.WMIn]))
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("w"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("x"))
+        .createOrReplaceTempView("li_cents")
+      s.sql(
+        """SELECT l_returnflag,
+          |  wmean_cents(w, x) AS wmean_price_cents,
+          |  sum(w) AS sum_units
+          |FROM li_cents GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     })
   )
 
@@ -354,6 +377,15 @@ object HigherOrder {
     "q28_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the Aggregator restated as exact integer sums with one final
+    // double division — identical arithmetic to reduce/merge/finish
+    "q63_udaf_aggregator" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wmean_price_cents,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_units
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

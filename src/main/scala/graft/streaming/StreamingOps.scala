@@ -803,6 +803,35 @@ object StreamingOps {
         .limit(5)
       runToMemory(s, top, "st18_out", "complete")
         .orderBy(col("n").desc, col("user_id").asc)
+    }),
+
+    // ── st19: NATIVE session_window under streaming — q48's dynamic-gap
+    // operator with a watermark in append mode. Unlike st02/st12 (custom
+    // state processors), the session merge runs inside Spark's windowing
+    // aggregation itself: the state store keeps open sessions per key,
+    // arriving events extend/merge them, and a session only EMITS once
+    // the watermark passes its end (last event + gap) — closed means
+    // closed, no retraction. Sessions still open when the stream ends
+    // are never emitted, so the oracle restates exactly the
+    // watermark-closed subset at the watermark's MILLISECOND granularity
+    // (event-time stats are tracked in ms; the fixture's µs components
+    // make that truncation visible, st15's lesson).
+    "st19_stream_session_window" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+      val agg = stream
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n"))
+      runToMemory(s, agg, "st19_out", "append")
+        .orderBy(col("user_id"), col("start_us"))
     })
   )
 
@@ -977,6 +1006,31 @@ object StreamingOps {
     // (unique user_id tie-break makes the cut deterministic)
     "st18_stream_topk" ->
       """SELECT user_id, COUNT(*) AS n FROM events
-        |GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 5""".stripMargin
+        |GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 5""".stripMargin,
+
+    // the watermark-closed subset of batch gap-sessions: session end =
+    // last event + 30 min gap (µs), emitted iff end ≤ final watermark
+    // (max event time truncated to ms, minus 1 h, back in µs — the
+    // engine tracks event-time stats in ms)
+    "st19_stream_session_window" ->
+      """WITH mx AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events),
+        |sess AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |           THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |g AS (SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM sess),
+        |iv AS (SELECT user_id, min(us) AS start_us,
+        |         max(us) + 1800000000 AS end_us, COUNT(*) AS n
+        |       FROM g GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n FROM iv, mx
+        |WHERE end_us <= wm_us
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+/** Semantic + plan pins for the TimeSeries module (q57–q62) and the
+  * st17 update-mode drain. Value correctness is the DuckDB oracle's
+  * job; these pin what the oracle can't see — that the gap fill
+  * actually fills gaps, that the window queries shuffle exactly once,
+  * and that update mode really crossed multiple micro-batches. */
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  test("q58 gap fill is non-vacuous: customer 1 has empty months at every SF") {
+    for {
+      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      if new java.io.File(dir).exists()
+    } {
+      val filled = SparkEntry.queries("q58_gap_fill")(spark, dir)
+        .filter(col("n_orders") === 0).count()
+      assert(filled > 0,
+        s"$dir: customer 1 ordered in every corpus month — the spine " +
+          "join never zero-fills and the operator under test is idle; " +
+          "pick a sparser entity or fixture")
+    }
+  }
+
+  /** AQE-aware operator walk (PortableHashSpec's pattern — the adaptive
+    * root is a leaf to naive collect). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case _                        => Nil
+    }
+    p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
+  }
+
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    allNodes(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+  }
+
+  test("q57 rolling window shuffles once on the partition key") {
+    val df = SparkEntry.queries("q57_rolling_window")(spark, sf)
+    // one hash exchange (o_custkey for the window); the only other
+    // allowed exchange is the presentation sort's range partitioning
+    val ex = hashExchanges(df)
+    assert(ex.size == 1,
+      s"expected exactly one hash exchange (the window's), got ${ex.size}:\n${ex.mkString("\n")}")
+    assert(df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("q59 forward fill shuffles once on user_id") {
+    val df = SparkEntry.queries("q59_forward_fill")(spark, sf)
+    val ex = hashExchanges(df)
+    assert(ex.size == 1,
+      s"expected exactly one hash exchange (the window's), got ${ex.size}:\n${ex.mkString("\n")}")
+  }
+
+  test("q61 argmax aggregates without a rank window or join-back") {
+    val df = SparkEntry.queries("q61_argmax_groups")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"max_by/min_by must run inside the hash aggregate, not a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected a hash aggregate:\n$plan")
+  }
+
+  test("st17 update mode really crossed multiple micro-batches") {
+    // the post-drain result is oracle-checked; this pins that the drain
+    // had real work to do — the raw sink must hold MORE rows than keys
+    // (at least one key re-emitted by a later batch), otherwise the
+    // single-batch accident makes update mode indistinguishable from
+    // complete
+    SparkEntry.queries("st17_update_mode")(spark, sf).collect()
+    val rawSink = spark.table("st17_out")
+    val keys = rawSink.select("event_type").distinct().count()
+    assert(rawSink.count() > keys,
+      s"update-mode sink holds exactly one row per key — the source " +
+        "collapsed to a single micro-batch and no update ever happened")
+  }
+}
