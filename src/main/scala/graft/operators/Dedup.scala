@@ -529,7 +529,48 @@ object Dedup {
     //    BroadcastNestedLoopJoin, no CartesianProduct (plan-asserted in
     //    DedupPlanSpec).
     "d05_dedup_embedding" -> ((s, d) =>
-      cosinePairsUncached(s, d).orderBy(col("a_id"), col("b_id")))
+      cosinePairsUncached(s, d).orderBy(col("a_id"), col("b_id"))),
+
+    // ── p06: LEAKAGE-SAFE train/val/test split — the split decision
+    // that makes held-out evaluation honest: if two near-duplicate
+    // documents land in different splits, the test set leaks into
+    // training and eval scores inflate. p02's per-document hash split
+    // cannot prevent that; the fix is to split by NEAR-DUP CLUSTER:
+    // every document inherits its connected component's id (singletons
+    // keep their own), and the split hash is computed over the CLUSTER
+    // id — so a whole duplicate family moves between splits as one
+    // unit. Composition is entirely index-reuse: the cached ≥0.2 pair
+    // table feeds the O(log n) star clustering, one left join labels
+    // the corpus, and the verification column (cross-split pair count,
+    // necessarily 0) is computed in-plan from the same pair table — the
+    // contract is visible in the output row, not just implied.
+    "p06_leakage_safe_split" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val pairs = exactJaccardPairs(s, d)
+      val comp = starComponents(
+        pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("b", pmod(graft.functions.PortableHashFunctions.polyHash(
+          concat(lit("lsplit:"), col("cluster_id").cast("string"))), lit(100L)))
+        .withColumn("split",
+          when(col("b") < 80, lit("train"))
+            .when(col("b") < 90, lit("val")).otherwise(lit("test")))
+        .localCheckpoint() // two consumers below; the component loop is iterative
+      val sa = assigned.select(col("doc_id").as("a_id"), col("split").as("a_split"))
+      val sb = assigned.select(col("doc_id").as("b_id"), col("split").as("b_split"))
+      val violations = pairs.select(col("a_id"), col("b_id"))
+        .join(sa, "a_id").join(sb, "b_id")
+        .agg(coalesce(sum(when(col("a_split") =!= col("b_split"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_split_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(violations))
+        .orderBy(col("split"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -714,6 +755,58 @@ object Dedup {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // components via the d06 recursive CTE, cluster-keyed hash split,
+    // and the cross-split pair count restated (necessarily 0 when the
+    // split is computed over cluster ids)
+    "p06_leakage_safe_split" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM pc
+        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(
+        |          'lsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR), ''),
+        |          ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
+        |      THEN 'train'
+        |      WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(
+        |          'lsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR), ''),
+        |          ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |viol AS (
+        |  SELECT CAST(COALESCE(SUM(
+        |      CASE WHEN x.split != y.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_cross_split_pairs
+        |  FROM pairs pr JOIN asg x ON pr.a_id = x.doc_id
+        |                JOIN asg y ON pr.b_id = y.doc_id)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster_id) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  n_cross_split_pairs
+        |FROM asg, viol
+        |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin
   )
 }

@@ -316,6 +316,30 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ── q64: the VARIANT type — Spark 4's open semi-structured
+    // encoding. q17 pulls one field out of a JSON STRING per access
+    // (re-parse per extraction); `parse_json` decodes the document ONCE
+    // into variant's binary form, after which `variant_get` navigates
+    // offsets instead of text — at 100 TB the parse happens at ingest,
+    // extraction is cheap, and parquet shredding can push variant
+    // subfields down to columnar storage. Same aggregate contract as
+    // q17, so the oracle restates it over the JSON text — the variant
+    // path must lose nothing.
+    "q64_variant_events" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k_val",
+          variant_get(col("v"), "$.k", "int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k_val")).as("sum_k"),
+          countDistinct(col("k_val")).as("distinct_k"),
+          min(col("k_val")).cast(IntegerType).as("min_k"),
+          max(col("k_val")).cast(IntegerType).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── q18: conditional aggregation (exact integer counters).
     "q18_conditional_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -615,6 +639,16 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q17_json_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the variant decode→navigate path must agree with direct JSON text
+    // extraction field-for-field
+    "q64_variant_events" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k,

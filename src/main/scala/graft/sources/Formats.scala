@@ -128,6 +128,35 @@ object Formats {
           sum(col("user_id")).as("user_sum"),
           count(col("user_id")).as("n_parsed_ids"))
         .orderBy(col("is_corrupt"))
+    }),
+
+    // ── q65: XML round trip — Spark 4 ships the XML source natively
+    // (the spark-xml package folded into core), which matters for the
+    // long tail of enterprise feeds that still move as XML. Same
+    // fidelity statement as q40/q41/q44: write a typed slice as
+    // row-tagged XML, read it back with an EXPLICIT schema (no
+    // inference job over the corpus), aggregate, and pin against the
+    // parquet original — type fidelity through the text format (long,
+    // double round-trip via shortest-repr printing, string escaping of
+    // `<`/`&`) is what the hash match proves.
+    "q65_xml_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = graft.Scratch.dir(s, "graft_xml", tag)
+      graft.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("rowTag", "order").option("rootTag", "orders")
+        .xml(out)
+      val schema = "o_orderkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderpriority STRING"
+      s.read.schema(schema).option("rowTag", "order").xml(out)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     })
   )
 
@@ -162,6 +191,14 @@ object Formats {
         |  COUNT(CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END)
         |    AS n_parsed_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stated over the ORIGINAL parquet table: the XML round trip must
+    // be lossless for the aggregate to hash-match
+    "q65_xml_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // stated over the ORIGINAL parquet table: the ORC round trip must
     // be lossless for the aggregate to hash-match

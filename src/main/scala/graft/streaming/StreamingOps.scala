@@ -832,6 +832,71 @@ object StreamingOps {
           col("n"))
       runToMemory(s, agg, "st19_out", "append")
         .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // ── st20: CHAINED STREAMING AGGREGATIONS — two stateful aggregates
+    // in ONE streaming query (Spark 3.4+ allows multiple stateful
+    // operators in append mode when each re-windows the previous
+    // window column): per-15-minute counts roll up into hourly
+    // peak-quarter + total. Before this was supported the second
+    // aggregation forced a second query over an intermediate sink —
+    // double checkpointing, double latency; here the engine derives the
+    // second operator's event time from the first's window column and
+    // propagates the watermark through. An emitted hour closed under
+    // the watermark, which closes all four of its quarters too, so the
+    // batch restatement needs no per-quarter emission modeling.
+    "st20_chained_stream_aggs" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+      val perQuarter = stream
+        .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
+        .agg(count(lit(1)).as("n15"))
+      val hourly = perQuarter
+        .groupBy(window(col("w15"), "1 hour").as("w60"), col("event_type"))
+        .agg(max(col("n15")).as("max_quarter"), sum(col("n15")).as("n_hour"))
+        .select(col("w60.start").as("window_start"), col("event_type"),
+          col("max_quarter"), col("n_hour"))
+      runToMemory(s, hourly, "st20_out", "append")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── st21: FULL-OUTER stream-stream join — both unmatched sides
+    // emit null-extended rows, each gated by its OWN watermark-derived
+    // close point: an unmatched click emits when no purchase can still
+    // arrive in (c_ts, c_ts+30min] — watermark past c_ts + 30 min
+    // (st14's rule) — while an unmatched purchase emits when no click
+    // can still arrive with c_ts ∈ [p_ts−30min, p_ts] — watermark past
+    // p_ts itself. The asymmetry falls straight out of the join
+    // condition's time bounds, and rows still inside their horizon at
+    // stream end are discarded unemitted; the oracle restates both
+    // closed subsets explicitly.
+    "st21_stream_full_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String) = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+      val clicks = src("click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src("purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
+        "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("click_id"), col("purchase_id"))
+      runToMemory(s, joined, "st21_out", "append")
+        .orderBy(col("click_id"), col("purchase_id"))
     })
   )
 
@@ -1031,6 +1096,57 @@ object StreamingOps {
         |       FROM g GROUP BY user_id, sid)
         |SELECT user_id, start_us, end_us, n FROM iv, mx
         |WHERE end_us <= wm_us
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // hours closed by the final watermark (ms-truncated event-time
+    // stats), each restated as max/sum over its 15-minute quarters
+    "st20_chained_stream_aggs" ->
+      """WITH mx AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events),
+        |qc AS (SELECT event_type, epoch_us(ts) // 900000000 AS qidx,
+        |         COUNT(*) AS n15
+        |       FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, qidx // 4 AS hidx,
+        |        MAX(n15) AS max_quarter, CAST(SUM(n15) AS BIGINT) AS n_hour
+        |      FROM qc GROUP BY 1, 2)
+        |SELECT make_timestamp(hidx * 3600000000) AS window_start,
+        |  event_type, max_quarter, n_hour
+        |FROM h, mx
+        |WHERE (hidx + 1) * 3600000000 <= wm_us
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // st14's click-side rows PLUS unmatched purchases whose click
+    // horizon ([p_ts − 30 min, p_ts]) the final watermark closed
+    "st21_stream_full_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        |    - 3600000000 AS w),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |    epoch_us(c.ts) AS c_us
+        |  FROM events c LEFT JOIN events p
+        |    ON p.event_type = 'purchase' AND p.user_id = c.user_id
+        |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |  WHERE c.event_type = 'click'),
+        |pu AS (
+        |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+        |    p.event_id AS purchase_id
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) < w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events c
+        |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000))
+        |SELECT user_id, click_id, purchase_id FROM (
+        |  SELECT user_id, click_id, purchase_id FROM m, wm
+        |  WHERE purchase_id IS NOT NULL OR c_us + 1800000000 < w
+        |  UNION ALL
+        |  SELECT user_id, click_id, purchase_id FROM pu)
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
   )
 }
