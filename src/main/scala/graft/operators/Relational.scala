@@ -340,6 +340,47 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ── q66: ANSI-SAFE error handling — Spark 4 runs ANSI mode by
+    // default, so the arithmetic that silently wrapped or nulled in
+    // Spark 3 now FAILS the job; the `try_*` family is the operational
+    // answer for pipelines that must survive dirty data instead of
+    // dying mid-ingest. try_divide returns NULL on a zero divisor
+    // (the fixture's props.k really is 0 sometimes), try_add returns
+    // NULL on int64 overflow (provoked deliberately), try_cast nulls an
+    // unparseable string — each restated arithmetically in the oracle,
+    // so the NULL-not-crash contract is value-checked, not assumed.
+    "q66_ansi_safe" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("per_k", expr("try_divide(value, k)"))
+        .withColumn("ovf", expr("try_add(event_id, 9223372036854775807L)"))
+        .withColumn("as_int", expr("try_cast(event_type AS INT)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("per_k")).as("n_divisible"),
+          max(col("per_k")).as("max_per_k"),
+          count(col("ovf")).as("n_no_overflow"),
+          count(col("as_int")).as("n_castable"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── q67: LIMIT/OFFSET pagination — the serving-layer page fetch,
+    // through the SQL parser (OFFSET is a first-class clause since
+    // Spark 3.4). Spark plans the page as a single
+    // `TakeOrderedAndProject(limit=offset+k, skip=offset)` — the
+    // driver materializes only offset+k rows, never the full sort; the
+    // deep-page cost growing with the offset is inherent to
+    // offset-pagination (a production cursor keys on the last-seen sort
+    // value instead, which is exactly the ORDER BY + WHERE > cursor
+    // shape q09 plans as TakeOrderedAndProject too).
+    "q67_pagination" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_pg")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_pg
+          |ORDER BY o_totalprice DESC, o_orderkey ASC
+          |LIMIT 10 OFFSET 20""".stripMargin)
+    }),
+
     // ── q18: conditional aggregation (exact integer counters).
     "q18_conditional_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -655,6 +696,28 @@ object Relational {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // try_* semantics restated arithmetically: zero divisor → NULL,
+    // any positive addend overflows the max-int64 constant → NULL,
+    // non-numeric strings never cast
+    "q66_ansi_safe" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN k = 0 THEN NULL ELSE value / CAST(k AS DOUBLE) END)
+        |    AS n_divisible,
+        |  MAX(CASE WHEN k = 0 THEN NULL ELSE value / CAST(k AS DOUBLE) END)
+        |    AS max_per_k,
+        |  COUNT(CASE WHEN event_id > 0 THEN NULL ELSE event_id END)
+        |    AS n_no_overflow,
+        |  COUNT(TRY_CAST(event_type AS INTEGER)) AS n_castable
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q67_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10 OFFSET 20""".stripMargin,
 
     "q18_conditional_agg" ->
       """SELECT l_returnflag,

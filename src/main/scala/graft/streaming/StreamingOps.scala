@@ -897,6 +897,36 @@ object StreamingOps {
           col("click_id"), col("purchase_id"))
       runToMemory(s, joined, "st21_out", "append")
         .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // ── st22: LEFT-SEMI stream-stream join — "clicks that converted":
+    // each click emits AT MOST ONCE, as soon as any in-window purchase
+    // matches, and carries no purchase columns — the streaming EXISTS.
+    // Matched clicks emit on match (no watermark wait, unlike st14's
+    // null rows); unmatched clicks just age out of state. Completes the
+    // four stream-stream join types Spark supports
+    // (inner st06 / left-outer st14 / full-outer st21 / left-semi).
+    "st22_stream_semi_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String) = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+      val clicks = src("click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src("purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val converted = clicks.join(purchases,
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
+        "left_semi")
+        .select(col("c_user").as("user_id"), col("click_id"))
+      runToMemory(s, converted, "st22_out", "append").orderBy(col("click_id"))
     })
   )
 
@@ -1147,6 +1177,18 @@ object StreamingOps {
         |  WHERE purchase_id IS NOT NULL OR c_us + 1800000000 < w
         |  UNION ALL
         |  SELECT user_id, click_id, purchase_id FROM pu)
-        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    // the streaming EXISTS: clicks with at least one in-window purchase,
+    // emitted once each — the batch semi join restates it exactly
+    "st22_stream_semi_join" ->
+      """SELECT c.user_id, c.event_id AS click_id
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |ORDER BY click_id""".stripMargin
   )
 }
