@@ -147,4 +147,34 @@ object PortableHashFunctions {
   def polyHash(c: Column): Column = call_function("poly_hash", c)
   def rollingMin4W8(c: Column): Column = call_function("rolling_min4_w8", c)
   def portableSimhash60(c: Column): Column = call_function("portable_simhash60", c)
+
+  /** Portable membership bucket in [0, 100): hash of `prefix ++ key`.
+    * THE split/sample primitive — p02 (per-doc sampling + split) and
+    * p06 (cluster-keyed leakage-safe split) must agree on what a
+    * bucket means, so the definition lives here once, next to its
+    * oracle-SQL twin. */
+  def splitBucket(prefix: String, key: Column): Column =
+    org.apache.spark.sql.functions.pmod(
+      polyHash(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(prefix), key.cast("string"))),
+      org.apache.spark.sql.functions.lit(100L))
+
+  /** The 80/10/10 split label over [[splitBucket]]. */
+  def splitLabel(bucket: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** DuckDB restatement of [[splitBucket]] over a SQL key expression —
+    * the char-fold polyHash replay, mod 100. */
+  def splitBucketSql(prefix: String, keyExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('$prefix' || $keyExpr, ''),
+       |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+
+  /** DuckDB restatement of [[splitLabel]]. */
+  def splitLabelSql(bucketExpr: String): String =
+    s"""CASE WHEN $bucketExpr < 80 THEN 'train'
+       |     WHEN $bucketExpr < 90 THEN 'val' ELSE 'test' END""".stripMargin
 }

@@ -549,14 +549,12 @@ object Dedup {
       val pairs = exactJaccardPairs(s, d)
       val comp = starComponents(
         pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      import graft.functions.PortableHashFunctions.{splitBucket, splitLabel}
       val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
         .join(comp, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("b", pmod(graft.functions.PortableHashFunctions.polyHash(
-          concat(lit("lsplit:"), col("cluster_id").cast("string"))), lit(100L)))
         .withColumn("split",
-          when(col("b") < 80, lit("train"))
-            .when(col("b") < 90, lit("val")).otherwise(lit("test")))
+          splitLabel(splitBucket("lsplit:", col("cluster_id"))))
         .localCheckpoint() // two consumers below; the component loop is iterative
       val sa = assigned.select(col("doc_id").as("a_id"), col("split").as("a_split"))
       val sb = assigned.select(col("doc_id").as("b_id"), col("split").as("b_split"))
@@ -761,11 +759,11 @@ object Dedup {
     // and the cross-split pair count restated (necessarily 0 when the
     // split is computed over cluster ids)
     "p06_leakage_safe_split" ->
-      """WITH RECURSIVE g AS (
+      s"""WITH RECURSIVE g AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(generate_series(1, len(toks)-2),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
         |        FROM documents) WHERE len(toks) >= 3),
         |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
         |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
@@ -785,16 +783,9 @@ object Dedup {
         |asg AS (
         |  SELECT d.doc_id, d.n_chars,
         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(
-        |          'lsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR), ''),
-        |          ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80
-        |      THEN 'train'
-        |      WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(
-        |          'lsplit:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR), ''),
-        |          ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90
-        |      THEN 'val' ELSE 'test' END AS split
+        |    ${graft.functions.PortableHashFunctions.splitLabelSql(
+             graft.functions.PortableHashFunctions.splitBucketSql("lsplit:",
+               "CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"))} AS split
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
         |viol AS (
         |  SELECT CAST(COALESCE(SUM(

@@ -349,12 +349,20 @@ object Relational {
     // NULL on int64 overflow (provoked deliberately), try_cast nulls an
     // unparseable string — each restated arithmetically in the oracle,
     // so the NULL-not-crash contract is value-checked, not assumed.
+    // The cast arm works on the JSON k digits with every 10th row
+    // deterministically corrupted ('12' → '12x'), so BOTH outcomes are
+    // exercised at every SF — an always-null (or always-good) arm would
+    // be vacuously green and could hide a cross-engine cast divergence.
+    // Integer strings only: Spark try_cast('1.5' AS INT) nulls where
+    // DuckDB TRY_CAST rounds, so decimal inputs must never reach it.
     "q66_ansi_safe" -> ((s, d) => {
       t(s, d, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("k", col("k_str").cast(IntegerType))
         .withColumn("per_k", expr("try_divide(value, k)"))
         .withColumn("ovf", expr("try_add(event_id, 9223372036854775807L)"))
-        .withColumn("as_int", expr("try_cast(event_type AS INT)"))
+        .withColumn("as_int", expr(
+          "try_cast(concat(k_str, if(event_id % 10 = 0, 'x', '')) AS INT)"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           count(col("per_k")).as("n_divisible"),
@@ -699,10 +707,13 @@ object Relational {
 
     // try_* semantics restated arithmetically: zero divisor → NULL,
     // any positive addend overflows the max-int64 constant → NULL,
-    // non-numeric strings never cast
+    // the 'x'-corrupted digit strings never cast, the clean ones always
+    // do
     "q66_ansi_safe" ->
       """WITH e AS (SELECT event_type, event_id, value,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    json_extract_string(props, '$.k') ||
+        |      CASE WHEN event_id % 10 = 0 THEN 'x' ELSE '' END AS k_dirty
         |  FROM events)
         |SELECT event_type, COUNT(*) AS n,
         |  COUNT(CASE WHEN k = 0 THEN NULL ELSE value / CAST(k AS DOUBLE) END)
@@ -711,7 +722,7 @@ object Relational {
         |    AS max_per_k,
         |  COUNT(CASE WHEN event_id > 0 THEN NULL ELSE event_id END)
         |    AS n_no_overflow,
-        |  COUNT(TRY_CAST(event_type AS INTEGER)) AS n_castable
+        |  COUNT(TRY_CAST(k_dirty AS INTEGER)) AS n_castable
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q67_pagination" ->

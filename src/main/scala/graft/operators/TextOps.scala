@@ -133,18 +133,14 @@ object TextOps {
     // hash lets DuckDB replay membership bit-identically.
     "p02_sample_split" -> ((s, d) => {
       graft.functions.PortableHashFunctions.register(s)
-      def bucket(prefix: String) =
-        pmod(graft.functions.PortableHashFunctions.polyHash(
-          concat(lit(prefix), col("doc_id").cast(StringType))), lit(100L))
+      import graft.functions.PortableHashFunctions.{splitBucket, splitLabel}
       val keepRate = when(col("lang") === "en", 50)
         .when(col("lang") === "zh", 80).otherwise(100)
       docs(s, d)
-        .withColumn("samp_b", bucket("samp:"))
+        .withColumn("samp_b", splitBucket("samp:", col("doc_id")))
         .filter(col("samp_b") < keepRate)
-        .withColumn("split_b", bucket("split:"))
-        .withColumn("split",
-          when(col("split_b") < 80, lit("train"))
-            .when(col("split_b") < 90, lit("val")).otherwise(lit("test")))
+        .withColumn("split_b", splitBucket("split:", col("doc_id")))
+        .withColumn("split", splitLabel(col("split_b")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -601,17 +597,14 @@ object TextOps {
         |FROM t ORDER BY doc_id, pos""".stripMargin,
 
     "p02_sample_split" -> {
-      def bucket(prefix: String): String =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(string_split('$prefix' || CAST(doc_id AS VARCHAR), ''),
-           |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+      def bucket(prefix: String): String = graft.functions.PortableHashFunctions
+        .splitBucketSql(prefix, "CAST(doc_id AS VARCHAR)")
       s"""WITH h AS (SELECT lang, n_chars, doc_id,
          |    ${bucket("samp:")} AS samp_b,
          |    ${bucket("split:")} AS split_b
          |  FROM documents)
          |SELECT lang,
-         |  CASE WHEN split_b < 80 THEN 'train'
-         |       WHEN split_b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  ${graft.functions.PortableHashFunctions.splitLabelSql("split_b")} AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM h

@@ -187,6 +187,34 @@ object StreamingOps {
     nEvents
   }
 
+  /** The clicks/purchases stream pair every stream-stream join variant
+    * (st06 inner / st14 left-outer / st21 full-outer / st22 left-semi)
+    * builds on: ns→µs conversion, per-side rename, 1-hour watermark on
+    * each side. ONE definition, so the four join types can never drift
+    * apart on the delay, the time bound, or the timestamp conversion. */
+  private def clickPurchaseStreams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src(tpe: String) = s.readStream
+      .schema(eventsSchema)
+      .parquet(s"$d/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+    val clicks = src("click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    (clicks, purchases)
+  }
+
+  /** The 30-minute conversion-window condition the four variants share. */
+  private def conversionWindow =
+    expr("""c_user = p_user AND
+            p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes""")
+
   /** Drain a streaming frame through one AvailableNow run into a named
     * memory sink and return the sink table — every stXX query's last
     * mile (complete vs append follows the aggregation's output
@@ -329,23 +357,8 @@ object StreamingOps {
     // join emits matches as they meet; the oracle is the batch
     // self-join restatement.
     "st06_stream_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src(tpe: String) = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter(col("event_type") === tpe)
-      val clicks = src("click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src("purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        expr("""c_user = p_user AND
-                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+      val (clicks, purchases) = clickPurchaseStreams(s, d)
+      val joined = clicks.join(purchases, conversionWindow)
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
       runToMemory(s, joined, "st06_out", "append").orderBy(col("click_id"), col("purchase_id"))
     }),
@@ -362,24 +375,8 @@ object StreamingOps {
     // (the final global watermark; AvailableNow's closing no-data batch
     // advances it).
     "st14_stream_left_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src(tpe: String) = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter(col("event_type") === tpe)
-      val clicks = src("click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src("purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        expr("""c_user = p_user AND
-                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
-        "left_outer")
+      val (clicks, purchases) = clickPurchaseStreams(s, d)
+      val joined = clicks.join(purchases, conversionWindow, "left_outer")
         .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
       runToMemory(s, joined, "st14_out", "append")
         .orderBy(col("click_id"), col("purchase_id"))
@@ -875,24 +872,8 @@ object StreamingOps {
     // stream end are discarded unemitted; the oracle restates both
     // closed subsets explicitly.
     "st21_stream_full_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src(tpe: String) = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter(col("event_type") === tpe)
-      val clicks = src("click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src("purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        expr("""c_user = p_user AND
-                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
-        "full_outer")
+      val (clicks, purchases) = clickPurchaseStreams(s, d)
+      val joined = clicks.join(purchases, conversionWindow, "full_outer")
         .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
           col("click_id"), col("purchase_id"))
       runToMemory(s, joined, "st21_out", "append")
@@ -907,24 +888,8 @@ object StreamingOps {
     // four stream-stream join types Spark supports
     // (inner st06 / left-outer st14 / full-outer st21 / left-semi).
     "st22_stream_semi_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src(tpe: String) = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter(col("event_type") === tpe)
-      val clicks = src("click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src("purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val converted = clicks.join(purchases,
-        expr("""c_user = p_user AND
-                p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
-        "left_semi")
+      val (clicks, purchases) = clickPurchaseStreams(s, d)
+      val converted = clicks.join(purchases, conversionWindow, "left_semi")
         .select(col("c_user").as("user_id"), col("click_id"))
       runToMemory(s, converted, "st22_out", "append").orderBy(col("click_id"))
     })
@@ -979,13 +944,16 @@ object StreamingOps {
 
     // matches as in st06, PLUS null rows for clicks whose join window
     // the final watermark closed without a match; NULLS FIRST mirrors
-    // Spark's asc ordering
+    // Spark's asc ordering. The watermark is ms-truncated (the engine
+    // tracks event-time stats in ms) — at µs precision the oracle's
+    // watermark would run up to 999 µs AHEAD of Spark's and could claim
+    // null rows the engine never emits (st19/st20's lesson)
     "st14_stream_left_join" ->
       """WITH wm AS (
-        |  SELECT least(
+        |  SELECT (least(
         |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
         |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
-        |    - 3600000000 AS w),
+        |    // 1000 - 3600000) * 1000 AS w),
         |m AS (
         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |    epoch_us(c.ts) AS c_us
@@ -1046,14 +1014,14 @@ object StreamingOps {
       """WITH mx AS (
         |  SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
         |sess AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
         |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |           THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |g AS (SELECT user_id, us,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM sess),
         |iv AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
@@ -1111,14 +1079,14 @@ object StreamingOps {
       """WITH mx AS (
         |  SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events),
         |sess AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
         |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |           THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |g AS (SELECT user_id, us,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM sess),
         |iv AS (SELECT user_id, min(us) AS start_us,
@@ -1146,13 +1114,14 @@ object StreamingOps {
         |ORDER BY window_start, event_type""".stripMargin,
 
     // st14's click-side rows PLUS unmatched purchases whose click
-    // horizon ([p_ts − 30 min, p_ts]) the final watermark closed
+    // horizon ([p_ts − 30 min, p_ts]) the final ms-truncated watermark
+    // closed
     "st21_stream_full_join" ->
       """WITH wm AS (
-        |  SELECT least(
+        |  SELECT (least(
         |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
         |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
-        |    - 3600000000 AS w),
+        |    // 1000 - 3600000) * 1000 AS w),
         |m AS (
         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |    epoch_us(c.ts) AS c_us
