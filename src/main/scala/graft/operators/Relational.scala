@@ -33,10 +33,14 @@ import graft.Tables
   */
 object Relational {
 
-  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  /** Shared with the other relational modules (TimeSeries) — one
+    * definition of the table loader and the oracle decimal discipline. */
+  private[operators] def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables(s, d, n)
 
   /** Per-row decimal cast → associative exact SUM (oracle-safe revenue). */
-  private def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
+  private[operators] def dec(c: Column, scale: Int = 4): Column =
+    c.cast(DecimalType(18, scale))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -24,9 +24,8 @@ import graft.Tables
   */
 object TimeSeries {
 
-  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
-
-  private def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
+  // one definition of the loader + decimal discipline (Relational's)
+  import Relational.{t, dec}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -125,12 +124,16 @@ object TimeSeries {
     // answer inside the hash aggregate (map-side partials carry one
     // candidate each) — no rank window, no self-join back to the
     // aggregate. The ordering value is made UNIQUE by folding the
-    // 2-decimal price into integer cents and appending the orderkey
-    // (cents·10^7 + key, exact in int64): a raw price tie would
-    // otherwise make the result engine-dependent.
+    // 2-decimal price into integer cents and appending the orderkey —
+    // in 128-bit arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    // oracle): cents·10^12 + key is collision-free and
+    // lexicographic-by-(price, key) for any orderkey < 10^12, which
+    // covers ~SF70k TPC-H (an int64 fold would break past key ~10^7 —
+    // the max_by row and max_price could name DIFFERENT orders). A raw
+    // price tie would otherwise make the result engine-dependent.
     "q61_argmax_groups" -> ((s, d) => {
-      val ord = round(col("o_totalprice") * 100).cast(LongType) *
-        lit(10000000L) + col("o_orderkey")
+      val ord = (round(col("o_totalprice") * 100).cast(DecimalType(38, 0)) *
+        lit(1000000000000L) + col("o_orderkey")).cast(DecimalType(38, 0))
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -212,8 +215,8 @@ object TimeSeries {
 
     "q61_argmax_groups" ->
       """SELECT o_orderpriority,
-        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS top_orderkey,
-        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS bottom_orderkey,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS top_orderkey,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 1000000000000 + o_orderkey) AS bottom_orderkey,
         |  MAX(o_totalprice) AS max_price,
         |  MIN(o_totalprice) AS min_price,
         |  COUNT(*) AS n

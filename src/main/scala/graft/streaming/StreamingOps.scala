@@ -215,6 +215,26 @@ object StreamingOps {
     expr("""c_user = p_user AND
             p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes""")
 
+  /** A GENUINELY multi-batch event stream: the single-file fixture is
+    * re-laid-out once per (app, dataset) as 8 parquet files and
+    * streamed 2 per trigger → ~4 micro-batches. st17 (update mode) and
+    * st18 (complete-mode re-emission) both need real batch boundaries,
+    * or the output-mode semantics they claim to exercise degenerate to
+    * a single batch query. */
+  private def multiBatchEventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val src = graft.Scratch.dir(s, "graft_st17_src", tag)
+    if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+      s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+        .repartition(8).write.mode("overwrite").parquet(src)
+    }
+    s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+  }
+
   /** Drain a streaming frame through one AvailableNow run into a named
     * memory sink and return the sink table — every stXX query's last
     * mile (complete vs append follows the aggregation's output
@@ -759,18 +779,7 @@ object StreamingOps {
     // real dashboard sink wants: per-batch deltas without append's
     // wait-for-watermark latency or complete's full-result rewrite.
     "st17_update_mode" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val src = graft.Scratch.dir(s, "graft_st17_src", tag)
-      if (!new java.io.File(s"$src/_SUCCESS").exists()) {
-        s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
-          .repartition(8).write.mode("overwrite").parquet(src)
-      }
-      val stream = s.readStream
-        .schema(eventsSchema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-      val agg = stream
+      val agg = multiBatchEventStream(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
       runToMemory(s, agg, "st17_out", "update")
@@ -788,12 +797,12 @@ object StreamingOps {
     // from the running aggregate — the live-leaderboard shape. The
     // orderBy carries the unique user_id tie-break, so the emitted
     // top-5 is deterministic and the oracle can restate it exactly.
+    // Runs on the 8-file relayout (2 files/trigger) so the full top-5
+    // really is recomputed and re-emitted across ~4 micro-batches —
+    // over the single-file fixture the "per-batch recompute" would be
+    // one batch, i.e. a batch query in disguise.
     "st18_stream_topk" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stream = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-      val top = stream
+      val top = multiBatchEventStream(s, d)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user_id").asc)
