@@ -75,6 +75,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"expected a hash aggregate:\n$plan")
   }
 
+  test("q57's RANGE frame is not vacuously a ROWS frame on this fixture") {
+    // the operator's whole point is day-valued framing: a customer with
+    // two orders on one day must count BOTH in each one's trailing
+    // window. If no customer ever orders twice in a day, RANGE and ROWS
+    // coincide and the frame choice is untested — pin that the fixture
+    // keeps the distinction live at every SF.
+    for {
+      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      if new java.io.File(dir).exists()
+    } {
+      val multi = Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .count().filter(col("count") > 1).count()
+      assert(multi > 0,
+        s"$dir: no customer has two same-day orders — q57's RANGE frame " +
+          "degenerates to ROWS and the day-valued semantics are untested")
+    }
+  }
+
+  test("q63's Aggregator is merge-associative and matches the direct formula") {
+    // the buffer contract two-phase aggregation relies on: any
+    // partition of the input, reduced partially and merged in any
+    // grouping, must finish to the same value as the direct computation
+    val agg = graft.functions.WeightedMeanAggregator
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val rows = Seq.fill(1 + rnd.nextInt(40))(
+        graft.functions.WMIn(1 + rnd.nextInt(50), rnd.nextInt(1000000).toLong))
+      val direct = rows.map(r => r.w * r.x).sum.toDouble / rows.map(_.w).sum
+      // random partitioning into 1..5 slices, each reduced, then merged
+      val slices = rows.grouped(1 + rnd.nextInt(8)).toSeq
+      val merged = slices.map(sl => sl.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(agg.finish(merged) == direct) // exact: integer state, one division
+    }
+    assert(agg.finish(agg.zero).isNaN) // empty-group contract
+  }
+
+  test("q67 pages with TakeOrderedAndProject(offset), never a full sort") {
+    val df = SparkEntry.queries("q67_pagination")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected the page to plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a global sort crept into the pagination plan:\n$plan")
+  }
+
   test("st17 update mode really crossed multiple micro-batches") {
     // the post-drain result is oracle-checked; this pins that the drain
     // had real work to do — the raw sink must hold MORE rows than keys
