@@ -320,6 +320,28 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ── q68: JOIN-STRATEGY HINTS through the SQL surface — the escape
+    // hatch for when statistics mislead the planner (stale stats after
+    // a bulk load, a filtered dim the optimizer can't size, a dim that
+    // LOOKS small but explodes). The demo direction is chosen to be
+    // provable: customer is broadcast-sized here, so auto-broadcast
+    // would pick BroadcastHashJoin on its own — the SHUFFLE_MERGE hint
+    // OVERRIDES that default (ScalePlanSpec pins SortMergeJoin and the
+    // absence of any broadcast join; the reverse BROADCAST-hint
+    // direction is pinned there too, under a disabled auto-broadcast
+    // threshold). Hints steer strategy only — the oracle is the plain
+    // join, which the hinted plan must reproduce exactly.
+    "q68_join_hints" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_h")
+      t(s, d, "customer").createOrReplaceTempView("customer_h")
+      s.sql(
+        """SELECT /*+ SHUFFLE_MERGE(customer_h) */ c_mktsegment,
+          |  count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_h JOIN customer_h ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // ── q64: the VARIANT type — Spark 4's open semi-structured
     // encoding. q17 pulls one field out of a JSON STRING per access
     // (re-parse per extraction); `parse_json` decodes the document ONCE
@@ -698,6 +720,14 @@ object Relational {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // strategy hints must be result-invariant: the oracle is the plain
+    // join
+    "q68_join_hints" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the variant decode→navigate path must agree with direct JSON text
     // extraction field-for-field

@@ -70,6 +70,42 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected the total branch to reuse the monthly agg's exchange:\n$plan")
   }
 
+  test("q68 SHUFFLE_MERGE hint overrides auto-broadcast") {
+    // customer is broadcast-sized at every SF, so without the hint the
+    // planner picks BroadcastHashJoin on its own — SortMergeJoin in the
+    // executed plan proves the hint, not the stats, chose the strategy
+    val df = SparkEntry.queries("q68_join_hints")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"auto-broadcast won over the SHUFFLE_MERGE hint:\n$plan")
+  }
+
+  test("BROADCAST hint overrides a disabled auto-broadcast threshold") {
+    // the reverse direction: thresholds say "never broadcast", the hint
+    // says broadcast — the hint must win
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      Tables(spark, sf, "orders").createOrReplaceTempView("orders_bh")
+      Tables(spark, sf, "customer").createOrReplaceTempView("customer_bh")
+      val df = spark.sql(
+        """SELECT /*+ BROADCAST(customer_bh) */ count(*) AS n
+          |FROM orders_bh JOIN customer_bh ON o_custkey = c_custkey""".stripMargin)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected the BROADCAST hint to force a broadcast join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q43 result is invariant under skew handling") {
     val base = Adaptive.skewedAgg(spark, sf).collect().toSeq
     val handled = Adaptive.withSkewConfs(spark, sizeBytes = 256L) {
