@@ -157,6 +157,44 @@ object Formats {
             .as("sum_price"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ── q69: JDBC SINK → SOURCE round trip — the write side the
+    // reference never had (its pipeline only EXTRACTED over JDBC;
+    // publishing results back to an operational database is the other
+    // half of that contract). A typed orders slice is written through
+    // Spark's JDBC writer into embedded Derby (ships in Spark's jars;
+    // the CrimeIngestSpec engine) with batched inserts, then read back
+    // through the PARTITIONED range reader (CrimeIngest's
+    // scale-correct form — the bounds come from a one-row min/max
+    // aggregate, the standard slice-discovery query, not a data
+    // collect) and re-aggregated against the parquet original: type
+    // fidelity (BIGINT/DOUBLE/VARCHAR) through a real SQL engine's
+    // storage and back is what the hash match proves. Scratch keys the
+    // db dir by applicationId, so concurrent JVMs never contend for
+    // Derby's single-JVM embedded lock.
+    "q69_jdbc_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dbDir = graft.Scratch.dir(s, "graft_derby", tag)
+      val url = s"jdbc:derby:$dbDir/rt;create=true"
+      val props = new java.util.Properties()
+      val slice = graft.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      slice.write.mode("overwrite")
+        .option("batchsize", "1000")
+        .jdbc(url, "orders_rt", props)
+      val bounds = slice
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      CrimeIngest.readJdbcPartitioned(s, url, "orders_rt", "o_orderkey",
+          bounds.getLong(0), bounds.getLong(1), numPartitions = 3,
+          user = "", password = "")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -191,6 +229,14 @@ object Formats {
         |  COUNT(CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END)
         |    AS n_parsed_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stated over the ORIGINAL parquet table: the Derby round trip must
+    // be lossless for the aggregate to hash-match
+    "q69_jdbc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stated over the ORIGINAL parquet table: the XML round trip must
     // be lossless for the aggregate to hash-match
