@@ -58,6 +58,33 @@ object Similarity {
       (assigned, s.createDataFrame(cents).toDF("cell", "centroid"))
   }
 
+  /** The IVF probe path (s03 in-session, s06 from the persisted index):
+    * rank cells per query by centroid cosine, probe the top `nProbe`,
+    * exact rescore inside the probed cells, top-K per query. */
+  private def ivfProbe(assigned: DataFrame, centsDf: DataFrame,
+      nProbe: Int = 2): DataFrame = {
+    val q = assigned.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"),
+        col("rank").cast("int").as("rank"),
+        (round(col("cos"), 6) + 0.0).as("cos"))
+  }
+
   /** Multi-table random-hyperplane LSH: `nTables` independent tables of
     * `nBits` sign bits each. One table of many bits over-partitions a
     * small/medium corpus into singleton buckets (zero recall); several
@@ -165,29 +192,44 @@ object Similarity {
     // bench's min-of-2, measure the probe path.
     "s03_ann_ivf" -> ((s, d) => {
       VectorFunctions.register(s)
-      val nProbe = 2
       val (assigned, centsDf) = ivfIndex(s, d)
-      val q = assigned.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val wProbe = Window.partitionBy(col("q_id"))
-        .orderBy(col("ccos").desc, col("cell").asc)
-      val probed = q.crossJoin(broadcast(centsDf))
-        .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("centroid")))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= nProbe)
-        .select(col("q_id"), col("qv"), col("cell"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id").asc)
-      assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
-        .join(broadcast(probed), Seq("cell"))
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("n_id"),
-          col("rank").cast("int").as("rank"),
-          (round(col("cos"), 6) + 0.0).as("cos"))
-        .orderBy(col("q_id"), col("rank"))
+      ivfProbe(assigned, centsDf).orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── s06: PERSISTED IVF index — the build/save/serve split every
+    // production ANN deployment runs: the index (cell assignment +
+    // centroids) is WRITTEN as parquet, cell-partitioned, and serving
+    // LOADS it — the builder and the searcher are different jobs,
+    // possibly different clusters, and the index outlives both. The
+    // cell-partitioned layout means a loaded probe reads only the
+    // probed cells' directories (partition pruning on the index scan),
+    // so serving I/O is ~nProbe/nCells of the index regardless of
+    // corpus size. The served result must meet the SAME recall contract
+    // as the in-session index (s04's ivf gate): persistence is allowed
+    // to cost nothing in quality, and that contract — not the
+    // engine-specific neighbor lists — is the green CORRECTNESS row.
+    "s06_ann_persisted" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = graft.Scratch.dir(s, "graft_ivfidx", tag)
+      if (!new java.io.File(s"$idxDir/assigned/_SUCCESS").exists()) {
+        val (assigned, centsDf) = ivfIndex(s, d)
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idxDir/assigned")
+        centsDf.write.mode("overwrite").parquet(s"$idxDir/cents")
+      }
+      val assigned = s.read.parquet(s"$idxDir/assigned")
+      val centsDf = s.read.parquet(s"$idxDir/cents")
+      val pair = Seq("q_id", "n_id")
+      val exact = queries("s01_ann_bruteforce")(s, d).select(pair.map(col): _*)
+      val served = ivfProbe(assigned, centsDf).select(pair.map(col): _*)
+      val n = exact.agg(count(lit(1)).as("n_pairs"))
+      val hits = exact.join(served, pair, "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      n.crossJoin(hits).select(
+        col("n_pairs"),
+        (col("hits").cast("double") / col("n_pairs") >= 0.3)
+          .as("persisted_recall_ok"))
     }),
 
     // ── s04: the ANN quality gate — recall@k of the LSH and IVF paths
@@ -248,6 +290,24 @@ object Similarity {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // persistence must not cost recall: same contract shape as s04
+    "s06_ann_persisted" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS persisted_recall_ok
+        |FROM topk""".stripMargin,
 
     // n_pairs is independently derivable (5 queries × top-3); the
     // booleans are the recall contract the engine must meet
