@@ -176,6 +176,10 @@ object Formats {
     "q69_jdbc_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val dbDir = graft.Scratch.dir(s, "graft_derby", tag)
+      // keep derby.log (and any other engine artifact) inside the
+      // app-scoped scratch dir instead of the launch CWD; first boot of
+      // the embedded engine in this JVM reads the property
+      System.setProperty("derby.system.home", dbDir)
       val url = s"jdbc:derby:$dbDir/rt;create=true"
       val props = new java.util.Properties()
       val slice = graft.Tables(s, d, "orders")

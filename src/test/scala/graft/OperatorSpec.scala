@@ -48,10 +48,10 @@ class OperatorSpec extends AnyFunSuite {
     // mismatch (round-3 advisor).
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    for {
-      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
-      if new java.io.File(dir).exists()
-    } {
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      .filter(new java.io.File(_).exists())
+    assert(dirs.nonEmpty, "no fixture dirs found — the pin would be vacuous")
+    for (dir <- dirs) {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       val boundaryGaps = Tables(spark, dir, "events")

@@ -17,10 +17,10 @@ class TimeSeriesSpec extends AnyFunSuite {
   val sf = SparkSuite.sf
 
   test("q58 gap fill is non-vacuous: customer 1 has empty months at every SF") {
-    for {
-      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
-      if new java.io.File(dir).exists()
-    } {
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      .filter(new java.io.File(_).exists())
+    assert(dirs.nonEmpty, "no fixture dirs found — the pin would be vacuous")
+    for (dir <- dirs) {
       val filled = SparkEntry.queries("q58_gap_fill")(spark, dir)
         .filter(col("n_orders") === 0).count()
       assert(filled > 0,
@@ -81,10 +81,10 @@ class TimeSeriesSpec extends AnyFunSuite {
     // window. If no customer ever orders twice in a day, RANGE and ROWS
     // coincide and the frame choice is untested — pin that the fixture
     // keeps the distinction live at every SF.
-    for {
-      dir <- Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
-      if new java.io.File(dir).exists()
-    } {
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      .filter(new java.io.File(_).exists())
+    assert(dirs.nonEmpty, "no fixture dirs found — the pin would be vacuous")
+    for (dir <- dirs) {
       val multi = Tables(spark, dir, "orders")
         .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
         .count().filter(col("count") > 1).count()
@@ -104,7 +104,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       val rows = Seq.fill(1 + rnd.nextInt(40))(
         graft.functions.WMIn(1 + rnd.nextInt(50), rnd.nextInt(1000000).toLong))
       val direct = rows.map(r => r.w * r.x).sum.toDouble / rows.map(_.w).sum
-      // random partitioning into 1..5 slices, each reduced, then merged
+      // random chunking into slices of SIZE 1..8 (so up to |rows|
+      // slices), each reduced independently, then merged left-to-right
       val slices = rows.grouped(1 + rnd.nextInt(8)).toSeq
       val merged = slices.map(sl => sl.foldLeft(agg.zero)(agg.reduce))
         .reduce(agg.merge)
