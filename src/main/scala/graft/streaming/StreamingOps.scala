@@ -901,6 +901,34 @@ object StreamingOps {
       val converted = clicks.join(purchases, conversionWindow, "left_semi")
         .select(col("c_user").as("user_id"), col("click_id"))
       runToMemory(s, converted, "st22_out", "append").orderBy(col("click_id"))
+    }),
+
+    // ── st23: DEDUP → WINDOWED AGG chained in one query — the other
+    // multi-stateful-operator pairing next to st20's agg→agg: the
+    // at-least-once upstream (the doubled union) is first collapsed by
+    // watermark-bounded dedup state, and the SAME query then windows
+    // and aggregates the deduplicated stream, emitting each hour once
+    // the watermark closes it. One checkpoint, one watermark
+    // propagated through both state stores — before multi-stateful
+    // support this took an intermediate sink and a second query, which
+    // doubled latency and made the dedup horizon and the window
+    // closure drift independently.
+    "st23_dedup_then_window" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val agg = src().union(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+      runToMemory(s, agg, "st23_out", "append")
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -1156,6 +1184,23 @@ object StreamingOps {
         |  UNION ALL
         |  SELECT user_id, click_id, purchase_id FROM pu)
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    // distinct events per watermark-closed hour: the dedup must collapse
+    // the doubled stream BEFORE the window counts it, and only hours
+    // the final watermark closed emit (st03's closure rule, ms-safe
+    // because hour bounds are whole seconds)
+    "st23_dedup_then_window" ->
+      """WITH mx AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events),
+        |h AS (
+        |  SELECT DISTINCT event_id, event_type,
+        |    epoch_us(ts) // 3600000000 AS hidx
+        |  FROM events)
+        |SELECT make_timestamp(hidx * 3600000000) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM h, mx
+        |WHERE (hidx + 1) * 3600000000 <= wm_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the streaming EXISTS: clicks with at least one in-window purchase,
     // emitted once each — the batch semi join restates it exactly
