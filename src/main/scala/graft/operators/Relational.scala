@@ -320,6 +320,34 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ── q70: OBSERVATION METRICS — `df.observe` attaches aggregate
+    // metrics to a query's OWN execution: the row counts / sums a
+    // pipeline wants for data-quality accounting come out of the same
+    // single pass that does the real work, instead of a second scan
+    // (the accumulator pattern, but declarative, exactly-once per
+    // action, and plan-visible as CollectMetrics). Here the observed
+    // totals ride along a filtered write-shaped action and are then
+    // emitted AS the result — the oracle restates them over the raw
+    // table, so a metric that silently double-counted (the classic
+    // accumulator retry bug observe exists to fix) or missed rows
+    // hash-fails.
+    "q70_observe_metrics" -> ((s, d) => {
+      val obs = new org.apache.spark.sql.Observation()
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") =!= "X") // pass-through gate (no 'X' rows)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"), 2)).cast(DoubleType).as("revenue"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
+        .write.format("noop").mode("overwrite").save() // the one real pass
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("revenue").asInstanceOf[Double],
+          m("n_urgent").asInstanceOf[Long]))
+        .toDF("n_rows", "revenue", "n_urgent")
+    }),
+
     // ── q68: JOIN-STRATEGY HINTS through the SQL surface — the escape
     // hatch for when statistics mislead the planner (stale stats after
     // a bulk load, a filtered dim the optimizer can't size, a dim that
@@ -720,6 +748,13 @@ object Relational {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the observed metrics must equal a direct aggregate over the table
+    "q70_observe_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        |FROM orders""".stripMargin,
 
     // strategy hints must be result-invariant: the oracle is the plain
     // join
