@@ -342,8 +342,11 @@ object Relational {
         .write.format("noop").mode("overwrite").save() // the one real pass
       val m = obs.get
       import s.implicits._
+      // sum over zero rows observes null — surface it as a comparable
+      // 0.0 row (which would hash-fail against a non-empty oracle)
+      // rather than NPE-ing in the unboxing
       Seq((m("n_rows").asInstanceOf[Long],
-          m("revenue").asInstanceOf[Double],
+          Option(m("revenue")).fold(0.0)(_.asInstanceOf[Double]),
           m("n_urgent").asInstanceOf[Long]))
         .toDF("n_rows", "revenue", "n_urgent")
     }),

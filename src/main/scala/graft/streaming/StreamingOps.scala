@@ -215,6 +215,22 @@ object StreamingOps {
     expr("""c_user = p_user AND
             p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes""")
 
+  /** The doubled, watermarked, watermark-bounded-deduped event stream
+    * st11 (dedup → plain agg) and st23 (dedup → windowed agg) both
+    * consume — one definition of the at-least-once upstream and its
+    * dedup horizon, so the two contracts can't drift. */
+  private def dedupedEventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = s.readStream
+      .schema(eventsSchema)
+      .parquet(s"$d/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("event_type"), col("ts"))
+    src().union(src())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** A GENUINELY multi-batch event stream: the single-file fixture is
     * re-laid-out once per (app, dataset) as 8 parquet files and
     * streamed 2 per trigger → ~4 micro-batches. st17 (update mode) and
@@ -486,15 +502,7 @@ object StreamingOps {
     // event times, so they always fall inside the 1-hour horizon and
     // the result still equals batch-distinct.
     "st11_dedup_bounded_state" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src() = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("event_type"), col("ts"))
-      val agg = src().union(src())
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
+      val agg = dedupedEventStream(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       runToMemory(s, agg, "st11_out", "complete").orderBy(col("event_type"))
@@ -914,15 +922,7 @@ object StreamingOps {
     // doubled latency and made the dedup horizon and the window
     // closure drift independently.
     "st23_dedup_then_window" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src() = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("event_type"), col("ts"))
-      val agg = src().union(src())
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
+      val agg = dedupedEventStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"),

@@ -3,8 +3,6 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** s06's headline claim is serving I/O: a probe over the PERSISTED
   * cell-partitioned index must read only the routed cells'
@@ -15,15 +13,7 @@ class PersistedIndexSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val sf = SparkSuite.sf
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case _                        => Nil
-    }
-    p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
-  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
 
   test("s06 serving scan is partition-pruned to the routed cells") {
     val served = graft.operators.Similarity.servedProbe(spark, sf)
@@ -40,11 +30,9 @@ class PersistedIndexSpec extends AnyFunSuite {
         s"index scan carries no cell partition filter:\n$scan")
       val read = scan.relation.location.listFiles(
         scan.partitionFilters, scan.dataFilters).length
-      // 16 cells exist; 5 queries × 2 probes bound the routed set, and
-      // routing must strictly prune (10 < 16 even if every probe were
-      // distinct)
-      assert(read <= 10 && read < 16,
-        s"expected ≤10 of 16 cell partitions read, got $read")
+      // 5 queries × 2 probes bound the routed cell set (and 10 < 16
+      // cells, so passing implies strict pruning)
+      assert(read <= 10, s"expected ≤10 of 16 cell partitions read, got $read")
     }
   }
 }

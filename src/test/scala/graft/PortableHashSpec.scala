@@ -70,21 +70,7 @@ class PortableHashSpec extends AnyFunSuite {
     assert(ham(h(0), h(1)) < ham(h(0), h(2)))
   }
 
-  /** Full operator-tree walk. Under AQE the root is an
-    * AdaptiveSparkPlanExec, which is a LeafExecNode — a naive
-    * plan.collect sees NOTHING inside it (a sweep written that way is
-    * vacuously green; round-3 review finding). Descend through the
-    * adaptive wrapper, materialized query stages, and plan-level
-    * subqueries. */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child) // leaf aliasing the original
-      case _                        => Nil
-    }
-    p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
-  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
 
   /** A nested-loop join is benign iff its BUILD side is a single-row
     * global aggregate (the in-plan scalar-broadcast pattern, e.g. d08's

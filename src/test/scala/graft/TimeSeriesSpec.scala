@@ -3,8 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 
 /** Semantic + plan pins for the TimeSeries module (q57–q62) and the
@@ -30,17 +29,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
-  /** AQE-aware operator walk (PortableHashSpec's pattern — the adaptive
-    * root is a leaf to naive collect). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case _                        => Nil
-    }
-    p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
-  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
 
   private def hashExchanges(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
     df.collect()
