@@ -166,12 +166,17 @@ object PortableHashFunctions {
       .otherwise(lit("test"))
   }
 
+  /** DuckDB restatement of [[polyHash]] over a SQL string expression —
+    * the char-fold replay. */
+  def polyHashSql(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($strExpr, ''),
+       |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   /** DuckDB restatement of [[splitBucket]] over a SQL key expression —
     * the char-fold polyHash replay, mod 100. */
   def splitBucketSql(prefix: String, keyExpr: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split('$prefix' || $keyExpr, ''),
-       |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+    polyHashSql(s"'$prefix' || $keyExpr") + " % 100"
 
   /** DuckDB restatement of [[splitLabel]]. */
   def splitLabelSql(bucketExpr: String): String =

@@ -181,6 +181,38 @@ object TextOps {
         .orderBy(col("shard_id"))
     }),
 
+    // ── p07: DETERMINISTIC EPOCH SHUFFLE — every document gets a unique
+    // global TRAINING POSITION in a pseudo-random order, reproducible
+    // across engines, repartitionings, and reruns (no RNG stream — the
+    // order is the portable hash of the doc id, doc_id tie-broken). The
+    // naive formulation is ROW_NUMBER over a GLOBAL sort — one task
+    // owns the corpus — so the rank is decomposed exactly like p03's
+    // prefix sum, but on the HASH-ordered axis: bucket = leading hash
+    // range, bucket COUNTS roll up through a tiny bucket-level window,
+    // offsets broadcast back, intra-bucket rank runs partitioned. The
+    // contract trainers care about — shuffle quality with bit-exact
+    // reproducibility — is pinned by the oracle's single global
+    // ROW_NUMBER restatement.
+    "p07_train_order" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val h = docs(s, d).select(col("doc_id"))
+        .withColumn("shuf", graft.functions.PortableHashFunctions.polyHash(
+          concat(lit("order:"), col("doc_id").cast("string"))))
+        .withColumn("bkt", expr("shuf div 16777216")) // 2^24 ranges of the 1e9+7 hash space
+      val wBkt = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = h.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum(col("n")).over(wBkt), lit(0L)))
+        .select(col("bkt"), col("offset"))
+      val wIn = Window.partitionBy(col("bkt"))
+        .orderBy(col("shuf").asc, col("doc_id").asc)
+      h.join(broadcast(offsets), "bkt")
+        .withColumn("pos", col("offset") + row_number().over(wIn))
+        .select(col("doc_id"), col("shuf"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── p04: MIXTURE BALANCING — hit a target source mixture (web-heavy
     // / code-medium / wiki-light, here keyed off the source index mod 3
     // with weights 5/3/2) with a DETERMINISTIC downsample. The corpus
@@ -521,6 +553,17 @@ object TextOps {
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the distributed rank must equal ONE global ROW_NUMBER over the
+    // hash order — the decomposition is allowed to cost nothing
+    "p07_train_order" -> {
+      val hashExpr = graft.functions.PortableHashFunctions
+        .polyHashSql("'order:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, $hashExpr AS shuf FROM documents)
+         |SELECT doc_id, CAST(shuf AS BIGINT) AS shuf,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY shuf ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     // the same integer mixture arithmetic + portable-hash gate; the
     // HUGEINT sums cast back to BIGINT
