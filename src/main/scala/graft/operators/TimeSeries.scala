@@ -145,6 +145,33 @@ object TimeSeries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── q71: ROLLING DISTINCT (30-day active customers) — the
+    // rolling-DAU/MAU metric. A window frame cannot express it (no
+    // DISTINCT aggregates over frames in Spark, and a global RANGE
+    // window would be one task anyway); the scale-correct decomposition
+    // is q35's bucketed range join: the distinct (day, customer) pair
+    // set joins a day spine through 30-day-wide buckets — each spine
+    // day touches at most 2 buckets, so shuffle volume is ≤2× the pair
+    // set regardless of corpus size — then an exact containment filter
+    // and a per-day distinct count. Work is ~window×pairs spread across
+    // all days: the standard production shape for this metric.
+    "q71_rolling_active" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .select(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+          col("o_custkey").as("c"))
+        .distinct()
+        .withColumn("bkt", expr("day div 30"))
+      val spine = pairs.select(col("day").as("d0")).distinct()
+        .withColumn("bkt", explode(array(
+          expr("(d0 - 29) div 30"), expr("d0 div 30"))))
+        .distinct()
+      spine.join(pairs, Seq("bkt"))
+        .filter(col("day").between(col("d0") - 29, col("d0")))
+        .groupBy(col("d0").as("day"))
+        .agg(countDistinct(col("c")).as("active_30d"))
+        .orderBy(col("day"))
+    }),
+
     // ── q62: FIXED-WIDTH HISTOGRAM — order-value distribution in 50k
     // bins. Binning is a codegen'd per-row floor over the scan feeding
     // one small-key aggregate (bin count ≈ range/width, independent of
@@ -221,6 +248,16 @@ object TimeSeries {
         |  MIN(o_totalprice) AS min_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q71_rolling_active" ->
+      """WITH p AS (SELECT DISTINCT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+        |    o_custkey AS c
+        |  FROM orders),
+        |days AS (SELECT DISTINCT day AS d0 FROM p)
+        |SELECT d0 AS day, COUNT(DISTINCT c) AS active_30d
+        |FROM days JOIN p ON p.day BETWEEN d0 - 29 AND d0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q62_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bin,
