@@ -199,7 +199,10 @@ object TextOps {
       val h = docs(s, d).select(col("doc_id"))
         .withColumn("shuf", graft.functions.PortableHashFunctions.polyHash(
           concat(lit("order:"), col("doc_id").cast("string"))))
-        .withColumn("bkt", expr("shuf div 16777216")) // 2^24 ranges of the 1e9+7 hash space
+        // ~15k buckets of width 2^16 over the 1e9+7 hash space: the
+        // bucket-level window stays tiny while the intra-bucket windows
+        // scale out (a 2^24 width would cap the rank at ~60 tasks)
+        .withColumn("bkt", expr("shuf div 65536"))
       val wBkt = Window.orderBy(col("bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = h.groupBy(col("bkt")).agg(count(lit(1)).as("n"))

@@ -4,9 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -109,7 +107,8 @@ class PortableHashSpec extends AnyFunSuite {
       "q48_session_window", "t07_decontaminate", "q50_schema_drift",
       "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards",
       "t09_repetition", "p04_mixture_balance",
-      "q55_exchange_reuse", "t10_tfidf_terms")
+      "q55_exchange_reuse", "t10_tfidf_terms",
+      "q71_rolling_active", "p07_train_order", "p06_leakage_safe_split")
     // q53's queries entry returns only the scratch read-back (the join
     // runs inside the conf-scoped write), so sweep the LIVE join plan
     // directly instead of the vacuous closure

@@ -41,17 +41,7 @@ class RangeLayoutSpec extends AnyFunSuite {
 
   test("the date-range predicate is pushed to the parquet scan") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // walk THROUGH the AQE wrapper — AdaptiveSparkPlanExec is a leaf,
-    // a naive collect over it is vacuously empty (the round-3 lesson)
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case _                        => Nil
-      }
-      p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
-    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
     val df = SparkEntry.queries("q52_range_layout")(spark, sf)
     df.collect()
     val scans = allNodes(df.queryExecution.executedPlan).collect {

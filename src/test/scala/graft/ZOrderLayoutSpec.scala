@@ -53,15 +53,7 @@ class ZOrderLayoutSpec extends AnyFunSuite {
 
   test("both box predicates are pushed to the parquet scan") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case _                        => Nil
-      }
-      p +: (p.children ++ inner ++ p.subqueries).flatMap(allNodes)
-    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
     val df = SparkEntry.queries("q54_zorder_layout")(spark, sf)
     df.collect()
     val pushed = allNodes(df.queryExecution.executedPlan).collect {
