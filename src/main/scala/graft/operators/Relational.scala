@@ -320,6 +320,29 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ── q73: MULTISET set operations — INTERSECT ALL / EXCEPT ALL
+    // keep DUPLICITY (min / difference of per-row multiplicities),
+    // which the distinct forms q10 uses throw away: "how many line
+    // items per part-supplier pair appear in both halves of the year"
+    // is a multiset question, and the distinct answer is simply wrong
+    // for it. Spark plans both as aggregate-and-replicate (no
+    // generator of n² rows); the oracle states the same multiplicity
+    // arithmetic via DuckDB's own ALL variants.
+    "q73_multiset_ops" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          month(col("l_shipdate")).as("mon"))
+      val h1 = li.filter(col("mon") <= 6).select(col("l_partkey"), col("l_suppkey"))
+      val h2 = li.filter(col("mon") >= 7).select(col("l_partkey"), col("l_suppkey"))
+      val both = h1.intersectAll(h2)
+        .groupBy(lit("intersect_all").as("op"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct"))
+      val only1 = h1.exceptAll(h2)
+        .groupBy(lit("except_all").as("op"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct"))
+      both.unionByName(only1).orderBy(col("op"))
+    }),
+
     // ── q70: OBSERVATION METRICS — `df.observe` attaches aggregate
     // metrics to a query's OWN execution: the row counts / sums a
     // pipeline wants for data-quality accounting come out of the same
@@ -751,6 +774,21 @@ object Relational {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // DuckDB's own ALL variants state the same multiplicity arithmetic
+    "q73_multiset_ops" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, month(l_shipdate) AS mon
+        |  FROM lineitem),
+        |h1 AS (SELECT l_partkey, l_suppkey FROM li WHERE mon <= 6),
+        |h2 AS (SELECT l_partkey, l_suppkey FROM li WHERE mon >= 7),
+        |ia AS (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2),
+        |ea AS (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+        |SELECT 'except_all' AS op, COUNT(*) AS n,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_distinct FROM ea
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_distinct FROM ia
+        |ORDER BY op""".stripMargin,
 
     // the observed metrics must equal a direct aggregate over the table
     "q70_observe_metrics" ->

@@ -172,6 +172,45 @@ object TimeSeries {
         .orderBy(col("day"))
     }),
 
+    // ── q72: CORRELATION, oracle-exact — the streaming `corr`
+    // aggregate is order-dependent in floating point (engines disagree
+    // in the last ulps), so the hash-checkable formulation computes
+    // Pearson r FROM THE INTEGER MOMENT SUMS (n, Σx, Σy, Σxy, Σx²,
+    // Σy²; quantity units and price cents, all int64-exact and
+    // order-free) with one final IEEE expression both engines evaluate
+    // identically. Spark's built-in corr is then pinned with a q23-style
+    // tolerance boolean against that exact value — the built-in's
+    // accuracy becomes a checked contract instead of an article of
+    // faith.
+    "q72_correlation" -> ((s, d) => {
+      // int64 per-row products, DECIMAL(38,0) sums (Σy² ≈ 6e19 at sf0.1
+      // overflows int64; decimal keeps every moment exact and ANSI mode
+      // would fail loudly, not wrap, if a bigger corpus outgrew 38
+      // digits — DuckDB's HUGEINT sums are the 128-bit twin)
+      val x = col("l_quantity").cast(LongType)
+      val y = round(col("l_extendedprice") * 100).cast(LongType)
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val base = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(x)).as("sx"), sum(d38(y)).as("sy"),
+          sum(d38(x * y)).as("sxy"), sum(d38(x * x)).as("sxx"),
+          sum(d38(y * y)).as("syy"),
+          corr(x.cast(DoubleType), y.cast(DoubleType)).as("corr_builtin"))
+      // A, B, C are exact integers; the only floats are the final
+      // correctly-rounded casts and one IEEE expression (B·C would
+      // overflow decimal 38, so it multiplies in the double domain —
+      // stated identically in the oracle)
+      val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      val r = a / sqrt(b * c)
+      base.select(col("l_returnflag"), col("n"),
+          r.as("pearson_r"),
+          (abs(col("corr_builtin") - r) < 1e-9).as("builtin_within_tol"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── q62: FIXED-WIDTH HISTOGRAM — order-value distribution in 50k
     // bins. Binning is a codegen'd per-row floor over the scan feeding
     // one small-key aggregate (bin count ≈ range/width, independent of
@@ -258,6 +297,28 @@ object TimeSeries {
         |SELECT d0 AS day, COUNT(DISTINCT c) AS active_30d
         |FROM days JOIN p ON p.day BETWEEN d0 - 29 AND d0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical moment arithmetic: HUGEINT sums, the same three exact
+    // integers cast to double, the same single IEEE expression; the
+    // tolerance boolean re-derives Pearson r the same way DuckDB's own
+    // corr is irrelevant here — the contract is SPARK's builtin vs the
+    // exact value, restated as TRUE because the oracle's exact r equals
+    // the engine's by construction
+    "q72_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        |    AS pearson_r,
+        |  TRUE AS builtin_within_tol
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q62_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bin,
