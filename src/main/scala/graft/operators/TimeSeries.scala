@@ -211,6 +211,120 @@ object TimeSeries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── q74: LINEAR REGRESSION per group — slope/intercept/R² of
+    // price-cents on quantity from the same exact integer moment sums
+    // as q72 (order-free, hash-exact), then Spark's built-in
+    // `regr_slope`/`regr_intercept`/`regr_r2` pinned against the exact
+    // values with relative-tolerance booleans. The built-ins stream in
+    // floating point (order-dependent last-ulp results that can't be
+    // hash-compared across engines); the moment formulation turns the
+    // whole regression into one hash aggregate plus a handful of
+    // identical IEEE expressions.
+    "q74_regression" -> ((s, d) => {
+      val x = col("l_quantity").cast(LongType)
+      val y = round(col("l_extendedprice") * 100).cast(LongType)
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val xd = x.cast(DoubleType)
+      val yd = y.cast(DoubleType)
+      val base = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(x)).as("sx"), sum(d38(y)).as("sy"),
+          sum(d38(x * y)).as("sxy"), sum(d38(x * x)).as("sxx"),
+          sum(d38(y * y)).as("syy"),
+          regr_slope(yd, xd).as("b_slope"),
+          regr_intercept(yd, xd).as("b_icept"),
+          regr_r2(yd, xd).as("b_r2"))
+      // A, B, C exact (decimal-128); everything after the casts is the
+      // identical IEEE expression tree in both engines
+      val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      val nD = col("n").cast(DoubleType)
+      val sxD = col("sx").cast(DoubleType)
+      val syD = col("sy").cast(DoubleType)
+      val slope = a / b
+      val icept = syD / nD - slope * (sxD / nD)
+      val r2 = (a * a) / (b * c)
+      def tol(builtin: Column, exact: Column): Column =
+        abs(builtin - exact) <= abs(exact) * 1e-6 + 1e-9
+      base.select(col("l_returnflag"), col("n"),
+          slope.as("slope"), icept.as("intercept"), r2.as("r2"),
+          tol(col("b_slope"), slope).as("slope_tol"),
+          tol(col("b_icept"), icept).as("icept_tol"),
+          tol(col("b_r2"), r2).as("r2_tol"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── q75: INTERVAL CONCURRENCY (sweep line) — peak number of
+    // simultaneously open line items (order date → ship date) per
+    // month. The scale-correct shape is two-level: the full fact table
+    // collapses to ±1 deltas per DAY in one distributed aggregate (key
+    // space = #days, corpus-size-independent), and only then does a
+    // prefix sum run — a window over ~2.4k day rows, not over the fact
+    // table. Peak per month is the max over that month's change points
+    // (concurrency is piecewise constant between them), with the
+    // earliest day attaining the peak recovered by an integer
+    // max_by fold. A naive per-row running count would sort the whole
+    // fact in one partition; this never touches more than #days rows
+    // after the first aggregate.
+    "q75_concurrency" -> ((s, d) => {
+      val li = t(s, d, "lineitem").join(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      val opens = li.select(
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+        lit(1L).as("delta"))
+      val closes = li.select(
+        (datediff(col("l_shipdate"), lit("1970-01-01")) + 1).as("day"),
+        lit(-1L).as("delta"))
+      val byDay = opens.unionByName(closes)
+        .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dayDate = date_add(lit("1970-01-01"), col("day").cast(IntegerType))
+      val conc = byDay
+        .select(col("day"), sum(col("net")).over(w).as("open"))
+        .withColumn("mon_idx",
+          (year(dayDate) * 12 + month(dayDate) - 1).cast(IntegerType))
+      // fold = open·10⁶ + (10⁶ − day): max_by picks max concurrency,
+      // ties to the EARLIEST day (valid for any epoch day < 10⁶)
+      conc.groupBy(col("mon_idx"))
+        .agg(max(col("open")).as("peak_open"),
+          max_by(col("day"),
+            col("open") * 1000000L + (lit(1000000L) - col("day")))
+            .as("first_peak_day"))
+        .orderBy(col("mon_idx"))
+    }),
+
+    // ── q76: GAPS AND ISLANDS — per-user activity streaks over the
+    // events table. The classic day − row_number() island key turns
+    // consecutive-day runs into constant groups with NO self-join and
+    // no iteration: one shuffle on user_id, one sort per partition,
+    // then two small aggregates. Longest-streak ties break to the
+    // earliest start via an integer max_by fold (len·10⁶ + (10⁶ −
+    // start_day) — collision-free for any epoch day < 10⁶, i.e. until
+    // year 4707), so the result is engine-independent without struct
+    // ordering (which DuckDB's max_by lacks).
+    "q76_streaks" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"),
+          datediff(col("ts"), lit("1970-01-01")).as("day"))
+        .distinct()
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("island", col("day") - row_number().over(wu))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      val fold = col("len") * 1000000L + (lit(1000000L) - col("start_day"))
+      streaks.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("best_len"),
+          (lit(1000000L) - max(fold) % 1000000L).as("best_start_day"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── q62: FIXED-WIDTH HISTOGRAM — order-value distribution in 50k
     // bins. Binning is a codegen'd per-row floor over the scan feeding
     // one small-key aggregate (bin count ≈ range/width, independent of
@@ -319,6 +433,68 @@ object TimeSeries {
         |    AS pearson_r,
         |  TRUE AS builtin_within_tol
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // same HUGEINT moments; slope/intercept/R² stated as the identical
+    // IEEE expression trees; the builtin-vs-exact booleans restate as
+    // TRUE (the contract is Spark's regr_* against the exact value)
+    "q74_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS c,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  a / b AS slope,
+        |  syd / nd - (a / b) * (sxd / nd) AS intercept,
+        |  (a * a) / (b * c) AS r2,
+        |  TRUE AS slope_tol, TRUE AS icept_tol, TRUE AS r2_tol
+        |FROM e ORDER BY l_returnflag""".stripMargin,
+
+    "q75_concurrency" ->
+      """WITH li AS (SELECT l.l_shipdate, o.o_orderdate
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |d AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+        |    1 AS delta FROM li
+        |  UNION ALL
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS day,
+        |    -1 AS delta FROM li),
+        |byday AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM d GROUP BY 1),
+        |conc AS (SELECT day,
+        |    CAST(SUM(net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open,
+        |    CAST(year(DATE '1970-01-01' + day) * 12
+        |      + month(DATE '1970-01-01' + day) - 1 AS INTEGER) AS mon_idx
+        |  FROM byday)
+        |SELECT mon_idx, MAX(open) AS peak_open,
+        |  CAST(max_by(day, open * 1000000 + (1000000 - day)) AS INTEGER) AS first_peak_day
+        |FROM conc GROUP BY mon_idx ORDER BY mon_idx""".stripMargin,
+
+    "q76_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS day
+        |  FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS best_len,
+        |  CAST(1000000 - (MAX(len * 1000000 + (1000000 - start_day)) % 1000000) AS BIGINT) AS best_start_day
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q62_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bin,
