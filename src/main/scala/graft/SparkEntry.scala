@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TimeSeries.queries ++
+      operators.Behavioral.queries ++
       operators.HigherOrder.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.TimeSeries.oracles ++
+      operators.Behavioral.oracles ++
       operators.HigherOrder.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
