@@ -477,6 +477,45 @@ object TextOps {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ── t11: INVERTED-INDEX SEARCH — conjunctive (AND) multi-term
+    // retrieval with integer-exact TF-IDF ranking (t10's portable
+    // `n_docs·10⁶ div df` idf weight — log-free, so the score is
+    // hash-comparable across engines). The broadcast query list joins
+    // the postings on term, so ONLY the query terms' posting lists
+    // leave the scan — the corpus is never re-scanned per query, and
+    // adding queries grows the broadcast side, not the corpus side.
+    // Conjunction = per-(query, doc) matched-term count equal to the
+    // query's arity; ranking is a per-query top-10 window with the
+    // unique doc_id tiebreak.
+    "t11_search" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qdf = Seq(
+        (1, "spark"), (1, "join"), (1, "vector"),
+        (2, "window"), (2, "hash"), (2, "stream"),
+        (3, "merge"), (3, "sort"), (3, "filter")).toDF("qid", "term")
+      val qsize = qdf.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+      val tf = Dedup.spreadSmall(docs(s, d))
+        .select(col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .join(broadcast(qdf), "term")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("hit"),
+          sum(col("tf") * expr("n_docs * 1000000 div df")).as("score"))
+        .join(broadcast(qsize), "qid")
+        .filter(col("hit") === col("n_q"))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── t04: document fingerprinting — TRUE rolling (Rabin–Karp)
     // character 8-gram hashes via the fused RollingMinK expression,
     // keeping the 4 smallest (winnowing-style min-k sketch). The hash
@@ -760,6 +799,29 @@ object TextOps {
         |      ORDER BY tf * (n_docs * 1000000 // df) DESC, term ASC) AS INTEGER) AS rank
         |  FROM tf JOIN dfreq USING (term), n)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t11_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |q AS (SELECT * FROM (VALUES (1,'spark'),(1,'join'),(1,'vector'),
+        |    (2,'window'),(2,'hash'),(2,'stream'),
+        |    (3,'merge'),(3,'sort'),(3,'filter')) AS v(qid, term)),
+        |qs AS (SELECT qid, COUNT(*) AS n_q FROM q GROUP BY 1),
+        |sc AS (SELECT q.qid, tf.doc_id, COUNT(*) AS hit,
+        |    SUM(tf.tf * (n.n_docs * 1000000 // dfreq.df)) AS score
+        |  FROM tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term, n
+        |  GROUP BY 1, 2),
+        |r AS (SELECT sc.qid, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY sc.qid
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc JOIN qs ON sc.qid = qs.qid WHERE hit = n_q)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // each 8-char window's 31-poly hash restated as a per-window char
     // fold (the engine rolls it in O(1)/position; the oracle may be

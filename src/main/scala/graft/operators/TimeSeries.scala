@@ -211,6 +211,34 @@ object TimeSeries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── q78: MERGEABLE DISTINCT SKETCHES — Datasketches HLL built per
+    // MONTH (`hll_sketch_agg`), merged per year (`hll_union_agg`), and
+    // the merged estimate gated against the exact distinct count. The
+    // q23 approx operator re-scans the corpus per question; THIS is the
+    // 100 TB pattern it's missing: per-partition sketch state is a few
+    // KB, persists with the partition, and any rollup (year, decade,
+    // ad-hoc ranges) is a merge over sketches — no second pass over the
+    // raw data. The estimate itself is engine-specific, so the hashed
+    // contract is the exact count plus a 5%-relative-error boolean
+    // (default lgConfigK=12 ⇒ ~1.6% σ; 5% is > 3σ).
+    "q78_hll_merge" -> ((s, d) => {
+      val y = year(col("o_orderdate"))
+      val monthly = t(s, d, "orders")
+        .groupBy(y.as("y"), month(col("o_orderdate")).as("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = monthly.groupBy(col("y"))
+        .agg(count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = t(s, d, "orders")
+        .groupBy(y.as("y"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      merged.join(exact, Seq("y"))
+        .select(col("y"), col("n_months"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast(DoubleType) * 0.05).as("est_ok"))
+        .orderBy(col("y"))
+    }),
+
     // ── q74: LINEAR REGRESSION per group — slope/intercept/R² of
     // price-cents on quantity from the same exact integer moment sums
     // as q72 (order-free, hash-exact), then Spark's built-in
@@ -433,6 +461,15 @@ object TimeSeries {
         |    AS pearson_r,
         |  TRUE AS builtin_within_tol
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch estimate has no cross-engine twin; the hashed contract
+    // is the exact distinct count and the tolerance boolean (TRUE)
+    "q78_hll_merge" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  COUNT(DISTINCT month(o_orderdate)) AS n_months,
+        |  COUNT(DISTINCT o_custkey) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same HUGEINT moments; slope/intercept/R² stated as the identical
     // IEEE expression trees; the builtin-vs-exact booleans restate as
