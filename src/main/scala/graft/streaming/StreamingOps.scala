@@ -929,6 +929,49 @@ object StreamingOps {
           col("n"))
       runToMemory(s, agg, "st23_out", "append")
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── st24: OPERATIONAL OBSERVABILITY — a `StreamingQueryListener`
+    // accumulates per-batch progress (input rows, non-empty batch
+    // count) while a genuinely multi-batch run (8 files, 2 per
+    // trigger) drains to the sink. The hashed contract: the listener's
+    // input-row total equals the sink's row count equals the table
+    // count (no rows lost between source, engine, and metrics
+    // pipeline), and the run really took ≥2 batches — the listener is
+    // how production monitors lag/throughput without touching the
+    // query itself. Listener events ride an async bus: the
+    // terminated-event latch (matched by query id captured at start)
+    // is the only correct wait; sleeping after awaitTermination races.
+    "st24_listener_metrics" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import java.util.concurrent.{CountDownLatch, TimeUnit}
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+      val done = new CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+          if (e.name == "st24_out") qid.set(e.id)
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.name == "st24_out") {
+            rows.addAndGet(e.progress.numInputRows)
+            if (e.progress.numInputRows > 0) batches.incrementAndGet()
+          }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid.get()) done.countDown()
+      }
+      s.streams.addListener(listener)
+      try {
+        val sink = runToMemory(s,
+          multiBatchEventStream(s, d).select(col("event_id")),
+          "st24_out", "append")
+        val nSink = sink.count()
+        require(done.await(60, TimeUnit.SECONDS),
+          "listener terminated event not delivered")
+        Seq((rows.get(), nSink, batches.get() >= 2))
+          .toDF("n_input_rows", "n_sink_rows", "multi_batch")
+      } finally s.streams.removeListener(listener)
     })
   )
 
@@ -1212,6 +1255,13 @@ object StreamingOps {
         |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
         |    AND epoch_us(p.ts) >= epoch_us(c.ts)
         |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+
+    // conservation of rows: listener total = sink total = table count;
+    // the multi-batch boolean restates as TRUE (8 files / 2 per trigger)
+    "st24_listener_metrics" ->
+      """SELECT COUNT(*) AS n_input_rows, COUNT(*) AS n_sink_rows,
+        |  TRUE AS multi_batch
+        |FROM events""".stripMargin
   )
 }
