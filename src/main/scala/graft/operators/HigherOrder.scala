@@ -265,6 +265,59 @@ object HigherOrder {
           |  wmean_cents(w, x) AS wmean_price_cents,
           |  sum(w) AS sum_units
           |FROM li_cents GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // ── q80: RECURSIVE CTE (Spark 4) — transitive closure over an
+    // implicit referral hierarchy (parent(k) = k div 10, a tree rooted
+    // at 0): every customer's full ancestor chain, aggregated per
+    // depth. The recursion is breadth-synchronous — each level is one
+    // distributed step over the previous level's frame, so total work
+    // is O(rows · depth) with depth ≈ log₁₀(keys); at 100 TB the same
+    // query runs level-by-level without any driver-side loop (the
+    // iteration the d06 label-propagation operator hand-rolls,
+    // expressed declaratively). DuckDB runs the identical statement.
+    "q80_recursive_cte" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("customer_v80")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS k, c_custkey AS node, 0 AS depth
+          |  FROM customer_v80
+          |  UNION ALL
+          |  SELECT k, node DIV 10 AS node, depth + 1 FROM anc WHERE node > 0
+          |)
+          |SELECT depth, count(*) AS n, sum(k) AS key_sum
+          |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+        .select(col("depth").cast(IntegerType).as("depth"), col("n"),
+          col("key_sum").cast(LongType).as("key_sum"))
+    }),
+
+    // ── q81: COLLATION-AWARE grouping and joining (Spark 4 collations)
+    // — case-scattered segment labels (every even key lowercased)
+    // group and join as ONE key under UTF8_LCASE without rewriting the
+    // data through lower(): the collation rides the column type, so
+    // every comparison — GROUP BY, the join to the canonical dim, and
+    // a predicate — is case-insensitive while the stored bytes stay
+    // untouched. The hashed output normalizes through upper() because
+    // a collated group's representative bytes are engine-specific; the
+    // oracle restates the same semantics via lower()-keyed grouping.
+    "q81_collation" -> ((s, d) => {
+      val ci = (c: org.apache.spark.sql.Column) => collate(c, "UTF8_LCASE")
+      val cust = Tables(s, d, "customer")
+        .withColumn("seg",
+          when(pmod(col("c_custkey"), lit(2)) === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")))
+      val dim = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("dim_seg")).distinct()
+      cust.join(dim, ci(col("seg")) === ci(col("dim_seg")))
+        .filter(ci(col("seg")) =!= lit("machinery"))
+        .groupBy(ci(col("seg")).as("k"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("seg")).as("n_case_variants"))
+        // normalize the output key back to the default binary collation
+        // so the written schema is a plain string
+        .select(collate(upper(col("k")), "UTF8_BINARY").as("segment"),
+          col("n"), col("n_case_variants"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -386,6 +439,29 @@ object HigherOrder {
         |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wmean_price_cents,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_units
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the identical recursive statement (DuckDB's // is Spark's DIV)
+    "q80_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS k, c_custkey AS node, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT k, node // 10 AS node, depth + 1 FROM anc WHERE node > 0)
+        |SELECT CAST(depth AS INTEGER) AS depth, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the collation semantics restated through lower()-keyed grouping
+    "q81_collation" ->
+      """WITH cust AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |      THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+        |    FROM customer),
+        |dim AS (SELECT DISTINCT c_mktsegment AS dim_seg FROM customer)
+        |SELECT upper(l) AS segment, COUNT(*) AS n,
+        |  COUNT(DISTINCT seg) AS n_case_variants
+        |FROM (SELECT seg, lower(seg) AS l FROM cust) c
+        |JOIN dim ON c.l = lower(dim.dim_seg)
+        |WHERE l <> 'machinery'
+        |GROUP BY l ORDER BY segment""".stripMargin
   )
 }
