@@ -28,21 +28,27 @@ object Behavioral {
     // corpus-size-independent), then the explode feeds a small-key
     // (cohort × offset) aggregate. The naive two-scan formulation
     // (first-order subquery joined back to the fact) shuffles the fact
-    // twice; this never re-reads it. Cohort sizes are a tiny broadcast
-    // join.
+    // twice; this never re-reads it. Cohort size needs no second pass
+    // either: every customer is active at offset 0 by definition of
+    // "first month", so size = n_active(cohort, 0), recovered by a
+    // window over the tiny (cohort × offset) rollup — a separate
+    // size aggregate would re-execute the whole fact subtree (shuffle
+    // and broadcast exchanges can't be reused across it).
     "q77_cohort_retention" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val mon = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
         .cast(IntegerType)
       val per = t(s, d, "orders")
         .select(col("o_custkey").as("k"), mon.as("mon"))
         .groupBy(col("k"))
         .agg(min(col("mon")).as("cohort"), collect_set(col("mon")).as("months"))
-      val sz = per.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      val wc = Window.partitionBy(col("cohort"))
       per.select(col("cohort"), explode(col("months")).as("mon"))
         .withColumn("offset_months", (col("mon") - col("cohort")).cast(IntegerType))
         .groupBy(col("cohort"), col("offset_months"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sz), Seq("cohort"))
+        .withColumn("cohort_size",
+          max(when(col("offset_months") === 0, col("n_active"))).over(wc))
         .select(col("cohort").as("cohort_mon"), col("offset_months"),
           col("n_active"), col("cohort_size"),
           (col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))

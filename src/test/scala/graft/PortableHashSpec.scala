@@ -108,7 +108,9 @@ class PortableHashSpec extends AnyFunSuite {
       "d09_semantic_clusters", "q51_upsert_apply", "p03_token_shards",
       "t09_repetition", "p04_mixture_balance",
       "q55_exchange_reuse", "t10_tfidf_terms",
-      "q71_rolling_active", "p07_train_order", "p06_leakage_safe_split")
+      "q71_rolling_active", "p07_train_order", "p06_leakage_safe_split",
+      "q73_multiset_ops", "q75_concurrency", "q77_cohort_retention",
+      "q78_hll_merge", "q79_funnel", "q81_collation", "t11_search")
     // q53's queries entry returns only the scratch read-back (the join
     // runs inside the conf-scoped write), so sweep the LIVE join plan
     // directly instead of the vacuous closure
