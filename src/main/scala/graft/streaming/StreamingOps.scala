@@ -972,6 +972,53 @@ object StreamingOps {
         Seq((rows.get(), nSink, batches.get() >= 2))
           .toDF("n_input_rows", "n_sink_rows", "multi_batch")
       } finally s.streams.removeListener(listener)
+    }),
+
+    // ── st25: STREAMING KEYED UPSERT SINK — foreachBatch maintains a
+    // materialized per-user table (event count + latest event by the
+    // unique (ts, event_id) order) across a genuinely multi-batch run:
+    // each micro-batch pre-aggregates to one row per key, then merges
+    // associatively into the previous version and writes a NEW
+    // versioned directory (read-then-overwrite of the same path would
+    // re-read files the overwrite just deleted — versioned snapshots
+    // with a pointer are the lake-format pattern, minus the format).
+    // Because the merge is associative and the order key total, the
+    // final table is independent of how the source split into batches.
+    // q51 is this operator's batch half; st05 is the append-only sink
+    // half. The argmax fold is 128-bit (decimal / HUGEINT): µs·10¹² +
+    // event_id overflows int64.
+    "st25_stream_upsert" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val stateDir = graft.Scratch.dir(s, "graft_st25", tag)
+      def fold(tsUs: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+        (tsUs.cast(DecimalType(38, 0)) * lit(1000000000000L) + id)
+          .cast(DecimalType(38, 0))
+      def mergeUp(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          max_by(col("last_event_id"), fold(col("last_ts_us"), col("last_event_id")))
+            .as("last_event_id"),
+          max(col("last_ts_us")).as("last_ts_us"))
+      var cur: Option[String] = None
+      val q = multiBatchEventStream(s, d).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val delta = batch
+            .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+              col("event_id").as("last_event_id"), lit(1L).as("n_events"))
+          val merged = cur match {
+            case None    => mergeUp(delta)
+            case Some(p) => mergeUp(s.read.parquet(p).unionByName(delta))
+          }
+          val next = s"$stateDir/v$batchId"
+          merged.write.mode("overwrite").parquet(next)
+          cur = Some(next)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(cur.getOrElse(sys.error("no batch ran")))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1262,6 +1309,16 @@ object StreamingOps {
     "st24_listener_metrics" ->
       """SELECT COUNT(*) AS n_input_rows, COUNT(*) AS n_sink_rows,
         |  TRUE AS multi_batch
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // batch-split-independent final state: total count + argmax by the
+    // same 128-bit (µs, event_id) fold
+    "st25_stream_upsert" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  max_by(event_id,
+        |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+        |    AS last_event_id,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
