@@ -55,6 +55,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the window's), got ${ex.size}:\n${ex.mkString("\n")}")
   }
 
+  test("q75 prefix sum runs over the day aggregate, never the raw fact") {
+    // the sweep-line's single-partition window is only acceptable
+    // because its input is the ±1-delta-per-DAY aggregate (a few
+    // thousand rows at any corpus size); a window whose subtree has no
+    // aggregate would be sorting the whole fact in one task
+    val df = SparkEntry.queries("q75_concurrency")(spark, sf)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "q75 plan lost its window operator")
+    for (w <- windows)
+      assert(allNodes(w).exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }, s"q75 window consumes un-aggregated input:\n$w")
+  }
+
+  test("q77 cohort retention reads the fact exactly once") {
+    // cohort size is recovered from the offset-0 rollup row by a
+    // window — a separate size aggregate would re-execute the whole
+    // scan+shuffle subtree (exchanges are not reused across it)
+    val df = SparkEntry.queries("q77_cohort_retention")(spark, sf)
+    df.collect()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"expected one parquet scan, got ${scans.size}: ${scans.map(_.nodeName)}")
+  }
+
   test("q61 argmax aggregates without a rank window or join-back") {
     val df = SparkEntry.queries("q61_argmax_groups")(spark, sf)
     df.collect()
