@@ -165,6 +165,49 @@ object Multimodal {
         }
       }.toDF()
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // ── m04: BINARY-FILE SOURCE — the real multimodal ingest path: a
+    // directory of opaque media files read by Spark's `binaryFile`
+    // source, one row per file (path, length, content, modTime). The
+    // OPERATOR under test is the scan + filename→key parse + integrity
+    // checksum over the bytes; the fixture files are materialized once
+    // per (app, dataset) by a distributed foreachPartition write
+    // (fixture setup standing in for the files a real deployment
+    // already has). `pathGlobFilter` scopes the listing; at scale the
+    // source lists in parallel and each file is one task's read — no
+    // driver-side directory walk. The checksum rides the ASCII
+    // byte==char-code identity the m01/m02 contract already pins, so
+    // the whole row — key, size, content hash — is oracle-checked
+    // against the source-of-truth table.
+    "m04_binaryfile_ingest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Scratch.dir(s, "graft_m04", tag)
+      val done = new java.io.File(s"$dir/_DONE")
+      if (!done.exists()) {
+        new java.io.File(dir).mkdirs()
+        Tables(s, d, "documents").select(col("doc_id"), col("text"))
+          .repartition(8)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$dir/${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        done.createNewFile()
+      }
+      graft.functions.PortableHashFunctions.register(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").cast(IntegerType).as("n_bytes"),
+          graft.functions.PortableHashFunctions
+            .polyHash(col("content").cast(StringType)).as("content_hash"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -216,6 +259,17 @@ object Multimodal {
         |      codes[frame_no * 128 + 1 :
         |            frame_no * 128 + least(128, n - frame_no * 128)]),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_checksum
-        |FROM f ORDER BY doc_id, frame_no""".stripMargin
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    // the file facts restated from the source-of-truth table: size =
+    // octet_length, hash = the standard polyHash char fold (ASCII
+    // byte == char code, pinned by m01/m02)
+    "m04_binaryfile_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
