@@ -334,13 +334,17 @@ object Relational {
           month(col("l_shipdate")).as("mon"))
       val h1 = li.filter(col("mon") <= 6).select(col("l_partkey"), col("l_suppkey"))
       val h2 = li.filter(col("mon") >= 7).select(col("l_partkey"), col("l_suppkey"))
-      val both = h1.intersectAll(h2)
-        .groupBy(lit("intersect_all").as("op"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct"))
-      val only1 = h1.exceptAll(h2)
-        .groupBy(lit("except_all").as("op"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct"))
-      both.unionByName(only1).orderBy(col("op"))
+      // GLOBAL aggregate + constant column, not groupBy(lit): a
+      // grouped aggregate over an empty set-op result yields no groups
+      // at all, while the oracle's ungrouped COUNT(*) always yields an
+      // n=0 row — the global form keeps parity when a side is empty
+      def side(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct"))
+          .select(lit(name).as("op"), col("n"), col("n_distinct"))
+      side(h1.intersectAll(h2), "intersect_all")
+        .unionByName(side(h1.exceptAll(h2), "except_all"))
+        .orderBy(col("op"))
     }),
 
     // ── q70: OBSERVATION METRICS — `df.observe` attaches aggregate

@@ -27,6 +27,51 @@ object TimeSeries {
   // one definition of the loader + decimal discipline (Relational's)
   import Relational.{t, dec}
 
+  /** ONE definition of the q72/q74 shared contract: exact integer
+    * moment sums of x = quantity units, y = price cents per return
+    * flag (n, Σx, Σy, Σxy, Σx², Σy² — int64 per-row products,
+    * DECIMAL(38,0) sums; Σy² ≈ 6e19 at sf0.1 overflows int64, decimal
+    * keeps every moment exact and ANSI mode would fail loudly if a
+    * bigger corpus outgrew 38 digits — DuckDB's HUGEINT sums are the
+    * 128-bit twin), plus the streaming float built-ins (corr, regr_*)
+    * each consumer tolerance-pins against its exact value. */
+  private def momentSums(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(LongType)
+    val y = round(col("l_extendedprice") * 100).cast(LongType)
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val xd = x.cast(DoubleType)
+    val yd = y.cast(DoubleType)
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(x)).as("sx"), sum(d38(y)).as("sy"),
+        sum(d38(x * y)).as("sxy"), sum(d38(x * x)).as("sxx"),
+        sum(d38(y * y)).as("syy"),
+        corr(xd, yd).as("corr_builtin"),
+        regr_slope(yd, xd).as("b_slope"),
+        regr_intercept(yd, xd).as("b_icept"),
+        regr_r2(yd, xd).as("b_r2"))
+  }
+
+  /** The three exact covariance integers over [[momentSums]] output,
+    * cast to double once (B·C would overflow decimal-38, so products
+    * happen in the double domain — stated identically in the oracle). */
+  private def momentABC: (Column, Column, Column) = (
+    (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType),
+    (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType),
+    (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+
+  /** DuckDB twin of [[momentSums]] (HUGEINT sums), shared by the
+    * q72/q74 oracles so the contract has one SQL definition too. */
+  private val momentCteSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── q57: ROLLING EVENT-TIME WINDOW — per-customer trailing-30-day
@@ -183,27 +228,10 @@ object TimeSeries {
     // accuracy becomes a checked contract instead of an article of
     // faith.
     "q72_correlation" -> ((s, d) => {
-      // int64 per-row products, DECIMAL(38,0) sums (Σy² ≈ 6e19 at sf0.1
-      // overflows int64; decimal keeps every moment exact and ANSI mode
-      // would fail loudly, not wrap, if a bigger corpus outgrew 38
-      // digits — DuckDB's HUGEINT sums are the 128-bit twin)
-      val x = col("l_quantity").cast(LongType)
-      val y = round(col("l_extendedprice") * 100).cast(LongType)
-      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
-      val base = t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(d38(x)).as("sx"), sum(d38(y)).as("sy"),
-          sum(d38(x * y)).as("sxy"), sum(d38(x * x)).as("sxx"),
-          sum(d38(y * y)).as("syy"),
-          corr(x.cast(DoubleType), y.cast(DoubleType)).as("corr_builtin"))
+      val base = momentSums(s, d)
       // A, B, C are exact integers; the only floats are the final
-      // correctly-rounded casts and one IEEE expression (B·C would
-      // overflow decimal 38, so it multiplies in the double domain —
-      // stated identically in the oracle)
-      val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-      val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-      val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      // correctly-rounded casts and one IEEE expression
+      val (a, b, c) = momentABC
       val r = a / sqrt(b * c)
       base.select(col("l_returnflag"), col("n"),
           r.as("pearson_r"),
@@ -249,25 +277,10 @@ object TimeSeries {
     // whole regression into one hash aggregate plus a handful of
     // identical IEEE expressions.
     "q74_regression" -> ((s, d) => {
-      val x = col("l_quantity").cast(LongType)
-      val y = round(col("l_extendedprice") * 100).cast(LongType)
-      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
-      val xd = x.cast(DoubleType)
-      val yd = y.cast(DoubleType)
-      val base = t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(d38(x)).as("sx"), sum(d38(y)).as("sy"),
-          sum(d38(x * y)).as("sxy"), sum(d38(x * x)).as("sxx"),
-          sum(d38(y * y)).as("syy"),
-          regr_slope(yd, xd).as("b_slope"),
-          regr_intercept(yd, xd).as("b_icept"),
-          regr_r2(yd, xd).as("b_r2"))
+      val base = momentSums(s, d)
       // A, B, C exact (decimal-128); everything after the casts is the
       // identical IEEE expression tree in both engines
-      val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-      val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-      val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      val (a, b, c) = momentABC
       val nD = col("n").cast(DoubleType)
       val sxD = col("sx").cast(DoubleType)
       val syD = col("sy").cast(DoubleType)
@@ -290,12 +303,18 @@ object TimeSeries {
     // collapses to ±1 deltas per DAY in one distributed aggregate (key
     // space = #days, corpus-size-independent), and only then does a
     // prefix sum run — a window over ~2.4k day rows, not over the fact
-    // table. Peak per month is the max over that month's change points
-    // (concurrency is piecewise constant between them), with the
-    // earliest day attaining the peak recovered by an integer
+    // table. Concurrency is piecewise constant between change points,
+    // so a month's peak is the max over its OBSERVATION points — which
+    // must include the month's first day, or concurrency carried over
+    // the boundary is missed (Feb peaks at 5, March's only change is a
+    // close to 4 → March's true peak is the carried 5) and change-free
+    // months vanish entirely. The in-plan month spine (q58's pattern)
+    // adds a zero-delta observation at every month start between the
+    // corpus bounds, making the reported peak exact for every month.
+    // The earliest day attaining the peak is recovered by an integer
     // max_by fold. A naive per-row running count would sort the whole
-    // fact in one partition; this never touches more than #days rows
-    // after the first aggregate.
+    // fact in one partition; this never touches more than
+    // #days + #months rows after the first aggregate.
     "q75_concurrency" -> ((s, d) => {
       val li = t(s, d, "lineitem").join(
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
@@ -308,19 +327,31 @@ object TimeSeries {
         lit(-1L).as("delta"))
       val byDay = opens.unionByName(closes)
         .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+      def monOf(dcol: Column): Column = {
+        val dt = date_add(lit("1970-01-01"), dcol.cast(IntegerType))
+        year(dt) * 12 + month(dt) - 1
+      }
+      // zero-delta observation point at each month's first day
+      val spine = byDay
+        .agg(monOf(min(col("day"))).as("m0"), monOf(max(col("day"))).as("m1"))
+        .select(explode(sequence(col("m0"), col("m1"))).as("midx"))
+        .select(
+          datediff(make_date(expr("midx div 12"), col("midx") % 12 + 1, lit(1)),
+            lit("1970-01-01")).as("day"),
+          lit(0L).as("net"))
+      val allDays = byDay.unionByName(spine)
+        .groupBy(col("day")).agg(sum(col("net")).as("net"))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val dayDate = date_add(lit("1970-01-01"), col("day").cast(IntegerType))
-      val conc = byDay
+      val conc = allDays
         .select(col("day"), sum(col("net")).over(w).as("open"))
-        .withColumn("mon_idx",
-          (year(dayDate) * 12 + month(dayDate) - 1).cast(IntegerType))
-      // fold = open·10⁶ + (10⁶ − day): max_by picks max concurrency,
-      // ties to the EARLIEST day (valid for any epoch day < 10⁶)
+        .withColumn("mon_idx", monOf(col("day")).cast(IntegerType))
+      // fold = open·10⁶ + (999999 − day): max_by picks max concurrency,
+      // ties to the EARLIEST day (exact for epoch days 0..999999)
       conc.groupBy(col("mon_idx"))
         .agg(max(col("open")).as("peak_open"),
           max_by(col("day"),
-            col("open") * 1000000L + (lit(1000000L) - col("day")))
+            col("open") * 1000000L + (lit(999999L) - col("day")))
             .as("first_peak_day"))
         .orderBy(col("mon_idx"))
     }),
@@ -330,9 +361,10 @@ object TimeSeries {
     // consecutive-day runs into constant groups with NO self-join and
     // no iteration: one shuffle on user_id, one sort per partition,
     // then two small aggregates. Longest-streak ties break to the
-    // earliest start via an integer max_by fold (len·10⁶ + (10⁶ −
-    // start_day) — collision-free for any epoch day < 10⁶, i.e. until
-    // year 4707), so the result is engine-independent without struct
+    // earliest start via an integer max fold (len·10⁶ + (999999 −
+    // start_day) — exact for epoch days 0..999999 inclusive, i.e.
+    // through year 4707; the 10⁶−day variant would decode day 0 as
+    // 10⁶), so the result is engine-independent without struct
     // ordering (which DuckDB's max_by lacks).
     "q76_streaks" -> ((s, d) => {
       val days = t(s, d, "events")
@@ -344,12 +376,12 @@ object TimeSeries {
         .withColumn("island", col("day") - row_number().over(wu))
         .groupBy(col("user_id"), col("island"))
         .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
-      val fold = col("len") * 1000000L + (lit(1000000L) - col("start_day"))
+      val fold = col("len") * 1000000L + (lit(999999L) - col("start_day"))
       streaks.groupBy(col("user_id"))
         .agg(sum(col("len")).as("n_active_days"),
           count(lit(1)).as("n_streaks"),
           max(col("len")).as("best_len"),
-          (lit(1000000L) - max(fold) % 1000000L).as("best_start_day"))
+          (lit(999999L) - max(fold) % 1000000L).as("best_start_day"))
         .orderBy(col("user_id"))
     }),
 
@@ -447,14 +479,7 @@ object TimeSeries {
     // exact value, restated as TRUE because the oracle's exact r equals
     // the engine's by construction
     "q72_correlation" ->
-      """WITH m AS (
-        |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
-        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-        |    SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
-        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+      s"""WITH m AS ($momentCteSql)
         |SELECT l_returnflag, n,
         |  CAST(n * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
@@ -475,14 +500,7 @@ object TimeSeries {
     // IEEE expression trees; the builtin-vs-exact booleans restate as
     // TRUE (the contract is Spark's regr_* against the exact value)
     "q74_regression" ->
-      """WITH m AS (
-        |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
-        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-        |    SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
-        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
-        |  FROM lineitem GROUP BY l_returnflag),
+      s"""WITH m AS ($momentCteSql),
         |e AS (SELECT l_returnflag, n,
         |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
         |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
@@ -507,14 +525,25 @@ object TimeSeries {
         |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS day,
         |    -1 AS delta FROM li),
         |byday AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM d GROUP BY 1),
+        |b AS (SELECT
+        |    year(DATE '1970-01-01' + MIN(day)) * 12 + month(DATE '1970-01-01' + MIN(day)) - 1 AS m0,
+        |    year(DATE '1970-01-01' + MAX(day)) * 12 + month(DATE '1970-01-01' + MAX(day)) - 1 AS m1
+        |  FROM byday),
+        |spine AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      make_date(CAST(midx // 12 AS INTEGER), CAST(midx % 12 + 1 AS INTEGER), 1)) AS INTEGER) AS day,
+        |    CAST(0 AS BIGINT) AS net
+        |  FROM (SELECT UNNEST(generate_series(m0, m1)) AS midx FROM b)),
+        |alld AS (SELECT day, CAST(SUM(net) AS BIGINT) AS net
+        |  FROM (SELECT * FROM byday UNION ALL SELECT * FROM spine) GROUP BY 1),
         |conc AS (SELECT day,
         |    CAST(SUM(net) OVER (ORDER BY day
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open,
         |    CAST(year(DATE '1970-01-01' + day) * 12
         |      + month(DATE '1970-01-01' + day) - 1 AS INTEGER) AS mon_idx
-        |  FROM byday)
+        |  FROM alld)
         |SELECT mon_idx, MAX(open) AS peak_open,
-        |  CAST(max_by(day, open * 1000000 + (1000000 - day)) AS INTEGER) AS first_peak_day
+        |  CAST(max_by(day, open * 1000000 + (999999 - day)) AS INTEGER) AS first_peak_day
         |FROM conc GROUP BY mon_idx ORDER BY mon_idx""".stripMargin,
 
     "q76_streaks" ->
@@ -530,7 +559,7 @@ object TimeSeries {
         |  CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  COUNT(*) AS n_streaks,
         |  CAST(MAX(len) AS BIGINT) AS best_len,
-        |  CAST(1000000 - (MAX(len * 1000000 + (1000000 - start_day)) % 1000000) AS BIGINT) AS best_start_day
+        |  CAST(999999 - (MAX(len * 1000000 + (999999 - start_day)) % 1000000) AS BIGINT) AS best_start_day
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q62_histogram" ->

@@ -999,25 +999,36 @@ object StreamingOps {
           max_by(col("last_event_id"), fold(col("last_ts_us"), col("last_event_id")))
             .as("last_event_id"),
           max(col("last_ts_us")).as("last_ts_us"))
-      var cur: Option[String] = None
+      // AtomicReference (not a captured var): written on the stream
+      // execution thread, read on the caller thread after termination.
+      // The pointer advances only AFTER a version commits, which makes
+      // retries idempotent: a re-delivered batchId finds cur already at
+      // its own version and no-ops (without the guard, the retry would
+      // merge the delta into its own snapshot — double-counting — while
+      // overwriting the very directory it is reading); a retry after a
+      // PARTIAL write finds cur still at the previous version and
+      // cleanly rebuilds v$batchId from it.
+      val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
       val q = multiBatchEventStream(s, d).writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val delta = batch
-            .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
-              col("event_id").as("last_event_id"), lit(1L).as("n_events"))
-          val merged = cur match {
-            case None    => mergeUp(delta)
-            case Some(p) => mergeUp(s.read.parquet(p).unionByName(delta))
-          }
           val next = s"$stateDir/v$batchId"
-          merged.write.mode("overwrite").parquet(next)
-          cur = Some(next)
+          if (cur.get != next) {
+            val delta = batch
+              .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+                col("event_id").as("last_event_id"), lit(1L).as("n_events"))
+            val merged = Option(cur.get) match {
+              case None    => mergeUp(delta)
+              case Some(p) => mergeUp(s.read.parquet(p).unionByName(delta))
+            }
+            merged.write.mode("overwrite").parquet(next)
+            cur.set(next)
+          }
         }
         .start()
       q.awaitTermination()
-      s.read.parquet(cur.getOrElse(sys.error("no batch ran")))
+      s.read.parquet(Option(cur.get).getOrElse(sys.error("no batch ran")))
         .orderBy(col("user_id"))
     })
   )
