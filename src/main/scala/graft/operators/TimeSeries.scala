@@ -267,6 +267,26 @@ object TimeSeries {
         .orderBy(col("y"))
     }),
 
+    // ── q82: HEAVY HITTERS — `approx_top_k` (Spark 4.1), the
+    // frequent-items sketch completing the mergeable-sketch family
+    // (q78 HLL distinct, q23/q37 approx count/percentile, q27 exact
+    // top-k): one pass, fixed memory, partial-aggregable — at 100 TB
+    // the per-partition sketches merge like any aggregate state. With
+    // column cardinality ≤ maxItemsTracked (5 event types vs 100
+    // tracked) the Misra–Gries-style counts are EXACT, so the whole
+    // row set is oracle-checked, not tolerance-gated. The sketch's
+    // own emission order under count ties is engine-internal, so rank
+    // is re-derived with the (count, item) total order.
+    "q82_heavy_hitters" -> ((s, d) => {
+      val hh = t(s, d, "events")
+        .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("item").asc)
+      hh.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .orderBy(col("rank"))
+    }),
+
     // ── q74: LINEAR REGRESSION per group — slope/intercept/R² of
     // price-cents on quantity from the same exact integer moment sums
     // as q72 (order-free, hash-exact), then Spark's built-in
@@ -486,6 +506,16 @@ object TimeSeries {
         |    AS pearson_r,
         |  TRUE AS builtin_within_tol
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // cardinality ≤ tracked slots ⇒ sketch counts are exact: the
+    // oracle is the plain grouped count, top-3 by the same total order
+    "q82_heavy_hitters" ->
+      """WITH c AS (SELECT event_type AS item, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT item, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT item, cnt, rank FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
 
     // the sketch estimate has no cross-engine twin; the hashed contract
     // is the exact distinct count and the tolerance boolean (TRUE)

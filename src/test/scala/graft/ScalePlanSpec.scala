@@ -70,6 +70,19 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected the total branch to reuse the monthly agg's exchange:\n$plan")
   }
 
+  test("q07 top-k-per-group plans a WindowGroupLimit below the rank window") {
+    // the rank<=k filter must push a per-partition group limit under
+    // the window (Spark 3.5's WindowGroupLimit): each map task forwards
+    // at most k rows per group into the shuffle instead of the whole
+    // partition contents being sorted first — the difference between
+    // top-3-per-brand shuffling ~3·#brands rows and shuffling the fact
+    val df = SparkEntry.queries("q07_topk_per_brand")(spark, sf)
+    df.collect()
+    val hits = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .count(_.nodeName.contains("WindowGroupLimit"))
+    assert(hits > 0, "rank filter did not push a WindowGroupLimit")
+  }
+
   test("q68 SHUFFLE_MERGE hint overrides auto-broadcast") {
     // customer is broadcast-sized at every SF, so without the hint the
     // planner picks BroadcastHashJoin on its own — SortMergeJoin in the
