@@ -901,14 +901,30 @@ object StreamingOps {
     // each click emits AT MOST ONCE, as soon as any in-window purchase
     // matches, and carries no purchase columns — the streaming EXISTS.
     // Matched clicks emit on match (no watermark wait, unlike st14's
-    // null rows); unmatched clicks just age out of state. Completes the
-    // four stream-stream join types Spark supports
-    // (inner st06 / left-outer st14 / full-outer st21 / left-semi).
+    // null rows); unmatched clicks just age out of state. With st26's
+    // right-outer this completes all five stream-stream join types
+    // Spark supports (inner st06 / left-outer st14 / right-outer st26 /
+    // full-outer st21 / left-semi).
     "st22_stream_semi_join" -> ((s, d) => withStatePartitions(s, StateParts) {
       val (clicks, purchases) = clickPurchaseStreams(s, d)
       val converted = clicks.join(purchases, conversionWindow, "left_semi")
         .select(col("c_user").as("user_id"), col("click_id"))
       runToMemory(s, converted, "st22_out", "append").orderBy(col("click_id"))
+    }),
+
+    // ── st26: RIGHT-OUTER stream-stream join — st14's mirror: every
+    // match emits as it meets; an UNMATCHED PURCHASE emits
+    // null-extended once no eligible click can still arrive, i.e. when
+    // the watermark passes p_ts itself (a click matches with c_ts ∈
+    // [p_ts − 30min, p_ts], so the last eligible click's event time IS
+    // p_ts — st21's asymmetry, isolated on the right side). Completes
+    // the five supported stream-stream join types.
+    "st26_stream_right_join" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val (clicks, purchases) = clickPurchaseStreams(s, d)
+      val joined = clicks.join(purchases, conversionWindow, "right_outer")
+        .select(col("p_user").as("user_id"), col("click_id"), col("purchase_id"))
+      runToMemory(s, joined, "st26_out", "append")
+        .orderBy(col("click_id"), col("purchase_id"))
     }),
 
     // ── st23: DEDUP → WINDOWED AGG chained in one query — the other
@@ -1314,6 +1330,37 @@ object StreamingOps {
         |    AND epoch_us(p.ts) >= epoch_us(c.ts)
         |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
         |ORDER BY click_id""".stripMargin,
+
+    // st06's inner matches + purchases whose click horizon the final
+    // (ms-truncated) watermark closed without a match — st21's
+    // purchase-side subset, isolated
+    "st26_stream_right_join" ->
+      """WITH wm AS (
+        |  SELECT (least(
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        |    // 1000 - 3600000) * 1000 AS w),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |  FROM events c JOIN events p
+        |    ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND p.user_id = c.user_id
+        |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000),
+        |pu AS (
+        |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+        |    p.event_id AS purchase_id
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) < w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events c
+        |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000))
+        |SELECT user_id, click_id, purchase_id FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM pu)
+        |ORDER BY click_id NULLS FIRST, purchase_id""".stripMargin,
 
     // conservation of rows: listener total = sink total = table count;
     // the multi-batch boolean restates as TRUE (8 files / 2 per trigger)
