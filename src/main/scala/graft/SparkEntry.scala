@@ -32,6 +32,7 @@ object SparkEntry {
       sources.Formats.queries ++
       sources.Partitioned.queries ++
       sources.Compaction.queries ++
+      sources.SeqSourceQueries.queries ++
       plans.Adaptive.queries ++
       plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
@@ -52,6 +53,7 @@ object SparkEntry {
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++
       sources.Compaction.oracles ++
+      sources.SeqSourceQueries.oracles ++
       plans.Adaptive.oracles ++
       plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SeqSource
+
+/** The custom DSv2 connector's three contracts, each observed rather
+  * than assumed:
+  *  - filter pushdown PRUNES GENERATION (the emission counter, not the
+  *    result, proves rows outside the range never existed);
+  *  - column pruning reaches the reader (the scan's output schema);
+  *  - planInputPartitions drives real parallelism.
+  */
+class SeqSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  private def seq(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("range filter is pushed into generation, not applied after") {
+    SeqSource.rowsEmitted.set(0)
+    val n = seq(100000, 8)
+      .filter(col("id") >= 25000L && col("id") < 75000L)
+      .count()
+    assert(n == 50000)
+    // conservative pushdown re-evaluates the filters but must only
+    // GENERATE the narrowed range (plus nothing: 50k exactly)
+    assert(SeqSource.rowsEmitted.get == 50000,
+      s"source generated ${SeqSource.rowsEmitted.get} rows for a 50k-row range")
+  }
+
+  test("equality pushdown narrows to a single row") {
+    SeqSource.rowsEmitted.set(0)
+    val r = seq(100000, 8).filter(col("id") === 41L)
+      .select(col("val")).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(SeqSource.valueOf(41L)))
+    assert(SeqSource.rowsEmitted.get == 1)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = seq(1000, 2).select(col("bucket"))
+    df.collect()
+    val scans = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.output.map(_.name) == Seq("bucket")),
+      scans.map(_.output.map(_.name)).toString)
+  }
+
+  test("the scan plans the requested partition count") {
+    assert(seq(1000, 7).rdd.getNumPartitions == 7)
+  }
+
+  test("unpushable filters still evaluate correctly (residual path)") {
+    // bucket filters are NOT pushed (only id ranges are) — the
+    // conservative residual re-evaluation must produce exact results
+    val n = seq(10000, 4).filter(col("bucket") === 3).count()
+    assert(n == 100)
+  }
+}
