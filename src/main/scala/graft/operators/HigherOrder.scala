@@ -267,6 +267,44 @@ object HigherOrder {
           |FROM li_cents GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // ── q84: COLLECTION OPS II — the map-typed HOFs and array SET
+    // operations q25 doesn't reach: map_from_arrays → map_filter →
+    // map_values, map_zip_with, zip_with, array_except/filter over an
+    // in-plan per-group sequence. Everything stays integer (line
+    // numbers ≤ 7, squares ≤ 49) and arrays are built sorted, so the
+    // canonical comma-joined strings and fold sums are hash-exact;
+    // DuckDB restates the map results as list comprehensions over the
+    // same range (its map type has no filter/zip surface — the VALUES
+    // are the contract, not the container). All codegen'd per-row
+    // collection kernels over one aggregate — no UDF, no shuffle
+    // beyond the groupBy.
+    "q84_collection_ops" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_linenumber")).as("mx"))
+        .select(col("l_orderkey"), col("mx"),
+          expr("array_join(filter(sequence(1, mx), x -> x % 2 = 0), ',')")
+            .as("evens_csv"),
+          expr("""array_join(array_except(sequence(1, mx),
+                    filter(sequence(1, mx), x -> x % 2 = 0)), ',')""")
+            .as("odds_csv"),
+          expr("""aggregate(zip_with(sequence(1, mx), reverse(sequence(1, mx)),
+                    (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x)""")
+            .as("zip_dot"),
+          expr("""aggregate(map_values(map_filter(
+                    map_from_arrays(sequence(1, mx),
+                      transform(sequence(1, mx), x -> x * x)),
+                    (k, v) -> k % 2 = 0)), cast(0 as bigint), (a, x) -> a + x)""")
+            .as("even_sq_sum"),
+          expr("""aggregate(map_values(map_zip_with(
+                    map_from_arrays(sequence(1, mx),
+                      transform(sequence(1, mx), x -> x * x)),
+                    map_from_arrays(sequence(1, mx), sequence(1, mx)),
+                    (k, v1, v2) -> v1 - v2)), cast(0 as bigint), (a, x) -> a + x)""")
+            .as("zip_diff_sum"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // ── q80: RECURSIVE CTE (Spark 4) — transitive closure over an
     // implicit referral hierarchy (parent(k) = k div 10, a tree rooted
     // at 0): every customer's full ancestor chain, aggregated per
@@ -440,6 +478,19 @@ object HigherOrder {
         |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wmean_price_cents,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_units
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the same values as list comprehensions over the same range
+    "q84_collection_ops" ->
+      """WITH g AS (SELECT l_orderkey, CAST(MAX(l_linenumber) AS INTEGER) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, mx,
+        |  coalesce(array_to_string(list_filter(range(1, mx + 1), x -> x % 2 = 0), ','), '') AS evens_csv,
+        |  coalesce(array_to_string(list_filter(range(1, mx + 1), x -> x % 2 <> 0), ','), '') AS odds_csv,
+        |  CAST(list_sum(list_transform(range(1, mx + 1), i -> i * (mx + 1 - i))) AS BIGINT) AS zip_dot,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(range(1, mx + 1), k -> k % 2 = 0), k -> k * k)), 0) AS BIGINT) AS even_sq_sum,
+        |  CAST(list_sum(list_transform(range(1, mx + 1), k -> k * k - k)) AS BIGINT) AS zip_diff_sum
+        |FROM g ORDER BY l_orderkey""".stripMargin,
 
     // the identical recursive statement (DuckDB's // is Spark's DIV)
     "q80_recursive_cte" ->
