@@ -329,6 +329,56 @@ object HigherOrder {
           col("key_sum").cast(LongType).as("key_sum"))
     }),
 
+    // ── q85: SESSION VARIABLES + dynamic identifiers (Spark 4) — the
+    // parameterized-pipeline surface: a threshold lives in a typed
+    // session variable (`DECLARE`/`SET VAR`), the target table name in
+    // another, resolved at parse time via `IDENTIFIER()`. This is how
+    // a SQL-first deployment templates one query over many
+    // tables/thresholds without string-splicing SQL (and without the
+    // injection surface splicing brings). Variables fold to literals
+    // at plan time, so predicate pushdown sees a constant — the plan
+    // is identical to the hand-written query; the oracle inlines the
+    // same constants.
+    "q85_session_vars" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("orders_v85")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE DEFAULT 0.0")
+      s.sql("SET VAR graft_min_price = 250000.0")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING DEFAULT 'orders_v85'")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  min(o_totalprice) AS min_price
+          |FROM IDENTIFIER(graft_tbl)
+          |WHERE o_totalprice >= graft_min_price
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ── q86: SQL-DEFINED FUNCTIONS (Spark 4) — a scalar SQL UDF
+    // (`CREATE FUNCTION … RETURN expr`, the declarative twin of q63's
+    // typed Aggregator: inlined into the plan, fully codegen'd, no JVM
+    // closure) and a SQL TABLE function (`RETURNS TABLE`, the
+    // declarative twin of t06's custom Catalyst Generator) applied per
+    // row via LATERAL. The i=1 arm recovers the unexpanded per-row sum
+    // inside the expanded aggregate, so one query checks both
+    // functions; the oracle restates the TVF arithmetically
+    // (Σ 1..n = n(n+1)/2).
+    "q86_sql_udfs" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("li_v86")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(p DOUBLE)
+          |RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_expand(n INT)
+          |RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))""".stripMargin)
+      s.sql(
+        """WITH ex AS (
+          |  SELECT l_returnflag, graft_cents(l_extendedprice) AS cents, t.i
+          |  FROM li_v86, LATERAL graft_expand(l_linenumber) AS t)
+          |SELECT l_returnflag, COUNT(*) AS n_expanded,
+          |  SUM(i) AS tvf_sum,
+          |  SUM(CASE WHEN i = 1 THEN cents ELSE 0 END) AS sum_cents
+          |FROM ex GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // ── q81: COLLATION-AWARE grouping and joining (Spark 4 collations)
     // — case-scattered segment labels (every even key lowercased)
     // group and join as ONE key under UTF8_LCASE without rewriting the
@@ -501,6 +551,21 @@ object HigherOrder {
         |SELECT CAST(depth AS INTEGER) AS depth, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS key_sum
         |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the variable/identifier indirection inlined to constants
+    "q85_session_vars" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, MIN(o_totalprice) AS min_price
+        |FROM orders WHERE o_totalprice >= 250000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // scalar UDF inlined as arithmetic; the TVF expansion restated in
+    // closed form (COUNT over the expansion = Σn, Σi = n(n+1)/2)
+    "q86_sql_udfs" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS n_expanded,
+        |  CAST(SUM(l_linenumber * (l_linenumber + 1) // 2) AS BIGINT) AS tvf_sum,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the collation semantics restated through lower()-keyed grouping
     "q81_collation" ->
