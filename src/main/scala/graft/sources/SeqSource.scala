@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,19 +65,20 @@ class SeqSourceProvider extends TableProvider {
       properties: java.util.Map[String, String]): Table =
     new SeqTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("parts", "4").toInt)
+      properties.getOrDefault("parts", "4").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
-class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SeqTable(rows: Long, parts: Int, batchRows: Long) extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts)
+    new SeqScanBuilder(rows, parts, batchRows)
 }
 
-class SeqScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -103,24 +105,69 @@ class SeqScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan =
+    new SeqScan(lo, math.max(lo, hi), parts, batchRows, required)
 }
 
 case class SeqSlice(start: Long, end: Long) extends InputPartition
 
-class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+class SeqScan(lo: Long, hi: Long, parts: Int, batchRows: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
+  private def slices(from: Long, to: Long): Array[InputPartition] = {
+    val n = to - from
     val p = math.max(1, parts)
     Array.tabulate(p) { i =>
-      SeqSlice(lo + i * n / p, lo + (i + 1) * n / p)
+      SeqSlice(from + i * n / p, from + (i + 1) * n / p)
     }
   }
 
+  override def planInputPartitions(): Array[InputPartition] = slices(lo, hi)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, batchRows, required, slices)
+}
+
+/** The offset is simply "rows emitted so far" — totally ordered,
+  * JSON-round-trippable, replayable: [start, end) re-plans to the same
+  * deterministic slices, which is what makes checkpoint recovery exact. */
+case class SeqOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** The STREAMING half of the connector: admission-controlled
+  * micro-batches of `batchRows` ids per trigger. `AvailableNow` support
+  * comes from `SupportsTriggerAvailableNow` — the end target is latched
+  * at prepare time, and `latestOffset(start, limit)` admits one batch
+  * step per trigger until it is reached, giving a genuinely multi-batch
+  * bounded drain (the file source's `maxFilesPerTrigger` analog, but
+  * with offsets the connector itself defines and serializes). */
+class SeqMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
+    required: StructType, slices: (Long, Long) => Array[InputPartition])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var target = hi
+
+  override def prepareForTriggerAvailableNow(): Unit = { target = hi }
+  override def initialOffset(): Offset = SeqOffset(lo)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SeqOffset(math.min(start.asInstanceOf[SeqOffset].n + batchRows, target))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = SeqOffset(target)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    slices(start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
 }
@@ -144,6 +191,30 @@ object SeqSourceQueries {
         .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
           max(col("id")).as("max_id"))
         .orderBy(col("bucket"))
+    }),
+
+    // ── st27: the connector's STREAMING half end-to-end — the same
+    // synthetic table consumed as a micro-batch stream (25k ids per
+    // trigger → ≥4 real batches under AvailableNow), aggregated in
+    // complete mode. The multi_batch column pins that admission
+    // control actually split the drain (batchId ≥ 3 at the last
+    // progress) — without it a single-batch run would pass the value
+    // check while exercising none of the offset machinery.
+    "st27_custom_source_stream" -> ((s, _) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+        .option("rows", "100000").option("parts", "4")
+        .option("batchRows", "25000")
+        .load()
+      val agg = stream.groupBy((col("bucket") % 10).as("b10"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+      val q = agg.writeStream.format("memory").queryName("st27_out")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      s.table("st27_out")
+        .withColumn("multi_batch", lit(lastBatch >= 3L))
+        .orderBy(col("b10"))
     })
   )
 
@@ -157,7 +228,18 @@ object SeqSourceQueries {
         |SELECT bucket, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sum_val,
         |  MAX(id) AS max_id
         |FROM t WHERE id >= 25000 AND id < 75000
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same synthetic table, streamed: totals are batch-split-invariant;
+    // the multi-batch boolean restates as TRUE (100k rows / 25k per
+    // trigger)
+    "st27_custom_source_stream" ->
+      """WITH t AS (SELECT g % 100 AS bucket,
+        |    ((g % 2147483647) * 48271) % 2147483647 AS val
+        |  FROM (SELECT UNNEST(generate_series(0, 99999)) AS g))
+        |SELECT CAST(bucket % 10 AS INTEGER) AS b10, COUNT(*) AS n,
+        |  CAST(SUM(val) AS BIGINT) AS sum_val, TRUE AS multi_batch
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
 
