@@ -33,6 +33,7 @@ object SparkEntry {
       sources.Partitioned.queries ++
       sources.Compaction.queries ++
       sources.SeqSourceQueries.queries ++
+      sources.AggSinkQueries.queries ++
       plans.Adaptive.queries ++
       plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
@@ -54,6 +55,7 @@ object SparkEntry {
       sources.Partitioned.oracles ++
       sources.Compaction.oracles ++
       sources.SeqSourceQueries.oracles ++
+      sources.AggSinkQueries.oracles ++
       plans.Adaptive.oracles ++
       plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles

@@ -53,6 +53,34 @@ class SeqSourceSpec extends AnyFunSuite {
     assert(seq(1000, 7).rdd.getNumPartitions == 7)
   }
 
+  test("streaming offsets round-trip through a checkpoint (restart is a no-op)") {
+    // first AvailableNow run drains all 10k ids in 4 batches; a second
+    // run against the SAME checkpoint must deserialize the committed
+    // SeqOffset and admit nothing new — the st09 contract, but through
+    // offsets the connector itself defines and serializes
+    // foreachBatch, not the memory sink: memory sinks refuse
+    // checkpoint recovery at resolve time
+    val ckpt = graft.Scratch.dir(spark, "graft_seqstream_ckpt", "spec")
+    def drain(): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("graft.sources.SeqSourceProvider")
+        .option("rows", "10000").option("parts", "4")
+        .option("batchRows", "2500").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get
+    }
+    assert(drain() == 10000)
+    assert(drain() == 0,
+      "restart against the committed checkpoint re-emitted rows")
+  }
+
   test("unpushable filters still evaluate correctly (residual path)") {
     // bucket filters are NOT pushed (only id ranges are) — the
     // conservative residual re-evaluation must produce exact results
