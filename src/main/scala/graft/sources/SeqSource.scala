@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -79,12 +81,44 @@ class SeqTable(rows: Long, parts: Int, batchRows: Long) extends Table with Suppo
 }
 
 class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
+  private var aggPushed: Option[Aggregation] = None
+
+  // ── aggregate pushdown: ungrouped COUNT(*) / MIN(id) / MAX(id) have
+  // closed forms over the [lo, hi) range, so the source answers them
+  // with ONE row and ZERO generated ids — the connector analog of
+  // footer-stats answers. Complete pushdown only engages when Spark
+  // pushed no residual filters above the scan; the conservative filter
+  // contract above always leaves residuals when filters exist, so this
+  // composes only with the unfiltered scan — the honest trade, noted
+  // here: stats shortcuts must never ride below re-checked filters.
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => m.column match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+      case m: Max => m.column match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg) && pushed.isEmpty
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = canPush(agg) && pushed.isEmpty
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -105,8 +139,41 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilde
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SeqScan(lo, math.max(lo, hi), parts, batchRows, required)
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
+    case None => new SeqScan(lo, math.max(lo, hi), parts, batchRows, required)
+  }
+}
+
+/** One-row scan answering a completely-pushed aggregation in closed
+  * form: count = hi−lo, min = lo, max = hi−1 (nulls on empty range). */
+class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
+  private val out: StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqSlice(0, 1)) // one task, one row
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => hi - lo
+      case _: Min       => if (hi > lo) lo else null
+      case _: Max       => if (hi > lo) hi - 1 else null
+      case other        => sys.error(s"unpushable agg leaked into build: $other")
+    }
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 case class SeqSlice(start: Long, end: Long) extends InputPartition
@@ -193,6 +260,17 @@ object SeqSourceQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ── q88: AGGREGATE PUSHDOWN through the connector — ungrouped
+    // count/min/max over 5M synthetic ids answered by the source in
+    // closed form: one row crosses the boundary and ZERO ids are
+    // generated (spec-proven via the emission counter). The connector
+    // analog of answering from footer statistics.
+    "q88_agg_pushdown" -> ((s, _) => {
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "5000000").option("parts", "8").load()
+        .selectExpr("count(*) AS n", "min(id) AS min_id", "max(id) AS max_id")
+    }),
+
     // ── st27: the connector's STREAMING half end-to-end — the same
     // synthetic table consumed as a micro-batch stream (25k ids per
     // trigger → ≥4 real batches under AvailableNow), aggregated in
@@ -229,6 +307,11 @@ object SeqSourceQueries {
         |  MAX(id) AS max_id
         |FROM t WHERE id >= 25000 AND id < 75000
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the closed forms the source computes, stated directly
+    "q88_agg_pushdown" ->
+      """SELECT CAST(5000000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS min_id,
+        |  CAST(4999999 AS BIGINT) AS max_id""".stripMargin,
 
     // same synthetic table, streamed: totals are batch-split-invariant;
     // the multi-batch boolean restates as TRUE (100k rows / 25k per

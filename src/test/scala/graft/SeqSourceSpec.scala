@@ -53,6 +53,16 @@ class SeqSourceSpec extends AnyFunSuite {
     assert(seq(1000, 7).rdd.getNumPartitions == 7)
   }
 
+  test("ungrouped count/min/max are answered without generating a single row") {
+    SeqSource.rowsEmitted.set(0)
+    val r = seq(1000000, 8)
+      .selectExpr("count(*) AS n", "min(id) AS mn", "max(id) AS mx")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000000L, 0L, 999999L))
+    assert(SeqSource.rowsEmitted.get == 0,
+      s"aggregate pushdown did not engage: ${SeqSource.rowsEmitted.get} ids generated")
+  }
+
   test("streaming offsets round-trip through a checkpoint (restart is a no-op)") {
     // first AvailableNow run drains all 10k ids in 4 batches; a second
     // run against the SAME checkpoint must deserialize the committed
