@@ -32,8 +32,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the `tag` option (observable under local[*], exactly the harness).
   */
 object AggSink {
-  /** (n_rows, sum_v, min_k, max_k) per published tag. */
-  val results = new TrieMap[String, (Long, Long, Long, Long)]()
+  /** (n_rows, sum_v, min_k, max_k) per published tag — min/max are
+    * None for an empty write, matching what an empty SQL aggregate
+    * yields (NULL), not a sentinel zero. */
+  val results = new TrieMap[String, (Long, Long, Option[Long], Option[Long])]()
 }
 
 class AggSinkProvider extends TableProvider {
@@ -70,9 +72,9 @@ class AggBatchWrite(tag: String) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ps = messages.map(_.asInstanceOf[AggPartial]).filter(_.n > 0)
     val merged =
-      if (ps.isEmpty) (0L, 0L, 0L, 0L)
-      else (ps.map(_.n).sum, ps.map(_.sum).sum, ps.map(_.min).min,
-        ps.map(_.max).max)
+      if (ps.isEmpty) (0L, 0L, None, None)
+      else (ps.map(_.n).sum, ps.map(_.sum).sum, Some(ps.map(_.min).min),
+        Some(ps.map(_.max).max))
     AggSink.results.put(tag, merged) // the atomic publish
   }
 
@@ -122,7 +124,7 @@ object AggSinkQueries {
         .option("tag", tag).mode("append").save()
       val (n, sum, min, max) = AggSink.results.getOrElse(tag,
         sys.error("sink did not publish"))
-      Seq((n, sum, min, max))
+      Seq((n, sum, min, max)) // Option encodes as a nullable long
         .toDF("n_rows", "sum_cents", "min_event_id", "max_event_id")
     })
   )

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -225,9 +225,20 @@ class SeqMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is used")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SeqOffset(math.min(start.asInstanceOf[SeqOffset].n + batchRows, target))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // the declared default limit IS the batch step (the honest admission
+  // declaration); an engine-supplied limit is honored, so Trigger.Once
+  // (allAvailable) drains everything in its single batch instead of
+  // silently truncating at one step
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val step = limit match {
+      case _: ReadAllAvailable => target - s
+      case m: ReadMaxRows      => m.maxRows()
+      case _                   => batchRows
+    }
+    SeqOffset(math.min(s + math.max(step, 0L), target))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
   override def reportLatestOffset(): Offset = SeqOffset(target)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -188,10 +188,11 @@ object StreamingOps {
   }
 
   /** The clicks/purchases stream pair every stream-stream join variant
-    * (st06 inner / st14 left-outer / st21 full-outer / st22 left-semi)
-    * builds on: ns→µs conversion, per-side rename, 1-hour watermark on
-    * each side. ONE definition, so the four join types can never drift
-    * apart on the delay, the time bound, or the timestamp conversion. */
+    * (st06 inner / st14 left-outer / st26 right-outer / st21
+    * full-outer / st22 left-semi) builds on: ns→µs conversion,
+    * per-side rename, 1-hour watermark on each side. ONE definition,
+    * so the five join types can never drift apart on the delay, the
+    * time bound, or the timestamp conversion. */
   private def clickPurchaseStreams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(tpe: String) = s.readStream

@@ -55,6 +55,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the window's), got ${ex.size}:\n${ex.mkString("\n")}")
   }
 
+  test("q82's k boundary is tie-free at every SF (sketch item choice is safe)") {
+    // q82's rank re-derivation fixes ORDERING among returned items,
+    // but a count tie spanning the k=3 boundary would let
+    // approx_top_k return a different ITEM SET than the oracle's
+    // (count, item) total order — guard the fixture so that boundary
+    // tie fails here with a clear message instead of as a hash
+    // mismatch (the q48/q58 fixture-pin pattern)
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+      .filter(new java.io.File(_).exists())
+    assert(dirs.nonEmpty, "no fixture dirs found — the pin would be vacuous")
+    for (dir <- dirs) {
+      val counts = Tables(spark, dir, "events")
+        .groupBy(col("event_type")).count()
+        .orderBy(col("count").desc, col("event_type"))
+        .collect().map(_.getLong(1))
+      assert(counts.length <= 3 || counts(2) != counts(3),
+        s"$dir: event-type counts tie across the k=3 boundary " +
+          s"(${counts.mkString(",")}) — q82's sketch may legally return " +
+          "a different 3rd item than the oracle; change k or the fixture")
+    }
+  }
+
   test("q75 prefix sum runs over the day aggregate, never the raw fact") {
     // the sweep-line's single-partition window is only acceptable
     // because its input is the ±1-delta-per-DAY aggregate (a few
