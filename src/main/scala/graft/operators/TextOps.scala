@@ -22,6 +22,31 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** (doc_id, n_tok) — whitespace token counts, shared by p03/p08. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+
+  /** ONE definition of the decomposed global prefix sum over doc_id
+    * order (p03 shard budgeting + p08 sequence packing): bucket
+    * subtotals → tiny bucket-level window → broadcast offsets →
+    * partitioned intra-bucket window. Bit-exact vs a single global
+    * running total, with no one-task global window anywhere. */
+  private def withCumBefore(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBkt = toks.withColumn("bkt", expr("doc_id div 64"))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBkt.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("offset", coalesce(sum(col("bkt_tok")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBkt.join(broadcast(offsets), "bkt")
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+  }
+
   /** stopword LIKE-hit score for one language (0..n). SQL text is shared
     * verbatim with the DuckDB oracle. */
   private def stopScore(words: Seq[String]): String =
@@ -159,26 +184,38 @@ object TextOps {
     // The oracle states the same contract as one SUM() OVER (ORDER BY
     // doc_id) — the decomposition must be bit-exact against it.
     "p03_token_shards" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, d)
-        .select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
-        .withColumn("bkt", expr("doc_id div 64"))
-      val wBkt = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = toks.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bkt_tok"))
-        .withColumn("offset", coalesce(sum(col("bkt_tok")).over(wBkt), lit(0L)))
-        .select(col("bkt"), col("offset"))
-      val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks.join(broadcast(offsets), "bkt")
-        .withColumn("cum_before",
-          col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      withCumBefore(docTokens(s, d))
         .withColumn("shard_id", expr("cum_before div 5000"))
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard_id"))
+    }),
+
+    // ── p08: SEQUENCE PACKING — the step between p03's shard budgeting
+    // and the trainer: every document's token interval
+    // [cum_before, cum_before + n_tok) is mapped onto fixed 512-token
+    // TRAINING WINDOWS, with documents split across window boundaries
+    // accounted exactly (each doc emits one row per window it
+    // overlaps; its contribution is the interval intersection). Output
+    // row count is ≈ total_tokens/512 + n_docs — linear, no
+    // per-token explosion — and every window's contributions sum to
+    // exactly 512 except the final partial one, an invariant the
+    // oracle's identical restatement enforces. Built on the SAME
+    // decomposed prefix sum as p03 (one definition, [[withCumBefore]]),
+    // so the two contracts cannot drift.
+    "p08_sequence_pack" -> ((s, d) => {
+      withCumBefore(docTokens(s, d))
+        .withColumn("seq_id", explode(sequence(
+          expr("cum_before div 512"),
+          expr("(cum_before + n_tok - 1) div 512"))))
+        .withColumn("contrib",
+          least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * 512L) -
+            greatest(col("cum_before"), col("seq_id") * 512L))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("sum_tok"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
     }),
 
     // ── p07: DETERMINISTIC EPOCH SHUFFLE — every document gets a unique
@@ -595,6 +632,27 @@ object TextOps {
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same cum_before prefix sum, fanned out over the window range
+    // each doc overlaps; contributions are interval intersections
+    "p08_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t),
+        |e AS (SELECT doc_id, n_tok, cum_before,
+        |    UNNEST(generate_series(cum_before // 512,
+        |      (cum_before + n_tok - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(least(cum_before + n_tok, (seq_id + 1) * 512)
+        |    - greatest(cum_before, seq_id * 512)) AS BIGINT) AS sum_tok,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the distributed rank must equal ONE global ROW_NUMBER over the
     // hash order — the decomposition is allowed to cost nothing
