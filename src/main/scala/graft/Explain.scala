@@ -14,7 +14,8 @@ object Explain {
       else Seq("q01_crime_flagship", "q02_pricing_summary", "q03_region_revenue",
         "q20_star_join", "q09_top_orders", "d04_dedup_ngram_jaccard",
         "d05_dedup_embedding", "q34_bucketed_join", "q35_range_join",
-        "s01_ann_bruteforce")
+        "s01_ann_bruteforce", "q75_concurrency", "q77_cohort_retention",
+        "t11_search", "p08_sequence_pack", "q83_custom_source")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
