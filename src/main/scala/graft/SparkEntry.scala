@@ -34,6 +34,7 @@ object SparkEntry {
       sources.Compaction.queries ++
       sources.SeqSourceQueries.queries ++
       sources.AggSinkQueries.queries ++
+      sources.AvroQueries.queries ++
       plans.Adaptive.queries ++
       plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
@@ -56,6 +57,7 @@ object SparkEntry {
       sources.Compaction.oracles ++
       sources.SeqSourceQueries.oracles ++
       sources.AggSinkQueries.oracles ++
+      sources.AvroQueries.oracles ++
       plans.Adaptive.oracles ++
       plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles
