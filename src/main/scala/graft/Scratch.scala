@@ -36,6 +36,22 @@ object Scratch {
     s"$appRoot/$tag"
   }
 
+  /** Run `body` once per scratch `dir` lifetime: a `_DONE` marker file
+    * records completion, so re-invocations (the same query verified at
+    * several SFs, bench min-of-2 runs) skip the materialization. The
+    * marker is written only AFTER `body` returns — a partial write
+    * (exception mid-body) leaves no marker and is redone, not read.
+    * ONE definition for every materialize-once fixture (m04 binary
+    * files, q89 avro files), so the guard can't drift per call site. */
+  def materializeOnce(dir: String)(body: => Unit): Unit = {
+    val done = Paths.get(dir, "_DONE")
+    if (!Files.exists(done)) {
+      Files.createDirectories(Paths.get(dir))
+      body
+      Files.createFile(done)
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

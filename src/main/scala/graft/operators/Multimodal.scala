@@ -183,9 +183,7 @@ object Multimodal {
     "m04_binaryfile_ingest" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val dir = graft.Scratch.dir(s, "graft_m04", tag)
-      val done = new java.io.File(s"$dir/_DONE")
-      if (!done.exists()) {
-        new java.io.File(dir).mkdirs()
+      graft.Scratch.materializeOnce(dir) {
         Tables(s, d, "documents").select(col("doc_id"), col("text"))
           .repartition(8)
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -195,7 +193,6 @@ object Multimodal {
                 r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             }
           }
-        done.createNewFile()
       }
       graft.functions.PortableHashFunctions.register(s)
       s.read.format("binaryFile")

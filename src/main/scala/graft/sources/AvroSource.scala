@@ -97,17 +97,25 @@ object AvroFiles {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, new File(s"$dir/part-$pid.avro"))
-        try it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          st.fields.zipWithIndex.foreach { case (f, i) =>
-            val v = if (row.isNullAt(i)) null else f.dataType match {
-              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-              case _          => row.get(i).asInstanceOf[AnyRef]
+        // create() inside the try: a failed create (unreachable path on
+        // this executor) must still close the writer, or task retries
+        // leak file handles
+        try {
+          w.create(schema, new File(s"$dir/part-$pid.avro"))
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            // positional put — toAvroSchema preserves StructType field
+            // order, and name-keyed put costs a map lookup per field
+            // per row in the hot loop
+            st.fields.zipWithIndex.foreach { case (f, i) =>
+              val v = if (row.isNullAt(i)) null else f.dataType match {
+                case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+                case _          => row.get(i).asInstanceOf[AnyRef]
+              }
+              rec.put(i, v)
             }
-            rec.put(f.name, v)
+            w.append(rec)
           }
-          w.append(rec)
         } finally w.close()
       }
     }
@@ -161,19 +169,36 @@ class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val reader = DataFileReader.openReader(new File(path),
         new GenericDatumReader[GenericRecord]())
-      override def next(): Boolean = reader.hasNext
-      override def get(): InternalRow = {
-        val rec = reader.next()
-        val values: Array[Any] = schema.fields.map { f =>
-          val v = rec.get(f.name)
-          if (v == null) null
-          else f.dataType match {
-            case StringType => UTF8String.fromString(v.toString)
-            case BinaryType =>
-              val bb = v.asInstanceOf[java.nio.ByteBuffer]
-              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-            case _ => v
-          }
+      // every file decodes with ITS embedded writer schema — a stale or
+      // foreign file whose schema differs from the table's (inferred
+      // from the first file) would otherwise surface as silent nulls or
+      // a ClassCastException deep in an aggregate; fail loudly up front
+      require(AvroFiles.toStructType(reader.getSchema) == schema,
+        s"$path writer schema ${reader.getSchema} does not match the " +
+          s"table schema $schema (schema skew across container files)")
+      private var cur: InternalRow = _
+      // DSv2 contract: next() ADVANCES, get() returns the same row
+      // until the next next() — a hasNext-shaped next() with a
+      // consuming get() only works by luck of the current caller
+      override def next(): Boolean =
+        if (reader.hasNext) { cur = convert(reader.next()); true }
+        else false
+      override def get(): InternalRow = cur
+      private def convert(rec: GenericRecord): InternalRow = {
+        val values = new Array[Any](schema.fields.length)
+        var i = 0
+        while (i < values.length) {
+          val v = rec.get(i) // positional: schema equality checked above
+          values(i) =
+            if (v == null) null
+            else schema.fields(i).dataType match {
+              case StringType => UTF8String.fromString(v.toString)
+              case BinaryType =>
+                val bb = v.asInstanceOf[java.nio.ByteBuffer]
+                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+              case _ => v
+            }
+          i += 1
         }
         new GenericInternalRow(values)
       }
@@ -197,14 +222,13 @@ object AvroQueries {
     "q89_avro_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val dir = graft.Scratch.dir(s, "graft_avro", tag)
-      if (!new File(s"$dir/_DONE").exists()) {
+      graft.Scratch.materializeOnce(dir) {
         AvroFiles.write(
           graft.Tables(s, d, "orders")
             .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
               col("o_totalprice"), col("o_orderpriority"))
             .repartition(4),
           dir)
-        new File(s"$dir/_DONE").createNewFile()
       }
       s.read.format("graft.sources.AvroSourceProvider")
         .option("path", dir).load()
