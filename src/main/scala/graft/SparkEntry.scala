@@ -35,6 +35,7 @@ object SparkEntry {
       sources.SeqSourceQueries.queries ++
       sources.AggSinkQueries.queries ++
       sources.AvroQueries.queries ++
+      sources.SpjQueries.queries ++
       plans.Adaptive.queries ++
       plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
@@ -58,6 +59,7 @@ object SparkEntry {
       sources.SeqSourceQueries.oracles ++
       sources.AggSinkQueries.oracles ++
       sources.AvroQueries.oracles ++
+      sources.SpjQueries.oracles ++
       plans.Adaptive.oracles ++
       plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles
