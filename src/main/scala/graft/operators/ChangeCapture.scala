@@ -39,6 +39,37 @@ object ChangeCapture {
       .withColumn(key, coalesce(col("_ak"), col("_bk")))
   }
 
+  /** SCD TYPE-2 BUILD — collapse a versioned snapshot history into
+    * validity intervals: one row per (key, value-run) with
+    * [valid_from, valid_to) version bounds and an is_current flag. The
+    * classic warehouse dimension shape the reference's daily full
+    * re-extract implies but never materializes (every run overwrites;
+    * history is lost — this is the operator that KEEPS it).
+    *
+    * Plan: one shuffle total. Both windows partition by the key, so
+    * the change-detection lag and the interval-closing lead reuse the
+    * same hash partitioning — the filter between them is
+    * partitioning-preserving, and at 100 TB the history table
+    * hash-partitions by key exactly once regardless of version count.
+    * The alternative formulations are strictly worse: self-join
+    * version v with v-1 shuffles twice; a groupBy collecting each
+    * key's full history into an array materializes per-key state that
+    * the window's streaming frame never does. */
+  def scd2Build(history: DataFrame, key: String, versionCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(key)).orderBy(col(versionCol))
+    history
+      .withColumn("_prev", lag(col(valueCol), 1).over(byKey))
+      // keep only run heads: the first version, or a value change
+      // (null-safe, so a NULL→value transition is a real change)
+      .filter(col("_prev").isNull || !(col(valueCol) <=> col("_prev")))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(byKey))
+      .select(col(key), col(valueCol),
+        col(versionCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── q47: diff two deterministic customer snapshots. Snapshot B
     // drops every 10th key (removed), bumps acctbal on every 7th
@@ -89,6 +120,29 @@ object ChangeCapture {
         .filter(col("op").isNull || col("op") =!= "D")
         .select(col("k"), coalesce(col("new_bal"), col("bal")).as("bal"))
         .orderBy(col("k"))
+    }),
+
+    // ── q92: SCD TYPE-2 dimension build over a 4-version snapshot
+    // history. The history is synthesized IN-PLAN (explode of a
+    // literal version sequence — narrow, no join): key k's balance
+    // changes at version 1 iff k%2=0, at 2 iff k%3=0, at 3 iff k%5=0,
+    // so runs of genuinely-unchanged versions exist and must collapse.
+    // Both engines replay the same arithmetic, then the same
+    // lag-filter-lead; output is the dimension itself.
+    "q92_scd2_build" -> ((s, d) => {
+      val hist = graft.Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal0"),
+          explode(sequence(lit(0L), lit(3L))).as("v"))
+        .select(col("k"), col("v"),
+          (col("bal0")
+            + when(col("v") >= 1 && pmod(col("k"), lit(2)) === 0, 100.0)
+              .otherwise(0.0)
+            + when(col("v") >= 2 && pmod(col("k"), lit(3)) === 0, 200.0)
+              .otherwise(0.0)
+            + when(col("v") >= 3 && pmod(col("k"), lit(5)) === 0, 300.0)
+              .otherwise(0.0)).as("bal"))
+      scd2Build(hist, "k", "v", "bal")
+        .orderBy(col("k"), col("valid_from"))
     })
   )
 
@@ -129,6 +183,27 @@ object ChangeCapture {
         |      FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
         |SELECT k, COALESCE(new_bal, bal) AS bal FROM j
         |WHERE op IS NULL OR op <> 'D'
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // the same synthetic history (customer × versions 0..3, identical
+    // change arithmetic) collapsed by the same lag-filter-lead
+    "q92_scd2_build" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS k, v, c_acctbal
+        |    + CASE WHEN v >= 1 AND c_custkey % 2 = 0 THEN 100 ELSE 0 END
+        |    + CASE WHEN v >= 2 AND c_custkey % 3 = 0 THEN 200 ELSE 0 END
+        |    + CASE WHEN v >= 3 AND c_custkey % 5 = 0 THEN 300 ELSE 0 END
+        |    AS bal
+        |  FROM customer, (SELECT UNNEST(generate_series(0, 3)) AS v)),
+        |chg AS (
+        |  SELECT k, v, bal,
+        |    LAG(bal) OVER (PARTITION BY k ORDER BY v) AS prev
+        |  FROM hist),
+        |iv AS (
+        |  SELECT k, bal, v AS valid_from,
+        |    LEAD(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+        |  FROM chg WHERE prev IS NULL OR bal <> prev)
+        |SELECT k, bal, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM iv ORDER BY k, valid_from""".stripMargin
   )
 }

@@ -199,6 +199,39 @@ object Formats {
             .as("revenue"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── q93: FILE PROVENANCE via the `_metadata` hidden columns —
+    // every parquet row carries which physical file it came from
+    // (`file_name`) and where in that file it sits (`row_index`),
+    // surfaced by the scan with NO extra I/O. This is the lineage
+    // primitive a lake pipeline leans on daily: attribute bad rows to
+    // the ingest file that delivered them, re-process one file, audit
+    // per-file completeness. Here: customer hash-relaid into 4 files
+    // (one per pmod bucket), read back, grouped BY ORIGIN FILE. File
+    // names are engine-generated so the output keeps only the group
+    // stats — the 4 groups must be exactly the 4 hash buckets
+    // (restated arithmetically by the oracle), and `contiguous` pins
+    // row_index semantics: 0..n-1 within each file.
+    "q93_file_provenance" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = graft.Scratch.dir(s, "graft_prov", tag)
+      graft.Tables(s, d, "customer")
+        .select(col("c_custkey").as("k"), pmod(col("k"), lit(4)).as("b"))
+        .repartition(col("b")) // one task per bucket's rows (collisions
+        // only merge tasks; partitionBy still splits files per b value)
+        .write.mode("overwrite").partitionBy("b").parquet(out)
+      s.read.parquet(out)
+        .select(col("k"), col("_metadata.file_path").as("fname"),
+          col("_metadata.row_index").as("ridx"))
+        .groupBy(col("fname"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          (min(col("ridx")) === 0L &&
+            max(col("ridx")) === count(lit(1)) - 1L).as("contiguous"))
+        .select(col("n"), col("key_sum"), col("min_k"), col("max_k"),
+          col("contiguous"))
+        .orderBy(col("key_sum"))
     })
   )
 
@@ -257,6 +290,15 @@ object Formats {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the per-file groups restated as the hash buckets the relayout
+    // wrote: one file per pmod-4 bucket, contiguous row_index by
+    // construction
+    "q93_file_provenance" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |  MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k,
+        |  TRUE AS contiguous
+        |FROM customer GROUP BY c_custkey % 4 ORDER BY key_sum""".stripMargin
   )
 }
