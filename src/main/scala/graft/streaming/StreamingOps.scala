@@ -1047,6 +1047,36 @@ object StreamingOps {
       q.awaitTermination()
       s.read.parquet(Option(cur.get).getOrElse(sys.error("no batch ran")))
         .orderBy(col("user_id"))
+    }),
+
+    // ── st28: UNION OF INDEPENDENTLY-WATERMARKED STREAMS — a pipeline
+    // fed by several upstreams (two topics, two landing dirs) rarely
+    // sees them equally fresh. Each branch declares its OWN lateness
+    // horizon (clicks 10 min, purchases 2 h); after the union, Spark's
+    // multipleWatermarkPolicy (default MIN) advances the query's
+    // global watermark only as far as the SLOWEST branch allows, so
+    // append-mode windows — including click-only ones — are held until
+    // the laggard source can no longer contribute late rows. That
+    // cross-source coupling is the whole point: emitting click windows
+    // on the click watermark alone would silently drop late purchases.
+    // The oracle restates exactly this LEAST() policy.
+    "st28_union_watermarks" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src(tpe: String, delay: String) = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("event_type"), col("ts"))
+        .withWatermark("ts", delay)
+      val agg = src("click", "10 minutes")
+        .union(src("purchase", "2 hours"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"))
+      runToMemory(s, agg, "st28_out", "append")
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -1378,6 +1408,22 @@ object StreamingOps {
         |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
         |    AS last_event_id,
         |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the MIN-across-sources watermark policy restated: a window (of
+    // either branch) is emitted iff its end clears BOTH branches'
+    // final watermarks
+    "st28_union_watermarks" ->
+      """WITH gw AS (SELECT LEAST(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click')
+        |      - INTERVAL 10 MINUTE,
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        |      - INTERVAL 2 HOUR) AS wm)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events, gw
+        |WHERE event_type IN ('click', 'purchase')
+        |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
