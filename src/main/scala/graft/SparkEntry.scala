@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
       operators.ChangeCapture.queries ++
+      operators.Graph.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Multimodal.oracles ++
       operators.ChangeCapture.oracles ++
+      operators.Graph.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++
