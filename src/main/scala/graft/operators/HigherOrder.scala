@@ -406,6 +406,76 @@ object HigherOrder {
         .select(collate(upper(col("k")), "UTF8_BINARY").as("segment"),
           col("n"), col("n_case_variants"))
         .orderBy(col("segment"))
+    }),
+
+    // ── q94: EXACT MEDIAN + DETERMINISTIC MODE per group. `median` is
+    // Spark 3.4+'s exact percentile sugar — right for bounded per-group
+    // value multisets (q37's approx_percentile is the 100 TB default;
+    // this is the exact complement, and the pair documents the trade).
+    // Mode is NOT taken from the built-in `mode()` — its tie choice is
+    // engine-internal — but derived deterministically: count per
+    // (group, value), then argmax by the (count, value) total order
+    // (q82's rank trick; the value fits in the fold because
+    // l_linestatus is one char). Both engines replay the same fold, so
+    // the modal value is hash-exact even under ties.
+    "q94_median_mode" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          median(col("l_extendedprice")).as("med_price"),
+          count(lit(1)).as("n"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_linestatus"),
+            col("cnt") * 1024L + ascii(col("l_linestatus"))).as("mode_status"),
+          max(col("cnt")).as("mode_n"))
+      med.join(mode, "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── q95: ONE-PASS DATA PROFILING — the operational "what landed
+    // today" snapshot (null fractions, exact cardinalities, ranges)
+    // for a column set, computed in a SINGLE aggregate over one scan:
+    // Spark's multi-distinct Expand handles the per-column distincts
+    // in one shuffle, and the wide 1-row result unpivots to one row
+    // per column via stack(). Numeric and string ranges ride separate
+    // typed columns (casting doubles to strings is engine-dependent
+    // formatting — the profile never does it).
+    "q95_profile" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val wide = c.agg(
+        count(lit(1)).as("n_rows"),
+        // c_custkey
+        sum(col("c_custkey").isNull.cast("long")).as("k_nulls"),
+        countDistinct(col("c_custkey")).as("k_nd"),
+        min(col("c_custkey")).cast("double").as("k_min"),
+        max(col("c_custkey")).cast("double").as("k_max"),
+        // c_acctbal
+        sum(col("c_acctbal").isNull.cast("long")).as("b_nulls"),
+        countDistinct(col("c_acctbal")).as("b_nd"),
+        min(col("c_acctbal")).as("b_min"),
+        max(col("c_acctbal")).as("b_max"),
+        // c_mktsegment
+        sum(col("c_mktsegment").isNull.cast("long")).as("s_nulls"),
+        countDistinct(col("c_mktsegment")).as("s_nd"),
+        min(col("c_mktsegment")).as("s_min"),
+        max(col("c_mktsegment")).as("s_max"),
+        // c_nationkey
+        sum(col("c_nationkey").isNull.cast("long")).as("nk_nulls"),
+        countDistinct(col("c_nationkey")).as("nk_nd"),
+        min(col("c_nationkey")).cast("double").as("nk_min"),
+        max(col("c_nationkey")).cast("double").as("nk_max"))
+      wide.selectExpr("n_rows", """stack(4,
+          'c_custkey',    k_nulls,  k_nd,  k_min,  k_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'c_acctbal',    b_nulls,  b_nd,  b_min,  b_max,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'c_mktsegment', s_nulls,  s_nd,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max,
+          'c_nationkey',  nk_nulls, nk_nd, nk_min, nk_max, CAST(NULL AS STRING), CAST(NULL AS STRING)
+        ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -578,6 +648,61 @@ object HigherOrder {
         |FROM (SELECT seg, lower(seg) AS l FROM cust) c
         |JOIN dim ON c.l = lower(dim.dim_seg)
         |WHERE l <> 'machinery'
-        |GROUP BY l ORDER BY segment""".stripMargin
+        |GROUP BY l ORDER BY segment""".stripMargin,
+
+    // both engines interpolate even-count medians as the mean of the
+    // two middles; the mode fold is replayed verbatim
+    "q94_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS med_qty,
+        |    median(l_extendedprice) AS med_price, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |sc AS (
+        |  SELECT l_returnflag,
+        |    arg_max(l_linestatus, cnt * 1024 + ord(l_linestatus))
+        |      AS mode_status,
+        |    MAX(cnt) AS mode_n
+        |  FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT med.l_returnflag, med_qty, med_price, n, mode_status, mode_n
+        |FROM med JOIN sc USING (l_returnflag) ORDER BY 1""".stripMargin,
+
+    // one profile row per column, restated column-by-column
+    "q95_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, n_rows,
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) AS n_null,
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_distinct,
+        |    (SELECT CAST(MIN(c_custkey) AS DOUBLE) FROM customer) AS min_num,
+        |    (SELECT CAST(MAX(c_custkey) AS DOUBLE) FROM customer) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'c_acctbal', n_rows,
+        |    (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL),
+        |    (SELECT COUNT(DISTINCT c_acctbal) FROM customer),
+        |    (SELECT MIN(c_acctbal) FROM customer),
+        |    (SELECT MAX(c_acctbal) FROM customer),
+        |    NULL, NULL
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', n_rows,
+        |    (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NULL),
+        |    (SELECT COUNT(DISTINCT c_mktsegment) FROM customer),
+        |    NULL, NULL,
+        |    (SELECT MIN(c_mktsegment) FROM customer),
+        |    (SELECT MAX(c_mktsegment) FROM customer)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'c_nationkey', n_rows,
+        |    (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+        |    (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+        |    (SELECT CAST(MIN(c_nationkey) AS DOUBLE) FROM customer),
+        |    (SELECT CAST(MAX(c_nationkey) AS DOUBLE) FROM customer),
+        |    NULL, NULL
+        |  FROM n)
+        |ORDER BY col_name""".stripMargin
   )
 }
