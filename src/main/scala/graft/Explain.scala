@@ -15,7 +15,9 @@ object Explain {
         "q20_star_join", "q09_top_orders", "d04_dedup_ngram_jaccard",
         "d05_dedup_embedding", "q34_bucketed_join", "q35_range_join",
         "s01_ann_bruteforce", "q75_concurrency", "q77_cohort_retention",
-        "t11_search", "p08_sequence_pack", "q83_custom_source")
+        "t11_search", "p08_sequence_pack", "q83_custom_source",
+        "q90_spj_agg", "q91_spj_join", "q92_scd2_build", "g01_pagerank",
+        "g02_triangles")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
