@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,6 +37,15 @@ object AggSink {
     * None for an empty write, matching what an empty SQL aggregate
     * yields (NULL), not a sentinel zero. */
   val results = new TrieMap[String, (Long, Long, Option[Long], Option[Long])]()
+
+  /** STREAMING state per tag: the set of committed epoch ids plus the
+    * running cumulative (n, sum, min, max). The epoch-id set is the
+    * exactly-once guard: a re-delivered epoch (driver retry after a
+    * commit that already landed) finds its id present and no-ops
+    * instead of double-merging — the same idempotency st25's
+    * foreachBatch sink hand-rolls with versioned directories, here in
+    * the protocol-native place (`StreamingWrite.commit(epochId, …)`). */
+  val streamState = new TrieMap[String, (Set[Long], (Long, Long, Option[Long], Option[Long]))]()
 }
 
 class AggSinkProvider extends TableProvider {
@@ -51,12 +61,14 @@ class AggSinkTable(tag: String) extends Table with SupportsWrite {
   override def name(): String = s"graft_agg_sink($tag)"
   override def schema(): StructType = new StructType()
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new AggBatchWrite(tag)
+        override def toStreaming: StreamingWrite = new AggStreamingWrite(tag)
       }
     }
 }
@@ -81,26 +93,60 @@ class AggBatchWrite(tag: String) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** The per-task fold both write paths share — expects rows of
+  * (key LONG, value LONG); the writer schema is whatever the query
+  * wrote (ACCEPT_ANY_SCHEMA), pinned by the caller's select. */
+class AggDataWriter extends DataWriter[InternalRow] {
+  private var n = 0L
+  private var sum = 0L
+  private var min = Long.MaxValue
+  private var max = Long.MinValue
+  override def write(r: InternalRow): Unit = {
+    val k = r.getLong(0); val v = r.getLong(1)
+    n += 1; sum += v
+    if (k < min) min = k
+    if (k > max) max = k
+  }
+  override def commit(): WriterCommitMessage = AggPartial(n, sum, min, max)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
 class AggWriterFactory extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      // expects rows of (key LONG, value LONG) — the writer schema is
-      // whatever the query wrote (ACCEPT_ANY_SCHEMA), pinned by the
-      // caller's select
-      private var n = 0L
-      private var sum = 0L
-      private var min = Long.MaxValue
-      private var max = Long.MinValue
-      override def write(r: InternalRow): Unit = {
-        val k = r.getLong(0); val v = r.getLong(1)
-        n += 1; sum += v
-        if (k < min) min = k
-        if (k > max) max = k
+    new AggDataWriter
+}
+
+/** The STREAMING write path: same per-task fold, but commits arrive
+  * once per EPOCH (micro-batch) and merge into the tag's cumulative
+  * state — guarded by the committed-epoch set so retried epoch
+  * deliveries are no-ops (exactly-once publish). */
+class AggStreamingWrite(tag: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new AggStreamWriterFactory
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    AggSink.streamState.synchronized { // one driver; serialize merges
+      val (done, (n0, s0, mn0, mx0)) = AggSink.streamState.getOrElse(tag,
+        (Set.empty[Long],
+          (0L, 0L, Option.empty[Long], Option.empty[Long])))
+      if (!done.contains(epochId)) {
+        val ps = messages.map(_.asInstanceOf[AggPartial]).filter(_.n > 0)
+        val merged = (
+          n0 + ps.map(_.n).sum,
+          s0 + ps.map(_.sum).sum,
+          (mn0.toSeq ++ ps.map(_.min)).reduceOption(_ min _),
+          (mx0.toSeq ++ ps.map(_.max)).reduceOption(_ max _))
+        AggSink.streamState.put(tag, (done + epochId, merged))
       }
-      override def commit(): WriterCommitMessage = AggPartial(n, sum, min, max)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
     }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class AggStreamWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = new AggDataWriter
 }
 
 /** Driver-contract entry for the sink. */

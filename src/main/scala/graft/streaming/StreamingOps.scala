@@ -1077,6 +1077,41 @@ object StreamingOps {
           col("event_type"), col("n"))
       runToMemory(s, agg, "st28_out", "append")
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── st29: STREAM → CUSTOM DSv2 SINK — the connector matrix's last
+    // cell (batch read q83, batch write q87, stream read st27; this is
+    // stream write). The multi-batch relayout (2 files/trigger → ≥4
+    // epochs) drains through `StreamingWrite`: per-task folds ship as
+    // commit messages, each epoch merges into the tag's cumulative
+    // state exactly once (the committed-epoch-id guard makes retried
+    // epoch deliveries no-ops — the protocol-native form of st25's
+    // hand-rolled idempotency). multi_batch pins that ≥2 epochs really
+    // committed; totals must equal DuckDB aggregating the table
+    // directly, so a lost or double-merged epoch fails the hash.
+    "st29_stream_custom_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val tag = "st29_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        s.sparkContext.applicationId
+      val ckpt = graft.Scratch.dir(s, "graft_st29_ckpt",
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+      val q = multiBatchEventStream(s, d)
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .writeStream.format("graft.sources.AggSinkProvider")
+        .option("tag", tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (epochs, (n, sum, mn, mx)) =
+        graft.sources.AggSink.streamState.getOrElse(tag,
+          sys.error("streaming sink did not publish"))
+      Seq((n, sum, mn, mx, epochs.size >= 2))
+        .toDF("n_rows", "sum_cents", "min_event_id", "max_event_id",
+          "multi_batch")
     })
   )
 
@@ -1424,6 +1459,17 @@ object StreamingOps {
         |FROM events, gw
         |WHERE event_type IN ('click', 'purchase')
         |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q87's aggregate plus the ≥2-epoch pin: the cumulative published
+    // state after the drain must equal aggregating the table directly
+    "st29_stream_custom_sink" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  MIN(event_id) AS min_event_id,
+        |  MAX(event_id) AS max_event_id,
+        |  TRUE AS multi_batch
+        |FROM events""".stripMargin
   )
 }

@@ -97,4 +97,24 @@ class SeqSourceSpec extends AnyFunSuite {
     val n = seq(10000, 4).filter(col("bucket") === 3).count()
     assert(n == 100)
   }
+
+  test("streaming sink: a re-delivered epoch commit is a no-op") {
+    // st29's exactly-once claim, exercised directly: deliver epoch 7,
+    // then deliver it AGAIN (the driver-retry-after-commit case) —
+    // the cumulative state must not double-merge.
+    import graft.sources.{AggPartial, AggSink, AggStreamingWrite}
+    val tag = "retry_guard_test"
+    AggSink.streamState.remove(tag)
+    val w = new AggStreamingWrite(tag)
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(AggPartial(n = 3, sum = 30, min = 1, max = 9))
+    w.commit(7L, msgs)
+    w.commit(7L, msgs) // retry of the same epoch
+    w.commit(8L, Array(AggPartial(n = 2, sum = 12, min = 0, max = 5)))
+    val (epochs, (n, sum, mn, mx)) = AggSink.streamState(tag)
+    assert(epochs == Set(7L, 8L))
+    assert((n, sum, mn, mx) == (5L, 42L, Some(0L), Some(9L)),
+      s"retried epoch double-merged: ($n, $sum, $mn, $mx)")
+    AggSink.streamState.remove(tag)
+  }
 }
