@@ -568,6 +568,67 @@ object Dedup {
           sum(col("n_chars")).as("sum_chars"))
         .crossJoin(broadcast(violations))
         .orderBy(col("split"))
+    }),
+
+    // ── d10: SPARSE TF-IDF COSINE near-dup — the sparse-vector
+    // complement to d05's dense embedding cosine: similarity computed
+    // over an inverted index (posting-list equi-join + dot product),
+    // never a per-pair vector materialization. Pipeline: word tf per
+    // doc → df per word → RARE-WORD vocabulary (df·50 ≤ N — stop-words
+    // carry negligible idf weight AND their posting lists are the
+    // quadratic blowup, so pruning them is both the standard practice
+    // and the scale guarantee: per-word pair fan-out is bounded by
+    // (N/50)²) → integer weights w = tf·(N·10 div df) → norms Σw² per
+    // doc → pair dot products via the posting join.
+    //
+    // INTEGER-EXACT throughout (the t10/g01 discipline): idf is an
+    // integer surrogate, and the emitted score is
+    // cos2_pct = dot² div (n1·n2 div 100) ≈ 100·cos² computed with the
+    // identical floor divisions in both engines — a float cosine would
+    // reassociate differently under parallel sums and break the hash.
+    // DECIMAL(38,0) only where int64 could overflow (dot², n1·n2);
+    // per-element products stay in int64 by the weight-scale bound.
+    // Threshold cos² ≥ 0.25 ⇔ |cos| ≥ 0.5 over the rare-word subspace.
+    "d10_tfidf_cosine" -> ((s, d) => {
+      // terms are word 3-grams, NON-distinct (tf counts repeats): the
+      // synthetic corpus draws from a ~31-word vocabulary, so unigram
+      // TF-IDF is degenerate (every word is a stop-word under any df
+      // cut) — shingles restore discriminative terms, exactly why
+      // production near-dup TF-IDF runs on shingles too. The gram
+      // expression inlines INTO the explode (the gramPostings lesson:
+      // explode over a fresh lambda column re-evaluates it per output
+      // row).
+      val rawGramSql = "transform(sequence(0, size(toks)-3), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+      val tf = withToks(docs(s, d))
+        .select(col("doc_id"), explode(expr(rawGramSql)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      val corpus = withToks(docs(s, d)).agg(count(lit(1)).as("n_docs"))
+      val vocab = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(corpus))
+        .filter(col("df") * 50 <= col("n_docs"))
+      val w = tf.join(vocab, "g")
+        .select(col("doc_id"), col("g"),
+          (col("tf") * expr("(n_docs * 10) div df")).as("w"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("n2"))
+      val dots = w.as("a")
+        .join(w.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (col("a.w") * col("b.w")).as("ab"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("ab")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+          "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("""CAST((CAST(dot AS DECIMAL(38,0)) * dot) div
+                  ((CAST(na AS DECIMAL(38,0)) * nb) div 100) AS BIGINT)""")
+            .as("cos2_pct"))
+        .filter(col("cos2_pct") >= 25L)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -605,6 +666,41 @@ object Dedup {
         |WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_dup)
         |  AND n.doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // the identical integer pipeline: rare-word vocabulary, integer
+    // idf surrogate, floor-division score — HUGEINT carries what
+    // Spark's DECIMAL(38,0) does
+    "d10_tfidf_cosine" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d),
+        |tf AS (SELECT doc_id, g, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, unnest(grams) AS g FROM d)
+        |       GROUP BY 1, 2),
+        |vocab AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.g,
+        |        tf.tf * ((n_docs * 10) // df) AS w
+        |      FROM tf JOIN vocab USING (g), n
+        |      WHERE df * 50 <= n_docs),
+        |norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           SUM(a.w * b.w) AS dot
+        |         FROM w a JOIN w b
+        |           ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cos2_pct FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST((dot * dot) // ((na.n2 * nb.n2) // 100) AS BIGINT)
+        |      AS cos2_pct
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = doc_a
+        |  JOIN norms nb ON nb.doc_id = doc_b)
+        |WHERE cos2_pct >= 25
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d04_dedup_ngram_jaccard" ->
       """WITH g AS (
