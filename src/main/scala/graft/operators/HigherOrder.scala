@@ -476,6 +476,56 @@ object HigherOrder {
           col("n_distinct"), col("min_num"), col("max_num"),
           col("min_str"), col("max_str"))
         .orderBy(col("col_name"))
+    }),
+
+    // ── q96: NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM) —
+    // the semantics every dedup/reconciliation pipeline needs when the
+    // join key is itself nullable (unknown country, unparsed id):
+    // plain equality silently drops the NULL partition (NULL = NULL is
+    // NULL), while `<=>` matches it as one key group. Still a hash
+    // equi-join — NULL hashes like any key value, so the plan and the
+    // scale story are identical to q04's. The NULL bridge row is live
+    // at every SF (nullif over a mod class present on both sides).
+    "q96_nullsafe_join" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .groupBy(expr("nullif(c_nationkey % 5, 2)").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables(s, d, "supplier")
+        .groupBy(expr("nullif(s_nationkey % 5, 2)").as("k_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("k") <=> col("k_s"))
+        .select(col("k"), col("n_cust"), col("n_supp"),
+          col("k").isNull.as("null_bridged"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // ── q97: EQUI-DEPTH HISTOGRAM, scalably — NOT a global ntile()
+    // (that is a single-task total sort): quartile boundaries come
+    // from ONE exact-percentile aggregate (at 100 TB swap in
+    // approx_percentile — same plan shape), broadcast as a single row,
+    // and the binning pass is a narrow codegen'd CASE over the fact.
+    // Values are integer cents, so min/max/sum are exact; the
+    // interpolated boundaries are computed identically by both
+    // engines (the q29 precedent).
+    "q97_equidepth_hist" -> ((s, d) => {
+      val c = Tables(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"))
+      val bounds = c.agg(
+        expr("percentile(cents, 0.25)").as("b1"),
+        expr("percentile(cents, 0.50)").as("b2"),
+        expr("percentile(cents, 0.75)").as("b3"))
+      c.crossJoin(broadcast(bounds)) // 1-row build: the allowed class
+        .withColumn("bin",
+          when(col("cents") <= col("b1"), 0)
+            .when(col("cents") <= col("b2"), 1)
+            .when(col("cents") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -703,6 +753,31 @@ object HigherOrder {
         |    (SELECT CAST(MAX(c_nationkey) AS DOUBLE) FROM customer),
         |    NULL, NULL
         |  FROM n)
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    // IS NOT DISTINCT FROM is ANSI's spelling of Spark's <=>
+    "q96_nullsafe_join" ->
+      """WITH cust AS (SELECT nullif(c_nationkey % 5, 2) AS k,
+        |         COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |supp AS (SELECT nullif(s_nationkey % 5, 2) AS k,
+        |         COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT cust.k, n_cust, n_supp, cust.k IS NULL AS null_bridged
+        |FROM cust JOIN supp ON cust.k IS NOT DISTINCT FROM supp.k
+        |ORDER BY cust.k NULLS FIRST""".stripMargin,
+
+    // same interpolated quartile boundaries, same CASE binning
+    "q97_equidepth_hist" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             AS cents FROM lineitem),
+        |b AS (SELECT quantile_cont(cents, 0.25) AS b1,
+        |        quantile_cont(cents, 0.50) AS b2,
+        |        quantile_cont(cents, 0.75) AS b3 FROM c)
+        |SELECT bin, COUNT(*) AS n, MIN(cents) AS min_cents,
+        |  MAX(cents) AS max_cents, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT cents,
+        |        CASE WHEN cents <= b1 THEN 0 WHEN cents <= b2 THEN 1
+        |             WHEN cents <= b3 THEN 2 ELSE 3 END AS bin
+        |      FROM c, b)
+        |GROUP BY bin ORDER BY bin""".stripMargin
   )
 }
