@@ -61,9 +61,14 @@ object ChangeCapture {
     val byKey = Window.partitionBy(col(key)).orderBy(col(versionCol))
     history
       .withColumn("_prev", lag(col(valueCol), 1).over(byKey))
-      // keep only run heads: the first version, or a value change
-      // (null-safe, so a NULL→value transition is a real change)
-      .filter(col("_prev").isNull || !(col(valueCol) <=> col("_prev")))
+      // an explicit first-row marker, NOT `_prev.isNull`: a lagged NULL
+      // is ambiguous between "no previous version" and "previous value
+      // was NULL" — with a nullable tracked value the isNull test would
+      // split an unchanged NULL run into spurious intervals
+      .withColumn("_rn", row_number().over(byKey))
+      // keep only run heads: the first version, or a null-safe value
+      // change (value→NULL and NULL→value are both real changes)
+      .filter(col("_rn") === 1 || !(col(valueCol) <=> col("_prev")))
       .withColumn("valid_to", lead(col(versionCol), 1).over(byKey))
       .select(col(key), col(valueCol),
         col(versionCol).as("valid_from"), col("valid_to"),
@@ -197,12 +202,13 @@ object ChangeCapture {
         |  FROM customer, (SELECT UNNEST(generate_series(0, 3)) AS v)),
         |chg AS (
         |  SELECT k, v, bal,
-        |    LAG(bal) OVER (PARTITION BY k ORDER BY v) AS prev
+        |    LAG(bal) OVER (PARTITION BY k ORDER BY v) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
         |  FROM hist),
         |iv AS (
         |  SELECT k, bal, v AS valid_from,
         |    LEAD(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
-        |  FROM chg WHERE prev IS NULL OR bal <> prev)
+        |  FROM chg WHERE rn = 1 OR bal IS DISTINCT FROM prev)
         |SELECT k, bal, valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM iv ORDER BY k, valid_from""".stripMargin
   )

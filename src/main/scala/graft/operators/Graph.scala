@@ -47,9 +47,13 @@ object Graph {
 
   /** `rounds` fixed-point PageRank iterations at SCALE=1e6 over an
     * explicit node universe (so sink/in-degree-0 nodes keep the base
-    * rank rather than vanishing). */
-  def pagerank(s: SparkSession, edges: DataFrame, nNodes: Int,
-      rounds: Int): DataFrame = {
+    * rank rather than vanishing). Returns (ranks, checkpointed
+    * edges-with-outdeg) — callers needing degrees read them from the
+    * SAME materialization the rounds use, never by re-deriving the
+    * edge list from the fact table (review finding: the presentation
+    * join was silently paying a second full scan+distinct). */
+  def pagerankWithEdges(s: SparkSession, edges: DataFrame, nNodes: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     val nodes = s.range(0, nNodes.toLong).select(col("id").as("v"))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one materialization feeds every round
@@ -64,19 +68,24 @@ object Graph {
           (lit(1500L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
         .localCheckpoint()
     }
-    ranks
+    (ranks, e)
   }
+
+  def pagerank(s: SparkSession, edges: DataFrame, nNodes: Int,
+      rounds: Int): DataFrame =
+    pagerankWithEdges(s, edges, nNodes, rounds)._1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── g01: 3 PageRank rounds; the full exact rank vector is the
     // result (plus out-degree for interpretability).
     "g01_pagerank" -> ((s, d) => {
-      val edges = edges100(s, d)
-      val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      pagerank(s, edges, nNodes = 100, rounds = 3)
-        .join(outd, col("v") === col("src"), "left")
+      val (ranks, e) = pagerankWithEdges(s, edges100(s, d),
+        nNodes = 100, rounds = 3)
+      // degrees from the checkpointed edge table — no second scan
+      val outd = e.select(col("src"), col("deg")).distinct()
+      ranks.join(outd, col("v") === col("src"), "left")
         .select(col("v"), col("r").as("rank_fp6"),
-          coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+          coalesce(col("deg"), lit(0L)).as("outdeg"))
         .orderBy(col("v"))
     }),
 

@@ -50,4 +50,27 @@ class SnapshotDiffSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
   }
+
+  test("scd2Build collapses NULL runs and treats value→NULL as a change") {
+    // the review scenario: (v0=NULL, v1=NULL, v2=5, v3=NULL) must yield
+    // exactly [0,2) NULL, [2,3) 5, [3,∞) NULL — an isNull-based
+    // run-head filter would split the leading NULL run, and a
+    // non-null-safe change test would drop the 5→NULL transition
+    import spark.implicits._
+    val hist = Seq(
+      (1L, 0L, None: Option[Long]), (1L, 1L, None: Option[Long]),
+      (1L, 2L, Option(5L)), (1L, 3L, None: Option[Long]),
+      (2L, 0L, Option(7L)), (2L, 1L, Option(7L))).toDF("k", "v", "bal")
+    val got = ChangeCapture.scd2Build(hist, "k", "v", "bal")
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, None, 0L, Some(2L), false),
+      (1L, Some(5L), 2L, Some(3L), false),
+      (1L, None, 3L, None, true),
+      (2L, Some(7L), 0L, None, true)))
+  }
 }
