@@ -24,6 +24,22 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected dynamicpruningexpression in fact scan PartitionFilters:\n$plan")
   }
 
+  test("q98 incremental scan prunes to the single unprocessed partition") {
+    val (_, incremental) = Partitioned.incrementalRun(spark, sf)
+    incremental.collect()
+    val scans = PlanWalk.allNodes(incremental.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan in the incremental plan")
+    for (f <- scans) {
+      assert(f.partitionFilters.nonEmpty &&
+        f.partitionFilters.mkString(",").contains("2001"),
+        s"incremental scan not partition-filtered: ${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount == 1,
+        s"incremental scan read ${f.selectedPartitions.partitionCount} " +
+          "partitions, expected exactly the one new ship-year directory")
+    }
+  }
+
   test("q42 partitioned copy prunes to the dim's years") {
     val dir = Partitioned.ensureShipYearCopy(spark, sf)
     val years = new java.io.File(dir).listFiles()
