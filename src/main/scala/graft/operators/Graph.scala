@@ -112,6 +112,30 @@ object Graph {
         col("y") === col("e3.a") && col("z") === col("e3.b"))
       tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // ── g03: CO-PURCHASE GRAPH (market-basket pair mining) — the
+    // within-group pair enumeration the recommender pipelines run
+    // nightly: items sharing an order become weighted edges. The
+    // self-join key is the ORDER key, so fan-out is basket-size²
+    // per order (TPC-H baskets ≤ 7 lines → ≤ 21 pairs), LINEAR in
+    // orders — categorically different from an item-item cross. At
+    // 100 TB the guard is a per-basket item cap before the join
+    // (pathological carts bound the quadratic term); the folded
+    // 200-part id space keeps the pair table corpus-size-independent.
+    // Top-20 under the fully-tie-broken (weight desc, pa, pb) order.
+    "g03_copurchase" -> ((s, d) => {
+      val items = graft.Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          pmod(col("l_partkey"), lit(200)).as("p"))
+        .distinct()
+      items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+        .limit(20)
     })
   )
 
@@ -167,6 +191,16 @@ object Graph {
         |  (SELECT COUNT(*) FROM und e1
         |    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         |    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
-        |  (SELECT COUNT(*) FROM und) AS n_edges""".stripMargin
+        |  (SELECT COUNT(*) FROM und) AS n_edges""".stripMargin,
+
+    // same basket pair enumeration, same total order for the cut
+    "g03_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 200 AS p
+        |  FROM lineitem)
+        |SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_orders
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin
   )
 }
