@@ -205,6 +205,66 @@ object Multimodal {
           graft.functions.PortableHashFunctions
             .polyHash(col("content").cast(StringType)).as("content_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── m05: AVRO-ENCODED PAYLOAD COLUMN round trip — the Kafka-value
+    // shape: each row's payload is ONE binary Avro record (no
+    // container file), encoded and decoded with per-partition
+    // amortized codec state (reused BinaryEncoder/BinaryDecoder and
+    // record instances — the m02 discipline; a per-row codec alloc is
+    // the UDF smell this module exists to avoid). The aggregate over
+    // the DECODED rows must hash-match DuckDB aggregating the original
+    // table — long/string/double fidelity through the binary codec.
+    // Swap the in-plan encode for `kafka.value` and the decode stage
+    // is exactly a production consumer's.
+    "m05_avro_payload" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+      import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = false)))
+      val avroJson =
+        graft.sources.AvroFiles.toAvroSchema(payloadSchema, "graft_evt")
+          .toString
+      val src = Dedup.spreadSmall(Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value")))
+      val encoded: Dataset[Array[Byte]] = src.mapPartitions { it =>
+        val schema = new Schema.Parser().parse(avroJson)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val bos = new java.io.ByteArrayOutputStream()
+        var enc: BinaryEncoder = null
+        val rec = new GenericData.Record(schema)
+        it.map { row =>
+          bos.reset()
+          enc = EncoderFactory.get().binaryEncoder(bos, enc)
+          rec.put(0, java.lang.Long.valueOf(row.getLong(0)))
+          rec.put(1, row.getString(1))
+          rec.put(2, java.lang.Double.valueOf(row.getDouble(2)))
+          writer.write(rec, enc)
+          enc.flush()
+          bos.toByteArray
+        }
+      }
+      val decoded = encoded.mapPartitions { it =>
+        val schema = new Schema.Parser().parse(avroJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        var dec: BinaryDecoder = null
+        var rec: GenericRecord = null
+        it.map { bytes =>
+          dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+          rec = reader.read(rec, dec)
+          (rec.get(0).asInstanceOf[Long], rec.get(1).toString,
+            rec.get(2).asInstanceOf[Double])
+        }
+      }.toDF("event_id", "event_type", "value")
+      decoded.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -267,6 +327,15 @@ object Multimodal {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), ch -> ord(ch))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // codec fidelity: the aggregate over decoded payloads must equal
+    // the direct aggregate over the source table
+    "m05_avro_payload" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

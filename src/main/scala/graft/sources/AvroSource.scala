@@ -46,7 +46,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object AvroFiles {
 
-  private[sources] def toAvroSchema(st: StructType, name: String): Schema = {
+  private[graft] def toAvroSchema(st: StructType, name: String): Schema = {
     val fields = SchemaBuilder.record(name).fields()
     st.fields.foldLeft(fields) { (fs, f) =>
       val base = f.dataType match {

@@ -15,6 +15,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Formats {
 
+  /** Catalog table over a Scratch-located parquet copy of `nation`,
+    * ANALYZEd once per (app, dataset) — table metadata lives in this
+    * JVM's in-memory catalog, files under the app-keyed scratch dir,
+    * so concurrent JVMs never collide and nothing leaks into a shared
+    * warehouse. */
+  private[graft] def ensureStatsTable(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_stats_nation_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      val loc = graft.Scratch.dir(s, "graft_cbo", tag)
+      graft.Tables(s, d, "nation").write.mode("overwrite").parquet(loc)
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc'")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
+        "n_nationkey, n_name")
+    }
+    tbl
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_orc_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -201,6 +219,28 @@ object Formats {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── q99: STATISTICS-DRIVEN PLANNING — ANALYZE TABLE feeds the
+    // cost-based optimizer: after COMPUTE STATISTICS the catalog
+    // relation carries an exact rowCount (and column NDVs/min/max)
+    // that Catalyst's CBO uses for join ordering and build-side
+    // choice; without it the planner falls back to file sizes. The
+    // CORRECTNESS row proves stats change plans, never answers;
+    // ScalePlanSpec pins the plumbing non-vacuously (analyzed table
+    // reports rowCount == exact count, un-analyzed reports none). At
+    // 100 TB, ANALYZE after each load is what keeps a 12-way join
+    // from picking a fact table as a build side.
+    "q99_cbo_stats" -> ((s, d) => {
+      val tbl = ensureStatsTable(s, d)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.table(tbl)
+        .join(graft.Tables(s, d, "customer"),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── q93: FILE PROVENANCE via the `_metadata` hidden columns —
     // every parquet row carries which physical file it came from
     // (`file_name`) and where in that file it sits (`row_index`),
@@ -291,6 +331,14 @@ object Formats {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // stats must never change answers: the plain join restated
+    "q99_cbo_stats" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the per-file groups restated as the hash buckets the relayout
     // wrote: one file per pmod-4 bucket, contiguous row_index by

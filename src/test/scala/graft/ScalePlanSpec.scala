@@ -40,6 +40,31 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 ANALYZE feeds the optimizer an exact rowCount (non-vacuously)") {
+    // rowCount propagation through plan stats is CBO-only — without
+    // the flag the visitor reports sizeInBytes alone
+    val key = "spark.sql.cbo.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val tbl = graft.sources.Formats.ensureStatsTable(spark, sf)
+      val exact = spark.table(tbl).count()
+      val withStats = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(withStats.rowCount.contains(BigInt(exact)),
+        s"analyzed table reports rowCount=${withStats.rowCount}, want $exact")
+      // contrast arm: the same data as a raw path scan has NO
+      // rowCount even under CBO — proving the assertion above tests
+      // the ANALYZE plumbing, not a default every relation gets
+      val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+      val raw = spark.read.parquet(graft.Scratch.dir(spark, "graft_cbo", tag))
+      assert(raw.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+        "raw scan unexpectedly carries a rowCount — the pin is vacuous")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q42 partitioned copy prunes to the dim's years") {
     val dir = Partitioned.ensureShipYearCopy(spark, sf)
     val years = new java.io.File(dir).listFiles()
