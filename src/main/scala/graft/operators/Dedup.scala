@@ -607,9 +607,14 @@ object Dedup {
       val vocab = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(corpus))
         .filter(col("df") * 50 <= col("n_docs"))
+      // materialize the weighted postings ONCE: three consumers below
+      // (norms + both sides of the pair join) would otherwise each
+      // recompute the explode→tf→vocab-join subtree (measured ~3× the
+      // runtime at sf0.1) — the exactJaccardPairs discipline
       val w = tf.join(vocab, "g")
         .select(col("doc_id"), col("g"),
           (col("tf") * expr("(n_docs * 10) div df")).as("w"))
+        .localCheckpoint()
       val norms = w.groupBy(col("doc_id"))
         .agg(sum(col("w") * col("w")).as("n2"))
       val dots = w.as("a")
