@@ -421,6 +421,101 @@ object TimeSeries {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("bin"))
+    }),
+
+    // ── q102: OHLC RESAMPLE — downsample the event stream to hourly
+    // bars per event_type: open/close are the first/last value by
+    // event time, high/low the extremes. The classic market-data /
+    // telemetry reduction. One scan, one aggregate on a key whose
+    // cardinality is #types × #hours (independent of row count): at
+    // 100 TB this is a map-side-combining hash aggregate, never a
+    // window — a row_number-over-window formulation would shuffle the
+    // full stream into per-bar sorted partitions just to discard all
+    // but two rows. Open/close use min_by/max_by over a collision-free
+    // 128-bit event-time⊕id fold (DECIMAL(38,0); an int64 fold breaks
+    // past event_id ≈ 1e9 — the gotcha-documented argmax discipline),
+    // so ties are impossible and the bars are deterministic.
+    "q102_resample_ohlc" -> ((s, d) => {
+      val fold = (unix_micros(col("ts")).cast(DecimalType(38, 0))
+        * lit(1000000000L) + col("event_id")).as("ord")
+      t(s, d, "events")
+        .select(col("event_type"), col("value"),
+          // integer div, not `/`: Column `/` on longs is DOUBLE
+          // division, and truncating its rounded quotient can cross an
+          // hour boundary
+          expr("(unix_micros(ts) div 3600000000) * 3600000000")
+            .as("hr_us"), fold)
+        .groupBy(col("event_type"), col("hr_us"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), col("ord")).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), col("ord")).as("close_v"))
+        .orderBy(col("event_type"), col("hr_us"))
+    }),
+
+    // ── q103: EWMA — exponentially weighted moving average of each
+    // user's event values, α = 1/2, lookback 8. Formulated as a
+    // BOUNDED LAG EXPANSION (nine lag terms over one per-user window)
+    // rather than a recursive scan: Spark has no recursive window
+    // state, and nine lags over an already-sorted partition are one
+    // pass, zero extra shuffles (every lag reuses the same user_id
+    // partitioning — same single-shuffle discipline as q57). The
+    // power-of-two decay is deliberate: cents·2⁻ᵏ terms are all exact
+    // multiples of 2⁻⁸ with ≤39 significant bits, so the sums — and
+    // the final IEEE division — are bit-identical in any engine and in
+    // any addition order, making an oracle hash match on doubles safe
+    // (the same reason the decay is not 0.9). Users are pre-filtered
+    // on the partition key, so the pruning happens at the scan.
+    "q103_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val terms = (0 to 8).map { k =>
+        val wt = math.pow(0.5, k)
+        (coalesce(lag(col("cents"), k).over(w).cast(DoubleType)
+          * lit(wt), lit(0.0)),
+          when(lag(col("cents"), k).over(w).isNotNull, lit(wt))
+            .otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      t(s, d, "events")
+        .filter(pmod(col("user_id"), lit(50)) === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("ewma", num / den)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("cents"), col("ewma"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // ── q104: DISTRIBUTION DRIFT — total-variation distance between
+    // the 1995 and 1996 order-value distributions, the data-quality
+    // gate a training pipeline runs before admitting a new snapshot.
+    // ONE conditional aggregate builds both histograms in a single
+    // scan+shuffle (a per-snapshot groupBy + full-outer join would
+    // scan and shuffle twice); the grand totals ride a 1-row broadcast.
+    // TVD is kept in EXACT integer arithmetic — the per-bin numerator
+    // |n_a·N_b − n_b·N_a| over denominator 2·N_a·N_b — because a
+    // float p·ln(p/q) PSI would not hash-match across engines; the
+    // rational form is engine-independent and loses nothing (the
+    // caller divides once at the end).
+    "q104_drift_tvd" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(floor(col("o_totalprice") / lit(25000.0))
+          .cast(IntegerType).as("bin"))
+        .agg(count(when(year(col("o_orderdate")) === 1995, 1)).as("n_a"),
+          count(when(year(col("o_orderdate")) === 1996, 1)).as("n_b"))
+      val totals = o.agg(sum(col("n_a")).as("tot_a"),
+        sum(col("n_b")).as("tot_b"))
+      o.crossJoin(broadcast(totals))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a"))
+            .as("tvd_num"),
+          (lit(2L) * col("tot_a") * col("tot_b")).as("tvd_den"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -597,6 +692,75 @@ object TimeSeries {
         |  COUNT(*) AS n,
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same µs-integer hour bucket and the same HUGEINT time⊕id
+    // fold under arg_min/arg_max; o/h/l/c are SELECTED doubles (no
+    // arithmetic), so they hash bit-exactly
+    "q102_resample_ohlc" ->
+      """SELECT event_type,
+        |  CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS hr_us,
+        |  COUNT(*) AS n,
+        |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+        |                 + event_id) AS open_v,
+        |  MAX(value) AS high_v,
+        |  MIN(value) AS low_v,
+        |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+        |                 + event_id) AS close_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical nine-term lag expansion: every cents·2⁻ᵏ product,
+    // both sums, and the final division are exact IEEE doubles, so the
+    // hash comparison on ewma is safe (power-of-two decay, ≤39
+    // significant bits — see the query comment)
+    "q103_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 50 = 0),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id, cents,
+        |    LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+        |    LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+        |    LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+        |    LAG(cents, 7) OVER w AS c7, LAG(cents, 8) OVER w AS c8
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, ts_us, event_id, cents,
+        |  (CAST(cents AS DOUBLE)
+        |   + COALESCE(CAST(c1 AS DOUBLE) * 0.5, 0.0)
+        |   + COALESCE(CAST(c2 AS DOUBLE) * 0.25, 0.0)
+        |   + COALESCE(CAST(c3 AS DOUBLE) * 0.125, 0.0)
+        |   + COALESCE(CAST(c4 AS DOUBLE) * 0.0625, 0.0)
+        |   + COALESCE(CAST(c5 AS DOUBLE) * 0.03125, 0.0)
+        |   + COALESCE(CAST(c6 AS DOUBLE) * 0.015625, 0.0)
+        |   + COALESCE(CAST(c7 AS DOUBLE) * 0.0078125, 0.0)
+        |   + COALESCE(CAST(c8 AS DOUBLE) * 0.00390625, 0.0))
+        |  /
+        |  (1.0
+        |   + CASE WHEN c1 IS NULL THEN 0.0 ELSE 0.5 END
+        |   + CASE WHEN c2 IS NULL THEN 0.0 ELSE 0.25 END
+        |   + CASE WHEN c3 IS NULL THEN 0.0 ELSE 0.125 END
+        |   + CASE WHEN c4 IS NULL THEN 0.0 ELSE 0.0625 END
+        |   + CASE WHEN c5 IS NULL THEN 0.0 ELSE 0.03125 END
+        |   + CASE WHEN c6 IS NULL THEN 0.0 ELSE 0.015625 END
+        |   + CASE WHEN c7 IS NULL THEN 0.0 ELSE 0.0078125 END
+        |   + CASE WHEN c8 IS NULL THEN 0.0 ELSE 0.00390625 END) AS ewma
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // both histograms from one conditional aggregate, the same exact
+    // integer TVD numerator/denominator
+    "q104_drift_tvd" ->
+      """WITH h AS (
+        |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INTEGER) AS bin,
+        |    COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) AS n_a,
+        |    COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) AS n_b
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM h)
+        |SELECT bin, n_a, n_b,
+        |  ABS(n_a * tot_b - n_b * tot_a) AS tvd_num,
+        |  2 * tot_a * tot_b AS tvd_den
+        |FROM h, t ORDER BY bin""".stripMargin
   )
 }
