@@ -134,22 +134,54 @@ object ChangeCapture {
     // so runs of genuinely-unchanged versions exist and must collapse.
     // Both engines replay the same arithmetic, then the same
     // lag-filter-lead; output is the dimension itself.
-    "q92_scd2_build" -> ((s, d) => {
-      val hist = graft.Tables(s, d, "customer")
-        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal0"),
-          explode(sequence(lit(0L), lit(3L))).as("v"))
-        .select(col("k"), col("v"),
-          (col("bal0")
-            + when(col("v") >= 1 && pmod(col("k"), lit(2)) === 0, 100.0)
-              .otherwise(0.0)
-            + when(col("v") >= 2 && pmod(col("k"), lit(3)) === 0, 200.0)
-              .otherwise(0.0)
-            + when(col("v") >= 3 && pmod(col("k"), lit(5)) === 0, 300.0)
-              .otherwise(0.0)).as("bal"))
-      scd2Build(hist, "k", "v", "bal")
-        .orderBy(col("k"), col("valid_from"))
+    "q92_scd2_build" -> ((s, d) =>
+      scd2Build(scd2Hist(s, d), "k", "v", "bal")
+        .orderBy(col("k"), col("valid_from"))),
+
+    // ── q100: POINT-IN-TIME JOIN — enrich each fact with the dimension
+    // value that was CURRENT at the fact's own version, against the
+    // very SCD2 dimension q92 builds (the consumer side of that
+    // producer; together they are the full warehouse loop the
+    // reference's overwrite-everything cadence forfeits). The interval
+    // predicate rides as a RESIDUAL on a plain equi-join on the key —
+    // the plan stays on hash-join machinery (pinned BNLJ-free in the
+    // scale sweep) because each fact matches exactly one validity
+    // interval and dims have few rows per key. At 100 TB the dimension
+    // is the broadcast side (dimensions are key-cardinality-sized, not
+    // fact-sized); a window-based as-of reformulation would instead
+    // shuffle the full fact table into the dimension's key order.
+    "q100_pit_join" -> ((s, d) => {
+      val dim = scd2Build(scd2Hist(s, d), "k", "v", "bal")
+      val facts = graft.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("fk"),
+          pmod(col("o_orderkey"), lit(4)).as("v_at"))
+      facts.join(broadcast(dim),
+          col("fk") === col("k") &&
+            col("v_at") >= col("valid_from") &&
+            (col("valid_to").isNull || col("v_at") < col("valid_to")))
+        .groupBy(col("v_at"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("ok_sum"),
+          sum(round(col("bal") * 100).cast("long")).as("bal_cents"))
+        .orderBy(col("v_at"))
     })
   )
+
+  /** The q92/q100 shared fixture: a 4-version balance history per
+    * customer key, synthesized in-plan with deterministic change
+    * arithmetic both engines replay (see q92's comment). */
+  private def scd2Hist(s: SparkSession, d: String): DataFrame =
+    graft.Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal0"),
+        explode(sequence(lit(0L), lit(3L))).as("v"))
+      .select(col("k"), col("v"),
+        (col("bal0")
+          + when(col("v") >= 1 && pmod(col("k"), lit(2)) === 0, 100.0)
+            .otherwise(0.0)
+          + when(col("v") >= 2 && pmod(col("k"), lit(3)) === 0, 200.0)
+            .otherwise(0.0)
+          + when(col("v") >= 3 && pmod(col("k"), lit(5)) === 0, 300.0)
+            .otherwise(0.0)).as("bal"))
 
   val oracles: Map[String, String] = Map(
     "q47_snapshot_diff" ->
@@ -193,23 +225,44 @@ object ChangeCapture {
     // the same synthetic history (customer × versions 0..3, identical
     // change arithmetic) collapsed by the same lag-filter-lead
     "q92_scd2_build" ->
-      """WITH hist AS (
-        |  SELECT c_custkey AS k, v, c_acctbal
-        |    + CASE WHEN v >= 1 AND c_custkey % 2 = 0 THEN 100 ELSE 0 END
-        |    + CASE WHEN v >= 2 AND c_custkey % 3 = 0 THEN 200 ELSE 0 END
-        |    + CASE WHEN v >= 3 AND c_custkey % 5 = 0 THEN 300 ELSE 0 END
-        |    AS bal
-        |  FROM customer, (SELECT UNNEST(generate_series(0, 3)) AS v)),
-        |chg AS (
-        |  SELECT k, v, bal,
-        |    LAG(bal) OVER (PARTITION BY k ORDER BY v) AS prev,
-        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
-        |  FROM hist),
-        |iv AS (
-        |  SELECT k, bal, v AS valid_from,
-        |    LEAD(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
-        |  FROM chg WHERE rn = 1 OR bal IS DISTINCT FROM prev)
+      s"""$scd2DimCteSql
         |SELECT k, bal, valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM iv ORDER BY k, valid_from""".stripMargin
+        |FROM iv ORDER BY k, valid_from""".stripMargin,
+
+    // the identical dimension CTE joined on key + interval containment
+    "q100_pit_join" ->
+      s"""$scd2DimCteSql,
+        |f AS (SELECT o_orderkey, o_custkey AS fk,
+        |             o_orderkey % 4 AS v_at FROM orders)
+        |SELECT v_at, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS ok_sum,
+        |  CAST(SUM(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM f JOIN iv ON f.fk = iv.k
+        |  AND f.v_at >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR f.v_at < iv.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** DuckDB twin of [[scd2Hist]] + [[scd2Build]] (ends at the `iv`
+    * validity-interval CTE), shared by the q92/q100 oracles so the
+    * dimension has ONE SQL definition. */
+  // a def, not a val: `oracles` above interpolates it during object
+  // init, and a later-declared val would still be null at that point
+  private def scd2DimCteSql: String =
+    """WITH hist AS (
+      |  SELECT c_custkey AS k, v, c_acctbal
+      |    + CASE WHEN v >= 1 AND c_custkey % 2 = 0 THEN 100 ELSE 0 END
+      |    + CASE WHEN v >= 2 AND c_custkey % 3 = 0 THEN 200 ELSE 0 END
+      |    + CASE WHEN v >= 3 AND c_custkey % 5 = 0 THEN 300 ELSE 0 END
+      |    AS bal
+      |  FROM customer, (SELECT UNNEST(generate_series(0, 3)) AS v)),
+      |chg AS (
+      |  SELECT k, v, bal,
+      |    LAG(bal) OVER (PARTITION BY k ORDER BY v) AS prev,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
+      |  FROM hist),
+      |iv AS (
+      |  SELECT k, bal, v AS valid_from,
+      |    LEAD(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+      |  FROM chg WHERE rn = 1 OR bal IS DISTINCT FROM prev)""".stripMargin
 }

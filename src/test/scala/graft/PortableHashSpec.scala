@@ -112,7 +112,8 @@ class PortableHashSpec extends AnyFunSuite {
       "q73_multiset_ops", "q75_concurrency", "q77_cohort_retention",
       "q78_hll_merge", "q79_funnel", "q81_collation", "t11_search",
       "g01_pagerank", "g02_triangles", "q90_spj_agg", "q91_spj_join",
-      "q92_scd2_build", "d10_tfidf_cosine", "g03_copurchase")
+      "q92_scd2_build", "d10_tfidf_cosine", "g03_copurchase",
+      "q100_pit_join")
     // q53's queries entry returns only the scratch read-back (the join
     // runs inside the conf-scoped write), so sweep the LIVE join plan
     // directly instead of the vacuous closure
