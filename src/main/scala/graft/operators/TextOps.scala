@@ -570,6 +570,35 @@ object TextOps {
           expr("element_at(fp, 4)").as("fp3"),
           graft.functions.PortableHashFunctions.polyHash(col("text")).as("full_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── t12: BPE MERGE-PAIR COUNTING — the first iteration of
+    // byte-pair-encoding tokenizer training: the corpus-weighted
+    // frequency of every adjacent character pair inside words, ranked
+    // to pick the next merge. The scale shape is the whole point: the
+    // only corpus-scale work is ONE scan + one shuffle building the
+    // word-frequency table; the quadratic-looking pair expansion then
+    // runs over the VOCABULARY aggregate (≪ corpus, bounded by distinct
+    // words × word length) — exactly how production BPE trainers
+    // restructure the count. A naive per-document char-pair explode
+    // would shuffle corpus-length × word-length rows instead.
+    "t12_bpe_pairs" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      words
+        .select(col("w"), col("f"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w"), col("f"), expr("substring(w, i, 2)").as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("weight"),
+          countDistinct(col("w")).as("n_words"))
+        // (weight desc, pair) is a total order, so the LIMIT is the
+        // same set in both engines
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(40)
     })
   )
 
@@ -896,6 +925,22 @@ object TextOps {
         |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS full_hash
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the same vocabulary-first restructuring: word frequencies, then
+    // position-exploded pairs over the vocabulary only
+    "t12_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT w, f, substr(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS weight,
+        |  COUNT(DISTINCT w) AS n_words
+        |FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 40""".stripMargin
   )
 }
