@@ -634,6 +634,48 @@ object Dedup {
             .as("cos2_pct"))
         .filter(col("cos2_pct") >= 25L)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── d11: SORTED-NEIGHBORHOOD dedup — the deterministic
+    // entity-resolution classic, a THIRD candidate-generation family
+    // beside hashing (d02/d03) and inverted-index posting joins (d04):
+    // sort records by a normalized key, compare each record only to
+    // its w−1 predecessors in that order. Here the blocked-SNM form
+    // that distributes: block on the 4-char normalized prefix
+    // (partitionBy — a plain window over a GLOBAL sort would put the
+    // whole corpus in one partition, the scale-killer), sort by the
+    // 12-char key within blocks, and take w=4 lags. Candidate volume
+    // is exactly ≤ (w−1)·n by construction — the hard budget LSH can
+    // only promise probabilistically — and the edit-distance rescore
+    // runs on bounded 80-char heads, so the whole operator is one
+    // shuffle + one window pass at any corpus size. Misses across
+    // block boundaries are the documented SNM tradeoff (production
+    // runs multiple passes with different keys and unions — same plan
+    // shape).
+    "d11_sorted_neighborhood" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("skey"), col("doc_id"))
+      val keyed = docs(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+        .select(col("doc_id"), substring(col("norm"), 1, 80).as("head"),
+          substring(col("norm"), 1, 12).as("skey"),
+          substring(col("norm"), 1, 4).as("blk"))
+      val lagged = (1 to 3).foldLeft(keyed) { (df, k) =>
+        df.withColumn(s"id$k", lag(col("doc_id"), k).over(win))
+          .withColumn(s"h$k", lag(col("head"), k).over(win))
+      }
+      lagged
+        .select(col("doc_id"), col("head"), explode(array((1 to 3).map(k =>
+          struct(col(s"id$k").as("pid"), col(s"h$k").as("ph"))): _*)).as("c"))
+        .filter(col("c.pid").isNotNull)
+        .withColumn("dist", levenshtein(col("head"), col("c.ph")))
+        .filter(col("dist") <= 8)
+        .select(least(col("doc_id"), col("c.pid")).as("doc_a"),
+          greatest(col("doc_id"), col("c.pid")).as("doc_b"),
+          col("dist").cast("int").as("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -899,6 +941,35 @@ object Dedup {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  n_cross_split_pairs
         |FROM asg, viol
-        |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin
+        |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin,
+
+    // the same block / sort-key / 3-lag construction; DuckDB's
+    // levenshtein is the same unit-cost edit distance over the
+    // ASCII-normalized heads
+    "d11_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(norm, 1, 80) AS head, substr(norm, 1, 12) AS skey,
+        |    substr(norm, 1, 4) AS blk
+        |  FROM (SELECT doc_id,
+        |          trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |        FROM documents)),
+        |l AS (
+        |  SELECT doc_id, head,
+        |    LAG(doc_id, 1) OVER w AS id1, LAG(head, 1) OVER w AS h1,
+        |    LAG(doc_id, 2) OVER w AS id2, LAG(head, 2) OVER w AS h2,
+        |    LAG(doc_id, 3) OVER w AS id3, LAG(head, 3) OVER w AS h3
+        |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+        |c AS (
+        |  SELECT doc_id, head, id1 AS pid, h1 AS ph FROM l WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, head, id2, h2 FROM l WHERE id2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, head, id3, h3 FROM l WHERE id3 IS NOT NULL)
+        |SELECT least(doc_id, pid) AS doc_a, greatest(doc_id, pid) AS doc_b,
+        |  CAST(levenshtein(head, ph) AS INTEGER) AS dist
+        |FROM c WHERE levenshtein(head, ph) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
