@@ -137,6 +137,42 @@ object Partitioned {
     out
   }
 
+  /** MANIFEST for [[ensureRangeSorted]]'s layout: one row per data file
+    * with the sort column's [min,max] — the Iceberg/Delta file-stats
+    * record, materialized ONCE at layout-build time as a tiny parquet
+    * beside the data. Built with one `_metadata.file_path` groupBy over
+    * the fresh layout (at 100 TB you'd harvest the same stats from
+    * parquet footers or, better, record them as the writer closes each
+    * file — the manifest's CONSUMERS are what this models). */
+  private[graft] def ensureRangeManifest(s: SparkSession, d: String): String = {
+    val dir = ensureRangeSorted(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val man = graft.Scratch.dir(s, "graft_range_manifest", tag)
+    if (!new java.io.File(s"$man/_SUCCESS").exists()) {
+      s.read.parquet(dir)
+        .groupBy(col("_metadata.file_path").as("f"))
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(man)
+    }
+    man
+  }
+
+  /** Plan-time file pruning off the manifest: the files whose [lo,hi]
+    * overlaps [from,until), plus the layout's total file count. The
+    * collect is MANIFEST-sized (one row per file — exactly what any
+    * table format's planner holds in memory), never data-sized. */
+  private[graft] def manifestPrunedFiles(s: SparkSession, d: String,
+      from: String, until: String): (Seq[String], Int) = {
+    val man = s.read.parquet(ensureRangeManifest(s, d))
+    // overlap test evaluated IN-PLAN (same string→timestamp coercion as
+    // the data filter; driver-side Timestamp math would also have to
+    // track the java8 datetime API's row types)
+    val keep = man.filter(col("hi") >= from && col("lo") < until)
+      .select(col("f")).collect().map(_.getString(0)).toSeq.sorted
+    (keep, man.count().toInt)
+  }
+
   /** Morton (Z-order) key: bit-interleave two non-negative ints so that
     * a sort by the key clusters rows that are close in BOTH dimensions.
     * Unrolled to 2·bits codegen'd shift/mask ops — stays inside
@@ -260,6 +296,29 @@ object Partitioned {
     // ── q52: a quarter-scoped aggregate over the range-sorted layout —
     // the pushed l_shipdate range prunes most files via footer stats
     // before any row is read; results must equal the flat table.
+    // ── q101: MANIFEST FILE SKIPPING — answer q52's quarter query by
+    // consulting the file-stats manifest at PLAN time and handing the
+    // scan only the files whose [min,max] overlap the predicate — the
+    // Iceberg/Delta scan-planning loop, distinct in kind from q52
+    // (which reads the whole listing and relies on parquet footer
+    // pruning inside each task: that still pays listing, scheduling,
+    // and footer reads for every file; the manifest path never opens
+    // the skipped 14/16 at all — at 100 TB the difference between
+    // touching a quarter's files and touching the table's).
+    // ManifestSkipSpec pins that files-pruned property; the oracle
+    // pins that pruning lost no rows. The residual filter stays on the
+    // scan — file bounds admit whole files, not rows.
+    "q101_manifest_skip" -> ((s, d) => {
+      val (files, _) = manifestPrunedFiles(s, d, "1996-01-01", "1996-04-01")
+      s.read.parquet(files: _*)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy(month(col("l_shipdate")).cast(IntegerType).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy(col("m"))
+    }),
+
     "q52_range_layout" -> ((s, d) => {
       // half-open bounds: shipdates are TIMESTAMPs, and a closed
       // BETWEEN '…-03-31' would silently drop Mar 31 intra-day times
@@ -317,6 +376,16 @@ object Partitioned {
     // the layout rewrite must be row-invariant: same quarter aggregate
     // as the flat table
     "q52_range_layout" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q52's oracle verbatim: manifest pruning must be invisible in the
+    // result — any file wrongly skipped breaks the hash
+    "q101_manifest_skip" ->
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS m, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem

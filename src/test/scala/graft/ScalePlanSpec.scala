@@ -167,4 +167,22 @@ class ScalePlanSpec extends AnyFunSuite {
     }
     assert(base == handled)
   }
+
+  test("q101 manifest pruning skips most files and loses no rows") {
+    val (kept, total) =
+      Partitioned.manifestPrunedFiles(spark, sf, "1996-01-01", "1996-04-01")
+    // non-vacuous in both directions: something survives (the quarter
+    // exists) and most of the 16-file range layout is never opened
+    assert(kept.nonEmpty, "manifest pruned ALL files for a non-empty quarter")
+    assert(kept.size < total / 2,
+      s"manifest kept ${kept.size} of $total files — pruning not engaging " +
+        "(quarter predicate over a multi-year range layout)")
+    val pruned = spark.read.parquet(kept: _*)
+    val full = spark.read.parquet(Partitioned.ensureRangeSorted(spark, sf))
+    def quarter(df: org.apache.spark.sql.DataFrame) = df
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") >= "1996-01-01" &&
+        org.apache.spark.sql.functions.col("l_shipdate") < "1996-04-01")
+      .count()
+    assert(quarter(pruned) == quarter(full))
+  }
 }
