@@ -17,7 +17,8 @@ object Explain {
         "s01_ann_bruteforce", "q75_concurrency", "q77_cohort_retention",
         "t11_search", "p08_sequence_pack", "q83_custom_source",
         "q90_spj_agg", "q91_spj_join", "q92_scd2_build", "g01_pagerank",
-        "g02_triangles")
+        "g02_triangles", "q100_pit_join", "q101_manifest_skip",
+        "q102_resample_ohlc", "d11_sorted_neighborhood", "t12_bpe_pairs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
