@@ -531,6 +531,63 @@ object Dedup {
     "d05_dedup_embedding" -> ((s, d) =>
       cosinePairsUncached(s, d).orderBy(col("a_id"), col("b_id"))),
 
+    // ── d12: LSH-BUCKETED embedding near-dup — the sublinear
+    // candidate-generation path next to d05's exact block join, for the
+    // workloads that trade recall for it (d05's comment derives why
+    // recall 1 at 0.35 cosine forces all pairs; many production near-dup
+    // passes accept partial recall per pass because dedup is iterated).
+    // Candidates are co-bucket pairs in ANY of the 8 hyperplane tables
+    // (Similarity's fused LshBuckets expression — the same index family
+    // s02 uses for ANN), capped per (table, bucket) so a degenerate
+    // bucket can never go quadratic, then EXACT cosine rescore at the
+    // d05 threshold. The output is the engine-independent CONTRACT, the
+    // s04 discipline: false positives are structurally 0 (the rescore is
+    // exact — counted in-plan by the anti-join, not assumed), and recall
+    // vs the exact d05 pair set is thresholded. The gate is set from the
+    // sign-LSH collision curve at the LOW end of the band (cos 0.35 →
+    // per-table p ≈ 0.61^6, union over 8 tables ≈ 0.36). Measured
+    // recall: 0.399 at sf0.01 (108/271), 0.378 at sf0.1 (1562/4137) —
+    // near the floor because this synthetic corpus concentrates pair
+    // mass just above the cutoff; deterministic (fixed hyperplanes,
+    // fixed corpus), so the gate is stable green, and it would rise on
+    // a real corpus whose near-dup mass sits at high cosine.
+    "d12_dedup_embedding_lsh" -> ((s, d) => {
+      VectorFunctions.register(s)
+      SketchFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("table_id"), col("bucket")).orderBy(col("vec_id"))
+      val capped = Similarity.bucketed(Tables(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), col("table_id"), col("bucket"))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 256).drop("pos")
+      val cands = capped.select(col("vec_id").as("a_id"),
+          col("table_id"), col("bucket"))
+        .join(capped.select(col("vec_id").as("b_id"),
+          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val va = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val vb = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      // two consumers (recall hits + the false-positive anti-join):
+      // materialize once, the d10 discipline
+      val approx = cands.join(va, "a_id").join(vb, "b_id")
+        .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.35)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val exact = cosinePairs(s, d).select(col("a_id"), col("b_id"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+      val hits = exact.join(approx, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val falsePos = approx.join(exact, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("n_false_pos"))
+      nExact.crossJoin(hits).crossJoin(falsePos)
+        .select(col("n_exact_pairs"), col("n_false_pos"),
+          (col("n_exact_pairs") === 0L ||
+            col("hits").cast("double") / col("n_exact_pairs") >= 0.36)
+            .as("recall_ok"))
+    }),
+
     // ── p06: LEAKAGE-SAFE train/val/test split — the split decision
     // that makes held-out evaluation honest: if two near-duplicate
     // documents land in different splits, the test set leaks into
@@ -897,6 +954,18 @@ object Dedup {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the contract restated: the exact pair count is engine-independent,
+    // the rescore makes false positives impossible, and the recall gate
+    // must hold — a recall regression (or a rescore bug) flips a column
+    "d12_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT COUNT(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pos,
+        |  TRUE AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
 
     // components via the d06 recursive CTE, cluster-keyed hash split,
     // and the cross-split pair count restated (necessarily 0 when the

@@ -150,7 +150,7 @@ object Similarity {
     * table per vector. Bucket computation is the fused LshBuckets
     * Catalyst expression (one loop; the unrolled-SQL form put 3072
     * multiply terms in the plan and dominated the query's runtime). */
-  private def bucketed(df: DataFrame, vecCol: String): DataFrame =
+  private[operators] def bucketed(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("buckets", SketchFunctions.lshBuckets8x6(col(vecCol)))
       .select(col("*"),
         posexplode(col("buckets")).as(Seq("table_id", "bucket")))
