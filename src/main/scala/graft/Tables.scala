@@ -18,18 +18,33 @@ object Tables {
     if (name == "events") eventsImpl(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a raw long and
-    * truncate ns→µs with integer division — identical to how DuckDB (and
-    * any µs-based reader) coerces nanos, so oracle parity holds.
-    * A double division here would silently lose precision (ns epochs
-    * ≈1.7e18 exceed a double's 53-bit mantissa). */
+  /** events.ts has shipped in two physical forms across harness testdata
+    * generations, so the loader normalizes BY TYPE instead of assuming
+    * one:
+    *  - TIMESTAMP(NANOS) int64 — Spark 4 refuses to map it to
+    *    TimestampType (PARQUET_TYPE_ILLEGAL); read as raw long via
+    *    `nanosAsLong` and truncate ns→µs with INTEGER division (a double
+    *    division would silently lose precision: ns epochs ≈1.7e18 exceed
+    *    a double's 53-bit mantissa). This is exactly how DuckDB coerces
+    *    nanos, so oracle parity holds.
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false — reads as
+    *    TIMESTAMP_NTZ; cast to TimestampType (the session timezone is
+    *    pinned UTC everywhere, so the wall clock IS the instant and the
+    *    cast is value-preserving).
+    * Either way every consumer sees the same `ts: TimestampType` (µs)
+    * column. */
   private def eventsImpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

@@ -22,11 +22,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  // events.parquet carries TIMESTAMP(NANOS); streaming reads need the
-  // same nanosAsLong + integer ns→µs conversion as graft.Tables.
+  // events.ts ships as parquet TIMESTAMP(MICROS) isAdjustedToUTC=false
+  // in the current testdata generation → TIMESTAMP_NTZ here; every read
+  // normalizes it to TimestampType via cast (session tz is pinned UTC,
+  // so the cast is value-preserving). readStream needs this schema
+  // declared up front; the batch loader (graft.Tables.eventsImpl)
+  // additionally supports the older TIMESTAMP(NANOS)-as-long generation
+  // by probing the footer — if the fixture ever reverts, these streams
+  // fail loudly at analysis rather than silently misscaling.
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -194,11 +200,10 @@ object StreamingOps {
     * so the five join types can never drift apart on the delay, the
     * time bound, or the timestamp conversion. */
   private def clickPurchaseStreams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(tpe: String) = s.readStream
       .schema(eventsSchema)
       .parquet(s"$d/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .filter(col("event_type") === tpe)
     val clicks = src("click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -221,11 +226,10 @@ object StreamingOps {
     * consume — one definition of the at-least-once upstream and its
     * dedup horizon, so the two contracts can't drift. */
   private def dedupedEventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src() = s.readStream
       .schema(eventsSchema)
       .parquet(s"$d/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .select(col("event_id"), col("event_type"), col("ts"))
     src().union(src())
       .withWatermark("ts", "1 hour")
@@ -239,7 +243,6 @@ object StreamingOps {
     * or the output-mode semantics they claim to exercise degenerate to
     * a single batch query. */
   private def multiBatchEventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val src = graft.Scratch.dir(s, "graft_st17_src", tag)
     if (!new java.io.File(s"$src/_SUCCESS").exists()) {
@@ -274,14 +277,13 @@ object StreamingOps {
 
     // ── st01: tumbling 1-hour window aggregation over the event stream.
     "st01_stream_hourly" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // file-source streams want a directory basePath; a glob that
       // matches exactly events.parquet keeps the source scoped to the
       // one table while satisfying that contract.
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
@@ -311,11 +313,10 @@ object StreamingOps {
     "st02_stream_sessionize" -> ((s, d) => withStatePartitions(s, StateParts) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
         .as[Ev]
       def sessionize(userId: Long, evs: Iterator[Ev],
           state: GroupState[Long]): Iterator[UserSessions] = {
@@ -338,11 +339,10 @@ object StreamingOps {
     // delay; AvailableNow runs the closing no-data batch). The oracle
     // states exactly that closed-window semantics in batch SQL.
     "st03_stream_watermark" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -362,13 +362,12 @@ object StreamingOps {
     // RESULT is the sink read back from disk, so the oracle checks the
     // whole write-read round trip, partition-column typing included.
     "st05_stream_sink_parity" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val outDir = graft.Scratch.dir(s, "graft_st05", tag)
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -426,7 +425,6 @@ object StreamingOps {
     // scale the same plan runs with dropDuplicatesWithinWatermark so
     // the key state is evicted instead of growing unboundedly.
     "st04_stream_dedup" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def src() = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
@@ -448,7 +446,6 @@ object StreamingOps {
     // (The dim snapshot is read once per (re)start; a slowly-changing
     // dim is a restart or a foreachBatch re-read away.)
     "st08_stream_static_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
@@ -475,7 +472,6 @@ object StreamingOps {
     // static side on the right) — this pins the anti contract:
     // unmatched-only, stream rows never duplicated or buffered.
     "st16_stream_anti_join" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
@@ -523,7 +519,6 @@ object StreamingOps {
       import s.implicits._
       import org.apache.spark.sql.Encoders
       import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val pk = "spark.sql.streaming.stateStore.providerClass"
       val old = s.conf.getOption(pk)
       s.conf.set(pk,
@@ -532,7 +527,7 @@ object StreamingOps {
         val stream = s.readStream
           .schema(eventsSchema)
           .parquet(s"$d/events.parque[t]")
-          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
           .as[Ev]
         class SessionProcessor extends StatefulProcessor[Long, Ev, UserSessions] {
           @transient private var state: ValueState[SessionIvState] = _
@@ -586,7 +581,6 @@ object StreamingOps {
       import s.implicits._
       import org.apache.spark.sql.Encoders
       import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val pk = "spark.sql.streaming.stateStore.providerClass"
       val old = s.conf.getOption(pk)
       s.conf.set(pk,
@@ -597,7 +591,7 @@ object StreamingOps {
           .schema(eventsSchema)
           .parquet(s"$d/events.parque[t]")
           .select(col("event_id"), col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"))
+            col("ts").cast("timestamp").as("ts"))
           .withWatermark("ts", "1 hour")
           .as[EvT]
         class TimerSessions extends StatefulProcessor[Long, EvT, ClosedSession] {
@@ -656,11 +650,10 @@ object StreamingOps {
     // materialized). Epoch-aligned starts make the DuckDB restatement
     // a generate_series(0,3) cross join.
     "st10_stream_sliding" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -679,7 +672,6 @@ object StreamingOps {
     // foreachBatch retry is the sink's job, e.g. overwrite-by-batch-id;
     // here each source file is exactly one committed batch.)
     "st09_checkpoint_recovery" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val outDir = graft.Scratch.dir(s, "graft_st09", tag)
       val ckpt = graft.Scratch.dir(s, "graft_st09_ckpt", tag)
@@ -723,7 +715,6 @@ object StreamingOps {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set(ck, "true")
       try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         def src() = s.readStream
           .schema(eventsSchema)
           .parquet(s"$d/events.parque[t]")
@@ -762,7 +753,6 @@ object StreamingOps {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         def src() = s.readStream
           .schema(eventsSchema)
           .parquet(s"$d/events.parque[t]")
@@ -832,11 +822,10 @@ object StreamingOps {
     // (event-time stats are tracked in ms; the fixture's µs components
     // make that truncation visible, st15's lesson).
     "st19_stream_session_window" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
       val agg = stream
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -861,11 +850,10 @@ object StreamingOps {
     // the watermark, which closes all four of its quarters too, so the
     // batch restatement needs no per-quarter emission modeling.
     "st20_chained_stream_aggs" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
       val perQuarter = stream
         .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
@@ -1033,7 +1021,7 @@ object StreamingOps {
           val next = s"$stateDir/v$batchId"
           if (cur.get != next) {
             val delta = batch
-              .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+              .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("last_ts_us"),
                 col("event_id").as("last_event_id"), lit(1L).as("n_events"))
             val merged = Option(cur.get) match {
               case None    => mergeUp(delta)
@@ -1061,11 +1049,10 @@ object StreamingOps {
     // on the click watermark alone would silently drop late purchases.
     // The oracle restates exactly this LEAST() policy.
     "st28_union_watermarks" -> ((s, d) => withStatePartitions(s, StateParts) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def src(tpe: String, delay: String) = s.readStream
         .schema(eventsSchema)
         .parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast("timestamp"))
         .filter(col("event_type") === tpe)
         .select(col("event_type"), col("ts"))
         .withWatermark("ts", delay)
