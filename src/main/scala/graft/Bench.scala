@@ -26,10 +26,17 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
+        // A query that throws must not masquerade as a fast query: report
+        // the failure on stderr and time it as the -1 sentinel (min() then
+        // keeps the sentinel, so one failed run marks the whole entry).
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+          }
         }
         name -> math.min(once(), once())
       }

@@ -32,12 +32,29 @@ object Tables {
     *    pinned UTC everywhere, so the wall clock IS the instant and the
     *    cast is value-preserving).
     * Either way every consumer sees the same `ts: TimestampType` (µs)
-    * column. */
+    * column.
+    *
+    * `nanosAsLong` is session-global, so it is set ONLY when the footer
+    * probe finds the nanos generation (probing = schema inference with
+    * the flag untouched: the nanos footer throws, the micros footer
+    * yields NTZ). On a micros fixture the flag is never touched, so an
+    * unrelated TIMESTAMP(NANOS) read elsewhere in the session still
+    * fails loudly instead of silently decoding as long. When the
+    * fixture IS nanos the flag must stay set for the session — the
+    * parquet reader re-checks it at execution, after this function
+    * returns. */
+  private val nanosGen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def eventsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val isNanos = nanosGen.computeIfAbsent(path, _ =>
+      try { // probe: succeeds-as-long ⇒ flag already on; throws ⇒ nanos
+        spark.read.parquet(path).schema("ts").dataType == LongType
+      } catch { case scala.util.control.NonFatal(_) => true })
+    if (isNanos) spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long generation
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
