@@ -90,28 +90,48 @@ object Graph {
     }),
 
     // ── g02: TRIANGLE COUNT on the undirected fold of the same graph.
-    // The canonical-ordering join (a<b<c once each) is the
-    // all-distributed formulation: two equi-joins over the edge list,
-    // no per-node adjacency materialization, no wedge double-count.
-    // At scale the first join's fan-out is bounded by degree — the
-    // standard mitigation (orient edges low-degree → high-degree)
-    // drops worst-case wedge counts from d_max² to m^1.5; with the
-    // folded graph's near-uniform degrees the plain canonical order
-    // is the same plan, so the demo keeps it.
+    // The all-distributed formulation: two equi-joins over the edge
+    // list, no per-node adjacency materialization, no wedge
+    // double-count. Edges are ORIENTED low-degree → high-degree
+    // (ties by id) before the wedge join — the standard mitigation
+    // that bounds every wedge pivot's fan-out by out-degree ≤ √(2m),
+    // dropping worst-case wedge counts from d_max² to m^1.5. Each
+    // triangle {x,y,z} with x≺y≺z under the (deg,id) total order is
+    // enumerated exactly once, as the wedge y←x→z closed by the
+    // (necessarily y→z-oriented) third edge, so the count — and the
+    // id-canonical DuckDB oracle — is unchanged by the orientation.
     "g02_triangles" -> ((s, d) => {
       val und = edges100(s, d)
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-      val wedges = und.as("e1")
-        .join(und.as("e2"),
-          col("e1.a") === col("e2.a") && col("e2.b") > col("e1.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      val tri = wedges.join(und.as("e3"),
-        col("y") === col("e3.a") && col("z") === col("e3.b"))
+      // degrees in the undirected graph, joined back to both endpoints
+      val deg = und.select(col("a").as("n"))
+        .unionAll(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val withDeg = und
+        .join(deg.withColumnsRenamed(Map("n" -> "a", "dg" -> "da")), "a")
+        .join(deg.withColumnsRenamed(Map("n" -> "b", "dg" -> "db")), "b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      // orient u→v with u ≺ v under (deg, id); keep v's degree so the
+      // wedge join can compare neighbors under the same total order
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .localCheckpoint() // one materialization feeds both join sides
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            (col("e2.dv") > col("e1.dv") ||
+              (col("e2.dv") === col("e1.dv") && col("e2.v") > col("e1.v"))))
+        .select(col("e1.v").as("y"), col("e2.v").as("z"))
+      val tri = wedges.join(oriented.as("e3"),
+        col("y") === col("e3.u") && col("z") === col("e3.v"))
       tri.agg(count(lit(1)).as("n_triangles"))
-        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
     }),
 
     // ── g03: CO-PURCHASE GRAPH (market-basket pair mining) — the
