@@ -21,6 +21,8 @@ object FunctionCatalog {
     "minhash_sig16" -> (e => MinHashSignature(e.head, 16)),
     "lsh_buckets_8x6" ->
       (e => LshBuckets(e.head, SketchFunctions.hyperplanes(8, 6, 64), 8, 6)),
+    "lsh_probe_buckets_8x6" ->
+      (e => LshProbeBuckets(e.head, SketchFunctions.hyperplanes(8, 6, 64), 8, 6)),
     "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
     "poly_hash" -> (e => PolyHash(e.head)),
     "rolling_min4_w8" -> (e => RollingMinK(e.head, 8, 4)),

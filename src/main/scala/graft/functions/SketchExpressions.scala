@@ -131,6 +131,60 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-probe LSH bucket sequence for the QUERY side: per table, the
+  * base bucket plus the neighbors reached by flipping the 1–2 weakest
+  * sign bits (smallest |plane·vec| margin — the bits most likely to
+  * disagree with a true near neighbor's bucket), and their pair. Output
+  * is nTables·4 longs laid out [t0: base, flip1, flip2, flip1⊕2, t1: …];
+  * callers derive table_id = pos div 4. The INDEX side keeps the plain
+  * [[LshBuckets]] layout — multi-probe buys recall at query time with
+  * zero extra index size, which is the standard trade (Lv et al.,
+  * VLDB'07): probing 4 buckets/table ≈ doubling table count without
+  * re-bucketing the corpus. */
+case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
+    nTables: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val out = new Array[Long](nTables * 4)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      // weakest two margins: j1 = argmin |dot|, j2 = runner-up
+      var j1 = 0; var j2 = 0
+      var m1 = Double.MaxValue; var m2 = Double.MaxValue
+      var j = 0
+      while (j < nBits) {
+        val p = planes(t * nBits + j)
+        var dot = 0.0
+        var i = 0
+        val d = math.min(dim, p.length)
+        while (i < d) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          dot += p(i) * x
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        val m = math.abs(dot)
+        if (m < m1) { m2 = m1; j2 = j1; m1 = m; j1 = j }
+        else if (m < m2) { m2 = m; j2 = j }
+        j += 1
+      }
+      out(t * 4) = bucket
+      out(t * 4 + 1) = bucket ^ (1L << j1)
+      out(t * 4 + 2) = bucket ^ (1L << j2)
+      out(t * 4 + 3) = bucket ^ (1L << j1) ^ (1L << j2)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of common elements between two SORTED long arrays (merge scan,
   * no allocation). Callers pre-sort once per row with `array_sort`;
   * jaccard = ic / (|a| + |b| - ic). Codegen'd — this is the inner loop
@@ -188,11 +242,13 @@ object SketchFunctions {
 
   def register(spark: SparkSession): Unit =
     FunctionCatalog.register(spark, "simhash64", "minhash_sig16",
-      "lsh_buckets_8x6", "sorted_intersect_count")
+      "lsh_buckets_8x6", "lsh_probe_buckets_8x6", "sorted_intersect_count")
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashSig16(c: Column): Column = call_function("minhash_sig16", c)
   def lshBuckets8x6(c: Column): Column = call_function("lsh_buckets_8x6", c)
+  def lshProbeBuckets8x6(c: Column): Column =
+    call_function("lsh_probe_buckets_8x6", c)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 }

@@ -90,7 +90,7 @@ object Similarity {
 
   /** The in-session IVF probe path (s03). */
   private def ivfProbe(assigned: DataFrame, centsDf: DataFrame,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 3): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     rescore(probeCells(q, centsDf, nProbe), assigned)
@@ -102,7 +102,7 @@ object Similarity {
     * route, and rescore only the routed cells — exposed to
     * PersistedIndexSpec for the partition-pruning plan pin. */
   private[graft] def servedProbe(s: SparkSession, d: String,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 3): DataFrame = {
     VectorFunctions.register(s)
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val idxDir = graft.Scratch.dir(s, "graft_ivfidx", tag)
@@ -155,6 +155,17 @@ object Similarity {
       .select(col("*"),
         posexplode(col("buckets")).as(Seq("table_id", "bucket")))
       .drop("buckets")
+
+  /** QUERY-side multi-probe bucket expansion: 4 probes per table (base,
+    * two weakest-bit flips, their pair) from the fused LshProbeBuckets
+    * expression. The index keeps the single-bucket layout — multi-probe
+    * lifts recall at fixed index size, paying only a ~4× larger (still
+    * query-count-sized) probe list on the broadcast side. */
+  private[operators] def probeBucketed(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("pbuckets", SketchFunctions.lshProbeBuckets8x6(col(vecCol)))
+      .select(col("*"), posexplode(col("pbuckets")).as(Seq("ppos", "bucket")))
+      .withColumn("table_id", (col("ppos") / 4).cast("int"))
+      .drop("pbuckets", "ppos")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -209,16 +220,20 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // ── s02: LSH-bucketed ANN — 8 tables × 6 sign bits; candidates are
-    // the union of the query's buckets across tables (distinct), then
-    // exact cosine rescore. The bucket join replaces the full scan.
+    // ── s02: LSH-bucketed ANN — 8 tables × 6 sign bits; the query side
+    // is MULTI-PROBED (4 buckets per table: base + weakest-bit
+    // perturbations), candidates are the union of the probed buckets
+    // across tables (distinct), then exact cosine rescore. The bucket
+    // join replaces the full scan; multi-probe lifts recall@3 from 0.4
+    // to the ≥0.6 s04 gate with zero extra index size.
     "s02_ann_lsh" -> ((s, d) => {
       VectorFunctions.register(s)
       SketchFunctions.register(s)
-      val e = bucketed(Tables(s, d, "embeddings"), "embedding")
-      val q = e.filter(col("vec_id") < NQ)
+      val emb = Tables(s, d, "embeddings")
+      val q = probeBucketed(emb.filter(col("vec_id") < NQ), "embedding")
         .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
-      val c = e.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
+      val c = bucketed(emb, "embedding")
+        .select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
       val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id")).distinct()
@@ -287,7 +302,7 @@ object Similarity {
     // hiding in a rows-only entry.
     "s04_ann_recall" -> ((s, d) => {
       val exact = queries("s01_ann_bruteforce")(s, d)
-      recallGate(exact, queries("s02_ann_lsh")(s, d), 0.2, "lsh_recall_ok")
+      recallGate(exact, queries("s02_ann_lsh")(s, d), 0.6, "lsh_recall_ok")
         .crossJoin(
           recallGate(exact, queries("s03_ann_ivf")(s, d), 0.3, "ivf_recall_ok")
             .drop("n_pairs"))
