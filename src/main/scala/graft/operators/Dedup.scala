@@ -733,6 +733,58 @@ object Dedup {
           greatest(col("doc_id"), col("c.pid")).as("doc_b"),
           col("dist").cast("int").as("dist"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── d13: PARAGRAPH-LEVEL exact dedup — the granularity real
+    // pretraining dedup runs at (boilerplate headers/footers repeat
+    // across documents that are nowhere near whole-document
+    // duplicates; d01 only sees the latter). The fixture text has no
+    // newlines, so "paragraphs" are deterministic 10-token windows —
+    // the segmentation is a stand-in; the OPERATOR SHAPE (explode →
+    // digest-count → threshold → reassemble-in-order) is the real
+    // thing. A segment whose corpus-wide multiplicity exceeds 2 is
+    // removed from EVERY document; survivors are reassembled in
+    // original order.
+    //
+    // 100 TB shape: three shuffles, none keyed by text — (1) the
+    // multiplicity count groups by the 12-byte (length, xxhash64)
+    // digest with map-side partial aggregation (d01's narrow-key
+    // discipline at segment granularity); (2) the count joins back on
+    // the same digest (segment text rides as payload, never as key);
+    // (3) reassembly groups by doc_id. Segment order is restored by
+    // array_sort over (seg_idx, seg) structs inside the aggregate —
+    // no window, no global sort. The oracle restates the whole
+    // pipeline over segment TEXT (the digest is assumed
+    // collision-free, exactly d01's contract), so the reassembled
+    // corpus — not a summary — is what hash-matches.
+    "d13_line_dedup" -> ((s, d) => {
+      val segs = spreadSmall(docs(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(tk)-1) div 10), " +
+            "i -> concat_ws(' ', slice(tk, i*10+1, 10)))"))
+          .as(Seq("seg_idx", "seg")))
+        .localCheckpoint() // three consumers: count, join-back, totals
+      val cnt = segs
+        .groupBy(length(col("seg")).as("slen"), xxhash64(col("seg")).as("shash"))
+        .agg(count(lit(1)).as("c"))
+      val kept = segs
+        .withColumn("slen", length(col("seg")))
+        .withColumn("shash", xxhash64(col("seg")))
+        .join(cnt, Seq("slen", "shash"))
+        .filter(col("c") <= 2)
+      val reasm = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("concat_ws(' ', transform(" +
+            "array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg))")
+            .as("new_text"))
+      val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      tot.join(reasm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -740,6 +792,31 @@ object Dedup {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // the same explode → count → threshold → reassemble pipeline over
+    // segment text (the engine's digest is assumed collision-free, as
+    // in d01); string_agg ORDER BY seg_idx restates the array_sort
+    // reassembly
+    "d13_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
+        |  FROM toks, UNNEST(generate_series(0, (len(tk)-1)//10)) AS t(i)),
+        |cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),
+        |kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+        |         FROM segs s JOIN cnt USING (seg) WHERE c <= 2),
+        |reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |            string_agg(seg, ' ' ORDER BY seg_idx) AS new_text
+        |          FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.new_text, '') AS new_text
+        |FROM tot t LEFT JOIN reasm r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // inverted-index formulation on the oracle side too — identical
     // results to the all-pairs list jaccard (verified), 76× faster
