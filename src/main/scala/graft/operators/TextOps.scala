@@ -599,6 +599,70 @@ object TextOps {
         // same set in both engines
         .orderBy(col("weight").desc, col("pair"))
         .limit(40)
+    }),
+
+    // ── t13: ITERATED BPE TRAINER — t12 counts one merge round; real
+    // tokenizer training LOOPS pick-best-pair → re-segment. Three
+    // rounds here, d06's iteration discipline: the corpus is touched
+    // exactly ONCE (the word-frequency aggregate); every round after
+    // that runs over the VOCABULARY (distinct words), localCheckpoint
+    // per round so round k's plan doesn't re-derive rounds 1..k-1.
+    // The chosen pair re-enters the plan as a broadcast 1-row
+    // crossJoin (d08's cutoff pattern — no driver-side value).
+    //
+    // Segmentations are strings of '|'-wrapped symbols ("|t||h||e|"):
+    // merging pair (a,b) is then `replace(seg, '|a||b|', '|ab|')`,
+    // and because replace scans left-to-right non-overlapping, it IS
+    // the greedy BPE merge ("|b||b||b|" → "|bb||b|") — one engine-
+    // portable primitive instead of a fold, so DuckDB replays the
+    // whole training loop exactly. Symbols are identified by string
+    // content (concat on merge) — the standard BPE vocabulary model.
+    //
+    // Output: steps 1–3 = the merge sequence (pair, weight, and how
+    // many distinct words contained it, at selection time); step 4 =
+    // the top-20 pair counts AFTER the three merges. (weight desc,
+    // pa, pb) is a total order, so both LIMITs select identical sets.
+    "t13_bpe_train" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      var vocab = words.select(
+        concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+          .as("seg"),
+        col("f")).localCheckpoint()
+      // adjacent-position pair counts over a vocab state; the ≥2-symbol
+      // guard matters from round 1 on (a fully-merged 2-char word is a
+      // single symbol; Spark's sequence(1,0) would walk BACKWARD)
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(col("seg"), col("f"),
+          split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("seg"), col("f"), col("syms"),
+            explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+          .select(col("seg"), col("f"),
+            expr("syms[i-1]").as("pa"), expr("syms[i]").as("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(sum(col("f")).as("weight"),
+            countDistinct(col("seg")).as("n_words"))
+      val rounds = (1 to 3).map { r =>
+        val b = pairCounts(vocab)
+          .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
+          .localCheckpoint()
+        vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
+          .select(expr("replace(seg, '|' || pa || '||' || pb || '|', " +
+            "'|' || pa || pb || '|')").as("seg"), col("f"))
+          .localCheckpoint()
+        b.withColumn("step", lit(r))
+      }
+      val finalPairs = pairCounts(vocab)
+        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(20)
+        .withColumn("step", lit(4))
+      rounds.reduce(_ union _).union(finalPairs)
+        .select(col("step").cast("int").as("step"), col("pa"), col("pb"),
+          col("weight"), col("n_words"))
+        .orderBy(col("step"), col("weight").desc, col("pa"), col("pb"))
     })
   )
 
@@ -941,6 +1005,46 @@ object TextOps {
         |SELECT pair, CAST(SUM(f) AS BIGINT) AS weight,
         |  COUNT(DISTINCT w) AS n_words
         |FROM p GROUP BY pair
-        |ORDER BY weight DESC, pair LIMIT 40""".stripMargin
+        |ORDER BY weight DESC, pair LIMIT 40""".stripMargin,
+
+    // the training loop unrolled as CTE levels: pK = pair counts over
+    // state vK-1, bK = the (weight desc, pa, pb) argmax, vK = the
+    // replace-merged next state — replace's left-to-right
+    // non-overlapping scan is the same greedy merge the engine runs
+    "t13_bpe_train" -> {
+      def pairsCte(k: Int, v: String): String =
+        s"""p$k AS (
+           |  SELECT syms[i] AS pa, syms[i+1] AS pb,
+           |    CAST(SUM(f) AS BIGINT) AS weight,
+           |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_words
+           |  FROM (SELECT seg, f,
+           |          string_split(substring(seg, 2, length(seg)-2), '||') AS syms
+           |        FROM $v),
+           |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      def roundCtes(k: Int): String =
+        pairsCte(k, s"v${k - 1}") + ",\n" +
+          s"""b$k AS (SELECT * FROM p$k ORDER BY weight DESC, pa, pb LIMIT 1),
+             |v$k AS (SELECT replace(seg,
+             |    '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS seg, f
+             |  FROM v${k - 1}, b$k)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS f FROM (
+         |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |v0 AS (SELECT '|' || array_to_string(string_split(w, ''), '||') || '|'
+         |         AS seg, f FROM words),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)},
+         |${pairsCte(4, "v3")}
+         |SELECT 1 AS step, pa, pb, weight, n_words FROM b1
+         |UNION ALL SELECT 2, pa, pb, weight, n_words FROM b2
+         |UNION ALL SELECT 3, pa, pb, weight, n_words FROM b3
+         |UNION ALL SELECT 4, pa, pb, weight, n_words FROM
+         |  (SELECT * FROM p4 ORDER BY weight DESC, pa, pb LIMIT 20)
+         |ORDER BY step, weight DESC, pa, pb""".stripMargin
+    }
   )
 }
