@@ -10,9 +10,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -178,10 +179,39 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
 
 case class SeqSlice(start: Long, end: Long) extends InputPartition
 
+/** An explicit id list — what a runtime-filtered scan plans instead of
+  * range slices: only the ids the join's build side actually produced
+  * are ever generated. */
+case class SeqIdsSlice(ids: Array[Long]) extends InputPartition
+
 class SeqScan(lo: Long, hi: Long, parts: Int, batchRows: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ── runtime filtering (the DSv2 twin of q42's DPP, and the mechanism
+  // Iceberg/Delta scans use at 100 TB): Spark evaluates the join's
+  // build side FIRST, translates the observed join keys into an
+  // `In("id", ...)` filter, and hands it here BEFORE input partitions
+  // are planned — so the scan generates only the surviving ids, not
+  // the full range. Declaring `id` in filterAttributes is what makes
+  // the scan DPP-eligible to the PartitionPruning rule. Unsupported
+  // runtime filters are ignored: under-pruning is always sound (the
+  // join re-evaluates its own condition); over-pruning never happens
+  // because only the exact In-set survives.
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      runtimeIds = Some(vs.collect { case l: Long => l }
+        .filter(v => v >= lo && v < hi).sorted)
+    case EqualTo("id", v: Long) =>
+      runtimeIds = Some(Array(v).filter(x => x >= lo && x < hi))
+    case _ => ()
+  }
 
   private def slices(from: Long, to: Long): Array[InputPartition] = {
     val n = to - from
@@ -191,7 +221,15 @@ class SeqScan(lo: Long, hi: Long, parts: Int, batchRows: Long, required: StructT
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = slices(lo, hi)
+  override def planInputPartitions(): Array[InputPartition] = runtimeIds match {
+    case Some(ids) if ids.isEmpty => Array(SeqSlice(0L, 0L))
+    case Some(ids) =>
+      val p = math.max(1, math.min(parts, ids.length))
+      Array.tabulate(p) { i =>
+        SeqIdsSlice(ids.slice(i * ids.length / p, (i + 1) * ids.length / p))
+      }
+    case None => slices(lo, hi)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
@@ -282,6 +320,27 @@ object SeqSourceQueries {
         .selectExpr("count(*) AS n", "min(id) AS min_id", "max(id) AS max_id")
     }),
 
+    // ── q105: RUNTIME FILTERING through the connector — the DSv2 twin
+    // of q42's DPP and the mechanism a lake-format scan (Iceberg/Delta)
+    // uses at 100 TB: the selective dimension side executes first, its
+    // observed join keys reach the scan as an In("id", ...) runtime
+    // filter, and the 1M-row fact scan GENERATES only the ~3 matching
+    // ids (spec-proven via the emission counter — SeqSourceSpec's
+    // "runtime filter prunes generation" test). The oracle restates
+    // the join in closed form over the dimension alone, which is only
+    // valid because every dim id lands inside [0, 1M) — i.e. the
+    // runtime filter must not change results, just work.
+    "q105_runtime_filter" -> ((s, d) => {
+      val fact = s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "1000000").option("parts", "8").load()
+      val dim = graft.Tables(s, d, "nation")
+        .filter(col("n_name").isin("NATION_2", "NATION_11", "NATION_23"))
+        .select((col("n_nationkey") * 40000L + 7L).as("id"), col("n_name"))
+      fact.join(dim, "id")
+        .select(col("id"), col("n_name"), col("bucket"), col("val"))
+        .orderBy(col("id"))
+    }),
+
     // ── st27: the connector's STREAMING half end-to-end — the same
     // synthetic table consumed as a micro-batch stream (25k ids per
     // trigger → ≥4 real batches under AvailableNow), aggregated in
@@ -324,6 +383,18 @@ object SeqSourceQueries {
       """SELECT CAST(5000000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS min_id,
         |  CAST(4999999 AS BIGINT) AS max_id""".stripMargin,
 
+    // the join restated in closed form over the dimension (valid
+    // because every dim id is inside the fact's [0, 1M) id space)
+    "q105_runtime_filter" ->
+      """WITH dim AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) * 40000 + 7 AS id, n_name
+        |  FROM nation
+        |  WHERE n_name IN ('NATION_2', 'NATION_11', 'NATION_23'))
+        |SELECT CAST(id AS BIGINT) AS id, n_name,
+        |  CAST(id % 100 AS INTEGER) AS bucket,
+        |  CAST(((id % 2147483647) * 48271) % 2147483647 AS BIGINT) AS val
+        |FROM dim ORDER BY id""".stripMargin,
+
     // same synthetic table, streamed: totals are batch-split-invariant;
     // the multi-batch boolean restates as TRUE (100k rows / 25k per
     // trigger)
@@ -338,11 +409,21 @@ object SeqSourceQueries {
 }
 
 class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val s = partition.asInstanceOf[SeqSlice]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var cur = s.start - 1
-      override def next(): Boolean = { cur += 1; cur < s.end }
+      // both slice shapes iterate as "advance to the next id": a range
+      // [start, end), or a runtime-filtered explicit id list
+      private val (nextId: (() => Long), size: Long) = partition match {
+        case SeqSlice(start, end) =>
+          var cur = start - 1
+          (() => { cur += 1; cur }, end - start)
+        case SeqIdsSlice(ids) =>
+          var i = -1
+          (() => { i += 1; if (i < ids.length) ids(i) else Long.MaxValue }, ids.length.toLong)
+      }
+      private var n = 0L
+      private var cur = 0L
+      override def next(): Boolean = { cur = nextId(); n += 1; n <= size }
       override def get(): InternalRow = {
         SeqSource.rowsEmitted.incrementAndGet()
         val values: Array[Any] = required.fields.map(_.name match {
@@ -354,5 +435,4 @@ class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
       }
       override def close(): Unit = ()
     }
-  }
 }

@@ -91,6 +91,23 @@ class SeqSourceSpec extends AnyFunSuite {
       "restart against the committed checkpoint re-emitted rows")
   }
 
+  test("runtime filtering prunes generation to the join's observed keys") {
+    // q105's contract observed directly: the 1M-row scan must GENERATE
+    // only the dimension's ~3 ids once the runtime In-filter lands —
+    // not the 1M-row range. A bound of 1000 separates "runtime filter
+    // engaged" (3 ids, maybe re-planned once or twice) from "it fell
+    // back to a full scan" (1M) with six orders of headroom.
+    SeqSource.rowsEmitted.set(0)
+    val rows = SparkEntry.queries("q105_runtime_filter")(spark, SparkSuite.sf)
+      .collect()
+    assert(rows.length >= 2, "dimension filter matched too few nations")
+    assert(rows.forall(r => r.getLong(r.fieldIndex("val")) ==
+      SeqSource.valueOf(r.getLong(r.fieldIndex("id")))))
+    val emitted = SeqSource.rowsEmitted.get
+    assert(emitted <= 1000,
+      s"runtime filter did not prune generation: $emitted ids generated")
+  }
+
   test("unpushable filters still evaluate correctly (residual path)") {
     // bucket filters are NOT pushed (only id ranges are) — the
     // conservative residual re-evaluation must produce exact results
