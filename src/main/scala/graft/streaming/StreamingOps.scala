@@ -29,7 +29,9 @@ object StreamingOps {
   // declared up front; the batch loader (graft.Tables.eventsImpl)
   // additionally supports the older TIMESTAMP(NANOS)-as-long generation
   // by probing the footer — if the fixture ever reverts, these streams
-  // fail loudly at analysis rather than silently misscaling.
+  // fail loudly at read/execution time (the parquet reader rejects the
+  // NANOS footer against this declared NTZ schema; it is not an
+  // analysis-time failure) rather than silently misscaling.
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType),
@@ -246,13 +248,35 @@ object StreamingOps {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val src = graft.Scratch.dir(s, "graft_st17_src", tag)
     if (!new java.io.File(s"$src/_SUCCESS").exists()) {
-      s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      // go through the batch loader so the re-layout inherits its
+      // dual-generation ts normalization, then cast back to the NTZ
+      // type the declared stream schema expects (session tz is UTC, so
+      // the cast is value-preserving)
+      graft.Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select(eventsSchema.fieldNames.map(col).toIndexedSeq: _*)
         .repartition(8).write.mode("overwrite").parquet(src)
     }
     s.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "2")
       .parquet(src)
+  }
+
+  /** st25/st30's keyed-upsert merge: per-user event count + latest
+    * event under the unique 128-bit (µs·10¹², event_id) fold (int64
+    * overflows). Associative with a total order key, so any batch split
+    * folds to the same table — the property both the multi-batch upsert
+    * (st25) and the time-travel prefix read (st30) rest on. */
+  private def upsertMerge(df: DataFrame): DataFrame = {
+    def fold(tsUs: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      (tsUs.cast(DecimalType(38, 0)) * lit(1000000000000L) + id)
+        .cast(DecimalType(38, 0))
+    df.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        max_by(col("last_event_id"), fold(col("last_ts_us"), col("last_event_id")))
+          .as("last_event_id"),
+        max(col("last_ts_us")).as("last_ts_us"))
   }
 
   /** Drain a streaming frame through one AvailableNow run into a named
@@ -995,15 +1019,6 @@ object StreamingOps {
     "st25_stream_upsert" -> ((s, d) => withStatePartitions(s, StateParts) {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val stateDir = graft.Scratch.dir(s, "graft_st25", tag)
-      def fold(tsUs: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
-        (tsUs.cast(DecimalType(38, 0)) * lit(1000000000000L) + id)
-          .cast(DecimalType(38, 0))
-      def mergeUp(df: DataFrame): DataFrame = df
-        .groupBy(col("user_id"))
-        .agg(sum(col("n_events")).as("n_events"),
-          max_by(col("last_event_id"), fold(col("last_ts_us"), col("last_event_id")))
-            .as("last_event_id"),
-          max(col("last_ts_us")).as("last_ts_us"))
       // AtomicReference (not a captured var): written on the stream
       // execution thread, read on the caller thread after termination.
       // The pointer advances only AFTER a version commits, which makes
@@ -1024,8 +1039,8 @@ object StreamingOps {
               .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("last_ts_us"),
                 col("event_id").as("last_event_id"), lit(1L).as("n_events"))
             val merged = Option(cur.get) match {
-              case None    => mergeUp(delta)
-              case Some(p) => mergeUp(s.read.parquet(p).unionByName(delta))
+              case None    => upsertMerge(delta)
+              case Some(p) => upsertMerge(s.read.parquet(p).unionByName(delta))
             }
             merged.write.mode("overwrite").parquet(next)
             cur.set(next)
@@ -1099,6 +1114,75 @@ object StreamingOps {
       Seq((n, sum, mn, mx, epochs.size >= 2))
         .toDF("n_rows", "sum_cents", "min_event_id", "max_event_id",
           "multi_batch")
+    }),
+
+    // ── st30: TIME TRAVEL over versioned snapshots — the lake-format
+    // read the CDC family (q47/q51/q92/q100) and st25 stop just short
+    // of: every batch of an upsert stream commits a full snapshot
+    // directory v0,v1,…, and a reader can open the table AS OF any
+    // committed version. st25's snapshot dirs can't be oracle-read at
+    // a mid version (its file→batch split is engine-internal); here
+    // the change feed is made DETERMINISTIC — events laid out as 8
+    // chunk dirs keyed by event_id % 8, each file's modTime forced
+    // into chunk order, streamed 2 files per trigger — so batch k is
+    // exactly chunks {2k, 2k+1} and the v1 snapshot is the fold of
+    // chunks 0–3. The query reads v1 (never the final version) and
+    // the oracle re-folds the same prefix (event_id % 8 IN (0..3))
+    // from the raw table: "as of batch 1" must EQUAL the prefix-fold
+    // of changes, which is the whole time-travel contract.
+    // four_versions pins that the drain really committed 4 snapshots
+    // (otherwise "v1" could be the final table and the check vacuous).
+    "st30_time_travel" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.Scratch.dir(s, "graft_st30_src", tag)
+      val stateDir = graft.Scratch.dir(s, "graft_st30_state", tag)
+      graft.Scratch.materializeOnce(src) {
+        val ev = graft.Tables.events(s, d)
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .select(eventsSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val t0 = System.currentTimeMillis() - 3600000L
+        for (c <- 0 to 7) {
+          val dir = s"$src/c$c"
+          ev.filter(pmod(col("event_id"), lit(8)) === c)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          // modTime strictly increasing with chunk id: the file source
+          // orders by (modTime, path), so either key yields c0..c7
+          new java.io.File(dir).listFiles().foreach(f =>
+            f.setLastModified(t0 + c * 60000L))
+        }
+      }
+      graft.Scratch.materializeOnce(stateDir) {
+        val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+        val q = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(s"$src/c*")
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val next = s"$stateDir/v$batchId"
+            if (cur.get != next) { // st25's retry guard
+              val delta = batch.select(col("user_id"),
+                unix_micros(col("ts")).as("last_ts_us"),
+                col("event_id").as("last_event_id"), lit(1L).as("n_events"))
+              val merged = Option(cur.get) match {
+                case None    => upsertMerge(delta)
+                case Some(p) => upsertMerge(s.read.parquet(p).unionByName(delta))
+              }
+              merged.write.mode("overwrite").parquet(next)
+              cur.set(next)
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val nVersions = Option(new java.io.File(stateDir).listFiles())
+        .map(_.count(f => f.isDirectory && f.getName.startsWith("v")))
+        .getOrElse(0)
+      s.read.parquet(s"$stateDir/v1") // time travel: AS OF batch 1
+        .withColumn("four_versions", lit(nVersions == 4))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1447,6 +1531,19 @@ object StreamingOps {
         |WHERE event_type IN ('click', 'purchase')
         |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // time travel: the v1 snapshot must equal the prefix-fold of the
+    // deterministic change feed — batches 0–1 are exactly the
+    // event_id % 8 ∈ {0,1,2,3} chunks (st25's fold, filtered to them)
+    "st30_time_travel" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  max_by(event_id,
+        |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+        |    AS last_event_id,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+        |  TRUE AS four_versions
+        |FROM events WHERE event_id % 8 IN (0, 1, 2, 3)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q87's aggregate plus the ≥2-epoch pin: the cumulative published
     // state after the drain must equal aggregating the table directly
