@@ -745,6 +745,41 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── d14: CLUSTER REPRESENTATIVE SELECTION — the canonicalization
+    // stage between clustering (d06/d07 emit components) and corpus
+    // selection (p01 consumes documents): each near-dup family keeps
+    // exactly ONE survivor — the longest member, ties to the smaller
+    // doc_id — and the rest are dropped with their char mass
+    // accounted. Deduplicated pretraining corpora are built this way
+    // (keep-best, not keep-first): the representative choice is a
+    // POLICY, so it rides as an argmax key, not code.
+    //
+    // 100 TB shape: the pair table and star components are the cached
+    // d04/d07 machinery; singletons never enter the component loop
+    // (they inherit their own id via the left join + coalesce — p06's
+    // pattern), and the selection itself is one hash aggregate with a
+    // collision-free integer argmax fold (n_chars·10¹² − doc_id, both
+    // factors bounded so int64 holds) — no window, no per-cluster
+    // sort.
+    "d14_cluster_reps" -> ((s, d) => {
+      val pairs = exactJaccardPairs(s, d)
+        .select(col("b_id").as("u"), col("a_id").as("v")).localCheckpoint()
+      val comp = starComponents(pairs)
+      docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            col("n_chars") * lit(1000000000000L) - col("doc_id"))
+            .as("rep_doc_id"),
+          count(lit(1)).as("n_members"),
+          (sum(col("n_chars")) - max(col("n_chars"))).as("chars_removed"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ── d13: PARAGRAPH-LEVEL exact dedup — the granularity real
     // pretraining dedup runs at (boilerplate headers/footers repeat
     // across documents that are nowhere near whole-document
@@ -935,6 +970,40 @@ object Dedup {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // d06's component fixpoint, then keep-best per family: argmax by
+    // the same (n_chars·10¹² − doc_id) fold, singletons via left join
+    "d14_cluster_reps" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
+        |         b.sz AS szb, count(*) AS ic
+        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM pc
+        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT cluster_id,
+        |  max_by(doc_id, n_chars * 1000000000000 - doc_id) AS rep_doc_id,
+        |  COUNT(*) AS n_members,
+        |  CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_removed
+        |FROM assigned GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // exact-jaccard ≥ 0.5 — the LSH pipeline's full-recall contract on
     // the harness corpora (same inverted-index formulation as d04)

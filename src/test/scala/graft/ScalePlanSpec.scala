@@ -24,6 +24,19 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected dynamicpruningexpression in fact scan PartitionFilters:\n$plan")
   }
 
+  test("d13 reassembles documents without any Window operator") {
+    // the design point: segment order is restored by array_sort inside
+    // the doc_id aggregate — a Window formulation would add a per-doc
+    // sort pass over the full segment stream
+    val df = SparkEntry.queries("d13_line_dedup")(spark, sf)
+    df.collect()
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"d13 should be window-free, found: ${windows.map(_.nodeName)}")
+  }
+
   test("q98 incremental scan prunes to the single unprocessed partition") {
     val (_, incremental) = Partitioned.incrementalRun(spark, sf)
     incremental.collect()
