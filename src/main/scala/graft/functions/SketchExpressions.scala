@@ -132,15 +132,16 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
 }
 
 /** Multi-probe LSH bucket sequence for the QUERY side: per table, the
-  * base bucket plus the neighbors reached by flipping the 1–2 weakest
-  * sign bits (smallest |plane·vec| margin — the bits most likely to
-  * disagree with a true near neighbor's bucket), and their pair. Output
-  * is nTables·4 longs laid out [t0: base, flip1, flip2, flip1⊕2, t1: …];
-  * callers derive table_id = pos div 4. The INDEX side keeps the plain
-  * [[LshBuckets]] layout — multi-probe buys recall at query time with
-  * zero extra index size, which is the standard trade (Lv et al.,
-  * VLDB'07): probing 4 buckets/table ≈ doubling table count without
-  * re-bucketing the corpus. */
+  * base bucket plus every neighbor reached by flipping any subset of
+  * the THREE weakest sign bits (smallest |plane·vec| margin — the bits
+  * most likely to disagree with a true near neighbor's bucket). Output
+  * is nTables·8 longs laid out [t0: 8 probes, t1: …]; callers derive
+  * table_id = pos div 8. The INDEX side keeps the plain [[LshBuckets]]
+  * layout — multi-probe buys recall at query time with zero extra
+  * index size, which is the standard trade (Lv et al., VLDB'07):
+  * probing 8 buckets/table ≈ 8× the table count without re-bucketing
+  * the corpus, at the price of a (still query-count-sized) probe
+  * list. */
 case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
     nTables: Int, nBits: Int)
     extends UnaryExpression with CodegenFallback {
@@ -150,13 +151,13 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
   override def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val dim = vec.numElements()
-    val out = new Array[Long](nTables * 4)
+    val out = new Array[Long](nTables * 8)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
-      // weakest two margins: j1 = argmin |dot|, j2 = runner-up
-      var j1 = 0; var j2 = 0
-      var m1 = Double.MaxValue; var m2 = Double.MaxValue
+      // three weakest margins: j1 ≤ j2 ≤ j3 by |dot|
+      var j1 = 0; var j2 = 0; var j3 = 0
+      var m1 = Double.MaxValue; var m2 = Double.MaxValue; var m3 = Double.MaxValue
       var j = 0
       while (j < nBits) {
         val p = planes(t * nBits + j)
@@ -170,14 +171,21 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
         }
         if (dot > 0) bucket |= (1L << j)
         val m = math.abs(dot)
-        if (m < m1) { m2 = m1; j2 = j1; m1 = m; j1 = j }
-        else if (m < m2) { m2 = m; j2 = j }
+        if (m < m1) { m3 = m2; j3 = j2; m2 = m1; j2 = j1; m1 = m; j1 = j }
+        else if (m < m2) { m3 = m2; j3 = j2; m2 = m; j2 = j }
+        else if (m < m3) { m3 = m; j3 = j }
         j += 1
       }
-      out(t * 4) = bucket
-      out(t * 4 + 1) = bucket ^ (1L << j1)
-      out(t * 4 + 2) = bucket ^ (1L << j2)
-      out(t * 4 + 3) = bucket ^ (1L << j1) ^ (1L << j2)
+      // all 8 subsets of {j1, j2, j3}, base first
+      var s = 0
+      while (s < 8) {
+        var b = bucket
+        if ((s & 1) != 0) b ^= (1L << j1)
+        if ((s & 2) != 0) b ^= (1L << j2)
+        if ((s & 4) != 0) b ^= (1L << j3)
+        out(t * 8 + s) = b
+        s += 1
+      }
       t += 1
     }
     new GenericArrayData(out)
