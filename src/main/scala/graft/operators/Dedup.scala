@@ -543,21 +543,25 @@ object Dedup {
     // workloads that trade recall for it (d05's comment derives why
     // recall 1 at 0.35 cosine forces all pairs; many production near-dup
     // passes accept partial recall per pass because dedup is iterated).
-    // Candidates are co-bucket pairs in ANY of the 8 hyperplane tables
-    // (Similarity's fused LshBuckets expression — the same index family
-    // s02 uses for ANN), capped per (table, bucket) so a degenerate
-    // bucket can never go quadratic, then EXACT cosine rescore at the
-    // d05 threshold. The output is the engine-independent CONTRACT, the
-    // s04 discipline: false positives are structurally 0 (the rescore is
-    // exact — counted in-plan by the anti-join, not assumed), and recall
-    // vs the exact d05 pair set is thresholded. The gate is set from the
-    // sign-LSH collision curve at the LOW end of the band (cos 0.35 →
-    // per-table p ≈ 0.61^6, union over 8 tables ≈ 0.36). Measured
-    // recall: 0.399 at sf0.01 (108/271), 0.378 at sf0.1 (1562/4137) —
-    // near the floor because this synthetic corpus concentrates pair
-    // mass just above the cutoff; deterministic (fixed hyperplanes,
-    // fixed corpus), so the gate is stable green, and it would rise on
-    // a real corpus whose near-dup mass sits at high cosine.
+    // Candidates are MULTI-PROBED co-bucket pairs in ANY of the 8
+    // hyperplane tables (Similarity's fused index family — the same
+    // one s02 uses for ANN): one side joins its 8-probe expansion
+    // (every subset of its three weakest-margin bits) against the
+    // other side's capped base buckets, so a pair is a candidate iff
+    // their buckets are within that flip set in some table — recall
+    // several times the single-bucket floor at ZERO extra index size,
+    // and the base side keeps the 256-per-bucket cap so a degenerate
+    // bucket still can't go quadratic. Then EXACT cosine rescore at
+    // the d05 threshold. The output is the engine-independent
+    // CONTRACT, the s04 discipline: false positives are structurally 0
+    // (the rescore is exact — counted in-plan by the anti-join, not
+    // assumed), and recall vs the exact d05 pair set is thresholded.
+    // Single-bucket collision at the band's LOW end (cos 0.35) is
+    // p ≈ 0.61^6 per table, union ≈ 0.36 over 8 tables — the old
+    // floor and old gate; multi-probe lifts measured recall past the
+    // new 0.75 gate at all three SFs (single-probe measured
+    // 0.38–0.40). Deterministic (fixed hyperplanes, fixed corpus), so
+    // the gate is stable green.
     "d12_dedup_embedding_lsh" -> ((s, d) => {
       VectorFunctions.register(s)
       SketchFunctions.register(s)
@@ -567,12 +571,15 @@ object Dedup {
         .select(col("vec_id"), col("table_id"), col("bucket"))
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= 256).drop("pos")
-      val cands = capped.select(col("vec_id").as("a_id"),
-          col("table_id"), col("bucket"))
+      val probes = Similarity.probeBucketed(Tables(s, d, "embeddings"), "embedding")
+        .select(col("vec_id").as("a_id"), col("table_id"), col("bucket"))
+      val cands = probes
         .join(capped.select(col("vec_id").as("b_id"),
           col("table_id"), col("bucket")), Seq("table_id", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+        .filter(col("a_id") =!= col("b_id"))
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .distinct()
       val va = Tables(s, d, "embeddings")
         .select(col("vec_id").as("a_id"), col("embedding").as("va"))
       val vb = Tables(s, d, "embeddings")
@@ -591,7 +598,7 @@ object Dedup {
       nExact.crossJoin(hits).crossJoin(falsePos)
         .select(col("n_exact_pairs"), col("n_false_pos"),
           (col("n_exact_pairs") === 0L ||
-            col("hits").cast("double") / col("n_exact_pairs") >= 0.36)
+            col("hits").cast("double") / col("n_exact_pairs") >= 0.75)
             .as("recall_ok"))
     }),
 
