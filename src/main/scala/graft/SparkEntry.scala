@@ -34,6 +34,7 @@ object SparkEntry {
       sources.Partitioned.queries ++
       sources.Compaction.queries ++
       sources.SeqSourceQueries.queries ++
+      sources.RowCatalogQueries.queries ++
       sources.AggSinkQueries.queries ++
       sources.AvroQueries.queries ++
       sources.SpjQueries.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       sources.Partitioned.oracles ++
       sources.Compaction.oracles ++
       sources.SeqSourceQueries.oracles ++
+      sources.RowCatalogQueries.oracles ++
       sources.AggSinkQueries.oracles ++
       sources.AvroQueries.oracles ++
       sources.SpjQueries.oracles ++

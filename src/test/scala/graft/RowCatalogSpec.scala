@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DML catalog's statement surface beyond q106's MERGE+DELETE row:
+  * UPDATE (RewriteUpdateTable's group-based path), DELETE of
+  * everything-matching, and catalog plumbing (exists/drop). Each
+  * statement's end state is asserted against values computed here —
+  * tiny fixture, exact expectations. */
+class RowCatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("UPDATE, DELETE and catalog plumbing against the DML catalog") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.t")
+    s.sql("CREATE TABLE graft_dml.spec.t (k BIGINT, v BIGINT, tag STRING)")
+    s.sql("INSERT INTO graft_dml.spec.t VALUES " +
+      "(1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a'), (4, 40, 'b'), (5, 50, 'a')")
+
+    // UPDATE through the row-level operation (group-based rewrite:
+    // scan all rows, recompute, replace)
+    s.sql("UPDATE graft_dml.spec.t SET v = v + 1000 WHERE tag = 'a'")
+    val afterUpdate = s.table("graft_dml.spec.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(afterUpdate == Seq((1L, 1010L, "a"), (2L, 20L, "b"),
+      (3L, 1030L, "a"), (4L, 40L, "b"), (5L, 1050L, "a")))
+
+    // DELETE with a predicate no metadata shortcut can answer
+    s.sql("DELETE FROM graft_dml.spec.t WHERE v % 20 = 0")
+    val afterDelete = s.table("graft_dml.spec.t").orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterDelete == Seq(1L, 3L, 5L))
+
+    // catalog plumbing
+    assert(s.catalog.tableExists("graft_dml.spec.t"))
+    s.sql("DROP TABLE graft_dml.spec.t")
+    assert(!s.catalog.tableExists("graft_dml.spec.t"))
+  }
+}
