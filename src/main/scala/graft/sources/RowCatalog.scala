@@ -47,6 +47,13 @@ object RowStore {
   /** table key → (schema, committed rows as plain JVM values). */
   val tables = new ConcurrentHashMap[String, (StructType, Array[Array[Any]])]()
 
+  /** table key → snapshot per committed version: history(v) is the
+    * state after v commits (v0 = the empty table at CREATE). Every
+    * write commit appends — the retained-snapshot model behind
+    * `VERSION AS OF` (a real format would expire old versions; the
+    * lifecycle here is bounded by DROP TABLE). */
+  val history = new ConcurrentHashMap[String, Vector[Array[Array[Any]]]]()
+
   def externalize(row: InternalRow, schema: StructType): Array[Any] = {
     require(row.numFields == schema.length,
       s"row has ${row.numFields} fields, write schema has ${schema.length}: $schema")
@@ -94,20 +101,36 @@ class GraftCatalog extends TableCatalog {
       properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty, "RowStore tables are unpartitioned")
     RowStore.tables.put(key(ident), (schema, Array.empty))
+    RowStore.history.put(key(ident), Vector(Array.empty))
     new RowTable(key(ident), schema)
+  }
+
+  /** `VERSION AS OF v` — SQL time travel resolves here: a read-only
+    * table pinned to the retained snapshot after v commits. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (schema, _) = Option(RowStore.tables.get(key(ident)))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val snaps = RowStore.history.getOrDefault(key(ident), Vector.empty)
+    val v = version.toInt
+    require(v >= 0 && v < snaps.length,
+      s"no version $v for ${key(ident)} (have 0..${snaps.length - 1})")
+    new RowTable(key(ident), schema, pinned = Some(snaps(v)))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    RowStore.history.remove(key(ident))
     RowStore.tables.remove(key(ident)) != null
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
-class RowTable(tableKey: String, tableSchema: StructType) extends Table
+class RowTable(tableKey: String, tableSchema: StructType,
+    pinned: Option[Array[Array[Any]]] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
   override def name(): String = tableKey
   override def schema(): StructType = tableSchema
@@ -115,7 +138,7 @@ class RowTable(tableKey: String, tableSchema: StructType) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new RowScan(tableKey, tableSchema)
+    () => new RowScan(tableKey, tableSchema, pinned)
 
   /** INSERT INTO path: append. (RowWrite IS its own WriteBuilder —
     * WriteBuilder.build() is a default method, so no SAM lambda.) */
@@ -139,12 +162,14 @@ class RowTable(tableKey: String, tableSchema: StructType) extends Table
 /** Scan over the committed snapshot: one partition carrying the
   * (already-external) row values — the snapshot rides the closure the
   * same way a real scan's partition carries file splits. */
-class RowScan(tableKey: String, scanSchema: StructType) extends Scan with Batch {
+class RowScan(tableKey: String, scanSchema: StructType,
+    pinned: Option[Array[Array[Any]]] = None) extends Scan with Batch {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val (_, rows) = Option(RowStore.tables.get(tableKey))
-      .getOrElse(sys.error(s"no such table: $tableKey"))
+    val rows = pinned.getOrElse(
+      Option(RowStore.tables.get(tableKey))
+        .getOrElse(sys.error(s"no such table: $tableKey"))._2)
     Array(RowsPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -180,6 +205,8 @@ class RowWrite(tableKey: String, writeSchema: StructType, replace: Boolean)
         .getOrElse(sys.error(s"no such table: $tableKey"))
       val next = if (replace) incoming else existing ++ incoming
       RowStore.tables.put(tableKey, (schema, next))
+      // retain the snapshot: every commit is a readable version
+      RowStore.history.merge(tableKey, Vector(next), (old, add) => old ++ add)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -228,6 +255,55 @@ object RowCatalogQueries {
           VALUES (s.k, s.cents, s.status)""")
       s.sql("DELETE FROM graft_dml.ns.accounts WHERE k % 97 = 0")
       s.table("graft_dml.ns.accounts").orderBy(col("k"))
+    }),
+
+    // ── q107: SQL TIME TRAVEL (`VERSION AS OF`) — st30 reads one
+    // mid-version of a file layout; this is the CATALOG form every
+    // lake format exposes: each DML commit retains a snapshot, and
+    // `SELECT … FROM t VERSION AS OF v` resolves through the
+    // catalog's versioned loadTable to a read-only pinned table. The
+    // query replays q106's lifecycle on its own table (v0 CREATE,
+    // v1 INSERT seed, v2 MERGE, v3 DELETE) and aggregates EVERY
+    // version in one statement — so a wrong snapshot anywhere (a
+    // version mutated in place, an off-by-one pin) shifts a row the
+    // oracle, restating all four states from raw orders, will catch.
+    "q107_version_asof" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml",
+        "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q107_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.accounts_v")
+      s.sql("CREATE TABLE graft_dml.ns.accounts_v " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      s.sql("""INSERT INTO graft_dml.ns.accounts_v
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               o_orderstatus
+        FROM q107_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""MERGE INTO graft_dml.ns.accounts_v t
+        USING (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM q107_orders WHERE o_orderkey % 5 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.status = 'F' THEN
+          UPDATE SET cents = t.cents + s.cents
+        WHEN MATCHED AND t.status <> 'F' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, cents, status)
+          VALUES (s.k, s.cents, s.status)""")
+      s.sql("DELETE FROM graft_dml.ns.accounts_v WHERE k % 97 = 0")
+      s.sql("""
+        SELECT 0 AS version, COUNT(*) AS n,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.accounts_v VERSION AS OF 0
+        UNION ALL
+        SELECT 1, COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+        FROM graft_dml.ns.accounts_v VERSION AS OF 1
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+        FROM graft_dml.ns.accounts_v VERSION AS OF 2
+        UNION ALL
+        SELECT 3, COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+        FROM graft_dml.ns.accounts_v VERSION AS OF 3
+        ORDER BY version""")
     })
   )
 
@@ -258,7 +334,40 @@ object RowCatalogQueries {
         |  SELECT s.k, s.cents, s.status
         |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)
         |SELECT k, cents, status FROM merged
-        |WHERE k % 97 <> 0 ORDER BY k""".stripMargin
+        |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
+
+    // the four retained versions restated from raw orders: v0 empty,
+    // v1 the seed, v2 post-merge, v3 post-delete (q106's CTE chain)
+    "q107_version_asof" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
+        |         THEN t.cents + s.cents ELSE t.cents END AS cents
+        |  FROM t0 t LEFT JOIN src s ON t.k = s.k
+        |  WHERE s.k IS NULL OR t.status = 'F'
+        |  UNION ALL
+        |  SELECT s.k, s.cents
+        |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)
+        |SELECT 0 AS version, CAST(0 AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS sum_cents
+        |UNION ALL
+        |SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM t0
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM merged
+        |UNION ALL
+        |SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM merged
+        |  WHERE k % 97 <> 0
+        |ORDER BY version""".stripMargin
   )
 }
 
