@@ -117,8 +117,35 @@ class GraftCatalog extends TableCatalog {
     new RowTable(key(ident), schema, pinned = Some(snaps(v)))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution, additive form (the lake-format default):
+    * ALTER TABLE ADD COLUMN appends a nullable field and pads every
+    * committed row — current AND retained versions, so VERSION AS OF
+    * reads stay readable under the new schema (how a format's
+    * schema-id indirection behaves for added columns: old snapshots
+    * surface NULL). Other changes are rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val k = key(ident)
+    RowStore.tables.synchronized {
+      val (schema, rows) = Option(RowStore.tables.get(k))
+        .getOrElse(throw new NoSuchTableException(ident))
+      val newSchema = changes.foldLeft(schema) {
+        case (sch, add: TableChange.AddColumn) =>
+          require(add.fieldNames().length == 1,
+            "nested ADD COLUMN not supported")
+          StructType(sch.fields :+
+            org.apache.spark.sql.types.StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+      val extra = newSchema.length - schema.length
+      def pad(rs: Array[Array[Any]]): Array[Array[Any]] =
+        rs.map(r => r ++ Array.fill[Any](extra)(null))
+      RowStore.tables.put(k, (newSchema, pad(rows)))
+      RowStore.history.computeIfPresent(k, (_, snaps) => snaps.map(pad))
+      new RowTable(k, newSchema)
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     RowStore.history.remove(key(ident))

@@ -32,6 +32,20 @@ class RowCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(afterDelete == Seq(1L, 3L, 5L))
 
+    // additive schema evolution: existing rows (and retained
+    // versions) surface NULL for the new column; DML can then fill it
+    s.sql("ALTER TABLE graft_dml.spec.t ADD COLUMN score BIGINT")
+    assert(s.table("graft_dml.spec.t").collect()
+      .forall(_.isNullAt(3)), "pre-evolution rows must surface NULL")
+    s.sql("UPDATE graft_dml.spec.t SET score = k * 100 WHERE k >= 3")
+    val scores = s.table("graft_dml.spec.t").orderBy("k")
+      .collect().map(r => if (r.isNullAt(3)) -1L else r.getLong(3)).toSeq
+    assert(scores == Seq(-1L, 300L, 500L))
+    // a pre-evolution version read under the new schema: NULL-padded
+    val v1 = s.sql("SELECT * FROM graft_dml.spec.t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "v", "tag", "score"))
+    assert(v1.count() == 5 && v1.collect().forall(_.isNullAt(3)))
+
     // catalog plumbing
     assert(s.catalog.tableExists("graft_dml.spec.t"))
     s.sql("DROP TABLE graft_dml.spec.t")
