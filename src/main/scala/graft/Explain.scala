@@ -19,7 +19,8 @@ object Explain {
         "q90_spj_agg", "q91_spj_join", "q92_scd2_build", "g01_pagerank",
         "g02_triangles", "q100_pit_join", "q101_manifest_skip",
         "q102_resample_ohlc", "d11_sorted_neighborhood", "t12_bpe_pairs",
-        "d13_line_dedup", "t13_bpe_train", "q105_runtime_filter")
+        "d13_line_dedup", "t13_bpe_train", "q105_runtime_filter",
+        "d14_cluster_reps", "q106_merge_into", "q107_version_asof")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
