@@ -1116,6 +1116,54 @@ object StreamingOps {
           "multi_batch")
     }),
 
+    // ── st31: STREAMING MERGE — st25's keyed upsert re-expressed the
+    // way a lake-format pipeline actually writes it: each micro-batch
+    // pre-aggregates to one row per key, then a real SQL MERGE INTO
+    // folds it into the DML-catalog table (WHEN MATCHED updates the
+    // count and takes the later (ts, event_id) event under standard
+    // evaluate-against-the-old-row assignment semantics; WHEN NOT
+    // MATCHED inserts). The engine's group-based rewrite does the
+    // join+replace st25 hand-rolls with versioned directories — same
+    // associative fold, same oracle, so the two implementations gate
+    // each other. (Production adds a batchId guard for retry
+    // idempotence, st25's pointer pattern; AvailableNow drains don't
+    // retry.)
+    "st31_stream_merge" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.user_state")
+      s.sql("CREATE TABLE graft_dml.ns.user_state (user_id BIGINT, " +
+        "n_events BIGINT, last_event_id BIGINT, last_ts_us BIGINT)")
+      val q = multiBatchEventStream(s, d).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch.select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("last_ts_us"),
+            col("event_id").as("last_event_id"), lit(1L).as("n_events"))
+          // one row per key: MERGE rejects multi-matching sources
+          upsertMerge(delta).createOrReplaceTempView("st31_delta")
+          batch.sparkSession.sql("""MERGE INTO graft_dml.ns.user_state t
+            USING st31_delta s
+            ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET
+              n_events = t.n_events + s.n_events,
+              last_event_id = CASE
+                WHEN s.last_ts_us > t.last_ts_us OR
+                  (s.last_ts_us = t.last_ts_us AND
+                   s.last_event_id > t.last_event_id)
+                THEN s.last_event_id ELSE t.last_event_id END,
+              last_ts_us = CASE WHEN s.last_ts_us > t.last_ts_us
+                THEN s.last_ts_us ELSE t.last_ts_us END
+            WHEN NOT MATCHED THEN INSERT
+              (user_id, n_events, last_event_id, last_ts_us)
+              VALUES (s.user_id, s.n_events, s.last_event_id, s.last_ts_us)""")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.table("graft_dml.ns.user_state").orderBy(col("user_id"))
+    }),
+
     // ── st30: TIME TRAVEL over versioned snapshots — the lake-format
     // read the CDC family (q47/q51/q92/q100) and st25 stop just short
     // of: every batch of an upsert stream commits a full snapshot
@@ -1531,6 +1579,16 @@ object StreamingOps {
         |WHERE event_type IN ('click', 'purchase')
         |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // st25's exact contract: the streaming MERGE must converge to the
+    // same batch-split-independent fold
+    "st31_stream_merge" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  max_by(event_id,
+        |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+        |    AS last_event_id,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // time travel: the v1 snapshot must equal the prefix-fold of the
     // deterministic change feed — batches 0–1 are exactly the
