@@ -623,48 +623,80 @@ object TextOps {
     // the top-20 pair counts AFTER the three merges. (weight desc,
     // pa, pb) is a total order, so both LIMITs select identical sets.
     "t13_bpe_train" -> ((s, d) => {
-      val words = docs(s, d)
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      var vocab = words.select(
-        concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
-          .as("seg"),
-        col("f")).localCheckpoint()
-      // adjacent-position pair counts over a vocab state; the ≥2-symbol
-      // guard matters from round 1 on (a fully-merged 2-char word is a
-      // single symbol; Spark's sequence(1,0) would walk BACKWARD)
-      def pairCounts(v: DataFrame): DataFrame =
-        v.select(col("seg"), col("f"),
-          split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("seg"), col("f"), col("syms"),
-            explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
-          .select(col("seg"), col("f"),
-            expr("syms[i-1]").as("pa"), expr("syms[i]").as("pb"))
-          .groupBy(col("pa"), col("pb"))
-          .agg(sum(col("f")).as("weight"),
-            countDistinct(col("seg")).as("n_words"))
-      val rounds = (1 to 3).map { r =>
-        val b = pairCounts(vocab)
-          .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
-          .localCheckpoint()
-        vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
-          .select(expr("replace(seg, '|' || pa || '||' || pb || '|', " +
-            "'|' || pa || pb || '|')").as("seg"), col("f"))
-          .localCheckpoint()
-        b.withColumn("step", lit(r))
-      }
-      val finalPairs = pairCounts(vocab)
+      val (vocab, rounds) = bpeTrain(s, d)
+      val finalPairs = bpePairCounts(vocab)
         .orderBy(col("weight").desc, col("pa"), col("pb")).limit(20)
         .withColumn("step", lit(4))
       rounds.reduce(_ union _).union(finalPairs)
         .select(col("step").cast("int").as("step"), col("pa"), col("pb"),
           col("weight"), col("n_words"))
         .orderBy(col("step"), col("weight").desc, col("pa"), col("pb"))
+    }),
+
+    // ── t14: BPE ENCODE — the APPLY half of the t13 trainer (the
+    // train→encode pair every tokenizer ships): the trained
+    // segmentation is already the encoding of each word, so token
+    // counts per word come straight off the final vocab state — no
+    // corpus re-scan, no per-token explosion. Reported for the top-20
+    // words by the (f desc, w) total order: frequency, char length,
+    // and post-merge token count — the compression the three merges
+    // actually bought, hash-checked against the oracle's replay of
+    // the same loop.
+    "t14_bpe_encode" -> ((s, d) => {
+      val (vocab, _) = bpeTrain(s, d)
+      vocab.select(col("w"), col("f"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|"))
+          .cast("long").as("n_tok"))
+        .orderBy(col("f").desc, col("w")).limit(20)
     })
   )
+
+  /** Adjacent-position pair counts over a BPE vocab state; the
+    * ≥2-symbol guard matters from round 1 on (a fully-merged 2-char
+    * word is a single symbol; Spark's sequence(1,0) would walk
+    * BACKWARD). */
+  private def bpePairCounts(v: DataFrame): DataFrame =
+    v.select(col("seg"), col("f"),
+      split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("seg"), col("f"), col("syms"),
+        explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+      .select(col("seg"), col("f"),
+        expr("syms[i-1]").as("pa"), expr("syms[i]").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(sum(col("f")).as("weight"),
+        countDistinct(col("seg")).as("n_words"))
+
+  /** The t13 training loop (3 rounds of pick-best-pair → re-segment),
+    * shared with t14's encode: returns the final vocab state
+    * (w, seg, f) and the per-round chosen merges tagged with their
+    * step. Corpus touched once; vocabulary-sized with localCheckpoint
+    * per round; the chosen pair re-enters as a broadcast 1-row
+    * crossJoin (d08's cutoff pattern — no driver-side value). */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val words = docs(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var vocab = words.select(col("w"),
+      concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+        .as("seg"),
+      col("f")).localCheckpoint()
+    val rounds = (1 to 3).map { r =>
+      val b = bpePairCounts(vocab)
+        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
+        .select(col("w"),
+          expr("replace(seg, '|' || pa || '||' || pb || '|', " +
+            "'|' || pa || pb || '|')").as("seg"), col("f"))
+        .localCheckpoint()
+      b.withColumn("step", lit(r))
+    }
+    (vocab, rounds)
+  }
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> {
@@ -1011,40 +1043,59 @@ object TextOps {
     // state vK-1, bK = the (weight desc, pa, pb) argmax, vK = the
     // replace-merged next state — replace's left-to-right
     // non-overlapping scan is the same greedy merge the engine runs
-    "t13_bpe_train" -> {
-      def pairsCte(k: Int, v: String): String =
-        s"""p$k AS (
-           |  SELECT syms[i] AS pa, syms[i+1] AS pb,
-           |    CAST(SUM(f) AS BIGINT) AS weight,
-           |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_words
-           |  FROM (SELECT seg, f,
-           |          string_split(substring(seg, 2, length(seg)-2), '||') AS syms
-           |        FROM $v),
-           |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
-           |  GROUP BY 1, 2)""".stripMargin
-      def roundCtes(k: Int): String =
-        pairsCte(k, s"v${k - 1}") + ",\n" +
-          s"""b$k AS (SELECT * FROM p$k ORDER BY weight DESC, pa, pb LIMIT 1),
-             |v$k AS (SELECT replace(seg,
-             |    '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS seg, f
-             |  FROM v${k - 1}, b$k)""".stripMargin
-      s"""WITH words AS (
-         |  SELECT w, COUNT(*) AS f FROM (
-         |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |    FROM documents)
-         |  WHERE length(w) >= 2 GROUP BY w),
-         |v0 AS (SELECT '|' || array_to_string(string_split(w, ''), '||') || '|'
-         |         AS seg, f FROM words),
-         |${roundCtes(1)},
-         |${roundCtes(2)},
-         |${roundCtes(3)},
-         |${pairsCte(4, "v3")}
+    "t13_bpe_train" ->
+      s"""$bpeOracleCtes,
+         |${bpePairsCte(4, "v3")}
          |SELECT 1 AS step, pa, pb, weight, n_words FROM b1
          |UNION ALL SELECT 2, pa, pb, weight, n_words FROM b2
          |UNION ALL SELECT 3, pa, pb, weight, n_words FROM b3
          |UNION ALL SELECT 4, pa, pb, weight, n_words FROM
          |  (SELECT * FROM p4 ORDER BY weight DESC, pa, pb LIMIT 20)
-         |ORDER BY step, weight DESC, pa, pb""".stripMargin
-    }
+         |ORDER BY step, weight DESC, pa, pb""".stripMargin,
+
+    // the same replayed loop's FINAL state, read as an encoding: token
+    // count per word = the trained segmentation's symbol count
+    "t14_bpe_encode" ->
+      s"""$bpeOracleCtes
+         |SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
+         |    AS BIGINT) AS n_tok
+         |FROM v3 ORDER BY f DESC, w LIMIT 20""".stripMargin
   )
+
+  /** One pair-count CTE level of the BPE oracle replay. */
+  private def bpePairsCte(k: Int, v: String): String =
+    s"""p$k AS (
+       |  SELECT syms[i] AS pa, syms[i+1] AS pb,
+       |    CAST(SUM(f) AS BIGINT) AS weight,
+       |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_words
+       |  FROM (SELECT seg, f,
+       |          string_split(substring(seg, 2, length(seg)-2), '||') AS syms
+       |        FROM $v),
+       |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared WITH-chain replaying t13's three training rounds
+    * (word frequencies → v0 char segmentation → pK/bK/vK per round);
+    * vK carries `w` so the encode oracle can read final segmentations
+    * per word. */
+  private def bpeOracleCtes: String = {
+    def roundCtes(k: Int): String =
+      bpePairsCte(k, s"v${k - 1}") + ",\n" +
+        s"""b$k AS (SELECT * FROM p$k ORDER BY weight DESC, pa, pb LIMIT 1),
+           |v$k AS (SELECT w, replace(seg,
+           |    '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS seg, f
+           |  FROM v${k - 1}, b$k)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |v0 AS (SELECT w,
+       |         '|' || array_to_string(string_split(w, ''), '||') || '|'
+       |         AS seg, f FROM words),
+       |${roundCtes(1)},
+       |${roundCtes(2)},
+       |${roundCtes(3)}""".stripMargin
+  }
 }
