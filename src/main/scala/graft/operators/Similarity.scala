@@ -293,6 +293,65 @@ object Similarity {
       recallGate(exact, servedProbe(s, d), 0.3, "persisted_recall_ok")
     }),
 
+    // ── s07: SCALAR-QUANTIZED (SQ8) search — the memory-compression
+    // scale path next to LSH's and IVF's candidate pruning: vectors
+    // compress to one byte per dimension (4× less scan traffic at
+    // 100 TB; the first stage of every PQ/SQ deployment), the cheap
+    // integer-dot pass ranks candidates on codes alone, and only the
+    // top-10 get the exact float rescore. Quantization is
+    // INTEGER-EXACT by construction — floats scale to fixed-point
+    // via floor (never round: half-way ties differ across engines),
+    // per-dimension [min, max] come off one aggregate, and
+    // code = (s−min)·255 div (max−min) is all int64 — so unlike
+    // s02/s03 the whole result is differentially checkable: DuckDB
+    // replays quantization, code ranking, and rescore bit-for-bit.
+    // The [min,max] table rides as a broadcast 1-row array frame
+    // (in-plan, the q97-bounds pattern), never a collect.
+    "s07_ann_quantized" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val dim = 64
+      val sv = Tables(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("sv"))
+      val bounds = sv
+        .select(posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, mn))), x -> x.mn)").as("mnl"),
+          expr("transform(array_sort(collect_list(struct(i, mx))), x -> x.mx)").as("mxl"))
+      val codes = sv.crossJoin(broadcast(bounds))
+        .select(col("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+            "CASE WHEN mxl[i] = mnl[i] THEN 0L " +
+            "ELSE ((sv[i] - mnl[i]) * 255) div (mxl[i] - mnl[i]) END)")
+            .as("code"))
+        .localCheckpoint() // the compressed index: built once, scanned once
+      val qc = codes.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("code").as("qcode"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("n_id").asc)
+      val shortlist = codes.select(col("vec_id").as("n_id"), col("code"))
+        .join(broadcast(qc), col("q_id") =!= col("n_id"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qcode, code, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("qrank", row_number().over(wq))
+        .filter(col("qrank") <= 10)
+        .select(col("q_id"), col("n_id"))
+      val vq = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val vn = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      shortlist.join(broadcast(vq), "q_id").join(vn, "n_id")
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── s04: the ANN quality gate — recall@k of the LSH and IVF paths
     // against the exact baseline, computed in-engine as one plan. The
     // approximate result sets themselves are engine-specific (hence
@@ -359,6 +418,44 @@ object Similarity {
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS persisted_recall_ok
         |FROM topk""".stripMargin,
+
+    // the full SQ8 pipeline replayed: fixed-point floor scaling,
+    // per-dim bounds, integer codes, code-dot shortlist, exact rescore
+    "s07_ann_quantized" ->
+      """WITH sv AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |b AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl
+        |  FROM (SELECT i, MIN(sv[i+1]) AS mn, MAX(sv[i+1]) AS mx
+        |        FROM sv, UNNEST(generate_series(0, 63)) AS t(i) GROUP BY i)),
+        |codes AS (SELECT vec_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN mxl[i+1] = mnl[i+1] THEN 0
+        |           ELSE ((sv[i+1] - mnl[i+1]) * 255) // (mxl[i+1] - mnl[i+1])
+        |      END) AS code
+        |  FROM sv, b),
+        |dots AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      j -> q.code[j] * c.code[j])) AS qdot
+        |  FROM codes q JOIN codes c
+        |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |short AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY qdot DESC, n_id ASC) AS qrank
+        |    FROM dots) WHERE qrank <= 10),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT s.q_id, s.n_id,
+        |    list_cosine_similarity(eq.v, en.v) AS cos
+        |  FROM short s JOIN e eq ON eq.vec_id = s.q_id
+        |  JOIN e en ON en.vec_id = s.n_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // n_pairs is independently derivable (5 queries × top-3); the
     // booleans are the recall contract the engine must meet
