@@ -162,13 +162,17 @@ class RowTable(tableKey: String, tableSchema: StructType,
   override def name(): String = tableKey
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new RowScan(tableKey, tableSchema, pinned)
 
   /** INSERT INTO path: append. (RowWrite IS its own WriteBuilder —
-    * WriteBuilder.build() is a default method, so no SAM lambda.) */
+    * WriteBuilder.build() is a default method, so no SAM lambda.)
+    * INSERT OVERWRITE arrives as `truncate()` on the same builder
+    * (the engine's always-true OverwriteByExpression collapses to a
+    * truncating write) and flips it to replace mode. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new RowWrite(tableKey, info.schema(), replace = false)
 
@@ -218,9 +222,12 @@ case class RowsPartition(rows: Array[Array[Any]]) extends InputPartition
   * externalize rows into commit messages; commit publishes atomically
   * under the store's lock — the copy-on-write swap. */
 class RowWrite(tableKey: String, writeSchema: StructType, replace: Boolean)
-    extends WriteBuilder with Write with BatchWrite {
+    extends WriteBuilder with Write with BatchWrite
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
+  override def truncate(): WriteBuilder =
+    new RowWrite(tableKey, writeSchema, replace = true)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RowWriterFactory(writeSchema)

@@ -32,6 +32,15 @@ class RowCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(afterDelete == Seq(1L, 3L, 5L))
 
+    // INSERT OVERWRITE replaces the table contents (truncating write)
+    s.sql("INSERT OVERWRITE graft_dml.spec.t VALUES (9, 90, 'z')")
+    assert(s.table("graft_dml.spec.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((9L, 90L, "z")))
+    // rebuild the 3-row state the later assertions expect
+    s.sql("INSERT OVERWRITE graft_dml.spec.t VALUES " +
+      "(1, 10, 'a'), (3, 1030, 'a'), (5, 1050, 'a')")
+
     // additive schema evolution: existing rows (and retained
     // versions) surface NULL for the new column; DML can then fill it
     s.sql("ALTER TABLE graft_dml.spec.t ADD COLUMN score BIGINT")
