@@ -32,7 +32,17 @@ object FunctionCatalog {
       (e => ShingleGenerator(e.head, positiveInt(e(1), "shingles: n"))),
     "topk_by" ->
       (e => TopKByAggregate(e(0), e(1), positiveInt(e(2), "topk_by: k"))
-        .toAggregateExpression())
+        .toAggregateExpression()),
+    // Spark's internal runtime-filter bloom pair, surfaced as callable
+    // functions (the engine injects them itself only across joins —
+    // q53; d15 uses them as an explicit two-phase membership gate).
+    // Child must be an xxhash64-style long; (items, bits) foldable.
+    "bloom_agg" ->
+      (e => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(e(0), e(1), e(2)).toAggregateExpression()),
+    "bloom_might_contain" ->
+      (e => new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(e(0), e(1)))
   )
 
   // both takers are sizes: n = 0 would emit phantom empty rows from the

@@ -752,6 +752,47 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── d15: BLOOM-GATED incremental membership — d08's exact-dup leg
+    // restructured the way a 100 TB "seen before?" check actually
+    // runs: the accumulated corpus's digest set folds into a BLOOM
+    // FILTER (one aggregate, kilobytes — broadcastable at any corpus
+    // size), every new document probes it, and only the
+    // bloom-POSITIVE minority enters the exact digest anti-join.
+    // Bloom false negatives are impossible, so bloom-negatives are
+    // definite survivors with ZERO join work; false positives are
+    // killed by the confirm join — the final result is EXACT at any
+    // filter size, which is why this is fully oracle-checked (the FP
+    // rate only moves work between the two phases, never the answer).
+    // Uses Spark's own BloomFilterAggregate/MightContain (q53's
+    // runtime-filter machinery, invoked explicitly).
+    "d15_bloom_membership" -> ((s, d) => {
+      graft.functions.FunctionCatalog.register(s,
+        "bloom_agg", "bloom_might_contain")
+      val all = docs(s, d)
+      val cut = all.agg(expr("(max(doc_id) + 1) * 4 div 5").as("c"))
+      val dig = all
+        .select(col("doc_id"), length(col("text")).as("len"),
+          xxhash64(col("text")).as("dg"))
+        .crossJoin(broadcast(cut))
+      val newDig = dig.filter(col("doc_id") >= col("c")).drop("c")
+      val oldDig = dig.filter(col("doc_id") < col("c")).drop("c")
+        .localCheckpoint() // two consumers: the bloom fold + confirm join
+      // MightContain requires its bloom side to be a SCALAR SUBQUERY
+      // (or constant) — the same shape InjectRuntimeFilter plants
+      oldDig.createOrReplaceTempView("d15_old")
+      newDig.createOrReplaceTempView("d15_new")
+      val gated = s.sql("""SELECT doc_id, len, dg,
+        bloom_might_contain(
+          (SELECT bloom_agg(dg, 10000L, 80000L) FROM d15_old), dg)
+          AS maybe_dup
+        FROM d15_new""")
+      val definiteNew = gated.filter(!col("maybe_dup")).select(col("doc_id"))
+      val confirmed = gated.filter(col("maybe_dup"))
+        .join(oldDig.select(col("len"), col("dg")), Seq("len", "dg"), "left_anti")
+        .select(col("doc_id"))
+      definiteNew.unionByName(confirmed).orderBy(col("doc_id"))
+    }),
+
     // ── d14: CLUSTER REPRESENTATIVE SELECTION — the canonicalization
     // stage between clustering (d06/d07 emit components) and corpus
     // selection (p01 consumes documents): each near-dup family keeps
@@ -977,6 +1018,18 @@ object Dedup {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // d08's exact-dup leg alone: the bloom gate moves work between
+    // phases but never changes the answer
+    "d15_bloom_membership" ->
+      """WITH cut AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS c
+        |             FROM documents),
+        |exact_dup AS (
+        |  SELECT DISTINCT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c
+        |  JOIN documents o ON n.text = o.text AND o.doc_id < c)
+        |SELECT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c
+        |WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        |ORDER BY n.doc_id""".stripMargin,
 
     // d06's component fixpoint, then keep-best per family: argmax by
     // the same (n_chars·10¹² − doc_id) fold, singletons via left join

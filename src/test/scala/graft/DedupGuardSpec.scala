@@ -33,6 +33,37 @@ class DedupGuardSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
   for (sf <- sfs)
+    test(s"d15 bloom gate prunes the confirm join's input ($sf)") {
+      // correctness is the CORRECTNESS row's job (exact at any FP
+      // rate); this pins that the bloom actually does its work —
+      // definite-new documents (bloom-negative, zero join cost) must
+      // be the majority of the new batch, or the gate is vacuous
+      graft.functions.FunctionCatalog.register(spark,
+        "bloom_agg", "bloom_might_contain")
+      import org.apache.spark.sql.functions._
+      val all = Tables(spark, sf, "documents")
+      val cut = all.agg(expr("(max(doc_id) + 1) * 4 div 5").as("c"))
+      all.select(col("doc_id"), xxhash64(col("text")).as("dg"))
+        .crossJoin(broadcast(cut))
+        .filter(col("doc_id") < col("c"))
+        .createOrReplaceTempView("d15_spec_old")
+      val newDig = all.select(col("doc_id"), xxhash64(col("text")).as("dg"))
+        .crossJoin(broadcast(cut))
+        .filter(col("doc_id") >= col("c"))
+      newDig.createOrReplaceTempView("d15_spec_new")
+      val gate = spark.sql("""SELECT
+          SUM(CASE WHEN bloom_might_contain(
+            (SELECT bloom_agg(dg, 10000L, 80000L) FROM d15_spec_old), dg)
+            THEN 1 ELSE 0 END) AS positives,
+          COUNT(*) AS total
+        FROM d15_spec_new""").head()
+      val (pos, total) = (gate.getLong(0), gate.getLong(1))
+      assert(total > 0)
+      assert(pos * 2 < total,
+        s"bloom gate vacuous: $pos of $total new docs bloom-positive")
+    }
+
+  for (sf <- sfs)
     test(s"d02 LSH: full recall + exact rescore vs the d04 anchor ($sf)") {
       val exact = pairMap(
         SparkEntry.queries("d04_dedup_ngram_jaccard")(spark, sf)
