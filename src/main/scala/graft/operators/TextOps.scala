@@ -301,6 +301,47 @@ object TextOps {
         .orderBy(col("source"))
     }),
 
+    // ── p09: TEMPERATURE-SCALED mixture sampling — the multilingual
+    // sampling standard (mT5/XLM-R, τ = 1/2): per-language keep
+    // quotas proportional to n^τ instead of n, so rare languages
+    // upsample relative to proportional draw and the head language
+    // shrinks. p04 balances toward EXTERNALLY-GIVEN weights; here the
+    // weights are DERIVED from the counts themselves (w = ⌊√n⌋ —
+    // IEEE sqrt is correctly rounded, so floor is engine-portable),
+    // quota = (N/2)·w div Σw capped at the language's own size, and
+    // membership is the same portable-hash ppm gate (no RNG stream,
+    // one narrow pass, broadcast rate dim) that makes p02/p04
+    // replayable bit-for-bit. Zero-kept languages survive via the
+    // left join, so the output is one row per language regardless.
+    "p09_temperature_sample" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint() // feeds totals, rates, and the join dim
+      val totals = counts.agg(sum(col("w")).as("sw"),
+        sum(col("n_docs")).as("n"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("quota", expr("least(n_docs, (n div 2) * w div sw)"))
+        .withColumn("rate_ppm", expr("quota * 1000000 div n_docs"))
+        .select(col("lang"), col("n_docs"), col("w"), col("quota"),
+          col("rate_ppm"))
+      val kept = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), "lang")
+        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
+          concat(lit("temp:"), col("doc_id").cast(StringType))),
+          lit(1000000L)) < col("rate_ppm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("w"), col("quota"),
+          col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
     // subset (k docs per language), reproducible across reruns,
     // engines, and repartitions. Ranking by the portable hash gives a
@@ -812,6 +853,31 @@ object TextOps {
         |  CAST(rate_ppm AS BIGINT) AS rate_ppm, COUNT(*) AS n_kept,
         |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         |FROM k GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
+
+    // same integer pipeline: isqrt weights, capped quota, ppm gate
+    "p09_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+        |r AS (SELECT lang, n_docs, w,
+        |    LEAST(n_docs, (n // 2) * w // sw) AS quota,
+        |    LEAST(n_docs, (n // 2) * w // sw) * 1000000 // n_docs AS rate_ppm
+        |  FROM c, tot),
+        |k AS (SELECT d.lang, d.doc_id
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('temp:' || CAST(doc_id AS VARCHAR), ''),
+        |        ch -> ord(ch))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 < rate_ppm)
+        |SELECT r.lang, r.n_docs, r.w,
+        |  CAST(r.quota AS BIGINT) AS quota,
+        |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+        |FROM r LEFT JOIN k USING (lang)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY r.lang""".stripMargin,
 
     "t03_token_stats" ->
       """SELECT doc_id,
