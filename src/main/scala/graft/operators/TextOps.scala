@@ -643,8 +643,9 @@ object TextOps {
     }),
 
     // ── t13: ITERATED BPE TRAINER — t12 counts one merge round; real
-    // tokenizer training LOOPS pick-best-pair → re-segment. Three
-    // rounds here, d06's iteration discipline: the corpus is touched
+    // tokenizer training LOOPS pick-best-pair → re-segment toward a
+    // vocabulary-size target. BpeRounds (8) merge rounds here, d06's
+    // iteration discipline: the corpus is touched
     // exactly ONCE (the word-frequency aggregate); every round after
     // that runs over the VOCABULARY (distinct words), localCheckpoint
     // per round so round k's plan doesn't re-derive rounds 1..k-1.
@@ -659,15 +660,16 @@ object TextOps {
     // whole training loop exactly. Symbols are identified by string
     // content (concat on merge) — the standard BPE vocabulary model.
     //
-    // Output: steps 1–3 = the merge sequence (pair, weight, and how
-    // many distinct words contained it, at selection time); step 4 =
-    // the top-20 pair counts AFTER the three merges. (weight desc,
-    // pa, pb) is a total order, so both LIMITs select identical sets.
+    // Output: steps 1–BpeRounds = the merge sequence (pair, weight,
+    // and how many distinct words contained it, at selection time);
+    // step BpeRounds+1 = the top-20 pair counts AFTER the merges.
+    // (weight desc, pa, pb) is a total order, so both LIMITs select
+    // identical sets.
     "t13_bpe_train" -> ((s, d) => {
       val (vocab, rounds) = bpeTrain(s, d)
       val finalPairs = bpePairCounts(vocab)
         .orderBy(col("weight").desc, col("pa"), col("pb")).limit(20)
-        .withColumn("step", lit(4))
+        .withColumn("step", lit(BpeRounds + 1))
       rounds.reduce(_ union _).union(finalPairs)
         .select(col("step").cast("int").as("step"), col("pa"), col("pb"),
           col("weight"), col("n_words"))
@@ -680,9 +682,9 @@ object TextOps {
     // counts per word come straight off the final vocab state — no
     // corpus re-scan, no per-token explosion. Reported for the top-20
     // words by the (f desc, w) total order: frequency, char length,
-    // and post-merge token count — the compression the three merges
-    // actually bought, hash-checked against the oracle's replay of
-    // the same loop.
+    // and post-merge token count — the compression the BpeRounds
+    // merges actually bought, hash-checked against the oracle's
+    // replay of the same loop.
     "t14_bpe_encode" -> ((s, d) => {
       val (vocab, _) = bpeTrain(s, d)
       vocab.select(col("w"), col("f"),
@@ -709,12 +711,20 @@ object TextOps {
       .agg(sum(col("f")).as("weight"),
         countDistinct(col("seg")).as("n_words"))
 
-  /** The t13 training loop (3 rounds of pick-best-pair → re-segment),
-    * shared with t14's encode: returns the final vocab state
-    * (w, seg, f) and the per-round chosen merges tagged with their
-    * step. Corpus touched once; vocabulary-sized with localCheckpoint
-    * per round; the chosen pair re-enters as a broadcast 1-row
-    * crossJoin (d08's cutoff pattern — no driver-side value). */
+  /** Merge-round count for the t13/t14 trainer. Production trainers
+    * run until a vocabulary-size target is hit; the round count is the
+    * knob that expresses that target here (merges = rounds), and the
+    * loop stays vocabulary-sized per round no matter how high it is
+    * set — only round 0 touches the corpus. */
+  private[graft] val BpeRounds = 8
+
+  /** The t13 training loop (BpeRounds rounds of pick-best-pair →
+    * re-segment), shared with t14's encode: returns the final vocab
+    * state (w, seg, f) and the per-round chosen merges tagged with
+    * their step. Corpus touched once; vocabulary-sized with
+    * localCheckpoint per round; the chosen pair re-enters as a
+    * broadcast 1-row crossJoin (d08's cutoff pattern — no driver-side
+    * value). */
   private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val words = docs(s, d)
       .select(explode(regexp_extract_all(lower(col("text")),
@@ -725,7 +735,7 @@ object TextOps {
       concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
         .as("seg"),
       col("f")).localCheckpoint()
-    val rounds = (1 to 3).map { r =>
+    val rounds = (1 to BpeRounds).map { r =>
       val b = bpePairCounts(vocab)
         .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
         .localCheckpoint()
@@ -1111,12 +1121,13 @@ object TextOps {
     // non-overlapping scan is the same greedy merge the engine runs
     "t13_bpe_train" ->
       s"""$bpeOracleCtes,
-         |${bpePairsCte(4, "v3")}
-         |SELECT 1 AS step, pa, pb, weight, n_words FROM b1
-         |UNION ALL SELECT 2, pa, pb, weight, n_words FROM b2
-         |UNION ALL SELECT 3, pa, pb, weight, n_words FROM b3
-         |UNION ALL SELECT 4, pa, pb, weight, n_words FROM
-         |  (SELECT * FROM p4 ORDER BY weight DESC, pa, pb LIMIT 20)
+         |${bpePairsCte(BpeRounds + 1, s"v$BpeRounds")}
+         |${(1 to BpeRounds).map(k =>
+              s"SELECT $k AS step, pa, pb, weight, n_words FROM b$k")
+             .mkString("\nUNION ALL ")}
+         |UNION ALL SELECT ${BpeRounds + 1}, pa, pb, weight, n_words FROM
+         |  (SELECT * FROM p${BpeRounds + 1}
+         |   ORDER BY weight DESC, pa, pb LIMIT 20)
          |ORDER BY step, weight DESC, pa, pb""".stripMargin,
 
     // the same replayed loop's FINAL state, read as an encoding: token
@@ -1126,7 +1137,7 @@ object TextOps {
          |SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
          |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
          |    AS BIGINT) AS n_tok
-         |FROM v3 ORDER BY f DESC, w LIMIT 20""".stripMargin
+         |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin
   )
 
   /** One pair-count CTE level of the BPE oracle replay. */
@@ -1141,7 +1152,7 @@ object TextOps {
        |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** The shared WITH-chain replaying t13's three training rounds
+  /** The shared WITH-chain replaying t13's BpeRounds training rounds
     * (word frequencies → v0 char segmentation → pK/bK/vK per round);
     * vK carries `w` so the encode oracle can read final segmentations
     * per word. */
@@ -1160,8 +1171,6 @@ object TextOps {
        |v0 AS (SELECT w,
        |         '|' || array_to_string(string_split(w, ''), '||') || '|'
        |         AS seg, f FROM words),
-       |${roundCtes(1)},
-       |${roundCtes(2)},
-       |${roundCtes(3)}""".stripMargin
+       |${(1 to BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 }

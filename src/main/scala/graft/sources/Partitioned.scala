@@ -161,16 +161,21 @@ object Partitioned {
   /** Plan-time file pruning off the manifest: the files whose [lo,hi]
     * overlaps [from,until), plus the layout's total file count. The
     * collect is MANIFEST-sized (one row per file — exactly what any
-    * table format's planner holds in memory), never data-sized. */
+    * table format's planner holds in memory), never data-sized. ONE
+    * aggregate returns both the kept list and the total, so planning
+    * is a single Spark job. */
   private[graft] def manifestPrunedFiles(s: SparkSession, d: String,
       from: String, until: String): (Seq[String], Int) = {
     val man = s.read.parquet(ensureRangeManifest(s, d))
     // overlap test evaluated IN-PLAN (same string→timestamp coercion as
     // the data filter; driver-side Timestamp math would also have to
-    // track the java8 datetime API's row types)
-    val keep = man.filter(col("hi") >= from && col("lo") < until)
-      .select(col("f")).collect().map(_.getString(0)).toSeq.sorted
-    (keep, man.count().toInt)
+    // track the java8 datetime API's row types); collect_list skips the
+    // nulls the un-kept files map to
+    val row = man.agg(
+      sort_array(collect_list(
+        when(col("hi") >= from && col("lo") < until, col("f")))).as("keep"),
+      count(lit(1)).as("total")).collect()(0)
+    (row.getSeq[String](0), row.getLong(1).toInt)
   }
 
   /** Morton (Z-order) key: bit-interleave two non-negative ints so that

@@ -206,8 +206,13 @@ class SeqScan(lo: Long, hi: Long, parts: Int, batchRows: Long, required: StructT
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>
-      runtimeIds = Some(vs.collect { case l: Long => l }
-        .filter(v => v >= lo && v < hi).sorted)
+      // prune ONLY when every delivered value is the expected Long —
+      // a differently-boxed key would otherwise be silently dropped
+      // and over-prune; falling back to the full range under-prunes,
+      // which the join's own condition re-checks
+      if (vs.forall(_.isInstanceOf[java.lang.Long]))
+        runtimeIds = Some(vs.collect { case l: Long => l }
+          .filter(v => v >= lo && v < hi).sorted)
     case EqualTo("id", v: Long) =>
       runtimeIds = Some(Array(v).filter(x => x >= lo && x < hi))
     case _ => ()

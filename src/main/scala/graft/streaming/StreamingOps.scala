@@ -1194,9 +1194,16 @@ object StreamingOps {
           ev.filter(pmod(col("event_id"), lit(8)) === c)
             .coalesce(1).write.mode("overwrite").parquet(dir)
           // modTime strictly increasing with chunk id: the file source
-          // orders by (modTime, path), so either key yields c0..c7
-          new java.io.File(dir).listFiles().foreach(f =>
-            f.setLastModified(t0 + c * 60000L))
+          // orders by (modTime, path), so either key yields c0..c7.
+          // setLastModified may silently no-op on some filesystems —
+          // fail loudly instead of letting the batch split (and the
+          // time-travel oracle) go nondeterministic.
+          new java.io.File(dir).listFiles().foreach { f =>
+            require(f.setLastModified(t0 + c * 60000L),
+              s"setLastModified failed for $f: this filesystem cannot " +
+                "set mtimes, so st30's deterministic file->batch " +
+                "mapping does not hold")
+          }
         }
       }
       graft.Scratch.materializeOnce(stateDir) {
