@@ -1,329 +1,1059 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentHashMap
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.catalog.SupportsWrite
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A DSv2 TABLE CATALOG with SQL DML — the connector-matrix cell the
-  * path-based providers (SeqSource/AggSink/AvroSource/SpjSource) can't
-  * reach: `CREATE TABLE` / `INSERT INTO` / `MERGE INTO` / `UPDATE` /
-  * `DELETE FROM` against `graft_dml.<ns>.<table>` identifiers, i.e.
-  * the lake-format DML surface (Iceberg/Delta's headline feature) that
-  * q51's hand-rolled changeset apply emulates with joins.
+/** A DSv2 TABLE CATALOG with SQL DML over FILE-GROUP storage — the
+  * connector-matrix cell the path-based providers (SeqSource/AggSink/
+  * AvroSource/SpjSource) can't reach: `CREATE TABLE` / `INSERT INTO` /
+  * `MERGE INTO` / `UPDATE` / `DELETE FROM` / `VERSION AS OF` against
+  * `graft_dml.<ns>.<table>` identifiers — the lake-format surface
+  * (Iceberg/Delta's headline feature) that q51's hand-rolled changeset
+  * apply emulates with joins.
   *
-  * MERGE/UPDATE/DELETE run through [[SupportsRowLevelOperations]] in
-  * its GROUP-BASED (copy-on-write) form: Spark's own
-  * RewriteMergeIntoTable / RewriteUpdateTable / RewriteDeleteFromTable
-  * rules plan the operation as "scan the affected groups through the
-  * operation's ScanBuilder, compute replacement rows, hand them to the
-  * operation's WriteBuilder" — the engine computes the merge; the
-  * connector only reads and replaces groups. This table is a single
-  * group (the whole table), which is copy-on-write at its simplest;
-  * a real format partitions groups by file and implements
-  * `requiredMetadataAttributes` for finer granularity — the API shape
-  * here is exactly that one, minus the bookkeeping.
+  * STORAGE IS REAL FILES, in real groups (the copy-on-write unit every
+  * lake format shares):
   *
-  * STORAGE IS A STAND-IN (the m02 stubbed-codec convention): rows live
-  * in a JVM-global map, value-converted to plain JVM types so readers
-  * and writers serialize cleanly. Every API surface above it — the
-  * catalog plumbing, scan/write builders, the row-level operation —
-  * is the real contract a storage engine implements; only `load`/
-  * `replace` would change. Supported column types: BIGINT and STRING
-  * (the demo schema; a format adds a type bridge, not new plumbing).
+  *   - Committed rows live in immutable PARQUET files under a
+  *     per-session scratch dir, one file per (writer task, group);
+  *     group = hash bucket of the FIRST table column (the demo's
+  *     bucketing convention). Executors write and read the files
+  *     directly — nothing data-sized ever rides the driver.
+  *   - Every commit writes a new MANIFEST (`v<N>.manifest`) listing
+  *     the files visible at that version. Files are immutable, so
+  *     `VERSION AS OF v` is just "plan from manifest v", and an
+  *     untouched group's files are REUSED across versions — which is
+  *     also what makes the change feed (q109) read only changed
+  *     groups.
+  *
+  * MERGE/UPDATE/DELETE run through BOTH halves of the DSv2 row-level
+  * matrix, chosen per table by `TBLPROPERTIES('format'=...)`:
+  *
+  *   - COPY-ON-WRITE (default): [[SupportsRowLevelOperations]] in its
+  *     group-based form. The operation declares `_group` in
+  *     `requiredMetadataAttributes`, its scan exposes `_group` through
+  *     [[SupportsRuntimeV2Filtering]], and Spark's runtime group
+  *     filtering evaluates the MERGE/DELETE condition FIRST, then
+  *     hands the scan an `In(_group, …)` — so only groups that
+  *     actually contain matched rows are read and rewritten. A MERGE
+  *     touching 1 of 4 groups rewrites exactly 1 group's files
+  *     (pinned in RowCatalogSpec); at 100 TB this is the difference
+  *     between rewriting a partition and rewriting the table.
+  *   - MERGE-ON-READ (`'format'='mor'`): [[SupportsDelta]]. The
+  *     engine streams per-row insert/update/delete records (keyed by
+  *     the `_rid` row id = base file + position, Iceberg's position
+  *     delete model) into a DELTA file; base files are never
+  *     rewritten, and the scan merges base + deltas per group at read
+  *     time. The write-amplification/read-amplification trade every
+  *     lake format exposes, both sides real.
+  *
+  * Scale notes: group resolution state is BUCKET-sized (a real format
+  * adds spilling/compaction, not a different shape); the manifest is
+  * metadata-sized; scan column pruning reaches the parquet reads via
+  * [[SupportsPushDownRequiredColumns]] + a parquet projection schema.
+  * Supported column types: BIGINT, INT, STRING (the demo schema — a
+  * format adds a type bridge, not new plumbing).
   */
 object RowStore {
-  /** table key → (schema, committed rows as plain JVM values). */
-  val tables = new ConcurrentHashMap[String, (StructType, Array[Array[Any]])]()
+  /** Driver-side commit lock: manifests advance atomically per JVM
+    * (a real format uses an atomic rename / metastore swap here). */
+  private[sources] val commitLock = new Object
 
-  /** table key → snapshot per committed version: history(v) is the
-    * state after v commits (v0 = the empty table at CREATE). Every
-    * write commit appends — the retained-snapshot model behind
-    * `VERSION AS OF` (a real format would expire old versions; the
-    * lifecycle here is bounded by DROP TABLE). */
-  val history = new ConcurrentHashMap[String, Vector[Array[Array[Any]]]]()
+  /** Column names reserved for metadata / delta-record bookkeeping. */
+  private[sources] val Reserved =
+    Set("_group", "_rid", "_change", "_op", "_grp")
 
-  def externalize(row: InternalRow, schema: StructType): Array[Any] = {
-    require(row.numFields == schema.length,
-      s"row has ${row.numFields} fields, write schema has ${schema.length}: $schema")
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
-        case LongType   => if (row.isNullAt(i)) null else row.getLong(i)
-        case StringType =>
-          if (row.isNullAt(i)) null else row.getUTF8String(i).toString
-        case other => sys.error(s"RowStore: unsupported type $other")
-      }
+  case class Meta(schema: StructType, numGroups: Int, mor: Boolean)
+
+  /** One manifest entry: `kind` ∈ base|delta; base entries carry the
+    * group they belong to, delta entries apply table-wide (each record
+    * inside names its group). */
+  case class FileEntry(kind: String, group: Int, name: String)
+
+  /** Per-session table root (Scratch semantics: per-applicationId,
+    * deleted on JVM exit). All catalog/commit calls run on the driver;
+    * executors only ever see absolute file paths. */
+  private def root(): String =
+    graft.Scratch.dir(SparkSession.active, "graft_rowcat", "tables")
+
+  private[sources] def tableDir(key: String): String = s"${root()}/$key"
+  private[sources] def dataDir(key: String): String = {
+    val d = s"${tableDir(key)}/data"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+  private def metaPath(key: String): Path =
+    Paths.get(tableDir(key), "meta")
+
+  def exists(key: String): Boolean = Files.exists(metaPath(key))
+
+  def writeMeta(key: String, m: Meta): Unit = {
+    Files.createDirectories(Paths.get(tableDir(key)))
+    Files.writeString(metaPath(key),
+      s"groups=${m.numGroups}\nmor=${m.mor}\nschema=${m.schema.json}\n")
+  }
+
+  def readMeta(key: String): Meta = {
+    val kv = Files.readAllLines(metaPath(key)).asScala
+      .filter(_.contains("=")).map(l => l.splitAt(l.indexOf("="))).toMap
+      .map { case (k, v) => (k, v.drop(1)) }
+    Meta(DataType.fromJson(kv("schema")).asInstanceOf[StructType],
+      kv("groups").toInt, kv("mor").toBoolean)
+  }
+
+  def listTableKeys(): Seq[String] = {
+    val r = Paths.get(root())
+    if (!Files.isDirectory(r)) Seq.empty
+    else {
+      val stream = Files.list(r)
+      try stream.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
     }
   }
 
-  def internalize(vals: Array[Any]): InternalRow =
-    new GenericInternalRow(vals.map {
-      case s: String => UTF8String.fromString(s)
-      case v         => v
-    })
+  def versions(key: String): Seq[Int] = {
+    val d = Paths.get(tableDir(key))
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  def currentVersion(key: String): Int = versions(key).lastOption.getOrElse(
+    sys.error(s"no committed version for $key"))
+
+  def readManifest(key: String, v: Int): Seq[FileEntry] =
+    Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
+      .filter(_.nonEmpty).map { l =>
+        val Array(kind, g, name) = l.split("\t", 3)
+        FileEntry(kind, g.toInt, name)
+      }.toSeq
+
+  def writeManifest(key: String, v: Int, entries: Seq[FileEntry]): Unit =
+    Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
+      entries.map(e => s"${e.kind}\t${e.group}\t${e.name}").mkString("", "\n", "\n"))
+
+  def drop(key: String): Boolean = {
+    val d = Paths.get(tableDir(key))
+    if (!Files.exists(d)) false
+    else {
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      true
+    }
+  }
+
+  /** Hash bucket of a row's first-column value — the group function.
+    * Longs bucket by value (engine-portable, easy to reason about in
+    * specs); strings by hashCode. Null → group 0. */
+  def groupOf(v: Any, n: Int): Int = v match {
+    case null                    => 0
+    case l: java.lang.Long       => Math.floorMod(l.longValue, n.toLong).toInt
+    case i: java.lang.Integer    => Math.floorMod(i.intValue, n)
+    case u: UTF8String           => Math.floorMod(u.toString.hashCode, n)
+    case s: String               => Math.floorMod(s.hashCode, n)
+    case other                   => Math.floorMod(other.hashCode, n)
+  }
 }
 
-class GraftCatalog extends TableCatalog {
+/** Executor-side parquet IO for group/delta files, via the public
+  * parquet-hadoop example Group API — real columnar files (DuckDB
+  * could read them), with column projection pushed into the read. */
+object RowFiles {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{Path => HPath}
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+  import org.apache.parquet.hadoop.api.ReadSupport
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  def messageType(schema: Seq[StructField]): MessageType = {
+    val b = Types.buildMessage()
+    schema.foreach { f =>
+      f.dataType match {
+        case LongType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case IntegerType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT32).named(f.name))
+        case StringType =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => sys.error(s"RowStore: unsupported column type $other")
+      }
+    }
+    b.named("row")
+  }
+
+  /** Open one parquet writer; caller feeds externalized values aligned
+    * to `schema` and closes. */
+  final class FileWriter(file: String, schema: Seq[StructField]) {
+    private val msg = messageType(schema)
+    private val factory = new SimpleGroupFactory(msg)
+    private val w: ParquetWriter[Group] =
+      ExampleParquetWriter.builder(new HPath(file))
+        .withConf(new Configuration()).withType(msg).build()
+    var rows = 0
+    def write(vals: Array[Any]): Unit = {
+      val g = factory.newGroup()
+      schema.zipWithIndex.foreach { case (f, i) =>
+        vals(i) match {
+          case null              => ()
+          case l: java.lang.Long => g.add(f.name, l.longValue)
+          case n: java.lang.Integer => g.add(f.name, n.intValue)
+          case s: String         => g.add(f.name, s)
+          case u: UTF8String     => g.add(f.name, u.toString)
+          case other => sys.error(s"RowStore: unsupported value $other")
+        }
+      }
+      w.write(g)
+      rows += 1
+    }
+    def close(): Unit = w.close()
+  }
+
+  /** Read one file, projected to `wanted` (null-padded for columns the
+    * file predates — additive schema evolution without rewrites). The
+    * result is group/bucket-sized by construction, so an eager read is
+    * the honest cost model; `wanted`-empty reads touch only the footer
+    * (row counts), no data pages. */
+  def readRows(file: String, wanted: Seq[StructField]): Array[Array[Any]] = {
+    val conf = new Configuration()
+    val in = HadoopInputFile.fromPath(new HPath(file), conf)
+    val footer = ParquetFileReader.open(in)
+    val (fileSchema, rowCount) =
+      try (footer.getFooter.getFileMetaData.getSchema,
+        footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally footer.close()
+    val present = wanted.filter(f => fileSchema.containsField(f.name))
+    if (present.isEmpty) {
+      Array.fill(rowCount.toInt)(new Array[Any](wanted.length))
+    } else {
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, messageType(present).toString)
+      val r = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+        .withConf(conf).build()
+      val out = Array.newBuilder[Array[Any]]
+      try {
+        var g = r.read()
+        while (g != null) {
+          out += wanted.map { f =>
+            if (!fileSchema.containsField(f.name) ||
+              g.getFieldRepetitionCount(f.name) == 0) null
+            else f.dataType match {
+              case LongType    => Long.box(g.getLong(f.name, 0))
+              case IntegerType => Int.box(g.getInteger(f.name, 0))
+              case StringType  => g.getString(f.name, 0)
+              case other => sys.error(s"unsupported $other")
+            }
+          }.toArray
+          g = r.read()
+        }
+      } finally r.close()
+      out.result()
+    }
+  }
+}
+
+/** Group-state resolution shared by the table scan, the row-level
+  * operation scans, and the change feed: base files in manifest order,
+  * then delta records (MOR) replayed in commit order. Row identity is
+  * `file#pos` — Iceberg's position-delete model. */
+object RowResolve {
+  val DeleteOp = 1
+  val UpdateOp = 2
+  val InsertOp = 3
+
+  val DeltaMetaFields: Seq[StructField] = Seq(
+    StructField("_op", IntegerType), StructField("_rid", StringType),
+    StructField("_grp", IntegerType))
+
+  private def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Visible (rid, values) of one group at one version. `wanted` is
+    * the projected DATA columns. */
+  def resolve(group: Int, baseFiles: Seq[String], deltaFiles: Seq[String],
+      wanted: Seq[StructField]): Seq[(String, Array[Any])] = {
+    val base = baseFiles.iterator.flatMap { f =>
+      val n = leaf(f)
+      RowFiles.readRows(f, wanted).iterator.zipWithIndex
+        .map { case (v, i) => (s"$n#$i", v) }
+    }
+    if (deltaFiles.isEmpty) base.toSeq
+    else {
+      // LinkedHashMap keeps a row's original position across updates,
+      // so resolution order is deterministic (base order + insert order)
+      val m = new java.util.LinkedHashMap[String, Array[Any]]()
+      base.foreach { case (rid, v) => m.put(rid, v) }
+      deltaFiles.foreach { f =>
+        val n = leaf(f)
+        RowFiles.readRows(f, DeltaMetaFields ++ wanted).zipWithIndex.foreach {
+          case (rec, i) =>
+            val grp = rec(2).asInstanceOf[java.lang.Integer]
+            if (grp != null && grp.intValue == group) {
+              val rid = rec(1).asInstanceOf[String]
+              val data = rec.drop(DeltaMetaFields.length)
+              rec(0).asInstanceOf[java.lang.Integer].intValue match {
+                case DeleteOp => m.remove(rid)
+                case UpdateOp => if (m.containsKey(rid)) m.put(rid, data)
+                case InsertOp => m.put(s"$n#$i", data)
+                case other => sys.error(s"corrupt delta record op=$other")
+              }
+            }
+        }
+      }
+      m.asScala.toSeq
+    }
+  }
+}
+
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catName = "graft_dml"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
   override def name(): String = catName
+
+  /** The `bucket` V2 function the writes' required distribution
+    * resolves through (Iceberg's storage-partitioned-write shape):
+    * Spark shuffles write input by bucket(numGroups, firstCol) BEFORE
+    * the writers run, so each group's rows land in exactly one task —
+    * one file per group per commit, at any parallelism. */
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def key(ident: Identifier): String =
     (catName +: ident.namespace() :+ ident.name()).mkString(".")
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val prefix = (catName +: ns).mkString(".") + "."
-    RowStore.tables.keySet().asScala.toArray
+    RowStore.listTableKeys().toArray
       .filter(_.startsWith(prefix))
-      .map(k => Identifier.of(ns, k.stripPrefix(prefix)))
+      .map(_.stripPrefix(prefix))
+      // only DIRECT children: a table in a nested namespace would
+      // otherwise surface here under a mangled dotted name
+      .filter(!_.contains("."))
+      .map(Identifier.of(ns, _))
   }
 
-  override def loadTable(ident: Identifier): Table =
-    Option(RowStore.tables.get(key(ident))) match {
-      case Some((schema, _)) => new RowTable(key(ident), schema)
-      case None              => throw new NoSuchTableException(ident)
-    }
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    if (RowStore.exists(k))
+      new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
+    else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      // Iceberg-style metadata table: `<table>.changes` reads the diff
+      // between two versions (options from/to on the scan)
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base))
+        new ChangesTable(base, RowStore.readMeta(base))
+      else throw new NoSuchTableException(ident)
+    } else throw new NoSuchTableException(ident)
+  }
+
+  /** `VERSION AS OF v` — SQL time travel: a read-only table pinned to
+    * manifest v (files are immutable, so this is pure planning). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+    val v = version.toInt
+    val have = RowStore.versions(k)
+    require(have.contains(v), s"no version $v for $k (have $have)")
+    new RowTable(k, RowStore.readMeta(k), v)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty, "RowStore tables are unpartitioned")
-    RowStore.tables.put(key(ident), (schema, Array.empty))
-    RowStore.history.put(key(ident), Vector(Array.empty))
-    new RowTable(key(ident), schema)
+    schema.fieldNames.foreach(n => require(!RowStore.Reserved(n),
+      s"column name $n is reserved"))
+    val k = key(ident)
+    val numGroups =
+      Option(properties.get("groups")).map(_.toInt).getOrElse(4)
+    val mor = Option(properties.get("format")).contains("mor")
+    RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor))
+    RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
+    new RowTable(k, RowStore.readMeta(k), 0)
   }
 
-  /** `VERSION AS OF v` — SQL time travel resolves here: a read-only
-    * table pinned to the retained snapshot after v commits. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val (schema, _) = Option(RowStore.tables.get(key(ident)))
-      .getOrElse(throw new NoSuchTableException(ident))
-    val snaps = RowStore.history.getOrDefault(key(ident), Vector.empty)
-    val v = version.toInt
-    require(v >= 0 && v < snaps.length,
-      s"no version $v for ${key(ident)} (have 0..${snaps.length - 1})")
-    new RowTable(key(ident), schema, pinned = Some(snaps(v)))
-  }
-
-  /** Schema evolution, additive form (the lake-format default):
-    * ALTER TABLE ADD COLUMN appends a nullable field and pads every
-    * committed row — current AND retained versions, so VERSION AS OF
-    * reads stay readable under the new schema (how a format's
-    * schema-id indirection behaves for added columns: old snapshots
-    * surface NULL). Other changes are rejected. */
+  /** Schema evolution, additive form (the lake-format default): ADD
+    * COLUMN rewrites ONLY the schema file — no data files move; old
+    * files (and therefore old `VERSION AS OF` reads) surface NULL for
+    * the new column via read-time padding. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
-    RowStore.tables.synchronized {
-      val (schema, rows) = Option(RowStore.tables.get(k))
-        .getOrElse(throw new NoSuchTableException(ident))
-      val newSchema = changes.foldLeft(schema) {
+    RowStore.commitLock.synchronized {
+      if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+      val meta = RowStore.readMeta(k)
+      val newSchema = changes.foldLeft(meta.schema) {
         case (sch, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "nested ADD COLUMN not supported")
+          require(!RowStore.Reserved(add.fieldNames()(0)),
+            s"column name ${add.fieldNames()(0)} is reserved")
           StructType(sch.fields :+
-            org.apache.spark.sql.types.StructField(
-              add.fieldNames()(0), add.dataType(), nullable = true))
+            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
-      val extra = newSchema.length - schema.length
-      def pad(rs: Array[Array[Any]]): Array[Array[Any]] =
-        rs.map(r => r ++ Array.fill[Any](extra)(null))
-      RowStore.tables.put(k, (newSchema, pad(rows)))
-      RowStore.history.computeIfPresent(k, (_, snaps) => snaps.map(pad))
-      new RowTable(k, newSchema)
+      RowStore.writeMeta(k, meta.copy(schema = newSchema))
+      new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
     }
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    RowStore.history.remove(key(ident))
-    RowStore.tables.remove(key(ident)) != null
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    RowStore.drop(key(ident))
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
-class RowTable(tableKey: String, tableSchema: StructType,
-    pinned: Option[Array[Array[Any]]] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+/** `bucket(numBuckets, col)` bound to the SAME hash the writers use
+  * ([[RowStore.groupOf]]) — the distribution's clustering and the
+  * files' grouping provably agree. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): the row-group hash of the DML catalog"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, col), got $inputType")
+    val colType = inputType.fields(1).dataType
+    require(colType == LongType || colType == IntegerType ||
+      colType == StringType, s"bucket: unsupported column type $colType")
+    new ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, colType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket($colType)"
+      override def produceResult(input: InternalRow): Int = {
+        val n = input.getInt(0)
+        val v: Any =
+          if (input.isNullAt(1)) null
+          else colType match {
+            case LongType    => Long.box(input.getLong(1))
+            case IntegerType => Int.box(input.getInt(1))
+            case StringType  => input.getUTF8String(1)
+          }
+        RowStore.groupOf(v, n)
+      }
+    }
+  }
+}
+
+/** The `_group` / `_rid` metadata columns every scan can surface —
+  * what the row-level rewrites read via requiredMetadataAttributes /
+  * rowId, exactly Iceberg's `_file`/`_pos` shape. */
+private object GroupMetaCol extends MetadataColumn {
+  override def name(): String = "_group"
+  override def dataType(): DataType = IntegerType
+  override def isNullable: Boolean = false
+}
+private object RidMetaCol extends MetadataColumn {
+  override def name(): String = "_rid"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+}
+
+class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = tableKey
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GroupMetaCol, RidMetaCol)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new RowScan(tableKey, tableSchema, pinned)
+    new GroupScanBuilder(tableKey, meta, version, None)
 
-  /** INSERT INTO path: append. (RowWrite IS its own WriteBuilder —
-    * WriteBuilder.build() is a default method, so no SAM lambda.)
-    * INSERT OVERWRITE arrives as `truncate()` on the same builder
-    * (the engine's always-true OverwriteByExpression collapses to a
-    * truncating write) and flips it to replace mode. */
+  /** INSERT INTO path: append; INSERT OVERWRITE arrives as
+    * `truncate()` on the same builder and flips it to replace-all. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RowWrite(tableKey, info.schema(), replace = false)
+    new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append)
 
-  /** MERGE/UPDATE/DELETE path: Spark rewrites the statement into
-    * scan-groups → compute replacement → replace-groups using this
-    * operation's builders. */
+  /** MERGE/UPDATE/DELETE: Spark rewrites the statement against this
+    * operation's builders — copy-on-write group replacement by
+    * default, delta (merge-on-read) when the table was created with
+    * 'format'='mor'. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
-      override def command(): RowLevelOperation.Command = info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new RowScan(tableKey, tableSchema)
-      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-        new RowWrite(tableKey, info.schema(), replace = true)
-    }
+    if (meta.mor) () => new DeltaRowLevelOp(tableKey, meta, info.command())
+    else () => new GroupRowLevelOp(tableKey, meta, info.command())
 }
 
-/** Scan over the committed snapshot: one partition carrying the
-  * (already-external) row values — the snapshot rides the closure the
-  * same way a real scan's partition carries file splits. */
-class RowScan(tableKey: String, scanSchema: StructType,
-    pinned: Option[Array[Array[Any]]] = None) extends Scan with Batch {
-  override def readSchema(): StructType = scanSchema
+/** Copy-on-write row-level operation: its scan records which groups
+  * survived runtime group filtering; its write replaces EXACTLY those
+  * groups' files at commit. The scan↔write handshake rides this
+  * object — the same contract Iceberg's copy-on-write scan/write pair
+  * uses. */
+class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Groups the operation's (possibly runtime-pruned) scan planned;
+    * None = scan never planned (plan dropped) → replace nothing. */
+  @volatile private[sources] var scannedGroups: Option[Set[Int]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GroupScanBuilder(tableKey, meta, RowStore.currentVersion(tableKey),
+      Some(this))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GroupWrite(tableKey, meta, info.schema(),
+      GroupWrite.ReplaceGroups(this))
+}
+
+class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
+    op: Option[GroupRowLevelOp]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  // default = full data schema; Spark prunes to referenced data +
+  // metadata columns (so the parquet reads project, and a COUNT(*)
+  // scan reads only footers)
+  private var required: StructType = meta.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GroupScan(tableKey, meta, version,
+    required, op)
+}
+
+/** Manifest-planned scan: one partition per surviving group, carrying
+  * that group's base files (+ the table's delta files for MOR). With a
+  * row-level operation attached it implements runtime group filtering:
+  * Spark evaluates the DML condition first and hands back
+  * `In(_group, …)`, and only those groups are planned — and therefore
+  * only those groups are rewritten. */
+class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
+    required: StructType, op: Option[GroupRowLevelOp])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val rows = pinned.getOrElse(
-      Option(RowStore.tables.get(tableKey))
-        .getOrElse(sys.error(s"no such table: $tableKey"))._2)
-    Array(RowsPartition(rows))
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val rows = p.asInstanceOf[RowsPartition].rows
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = RowStore.internalize(rows(i))
-          override def close(): Unit = ()
-        }
+
+  private var groupKeep: Option[Set[Int]] = None
+
+  /** Runtime-filterable on `_group` — but ONLY when this scan actually
+    * outputs it (the row-level operation scans, which read it via
+    * requiredMetadataAttributes). Advertising an attribute the plan
+    * can't resolve would break UNRELATED joins against this table
+    * (e.g. a MERGE whose source is another catalog table). */
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("_group"))
+      Array(Expressions.column("_group"))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      parseGroupPredicate(p).foreach { ks =>
+        groupKeep = Some(groupKeep.fold(ks)(_ intersect ks))
+      }
     }
+
+  /** `IN(_group, ints…)` / `=(_group, int)` → the kept-group set; any
+    * other shape (or any non-int literal) is IGNORED — under-pruning
+    * is sound (the operation re-applies its own condition), silently
+    * dropping a value would over-prune. */
+  private def parseGroupPredicate(p: Predicate): Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit}
+    val ch = p.children()
+    val onGroup = ch.headOption.exists {
+      case r: NamedReference => r.fieldNames().sameElements(Array("_group"))
+      case _ => false
+    }
+    if (!onGroup || (p.name() != "IN" && p.name() != "=")) None
+    else {
+      val vals = ch.drop(1).map {
+        case l: VLit[_] => l.value() match {
+          case i: java.lang.Integer => Some(i.intValue)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten.toSet)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = RowStore.readManifest(tableKey, version)
+    val byGroup = entries.filter(_.kind == "base").groupBy(_.group)
+    val deltas = entries.filter(_.kind == "delta")
+    val dir = RowStore.dataDir(tableKey)
+    val kept = (0 until meta.numGroups)
+      .filter(g => groupKeep.forall(_.contains(g)))
+    // the COW write replaces exactly what this plan read
+    op.foreach(_.scannedGroups = Some(kept.toSet))
+    kept.map { g =>
+      GroupFilesPartition(g,
+        byGroup.getOrElse(g, Seq.empty).map(e => s"$dir/${e.name}"),
+        // group-tagged delta files: only this group's records can be
+        // inside (records re-check, so an untagged file stays sound)
+        deltas.filter(e => e.group == g || e.group < 0)
+          .map(e => s"$dir/${e.name}"))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupReaderFactory(required, meta.schema)
 }
 
-case class RowsPartition(rows: Array[Array[Any]]) extends InputPartition
+case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
+    deltaFiles: Seq[String]) extends InputPartition
 
-/** Append (INSERT) or replace (row-level ops) write: per-task writers
-  * externalize rows into commit messages; commit publishes atomically
-  * under the store's lock — the copy-on-write swap. */
-class RowWrite(tableKey: String, writeSchema: StructType, replace: Boolean)
-    extends WriteBuilder with Write with BatchWrite
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+class GroupReaderFactory(required: StructType, dataSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GroupFilesPartition]
+    val dataNames = dataSchema.fieldNames.toSet
+    val wanted = required.fields.filter(f => dataNames(f.name)).toSeq
+    val wantedIdx = wanted.map(_.name).zipWithIndex.toMap
+    val rows = RowResolve.resolve(part.group, part.baseFiles,
+      part.deltaFiles, wanted)
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: (String, Array[Any]) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = new GenericInternalRow(
+        required.fields.map { f =>
+          f.name match {
+            case "_group" => Int.box(part.group)
+            case "_rid"   => UTF8String.fromString(cur._1)
+            case n => cur._2(wantedIdx(n)) match {
+              case s: String => UTF8String.fromString(s)
+              case v         => v
+            }
+          }
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Batch write: executors bucket rows by the first-column hash and
+  * write one parquet file per (task, non-empty group); commit messages
+  * carry FILE METADATA only (name/group/rowcount — never rows), and the
+  * driver swaps the manifest. Modes: append (INSERT), overwrite
+  * (INSERT OVERWRITE via truncate()), replace-groups (the COW swap). */
+object GroupWrite {
+  sealed trait Mode extends Serializable
+  case object Append extends Mode
+  case object Overwrite extends Mode
+  case class ReplaceGroups(op: GroupRowLevelOp) extends Mode
+}
+
+class GroupWrite(tableKey: String, meta: RowStore.Meta,
+    writeSchema: StructType, mode: GroupWrite.Mode)
+    extends WriteBuilder with Write with BatchWrite with SupportsTruncate
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
   override def truncate(): WriteBuilder =
-    new RowWrite(tableKey, writeSchema, replace = true)
+    new GroupWrite(tableKey, meta, writeSchema, GroupWrite.Overwrite)
+
+  // storage-aligned write: cluster incoming rows by the group hash so
+  // each group is written by exactly one task — one file per touched
+  // group per commit instead of (tasks × groups) fragments
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array[VExpression](
+      Expressions.bucket(meta.numGroups, meta.schema.head.name)))
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new RowWriterFactory(writeSchema)
+    new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
+      meta.schema.head.name, meta.numGroups)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val incoming = messages.flatMap(_.asInstanceOf[RowsMessage].rows)
-    RowStore.tables.synchronized {
-      val (schema, existing) = Option(RowStore.tables.get(tableKey))
-        .getOrElse(sys.error(s"no such table: $tableKey"))
-      val next = if (replace) incoming else existing ++ incoming
-      RowStore.tables.put(tableKey, (schema, next))
-      // retain the snapshot: every commit is a readable version
-      RowStore.history.merge(tableKey, Vector(next), (old, add) => old ++ add)
+    val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+      .map { case (g, n) => RowStore.FileEntry("base", g, n) }.toSeq
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      val old = RowStore.readManifest(tableKey, cur)
+      val next = mode match {
+        case GroupWrite.Append    => old ++ added
+        case GroupWrite.Overwrite => added
+        case GroupWrite.ReplaceGroups(op) =>
+          // replace exactly the groups the operation's scan read; a
+          // group the runtime filter pruned keeps its files verbatim
+          val replaced = op.scannedGroups.getOrElse(Set.empty)
+          old.filterNot(e => e.kind == "base" && replaced(e.group)) ++ added
+      }
+      RowStore.writeManifest(tableKey, cur + 1, next)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class RowsMessage(rows: Array[Array[Any]]) extends WriterCommitMessage
+case class FilesMessage(files: Seq[(Int, String)]) extends WriterCommitMessage
+
+class GroupWriterFactory(dir: String, writeSchema: StructType,
+    bucketCol: String, numGroups: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fields = writeSchema.fields.toSeq
+      private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
+      private val writers =
+        scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+
+      private def externalize(row: InternalRow): Array[Any] =
+        fields.zipWithIndex.map { case (f, i) =>
+          if (row.isNullAt(i)) null
+          else f.dataType match {
+            case LongType    => Long.box(row.getLong(i))
+            case IntegerType => Int.box(row.getInt(i))
+            case StringType  => row.getUTF8String(i).toString
+            case other       => sys.error(s"unsupported type $other")
+          }
+        }.toArray
+
+      override def write(row: InternalRow): Unit = {
+        // Defense for the no-metadata ReplaceData layout (op-code int
+        // prefixed): with requiredMetadataAttributes declared Spark's
+        // DataAndMetadataWritingSparkTask strips it before us, so an
+        // unexpected width fails LOUDLY rather than corrupting rows.
+        val vals =
+          if (row.numFields == fields.length) externalize(row)
+          else if (row.numFields == fields.length + 1) {
+            val opc = row.getInt(0)
+            require(opc == RowDeltaUtils.WRITE_OPERATION ||
+              opc == RowDeltaUtils.DELETE_OPERATION ||
+              opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+              s"unexpected op code $opc in op-prefixed write row")
+            if (opc == RowDeltaUtils.DELETE_OPERATION) return
+            externalize(new OffsetRow(row, 1))
+          } else sys.error(s"write row has ${row.numFields} fields, " +
+            s"schema has ${fields.length}")
+        val g =
+          if (bucketIdx < 0) 0 else RowStore.groupOf(vals(bucketIdx), numGroups)
+        val (_, w) = writers.getOrElseUpdate(g, {
+          val name = s"g$g-${UUID.randomUUID()}.parquet"
+          (name, new RowFiles.FileWriter(s"$dir/$name", fields))
+        })
+        w.write(vals)
+      }
+
+      // metadata-carrying form (WRITE_WITH_METADATA rows): the source
+      // group rides `metadata`, but this writer re-buckets by content,
+      // so the metadata is advisory only
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        FilesMessage(writers.map { case (g, (n, _)) => (g, n) }.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.close())
+      override def close(): Unit = ()
+    }
+}
+
+/** Merge-on-read row-level operation ([[SupportsDelta]]): the engine
+  * hands per-row insert/update/delete calls keyed by `_rid`; one delta
+  * parquet file per writer task records them, the manifest appends it,
+  * and NO base file is rewritten (pinned in RowCatalogSpec). */
+class DeltaRowLevelOp(tableKey: String, meta: RowStore.Meta,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_rid"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GroupScanBuilder(tableKey, meta, RowStore.currentVersion(tableKey),
+      None)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new RowDeltaWrite(tableKey, meta, info.schema())
+}
+
+class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
+    rowSchema: StructType) extends DeltaWriteBuilder with DeltaWrite
+    with DeltaBatchWrite {
+  override def build(): DeltaWrite = this
+  override def toBatch: DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
+      meta.schema.head.name, meta.numGroups)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+      .map { case (g, n) => RowStore.FileEntry("delta", g, n) }.toSeq
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      RowStore.writeManifest(tableKey, cur + 1,
+        RowStore.readManifest(tableKey, cur) ++ added)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
+    bucketCol: String, numGroups: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val fields = rowSchema.fields.toSeq
+      private val bucketIdx = rowSchema.fieldNames.indexOf(bucketCol)
+      private val fileSchema = RowResolve.DeltaMetaFields ++ fields
+      // one delta file per (task, touched group): group-tagged in the
+      // manifest, so reads replay only the deltas that can affect the
+      // group they're resolving
+      private val writers =
+        scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+      private def writer(g: Int): RowFiles.FileWriter =
+        writers.getOrElseUpdate(g, {
+          val name = s"d$g-${UUID.randomUUID()}.parquet"
+          (name, new RowFiles.FileWriter(s"$dir/$name", fileSchema))
+        })._2
+
+      private def dataVals(row: InternalRow): Array[Any] =
+        fields.zipWithIndex.map { case (f, i) =>
+          if (row == null || row.isNullAt(i)) null
+          else f.dataType match {
+            case LongType    => Long.box(row.getLong(i))
+            case IntegerType => Int.box(row.getInt(i))
+            case StringType  => row.getUTF8String(i).toString
+            case other       => sys.error(s"unsupported type $other")
+          }
+        }.toArray
+
+      private def rec(op: Int, rid: String, grp: Int, row: InternalRow): Unit =
+        writer(grp).write(
+          Array[Any](Int.box(op), rid, Int.box(grp)) ++ dataVals(row))
+
+      /** metadata = [_group] (the row's RESIDENT group — where the rid
+        * lives, not where the new values would hash; MOR never
+        * relocates rows, compaction does). id = [_rid]. */
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        rec(RowResolve.DeleteOp, id.getUTF8String(0).toString,
+          metadata.getInt(0), null)
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
+          metadata.getInt(0), row)
+      override def insert(row: InternalRow): Unit = {
+        val vals = dataVals(row)
+        val g = if (bucketIdx < 0) 0
+          else RowStore.groupOf(vals(bucketIdx), numGroups)
+        writer(g).write(Array[Any](Int.box(RowResolve.InsertOp), null,
+          Int.box(g)) ++ vals)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        FilesMessage(writers.map { case (g, (n, _)) => (g, n) }.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.close())
+      override def close(): Unit = ()
+    }
+}
+
+/** The CHANGE FEED read (`<table>.changes` with options from/to):
+  * restates inserts/deletes between two retained versions. Because
+  * files are immutable and manifests are per-version, a group whose
+  * file set is IDENTICAL at both versions provably contributed no
+  * change — it is never read. Only changed groups are resolved and
+  * multiset-diffed (an update surfaces as delete+insert; COW storage
+  * keeps no row identity across rewrites, which is the honest
+  * value-based CDF every COW format exposes). */
+class ChangesTable(baseKey: String, meta: RowStore.Meta)
+    extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.changes"
+  override def schema(): StructType =
+    StructType(meta.schema.fields :+
+      StructField("_change", StringType, nullable = false))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val from = Option(options.get("from")).map(_.toInt).getOrElse(0)
+    val to = Option(options.get("to")).map(_.toInt)
+      .getOrElse(RowStore.currentVersion(baseKey))
+    () => new ChangesScan(baseKey, meta, schema(), from, to)
+  }
+}
+
+class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
+    from: Int, to: Int) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = RowStore.dataDir(baseKey)
+    def side(v: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      val es = RowStore.readManifest(baseKey, v)
+      def paths(kind: String) = es.filter(_.kind == kind).groupBy(_.group)
+        .map { case (g, fs) => (g, fs.map(e => s"$dir/${e.name}")) }
+      (paths("base"), paths("delta"))
+    }
+    def forGroup(m: Map[Int, Seq[String]], g: Int): Seq[String] =
+      m.getOrElse(g, Seq.empty) ++ m.filter(_._1 < 0).values.flatten
+    val (fBase, fDelta) = side(from)
+    val (tBase, tDelta) = side(to)
+    (0 until meta.numGroups).filter { g =>
+      // unchanged file signature ⇒ unchanged group ⇒ skip entirely
+      forGroup(fBase, g) != forGroup(tBase, g) ||
+        forGroup(fDelta, g) != forGroup(tDelta, g)
+    }.map { g =>
+      ChangesPartition(g, forGroup(fBase, g), forGroup(fDelta, g),
+        forGroup(tBase, g), forGroup(tDelta, g))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val dataFields = meta.schema.fields.toSeq
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val c = p.asInstanceOf[ChangesPartition]
+        // multiset diff of the two resolved group states
+        val counts = new java.util.LinkedHashMap[Seq[Any], Int]()
+        RowResolve.resolve(c.group, c.toBase, c.toDelta, dataFields)
+          .foreach { case (_, v) =>
+            counts.merge(v.toSeq, 1, (a, b) => a + b) }
+        RowResolve.resolve(c.group, c.fromBase, c.fromDelta, dataFields)
+          .foreach { case (_, v) =>
+            counts.merge(v.toSeq, -1, (a, b) => a + b) }
+        val rows = counts.asScala.iterator.flatMap { case (v, n) =>
+          val tag = if (n > 0) "insert" else "delete"
+          Iterator.fill(math.abs(n))((v, tag))
+        }
+        new PartitionReader[InternalRow] {
+          private var cur: (Seq[Any], String) = _
+          override def next(): Boolean =
+            { val h = rows.hasNext; if (h) cur = rows.next(); h }
+          override def get(): InternalRow = new GenericInternalRow(
+            (cur._1.map {
+              case s: String => UTF8String.fromString(s)
+              case v         => v
+            } :+ UTF8String.fromString(cur._2)).toArray[Any])
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class ChangesPartition(group: Int, fromBase: Seq[String],
+    fromDelta: Seq[String], toBase: Seq[String], toDelta: Seq[String])
+    extends InputPartition
+
+/** View of `row` with the first `off` fields hidden (the op-code
+  * prefix); only the accessors the externalizer uses. */
+class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
+  override def numFields: Int = row.numFields - off
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + off)
+  override def getLong(i: Int): Long = row.getLong(i + off)
+  override def getInt(i: Int): Int = row.getInt(i + off)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + off)
+}
 
 /** Driver-contract entries for the DML catalog. */
 object RowCatalogQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.col
 
+  /** q106/q108 share one lifecycle (CREATE → INSERT seed → MERGE →
+    * DELETE) differing only in table name and format; the oracle
+    * restates the end state relationally from raw orders, so a wrong
+    * clause anywhere (DELETE firing for 'F' rows, the merge updating
+    * with the target's own cents, a delta misapplied) breaks the hash. */
+  private def dmlLifecycle(s: SparkSession, d: String, table: String,
+      viewTag: String, tblProps: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    graft.Tables(s, d, "orders").createOrReplaceTempView(s"${viewTag}_orders")
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"CREATE TABLE $table (k BIGINT, cents BIGINT, status STRING)" +
+      tblProps)
+    s.sql(s"""INSERT INTO $table
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+             o_orderstatus
+      FROM ${viewTag}_orders WHERE o_orderkey % 7 = 0""")
+    s.sql(s"""MERGE INTO $table t
+      USING (SELECT o_orderkey AS k,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    o_orderstatus AS status
+             FROM ${viewTag}_orders WHERE o_orderkey % 5 = 0) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.status = 'F' THEN
+        UPDATE SET cents = t.cents + s.cents
+      WHEN MATCHED AND t.status <> 'F' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, cents, status)
+        VALUES (s.k, s.cents, s.status)""")
+    s.sql(s"DELETE FROM $table WHERE k % 97 = 0")
+  }
+
+  /** The lifecycle's four statements folded into one relational
+    * restatement over the raw table (shared by q106/q108/q109). */
+  private val lifecycleCtes =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |src AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |merged AS (
+      |  SELECT t.k,
+      |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
+      |         THEN t.cents + s.cents ELSE t.cents END AS cents,
+      |    t.status
+      |  FROM t0 t LEFT JOIN src s ON t.k = s.k
+      |  WHERE s.k IS NULL OR t.status = 'F'
+      |  UNION ALL
+      |  SELECT s.k, s.cents, s.status
+      |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── q106: SQL MERGE INTO + DELETE FROM against the DSv2 catalog —
-    // the full DML lifecycle: CREATE a catalog table, INSERT a seed
-    // slice of orders, MERGE a second slice (conditional UPDATE /
-    // DELETE on match, INSERT on miss), then a row-level DELETE with a
-    // non-pushable predicate. All four statements are Spark's own SQL
-    // planning over the connector's row-level operation — the engine
-    // computes the merge, the connector only scans and replaces
-    // groups. The oracle restates the end state relationally from the
-    // raw orders table, so a wrong clause anywhere (e.g. DELETE firing
-    // for 'F' rows, or the merge updating with the target's own cents)
-    // breaks the hash.
+    // the full DML lifecycle over COPY-ON-WRITE file groups. All four
+    // statements are Spark's own SQL planning over the connector's
+    // row-level operation: the engine computes the merge, runtime
+    // group filtering prunes the scan to matched groups, and the
+    // connector replaces exactly those groups' parquet files.
     "q106_merge_into" -> ((s, d) => {
-      s.conf.set("spark.sql.catalog.graft_dml",
-        "graft.sources.GraftCatalog")
-      graft.Tables(s, d, "orders").createOrReplaceTempView("q106_orders")
-      s.sql("DROP TABLE IF EXISTS graft_dml.ns.accounts")
-      s.sql("CREATE TABLE graft_dml.ns.accounts " +
-        "(k BIGINT, cents BIGINT, status STRING)")
-      s.sql("""INSERT INTO graft_dml.ns.accounts
-        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
-               o_orderstatus
-        FROM q106_orders WHERE o_orderkey % 7 = 0""")
-      s.sql("""MERGE INTO graft_dml.ns.accounts t
-        USING (SELECT o_orderkey AS k,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                      o_orderstatus AS status
-               FROM q106_orders WHERE o_orderkey % 5 = 0) s
-        ON t.k = s.k
-        WHEN MATCHED AND t.status = 'F' THEN
-          UPDATE SET cents = t.cents + s.cents
-        WHEN MATCHED AND t.status <> 'F' THEN DELETE
-        WHEN NOT MATCHED THEN INSERT (k, cents, status)
-          VALUES (s.k, s.cents, s.status)""")
-      s.sql("DELETE FROM graft_dml.ns.accounts WHERE k % 97 = 0")
+      dmlLifecycle(s, d, "graft_dml.ns.accounts", "q106", "")
       s.table("graft_dml.ns.accounts").orderBy(col("k"))
     }),
 
-    // ── q107: SQL TIME TRAVEL (`VERSION AS OF`) — st30 reads one
-    // mid-version of a file layout; this is the CATALOG form every
-    // lake format exposes: each DML commit retains a snapshot, and
-    // `SELECT … FROM t VERSION AS OF v` resolves through the
-    // catalog's versioned loadTable to a read-only pinned table. The
-    // query replays q106's lifecycle on its own table (v0 CREATE,
-    // v1 INSERT seed, v2 MERGE, v3 DELETE) and aggregates EVERY
-    // version in one statement — so a wrong snapshot anywhere (a
-    // version mutated in place, an off-by-one pin) shifts a row the
-    // oracle, restating all four states from raw orders, will catch.
+    // ── q107: SQL TIME TRAVEL (`VERSION AS OF`) — each DML commit
+    // writes a manifest over immutable files, and `SELECT … VERSION
+    // AS OF v` plans from manifest v (v0 CREATE, v1 INSERT seed,
+    // v2 MERGE, v3 DELETE). Aggregating EVERY version in one statement
+    // means a wrong snapshot anywhere (a replaced group leaking into
+    // an old version, an off-by-one pin) shifts a row the oracle,
+    // restating all four states from raw orders, will catch.
     "q107_version_asof" -> ((s, d) => {
-      s.conf.set("spark.sql.catalog.graft_dml",
-        "graft.sources.GraftCatalog")
-      graft.Tables(s, d, "orders").createOrReplaceTempView("q107_orders")
-      s.sql("DROP TABLE IF EXISTS graft_dml.ns.accounts_v")
-      s.sql("CREATE TABLE graft_dml.ns.accounts_v " +
-        "(k BIGINT, cents BIGINT, status STRING)")
-      s.sql("""INSERT INTO graft_dml.ns.accounts_v
-        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
-               o_orderstatus
-        FROM q107_orders WHERE o_orderkey % 7 = 0""")
-      s.sql("""MERGE INTO graft_dml.ns.accounts_v t
-        USING (SELECT o_orderkey AS k,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                      o_orderstatus AS status
-               FROM q107_orders WHERE o_orderkey % 5 = 0) s
-        ON t.k = s.k
-        WHEN MATCHED AND t.status = 'F' THEN
-          UPDATE SET cents = t.cents + s.cents
-        WHEN MATCHED AND t.status <> 'F' THEN DELETE
-        WHEN NOT MATCHED THEN INSERT (k, cents, status)
-          VALUES (s.k, s.cents, s.status)""")
-      s.sql("DELETE FROM graft_dml.ns.accounts_v WHERE k % 97 = 0")
+      dmlLifecycle(s, d, "graft_dml.ns.accounts_v", "q107", "")
       s.sql("""
         SELECT 0 AS version, COUNT(*) AS n,
                CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
@@ -338,60 +1068,43 @@ object RowCatalogQueries {
         SELECT 3, COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT)
         FROM graft_dml.ns.accounts_v VERSION AS OF 3
         ORDER BY version""")
+    }),
+
+    // ── q108: the SAME lifecycle against a MERGE-ON-READ table
+    // ('format'='mor', SupportsDelta): MERGE/DELETE write row-level
+    // delta records instead of rewriting groups, and the scan merges
+    // base + deltas at read time. Identical oracle to q106 — the two
+    // storage strategies must be observationally equivalent.
+    "q108_merge_mor" -> ((s, d) => {
+      dmlLifecycle(s, d, "graft_dml.ns.accounts_m", "q108",
+        " TBLPROPERTIES ('format'='mor')")
+      s.table("graft_dml.ns.accounts_m").orderBy(col("k"))
+    }),
+
+    // ── q109: CHANGE-DATA-FEED read — `<table>.changes` with
+    // from/to options restates the inserts and deletes between two
+    // retained versions (an update = delete+insert, the value-based
+    // CDF of a COW format). Groups whose file signature is identical
+    // at both versions are never read. The oracle recomputes the diff
+    // between the v1 (seed) and v3 (final) states from raw orders.
+    "q109_change_feed" -> ((s, d) => {
+      dmlLifecycle(s, d, "graft_dml.ns.accounts_c", "q109", "")
+      s.read.option("from", "1").option("to", "3")
+        .table("graft_dml.ns.accounts_c.changes")
+        .orderBy(col("k"), col("_change"))
     })
   )
 
   val oracles: Map[String, String] = Map(
-    // the four statements folded into one relational restatement over
-    // the raw table: matched-and-F rows add the source cents,
-    // matched-and-not-F rows vanish, unmatched source rows insert,
-    // then the k % 97 delete
     "q106_merge_into" ->
-      """WITH t0 AS (
-        |  SELECT o_orderkey AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderstatus AS status
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |src AS (
-        |  SELECT o_orderkey AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderstatus AS status
-        |  FROM orders WHERE o_orderkey % 5 = 0),
-        |merged AS (
-        |  SELECT t.k,
-        |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
-        |         THEN t.cents + s.cents ELSE t.cents END AS cents,
-        |    t.status
-        |  FROM t0 t LEFT JOIN src s ON t.k = s.k
-        |  WHERE s.k IS NULL OR t.status = 'F'
-        |  UNION ALL
-        |  SELECT s.k, s.cents, s.status
-        |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)
+      s"""$lifecycleCtes
         |SELECT k, cents, status FROM merged
         |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
 
     // the four retained versions restated from raw orders: v0 empty,
-    // v1 the seed, v2 post-merge, v3 post-delete (q106's CTE chain)
+    // v1 the seed, v2 post-merge, v3 post-delete
     "q107_version_asof" ->
-      """WITH t0 AS (
-        |  SELECT o_orderkey AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderstatus AS status
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |src AS (
-        |  SELECT o_orderkey AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderstatus AS status
-        |  FROM orders WHERE o_orderkey % 5 = 0),
-        |merged AS (
-        |  SELECT t.k,
-        |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
-        |         THEN t.cents + s.cents ELSE t.cents END AS cents
-        |  FROM t0 t LEFT JOIN src s ON t.k = s.k
-        |  WHERE s.k IS NULL OR t.status = 'F'
-        |  UNION ALL
-        |  SELECT s.k, s.cents
-        |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)
+      s"""$lifecycleCtes
         |SELECT 0 AS version, CAST(0 AS BIGINT) AS n,
         |       CAST(0 AS BIGINT) AS sum_cents
         |UNION ALL
@@ -401,42 +1114,23 @@ object RowCatalogQueries {
         |UNION ALL
         |SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM merged
         |  WHERE k % 97 <> 0
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    "q108_merge_mor" ->
+      s"""$lifecycleCtes
+        |SELECT k, cents, status FROM merged
+        |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
+
+    "q109_change_feed" ->
+      s"""$lifecycleCtes,
+        |fin AS (SELECT k, cents, status FROM merged WHERE k % 97 <> 0),
+        |ins AS (SELECT k, cents, status FROM fin
+        |        EXCEPT ALL SELECT k, cents, status FROM t0),
+        |del AS (SELECT k, cents, status FROM t0
+        |        EXCEPT ALL SELECT k, cents, status FROM fin)
+        |SELECT k, cents, status, 'insert' AS _change FROM ins
+        |UNION ALL
+        |SELECT k, cents, status, 'delete' AS _change FROM del
+        |ORDER BY k, _change""".stripMargin
   )
-}
-
-class RowWriterFactory(schema: StructType) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-      override def write(row: InternalRow): Unit =
-        if (row.numFields == schema.length + 1) {
-          // group-based MERGE layout: Spark's MergeRows prefixes each
-          // replacement row with an int op-code column
-          // (RowDeltaUtils.OPERATION_COLUMN). Writers whose operation
-          // declares metadata attributes get this projected away by
-          // DataAndMetadataWritingSparkTask; the no-metadata path
-          // (this table: the whole table is one group, no _file/_pos)
-          // hands it through raw, so strip it here and drop DELETEs
-          // (kept/carryover rows arrive as WRITE_OPERATION).
-          val op = row.getInt(0)
-          if (op != org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
-            buf += RowStore.externalize(new OffsetRow(row, 1), schema)
-          }
-        } else {
-          buf += RowStore.externalize(row, schema)
-        }
-      override def commit(): WriterCommitMessage = RowsMessage(buf.toArray)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
-    }
-}
-
-/** View of `row` with the first `off` fields hidden (the op-code
-  * prefix); only the accessors RowStore.externalize uses. */
-class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
-  override def numFields: Int = row.numFields - off
-  override def isNullAt(i: Int): Boolean = row.isNullAt(i + off)
-  override def getLong(i: Int): Long = row.getLong(i + off)
-  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + off)
 }

@@ -60,4 +60,88 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.t")
     assert(!s.catalog.tableExists("graft_dml.spec.t"))
   }
+
+  test("COW MERGE touching 1 of 4 groups rewrites exactly 1 file") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cow")
+    s.sql("CREATE TABLE graft_dml.spec.cow (k BIGINT, v BIGINT, tag STRING)")
+    // single-statement VALUES insert → one writer task → exactly one
+    // base file per (non-empty) group; longs bucket by k % 4
+    s.sql("INSERT INTO graft_dml.spec.cow VALUES " +
+      (0 until 16).map(i => s"($i, ${i * 10}, 't')").mkString(", "))
+    val key = "graft_dml.spec.cow"
+    val v1 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    def files(m: Seq[RowStore.FileEntry], g: Int): Seq[String] =
+      m.filter(e => e.kind == "base" && e.group == g).map(_.name)
+    assert((0 until 4).forall(g => files(v1, g).size == 1),
+      s"expected one base file per group, got $v1")
+
+    // the merge source matches ONLY keys ≡ 2 (mod 4) → group 2: the
+    // runtime group filter must prune the operation scan to that one
+    // group, so groups 0/1/3 keep their files VERBATIM across the swap
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cow_src")
+    s.sql("CREATE TABLE graft_dml.spec.cow_src (k BIGINT, dv BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.cow_src VALUES (2, 1), (6, 1)")
+    s.sql("""MERGE INTO graft_dml.spec.cow t
+      USING graft_dml.spec.cow_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.dv""")
+    val v2 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    for (g <- Seq(0, 1, 3))
+      assert(files(v2, g) == files(v1, g),
+        s"group $g was rewritten by a MERGE that never matched it")
+    assert(files(v2, 2) != files(v1, 2), "matched group must be replaced")
+    assert(files(v2, 2).size == 1,
+      s"1-group MERGE must rewrite exactly 1 file, got ${files(v2, 2)}")
+
+    // values: 2 and 6 updated; 10 and 14 carried over in the rewrite
+    val got = s.table("graft_dml.spec.cow").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0 until 16).map(i =>
+      (i.toLong, i * 10L + (if (i == 2 || i == 6) 1L else 0L))))
+    // time travel still reads the replaced file (files are immutable)
+    assert(s.sql("SELECT sum(v) FROM graft_dml.spec.cow VERSION AS OF 1")
+      .head().getLong(0) == (0 until 16).map(_ * 10L).sum)
+    s.sql("DROP TABLE graft_dml.spec.cow")
+    s.sql("DROP TABLE graft_dml.spec.cow_src")
+  }
+
+  test("MOR UPDATE writes delta records and never rewrites base files") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mor")
+    s.sql("CREATE TABLE graft_dml.spec.mor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.mor VALUES " +
+      (0 until 8).map(i => s"($i, ${i * 10})").mkString(", "))
+    val key = "graft_dml.spec.mor"
+    val v1 = RowStore.readManifest(key, RowStore.currentVersion(key))
+
+    s.sql("UPDATE graft_dml.spec.mor SET v = v + 7 WHERE k % 2 = 0")
+    val v2 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    assert(v2.filter(_.kind == "base") == v1.filter(_.kind == "base"),
+      "MOR must not rewrite base files")
+    // matched keys {0,2,4,6} live in groups {0,2}: exactly one
+    // group-tagged delta file each, at any task parallelism
+    assert(v2.filter(_.kind == "delta").map(_.group).sorted == Seq(0, 2),
+      s"expected one delta file per touched group, got $v2")
+
+    // merge-on-read resolution sees the updates; time travel does not
+    val got = s.table("graft_dml.spec.mor").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0 until 8).map(i =>
+      (i.toLong, i * 10L + (if (i % 2 == 0) 7L else 0L))))
+    assert(s.sql("SELECT sum(v) FROM graft_dml.spec.mor VERSION AS OF 1")
+      .head().getLong(0) == (0 until 8).map(_ * 10L).sum)
+
+    // DELETE also lands as a delta; inserts via MERGE get fresh row
+    // ids that later statements can hit
+    s.sql("DELETE FROM graft_dml.spec.mor WHERE k = 3")
+    val v3 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    assert(v3.filter(_.kind == "base") == v1.filter(_.kind == "base"))
+    assert(s.table("graft_dml.spec.mor").count() == 7)
+    s.sql("DROP TABLE graft_dml.spec.mor")
+  }
 }
