@@ -33,6 +33,10 @@ object FunctionCatalog {
     "topk_by" ->
       (e => TopKByAggregate(e(0), e(1), positiveInt(e(2), "topk_by: k"))
         .toAggregateExpression()),
+    "topk_by_distinct" ->
+      (e => TopKByAggregate(e(0), e(1),
+        positiveInt(e(2), "topk_by_distinct: k"), distinctPayload = true)
+        .toAggregateExpression()),
     // Spark's internal runtime-filter bloom pair, surfaced as callable
     // functions (the engine injects them itself only across joins —
     // q53; d15 uses them as an explicit two-phase membership gate).

@@ -28,6 +28,7 @@ case class TopKByAggregate(
     ordExpr: Expression,
     payloadExpr: Expression,
     k: Int,
+    distinctPayload: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -38,7 +39,8 @@ case class TopKByAggregate(
     StructField("ord", DoubleType, nullable = false),
     StructField("payload", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, distinctPayload)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val o = ordExpr.eval(input)
@@ -62,7 +64,7 @@ case class TopKByAggregate(
 
   override def serialize(buf: TopKBuffer): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): TopKBuffer =
-    TopKBuffer.fromBytes(k, bytes)
+    TopKBuffer.fromBytes(k, distinctPayload, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAggregate =
     copy(mutableAggBufferOffset = newOffset)
@@ -75,7 +77,7 @@ case class TopKByAggregate(
 
 /** k-bounded binary min-heap over (ord, payload) "goodness":
   * better = higher ord, then lower payload; heap head = worst kept. */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val distinctPayload: Boolean = false) {
   private val ords = new Array[Double](k)
   private val pays = new Array[Long](k)
   private var n = 0
@@ -85,6 +87,7 @@ final class TopKBuffer(val k: Int) {
     oa < ob || (oa == ob && pa > pb)
 
   def insert(o: Double, p: Long): Unit = {
+    if (distinctPayload && containsPayload(p)) return // same pair, same ord
     if (n < k) {
       ords(n) = o; pays(n) = p; n += 1
       var i = n - 1 // sift up
@@ -103,6 +106,15 @@ final class TopKBuffer(val k: Int) {
         if (w == i) done = true else { swap(i, w); i = w }
       }
     }
+  }
+
+  // O(k) scan; k is small by contract (top-3/top-10). Valid only
+  // because a given payload always carries the SAME ord (cosine of a
+  // fixed pair), so "already kept" implies "identical entry".
+  @inline private def containsPayload(p: Long): Boolean = {
+    var i = 0
+    while (i < n) { if (pays(i) == p) return true; i += 1 }
+    false
   }
 
   @inline private def swap(i: Int, j: Int): Unit = {
@@ -129,10 +141,10 @@ final class TopKBuffer(val k: Int) {
 }
 
 object TopKBuffer {
-  def fromBytes(k: Int, bytes: Array[Byte]): TopKBuffer = {
+  def fromBytes(k: Int, distinctPayload: Boolean, bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, distinctPayload)
     var i = 0
     while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
     buf
@@ -140,10 +152,19 @@ object TopKBuffer {
 }
 
 object TopKFunctions {
-  /** Registers `topk_by(ord, payload, k)`; k must be a foldable int. */
+  /** Registers `topk_by(ord, payload, k)` and its payload-deduping
+    * sibling `topk_by_distinct`; k must be a foldable int. */
   def register(spark: SparkSession): Unit =
-    FunctionCatalog.register(spark, "topk_by")
+    FunctionCatalog.register(spark, "topk_by", "topk_by_distinct")
 
   def topkBy(ord: Column, payload: Column, k: Int): Column =
     call_function("topk_by", ord, payload, org.apache.spark.sql.functions.lit(k))
+
+  /** topk_by that keeps at most ONE entry per payload — for candidate
+    * streams where the same (group, payload) pair legitimately recurs
+    * with an identical ord (e.g. multi-table LSH co-occurrences), so
+    * the distinct-pairs shuffle can be skipped entirely. */
+  def topkByDistinct(ord: Column, payload: Column, k: Int): Column =
+    call_function("topk_by_distinct", ord, payload,
+      org.apache.spark.sql.functions.lit(k))
 }

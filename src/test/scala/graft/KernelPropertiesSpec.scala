@@ -44,7 +44,38 @@ class KernelPropertiesSpec extends AnyFunSuite {
     check(Prop.forAll(Gen.chooseNum(1, 10), Gen.listOf(entryGen)) { (k, xs) =>
       val buf = new TopKBuffer(k)
       xs.foreach { case (o, p) => buf.insert(o, p) }
-      TopKBuffer.fromBytes(k, buf.toBytes).sortedDesc == buf.sortedDesc
+      TopKBuffer.fromBytes(k, distinctPayload = false, buf.toBytes)
+        .sortedDesc == buf.sortedDesc
+    })
+  }
+
+  test("distinct-payload TopKBuffer equals top-k over distinct payloads") {
+    // duplicates carry the SAME ord per payload (the aggregate's usage
+    // contract: ord is a pure function of the payload pair)
+    check(Prop.forAll(Gen.chooseNum(1, 10),
+      Gen.listOf(Gen.chooseNum(0L, 20L))) { (k, pays) =>
+      def ordOf(p: Long): Double = math.sin(p.toDouble) // deterministic
+      val buf = new TopKBuffer(k, distinctPayload = true)
+      pays.foreach(p => buf.insert(ordOf(p), p))
+      val expected = pays.distinct.map(p => (ordOf(p), p))
+        .sortBy { case (o, p) => (-o, p) }.take(k)
+      buf.sortedDesc == expected
+    })
+  }
+
+  test("distinct-payload merge of disjoint partials equals union top-k") {
+    check(Prop.forAll(Gen.chooseNum(1, 10),
+      Gen.listOf(Gen.chooseNum(0L, 20L)), Gen.listOf(Gen.chooseNum(0L, 20L))) {
+      (k, xs, ys) =>
+        def ordOf(p: Long): Double = math.cos(p.toDouble)
+        val b1 = new TopKBuffer(k, distinctPayload = true)
+        xs.foreach(p => b1.insert(ordOf(p), p))
+        val b2 = new TopKBuffer(k, distinctPayload = true)
+        ys.foreach(p => b2.insert(ordOf(p), p))
+        b2.foreach((o, p) => b1.insert(o, p))
+        val expected = (xs ++ ys).distinct.map(p => (ordOf(p), p))
+          .sortBy { case (o, p) => (-o, p) }.take(k)
+        b1.sortedDesc == expected
     })
   }
 

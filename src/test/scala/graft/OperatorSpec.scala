@@ -123,6 +123,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s08 corpus-wide self-join: exact census + recall gate green") {
+    val row = SparkEntry.queries("s08_ann_selfjoin")(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    // 500 docs × top-3 each: the exact restatement's census is fully
+    // determined by the corpus size
+    assert(r.getAs[Long]("n_docs") == 500L)
+    assert(r.getAs[Long]("n_pairs") == 1500L)
+    assert(r.getAs[Boolean]("self_recall_ok"),
+      "LSH-routed self-join mean per-doc recall@3 fell below 0.7")
+  }
+
+  test("st32 streaming incremental dedup equals batch d15 and really multi-batches") {
+    val st = SparkEntry.queries("st32_stream_dedup")(spark, sf).collect()
+    assert(st.nonEmpty)
+    assert(st.forall(_.getAs[Boolean]("multi_batch")),
+      "stream drained in one batch — the incremental path was not exercised")
+    val streamed = st.map(_.getAs[Long]("doc_id")).toSet
+    val batch = SparkEntry.queries("d15_bloom_membership")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batch,
+      s"stream/batch survivor sets differ: only-stream=${(streamed -- batch).toSeq.sorted.take(5)} " +
+        s"only-batch=${(batch -- streamed).toSeq.sorted.take(5)}")
+  }
+
   test("streaming hourly agg equals its batch equivalent") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_hourly")(spark, sf)

@@ -114,7 +114,7 @@ class PortableHashSpec extends AnyFunSuite {
       "g01_pagerank", "g02_triangles", "q90_spj_agg", "q91_spj_join",
       "q92_scd2_build", "d10_tfidf_cosine", "g03_copurchase",
       "q100_pit_join", "d12_dedup_embedding_lsh", "d13_line_dedup",
-      "d14_cluster_reps")
+      "d14_cluster_reps", "s08_ann_selfjoin")
     // q53's queries entry returns only the scratch read-back (the join
     // runs inside the conf-scoped write), so sweep the LIVE join plan
     // directly instead of the vacuous closure
