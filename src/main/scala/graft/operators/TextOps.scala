@@ -692,6 +692,47 @@ object TextOps {
         size(split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|"))
           .cast("long").as("n_tok"))
         .orderBy(col("f").desc, col("w")).limit(20)
+    }),
+
+    // ── t15: BIGRAM-LM FLUENCY SCORE — the CCNet/KenLM-shaped quality
+    // signal the ratio heuristics (t02) and repetition stats (t09)
+    // miss: how PREDICTABLE a document's word transitions are under a
+    // language model trained on the corpus itself. The "model" is the
+    // corpus bigram conditional P(w2|w1) = count(w1,w2)/count(w1·), in
+    // INTEGER ppm (count·10⁶ div prefix-total — a float log-prob would
+    // drift at ulp level across engines; the ppm surrogate ranks
+    // identically and hash-checks exactly). Per document: bigram
+    // count, summed/mean conditional ppm (high = templated/fluent
+    // text, low = incoherent token soup), and the most surprising
+    // transition (min ppm — the KenLM min-score filter shape).
+    //
+    // Scale shape (100 TB): train and score are TWO keyed passes over
+    // the same bigram postings — (w1,w2) counts roll up with map-side
+    // partial agg, prefix totals aggregate the ALREADY vocabulary²-
+    // bounded count table (not the corpus), and scoring joins postings
+    // to the dictionary on (w1,w2) — the dictionary is the natural
+    // broadcast/bucketed dimension, and nothing is ever quadratic.
+    "t15_lm_score" -> ((s, d) => {
+      val grams = Dedup.spreadSmall(docs(s, d))
+        .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(toks)-1)")).as("i"), col("toks"))
+        .select(col("doc_id"), expr("toks[i-1]").as("w1"),
+          expr("toks[i]").as("w2"))
+      val c2 = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+      val dict = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"), expr("n2 * 1000000 div n1").as("ppm"))
+      grams.join(dict, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"),
+          min(col("ppm")).as("min_ppm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("sum_ppm"), expr("sum_ppm div n_bigrams").as("avg_ppm"),
+          col("min_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1137,7 +1178,27 @@ object TextOps {
          |SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
          |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
          |    AS BIGINT) AS n_tok
-         |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin
+         |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin,
+
+    // the same integer-ppm conditional model replayed: corpus bigram
+    // counts → prefix totals → count·10⁶ // prefix per transition,
+    // summed per doc (all int64; `//` is DuckDB's div)
+    "t15_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(1, len(toks)-1)) AS i, toks
+        |      FROM t WHERE len(toks) >= 2),
+        |gg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM g),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM gg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+        |d AS (SELECT w1, w2, CAST(n2 * 1000000 // n1 AS BIGINT) AS ppm
+        |      FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm,
+        |  CAST(MIN(ppm) AS BIGINT) AS min_ppm
+        |FROM gg JOIN d USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** One pair-count CTE level of the BPE oracle replay. */

@@ -499,13 +499,32 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GroupMetaCol, RidMetaCol)
 
+  /** Read option `groups=g1,g2,…` (or `compact=…`, the one-option
+    * OPTIMIZE handshake) statically restricts the scan to those groups
+    * — the compaction read path: only dirty groups are read, so only
+    * dirty groups are rewritten. The SAME `compact` key drives both
+    * the read restriction and the write's manifest swap because
+    * Spark's V2Writes asserts the (deduplicated) relation options and
+    * the write options agree — two different keys on the same table
+    * trip it. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GroupScanBuilder(tableKey, meta, version, None)
+    new GroupScanBuilder(tableKey, meta, version, None,
+      Option(options.get("groups")).orElse(Option(options.get("compact")))
+        .map(_.split(",").map(_.trim.toInt).toSet))
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
-    * `truncate()` on the same builder and flips it to replace-all. */
+    * `truncate()` on the same builder and flips it to replace-all.
+    * Write option `compact=g1,g2,…` commits the incoming files as the
+    * REPLACEMENT of exactly those groups' base+delta entries (the
+    * OPTIMIZE swap — see [[RowStoreOps.compact]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append)
+    Option(info.options().get("compact"))
+      .map(_.split(",").map(_.trim.toInt).toSet) match {
+      case Some(gs) =>
+        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Compact(gs))
+      case None =>
+        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append)
+    }
 
   /** MERGE/UPDATE/DELETE: Spark rewrites the statement against this
     * operation's builders — copy-on-write group replacement by
@@ -540,8 +559,8 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
 }
 
 class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
-    op: Option[GroupRowLevelOp]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   // default = full data schema; Spark prunes to referenced data +
   // metadata columns (so the parquet reads project, and a COUNT(*)
   // scan reads only footers)
@@ -549,7 +568,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new GroupScan(tableKey, meta, version,
-    required, op)
+    required, op, staticGroups)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -559,7 +578,8 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   * `In(_group, …)`, and only those groups are planned — and therefore
   * only those groups are rewritten. */
 class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
-    required: StructType, op: Option[GroupRowLevelOp])
+    required: StructType, op: Option[GroupRowLevelOp],
+    staticGroups: Option[Set[Int]] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -613,7 +633,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     val deltas = entries.filter(_.kind == "delta")
     val dir = RowStore.dataDir(tableKey)
     val kept = (0 until meta.numGroups)
-      .filter(g => groupKeep.forall(_.contains(g)))
+      .filter(g => groupKeep.forall(_.contains(g)) &&
+        staticGroups.forall(_.contains(g)))
     // the COW write replaces exactly what this plan read
     op.foreach(_.scannedGroups = Some(kept.toSet))
     kept.map { g =>
@@ -672,6 +693,10 @@ object GroupWrite {
   case object Append extends Mode
   case object Overwrite extends Mode
   case class ReplaceGroups(op: GroupRowLevelOp) extends Mode
+  /** OPTIMIZE: the incoming files replace EXACTLY these groups'
+    * base+delta entries — a group that resolved to zero visible rows
+    * writes no file but still sheds its old entries. */
+  case class Compact(groups: Set[Int]) extends Mode
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
@@ -709,6 +734,14 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           // group the runtime filter pruned keeps its files verbatim
           val replaced = op.scannedGroups.getOrElse(Set.empty)
           old.filterNot(e => e.kind == "base" && replaced(e.group)) ++ added
+        case GroupWrite.Compact(gs) =>
+          // dropping a compacted group's deltas is only sound when
+          // every delta entry is group-tagged (ours always are; an
+          // untagged table-wide delta would re-apply onto the freshly
+          // resolved base rows)
+          require(old.forall(e => e.kind != "delta" || e.group >= 0),
+            s"$tableKey has untagged delta files — cannot compact")
+          old.filterNot(e => gs(e.group)) ++ added
       }
       RowStore.writeManifest(tableKey, cur + 1, next)
     }
@@ -974,6 +1007,72 @@ class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
   override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + off)
 }
 
+/** Table-maintenance procedures — the OPTIMIZE / VACUUM half of the
+  * lake-format lifecycle (Iceberg's rewrite_data_files /
+  * expire_snapshots, Delta's OPTIMIZE / VACUUM). Both are
+  * metadata-planned on the driver (manifest-sized); OPTIMIZE's data
+  * movement is a regular distributed read→write. */
+object RowStoreOps {
+  import org.apache.spark.sql.SparkSession
+
+  /** OPTIMIZE: rewrite only DIRTY groups — any delta file (MOR
+    * read-amplification) or >1 base file (append fragmentation) — into
+    * one fresh base file per group, committed as a new version. Clean
+    * groups' files are NEVER read or rewritten (at 100 TB compaction
+    * that rewrites the table is a non-starter); the read is statically
+    * pruned to the dirty groups via the scan's `groups` option and the
+    * commit swaps exactly those groups' base+delta entries. Content is
+    * observationally unchanged — q110's oracle checks that, the spec
+    * pins the file accounting. Returns the dirty-group set and the
+    * manifest entry count before/after. */
+  def compact(s: SparkSession, table: String): (Set[Int], Int, Int) = {
+    val man = RowStore.readManifest(table, RowStore.currentVersion(table))
+    val dirty = man.groupBy(_.group).collect {
+      case (g, es) if g >= 0 && (es.exists(_.kind == "delta") ||
+        es.count(_.kind == "base") > 1) => g
+    }.toSet
+    if (dirty.nonEmpty) {
+      val gs = dirty.toSeq.sorted.mkString(",")
+      s.read.option("compact", gs).table(table)
+        .writeTo(table).option("compact", gs).append()
+    }
+    val after = RowStore.readManifest(table, RowStore.currentVersion(table))
+    (dirty, man.size, after.size)
+  }
+
+  /** VACUUM: retain the newest `keepLast` versions; delete expired
+    * manifests and every data file no retained manifest references.
+    * Time travel to a retained version keeps working (files are
+    * immutable and still referenced); an expired version fails at
+    * ANALYSIS (the manifest is gone), never with a dangling file read.
+    * Returns (retained versions, files physically deleted). */
+  def vacuum(table: String, keepLast: Int): (Seq[Int], Int) =
+    RowStore.commitLock.synchronized {
+      require(keepLast >= 1, "must retain at least the current version")
+      val vs = RowStore.versions(table)
+      val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+      val keep = retained.flatMap(v => RowStore.readManifest(table, v))
+        .map(_.name).toSet
+      expired.foreach { v =>
+        Files.deleteIfExists(
+          Paths.get(RowStore.tableDir(table), s"v$v.manifest")); ()
+      }
+      val dir = Paths.get(RowStore.dataDir(table))
+      val stream = Files.list(dir)
+      // data files only — Hadoop's LocalFileSystem writes hidden
+      // `.<name>.crc` sidecars, which ride along with their data file
+      val dead = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => !n.startsWith(".") && !keep(n)).toSeq
+      finally stream.close()
+      dead.foreach { n =>
+        Files.deleteIfExists(dir.resolve(n))
+        Files.deleteIfExists(dir.resolve(s".$n.crc")); ()
+      }
+      (retained, dead.size)
+    }
+}
+
 /** Driver-contract entries for the DML catalog. */
 object RowCatalogQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1092,6 +1191,45 @@ object RowCatalogQueries {
       s.read.option("from", "1").option("to", "3")
         .table("graft_dml.ns.accounts_c.changes")
         .orderBy(col("k"), col("_change"))
+    }),
+
+    // ── q110: OPTIMIZE (targeted compaction) — the MOR lifecycle
+    // leaves delta files the scan must replay on every read; compact
+    // rewrites ONLY the dirty groups (any delta, or fragmented base)
+    // into one base file each and drops their deltas, as a new
+    // version. The oracle is q108's content restatement verbatim:
+    // compaction must be observationally invisible. The file-level
+    // half of the contract (only dirty groups rewritten, deltas gone,
+    // pre-compact version still resolves) is pinned in RowCatalogSpec.
+    "q110_dml_optimize" -> ((s, d) => {
+      dmlLifecycle(s, d, "graft_dml.ns.accounts_o", "q110",
+        " TBLPROPERTIES ('format'='mor')")
+      RowStoreOps.compact(s, "graft_dml.ns.accounts_o")
+      s.table("graft_dml.ns.accounts_o").orderBy(col("k"))
+    }),
+
+    // ── q111: VACUUM (version retention) — after the COW lifecycle
+    // (v0..v3), retain the last 2 versions and physically delete the
+    // files only expired manifests reference. The row restates the
+    // THREE contract halves: current content unchanged (count +
+    // cents over the post-vacuum table), storage actually reclaimed
+    // (files deleted — v2's rewrite orphaned v1 files at every SF),
+    // and expired time travel failing at analysis rather than
+    // dangling into deleted files.
+    "q111_dml_vacuum" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val t = "graft_dml.ns.accounts_vac"
+      dmlLifecycle(s, d, t, "q111", "")
+      val (retained, deleted) = RowStoreOps.vacuum(t, keepLast = 2)
+      val expiredFails =
+        try { s.sql(s"SELECT * FROM $t VERSION AS OF 1"); false }
+        catch { case _: Exception => true }
+      s.table(t).agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("n_rows"), col("sum_cents"),
+          lit(retained.size).as("n_versions"),
+          lit(deleted > 0).as("reclaimed"),
+          lit(expiredFails).as("expired_read_fails"))
     })
   )
 
@@ -1131,6 +1269,20 @@ object RowCatalogQueries {
         |SELECT k, cents, status, 'insert' AS _change FROM ins
         |UNION ALL
         |SELECT k, cents, status, 'delete' AS _change FROM del
-        |ORDER BY k, _change""".stripMargin
+        |ORDER BY k, _change""".stripMargin,
+
+    // compaction must be observationally invisible — q108's content
+    // restatement verbatim
+    "q110_dml_optimize" ->
+      s"""$lifecycleCtes
+        |SELECT k, cents, status FROM merged
+        |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
+
+    // post-vacuum current content + the retention contract literals
+    "q111_dml_vacuum" ->
+      s"""$lifecycleCtes
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  2 AS n_versions, TRUE AS reclaimed, TRUE AS expired_read_fails
+        |FROM merged WHERE k % 97 <> 0""".stripMargin
   )
 }

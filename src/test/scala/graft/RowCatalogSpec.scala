@@ -144,4 +144,78 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(s.table("graft_dml.spec.mor").count() == 7)
     s.sql("DROP TABLE graft_dml.spec.mor")
   }
+
+  test("OPTIMIZE rewrites only dirty groups, drops their deltas, keeps history") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.opt")
+    s.sql("CREATE TABLE graft_dml.spec.opt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.opt VALUES " +
+      (0 until 8).map(i => s"($i, ${i * 10})").mkString(", "))
+    // deltas land in groups {0, 2} only; groups {1, 3} stay clean
+    s.sql("UPDATE graft_dml.spec.opt SET v = v + 7 WHERE k % 2 = 0")
+    val key = "graft_dml.spec.opt"
+    val before = RowStore.readManifest(key, RowStore.currentVersion(key))
+    val preVersion = RowStore.currentVersion(key)
+    def base(m: Seq[RowStore.FileEntry], g: Int): Seq[String] =
+      m.filter(e => e.kind == "base" && e.group == g).map(_.name)
+
+    val (dirty, _, _) = RowStoreOps.compact(s, key)
+    assert(dirty == Set(0, 2), s"dirty groups should be the delta'd ones: $dirty")
+    val after = RowStore.readManifest(key, RowStore.currentVersion(key))
+    // clean groups' files verbatim; dirty groups one FRESH base file;
+    // no delta survives
+    for (g <- Seq(1, 3)) assert(base(after, g) == base(before, g),
+      s"clean group $g was rewritten by OPTIMIZE")
+    for (g <- Seq(0, 2)) {
+      assert(base(after, g).size == 1 && base(after, g) != base(before, g),
+        s"dirty group $g must compact to one fresh file")
+    }
+    assert(after.forall(_.kind == "base"), s"deltas must be dropped: $after")
+    // observationally invisible: content unchanged, and the
+    // PRE-compact version still resolves base+delta
+    val got = s.table("graft_dml.spec.opt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0 until 8).map(i =>
+      (i.toLong, i * 10L + (if (i % 2 == 0) 7L else 0L))))
+    assert(s.sql(
+      s"SELECT sum(v) FROM graft_dml.spec.opt VERSION AS OF $preVersion")
+      .head().getLong(0) == got.map(_._2).sum)
+    // compacting a clean table is a metadata no-op: no new version
+    val v0 = RowStore.currentVersion(key)
+    assert(RowStoreOps.compact(s, key)._1.isEmpty)
+    assert(RowStore.currentVersion(key) == v0)
+    s.sql("DROP TABLE graft_dml.spec.opt")
+  }
+
+  test("VACUUM deletes expired manifests and exactly the orphaned files") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.vac")
+    s.sql("CREATE TABLE graft_dml.spec.vac (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.vac VALUES " +
+      (0 until 8).map(i => s"($i, $i)").mkString(", "))         // v1
+    s.sql("INSERT OVERWRITE graft_dml.spec.vac VALUES (1, 1), (2, 2)") // v2
+    val key = "graft_dml.spec.vac"
+    val m1 = RowStore.readManifest(key, 1).map(_.name).toSet
+    val m2 = RowStore.readManifest(key, 2).map(_.name).toSet
+    val orphans = m1 -- m2
+    assert(orphans.nonEmpty, "overwrite must orphan v1's files")
+
+    val (retained, deleted) = RowStoreOps.vacuum(key, keepLast = 1)
+    assert(retained == Seq(2) && deleted == orphans.size,
+      s"expected exactly the ${orphans.size} orphaned files deleted, " +
+        s"got $deleted (retained $retained)")
+    assert(RowStore.versions(key) == Seq(2))
+    // current read unaffected; expired time travel fails at ANALYSIS
+    assert(s.table("graft_dml.spec.vac").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    intercept[Exception] {
+      s.sql("SELECT * FROM graft_dml.spec.vac VERSION AS OF 1")
+    }
+    s.sql("DROP TABLE graft_dml.spec.vac")
+  }
 }
