@@ -925,7 +925,7 @@ class ChangesTable(baseKey: String, meta: RowStore.Meta)
     StructType(meta.schema.fields :+
       StructField("_change", StringType, nullable = false))
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val from = Option(options.get("from")).map(_.toInt).getOrElse(0)
     val to = Option(options.get("to")).map(_.toInt)
@@ -934,12 +934,12 @@ class ChangesTable(baseKey: String, meta: RowStore.Meta)
   }
 }
 
-class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
-    from: Int, to: Int) extends Scan with Batch {
-  override def readSchema(): StructType = out
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] = {
+/** Version-diff planning shared by the batch change-feed scan and the
+  * streaming one: only groups whose file signature differs between the
+  * two manifests are planned. */
+object ChangesPlanning {
+  def partitions(baseKey: String, meta: RowStore.Meta, from: Int,
+      to: Int): Array[InputPartition] = {
     val dir = RowStore.dataDir(baseKey)
     def side(v: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
       val es = RowStore.readManifest(baseKey, v)
@@ -960,6 +960,24 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
         forGroup(tBase, g), forGroup(tDelta, g))
     }.toArray
   }
+}
+
+class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
+    from: Int, to: Int) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangesPlanning.partitions(baseKey, meta, from, to)
+
+  /** Streaming CDF: the same diff read, micro-batched ONE VERSION per
+    * batch (offset = committed version) — `readStream.table(
+    * "….changes")` follows the table's history exactly the way
+    * Delta/Iceberg CDF streaming reads do. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream(baseKey, meta, from,
+      createReaderFactory())
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -996,6 +1014,44 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
 case class ChangesPartition(group: Int, fromBase: Seq[String],
     fromDelta: Seq[String], toBase: Seq[String], toDelta: Seq[String])
     extends InputPartition
+
+/** Offset = committed table version. */
+case class VersionOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** The streaming half of the change feed: admission-controlled to ONE
+  * version per micro-batch (so each batch is exactly one commit's
+  * changes — the shape CDC consumers key their exactly-once logic on),
+  * with the AvailableNow target latched at prepare time (SeqSource's
+  * discipline). Planning per batch is the shared version-diff: only
+  * groups whose file signature changed in that commit are read. */
+class ChangesMicroBatchStream(baseKey: String, meta: RowStore.Meta,
+    from: Int, factory: PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var target: Int = RowStore.currentVersion(baseKey)
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = RowStore.currentVersion(baseKey)
+  override def initialOffset(): Offset = VersionOffset(from)
+  override def latestOffset(): Offset = sys.error(
+    "admission-controlled source: latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(math.min(start.asInstanceOf[VersionOffset].v + 1, target))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VersionOffset(target)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ChangesPlanning.partitions(baseKey, meta,
+      start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+  override def createReaderFactory(): PartitionReaderFactory = factory
+}
 
 /** View of `row` with the first `off` fields hidden (the op-code
   * prefix); only the accessors the externalizer uses. */
@@ -1083,7 +1139,7 @@ object RowCatalogQueries {
     * restates the end state relationally from raw orders, so a wrong
     * clause anywhere (DELETE firing for 'F' rows, the merge updating
     * with the target's own cents, a delta misapplied) breaks the hash. */
-  private def dmlLifecycle(s: SparkSession, d: String, table: String,
+  private[graft] def dmlLifecycle(s: SparkSession, d: String, table: String,
       viewTag: String, tblProps: String): Unit = {
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
     graft.Tables(s, d, "orders").createOrReplaceTempView(s"${viewTag}_orders")
@@ -1110,7 +1166,7 @@ object RowCatalogQueries {
 
   /** The lifecycle's four statements folded into one relational
     * restatement over the raw table (shared by q106/q108/q109). */
-  private val lifecycleCtes =
+  private[graft] val lifecycleCtes =
     """WITH t0 AS (
       |  SELECT o_orderkey AS k,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

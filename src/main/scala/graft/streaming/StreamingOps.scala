@@ -1349,6 +1349,44 @@ object StreamingOps {
       s.read.parquet(outDir)
         .withColumn("multi_batch", lit(nBatches.get >= 2))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── st33: STREAMING CHANGE-FEED READ — `readStream.table(
+    // "<t>.changes")` follows the DML table's commit history, ONE
+    // VERSION PER MICRO-BATCH (the connector's admission control pins
+    // offset = committed version), which is how Delta/Iceberg CDF
+    // streams feed downstream CDC consumers. The q106 lifecycle
+    // commits v1 (seed INSERT), v2 (MERGE), v3 (DELETE); the drain
+    // must therefore produce exactly three batches whose contents are
+    // the three per-commit diffs — the oracle restates each from raw
+    // orders and tags it with its version, so a batch boundary drift
+    // (two commits folded into one batch, or a diff attributed to the
+    // wrong version) breaks the hash, not just a count. multi_batch
+    // pins the per-version stepping really happened.
+    "st33_stream_changes" -> ((s, d) => withStatePartitions(s, StateParts) {
+      graft.sources.RowCatalogQueries.dmlLifecycle(
+        s, d, "graft_dml.ns.accounts_s", "st33", "")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = graft.Scratch.dir(s, "graft_st33_out", tag)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.option("from", "0")
+        .table("graft_dml.ns.accounts_s.changes")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.incrementAndGet()
+          // batch k = the single diff v{k} → v{k+1}
+          batch.withColumn("version", lit(batchId.toInt + 1))
+            .write.mode(if (batchId == 0L) "overwrite" else "append")
+            .parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .withColumn("multi_batch", lit(nBatches.get >= 3))
+        .orderBy(col("version"), col("k"), col("_change"))
     })
   )
 
@@ -1748,6 +1786,23 @@ object StreamingOps {
         |                      WHERE p.text = n.text AND p.b < n.b))
         |SELECT n.doc_id, TRUE AS multi_batch FROM nw n
         |WHERE n.doc_id NOT IN (SELECT doc_id FROM dup)
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // the three per-commit diffs restated from raw orders, each tagged
+    // with its version: v1 = the seed (all inserts), v2 = the MERGE's
+    // value diff, v3 = the DELETE's removals
+    "st33_stream_changes" ->
+      s"""${graft.sources.RowCatalogQueries.lifecycleCtes},
+        |v2i AS (SELECT k, cents, status FROM merged
+        |        EXCEPT ALL SELECT k, cents, status FROM t0),
+        |v2d AS (SELECT k, cents, status FROM t0
+        |        EXCEPT ALL SELECT k, cents, status FROM merged)
+        |SELECT 1 AS version, k, cents, status, 'insert' AS _change,
+        |       TRUE AS multi_batch FROM t0
+        |UNION ALL SELECT 2, k, cents, status, 'insert', TRUE FROM v2i
+        |UNION ALL SELECT 2, k, cents, status, 'delete', TRUE FROM v2d
+        |UNION ALL SELECT 3, k, cents, status, 'delete', TRUE
+        |  FROM merged WHERE k % 97 = 0
+        |ORDER BY version, k, _change""".stripMargin
   )
 }
