@@ -509,8 +509,10 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
     * trip it. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GroupScanBuilder(tableKey, meta, version, None,
-      Option(options.get("groups")).orElse(Option(options.get("compact")))
-        .map(_.split(",").map(_.trim.toInt).toSet))
+      Option(options.get("groups"))
+        .map(_.split(",").map(_.trim.toInt).toSet)
+        .orElse(Option(options.get("compact"))
+          .map(v => GroupWrite.parseCompact(v)._2)))
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
     * `truncate()` on the same builder and flips it to replace-all.
@@ -519,9 +521,10 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
     * OPTIMIZE swap — see [[RowStoreOps.compact]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     Option(info.options().get("compact"))
-      .map(_.split(",").map(_.trim.toInt).toSet) match {
-      case Some(gs) =>
-        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Compact(gs))
+      .map(GroupWrite.parseCompact) match {
+      case Some((base, gs)) =>
+        new GroupWrite(tableKey, meta, info.schema(),
+          GroupWrite.Compact(base, gs))
       case None =>
         new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append)
     }
@@ -546,13 +549,19 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
   /** Groups the operation's (possibly runtime-pruned) scan planned;
     * None = scan never planned (plan dropped) → replace nothing. */
   @volatile private[sources] var scannedGroups: Option[Set[Int]] = None
+  /** Version the operation's scan read — the optimistic-concurrency
+    * base: commit refuses if another commit advanced the table past
+    * it (the rewrite would silently drop that commit's changes). */
+  @volatile private[sources] var baseVersion: Option[Int] = None
 
   override def command(): RowLevelOperation.Command = cmd
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column("_group"))
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GroupScanBuilder(tableKey, meta, RowStore.currentVersion(tableKey),
-      Some(this))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = RowStore.currentVersion(tableKey)
+    baseVersion = Some(v)
+    new GroupScanBuilder(tableKey, meta, v, Some(this))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GroupWrite(tableKey, meta, info.schema(),
       GroupWrite.ReplaceGroups(this))
@@ -695,8 +704,15 @@ object GroupWrite {
   case class ReplaceGroups(op: GroupRowLevelOp) extends Mode
   /** OPTIMIZE: the incoming files replace EXACTLY these groups'
     * base+delta entries — a group that resolved to zero visible rows
-    * writes no file but still sheds its old entries. */
-  case class Compact(groups: Set[Int]) extends Mode
+    * writes no file but still sheds its old entries. `base` is the
+    * version the compaction read, for the OCC commit check. */
+  case class Compact(base: Int, groups: Set[Int]) extends Mode
+
+  /** Option value codec for the compact handshake: `<ver>:<g1>,<g2>`. */
+  def parseCompact(v: String): (Int, Set[Int]) = {
+    val Array(ver, gs) = v.split(":", 2)
+    (ver.toInt, gs.split(",").map(_.trim.toInt).toSet)
+  }
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
@@ -730,11 +746,24 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
         case GroupWrite.Append    => old ++ added
         case GroupWrite.Overwrite => added
         case GroupWrite.ReplaceGroups(op) =>
+          // optimistic concurrency: the rewrite was computed against
+          // baseVersion's snapshot — committing over a later version
+          // would silently drop the interleaved commit's changes
+          // (appends compose, so only the replacing modes check)
+          op.baseVersion.filter(_ != cur).foreach { v =>
+            throw new java.util.ConcurrentModificationException(
+              s"$tableKey: row-level operation read version $v but the " +
+                s"table is now at $cur — retry the statement")
+          }
           // replace exactly the groups the operation's scan read; a
           // group the runtime filter pruned keeps its files verbatim
           val replaced = op.scannedGroups.getOrElse(Set.empty)
           old.filterNot(e => e.kind == "base" && replaced(e.group)) ++ added
-        case GroupWrite.Compact(gs) =>
+        case GroupWrite.Compact(base, gs) =>
+          if (base != cur)
+            throw new java.util.ConcurrentModificationException(
+              s"$tableKey: compaction planned at version $base but the " +
+                s"table is now at $cur — retry")
           // dropping a compacted group's deltas is only sound when
           // every delta entry is group-tagged (ours always are; an
           // untagged table-wide delta would re-apply onto the freshly
@@ -818,20 +847,28 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
   * and NO base file is rewritten (pinned in RowCatalogSpec). */
 class DeltaRowLevelOp(tableKey: String, meta: RowStore.Meta,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  /** OCC base, as in [[GroupRowLevelOp]]: delta records reference
+    * `_rid`s of this snapshot — replaying them over a different one
+    * could hit relocated/compacted rows. */
+  @volatile private[sources] var baseVersion: Option[Int] = None
+
   override def command(): RowLevelOperation.Command = cmd
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_rid"))
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column("_group"))
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GroupScanBuilder(tableKey, meta, RowStore.currentVersion(tableKey),
-      None)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = RowStore.currentVersion(tableKey)
+    baseVersion = Some(v)
+    new GroupScanBuilder(tableKey, meta, v, None)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new RowDeltaWrite(tableKey, meta, info.schema())
+    new RowDeltaWrite(tableKey, meta, info.schema(), Some(this))
 }
 
 class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
-    rowSchema: StructType) extends DeltaWriteBuilder with DeltaWrite
+    rowSchema: StructType, op: Option[DeltaRowLevelOp] = None)
+    extends DeltaWriteBuilder with DeltaWrite
     with DeltaBatchWrite {
   override def build(): DeltaWrite = this
   override def toBatch: DeltaBatchWrite = this
@@ -843,6 +880,11 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
       .map { case (g, n) => RowStore.FileEntry("delta", g, n) }.toSeq
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
+      op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
+        throw new java.util.ConcurrentModificationException(
+          s"$tableKey: delta operation read version $v but the table " +
+            s"is now at $cur — its _rids may no longer resolve; retry")
+      }
       RowStore.writeManifest(tableKey, cur + 1,
         RowStore.readManifest(tableKey, cur) ++ added)
     }
@@ -1082,15 +1124,16 @@ object RowStoreOps {
     * pins the file accounting. Returns the dirty-group set and the
     * manifest entry count before/after. */
   def compact(s: SparkSession, table: String): (Set[Int], Int, Int) = {
-    val man = RowStore.readManifest(table, RowStore.currentVersion(table))
+    val base = RowStore.currentVersion(table)
+    val man = RowStore.readManifest(table, base)
     val dirty = man.groupBy(_.group).collect {
       case (g, es) if g >= 0 && (es.exists(_.kind == "delta") ||
         es.count(_.kind == "base") > 1) => g
     }.toSet
     if (dirty.nonEmpty) {
-      val gs = dirty.toSeq.sorted.mkString(",")
-      s.read.option("compact", gs).table(table)
-        .writeTo(table).option("compact", gs).append()
+      val hs = s"$base:" + dirty.toSeq.sorted.mkString(",")
+      s.read.option("compact", hs).table(table)
+        .writeTo(table).option("compact", hs).append()
     }
     val after = RowStore.readManifest(table, RowStore.currentVersion(table))
     (dirty, man.size, after.size)

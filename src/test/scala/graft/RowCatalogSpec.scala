@@ -190,6 +190,34 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.opt")
   }
 
+  test("optimistic concurrency: a stale COW rewrite refuses to commit") {
+    val s = spark
+    import graft.sources.{GroupRowLevelOp, GroupWrite, RowStore}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.occ")
+    s.sql("CREATE TABLE graft_dml.spec.occ (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.occ VALUES (1, 10), (2, 20)")
+    val key = "graft_dml.spec.occ"
+    // a row-level operation plans its scan at the current version...
+    val op = new GroupRowLevelOp(key, RowStore.readMeta(key),
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    // ...another writer commits in between...
+    s.sql("INSERT INTO graft_dml.spec.occ VALUES (3, 30)")
+    // ...so the stale rewrite's commit must refuse, not clobber
+    val w = new graft.sources.GroupWrite(key, RowStore.readMeta(key),
+      RowStore.readMeta(key).schema, GroupWrite.ReplaceGroups(op))
+    intercept[java.util.ConcurrentModificationException] {
+      w.commit(Array.empty)
+    }
+    // the interleaved insert survived and the table is intact
+    assert(s.table("graft_dml.spec.occ").count() == 3)
+    s.sql("DROP TABLE graft_dml.spec.occ")
+  }
+
   test("VACUUM deletes expired manifests and exactly the orphaned files") {
     val s = spark
     import graft.sources.{RowStore, RowStoreOps}
