@@ -342,6 +342,32 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // ── p10: QUALITY-WEIGHTED sampling — keep-probability ∝ quality²
+    // (the DCLM/FineWeb-style soft filter: instead of a hard quality
+    // cutoff, low-quality text survives at a quadratically reduced
+    // rate, preserving distributional coverage). p02/p04/p09 gate on
+    // STATIC or count-derived per-group rates; here the rate is a
+    // PER-ROW function of the document's own t02 quality score, so
+    // the gate composes the two families: rate_ppm = ⌊quality²·10⁶⌋
+    // (quality is already round(·,6) — identical doubles in both
+    // engines; floor, never round) against the same portable-hash ppm
+    // draw. One narrow codegen'd pass, no RNG stream, no shuffle
+    // before the per-language rollup — reproducible at any
+    // parallelism, which is the property that matters at 100 TB.
+    "p10_quality_sample" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      withQualityCols(docs(s, d))
+        .withColumn("rate_ppm",
+          expr("CAST(floor(quality * quality * 1000000) AS BIGINT)"))
+        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
+          concat(lit("qsamp:"), col("doc_id").cast(StringType))),
+          lit(1000000L)) < col("rate_ppm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+          sum(col("rate_ppm")).as("sum_rate_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
     // subset (k docs per language), reproducible across reruns,
     // engines, and repartitions. Ranking by the portable hash gives a
@@ -1179,6 +1205,38 @@ object TextOps {
          |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
          |    AS BIGINT) AS n_tok
          |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin,
+
+    // the t02 quality formula replayed (rounded BEFORE squaring, as
+    // the engine's quality column is), the same ppm hash gate
+    "p10_quality_sample" -> {
+      val hash = graft.functions.PortableHashFunctions
+        .polyHashSql("'qsamp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_raw,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |      t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\\s+')) AS stop_raw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(
+        |      round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
+        |        + 0.3 * (1.0 - punct_raw)
+        |        + 0.3 * least(1.0, stop_raw * 5.0), 6)
+        |      * round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
+        |        + 0.3 * (1.0 - punct_raw)
+        |        + 0.3 * least(1.0, stop_raw * 5.0), 6)
+        |      * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM q)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+        |  CAST(SUM(rate_ppm) AS BIGINT) AS sum_rate_ppm
+        |FROM r WHERE $hash % 1000000 < rate_ppm
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // the same integer-ppm conditional model replayed: corpus bigram
     // counts → prefix totals → count·10⁶ // prefix per transition,
