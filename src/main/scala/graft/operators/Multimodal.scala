@@ -96,6 +96,35 @@ object Multimodal {
       resizedN, polyChecksum(bytes, step))
   }
 
+  /** A payload's perceptual hash row (m06). */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** 56-bit dHash of the stub-decoded payload: an 8×8 "grayscale
+    * grid" sampled at even byte strides, one bit per horizontal
+    * gradient (grid(r)(c) < grid(r)(c+1): 7 bits × 8 rows). A real
+    * pipeline decodes pixels and box-downsamples; the grid sampler is
+    * the marked stub (the m02 discipline) — swap it for a decoder and
+    * the hash/banding/rescore machinery is unchanged. 56 bits keeps
+    * the hash a positive int64 in both engines (bit 63 would hit the
+    * sign bit, where DuckDB's shift and Spark's disagree on
+    * overflow). */
+  private def dhashStub(a: Asset): MediaHash = {
+    val b = a.data
+    val n = b.length
+    val grid = Array.tabulate(64)(i => b((i.toLong * n / 64).toInt) & 0xff)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (grid(r * 8 + c) < grid(r * 8 + c + 1)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    MediaHash(a.doc_id, h)
+  }
+
   /** documents → assets: text bytes stand in for the media payload;
     * fmt/width/height are deterministic metadata. */
   private def assets(s: SparkSession, d: String): DataFrame =
@@ -265,6 +294,68 @@ object Multimodal {
           sum(col("event_id")).as("id_sum"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // ── m06: PERCEPTUAL-HASH MEDIA NEAR-DUP — image dedup for the
+    // multimodal corpus: every payload "decodes" (stub) to an 8×8
+    // grid, hashes to a 56-bit dHash, and near-duplicate pairs
+    // surface through d03's pigeonhole machinery — 4×14-bit bands
+    // bucket candidates (hamming ≤ 3 guarantees one clean band, so
+    // banding is recall-complete for the cutoff), a 64-cap keeps any
+    // degenerate bucket from going quadratic, and the exact hamming
+    // rescore runs only on banded candidates. One narrow decode pass
+    // per payload + two hash-sized shuffles; the payload bytes never
+    // shuffle. This is text-SimHash's (d03) shape deliberately: a real
+    // curation pipeline runs BOTH, one per modality, over different
+    // decoders — here the decoder is the swap point, the pipeline is
+    // identical, and the whole result (hash, banding, rescore) is
+    // oracle-replayed byte-for-byte.
+    //
+    // The fixture has no payload-level near-dups (its text variants
+    // shift bytes, which no stride sampler survives — the honest
+    // limitation of any grid hash under insertion), so every 37th
+    // asset gains a RE-ENCODED VARIANT (the t08 augmentation
+    // precedent): one byte swapped at grid cell 17's exact sample
+    // position, the "lightly corrupted copy" perceptual dedup exists
+    // to catch. One cell moves ⇒ at most its two gradient bits flip
+    // ⇒ hamming ≤ 2, safely inside the pigeonhole cutoff, and the
+    // oracle builds the identical variant.
+    "m06_media_dedup" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables(s, d, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("concat(substring(text, 1, (17 * length(text)) div 64), 'Z', " +
+            "substring(text, (17 * length(text)) div 64 + 2))").as("text"))
+      val ds: Dataset[Asset] = Dedup.spreadSmall(
+        base.unionByName(variants)
+          .select(col("doc_id"), lit("png").as("fmt"),
+            lit(64).as("width"), lit(64).as("height"),
+            encode(col("text"), "UTF-8").as("data"))).as[Asset]
+      // hash table consumed by banding AND both rescore sides:
+      // materialize once (the d10 discipline)
+      val ph = ds.mapPartitions(_.map(dhashStub)).toDF().localCheckpoint()
+      val chunks = (0 until 4).foldLeft(ph)((df, c) =>
+        df.withColumn(s"c$c", expr(s"shiftright(phash, ${14 * c}) & 16383")))
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(c => col(s"c$c")): _*))
+            .as(Seq("chunk_id", "chunk_val")))
+      val cands = chunks.groupBy(col("chunk_id"), col("chunk_val"))
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
+        .select(explode(col("ids")).as("a_id"), col("ids"))
+        .select(col("a_id"), explode(col("ids")).as("b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .distinct()
+      val ha = ph.select(col("doc_id").as("a_id"), col("phash").as("ph_a"))
+      val hb = ph.select(col("doc_id").as("b_id"), col("phash").as("ph_b"))
+      cands.join(ha, "a_id").join(hb, "b_id")
+        .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -336,6 +427,45 @@ object Multimodal {
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS cents_sum
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the full m06 pipeline replayed over the ASCII byte==char-code
+    // identity the m01/m02 contract pins: base ∪ re-encoded variants →
+    // stride-sampled 8×8 grid → 56-bit gradient hash → 4×14-bit
+    // banding (64-cap) → hamming ≤ 3
+    "m06_media_dedup" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 64),
+        |t AS (SELECT doc_id, text, length(text) AS n FROM b
+        |      UNION ALL
+        |      SELECT doc_id + 10000000,
+        |        substring(text, 1, (17 * length(text)) // 64) || 'Z'
+        |          || substring(text, (17 * length(text)) // 64 + 2),
+        |        length(text) AS n
+        |      FROM b WHERE doc_id % 37 = 0),
+        |g AS (SELECT doc_id, list_transform(generate_series(0, 63),
+        |        i -> ord(substring(text, CAST(i * n // 64 AS INTEGER) + 1, 1)))
+        |        AS grid
+        |      FROM t),
+        |ph AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 55), k ->
+        |      CASE WHEN grid[(k // 7) * 8 + (k % 7) + 1]
+        |               < grid[(k // 7) * 8 + (k % 7) + 2]
+        |           THEN (CAST(1 AS BIGINT) << k)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM g),
+        |ch AS (SELECT doc_id, c, (phash >> (14 * CAST(c AS INTEGER))) & 16383 AS v
+        |       FROM ph, range(0, 4) AS tc(c)),
+        |sz AS (SELECT c, v, count(*) AS cnt FROM ch GROUP BY c, v),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v
+        |           AND x.doc_id < y.doc_id
+        |         JOIN sz s2 ON s2.c = x.c AND s2.v = x.v AND s2.cnt <= 64)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(pa.phash, pb.phash)) AS INTEGER) AS hamming
+        |FROM cand JOIN ph pa ON pa.doc_id = a_id
+        |          JOIN ph pb ON pb.doc_id = b_id
+        |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }
