@@ -267,8 +267,19 @@ object Similarity {
     * broadcast and no BroadcastNestedLoopJoin appears) and the s05
     * aggregate shape (TopKByAggregate keeps a k-bounded heap per query,
     * so the shuffle after scoring carries ≤K pairs per query per map
-    * task instead of sort-spilling |corpus| candidates per query). */
-  private def exactSelfTopK(s: SparkSession, d: String): DataFrame = {
+    * task instead of sort-spilling |corpus| candidates per query).
+    *
+    * Session-cached (the ivfCache discipline): the O(n²) exact pass is
+    * the GATE's restatement, not the operator under measurement — it
+    * was 7.3 s of s08's bench wall at sf0.1, recomputed identically on
+    * every invocation. */
+  private val exactSelfCache = new graft.SessionLruCache[DataFrame](4)
+
+  private def exactSelfTopK(s: SparkSession, d: String): DataFrame =
+    exactSelfCache.getOrElseUpdate(s, d)(
+      exactSelfTopKUncached(s, d).localCheckpoint())
+
+  private def exactSelfTopKUncached(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     graft.functions.TopKFunctions.register(s)
     import s.implicits._
@@ -548,8 +559,8 @@ object Similarity {
         .select(col("q_id"), explode(col("top")).as("entry"))
         .select(col("q_id"), col("entry.payload").as("n_id"))
       // two consumers of the exact restatement (per-doc sizes + hits):
-      // materialize once, the d10 discipline
-      val exact = exactSelfTopK(s, d).localCheckpoint()
+      // materialized once inside the session cache
+      val exact = exactSelfTopK(s, d)
       val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
       val meanRecall = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_k"))
