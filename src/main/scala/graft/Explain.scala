@@ -20,7 +20,9 @@ object Explain {
         "g02_triangles", "q100_pit_join", "q101_manifest_skip",
         "q102_resample_ohlc", "d11_sorted_neighborhood", "t12_bpe_pairs",
         "d13_line_dedup", "t13_bpe_train", "q105_runtime_filter",
-        "d14_cluster_reps", "q106_merge_into", "q107_version_asof")
+        "d14_cluster_reps", "q106_merge_into", "q107_version_asof",
+        "q110_dml_optimize", "s09_ann_pq", "t15_lm_score",
+        "m06_media_dedup", "p10_quality_sample", "s08_ann_selfjoin")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

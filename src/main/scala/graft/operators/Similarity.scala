@@ -207,8 +207,11 @@ object Similarity {
           .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
           .clusterCenters.map(_.toArray.toSeq).toSeq
       }
+      // codes ONLY — materializing the float vectors alongside would
+      // forfeit the compression the index exists for; rescore reads
+      // vectors from the base table
       val codes = e.withColumn("cb", typedLit(cb))
-        .select(col("vec_id"), col("embedding"), expr(
+        .select(col("vec_id"), expr(
           s"""transform(sequence(0, ${PqM - 1}), m ->
              |  aggregate(
              |    transform(sequence(0, ${PqCodes - 1}), c ->
@@ -225,7 +228,7 @@ object Similarity {
     }
 
   /** The s09 search path: per-query ADC lookup table → code-only
-    * shortlist (top-10 by approximate cosine) → exact rescore top-K. */
+    * shortlist (top-50 by approximate cosine) → exact rescore top-K. */
   private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val (codes, cb) = pqIndex(s, d)
