@@ -263,6 +263,54 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"), col("cos"))
   }
 
+  /** The s10 IVFPQ search path: coarse cells bound WHICH vectors are
+    * scored (s03's routing), PQ codes bound WHAT is read per vector
+    * (s09's compression) — candidates = probed cells' code entries
+    * only, ADC-scored via the per-query LUT, exact rescore on the
+    * top-50. Residual-free composition (codes quantize the vectors,
+    * not their cell residuals): cheaper to build, a little recall
+    * pessimal vs classic IVFPQ — which is exactly what the in-plan
+    * gate measures. */
+  private[graft] def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val (assigned, centsDf) = ivfIndex(s, d)
+    val (codes, cb) = pqIndex(s, d)
+    // the serving index: cell-routed code entries — the inverted list
+    // a real IVFPQ index stores (cell → [vec_id, 16-byte code])
+    val index = assigned.select(col("vec_id"), col("cell"))
+      .join(codes, "vec_id")
+    val q = Tables(s, d, "embeddings").filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val lutQ = q.withColumn("cb", typedLit(cb))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  transform(sequence(0, ${PqCodes - 1}), c ->
+           |    aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS DOUBLE),
+           |      (a, i) -> a + CAST(qv[m * $PqSub + i] AS DOUBLE) * cb[m][c][i])))
+           |""".stripMargin))
+      .select(col("q_id"), col("lut"))
+    val routed = probeCells(q, centsDf, 5).join(lutQ, "q_id")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id").asc)
+    val shortlist = index.join(broadcast(routed), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE), " +
+          "(a, m) -> a + lut[m][code[m]])"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("adc"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= 50)
+    val vn = Tables(s, d, "embeddings")
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    shortlist.join(vn, "n_id")
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"))
+  }
+
   /** Block-decomposed EXACT corpus-wide top-K: every vector's true
     * top-K neighbors — the recall restatement for s08. Two scale
     * disciplines compose: the d05 block trick (B ordered block tasks
@@ -517,6 +565,23 @@ object Similarity {
         "pq_recall_ok")
     }),
 
+    // ── s10: IVFPQ — the two orthogonal ANN economies composed the
+    // way billion-vector serving indexes (FAISS IVFPQ, ScaNN) ship:
+    // the coarse quantizer bounds WHICH vectors are touched (5 of 16
+    // cells per query), the product codes bound WHAT is read per
+    // touched vector (16 bytes, ADC lookups), and floats appear only
+    // in the top-50 exact rescore. Both index halves come from the
+    // session caches, so the query measures the serving path. Gate at
+    // the IVF route's own threshold (0.3): composed recall is
+    // cell-recall × shortlist-survival, dominated by the routing loss
+    // s04 already prices (measured 0.60–0.93 across SFs at 5 probes;
+    // 3 probes sat at 0.33 on the sf0.001 embedding draw).
+    "s10_ann_ivfpq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      recallGate(queries("s01_ann_bruteforce")(s, d), ivfPqTopK(s, d), 0.3,
+        "ivfpq_recall_ok")
+    }),
+
     // ── s08: ANN SELF-JOIN — corpus×corpus top-K, the shape dedup-aware
     // curation and RAG index builds run at 100 TB: EVERY document gets
     // its K nearest neighbors, not just a query batch (s01/s05) and not
@@ -719,6 +784,23 @@ object Similarity {
         |        ORDER BY cos DESC, n_id ASC) AS rank
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS pq_recall_ok FROM topk""".stripMargin,
+
+    // the composed-index gate, same discipline
+    "s10_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS ivfpq_recall_ok FROM topk""".stripMargin,
 
     // n_pairs is independently derivable (5 queries × top-3); the
     // booleans are the recall contract the engine must meet
