@@ -33,7 +33,7 @@ object Similarity {
     * round-3 advisor). */
   private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](4)
 
-  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[operators] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s, d)(ivfFit(s, d))
 
   private def ivfFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
