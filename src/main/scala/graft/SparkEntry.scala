@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.ChangeCapture.queries ++
       operators.Graph.queries ++
+      operators.Geo.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.ChangeCapture.oracles ++
       operators.Graph.oracles ++
+      operators.Geo.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++

@@ -115,7 +115,8 @@ class PortableHashSpec extends AnyFunSuite {
       "q92_scd2_build", "d10_tfidf_cosine", "g03_copurchase",
       "q100_pit_join", "d12_dedup_embedding_lsh", "d13_line_dedup",
       "d14_cluster_reps", "s08_ann_selfjoin", "t15_lm_score",
-      "m06_media_dedup", "p10_quality_sample")
+      "m06_media_dedup", "p10_quality_sample", "q113_geo_radius_join",
+      "d16_semantic_dedup")
     // q53's queries entry returns only the scratch read-back (the join
     // runs inside the conf-scoped write), so sweep the LIVE join plan
     // directly instead of the vacuous closure
