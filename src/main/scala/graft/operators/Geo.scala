@@ -53,6 +53,11 @@ object Geo {
       * lit(mix), lit(1000000007L))
   }
 
+  /** Spec hook: the point cloud, for the brute-force completeness pin
+    * in OperatorSpec. */
+  private[graft] def pointsForSpec(s: SparkSession, d: String): DataFrame =
+    points(s, d)
+
   /** One point per order, poly-hash-placed. */
   private def points(s: SparkSession, d: String): DataFrame = {
     graft.functions.PortableHashFunctions.register(s)

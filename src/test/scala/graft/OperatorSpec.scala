@@ -39,6 +39,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(minhash.subsetOf(exact))
   }
 
+  test("q113 grid decomposition matches the brute-force radius join") {
+    // the 3×3 neighbor-cell equi-join claims completeness: with cell
+    // size = radius, NO within-radius pair can escape the
+    // neighborhood. Pin it against the O(n²) restatement the operator
+    // exists to avoid (cheap at sf0.001's 1500 points).
+    import org.apache.spark.sql.functions._
+    val grid = SparkEntry.queries("q113_geo_radius_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = graft.operators.Geo.pointsForSpec(spark, sf)
+    val n = pts.count()
+    val c = 25000L / (math.floor(math.sqrt(n.toDouble)).toLong + 1)
+    val a = pts.select(col("id").as("a_id"), col("latu").as("la"),
+      col("lonu").as("lo"))
+    val b = pts.select(col("id").as("b_id"), col("latu").as("lb"),
+      col("lonu").as("lob"))
+    val brute = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2", (col("la") - col("lb")) * (col("la") - col("lb")) +
+        (col("lo") - col("lob")) * (col("lo") - col("lob")))
+      .filter(col("d2") <= c * c)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_within"), min(col("d2")).as("min_d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grid.nonEmpty && grid == brute)
+  }
+
   test("q48 fixture guard: no per-user gap of exactly 30 minutes at any SF") {
     // q24's lag oracle splits sessions on gap > 30 min; Spark's
     // half-open session_window (q48 shares that oracle) splits at
