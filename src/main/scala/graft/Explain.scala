@@ -22,7 +22,9 @@ object Explain {
         "d13_line_dedup", "t13_bpe_train", "q105_runtime_filter",
         "d14_cluster_reps", "q106_merge_into", "q107_version_asof",
         "q110_dml_optimize", "s09_ann_pq", "t15_lm_score",
-        "m06_media_dedup", "p10_quality_sample", "s08_ann_selfjoin")
+        "m06_media_dedup", "p10_quality_sample", "s08_ann_selfjoin",
+        "s10_ann_ivfpq", "d16_semantic_dedup", "q112_geo_hotspots",
+        "q113_geo_radius_join")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
