@@ -58,6 +58,20 @@ object Geo {
   private[graft] def pointsForSpec(s: SparkSession, d: String): DataFrame =
     points(s, d)
 
+  /** The facility dimension: one "station" per nation row, placed by
+    * the same portable hash machinery (distinct prefixes). */
+  private def facilities(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHashFunctions.polyHash
+    def fAxis(prefix: String, mix: Long, extent: Long) =
+      pmod(pmod(polyHash(concat(lit(prefix),
+        col("n_nationkey").cast("string"))) * lit(mix),
+        lit(1000000007L)), lit(extent))
+    Tables(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("fid"),
+      fAxis("flat:", 2654435761L, LatExtent).as("flat"),
+      fAxis("flon:", 1779033703L, LonExtent).as("flon"))
+  }
+
   /** One point per order, poly-hash-placed. */
   private def points(s: SparkSession, d: String): DataFrame = {
     graft.functions.PortableHashFunctions.register(s)
@@ -144,6 +158,33 @@ object Geo {
         .groupBy(col("a_id"))
         .agg(count(lit(1)).as("n_within"), min(col("d2")).as("min_d2"))
         .orderBy(col("a_id"))
+    }),
+
+    // ── q114: NEAREST-FACILITY assignment — the OTHER canonical
+    // spatial join (point × small dimension: district stations,
+    // hospitals, depots): every point assigns to its nearest of 25
+    // hash-placed facilities, rolled up per facility. The 25-row
+    // facility table broadcasts (no grid needed — a dimension this
+    // small IS the broadcast case; the grid decomposition is for
+    // point×point, q113); the per-point argmin is the collision-free
+    // integer fold (d²·100 + fid, exact in int64 since d² < 1.6·10⁹),
+    // ONE hash aggregate — no window, no per-point sort — and the
+    // facility rollup is a second tiny aggregate. At 100 TB: one
+    // corpus pass, two map-side-combined aggregations.
+    "q114_geo_nearest_facility" -> ((s, d) => {
+      val pts = points(s, d)
+      val assigned = pts.crossJoin(broadcast(facilities(s, d)))
+        .withColumn("d2",
+          (col("latu") - col("flat")) * (col("latu") - col("flat")) +
+            (col("lonu") - col("flon")) * (col("lonu") - col("flon")))
+        .groupBy(col("id"))
+        .agg(min(col("d2") * 100L + col("fid")).as("fold"))
+        .select(col("id"), expr("fold % 100").as("fid"),
+          expr("fold div 100").as("d2"))
+      assigned.groupBy(col("fid"))
+        .agg(count(lit(1)).as("n_points"), sum(col("d2")).as("sum_d2"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("fid"))
     })
   )
 
@@ -190,6 +231,32 @@ object Geo {
         |  WHERE a_id <> c2.id)
         |SELECT a_id, COUNT(*) AS n_within, CAST(MIN(d2) AS BIGINT) AS min_d2
         |FROM pairs, cc WHERE d2 <= c * c
-        |GROUP BY a_id ORDER BY a_id""".stripMargin
+        |GROUP BY a_id ORDER BY a_id""".stripMargin,
+
+    // the identical fold-argmin replayed: facilities placed by the
+    // same per-axis hash over n_nationkey, d2*100 + fid decomposed
+    "q114_geo_nearest_facility" -> {
+      def fAxisSql(prefix: String, mix: Long): String = {
+        import graft.functions.PortableHashFunctions.polyHashSql
+        "((" + polyHashSql(s"'$prefix' || CAST(n_nationkey AS VARCHAR)") +
+          s") * $mix % 1000000007)"
+      }
+      s"""WITH p AS (SELECT o_orderkey AS id,
+        |    ${axisSql("lat:", 2654435761L)} % $LatExtent AS latu,
+        |    ${axisSql("lon:", 1779033703L)} % $LonExtent AS lonu
+        |  FROM orders),
+        |f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
+        |    ${fAxisSql("flat:", 2654435761L)} % $LatExtent AS flat,
+        |    ${fAxisSql("flon:", 1779033703L)} % $LonExtent AS flon
+        |  FROM nation),
+        |a AS (SELECT id,
+        |    MIN(((latu - flat) * (latu - flat)
+        |       + (lonu - flon) * (lonu - flon)) * 100 + fid) AS fold
+        |  FROM p, f GROUP BY id)
+        |SELECT fold % 100 AS fid, COUNT(*) AS n_points,
+        |  CAST(SUM(fold // 100) AS BIGINT) AS sum_d2,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM a GROUP BY 1 ORDER BY fid""".stripMargin
+    }
   )
 }
