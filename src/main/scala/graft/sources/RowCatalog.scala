@@ -77,6 +77,12 @@ object RowStore {
     * (a real format uses an atomic rename / metastore swap here). */
   private[sources] val commitLock = new Object
 
+  /** Plan-time observability for the spec (the SeqSourceSpec
+    * emission-counter discipline): base files planned / skipped by
+    * the LAST GroupScan planning on this driver. */
+  val lastPlannedBaseFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lastSkippedBaseFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Column names reserved for metadata / delta-record bookkeeping. */
   private[sources] val Reserved =
     Set("_group", "_rid", "_change", "_op", "_grp")
@@ -85,8 +91,13 @@ object RowStore {
 
   /** One manifest entry: `kind` ∈ base|delta; base entries carry the
     * group they belong to, delta entries apply table-wide (each record
-    * inside names its group). */
-  case class FileEntry(kind: String, group: Int, name: String)
+    * inside names its group). Base entries written by this version
+    * also carry the FIRST column's [min, max] — the zone-map stats
+    * file skipping plans from (None for string keys, delta files, and
+    * entries written before stats existed; statless files are never
+    * skipped). */
+  case class FileEntry(kind: String, group: Int, name: String,
+      minK: Option[Long] = None, maxK: Option[Long] = None)
 
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
@@ -149,13 +160,23 @@ object RowStore {
   def readManifest(key: String, v: Int): Seq[FileEntry] =
     Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
       .filter(_.nonEmpty).map { l =>
-        val Array(kind, g, name) = l.split("\t", 3)
-        FileEntry(kind, g.toInt, name)
+        l.split("\t", 5) match {
+          case Array(kind, g, name, mn, mx) =>
+            FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong))
+          case Array(kind, g, name) => FileEntry(kind, g.toInt, name)
+          case other => sys.error(s"corrupt manifest line: $l")
+        }
       }.toSeq
 
   def writeManifest(key: String, v: Int, entries: Seq[FileEntry]): Unit =
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
-      entries.map(e => s"${e.kind}\t${e.group}\t${e.name}").mkString("", "\n", "\n"))
+      entries.map { e =>
+        val stats = (e.minK, e.maxK) match {
+          case (Some(mn), Some(mx)) => s"\t$mn\t$mx"
+          case _ => ""
+        }
+        s"${e.kind}\t${e.group}\t${e.name}$stats"
+      }.mkString("", "\n", "\n"))
 
   def drop(key: String): Boolean = {
     val d = Paths.get(tableDir(key))
@@ -569,15 +590,57 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
 
 class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo => SEq, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGe, In => SIn, LessThan => SLt, LessThanOrEqual => SLe}
+
   // default = full data schema; Spark prunes to referenced data +
   // metadata columns (so the parquet reads project, and a COUNT(*)
   // scan reads only footers)
   private var required: StructType = meta.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** FILE SKIPPING (zone maps): range predicates on the FIRST column
+    * narrow a [lo, hi] window the scan checks against each base
+    * file's manifest stats. CONSERVATIVE on every axis: all filters
+    * come back as residuals (Spark re-evaluates them — a skipping bug
+    * can cost performance, never correctness), non-numeric and
+    * unrecognized shapes are ignored, and the scan only ever skips
+    * clean groups on plain reads (see planInputPartitions). */
+  private var keyLo = Long.MinValue
+  private var keyHi = Long.MaxValue
+  private var accepted: Array[SFilter] = Array.empty
+
+  private def narrow(lo: Long, hi: Long): Unit = {
+    keyLo = math.max(keyLo, lo); keyHi = math.min(keyHi, hi)
+  }
+  private def num(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    val k = meta.schema.head.name
+    accepted = filters.filter {
+      case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true }
+      case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true }
+      case SGe(`k`, v) => num(v).exists { x => narrow(x, Long.MaxValue); true }
+      case SLt(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x - 1); true }
+      case SLe(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x); true }
+      case SIn(`k`, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        val xs = vs.flatMap(num); narrow(xs.min, xs.max); true
+      case _ => false
+    }
+    filters // everything is residual
+  }
+  override def pushedFilters(): Array[SFilter] = accepted
+
   override def build(): Scan = new GroupScan(tableKey, meta, version,
-    required, op, staticGroups)
+    required, op, staticGroups,
+    if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
+    else Some((keyLo, keyHi)))
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -588,7 +651,8 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   * only those groups are rewritten. */
 class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     required: StructType, op: Option[GroupRowLevelOp],
-    staticGroups: Option[Set[Int]] = None)
+    staticGroups: Option[Set[Int]] = None,
+    keyRange: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -646,14 +710,33 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
         staticGroups.forall(_.contains(g)))
     // the COW write replaces exactly what this plan read
     op.foreach(_.scannedGroups = Some(kept.toSet))
-    kept.map { g =>
-      GroupFilesPartition(g,
-        byGroup.getOrElse(g, Seq.empty).map(e => s"$dir/${e.name}"),
+    var planned, skipped = 0
+    val parts = kept.map { g =>
+      val groupDeltas = deltas.filter(e => e.group == g || e.group < 0)
+      val base = byGroup.getOrElse(g, Seq.empty)
+      // FILE SKIPPING by manifest stats — only when provably sound:
+      // plain reads (a COW rewrite replaces whole groups with what it
+      // read, so a skipped file's rows would vanish) of CLEAN groups
+      // (an update delta can move a row's key outside its base file's
+      // stats). Statless files never skip.
+      val visible =
+        if (op.nonEmpty || groupDeltas.nonEmpty || keyRange.isEmpty) base
+        else base.filter(e => (e.minK, e.maxK) match {
+          case (Some(mn), Some(mx)) =>
+            val (lo, hi) = keyRange.get
+            mx >= lo && mn <= hi
+          case _ => true
+        })
+      planned += visible.size
+      skipped += base.size - visible.size
+      GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),
         // group-tagged delta files: only this group's records can be
         // inside (records re-check, so an untagged file stays sound)
-        deltas.filter(e => e.group == g || e.group < 0)
-          .map(e => s"$dir/${e.name}"))
+        groupDeltas.map(e => s"$dir/${e.name}")): InputPartition
     }.toArray
+    RowStore.lastPlannedBaseFiles.set(planned)
+    RowStore.lastSkippedBaseFiles.set(skipped)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -738,7 +821,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
-      .map { case (g, n) => RowStore.FileEntry("base", g, n) }.toSeq
+      .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK))
+      .toSeq
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       val old = RowStore.readManifest(tableKey, cur)
@@ -778,7 +862,9 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class FilesMessage(files: Seq[(Int, String)]) extends WriterCommitMessage
+case class FileMeta(group: Int, name: String, minK: Option[Long],
+    maxK: Option[Long])
+case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int) extends DataWriterFactory {
@@ -788,6 +874,24 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+      // zone-map stats of the bucket column per file (numeric keys
+      // only; a null or string key leaves the file statless = never
+      // skipped)
+      private val stats =
+        scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      private val statless = scala.collection.mutable.Set.empty[Int]
+
+      private def trackStats(g: Int, v: Any): Unit = v match {
+        case l: java.lang.Long =>
+          val k = l.longValue
+          stats.get(g) match {
+            case Some((mn, mx)) =>
+              stats(g) = (math.min(mn, k), math.max(mx, k))
+            case None => stats(g) = (k, k)
+          }
+        case i: java.lang.Integer => trackStats(g, Long.box(i.longValue))
+        case _ => statless += g; ()
+      }
 
       private def externalize(row: InternalRow): Array[Any] =
         fields.zipWithIndex.map { case (f, i) =>
@@ -823,6 +927,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
           val name = s"g$g-${UUID.randomUUID()}.parquet"
           (name, new RowFiles.FileWriter(s"$dir/$name", fields))
         })
+        if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
         w.write(vals)
       }
 
@@ -834,7 +939,10 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
-        FilesMessage(writers.map { case (g, (n, _)) => (g, n) }.toSeq)
+        FilesMessage(writers.map { case (g, (n, _)) =>
+          val st = if (statless(g)) None else stats.get(g)
+          FileMeta(g, n, st.map(_._1), st.map(_._2))
+        }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())
       override def close(): Unit = ()
@@ -877,7 +985,7 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
       meta.schema.head.name, meta.numGroups)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
-      .map { case (g, n) => RowStore.FileEntry("delta", g, n) }.toSeq
+      .map(f => RowStore.FileEntry("delta", f.group, f.name)).toSeq
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
@@ -945,7 +1053,8 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
-        FilesMessage(writers.map { case (g, (n, _)) => (g, n) }.toSeq)
+        FilesMessage(writers.map { case (g, (n, _)) =>
+          FileMeta(g, n, None, None) }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())
       override def close(): Unit = ()
@@ -1315,6 +1424,33 @@ object RowCatalogQueries {
     // (files deleted — v2's rewrite orphaned v1 files at every SF),
     // and expired time travel failing at analysis rather than
     // dangling into deleted files.
+    // ── q115: MANIFEST-STATS FILE SKIPPING — the zone-map read path
+    // every lake format plans with: three INSERT commits land three
+    // disjoint key bands (epoch·10⁷ offsets), each base file carrying
+    // its key [min, max] in the manifest; the banded SELECT pushes
+    // its range down and the scan plans ONLY the middle epoch's files
+    // (RowCatalogSpec pins the planned/skipped accounting, including
+    // the delta-dirty group that must never skip). All filters stay
+    // residual — skipping can cost performance, never correctness —
+    // and the oracle restates the band from raw orders.
+    "q115_dml_file_skip" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q115_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ledger")
+      s.sql("CREATE TABLE graft_dml.ns.ledger " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      for (e <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_dml.ns.ledger
+          SELECT CAST(o_orderkey AS BIGINT) + ${e}0000000,
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q115_orders WHERE o_orderkey % 3 = $e""")
+      s.sql("""SELECT status, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.ledger
+        WHERE k >= 10000000 AND k < 20000000
+        GROUP BY status ORDER BY status""")
+    }),
+
     "q111_dml_vacuum" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
       val t = "graft_dml.ns.accounts_vac"
@@ -1376,6 +1512,14 @@ object RowCatalogQueries {
       s"""$lifecycleCtes
         |SELECT k, cents, status FROM merged
         |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
+
+    // the middle band restated from raw orders
+    "q115_dml_file_skip" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // post-vacuum current content + the retention contract literals
     "q111_dml_vacuum" ->

@@ -218,6 +218,57 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.occ")
   }
 
+  test("manifest stats skip base files on clean plain reads only") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.skip")
+    s.sql("CREATE TABLE graft_dml.spec.skip (k BIGINT, v BIGINT)")
+    // three commits with disjoint key bands → 3 stat-carrying base
+    // files per group (keys cover every residue mod 4)
+    for (e <- 0 until 3)
+      s.sql("INSERT INTO graft_dml.spec.skip VALUES " +
+        (0 until 16).map(i => s"(${e * 1000 + i}, ${e * 1000 + i})")
+          .mkString(", "))
+    // selective read: only the middle band's files may be planned
+    val sum = s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.skip " +
+      "WHERE k >= 1000 AND k <= 1015").head().getLong(0)
+    assert(sum == (0 until 16).map(_ + 1000L).sum)
+    assert(RowStore.lastPlannedBaseFiles.get == 4 &&
+      RowStore.lastSkippedBaseFiles.get == 8,
+      s"expected 4 planned / 8 skipped, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    // unfiltered read: nothing skips
+    assert(s.table("graft_dml.spec.skip").count() == 48)
+    assert(RowStore.lastSkippedBaseFiles.get == 0)
+    s.sql("DROP TABLE graft_dml.spec.skip")
+
+    // a DIRTY (delta-carrying) group must not skip: an update delta
+    // can move a key outside its base file's stats
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.skipm")
+    s.sql("CREATE TABLE graft_dml.spec.skipm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.skipm VALUES (1, 10), (2, 20)")
+    s.sql("INSERT INTO graft_dml.spec.skipm VALUES (1001, 30), (1002, 40)")
+    s.sql("UPDATE graft_dml.spec.skipm SET k = 5 WHERE k = 1001")
+    // group of key 1 is DIRTY (the update's delta lives there): both
+    // its files must be planned even though one's stats (min 1001)
+    // exclude the filter — the delta moved that row to k=5. The clean
+    // group may still skip its out-of-range file. 4 base files total:
+    // 3 planned (dirty group's 2 + clean group's in-range 1), 1
+    // skipped.
+    val got = s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.skipm " +
+      "WHERE k <= 10").head().getLong(0)
+    assert(got == 60L, s"the moved row must stay visible, got $got")
+    assert(RowStore.lastPlannedBaseFiles.get == 3 &&
+      RowStore.lastSkippedBaseFiles.get == 1,
+      s"expected 3 planned / 1 skipped, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    s.sql("DROP TABLE graft_dml.spec.skipm")
+  }
+
   test("VACUUM deletes expired manifests and exactly the orphaned files") {
     val s = spark
     import graft.sources.{RowStore, RowStoreOps}
