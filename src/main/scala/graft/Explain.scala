@@ -24,7 +24,8 @@ object Explain {
         "q110_dml_optimize", "s09_ann_pq", "t15_lm_score",
         "m06_media_dedup", "p10_quality_sample", "s08_ann_selfjoin",
         "s10_ann_ivfpq", "d16_semantic_dedup", "q112_geo_hotspots",
-        "q113_geo_radius_join")
+        "q113_geo_radius_join", "q114_geo_nearest_facility",
+        "q115_dml_file_skip")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
