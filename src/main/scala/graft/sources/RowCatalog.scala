@@ -516,7 +516,7 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GroupMetaCol, RidMetaCol)
 
@@ -533,7 +533,9 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
       Option(options.get("groups"))
         .map(_.split(",").map(_.trim.toInt).toSet)
         .orElse(Option(options.get("compact"))
-          .map(v => GroupWrite.parseCompact(v)._2)))
+          .map(v => GroupWrite.parseCompact(v)._2)),
+      // streaming start version (readStream.option("from", v))
+      streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0))
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
     * `truncate()` on the same builder and flips it to replace-all.
@@ -589,7 +591,8 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
 }
 
 class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
-    op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None)
+    op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None,
+    streamFrom: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo => SEq, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGe, In => SIn, LessThan => SLt, LessThanOrEqual => SLe}
@@ -640,7 +643,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def build(): Scan = new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
-    else Some((keyLo, keyHi)))
+    else Some((keyLo, keyHi)), streamFrom)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -652,7 +655,8 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
 class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     required: StructType, op: Option[GroupRowLevelOp],
     staticGroups: Option[Set[Int]] = None,
-    keyRange: Option[(Long, Long)] = None)
+    keyRange: Option[(Long, Long)] = None,
+    streamFrom: Int = 0)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -668,6 +672,17 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     if (required.fieldNames.contains("_group"))
       Array(Expressions.column("_group"))
     else Array.empty
+
+  /** Streaming read of the TABLE (Delta's `readStream.table` shape):
+    * offset = committed version, one version per micro-batch, each
+    * batch the files that commit ADDED. Sound only for APPEND-ONLY
+    * history — a commit that replaced/removed files (DML, OPTIMIZE,
+    * INSERT OVERWRITE) or wrote deltas fails loudly at plan time
+    * instead of silently re-emitting or dropping rows. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AppendTableStream(tableKey, meta, streamFrom,
+      createReaderFactory())
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
@@ -1170,6 +1185,58 @@ case class ChangesPartition(group: Int, fromBase: Seq[String],
 case class VersionOffset(v: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = v.toString
+}
+
+/** Streaming read of an APPEND-ONLY table's history: one committed
+  * version per micro-batch, each batch exactly the base files that
+  * commit added (Delta's `readStream.table` contract). Append-only is
+  * ENFORCED at plan time: a step whose start manifest is not a subset
+  * of its end manifest (a rewrite/OPTIMIZE/OVERWRITE), or that added
+  * delta files, fails loudly — silently re-emitting a rewritten
+  * group's rows (or dropping a replaced file's) is the corruption
+  * mode this check exists for. */
+class AppendTableStream(tableKey: String, meta: RowStore.Meta,
+    from: Int, factory: PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var target: Int = RowStore.currentVersion(tableKey)
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = RowStore.currentVersion(tableKey)
+  override def initialOffset(): Offset = VersionOffset(from)
+  override def latestOffset(): Offset = sys.error(
+    "admission-controlled source: latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(math.min(start.asInstanceOf[VersionOffset].v + 1, target))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VersionOffset(target)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val before = RowStore.readManifest(tableKey, s)
+    val after = RowStore.readManifest(tableKey, e)
+    val beforeNames = before.map(_.name).toSet
+    require(beforeNames.subsetOf(after.map(_.name).toSet),
+      s"$tableKey: version $s -> $e removed or replaced files — the " +
+        "table stream is append-only; use the .changes feed for DML " +
+        "history")
+    val added = after.filterNot(x => beforeNames(x.name))
+    require(added.forall(_.kind == "base"),
+      s"$tableKey: version $s -> $e wrote delta files — the table " +
+        "stream is append-only; use the .changes feed")
+    val dir = RowStore.dataDir(tableKey)
+    added.groupBy(_.group).map { case (g, fs) =>
+      GroupFilesPartition(g, fs.map(x => s"$dir/${x.name}"),
+        Seq.empty): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = factory
 }
 
 /** The streaming half of the change feed: admission-controlled to ONE

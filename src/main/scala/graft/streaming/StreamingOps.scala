@@ -1387,6 +1387,51 @@ object StreamingOps {
       s.read.parquet(outDir)
         .withColumn("multi_batch", lit(nBatches.get >= 3))
         .orderBy(col("version"), col("k"), col("_change"))
+    }),
+
+    // ── st34: STREAMING TABLE READ (append-only) — the other half of
+    // the streaming×DML matrix next to st33's change feed: Delta's
+    // `readStream.table(t)` contract, where each commit's APPENDED
+    // files become one micro-batch (offset = version, admission
+    // control pins one commit per batch). Append-only is enforced at
+    // plan time — a rewriting commit fails the stream loudly rather
+    // than re-emitting rewritten rows (the connector points DML
+    // histories at the .changes feed instead). Three epoch INSERTs
+    // land disjoint key bands; the drain must produce exactly three
+    // batches whose contents are each commit's rows, version-tagged,
+    // which the oracle restates from raw orders (epoch = key band =
+    // batch — any boundary drift breaks the hash).
+    "st34_stream_table" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("st34_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ledger_s")
+      s.sql("CREATE TABLE graft_dml.ns.ledger_s " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      for (e <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_dml.ns.ledger_s
+          SELECT CAST(o_orderkey AS BIGINT) + ${e}0000000,
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM st34_orders WHERE o_orderkey % 3 = $e""")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = graft.Scratch.dir(s, "graft_st34_out", tag)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.option("from", "0")
+        .table("graft_dml.ns.ledger_s")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.incrementAndGet()
+          batch.withColumn("version", lit(batchId.toInt + 1))
+            .write.mode(if (batchId == 0L) "overwrite" else "append")
+            .parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .withColumn("multi_batch", lit(nBatches.get >= 3))
+        .orderBy(col("version"), col("k"))
     })
   )
 
@@ -1803,6 +1848,16 @@ object StreamingOps {
         |UNION ALL SELECT 2, k, cents, status, 'delete', TRUE FROM v2d
         |UNION ALL SELECT 3, k, cents, status, 'delete', TRUE
         |  FROM merged WHERE k % 97 = 0
-        |ORDER BY version, k, _change""".stripMargin
+        |ORDER BY version, k, _change""".stripMargin,
+
+    // epoch = key band = batch, restated directly from raw orders
+    "st34_stream_table" ->
+      """SELECT CAST(o_orderkey AS BIGINT)
+        |    + (o_orderkey % 3) * 10000000 AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderstatus AS status,
+        |  CAST(o_orderkey % 3 + 1 AS INTEGER) AS version,
+        |  TRUE AS multi_batch
+        |FROM orders ORDER BY version, k""".stripMargin
   )
 }

@@ -269,6 +269,30 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.skipm")
   }
 
+  test("the table stream refuses rewriting commits (append-only contract)") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.app")
+    s.sql("CREATE TABLE graft_dml.spec.app (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.app VALUES (1, 10), (2, 20)")
+    // a COW rewrite replaces files — streaming over that history
+    // would re-emit rewritten rows, so the plan must fail loudly
+    s.sql("UPDATE graft_dml.spec.app SET v = v + 1 WHERE k = 1")
+    val q = s.readStream.option("from", "0").table("graft_dml.spec.app")
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append-only")),
+      s"expected the append-only refusal, got: ${messages(e)}")
+    s.sql("DROP TABLE graft_dml.spec.app")
+  }
+
   test("VACUUM deletes expired manifests and exactly the orphaned files") {
     val s = spark
     import graft.sources.{RowStore, RowStoreOps}
