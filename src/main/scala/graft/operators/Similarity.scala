@@ -178,13 +178,14 @@ object Similarity {
   private val PqCodes = 16
 
   /** Product-quantization fit + encode: per-subspace k-means codebooks
-    * (8 independent 8-dim fits, seeded — the classic PQ trainer), then
-    * ONE narrow encode pass assigning each vector's 8 subvectors to
-    * their nearest centroid via a fused argmin expression — no
-    * per-(vector, code) row explosion. The codebook is 8·16·8 doubles
-    * (driver/broadcast-sized by construction, like the IVF centroid
-    * table); codes are 8 small ints per vector — the 32× scan-traffic
-    * compression PQ exists for at 100 TB. */
+    * (PqM=16 independent PqSub=4-dim fits, seeded — the classic PQ
+    * trainer), then ONE narrow encode pass assigning each vector's 16
+    * subvectors to their nearest centroid via a fused argmin expression
+    * — no per-(vector, code) row explosion. The codebook is 16·16·4
+    * doubles (driver/broadcast-sized by construction, like the IVF
+    * centroid table); codes are 16 small ints per vector (16 bytes vs
+    * 256 float bytes — 16× scan-traffic compression at 100 TB; the s09
+    * comment explains why 16×4 beats 8×8 on these embeddings). */
   private def pqIndex(s: SparkSession, d: String): (DataFrame, Seq[Seq[Seq[Double]]]) =
     pqCache.getOrElseUpdate(s, d) {
       import org.apache.spark.ml.clustering.KMeans

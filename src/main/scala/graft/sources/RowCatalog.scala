@@ -87,6 +87,13 @@ object RowStore {
   private[sources] val Reserved =
     Set("_group", "_rid", "_change", "_op", "_grp")
 
+  /** Test seam: invoked at the top of every batch-write commit BEFORE
+    * the lock is taken. The concurrency spec points it at a latch so
+    * two contending row-level operations both finish their scans
+    * before either commits — the interleaving the OCC validation
+    * exists for, made deterministic. Production value is a no-op. */
+  @volatile private[graft] var preCommitHook: () => Unit = () => ()
+
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean)
 
   /** One manifest entry: `kind` ∈ base|delta; base entries carry the
@@ -733,9 +740,14 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       // plain reads (a COW rewrite replaces whole groups with what it
       // read, so a skipped file's rows would vanish) of CLEAN groups
       // (an update delta can move a row's key outside its base file's
-      // stats). Statless files never skip.
+      // stats). Statically-restricted scans (the OPTIMIZE handshake
+      // read, whose output REPLACES the group wholesale) never skip
+      // either — a filtered compact read would silently drop skipped
+      // files' rows from the rewritten group. Statless files never
+      // skip.
       val visible =
-        if (op.nonEmpty || groupDeltas.nonEmpty || keyRange.isEmpty) base
+        if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
+          keyRange.isEmpty) base
         else base.filter(e => (e.minK, e.maxK) match {
           case (Some(mn), Some(mx)) =>
             val (lo, hi) = keyRange.get
@@ -838,6 +850,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK))
       .toSeq
+    RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       val old = RowStore.readManifest(tableKey, cur)
@@ -845,18 +858,46 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
         case GroupWrite.Append    => old ++ added
         case GroupWrite.Overwrite => added
         case GroupWrite.ReplaceGroups(op) =>
-          // optimistic concurrency: the rewrite was computed against
-          // baseVersion's snapshot — committing over a later version
-          // would silently drop the interleaved commit's changes
-          // (appends compose, so only the replacing modes check)
-          op.baseVersion.filter(_ != cur).foreach { v =>
-            throw new java.util.ConcurrentModificationException(
-              s"$tableKey: row-level operation read version $v but the " +
-                s"table is now at $cur — retry the statement")
-          }
+          // a rewrite commit whose scan was never planned has nothing
+          // sound to replace — defaulting to "replace nothing, append
+          // the rewrite's files" would duplicate every carried-over
+          // row, so fail loudly instead
+          require(op.baseVersion.isDefined && op.scannedGroups.isDefined,
+            s"$tableKey: row-level operation committing without a " +
+              "planned scan — refusing to append rewrite output over " +
+              "intact groups")
+          val base = op.baseVersion.get
           // replace exactly the groups the operation's scan read; a
           // group the runtime filter pruned keeps its files verbatim
-          val replaced = op.scannedGroups.getOrElse(Set.empty)
+          val replaced = op.scannedGroups.get
+          // optimistic concurrency, Iceberg's validate-then-swap: the
+          // rewrite was computed against `base`'s snapshot. Appends
+          // and rewrites of OTHER groups compose — only a group this
+          // commit replaces that CHANGED since its scan is a real
+          // conflict (the swap would silently drop that change).
+          // Per-group file signatures (incl. table-wide deltas, which
+          // affect every group) decide; untouched → rebase onto the
+          // current manifest, touched → refuse and let the caller
+          // retry against the new snapshot.
+          if (base != cur) {
+            val baseMan =
+              try RowStore.readManifest(tableKey, base)
+              catch { case _: Exception =>
+                throw new java.util.ConcurrentModificationException(
+                  s"$tableKey: row-level operation read version $base " +
+                    "whose manifest is no longer retained — cannot " +
+                    "validate the rewrite; retry the statement")
+              }
+            def sig(man: Seq[RowStore.FileEntry], g: Int) =
+              man.filter(e => e.group == g ||
+                (e.kind == "delta" && e.group < 0)).toSet
+            val conflicting = replaced.filter(g => sig(baseMan, g) != sig(old, g))
+            if (conflicting.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"$tableKey: row-level operation read version $base but " +
+                  s"groups ${conflicting.toSeq.sorted.mkString(",")} " +
+                  s"changed by version $cur — retry the statement")
+          }
           old.filterNot(e => e.kind == "base" && replaced(e.group)) ++ added
         case GroupWrite.Compact(base, gs) =>
           if (base != cur)
@@ -1506,15 +1547,25 @@ object RowCatalogQueries {
       s.sql("DROP TABLE IF EXISTS graft_dml.ns.ledger")
       s.sql("CREATE TABLE graft_dml.ns.ledger " +
         "(k BIGINT, cents BIGINT, status STRING)")
+      // epoch offset = the first power of 10 above max(o_orderkey)
+      // (floor 1e7, matching the benched SFs): orderkey reaches
+      // 6M·SF, so a FIXED offset would overlap the key bands around
+      // SF 1.7 and silently diverge from the oracle's `% 3` band
+      // restatement. A 1-row bounds fetch is planning metadata (the
+      // q69 discipline), never data.
+      val mxK = s.sql("SELECT CAST(max(o_orderkey) AS BIGINT) " +
+        "FROM q115_orders").head().getLong(0)
+      var off = 10000000L
+      while (off <= mxK) off *= 10
       for (e <- 0 until 3)
         s.sql(s"""INSERT INTO graft_dml.ns.ledger
-          SELECT CAST(o_orderkey AS BIGINT) + ${e}0000000,
+          SELECT CAST(o_orderkey AS BIGINT) + ${e}L * ${off}L,
                  CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
           FROM q115_orders WHERE o_orderkey % 3 = $e""")
-      s.sql("""SELECT status, COUNT(*) AS n,
+      s.sql(s"""SELECT status, COUNT(*) AS n,
                CAST(SUM(cents) AS BIGINT) AS sum_cents
         FROM graft_dml.ns.ledger
-        WHERE k >= 10000000 AND k < 20000000
+        WHERE k >= ${off}L AND k < ${2 * off}L
         GROUP BY status ORDER BY status""")
     }),
 

@@ -1366,6 +1366,17 @@ object StreamingOps {
     "st33_stream_changes" -> ((s, d) => withStatePartitions(s, StateParts) {
       graft.sources.RowCatalogQueries.dmlLifecycle(
         s, d, "graft_dml.ns.accounts_s", "st33", "")
+      // batch k is attributed to version k+1 below, and the oracle
+      // expects EXACTLY versions 1..3 — so every lifecycle statement
+      // (including the DELETE, which a fixture scale could starve of
+      // matches) must have committed a version. Fail here with a
+      // clear message rather than downstream with a confusing hash
+      // diff.
+      val preV = graft.sources.RowStore.currentVersion(
+        "graft_dml.ns.accounts_s")
+      require(preV == 3, s"st33 expects the lifecycle at version 3 " +
+        s"(CREATE + INSERT/MERGE/DELETE commits), found $preV — a " +
+        "statement's write was elided at this fixture scale")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val outDir = graft.Scratch.dir(s, "graft_st33_out", tag)
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1404,6 +1415,16 @@ object StreamingOps {
     "st34_stream_table" -> ((s, d) => withStatePartitions(s, StateParts) {
       s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
       graft.Tables(s, d, "orders").createOrReplaceTempView("st34_orders")
+      // the oracle restates k with the LITERAL 1e7 epoch offset, so
+      // unlike q115 the offset cannot be derived at run time; assert
+      // the band-disjointness ceiling (orderkey reaches 6M·SF ⇒
+      // holds to SF ≈ 1.7) instead of silently overlapping past it
+      val mxK = s.sql("SELECT CAST(max(o_orderkey) AS BIGINT) " +
+        "FROM st34_orders").head().getLong(0)
+      require(mxK < 10000000L, s"st34's fixed 1e7 epoch offset needs " +
+        s"max(o_orderkey) < 1e7 for disjoint key bands, found $mxK — " +
+        "regenerate with a larger offset AND update the oracle's " +
+        "literal to match")
       s.sql("DROP TABLE IF EXISTS graft_dml.ns.ledger_s")
       s.sql("CREATE TABLE graft_dml.ns.ledger_s " +
         "(k BIGINT, cents BIGINT, status STRING)")

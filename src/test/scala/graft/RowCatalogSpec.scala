@@ -218,6 +218,92 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.occ")
   }
 
+  test("concurrent MERGEs: disjoint groups both commit, overlapping refuse") {
+    val s = spark
+    import graft.sources.RowStore
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cc")
+    s.sql("CREATE TABLE graft_dml.spec.cc (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.cc VALUES " +
+      (0 until 16).map(i => s"($i, ${i * 10})").mkString(", "))
+    val key = "graft_dml.spec.cc"
+    // three merge sources: s1 matches only group 1 (k ≡ 1 mod 4),
+    // s2 only group 2, s3 only group 1 again (the overlap case)
+    for ((n, rows) <- Seq(("s1", "(1, 100), (5, 100)"),
+        ("s2", "(2, 200), (6, 200)"), ("s3", "(1, 7), (9, 7)"))) {
+      s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.cc_$n")
+      s.sql(s"CREATE TABLE graft_dml.spec.cc_$n (k BIGINT, dv BIGINT)")
+      s.sql(s"INSERT INTO graft_dml.spec.cc_$n VALUES $rows")
+    }
+    def merge(src: String): Unit = {
+      s.sql(s"""MERGE INTO graft_dml.spec.cc t
+        USING graft_dml.spec.cc_$src x ON t.k = x.k
+        WHEN MATCHED THEN UPDATE SET v = t.v + x.dv""")
+      ()
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    // the pre-commit latch holds BOTH commits until both contenders
+    // have planned and executed their scans — the stale-snapshot
+    // interleaving the OCC validation exists for, made deterministic
+    def race(a: String, b: String): Seq[Option[Throwable]] = {
+      val latch = new CountDownLatch(2)
+      RowStore.preCommitHook =
+        () => { latch.countDown(); latch.await(60, TimeUnit.SECONDS); () }
+      try {
+        val fs = Seq(a, b).map { src =>
+          pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+            override def call(): Option[Throwable] =
+              try { merge(src); None }
+              catch { case t: Throwable => Some(t) }
+          })
+        }
+        fs.map(_.get(180, TimeUnit.SECONDS))
+      } finally RowStore.preCommitHook = () => ()
+    }
+
+    // DISJOINT groups: both planned at the same snapshot, both must
+    // commit — the second validates group 1's files unchanged and
+    // rebases onto the winner's manifest (Iceberg's
+    // partition-disjoint concurrent-rewrite behavior)
+    val v0 = RowStore.currentVersion(key)
+    val r1 = race("s1", "s2")
+    assert(r1.forall(_.isEmpty),
+      s"disjoint-group merges must both commit, got $r1")
+    assert(RowStore.currentVersion(key) == v0 + 2,
+      "manifest linearity: two commits, two consecutive versions")
+    val afterDisjoint = s.table(key).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterDisjoint == (0 until 16).map(i => (i.toLong, i * 10L +
+      (if (i == 1 || i == 5) 100L
+      else if (i == 2 || i == 6) 200L else 0L))),
+      s"both updates must be applied exactly once: $afterDisjoint")
+
+    // OVERLAPPING group: exactly one commits; the loser sees group 1
+    // changed since its scan and refuses (never silently drops the
+    // winner's update), manifest advances by exactly one version
+    val v1 = RowStore.currentVersion(key)
+    val sum1 = afterDisjoint.map(_._2).sum
+    val r2 = race("s1", "s3")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val failed = r2.flatten
+    assert(failed.size == 1,
+      s"exactly one overlapping merge must refuse, got $r2")
+    assert(causes(failed.head)
+      .exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"the refusal must be the OCC conflict, got ${causes(failed.head)}")
+    assert(RowStore.currentVersion(key) == v1 + 1,
+      "manifest linearity: one commit, one version")
+    val sum2 = s.table(key).agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getLong(0)
+    assert(sum2 == sum1 + 200L || sum2 == sum1 + 14L,
+      s"the winner's update must be applied exactly once: $sum1 -> $sum2")
+    pool.shutdown()
+    for (t <- Seq("cc", "cc_s1", "cc_s2", "cc_s3"))
+      s.sql(s"DROP TABLE graft_dml.spec.$t")
+  }
+
   test("manifest stats skip base files on clean plain reads only") {
     val s = spark
     import graft.sources.RowStore
