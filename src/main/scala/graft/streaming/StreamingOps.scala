@@ -1364,16 +1364,15 @@ object StreamingOps {
     // wrong version) breaks the hash, not just a count. multi_batch
     // pins the per-version stepping really happened.
     "st33_stream_changes" -> ((s, d) => withStatePartitions(s, StateParts) {
-      graft.sources.RowCatalogQueries.dmlLifecycle(
-        s, d, "graft_dml.ns.accounts_s", "st33", "")
+      val lifecycleTable =
+        graft.sources.RowCatalogQueries.sharedLifecycle(s, d, mor = false)
       // batch k is attributed to version k+1 below, and the oracle
       // expects EXACTLY versions 1..3 — so every lifecycle statement
       // (including the DELETE, which a fixture scale could starve of
       // matches) must have committed a version. Fail here with a
       // clear message rather than downstream with a confusing hash
       // diff.
-      val preV = graft.sources.RowStore.currentVersion(
-        "graft_dml.ns.accounts_s")
+      val preV = graft.sources.RowStore.currentVersion(lifecycleTable)
       require(preV == 3, s"st33 expects the lifecycle at version 3 " +
         s"(CREATE + INSERT/MERGE/DELETE commits), found $preV — a " +
         "statement's write was elided at this fixture scale")
@@ -1381,7 +1380,7 @@ object StreamingOps {
       val outDir = graft.Scratch.dir(s, "graft_st33_out", tag)
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.option("from", "0")
-        .table("graft_dml.ns.accounts_s.changes")
+        .table(s"$lifecycleTable.changes")
         .writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
