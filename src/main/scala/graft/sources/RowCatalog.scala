@@ -94,7 +94,16 @@ object RowStore {
     * exists for, made deterministic. Production value is a no-op. */
   @volatile private[graft] var preCommitHook: () => Unit = () => ()
 
-  case class Meta(schema: StructType, numGroups: Int, mor: Boolean)
+  /** `bucketCol` is the declared partition column (`PARTITIONED BY
+    * (bucket(n, col))` — Iceberg's bucket transform); empty = the
+    * pre-transform default, first column. [[keyCol]] is the single
+    * column every piece of group machinery routes through: write
+    * distribution, writer-side bucketing, zone-map stats, and the
+    * scan's key-range file skipping. */
+  case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
+      bucketCol: String = "") {
+    def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
+  }
 
   /** One manifest entry: `kind` ∈ base|delta; base entries carry the
     * group they belong to, delta entries apply table-wide (each record
@@ -126,7 +135,8 @@ object RowStore {
   def writeMeta(key: String, m: Meta): Unit = {
     Files.createDirectories(Paths.get(tableDir(key)))
     Files.writeString(metaPath(key),
-      s"groups=${m.numGroups}\nmor=${m.mor}\nschema=${m.schema.json}\n")
+      s"groups=${m.numGroups}\nmor=${m.mor}\npcol=${m.bucketCol}\n" +
+        s"schema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -134,7 +144,8 @@ object RowStore {
       .filter(_.contains("=")).map(l => l.splitAt(l.indexOf("="))).toMap
       .map { case (k, v) => (k, v.drop(1)) }
     Meta(DataType.fromJson(kv("schema")).asInstanceOf[StructType],
-      kv("groups").toInt, kv("mor").toBoolean)
+      kv("groups").toInt, kv("mor").toBoolean,
+      kv.getOrElse("pcol", ""))
   }
 
   def listTableKeys(): Seq[String] = {
@@ -421,17 +432,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new RowTable(k, RowStore.readMeta(k), v)
   }
 
+  /** `PARTITIONED BY (bucket(n, col))` — the Iceberg-shaped partition
+    * transform: n becomes the group count and col the group key, so
+    * groups, write distribution, zone maps, and file skipping all
+    * follow the DECLARED layout instead of the first-column default.
+    * Only `bucket` is supported: the catalog's column types are
+    * INT/LONG/STRING, so the temporal transforms (`days`/`hours`)
+    * have no legal input column here and fail loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "RowStore tables are unpartitioned")
+    require(partitions.length <= 1,
+      "RowStore tables take at most one partition transform")
     schema.fieldNames.foreach(n => require(!RowStore.Reserved(n),
       s"column name $n is reserved"))
+    val bucketSpec: Option[(Int, String)] = partitions.headOption.map { t =>
+      require(t.name() == "bucket",
+        s"unsupported partition transform ${t.describe()} — only " +
+          "bucket(n, col) is supported (no temporal column types exist " +
+          "in this catalog for days/hours)")
+      // SQL and programmatic forms order (literal, ref) differently;
+      // pick each by type
+      val args = t.arguments()
+      val n = args.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.intValue
+            case l2: java.lang.Long   => l2.intValue
+            case other => sys.error(s"bucket(n, col): non-integer n $other")
+          }
+      }.getOrElse(sys.error("bucket transform carries no bucket count"))
+      val c = args.collectFirst { case r: NamedReference =>
+        require(r.fieldNames().length == 1,
+          "bucket over a nested column is not supported")
+        r.fieldNames()(0)
+      }.getOrElse(sys.error("bucket transform carries no column"))
+      require(n > 0, s"bucket(n, col): n must be positive, got $n")
+      val f = schema.fields.find(_.name == c)
+        .getOrElse(sys.error(s"bucket column $c not in schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType,
+        s"bucket: unsupported column type ${f.dataType}")
+      (n, c)
+    }
     val k = key(ident)
-    val numGroups =
-      Option(properties.get("groups")).map(_.toInt).getOrElse(4)
+    val numGroups = bucketSpec.map(_._1)
+      .orElse(Option(properties.get("groups")).map(_.toInt)).getOrElse(4)
     val mor = Option(properties.get("format")).contains("mor")
-    RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor))
+    RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
+      bucketSpec.map(_._2).getOrElse("")))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }
@@ -526,6 +575,11 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GroupMetaCol, RidMetaCol)
+  /** Surface the declared layout (DESCRIBE, storage-partitioned-join
+    * eligibility): every table is bucket-grouped — by the declared
+    * transform column when one was given, else the first column. */
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(meta.numGroups, meta.keyCol))
 
   /** Read option `groups=g1,g2,…` (or `compact=…`, the one-option
     * OPTIMIZE handshake) statically restricts the scan to those groups
@@ -632,7 +686,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   }
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
-    val k = meta.schema.head.name
+    val k = meta.keyCol
     accepted = filters.filter {
       case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true }
       case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true }
@@ -839,12 +893,12 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   // group per commit instead of (tasks × groups) fragments
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array[VExpression](
-      Expressions.bucket(meta.numGroups, meta.schema.head.name)))
+      Expressions.bucket(meta.numGroups, meta.keyCol)))
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
-      meta.schema.head.name, meta.numGroups)
+      meta.keyCol, meta.numGroups)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
@@ -1038,7 +1092,7 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
-      meta.schema.head.name, meta.numGroups)
+      meta.keyCol, meta.numGroups)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("delta", f.group, f.name)).toSeq
@@ -1609,6 +1663,39 @@ object RowCatalogQueries {
           lit(retained.size).as("n_versions"),
           lit(deleted > 0).as("reclaimed"),
           lit(expiredFails).as("expired_read_fails"))
+    }),
+
+    // ── q116: PARTITION-TRANSFORM DDL — `PARTITIONED BY (bucket(6,k))`
+    // with k deliberately NOT the first column, so a correct result
+    // proves the DECLARED transform (not the first-column default)
+    // drives grouping end to end: the INSERT's write distribution
+    // clusters by bucket(6, k), zone maps track k, and the MERGE —
+    // whose source keys all satisfy k ≡ 2 (mod 6) — runtime-filters
+    // to that single bucket and rewrites exactly one group
+    // (RowCatalogSpec pins the one-group-rewritten file accounting;
+    // this row pins the arithmetic). Oracle restates insert+merge
+    // relationally from raw orders.
+    "q116_dml_bucket_transform" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q116_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.bucketed")
+      s.sql("CREATE TABLE graft_dml.ns.bucketed " +
+        "(cents BIGINT, k BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(6, k))")
+      s.sql("""INSERT INTO graft_dml.ns.bucketed
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT),
+               CAST(o_orderkey AS BIGINT), o_orderstatus
+        FROM q116_orders WHERE o_orderkey % 11 = 0""")
+      // source keys ≡ 44 (mod 66): every one is a multiple of 11 (so
+      // it matches a seeded row) and ≡ 2 (mod 6) (so every touched
+      // row lives in bucket 2 — the one-group rewrite the spec pins)
+      s.sql("""MERGE INTO graft_dml.ns.bucketed t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM q116_orders WHERE o_orderkey % 66 = 44) src
+        ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents""")
+      s.table("graft_dml.ns.bucketed").orderBy(col("k"))
     })
   )
 
@@ -1664,6 +1751,14 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // insert + self-merge restated: a key ≡ 44 (mod 66) had its cents
+    // doubled by the MERGE (t.cents + src.cents with src ≡ the seed)
+    "q116_dml_bucket_transform" ->
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * (CASE WHEN o_orderkey % 66 = 44 THEN 2 ELSE 1 END) AS cents,
+        |  CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""".stripMargin,
 
     // post-vacuum current content + the retention contract literals
     "q111_dml_vacuum" ->

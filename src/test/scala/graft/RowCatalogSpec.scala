@@ -304,6 +304,56 @@ class RowCatalogSpec extends AnyFunSuite {
       s.sql(s"DROP TABLE graft_dml.spec.$t")
   }
 
+  test("bucket(n, col) transform drives grouping; 1-bucket MERGE rewrites 1 group") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.bt")
+    // k is NOT the first column: grouping must follow the DECLARED
+    // transform, not the first-column default
+    s.sql("CREATE TABLE graft_dml.spec.bt (v BIGINT, k BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val key = "graft_dml.spec.bt"
+    assert(RowStore.readMeta(key).keyCol == "k")
+    // constant first column, keys 0..11: first-column grouping would
+    // collapse everything into one group; bucket(4, k) spreads them
+    // over all four
+    s.sql("INSERT INTO graft_dml.spec.bt VALUES " +
+      (0 until 12).map(i => s"(7, $i)").mkString(", "))
+    val v1 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    assert(v1.map(_.group).distinct.sorted == Seq(0, 1, 2, 3),
+      s"bucket(4, k) must spread constant-v rows across all groups: $v1")
+    // zone maps track the TRANSFORM column: group g holds keys
+    // {g, g+4, g+8}, so each file's stats span [g, g+8]
+    assert(v1.forall(e => e.minK.contains(e.group.toLong) &&
+      e.maxK.contains(e.group + 8L)),
+      s"manifest stats must cover the bucket column's range: $v1")
+
+    // a MERGE whose source keys all hash to bucket 2 must replace
+    // exactly group 2's base files (runtime group filtering → COW
+    // rewrite scope), leaving every other group's files verbatim
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.bt_src")
+    s.sql("CREATE TABLE graft_dml.spec.bt_src (k BIGINT, dv BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.bt_src VALUES (2, 100), (6, 100)")
+    s.sql("""MERGE INTO graft_dml.spec.bt t
+      USING graft_dml.spec.bt_src x ON t.k = x.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + x.dv""")
+    val v2 = RowStore.readManifest(key, RowStore.currentVersion(key))
+    def files(man: Seq[RowStore.FileEntry], g: Int) =
+      man.filter(e => e.kind == "base" && e.group == g).map(_.name).toSet
+    val changed = (0 until 4).filter(g => files(v1, g) != files(v2, g))
+    assert(changed == Seq(2),
+      s"MERGE touching only bucket 2 must rewrite exactly group 2, " +
+        s"changed: $changed")
+    val after = s.table(key).orderBy("k").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(after == (0 until 12).map(i =>
+      (i.toLong, if (i == 2 || i == 6) 107L else 7L)),
+      s"merge content: $after")
+    s.sql("DROP TABLE graft_dml.spec.bt")
+    s.sql("DROP TABLE graft_dml.spec.bt_src")
+  }
+
   test("manifest stats skip base files on clean plain reads only") {
     val s = spark
     import graft.sources.RowStore
