@@ -96,6 +96,44 @@ object Multimodal {
       resizedN, polyChecksum(bytes, step))
   }
 
+  /** A payload's fixed-dim embedding row (m07/s11). */
+  case class AssetEmbedding(doc_id: Long, embedding: Array[Float])
+
+  private val EmbDims = 16
+
+  /** ENCODER stub: payload → fixed-dim embedding — the image/audio
+    * encoder step of an LLM data pipeline (CLIP/wav2vec shape). A real
+    * implementation runs a model forward pass over the decoded tensor;
+    * this marked stand-in derives dim j from the bytes at positions
+    * ≡ j (mod 16) via the portable poly-31 fold, reduced mod 2048 —
+    * so every component is an integer-valued float (exact in float32
+    * AND recomputable by DuckDB from char codes), which is what makes
+    * m07 fully oracle-checkable and the downstream dot/cosine
+    * arithmetic cross-engine stable. Swap the fold for a codec+model
+    * call and the column type, batch shape, and every consumer (the
+    * s-family index build included) are unchanged. */
+  private[operators] def encodeStub(a: Asset): AssetEmbedding = {
+    val P = 1000000007L
+    val b = a.data
+    val acc = new Array[Long](EmbDims)
+    var i = 0
+    while (i < b.length) {
+      val j = i % EmbDims
+      acc(j) = (acc(j) * 31L + (b(i) & 0xffL)) % P
+      i += 1
+    }
+    AssetEmbedding(a.doc_id, acc.map(v => (v % 2048L).toFloat))
+  }
+
+  /** documents → (doc_id, embedding) through the encoder stub — the
+    * multimodal column s11 feeds into the shared IVF index build. */
+  private[operators] def assetEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.spreadSmall(assets(s, d)).as[Asset]
+      .mapPartitions(it => it.map(encodeStub))
+      .toDF()
+  }
+
   /** A payload's perceptual hash row (m06). */
   case class MediaHash(doc_id: Long, phash: Long)
 
@@ -356,6 +394,25 @@ object Multimodal {
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── m07: PAYLOAD → EMBEDDING COLUMN — the encoder step between
+    // multimodal ingest and vector search (s11 feeds this exact
+    // column into the shared IVF index build). The render flattens
+    // the array to a canonical CSV + integer norm (the m02
+    // discipline: pandas can't hash array cells), but the UNDERLYING
+    // column is a real ArrayType(Float) the s-family consumes
+    // unchanged. Every value is integer-valued by construction, so
+    // the whole row is oracle-exact.
+    "m07_multimodal_embed" -> ((s, d) => {
+      assetEmbeddings(s, d)
+        .select(col("doc_id"),
+          size(col("embedding")).as("n_dims"),
+          expr("array_join(transform(embedding, " +
+            "x -> CAST(x AS BIGINT)), ',')").as("emb_csv"),
+          expr("aggregate(embedding, 0L, (acc, x) -> " +
+            "acc + CAST(x AS BIGINT) * CAST(x AS BIGINT))").as("sq_norm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -466,6 +523,25 @@ object Multimodal {
         |FROM cand JOIN ph pa ON pa.doc_id = a_id
         |          JOIN ph pb ON pb.doc_id = b_id
         |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the encoder stub restated: dim j = poly-31 fold over char codes
+    // at positions ≡ j (mod 16), mod 2048 (ASCII corpus ⇒ byte i ==
+    // ord(char i), pinned by m01)
+    "m07_multimodal_embed" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(j, len(codes), 16), i -> codes[i + 1])),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 2048 AS v
+        |  FROM c, UNNEST(generate_series(0, 15)) AS t(j))
+        |SELECT doc_id, CAST(16 AS INTEGER) AS n_dims,
+        |  array_to_string(list(v ORDER BY j), ',') AS emb_csv,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_norm
+        |FROM dims GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

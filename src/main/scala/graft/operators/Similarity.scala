@@ -34,13 +34,21 @@ object Similarity {
   private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](4)
 
   private[operators] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate(s, d)(ivfFit(s, d))
+    ivfIndexFor(s, d, Tables(s, d, "embeddings"))
 
-  private def ivfFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The same IVF fit over ANY (vec_id, embedding) source — what lets
+    * the multimodal encoder output (s11) share the index machinery
+    * with the native embeddings table. `source` is by-name: on a cache
+    * hit the frame is never constructed. */
+  private[operators] def ivfIndexFor(s: SparkSession, cacheKey: String,
+      source: => DataFrame): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s, cacheKey)(ivfFit(s, source))
+
+  private def ivfFit(s: SparkSession, source: DataFrame): (DataFrame, DataFrame) = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val nCells = 16
-      val e = Tables(s, d, "embeddings")
+      val e = source
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fv", array_to_vector(col("embedding")))
       // a coarse quantizer only partitions space — 5 iterations is
@@ -657,6 +665,38 @@ object Similarity {
         .crossJoin(
           recallGate(exact, queries("s03_ann_ivf")(s, d), 0.3, "ivf_recall_ok")
             .drop("n_pairs"))
+    }),
+
+    // ── s11: MULTIMODAL → ANN composition — the m07 encoder output
+    // (payload → ArrayType(Float), Multimodal.assetEmbeddings) fed
+    // through the SAME IVF index build + probe + rescore path the
+    // native embeddings use (ivfIndexFor — only the cache key and the
+    // source frame differ), proving the multimodal column is a
+    // first-class vector-search input end to end. Gate discipline is
+    // s04's: the exact top-K over the same encoder output is computed
+    // in-plan (Spark vs Spark, so float-tie order never cross-engines)
+    // and the IVF route must recall ≥ the threshold; the oracle
+    // restates the pair census from the encoder arithmetic. Threshold
+    // 0.3 matches s03's: the stub embeddings are hash-derived (no
+    // cluster structure), the worst case for a 3-of-16-cell probe.
+    "s11_multimodal_ann" -> ((s, d) => {
+      VectorFunctions.register(s)
+      def emb = Multimodal.assetEmbeddings(s, d)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val (assigned, centsDf) = ivfIndexFor(s, s"$d#m07", emb)
+      val approx = ivfProbe(assigned, centsDf)
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val exact = assigned
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"))
+      recallGate(exact, approx, 0.3, "mm_recall_ok")
     })
   )
 
@@ -820,6 +860,34 @@ object Similarity {
         |        ORDER BY cos DESC, n_id ASC) AS rank
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS lsh_recall_ok,
-        |  TRUE AS ivf_recall_ok FROM topk""".stripMargin
+        |  TRUE AS ivf_recall_ok FROM topk""".stripMargin,
+
+    // the multimodal-ANN gate: the pair census restated from the m07
+    // encoder arithmetic (char-code poly fold → 16 integer dims →
+    // cosine top-3); the boolean is the in-plan recall contract
+    "s11_multimodal_ann" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, j,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(j, len(codes), 16), i -> codes[i + 1])),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 2048 AS DOUBLE) AS v
+        |  FROM c, UNNEST(generate_series(0, 15)) AS t(j)),
+        |e AS (SELECT doc_id, list(v ORDER BY j) AS v FROM dims
+        |      GROUP BY doc_id),
+        |scored AS (
+        |  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+        |    list_cosine_similarity(q.v, n.v) AS cos
+        |  FROM e q JOIN e n ON q.doc_id < 5 AND q.doc_id <> n.doc_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS mm_recall_ok FROM topk""".stripMargin
   )
 }
