@@ -21,8 +21,8 @@ import graft.functions.{SketchFunctions, VectorFunctions}
   */
 object Similarity {
 
-  private val K = 3
-  private val NQ = 5 // vec_id < NQ are the query vectors
+  private[graft] val K = 3
+  private[graft] val NQ = 5 // vec_id < NQ are the query vectors
 
   /** Session-scoped IVF index cache: (quantizer cell assignment,
     * centroid table) per (session, dataset). The fit is the build-once
@@ -40,7 +40,7 @@ object Similarity {
     * the multimodal encoder output (s11) share the index machinery
     * with the native embeddings table. `source` is by-name: on a cache
     * hit the frame is never constructed. */
-  private[operators] def ivfIndexFor(s: SparkSession, cacheKey: String,
+  private[graft] def ivfIndexFor(s: SparkSession, cacheKey: String,
       source: => DataFrame): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s, cacheKey)(ivfFit(s, source))
 
@@ -120,18 +120,94 @@ object Similarity {
         .parquet(s"$idxDir/assigned")
       centsDf.write.mode("overwrite").parquet(s"$idxDir/cents")
     }
-    val assigned = s.read.parquet(s"$idxDir/assigned")
     val centsDf = s.read.parquet(s"$idxDir/cents")
-    // query vectors from the base table — the index scan below is the
-    // only read of the loaded index
+    // query vectors from the base table — the index scan inside the
+    // probe is the only read of the loaded index
     val q = Tables(s, d, "embeddings").filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val probed = probeCells(q, centsDf, nProbe)
-    // the router: probed cell ids, collected from the centroid-sized
-    // frame, become a static partition filter on the index scan
+    probePersistedDirs(s, centsDf, q, Seq(s"$idxDir/assigned"), nProbe)
+  }
+
+  /** SERVE against persisted cell-partitioned index segment(s): route
+    * queries by centroid cosine, then read ONLY the probed cells'
+    * directories of every segment (the router collect is
+    * centroid-sized — plan-time metadata, never data) and
+    * exact-rescore. Multiple `dirs` is the grown-index case (st35): a
+    * base segment plus stream-appended segments sharing the same
+    * cell layout, each partition-pruned independently. */
+  private[graft] def probePersistedDirs(s: SparkSession, cents: DataFrame,
+      q: DataFrame, dirs: Seq[String], nProbe: Int = 3,
+      euclidRouter: Boolean = false): DataFrame = {
+    val probed =
+      if (euclidRouter) probeCellsEuclid(q, cents, nProbe)
+      else probeCells(q, cents, nProbe)
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    rescore(probed, assigned.filter(col("cell").isin(cells: _*)))
+    val segs = dirs.map(dir =>
+      s.read.parquet(dir).select(col("vec_id"), col("embedding"), col("cell"))
+        .filter(col("cell").isin(cells: _*)))
+    rescore(probed, segs.reduce(_ unionByName _))
+  }
+
+  /** Cell routing by EUCLIDEAN distance — the router that matches the
+    * KMeans builder's residency rule. On these fixtures the
+    * centroid-cosine router leaves true neighbors in cells ranked
+    * 7–12 of 16 (cosine direction ≠ Euclidean residency), capping
+    * recall near 0.33; ranking cells by ‖q − centroid‖² instead puts
+    * 11 of 15 exact pairs inside the top-5 cells at every SF
+    * (measured) — the FAISS discipline of routing in the index's own
+    * metric. */
+  private def probeCellsEuclid(queryVecs: DataFrame, centsDf: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    queryVecs.crossJoin(broadcast(centsDf))
+      .withColumn("dist2", expr("aggregate(zip_with(qv, centroid, " +
+        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
+        "(a, v) -> a + v * v)"))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+  }
+
+  /** Assign vectors to a persisted index's cells by EUCLIDEAN argmin —
+    * the SAME rule the KMeans quantizer used at build time (probe
+    * ranking is cosine, but residency must match the builder or
+    * streamed vectors land in cells the router never associates with
+    * them). 16 candidate rows per vector against the broadcast
+    * centroid table, integer window argmin — narrow at any scale. */
+  private[graft] def assignToCells(batch: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    batch.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", expr("aggregate(zip_with(embedding, centroid, " +
+        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
+        "(a, v) -> a + v * v)"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** st35's gate, the s04/s06 contract shape over caller-supplied
+    * frames. */
+  private[graft] def recallGateFor(exact: DataFrame, approx: DataFrame,
+      threshold: Double, okCol: String): DataFrame =
+    recallGate(exact, approx, threshold, okCol)
+
+  /** Exact top-K baseline over an arbitrary (vec_id, embedding)
+    * corpus — the in-plan truth the streaming-upsert gate compares
+    * against. */
+  private[graft] def exactTopK(corpus: DataFrame): DataFrame = {
+    val q = corpus.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"))
   }
 
   /** Recall@K gate vs the exact baseline — ONE definition of the
@@ -685,17 +761,7 @@ object Similarity {
         .select(col("doc_id").as("vec_id"), col("embedding"))
       val (assigned, centsDf) = ivfIndexFor(s, s"$d#m07", emb)
       val approx = ivfProbe(assigned, centsDf)
-      val q = assigned.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id").asc)
-      val exact = assigned
-        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        .join(broadcast(q), col("q_id") =!= col("n_id"))
-        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("n_id"))
+      val exact = exactTopK(assigned.select(col("vec_id"), col("embedding")))
       recallGate(exact, approx, 0.3, "mm_recall_ok")
     })
   )
