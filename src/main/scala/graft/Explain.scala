@@ -25,7 +25,10 @@ object Explain {
         "m06_media_dedup", "p10_quality_sample", "s08_ann_selfjoin",
         "s10_ann_ivfpq", "d16_semantic_dedup", "q112_geo_hotspots",
         "q113_geo_radius_join", "q114_geo_nearest_facility",
-        "q115_dml_file_skip")
+        "q115_dml_file_skip", "q116_dml_bucket_transform",
+        "m07_multimodal_embed", "s11_multimodal_ann",
+        "q117_dml_merge_sync", "q118_grouped_pushdown",
+        "q119_topn_pushdown")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1696,6 +1696,42 @@ object RowCatalogQueries {
         ON t.k = src.k
         WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents""")
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
+    }),
+
+    // ── q117: TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` is the
+    // clause that turns MERGE into full table synchronization (the
+    // warehouse-sync shape Delta/Iceberg document): rows ABSENT from
+    // the source are archived or deleted in the same statement that
+    // updates matches and inserts new keys. Spark's rewrite plans the
+    // target as the outer side (every target row must be inspected,
+    // so runtime group filtering correctly keeps ALL groups — the
+    // opposite scope of q116's one-bucket rewrite), and the connector
+    // replaces what the scan read. Target = orders k≡0 (mod 10),
+    // source = k≡0 (mod 15): matched = k≡0 (30), inserts = source
+    // only, and the not-matched-by-source leg splits on the seeded
+    // cents — big ones deleted, the rest stamped archived.
+    "q117_dml_merge_sync" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q117_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.sync")
+      s.sql("CREATE TABLE graft_dml.ns.sync " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      s.sql("""INSERT INTO graft_dml.ns.sync
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q117_orders WHERE o_orderkey % 10 = 0""")
+      s.sql("""MERGE INTO graft_dml.ns.sync t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM q117_orders WHERE o_orderkey % 15 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+        WHEN NOT MATCHED THEN INSERT (k, cents, status)
+          VALUES (s.k, s.cents, s.status)
+        WHEN NOT MATCHED BY SOURCE AND t.cents > 25000000 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'S'""")
+      s.table("graft_dml.ns.sync").orderBy(col("k"))
     })
   )
 
@@ -1751,6 +1787,26 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the three-way sync restated: matched keys (mod 30) doubled,
+    // source-only keys inserted as seeded, target-only keys deleted
+    // when the PRE-merge cents exceeded the threshold else archived
+    "q117_dml_merge_sync" ->
+      """WITH u AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c0,
+        |    o_orderstatus AS st,
+        |    o_orderkey % 30 = 0 AS matched,
+        |    o_orderkey % 10 = 0 AS in_target
+        |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 15 = 0)
+        |SELECT k,
+        |  CAST(c0 * (CASE WHEN matched THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS cents,
+        |  CASE WHEN in_target AND NOT matched THEN 'S' ELSE st END
+        |    AS status
+        |FROM u
+        |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
+        |ORDER BY k""".stripMargin,
 
     // insert + self-merge restated: a key ≡ 44 (mod 66) had its cents
     // doubled by the MERGE (t.cents + src.cents with src ≡ the seed)

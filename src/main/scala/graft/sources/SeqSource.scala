@@ -83,24 +83,33 @@ class SeqTable(rows: Long, parts: Int, batchRows: Long) extends Table with Suppo
 
 class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
   private var aggPushed: Option[Aggregation] = None
+  private var limitPushed: Option[Int] = None
+  private var topNDesc = false
 
-  // ── aggregate pushdown: ungrouped COUNT(*) / MIN(id) / MAX(id) have
-  // closed forms over the [lo, hi) range, so the source answers them
-  // with ONE row and ZERO generated ids — the connector analog of
-  // footer-stats answers. Complete pushdown only engages when Spark
-  // pushed no residual filters above the scan; the conservative filter
-  // contract above always leaves residuals when filters exist, so this
-  // composes only with the unfiltered scan — the honest trade, noted
-  // here: stats shortcuts must never ride below re-checked filters.
+  // ── aggregate pushdown: COUNT(*) / MIN(id) / MAX(id), ungrouped or
+  // GROUPED BY `bucket`, have closed forms over the [lo, hi) range
+  // (bucket = id % 100 makes per-group membership pure arithmetic), so
+  // the source answers with at most 100 rows and ZERO generated ids —
+  // the connector analog of footer-stats / partition-stats answers.
+  // Complete pushdown only engages when Spark pushed no residual
+  // filters above the scan; the conservative filter contract above
+  // always leaves residuals when filters exist, so this composes only
+  // with the unfiltered scan — the honest trade, noted here: stats
+  // shortcuts must never ride below re-checked filters.
   private def canPush(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+    agg.groupByExpressions.forall {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("bucket")
+      case _ => false
+    } && agg.aggregateExpressions.forall {
       case _: CountStar => true
       case m: Min => m.column match {
         case f: NamedReference => f.fieldNames.toSeq == Seq("id")
@@ -112,6 +121,39 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilde
       }
       case _ => false
     }
+
+  // ── LIMIT / ORDER BY id LIMIT n pushdown: generation is an ordered
+  // id walk, so "the first n" is the prefix [lo, lo+n) and "top n by
+  // id desc" is the suffix [hi−n, hi) — the scan generates ONLY those
+  // rows (a real connector's file-count / sorted-layout short
+  // circuit). Declared PARTIAL on purpose: readers emit ascending
+  // regardless of the requested direction, and a fully-pushed TopN
+  // makes Spark TRUST the returned order (it skips its own sort — a
+  // desc query would come back ascending). Partial keeps Spark's
+  // limit/sort on top of the ≤n returned rows: same generation bound,
+  // order always right.
+  override def pushLimit(n: Int): Boolean = {
+    limitPushed = Some(n); true
+  }
+  override def isPartiallyPushed(): Boolean = true
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }) &&
+      // id is non-null, but only accept the orderings whose null
+      // placement the prefix/suffix answer trivially satisfies anyway
+      (orders(0).direction() == SortDirection.ASCENDING ||
+        orders(0).direction() == SortDirection.DESCENDING)
+    if (ok) {
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      limitPushed = Some(n)
+    }
+    ok
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canPush(agg) && pushed.isEmpty
@@ -141,9 +183,70 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilde
     required = requiredSchema
 
   override def build(): Scan = aggPushed match {
+    case Some(agg) if agg.groupByExpressions.nonEmpty =>
+      new SeqGroupedAggScan(lo, math.max(lo, hi), agg)
     case Some(agg) => new SeqAggScan(lo, math.max(lo, hi), agg)
-    case None => new SeqScan(lo, math.max(lo, hi), parts, batchRows, required)
+    case None =>
+      val h0 = math.max(lo, hi)
+      val (l, h) = limitPushed match {
+        case Some(n) if topNDesc => (math.max(lo, h0 - n), h0)
+        case Some(n)             => (lo, math.min(h0, lo + n))
+        case None                => (lo, h0)
+      }
+      new SeqScan(l, h, parts, batchRows, required)
   }
+}
+
+/** ≤100-row scan answering a completely-pushed GROUP BY `bucket`
+  * aggregation in closed form: bucket b's members in [lo, hi) are the
+  * arithmetic progression first(b), first(b)+100, …, so count/min/max
+  * need no generation at all. Output protocol: group-by columns first,
+  * then aggregates, in declaration order. Empty groups emit no row. */
+class SeqGroupedAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch {
+  private val out: StructType = StructType(
+    StructField("bucket", IntegerType, nullable = false) +:
+      agg.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+      }.toSeq)
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqSlice(0, 1)) // one task, ≤100 rows
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // rows computed DRIVER-SIDE so the factory ships plain value
+    // arrays, never the (non-serializable) Aggregation
+    val data: Array[Array[Any]] = (0 until 100).flatMap { b =>
+      val first = lo + java.lang.Math.floorMod(b - lo, 100L)
+      if (first >= hi) None
+      else {
+        val cnt = (hi - 1 - first) / 100 + 1
+        val mx = first + 100 * (cnt - 1)
+        val aggs: Array[Any] = agg.aggregateExpressions.map {
+          case _: CountStar => cnt
+          case _: Min       => first
+          case _: Max       => mx
+          case other => sys.error(s"unpushable agg leaked: $other")
+        }
+        Some((Int.box(b) +: aggs).toArray)
+      }
+    }.toArray
+    new SeqClosedFormReaderFactory(data)
+  }
+}
+
+/** Factory emitting precomputed closed-form rows (grouped-agg scan). */
+class SeqClosedFormReaderFactory(data: Array[Array[Any]])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < data.length }
+      override def get(): InternalRow = new GenericInternalRow(data(i))
+      override def close(): Unit = ()
+    }
 }
 
 /** One-row scan answering a completely-pushed aggregation in closed
@@ -325,6 +428,35 @@ object SeqSourceQueries {
         .selectExpr("count(*) AS n", "min(id) AS min_id", "max(id) AS max_id")
     }),
 
+    // ── q118: GROUPED aggregate pushdown — q88's closed-form answers
+    // per GROUP: COUNT/MIN/MAX grouped by `bucket` over 3M synthetic
+    // ids is answered by the source as 100 arithmetic-progression
+    // rows with ZERO ids generated (spec-proven via the emission
+    // counter). The connector analog of partition-level stats
+    // answering a per-partition rollup — what a lake scan does when
+    // the group-by key IS the partition key.
+    "q118_grouped_pushdown" -> ((s, _) => {
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "3000000").option("parts", "8").load()
+        .groupBy(col("bucket"))
+        .agg(expr("count(*)").as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ── q119: LIMIT / ORDER-BY-LIMIT (TopN) pushdown — the ordered id
+    // walk makes "first n" the prefix [lo, lo+n) and "top n by id
+    // DESC" the suffix [hi−n, hi), so each 5M-row head/tail query
+    // generates exactly 5 ids (spec-proven): the sorted-layout short
+    // circuit every columnar store with ordered files exploits.
+    "q119_topn_pushdown" -> ((s, _) => {
+      def t = s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "5000000").option("parts", "8").load()
+      t.orderBy(col("id").asc).limit(5)
+        .unionByName(t.orderBy(col("id").desc).limit(5))
+        .orderBy(col("id"))
+    }),
+
     // ── q105: RUNTIME FILTERING through the connector — the DSv2 twin
     // of q42's DPP and the mechanism a lake-format scan (Iceberg/Delta)
     // uses at 100 TB: the selective dimension side executes first, its
@@ -387,6 +519,23 @@ object SeqSourceQueries {
     "q88_agg_pushdown" ->
       """SELECT CAST(5000000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS min_id,
         |  CAST(4999999 AS BIGINT) AS max_id""".stripMargin,
+
+    // the per-bucket closed forms stated directly: 3M ids over 100
+    // residue classes — 30000 each, min = b, max = 2999900 + b
+    "q118_grouped_pushdown" ->
+      """SELECT CAST(g AS INTEGER) AS bucket, CAST(30000 AS BIGINT) AS n,
+        |  CAST(g AS BIGINT) AS min_id, CAST(2999900 + g AS BIGINT) AS max_id
+        |FROM (SELECT UNNEST(generate_series(0, 99)) AS g)
+        |ORDER BY bucket""".stripMargin,
+
+    // the prefix and suffix of the 5M-id walk with the Lehmer value
+    // polynomial restated
+    "q119_topn_pushdown" ->
+      """WITH ids AS (SELECT UNNEST(generate_series(0, 4)) AS id
+        |  UNION ALL SELECT UNNEST(generate_series(4999995, 4999999)))
+        |SELECT CAST(id AS BIGINT) AS id, CAST(id % 100 AS INTEGER) AS bucket,
+        |  CAST(((id % 2147483647) * 48271) % 2147483647 AS BIGINT) AS val
+        |FROM ids ORDER BY id""".stripMargin,
 
     // the join restated in closed form over the dimension (valid
     // because every dim id is inside the fact's [0, 1M) id space)

@@ -63,6 +63,50 @@ class SeqSourceSpec extends AnyFunSuite {
       s"aggregate pushdown did not engage: ${SeqSource.rowsEmitted.get} ids generated")
   }
 
+  test("grouped count/min/max by bucket are answered without generating a row") {
+    SeqSource.rowsEmitted.set(0)
+    val rs = seq(1000000, 8)
+      .groupBy(col("bucket"))
+      .agg(expr("count(*)").as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+      .orderBy(col("bucket"))
+      .collect()
+    assert(rs.length == 100)
+    assert(rs.forall(r => r.getLong(1) == 10000L))
+    assert((rs(7).getLong(2), rs(7).getLong(3)) == (7L, 999907L))
+    assert(SeqSource.rowsEmitted.get == 0,
+      s"grouped pushdown did not engage: ${SeqSource.rowsEmitted.get} ids generated")
+  }
+
+  test("grouped pushdown disengages when the group key is not bucket") {
+    // val = Lehmer(id) has no closed form here — the builder must
+    // refuse, Spark aggregates the generated rows, results stay right
+    SeqSource.rowsEmitted.set(0)
+    val n = seq(1000, 2).groupBy(col("val") % 2).count().count()
+    assert(n == 2)
+    assert(SeqSource.rowsEmitted.get == 1000,
+      "refused pushdown must fall back to full generation")
+  }
+
+  test("LIMIT and ORDER BY id LIMIT generate only the prefix/suffix") {
+    SeqSource.rowsEmitted.set(0)
+    assert(seq(1000000, 8).limit(5).collect().length == 5)
+    val plainLimit = SeqSource.rowsEmitted.get
+    assert(plainLimit == 5, s"limit pushdown generated $plainLimit ids")
+    SeqSource.rowsEmitted.set(0)
+    val head = seq(1000000, 8).orderBy(col("id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(head == (0L until 5L), s"topN asc: $head")
+    val headGen = SeqSource.rowsEmitted.get
+    assert(headGen == 5, s"topN asc generated $headGen ids")
+    SeqSource.rowsEmitted.set(0)
+    val tail = seq(1000000, 8).orderBy(col("id").desc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tail == (999999L to 999995L by -1L), s"topN desc: $tail")
+    val tailGen = SeqSource.rowsEmitted.get
+    assert(tailGen == 5, s"topN desc generated $tailGen ids")
+  }
+
   test("streaming offsets round-trip through a checkpoint (restart is a no-op)") {
     // first AvailableNow run drains all 10k ids in 4 batches; a second
     // run against the SAME checkpoint must deserialize the committed
