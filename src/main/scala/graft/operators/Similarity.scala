@@ -743,6 +743,35 @@ object Similarity {
             .drop("n_pairs"))
     }),
 
+    // ── s12: HARD-NEGATIVE MINING — the contrastive-training data op
+    // (SimCSE/DPR shape): for each anchor, the most similar corpus
+    // vectors BELOW the near-dup threshold. Too-similar candidates are
+    // excluded (cos ≥ 0.35, d05's near-dup bar — a near-duplicate
+    // labeled "negative" poisons the loss), and the top-3 of what
+    // remains are exactly the hard negatives (highest-similarity true
+    // negatives). Same broadcast-anchor block join as s01; the band
+    // filter rides the codegen'd cosine before ranking. Fully
+    // oracle-checked (the band makes it deterministic like s01).
+    "s12_hard_negatives" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .filter(col("cos") < 0.35)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── s11: MULTIMODAL → ANN composition — the m07 encoder output
     // (payload → ArrayType(Float), Multimodal.assetEmbeddings) fed
     // through the SAME IVF index build + probe + rescore path the
@@ -927,6 +956,23 @@ object Similarity {
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS lsh_recall_ok,
         |  TRUE AS ivf_recall_ok FROM topk""".stripMargin,
+
+    // s01's restatement with the near-dup exclusion band applied
+    // before ranking
+    "s12_hard_negatives" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored WHERE cos < 0.35) WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     // the multimodal-ANN gate: the pair census restated from the m07
     // encoder arithmetic (char-code poly fold → 16 integer dims →

@@ -368,6 +368,32 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // ── p11: CORPUS DATA CARD — the per-(lang, source) release report
+    // every dataset ships with (docs, tokens, mean quality, exact-dup
+    // rate): one grouped aggregate over the same quality/token/digest
+    // signals t02/t03/d01 compute per row, so the card is consistent
+    // with the operators it summarizes by construction. Integer-ppm
+    // mean (sum div count) keeps the row hash-exact; duplicates are
+    // counted via the (length, xxhash64) digest pair (d01's narrow-key
+    // discipline — text never becomes a shuffle key; the oracle counts
+    // distinct text itself, equal absent digest collisions, which is
+    // d01's standing premise). One corpus scan, one tiny shuffle.
+    "p11_data_card" -> ((s, d) => {
+      withQualityCols(docs(s, d))
+        .withColumn("q_ppm",
+          expr("CAST(floor(quality * 1000000) AS BIGINT)"))
+        .withColumn("n_tok",
+          size(split(trim(col("text")), "\\s+")).cast(LongType))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          expr("CAST(sum(q_ppm) div count(1) AS BIGINT)")
+            .as("mean_q_ppm"),
+          expr("CAST(count(1) - count(DISTINCT length(text), " +
+            "xxhash64(text)) AS BIGINT)").as("n_dup_docs"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
     // subset (k docs per language), reproducible across reruns,
     // engines, and repartitions. Ranking by the portable hash gives a
@@ -1237,6 +1263,27 @@ object TextOps {
         |FROM r WHERE $hash % 1000000 < rate_ppm
         |GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // the card restated: same quality formula as t02 (round-6 is
+    // bit-identical IEEE in both engines, so floor·1e6 agrees), dup
+    // count via distinct text (== the digest count absent collisions)
+    "p11_data_card" ->
+      """WITH q AS (
+        |  SELECT lang, source, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(floor(round(
+        |      0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0)
+        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
+        |      + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')) * 5.0), 6)
+        |      * 1000000) AS BIGINT) AS q_ppm
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_ppm,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs
+        |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     // the same integer-ppm conditional model replayed: corpus bigram
     // counts → prefix totals → count·10⁶ // prefix per transition,

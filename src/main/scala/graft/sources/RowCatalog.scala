@@ -1732,6 +1732,21 @@ object RowCatalogQueries {
         WHEN NOT MATCHED BY SOURCE AND t.cents > 25000000 THEN DELETE
         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'S'""")
       s.table("graft_dml.ns.sync").orderBy(col("k"))
+    }),
+
+    // ── q120: METADATA COLUMNS as a USER surface — Iceberg's
+    // `_file`/`_pos` pattern: the `_group` metadata column the DML
+    // machinery reads internally (requiredMetadataAttributes) is also
+    // directly selectable, which is how operators audit physical
+    // layout (rows per group/file) without any side channel. The
+    // oracle restates residency from the group function itself
+    // (groupOf(long) = k mod 4 on the default 4-group layout), so a
+    // drifting writer-vs-reader group assignment breaks the hash.
+    "q120_metadata_columns" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.sql(s"""SELECT _group, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM $t GROUP BY _group ORDER BY _group""")
     })
   )
 
@@ -1787,6 +1802,15 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // physical residency restated from the group function: the final
+    // lifecycle state bucketed by k mod 4
+    "q120_metadata_columns" ->
+      s"""$lifecycleCtes
+        |SELECT CAST(k % 4 AS INTEGER) AS _group, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged WHERE k % 97 <> 0
+        |GROUP BY 1 ORDER BY _group""".stripMargin,
 
     // the three-way sync restated: matched keys (mod 30) doubled,
     // source-only keys inserted as seeded, target-only keys deleted
