@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -718,9 +718,30 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     staticGroups: Option[Set[Int]] = None,
     keyRange: Option[(Long, Long)] = None,
     streamFrom: Int = 0)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Manifest-derived size estimate — what lets Catalyst's join
+    * planning AUTO-BROADCAST a small catalog table (without it, a DSv2
+    * scan defaults to "unknown = huge" and a dimension-sized DML table
+    * always shuffle-joins). Sum of this version's on-disk file sizes:
+    * an UNDERestimate of row-format in-memory size, but parquet
+    * encodes denser than runtime rows by less than the 10 MB default
+    * threshold's safety margin; estimates feed planning only, never
+    * correctness. */
+  override def estimateStatistics(): Statistics = {
+    val dir = RowStore.dataDir(tableKey)
+    val bytes = RowStore.readManifest(tableKey, version)
+      .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   private var groupKeep: Option[Set[Int]] = None
 
@@ -1734,6 +1755,53 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.sync").orderBy(col("k"))
     }),
 
+    // ── q122: CATALOG STATS → CBO BROADCAST — the scan reports its
+    // manifest-derived size (SupportsReportStatistics), so joining the
+    // dimension-sized DML table to the parquet fact auto-plans a
+    // BroadcastHashJoin with the CATALOG side as build (spec-pinned) —
+    // no hint, no shuffle of the fact. Without reported stats a DSv2
+    // scan is "unknown = huge" and this join would shuffle both sides
+    // at any scale. Every k came from o_orderkey, so the oracle joins
+    // the lifecycle restatement back to raw orders.
+    "q122_dml_stats_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val t = sharedLifecycle(s, d, mor = false)
+      s.table(t)
+        .join(graft.Tables(s, d, "orders"), col("k") === col("o_orderkey"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          sum(col("o_custkey")).cast("long").as("cust_sum"))
+        .orderBy(col("status"))
+    }),
+
+    // ── q121: SUBQUERY-CONDITIONED DML — `DELETE/UPDATE … WHERE k IN
+    // (SELECT …)`: the predicate is a JOIN Spark's row-level rewrite
+    // must plan (no metadata shortcut can answer a subquery), the
+    // everyday Delta/Iceberg shape for "remove the keys some other
+    // query produced". Both statements run through the group-based
+    // rewrite against subqueries over the raw orders view; the oracle
+    // restates the surviving keys and the conditional bump
+    // arithmetically.
+    "q121_dml_subquery" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q121_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.subq")
+      s.sql("CREATE TABLE graft_dml.ns.subq " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      s.sql("""INSERT INTO graft_dml.ns.subq
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q121_orders WHERE o_orderkey % 9 = 0""")
+      s.sql("""DELETE FROM graft_dml.ns.subq
+        WHERE k IN (SELECT CAST(o_orderkey AS BIGINT)
+                    FROM q121_orders WHERE o_orderkey % 18 = 0)""")
+      s.sql("""UPDATE graft_dml.ns.subq SET cents = cents + 1000
+        WHERE k IN (SELECT CAST(o_orderkey AS BIGINT)
+                    FROM q121_orders WHERE o_orderkey % 27 = 0)""")
+      s.table("graft_dml.ns.subq").orderBy(col("k"))
+    }),
+
     // ── q120: METADATA COLUMNS as a USER surface — Iceberg's
     // `_file`/`_pos` pattern: the `_group` metadata column the DML
     // machinery reads internally (requiredMetadataAttributes) is also
@@ -1802,6 +1870,27 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the broadcast-enrichment join restated over the lifecycle CTEs
+    "q122_dml_stats_join" ->
+      s"""$lifecycleCtes
+        |SELECT m.status, COUNT(*) AS n,
+        |  CAST(SUM(m.cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(o.o_custkey) AS BIGINT) AS cust_sum
+        |FROM merged m JOIN orders o ON o.o_orderkey = m.k
+        |WHERE m.k % 97 <> 0
+        |GROUP BY m.status ORDER BY m.status""".stripMargin,
+
+    // the two subquery legs restated: survivors are the seed minus the
+    // deleted keys; the bump hits survivors in the update subquery
+    "q121_dml_subquery" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + (CASE WHEN o_orderkey % 27 = 0 THEN 1000 ELSE 0 END) AS cents,
+        |  o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey % 9 = 0 AND o_orderkey % 18 <> 0
+        |ORDER BY k""".stripMargin,
 
     // physical residency restated from the group function: the final
     // lifecycle state bucketed by k mod 4

@@ -354,6 +354,32 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.bt_src")
   }
 
+  test("reported scan statistics drive an auto-broadcast of the catalog side") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.dim")
+    s.sql("CREATE TABLE graft_dml.spec.dim (k BIGINT, name STRING)")
+    s.sql("INSERT INTO graft_dml.spec.dim VALUES " +
+      (0 until 50).map(i => s"($i, 'n$i')").mkString(", "))
+    val fact = s.range(0, 100000).selectExpr("id % 50 AS k", "id AS x")
+    val joined = s.table("graft_dml.spec.dim").join(fact, "k")
+      .groupBy("name").count()
+    assert(joined.count() == 50)
+    val bhj = PlanWalk.allNodes(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "manifest-derived scan statistics must let Catalyst auto-broadcast " +
+        s"the 50-row catalog table:\n${joined.queryExecution.executedPlan}")
+    // the broadcast side must be the catalog scan, not the 100k fact
+    val bcastSide = bhj.head.buildSide.toString
+    val bcastPlan = (if (bcastSide.contains("Left")) bhj.head.left
+      else bhj.head.right).toString
+    assert(bcastPlan.contains("graft_dml.spec.dim"),
+      s"build side must be the catalog table, got side=$bcastSide:\n$bcastPlan")
+    s.sql("DROP TABLE graft_dml.spec.dim")
+  }
+
   test("manifest stats skip base files on clean plain reads only") {
     val s = spark
     import graft.sources.RowStore
