@@ -177,7 +177,7 @@ object RowStore {
 
   def readManifest(key: String, v: Int): Seq[FileEntry] =
     Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
-      .filter(_.nonEmpty).map { l =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         l.split("\t", 5) match {
           case Array(kind, g, name, mn, mx) =>
             FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong))
@@ -186,15 +186,39 @@ object RowStore {
         }
       }.toSeq
 
-  def writeManifest(key: String, v: Int, entries: Seq[FileEntry]): Unit =
+  /** Test seam for commit wall-clock (TIMESTAMP AS OF resolution). */
+  @volatile private[graft] var clock: () => Long =
+    () => System.currentTimeMillis()
+
+  /** A version's recorded commit time (ms). Header line written by
+    * [[writeManifest]]; manifests from before the header existed fall
+    * back to file mtime. */
+  def commitTimeMs(key: String, v: Int): Long = {
+    val p = Paths.get(tableDir(key), s"v$v.manifest")
+    Files.readAllLines(p).asScala.collectFirst {
+      case l if l.startsWith("#ms\t") => l.stripPrefix("#ms\t").toLong
+    }.getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  def writeManifest(key: String, v: Int, entries: Seq[FileEntry]): Unit = {
+    // STRICTLY monotonic commit times per table: two sub-millisecond
+    // commits must never share a timestamp, or TIMESTAMP AS OF the
+    // earlier one would silently resolve to the later
+    val ms = {
+      val now = clock()
+      if (v == 0) now
+      else try math.max(now, commitTimeMs(key, v - 1) + 1)
+      catch { case _: java.io.IOException => now }
+    }
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
-      entries.map { e =>
+      s"#ms\t$ms\n" + entries.map { e =>
         val stats = (e.minK, e.maxK) match {
           case (Some(mn), Some(mx)) => s"\t$mn\t$mx"
           case _ => ""
         }
         s"${e.kind}\t${e.group}\t${e.name}$stats"
       }.mkString("", "\n", "\n"))
+  }
 
   def drop(key: String): Boolean = {
     val d = Paths.get(tableDir(key))
@@ -439,6 +463,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * Only `bucket` is supported: the catalog's column types are
     * INT/LONG/STRING, so the temporal transforms (`days`/`hours`)
     * have no legal input column here and fail loudly. */
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch; the
+    * snapshot is the LATEST version committed at or before t
+    * (Iceberg/Delta's as-of rule). Commit times are recorded in the
+    * manifest header and strictly monotonic per table, so the mapping
+    * is total and unambiguous; a timestamp before the first commit
+    * fails loudly. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val k = key(ident)
+    if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+    val have = RowStore.versions(k).sorted
+    val atOrBefore = have.filter(v =>
+      RowStore.commitTimeMs(k, v) * 1000L <= timestampMicros)
+    require(atOrBefore.nonEmpty,
+      s"no snapshot of $k at or before timestamp ${timestampMicros}us " +
+        s"(earliest commit: ${RowStore.commitTimeMs(k, have.head)}ms)")
+    new RowTable(k, RowStore.readMeta(k), atOrBefore.max)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -1755,6 +1797,27 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.sync").orderBy(col("k"))
     }),
 
+    // ── q123: `TIMESTAMP AS OF` TIME TRAVEL — q107's version pin by
+    // WALL CLOCK: commit times are recorded (strictly monotonic) in
+    // each manifest header, and the as-of read resolves to the latest
+    // version committed at or before the given instant. The query
+    // reads v2's own recorded time back and asks for exactly that
+    // instant — boundary-inclusive resolution must return the MERGE
+    // state (the oracle's `merged` restatement), not the DELETE that
+    // followed a tick later. RowCatalogSpec pins the between-versions
+    // and before-first-commit cases under a controlled clock.
+    "q123_dml_timestamp_travel" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      val ms = RowStore.commitTimeMs(t, 2)
+      val litTs = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      s.sql(s"""SELECT COUNT(*) AS n,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+        FROM $t TIMESTAMP AS OF '$litTs'""")
+    }),
+
     // ── q122: CATALOG STATS → CBO BROADCAST — the scan reports its
     // manifest-derived size (SupportsReportStatistics), so joining the
     // dimension-sized DML table to the parquet fact auto-plans a
@@ -1870,6 +1933,12 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // as-of v2's instant == the post-MERGE pre-DELETE state
+    "q123_dml_timestamp_travel" ->
+      s"""$lifecycleCtes
+        |SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged""".stripMargin,
 
     // the broadcast-enrichment join restated over the lifecycle CTEs
     "q122_dml_stats_join" ->

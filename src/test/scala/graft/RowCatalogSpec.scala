@@ -354,6 +354,48 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.bt_src")
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the instant") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // controlled clock: v0 CREATE at t=1000, commits 60s apart
+    val t0 = 1755000000000L
+    val tick = new java.util.concurrent.atomic.AtomicLong(t0)
+    RowStore.clock = () => tick.getAndAdd(60000L)
+    try {
+      s.sql("DROP TABLE IF EXISTS graft_dml.spec.tt")
+      s.sql("CREATE TABLE graft_dml.spec.tt (k BIGINT, v BIGINT)")
+      s.sql("INSERT INTO graft_dml.spec.tt VALUES (1, 10)")
+      s.sql("INSERT INTO graft_dml.spec.tt VALUES (2, 20)")
+      def litMs(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      def nAsOf(ms: Long): Long =
+        s.sql(s"SELECT COUNT(*) FROM graft_dml.spec.tt " +
+          s"TIMESTAMP AS OF '${litMs(ms)}'").head().getLong(0)
+      val (c0, c1, c2) = (RowStore.commitTimeMs("graft_dml.spec.tt", 0),
+        RowStore.commitTimeMs("graft_dml.spec.tt", 1),
+        RowStore.commitTimeMs("graft_dml.spec.tt", 2))
+      assert(c0 < c1 && c1 < c2, s"monotonic commit times: $c0 $c1 $c2")
+      assert(nAsOf(c0) == 0, "at the CREATE instant: empty v0")
+      assert(nAsOf(c1 - 1) == 0, "just before the first insert: v0")
+      assert(nAsOf(c1) == 1, "at the first insert's instant: v1 (inclusive)")
+      assert(nAsOf(c1 + 30000) == 1, "between commits: still v1")
+      assert(nAsOf(c2 + 3600000) == 2, "after the last commit: current")
+      val before = intercept[Exception](nAsOf(c0 - 1))
+      assert(before.getMessage.contains("no snapshot"),
+        s"before-first-commit must fail loudly: ${before.getMessage}")
+      // a clock that stalls (or runs backwards) must still yield
+      // strictly increasing commit times
+      tick.set(c2 - 120000L)
+      s.sql("INSERT INTO graft_dml.spec.tt VALUES (3, 30)")
+      val c3 = RowStore.commitTimeMs("graft_dml.spec.tt", 3)
+      assert(c3 == c2 + 1, s"stalled clock must advance: $c2 -> $c3")
+      s.sql("DROP TABLE graft_dml.spec.tt")
+    } finally RowStore.clock = () => System.currentTimeMillis()
+  }
+
   test("reported scan statistics drive an auto-broadcast of the catalog side") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
