@@ -29,7 +29,7 @@ object Explain {
         "m07_multimodal_embed", "s11_multimodal_ann",
         "q117_dml_merge_sync", "q118_grouped_pushdown",
         "q119_topn_pushdown", "q120_metadata_columns",
-        "q121_dml_subquery", "q122_dml_stats_join", "q123_dml_timestamp_travel",
+        "q121_dml_subquery", "q122_dml_stats_join", "q123_dml_timestamp_travel", "q124_dml_manifest_count",
         "s12_hard_negatives", "p11_data_card")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

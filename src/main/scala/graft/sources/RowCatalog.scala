@@ -113,7 +113,8 @@ object RowStore {
     * entries written before stats existed; statless files are never
     * skipped). */
   case class FileEntry(kind: String, group: Int, name: String,
-      minK: Option[Long] = None, maxK: Option[Long] = None)
+      minK: Option[Long] = None, maxK: Option[Long] = None,
+      rows: Option[Long] = None)
 
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
@@ -178,9 +179,17 @@ object RowStore {
   def readManifest(key: String, v: Int): Seq[FileEntry] =
     Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-        l.split("\t", 5) match {
+        // trailing `r<count>` token = the file's exact row count
+        // (what answers COUNT(*) at plan time); min/max stats are
+        // positional as before, so all four shapes stay parseable
+        l.split("\t", 7) match {
+          case Array(kind, g, name, mn, mx, r) if r.startsWith("r") =>
+            FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong),
+              Some(r.tail.toLong))
           case Array(kind, g, name, mn, mx) =>
             FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong))
+          case Array(kind, g, name, r) if r.startsWith("r") =>
+            FileEntry(kind, g.toInt, name, rows = Some(r.tail.toLong))
           case Array(kind, g, name) => FileEntry(kind, g.toInt, name)
           case other => sys.error(s"corrupt manifest line: $l")
         }
@@ -213,10 +222,11 @@ object RowStore {
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
       s"#ms\t$ms\n" + entries.map { e =>
         val stats = (e.minK, e.maxK) match {
-          case (Some(mn), Some(mx)) => s"\t$mn\t$mx"
+          case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
           case _ => ""
         }
-        s"${e.kind}\t${e.group}\t${e.name}$stats"
+        val rows = e.rows.map(r => s"\tr$r").getOrElse("")
+        s"${e.kind}\t${e.group}\t${e.name}$stats$rows"
       }.mkString("", "\n", "\n"))
   }
 
@@ -309,7 +319,13 @@ object RowFiles {
     * result is group/bucket-sized by construction, so an eager read is
     * the honest cost model; `wanted`-empty reads touch only the footer
     * (row counts), no data pages. */
+  /** Files opened across this JVM's readers (test observability — the
+    * SeqSource.rowsEmitted discipline: proves the manifest-count path
+    * opened NOTHING, not merely that the answer matched). */
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def readRows(file: String, wanted: Seq[StructField]): Array[Array[Any]] = {
+    filesOpened.incrementAndGet()
     val conf = new Configuration()
     val in = HadoopInputFile.fromPath(new HPath(file), conf)
     val footer = ParquetFileReader.open(in)
@@ -697,8 +713,47 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None,
     streamFrom: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo => SEq, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGe, In => SIn, LessThan => SLt, LessThanOrEqual => SLe}
+
+  // ── COUNT(*) from manifest row counts (Iceberg's snapshot-summary
+  // answer): every base file records its exact row count at commit,
+  // so an unfiltered count of a CLEAN snapshot is a plan-time sum —
+  // zero files opened. Engages ONLY when provably exact: no delta
+  // files at this version (deltas add/remove rows at read time), no
+  // static group restriction (the compact handshake), no row-level
+  // operation scan, and every entry carries a count (a legacy entry
+  // without one refuses). Any WHERE leaves residual filters, which
+  // blocks aggregate pushdown in Spark's own rule — so a filtered
+  // count never reaches this path.
+  private var countPushed = false
+
+  private def manifestCount(): Option[Long] = {
+    val es = RowStore.readManifest(tableKey, version)
+    if (es.exists(_.kind == "delta") || es.exists(_.rows.isEmpty)) None
+    else Some(es.map(_.rows.get).sum)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushAggregationCheck(agg)
+
+  private def pushAggregationCheck(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    op.isEmpty && staticGroups.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      manifestCount().isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countPushed = pushAggregationCheck(agg)
+    countPushed
+  }
 
   // default = full data schema; Spark prunes to referenced data +
   // metadata columns (so the parquet reads project, and a COUNT(*)
@@ -743,7 +798,9 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   }
   override def pushedFilters(): Array[SFilter] = accepted
 
-  override def build(): Scan = new GroupScan(tableKey, meta, version,
+  override def build(): Scan =
+    if (countPushed) new ManifestCountScan(manifestCount().get)
+    else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
     else Some((keyLo, keyHi)), streamFrom)
@@ -890,6 +947,29 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
     deltaFiles: Seq[String]) extends InputPartition
 
+/** One-row scan answering a completely-pushed COUNT(*) from manifest
+  * row counts — no data file is ever opened. */
+class ManifestCountScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("agg_0", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = count
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](c))
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
 class GroupReaderFactory(required: StructType, dataSchema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -965,7 +1045,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
-      .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK))
+      .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
+        f.rows))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -1036,7 +1117,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 }
 
 case class FileMeta(group: Int, name: String, minK: Option[Long],
-    maxK: Option[Long])
+    maxK: Option[Long], rows: Option[Long] = None)
 case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
@@ -1112,9 +1193,9 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
-        FilesMessage(writers.map { case (g, (n, _)) =>
+        FilesMessage(writers.map { case (g, (n, w)) =>
           val st = if (statless(g)) None else stats.get(g)
-          FileMeta(g, n, st.map(_._1), st.map(_._2))
+          FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong))
         }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())
@@ -1797,6 +1878,18 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.sync").orderBy(col("k"))
     }),
 
+    // ── q124: COUNT(*) FROM MANIFEST ROW COUNTS — Iceberg's
+    // snapshot-summary answer: every base file records its exact row
+    // count at commit, so an unfiltered count of a clean (delta-free)
+    // snapshot is a plan-time sum over the manifest — zero data files
+    // opened (RowCatalogSpec pins the files-opened counter at 0, and
+    // that a delta-bearing MOR snapshot refuses the shortcut). The
+    // oracle recomputes the same count relationally.
+    "q124_dml_manifest_count" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.sql(s"SELECT COUNT(*) AS n FROM $t")
+    }),
+
     // ── q123: `TIMESTAMP AS OF` TIME TRAVEL — q107's version pin by
     // WALL CLOCK: commit times are recorded (strictly monotonic) in
     // each manifest header, and the as-of read resolves to the latest
@@ -1933,6 +2026,11 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the manifest-answered count recomputed relationally
+    "q124_dml_manifest_count" ->
+      s"""$lifecycleCtes
+        |SELECT COUNT(*) AS n FROM merged WHERE k % 97 <> 0""".stripMargin,
 
     // as-of v2's instant == the post-MERGE pre-DELETE state
     "q123_dml_timestamp_travel" ->

@@ -396,6 +396,53 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("COUNT(*) answers from manifest row counts; deltas refuse the shortcut") {
+    val s = spark
+    import graft.sources.{RowFiles, RowStore}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mc")
+    s.sql("CREATE TABLE graft_dml.spec.mc (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.mc VALUES " +
+      (0 until 37).map(i => s"($i, $i)").mkString(", "))
+    s.sql("DELETE FROM graft_dml.spec.mc WHERE k % 5 = 0") // COW: still clean
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.mc").head().getLong(0)
+      == 37 - 8)
+    assert(RowFiles.filesOpened.get == 0L,
+      s"clean-snapshot COUNT(*) must not open data files, opened " +
+        s"${RowFiles.filesOpened.get}")
+    // a filtered count must NOT use the shortcut (residual filters
+    // block aggregate pushdown) and must still be right
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.mc WHERE k > 17")
+      .head().getLong(0) == 19 - 4) // keys 18..36 minus {20,25,30,35}
+    assert(RowFiles.filesOpened.get > 0L, "filtered count must read files")
+
+    // MOR: the delta-bearing snapshot refuses; count is still right
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mcm")
+    s.sql("CREATE TABLE graft_dml.spec.mcm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.mcm VALUES " +
+      (0 until 20).map(i => s"($i, $i)").mkString(", "))
+    s.sql("DELETE FROM graft_dml.spec.mcm WHERE k % 4 = 0")
+    assert(RowStore.readManifest("graft_dml.spec.mcm",
+      RowStore.currentVersion("graft_dml.spec.mcm")).exists(_.kind == "delta"))
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.mcm").head().getLong(0)
+      == 15)
+    assert(RowFiles.filesOpened.get > 0L,
+      "a delta-bearing snapshot must refuse the manifest count")
+    // OPTIMIZE folds the deltas away - the shortcut re-engages
+    graft.sources.RowStoreOps.compact(s, "graft_dml.spec.mcm")
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.mcm").head().getLong(0)
+      == 15)
+    assert(RowFiles.filesOpened.get == 0L,
+      "post-OPTIMIZE the manifest count must re-engage")
+    s.sql("DROP TABLE graft_dml.spec.mc")
+    s.sql("DROP TABLE graft_dml.spec.mcm")
+  }
+
   test("reported scan statistics drive an auto-broadcast of the catalog side") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
@@ -443,8 +490,11 @@ class RowCatalogSpec extends AnyFunSuite {
       s"expected 4 planned / 8 skipped, got " +
         s"${RowStore.lastPlannedBaseFiles.get}/" +
         s"${RowStore.lastSkippedBaseFiles.get}")
-    // unfiltered read: nothing skips
-    assert(s.table("graft_dml.spec.skip").count() == 48)
+    // unfiltered read: nothing skips (SUM forces a real scan — a bare
+    // COUNT(*) is now answered from manifest row counts and would
+    // leave the planning counters untouched)
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT), COUNT(*) " +
+        "FROM graft_dml.spec.skip").head().getLong(1) == 48)
     assert(RowStore.lastSkippedBaseFiles.get == 0)
     s.sql("DROP TABLE graft_dml.spec.skip")
 
