@@ -560,9 +560,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"column name ${add.fieldNames()(0)} is reserved")
           StructType(sch.fields :+
             StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+        // DROP COLUMN, the other metadata-only evolution: files are
+        // untouched (readers project by NAME, so a dropped column's
+        // bytes simply stop being read — Iceberg's lazy-delete
+        // economics). The group-key column can never drop: grouping,
+        // zone maps, and the write distribution all route through it.
+        case (sch, del: TableChange.DeleteColumn) =>
+          require(del.fieldNames().length == 1,
+            "nested DROP COLUMN not supported")
+          val name = del.fieldNames()(0)
+          require(sch.fieldNames.contains(name),
+            s"cannot drop missing column $name")
+          require(name != meta.keyCol,
+            s"cannot drop the group-key column ${meta.keyCol}")
+          StructType(sch.fields.filterNot(_.name == name))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
+      require(newSchema.nonEmpty, "cannot drop every column")
       RowStore.writeMeta(k, meta.copy(schema = newSchema))
       new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
     }

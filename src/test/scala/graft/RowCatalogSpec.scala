@@ -396,6 +396,33 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("DROP COLUMN is metadata-only; the group-key column refuses to drop") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.dc")
+    s.sql("CREATE TABLE graft_dml.spec.dc (k BIGINT, a BIGINT, b STRING)")
+    s.sql("INSERT INTO graft_dml.spec.dc VALUES (1, 10, 'x'), (2, 20, 'y')")
+    val filesBefore = graft.sources.RowStore
+      .readManifest("graft_dml.spec.dc", 1).map(_.name).toSet
+    s.sql("ALTER TABLE graft_dml.spec.dc DROP COLUMN a")
+    assert(s.table("graft_dml.spec.dc").columns.toSeq == Seq("k", "b"))
+    assert(s.table("graft_dml.spec.dc").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")),
+      "pre-drop files must read correctly under the narrowed schema")
+    assert(graft.sources.RowStore.readManifest("graft_dml.spec.dc", 1)
+      .map(_.name).toSet == filesBefore, "no file may be rewritten")
+    // DML keeps working post-drop (the rewrite plans the new schema)
+    s.sql("UPDATE graft_dml.spec.dc SET b = 'z' WHERE k = 2")
+    assert(s.table("graft_dml.spec.dc").orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("x", "z"))
+    // the group-key column can never drop
+    val e = intercept[Exception](
+      s.sql("ALTER TABLE graft_dml.spec.dc DROP COLUMN k"))
+    assert(e.getMessage.contains("group-key"), e.getMessage)
+    s.sql("DROP TABLE graft_dml.spec.dc")
+  }
+
   test("COUNT(*) answers from manifest row counts; deltas refuse the shortcut") {
     val s = spark
     import graft.sources.{RowFiles, RowStore}
