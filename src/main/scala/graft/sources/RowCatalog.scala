@@ -759,14 +759,21 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       : Boolean =
     op.isEmpty && staticGroups.isEmpty &&
       agg.groupByExpressions.isEmpty &&
+      // nonEmpty matters: a count-over-count query collapses to an
+      // EMPTY aggregation (0 output columns, 1 row) that a vacuous
+      // forall would accept and then answer with the wrong arity
+      agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
       manifestCount().isDefined
+
+  private var countCols = 1
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     countPushed = pushAggregationCheck(agg)
+    if (countPushed) countCols = agg.aggregateExpressions.length
     countPushed
   }
 
@@ -814,7 +821,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def pushedFilters(): Array[SFilter] = accepted
 
   override def build(): Scan =
-    if (countPushed) new ManifestCountScan(manifestCount().get)
+    if (countPushed) new ManifestCountScan(manifestCount().get, countCols)
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
@@ -964,21 +971,22 @@ case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
 
 /** One-row scan answering a completely-pushed COUNT(*) from manifest
   * row counts — no data file is ever opened. */
-class ManifestCountScan(count: Long) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("agg_0", LongType, nullable = false)))
+class ManifestCountScan(count: Long, nCols: Int) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    (0 until nCols).map(i => StructField(s"agg_$i", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
   override def createReaderFactory(): PartitionReaderFactory = {
     val c = count
+    val n = nCols
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
           override def get(): InternalRow =
-            new GenericInternalRow(Array[Any](c))
+            new GenericInternalRow(Array.fill[Any](n)(c))
           override def close(): Unit = ()
         }
     }
