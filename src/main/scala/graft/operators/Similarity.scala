@@ -162,13 +162,19 @@ object Similarity {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
     queryVecs.crossJoin(broadcast(centsDf))
-      .withColumn("dist2", expr("aggregate(zip_with(qv, centroid, " +
-        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
-        "(a, v) -> a + v * v)"))
+      .withColumn("dist2", euclidDist2("qv"))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
       .select(col("q_id"), col("qv"), col("cell"))
   }
+
+  /** ‖v − centroid‖² as one aggregate expression — ONE definition for
+    * the router and the writer-side assignment, so ranking and
+    * residency can never drift apart metric-wise. */
+  private def euclidDist2(vecCol: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($vecCol, centroid, " +
+      "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
+      "(a, v) -> a + v * v)")
 
   /** Assign vectors to a persisted index's cells by EUCLIDEAN argmin —
     * the SAME rule the KMeans quantizer used at build time (probe
@@ -181,18 +187,10 @@ object Similarity {
       .orderBy(col("dist2").asc, col("cell").asc)
     batch.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist2", expr("aggregate(zip_with(embedding, centroid, " +
-        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
-        "(a, v) -> a + v * v)"))
+      .withColumn("dist2", euclidDist2("embedding"))
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
-
-  /** st35's gate, the s04/s06 contract shape over caller-supplied
-    * frames. */
-  private[graft] def recallGateFor(exact: DataFrame, approx: DataFrame,
-      threshold: Double, okCol: String): DataFrame =
-    recallGate(exact, approx, threshold, okCol)
 
   /** Exact top-K baseline over an arbitrary (vec_id, embedding)
     * corpus — the in-plan truth the streaming-upsert gate compares
@@ -215,7 +213,7 @@ object Similarity {
     * must meet: (n_pairs, hits/n ≥ threshold). Gates compose by
     * crossJoining further gates' boolean (dropping the repeated
     * n_pairs). */
-  private def recallGate(exact: DataFrame, approx: DataFrame,
+  private[graft] def recallGate(exact: DataFrame, approx: DataFrame,
       threshold: Double, okCol: String): DataFrame = {
     val pair = Seq("q_id", "n_id")
     val n = exact.select(pair.map(col): _*).agg(count(lit(1)).as("n_pairs"))

@@ -640,9 +640,29 @@ private object RidMetaCol extends MetadataColumn {
 
 class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = tableKey
   override def schema(): StructType = meta.schema
+
+  /** Metadata delete for the UNCONDITIONAL case only: `DELETE FROM t`
+    * (no WHERE, or one folded to true) optimizes the row-level
+    * rewrite's scan into an empty relation — the scan is never
+    * planned, and the COW commit (correctly) refuses a rewrite with
+    * no planned scan. Spark's OptimizeMetadataOnlyDeleteFromTable
+    * asks here FIRST: a truncate is a pure manifest swap (new empty
+    * version, files retained for time travel / VACUUM — Iceberg's
+    * truncate semantics). Any real predicate declines and takes the
+    * rewrite path. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.isEmpty || predicates.forall(_.name() == "ALWAYS_TRUE")
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      RowStore.writeManifest(tableKey, cur + 1, Seq.empty)
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
@@ -744,7 +764,10 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   // count never reaches this path.
   private var countPushed = false
 
-  private def manifestCount(): Option[Long] = {
+  // one manifest read per scan build: the (tableKey, version) manifest
+  // is immutable, and supportCompletePushDown/pushAggregation/build
+  // would otherwise each re-read it
+  private lazy val manifestCount: Option[Long] = {
     val es = RowStore.readManifest(tableKey, version)
     if (es.exists(_.kind == "delta") || es.exists(_.rows.isEmpty)) None
     else Some(es.map(_.rows.get).sum)
@@ -765,7 +788,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      manifestCount().isDefined
+      manifestCount.isDefined
 
   private var countCols = 1
 
@@ -821,7 +844,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def pushedFilters(): Array[SFilter] = accepted
 
   override def build(): Scan =
-    if (countPushed) new ManifestCountScan(manifestCount().get, countCols)
+    if (countPushed) new ManifestCountScan(manifestCount.get, countCols)
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
@@ -1665,10 +1688,19 @@ object RowCatalogQueries {
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
     val fmt = if (mor) "mor" else "cow"
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // cache key = the SAME sanitized tag the table name embeds: two
+    // datasets that sanitize alike MUST share one cache entry, or the
+    // second would rebuild (DROP) the first's table under a distinct
+    // key and its consumers would silently read the wrong data
     val table = s"graft_dml.ns.shared_${fmt}_$tag"
-    if (lifecycleBuilt.add((s, s"$d|$fmt")))
+    val ck = (s, s"$tag|$fmt")
+    if (!lifecycleBuilt.contains(ck)) {
       dmlLifecycle(s, d, table, s"dml_${fmt}_$tag",
         if (mor) " TBLPROPERTIES ('format'='mor')" else "")
+      // marked built only AFTER success — a failed build must retry,
+      // not poison every later consumer with a half-made table
+      lifecycleBuilt.add(ck); ()
+    }
     table
   }
 

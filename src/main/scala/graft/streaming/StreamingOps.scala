@@ -1542,7 +1542,7 @@ object StreamingOps {
         euclidRouter = true)
       val exact = Similarity.exactTopK(
         e.select(col("vec_id"), col("embedding")))
-      Similarity.recallGateFor(exact, approx, 0.3, "stream_recall_ok")
+      Similarity.recallGate(exact, approx, 0.3, "stream_recall_ok")
         .withColumn("multi_batch", lit(nBatches.get >= 2))
     })
   )

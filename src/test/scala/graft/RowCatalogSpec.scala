@@ -396,6 +396,35 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("unconditional DELETE is a metadata truncate (files retained)") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.trunc")
+    s.sql("CREATE TABLE graft_dml.spec.trunc (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.trunc VALUES (1, 10), (2, 20), (3, 30)")
+    val vSeed = RowStore.currentVersion("graft_dml.spec.trunc")
+    // no WHERE: the rewrite's scan would be optimized to empty — this
+    // must take the metadata-delete path, not refuse at commit
+    s.sql("DELETE FROM graft_dml.spec.trunc")
+    assert(s.table("graft_dml.spec.trunc").count() == 0)
+    assert(RowStore.currentVersion("graft_dml.spec.trunc") == vSeed + 1,
+      "truncate must commit one new (empty) version")
+    // pure manifest swap: the seed version still time-travels
+    assert(s.sql(s"SELECT COUNT(*) FROM graft_dml.spec.trunc " +
+      s"VERSION AS OF $vSeed").head().getLong(0) == 3)
+    // a folded-to-true predicate takes the same path
+    s.sql("INSERT INTO graft_dml.spec.trunc VALUES (9, 90)")
+    s.sql("DELETE FROM graft_dml.spec.trunc WHERE 1 = 1")
+    assert(s.table("graft_dml.spec.trunc").count() == 0)
+    // a REAL predicate still rewrites (not the metadata path)
+    s.sql("INSERT INTO graft_dml.spec.trunc VALUES (4, 40), (5, 50)")
+    s.sql("DELETE FROM graft_dml.spec.trunc WHERE k = 4")
+    assert(s.table("graft_dml.spec.trunc").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    s.sql("DROP TABLE graft_dml.spec.trunc")
+  }
+
   test("DROP COLUMN is metadata-only; the group-key column refuses to drop") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
