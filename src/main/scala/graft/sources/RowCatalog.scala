@@ -195,6 +195,18 @@ object RowStore {
         }
       }.toSeq
 
+  /** Streaming-append high-water mark: the last epoch whose commit
+    * landed in the manifest chain (exactly-once under batch replay).
+    * Sidecar file per table; -1 = nothing committed yet. */
+  def lastStreamEpoch(key: String): Long = {
+    val p = Paths.get(tableDir(key), "stream_epoch")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  def setLastStreamEpoch(key: String, epoch: Long): Unit =
+    Files.writeString(Paths.get(tableDir(key), "stream_epoch"),
+      s"$epoch\n")
+
   /** Test seam for commit wall-clock (TIMESTAMP AS OF resolution). */
   @volatile private[graft] var clock: () => Long =
     () => System.currentTimeMillis()
@@ -665,7 +677,8 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
     }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GroupMetaCol, RidMetaCol)
   /** Surface the declared layout (DESCRIBE, storage-partitioned-join
@@ -1088,6 +1101,45 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
       meta.keyCol, meta.numGroups)
+
+  /** `writeStream.toTable` — the native streaming APPEND (Delta's
+    * shape): each epoch commits one manifest version, and a
+    * RE-DELIVERED epoch (post-failure replay of a batch whose commit
+    * already landed) is recognized from the recorded high-water mark
+    * and skipped — files written by the replay are simply never
+    * referenced, which is exactly how manifest-based exactly-once
+    * works. Append-only: OVERWRITE/complete modes refuse at plan. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode == GroupWrite.Append,
+      s"streaming writes into $tableKey are append-only (got $mode)")
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+          private val inner = new GroupWriterFactory(
+            RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
+            meta.numGroups)
+          override def createWriter(partitionId: Int, taskId: Long,
+              epochId: Long): DataWriter[InternalRow] =
+            inner.createWriter(partitionId, taskId)
+        }
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        RowStore.commitLock.synchronized {
+          if (epochId > RowStore.lastStreamEpoch(tableKey)) {
+            val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+              .map(f => RowStore.FileEntry("base", f.group, f.name,
+                f.minK, f.maxK, f.rows)).toSeq
+            val cur = RowStore.currentVersion(tableKey)
+            RowStore.writeManifest(tableKey, cur + 1,
+              RowStore.readManifest(tableKey, cur) ++ added)
+            RowStore.setLastStreamEpoch(tableKey, epochId)
+          }
+        }
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)

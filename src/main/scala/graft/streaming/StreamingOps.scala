@@ -1544,6 +1544,71 @@ object StreamingOps {
         e.select(col("vec_id"), col("embedding")))
       Similarity.recallGate(exact, approx, 0.3, "stream_recall_ok")
         .withColumn("multi_batch", lit(nBatches.get >= 2))
+    }),
+
+    // ── st36: NATIVE STREAMING WRITE into the DML catalog —
+    // `writeStream.toTable` (Delta's shape), the missing quadrant of
+    // the streaming×DML matrix next to st34's table read, st33's CDF
+    // read, and st31's foreachBatch MERGE: the ENGINE drives the
+    // connector's StreamingWrite, each epoch commits one manifest
+    // version, and a re-delivered epoch is recognized from the
+    // recorded high-water mark and skipped (manifest-based
+    // exactly-once; RowCatalogSpec pins the replayed-commit no-op).
+    // Four mtime-ordered chunks at 2 files/trigger force a genuinely
+    // multi-epoch drain; the oracle restates the full slice.
+    "st36_stream_table_write" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.Scratch.dir(s, "graft_st36_src", tag)
+      graft.Scratch.materializeOnce(src) {
+        val slice = graft.Tables(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(6)) === 0)
+          .select(col("o_orderkey").cast("long").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            col("o_orderstatus").as("status"))
+        val t0 = System.currentTimeMillis() - 3600000L
+        for (c <- 0 to 3) {
+          val dir = s"$src/c$c"
+          slice.filter(pmod(col("k"), lit(4)) === c)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          new java.io.File(dir).listFiles().foreach { f =>
+            require(f.setLastModified(t0 + c * 60000L),
+              s"setLastModified failed for $f: this filesystem cannot " +
+                "set mtimes, so st36's deterministic file->batch " +
+                "mapping does not hold")
+          }
+        }
+      }
+      // fresh table per invocation (DROP clears the epoch high-water
+      // mark with the table dir); the temp checkpoint is fresh per
+      // start, so the drain re-ingests everything deterministically
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.stream_sink")
+      s.sql("CREATE TABLE graft_dml.ns.stream_sink " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType)))
+      // table sinks demand an explicit checkpoint; fresh per
+      // invocation so the drain re-ingests against the fresh table
+      val ckpt = graft.Scratch.dir(s, "graft_st36_ckpt",
+        s"$tag-${java.util.UUID.randomUUID()}")
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$src/c*")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_dml.ns.stream_sink")
+      q.awaitTermination()
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      s.table("graft_dml.ns.stream_sink")
+        .withColumn("multi_batch", lit(lastBatch >= 1L))
+        .orderBy(col("k"))
     })
   )
 
@@ -1990,6 +2055,14 @@ object StreamingOps {
         |        ORDER BY cos DESC, n_id ASC) AS rank
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS stream_recall_ok,
-        |  TRUE AS multi_batch FROM topk""".stripMargin
+        |  TRUE AS multi_batch FROM topk""".stripMargin,
+
+    // the streamed slice restated whole: epoch-batched appends must
+    // reassemble exactly the source selection
+    "st36_stream_table_write" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderstatus AS status, TRUE AS multi_batch
+        |FROM orders WHERE o_orderkey % 6 = 0 ORDER BY k""".stripMargin
   )
 }

@@ -396,6 +396,34 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("a re-delivered streaming epoch commit is a manifest no-op") {
+    val s = spark
+    import graft.sources.{FilesMessage, GroupWrite, RowStore}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.se")
+    s.sql("CREATE TABLE graft_dml.spec.se (k BIGINT, v BIGINT)")
+    val key = "graft_dml.spec.se"
+    val sw = new GroupWrite(key, RowStore.readMeta(key),
+      RowStore.readMeta(key).schema, GroupWrite.Append).toStreaming
+    val msg = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      FilesMessage(Seq.empty))
+    sw.commit(0L, msg)
+    sw.commit(1L, msg)
+    assert(RowStore.currentVersion(key) == 2 &&
+      RowStore.lastStreamEpoch(key) == 1L)
+    // replay of an already-committed epoch (post-failure batch rerun):
+    // no new version, high-water mark unchanged
+    sw.commit(1L, msg)
+    sw.commit(0L, msg)
+    assert(RowStore.currentVersion(key) == 2,
+      "a replayed epoch must not commit a new version")
+    assert(RowStore.lastStreamEpoch(key) == 1L)
+    sw.commit(2L, msg)
+    assert(RowStore.currentVersion(key) == 3 &&
+      RowStore.lastStreamEpoch(key) == 2L)
+    s.sql("DROP TABLE graft_dml.spec.se")
+  }
+
   test("unconditional DELETE is a metadata truncate (files retained)") {
     val s = spark
     import graft.sources.RowStore
