@@ -100,8 +100,12 @@ object RowStore {
     * column every piece of group machinery routes through: write
     * distribution, writer-side bucketing, zone-map stats, and the
     * scan's key-range file skipping. */
+  /** `dropped` remembers every column name ever DROPped: readers
+    * project by NAME (no Iceberg field-id indirection), so re-adding a
+    * dropped name would resurrect the old files' values instead of
+    * NULL-padding — the catalog refuses it loudly. */
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
-      bucketCol: String = "") {
+      bucketCol: String = "", dropped: Seq[String] = Seq.empty) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
   }
 
@@ -137,7 +141,7 @@ object RowStore {
     Files.createDirectories(Paths.get(tableDir(key)))
     Files.writeString(metaPath(key),
       s"groups=${m.numGroups}\nmor=${m.mor}\npcol=${m.bucketCol}\n" +
-        s"schema=${m.schema.json}\n")
+        s"dropped=${m.dropped.mkString(",")}\nschema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -146,7 +150,8 @@ object RowStore {
       .map { case (k, v) => (k, v.drop(1)) }
     Meta(DataType.fromJson(kv("schema")).asInstanceOf[StructType],
       kv("groups").toInt, kv("mor").toBoolean,
-      kv.getOrElse("pcol", ""))
+      kv.getOrElse("pcol", ""),
+      kv.getOrElse("dropped", "").split(",").filter(_.nonEmpty).toSeq)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -195,17 +200,24 @@ object RowStore {
         }
       }.toSeq
 
-  /** Streaming-append high-water mark: the last epoch whose commit
-    * landed in the manifest chain (exactly-once under batch replay).
-    * Sidecar file per table; -1 = nothing committed yet. */
-  def lastStreamEpoch(key: String): Long = {
-    val p = Paths.get(tableDir(key), "stream_epoch")
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  /** Streaming-append high-water mark for ONE streaming query: the
+    * last epoch whose commit landed in the manifest chain. Epoch ids
+    * restart at 0 per checkpoint, so the mark must be per-QUERY — a
+    * table-wide mark would silently drop a second query's early
+    * batches. Recorded ATOMICALLY in the committing manifest's header
+    * (`#ep\t<queryId>\t<n>`): a crash between "manifest written" and
+    * "mark written" cannot exist, so a replayed epoch can never
+    * double-commit. Resolution scans retained versions newest-first;
+    * like Delta's txn retention, VACUUMing past a query's last commit
+    * ends its replay-dedup window. -1 = nothing committed yet. */
+  def lastStreamEpoch(key: String, queryId: String): Long = {
+    val pre = s"#ep\t$queryId\t"
+    versions(key).sorted.reverse.iterator.map { v =>
+      Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
+        .collectFirst { case l if l.startsWith(pre) =>
+          l.stripPrefix(pre).toLong }
+    }.collectFirst { case Some(n) => n }.getOrElse(-1L)
   }
-
-  def setLastStreamEpoch(key: String, epoch: Long): Unit =
-    Files.writeString(Paths.get(tableDir(key), "stream_epoch"),
-      s"$epoch\n")
 
   /** Test seam for commit wall-clock (TIMESTAMP AS OF resolution). */
   @volatile private[graft] var clock: () => Long =
@@ -221,7 +233,8 @@ object RowStore {
     }.getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
-  def writeManifest(key: String, v: Int, entries: Seq[FileEntry]): Unit = {
+  def writeManifest(key: String, v: Int, entries: Seq[FileEntry],
+      extraHeader: Seq[String] = Seq.empty): Unit = {
     // STRICTLY monotonic commit times per table: two sub-millisecond
     // commits must never share a timestamp, or TIMESTAMP AS OF the
     // earlier one would silently resolve to the later
@@ -232,7 +245,7 @@ object RowStore {
       catch { case _: java.io.IOException => now }
     }
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
-      s"#ms\t$ms\n" + entries.map { e =>
+      s"#ms\t$ms\n" + extraHeader.map(_ + "\n").mkString + entries.map { e =>
         val stats = (e.minK, e.maxK) match {
           case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
           case _ => ""
@@ -564,12 +577,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     RowStore.commitLock.synchronized {
       if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
       val meta = RowStore.readMeta(k)
+      var droppedNow = Seq.empty[String]
       val newSchema = changes.foldLeft(meta.schema) {
         case (sch, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "nested ADD COLUMN not supported")
           require(!RowStore.Reserved(add.fieldNames()(0)),
             s"column name ${add.fieldNames()(0)} is reserved")
+          // no field-id indirection: retained files still CONTAIN a
+          // dropped column's values under its name, and readers
+          // project by name — re-adding the name would resurrect them
+          // (or crash on a type change) instead of NULL-padding
+          require(!meta.dropped.contains(add.fieldNames()(0)) &&
+            !droppedNow.contains(add.fieldNames()(0)),
+            s"cannot re-add previously dropped column " +
+              s"${add.fieldNames()(0)}: retained files still carry its " +
+              "old values under that name")
           StructType(sch.fields :+
             StructField(add.fieldNames()(0), add.dataType(), nullable = true))
         // DROP COLUMN, the other metadata-only evolution: files are
@@ -585,12 +608,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"cannot drop missing column $name")
           require(name != meta.keyCol,
             s"cannot drop the group-key column ${meta.keyCol}")
+          droppedNow = droppedNow :+ name
           StructType(sch.fields.filterNot(_.name == name))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
       require(newSchema.nonEmpty, "cannot drop every column")
-      RowStore.writeMeta(k, meta.copy(schema = newSchema))
+      RowStore.writeMeta(k, meta.copy(schema = newSchema,
+        dropped = meta.dropped ++ droppedNow))
       new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
     }
   }
@@ -716,7 +741,8 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
         new GroupWrite(tableKey, meta, info.schema(),
           GroupWrite.Compact(base, gs))
       case None =>
-        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append)
+        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append,
+          Option(info.queryId()).getOrElse(""))
     }
 
   /** MERGE/UPDATE/DELETE: Spark rewrites the statement against this
@@ -888,7 +914,9 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     * encodes denser than runtime rows by less than the 10 MB default
     * threshold's safety margin; estimates feed planning only, never
     * correctness. */
-  override def estimateStatistics(): Statistics = {
+  private lazy val cachedStats: Statistics = {
+    // computed once: the (tableKey, version) manifest is immutable and
+    // Spark may ask several times while planning a multi-join query
     val dir = RowStore.dataDir(tableKey)
     val bytes = RowStore.readManifest(tableKey, version)
       .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
@@ -899,6 +927,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
         java.util.OptionalLong.empty()
     }
   }
+  override def estimateStatistics(): Statistics = cachedStats
 
   private var groupKeep: Option[Set[Int]] = None
 
@@ -1082,13 +1111,14 @@ object GroupWrite {
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
-    writeSchema: StructType, mode: GroupWrite.Mode)
+    writeSchema: StructType, mode: GroupWrite.Mode,
+    queryId: String = "")
     extends WriteBuilder with Write with BatchWrite with SupportsTruncate
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
   override def truncate(): WriteBuilder =
-    new GroupWrite(tableKey, meta, writeSchema, GroupWrite.Overwrite)
+    new GroupWrite(tableKey, meta, writeSchema, GroupWrite.Overwrite, queryId)
 
   // storage-aligned write: cluster incoming rows by the group hash so
   // each group is written by exactly one task — one file per touched
@@ -1126,14 +1156,16 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
         RowStore.commitLock.synchronized {
-          if (epochId > RowStore.lastStreamEpoch(tableKey)) {
+          require(queryId.nonEmpty,
+            s"$tableKey: streaming write without a query id")
+          if (epochId > RowStore.lastStreamEpoch(tableKey, queryId)) {
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
                 f.minK, f.maxK, f.rows)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
-              RowStore.readManifest(tableKey, cur) ++ added)
-            RowStore.setLastStreamEpoch(tableKey, epochId)
+              RowStore.readManifest(tableKey, cur) ++ added,
+              extraHeader = Seq(s"#ep\t$queryId\t$epochId"))
           }
         }
       override def abort(epochId: Long,
@@ -1732,8 +1764,10 @@ object RowCatalogQueries {
     * dataset tag so a session verifying several SFs never cross-reads;
     * `synchronized` because Verify/bench are single-threaded but spec
     * suites may share the session. */
-  private val lifecycleBuilt =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+  // keyed by applicationId (what the scratch table dirs actually
+  // scope by) — holding SparkSession references would pin stopped
+  // sessions for the JVM lifetime
+  private val lifecycleBuilt = scala.collection.mutable.Set.empty[String]
 
   private[graft] def sharedLifecycle(s: SparkSession, d: String,
       mor: Boolean): String = lifecycleBuilt.synchronized {
@@ -1745,7 +1779,7 @@ object RowCatalogQueries {
     // second would rebuild (DROP) the first's table under a distinct
     // key and its consumers would silently read the wrong data
     val table = s"graft_dml.ns.shared_${fmt}_$tag"
-    val ck = (s, s"$tag|$fmt")
+    val ck = s.sparkContext.applicationId + "|" + tag + "|" + fmt
     if (!lifecycleBuilt.contains(ck)) {
       dmlLifecycle(s, d, table, s"dml_${fmt}_$tag",
         if (mor) " TBLPROPERTIES ('format'='mor')" else "")
@@ -2009,13 +2043,12 @@ object RowCatalogQueries {
     "q123_dml_timestamp_travel" -> ((s, d) => {
       val t = sharedLifecycle(s, d, mor = false)
       val ms = RowStore.commitTimeMs(t, 2)
-      val litTs = java.time.Instant.ofEpochMilli(ms)
-        .atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      // epoch-based timestamp expression, NOT a zone-less string
+      // literal: a wall-clock literal parses in the session timezone,
+      // silently coupling snapshot resolution to a UTC session config
       s.sql(s"""SELECT COUNT(*) AS n,
                CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
-        FROM $t TIMESTAMP AS OF '$litTs'""")
+        FROM $t TIMESTAMP AS OF timestamp_millis(${ms}L)""")
     }),
 
     // ── q122: CATALOG STATS → CBO BROADCAST — the scan reports its

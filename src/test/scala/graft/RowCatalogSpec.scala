@@ -367,13 +367,9 @@ class RowCatalogSpec extends AnyFunSuite {
       s.sql("CREATE TABLE graft_dml.spec.tt (k BIGINT, v BIGINT)")
       s.sql("INSERT INTO graft_dml.spec.tt VALUES (1, 10)")
       s.sql("INSERT INTO graft_dml.spec.tt VALUES (2, 20)")
-      def litMs(ms: Long) = java.time.Instant.ofEpochMilli(ms)
-        .atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
       def nAsOf(ms: Long): Long =
         s.sql(s"SELECT COUNT(*) FROM graft_dml.spec.tt " +
-          s"TIMESTAMP AS OF '${litMs(ms)}'").head().getLong(0)
+          s"TIMESTAMP AS OF timestamp_millis(${ms}L)").head().getLong(0)
       val (c0, c1, c2) = (RowStore.commitTimeMs("graft_dml.spec.tt", 0),
         RowStore.commitTimeMs("graft_dml.spec.tt", 1),
         RowStore.commitTimeMs("graft_dml.spec.tt", 2))
@@ -404,23 +400,38 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("CREATE TABLE graft_dml.spec.se (k BIGINT, v BIGINT)")
     val key = "graft_dml.spec.se"
     val sw = new GroupWrite(key, RowStore.readMeta(key),
-      RowStore.readMeta(key).schema, GroupWrite.Append).toStreaming
+      RowStore.readMeta(key).schema, GroupWrite.Append, "query-A")
+      .toStreaming
     val msg = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
       FilesMessage(Seq.empty))
     sw.commit(0L, msg)
     sw.commit(1L, msg)
     assert(RowStore.currentVersion(key) == 2 &&
-      RowStore.lastStreamEpoch(key) == 1L)
+      RowStore.lastStreamEpoch(key, "query-A") == 1L)
     // replay of an already-committed epoch (post-failure batch rerun):
     // no new version, high-water mark unchanged
     sw.commit(1L, msg)
     sw.commit(0L, msg)
     assert(RowStore.currentVersion(key) == 2,
       "a replayed epoch must not commit a new version")
-    assert(RowStore.lastStreamEpoch(key) == 1L)
+    assert(RowStore.lastStreamEpoch(key, "query-A") == 1L)
     sw.commit(2L, msg)
     assert(RowStore.currentVersion(key) == 3 &&
-      RowStore.lastStreamEpoch(key) == 2L)
+      RowStore.lastStreamEpoch(key, "query-A") == 2L)
+    // a DIFFERENT query's epochs restart at 0 (fresh checkpoint) and
+    // must NOT be dropped by query-A's high-water mark — per-query
+    // marks are what makes a second writer's first batches safe
+    val sw2 = new GroupWrite(key, RowStore.readMeta(key),
+      RowStore.readMeta(key).schema, GroupWrite.Append, "query-B")
+      .toStreaming
+    sw2.commit(0L, msg)
+    assert(RowStore.currentVersion(key) == 4,
+      "a new query's epoch 0 must commit despite another query's mark")
+    assert(RowStore.lastStreamEpoch(key, "query-B") == 0L &&
+      RowStore.lastStreamEpoch(key, "query-A") == 2L)
+    // and query-A's mark still dedupes ITS replays after interleaving
+    sw.commit(2L, msg)
+    assert(RowStore.currentVersion(key) == 4)
     s.sql("DROP TABLE graft_dml.spec.se")
   }
 
@@ -477,6 +488,12 @@ class RowCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](
       s.sql("ALTER TABLE graft_dml.spec.dc DROP COLUMN k"))
     assert(e.getMessage.contains("group-key"), e.getMessage)
+    // a dropped NAME can never come back: retained files still carry
+    // the old values under it and readers project by name, so re-add
+    // would resurrect them instead of NULL-padding
+    val e2 = intercept[Exception](
+      s.sql("ALTER TABLE graft_dml.spec.dc ADD COLUMN a BIGINT"))
+    assert(e2.getMessage.contains("previously dropped"), e2.getMessage)
     s.sql("DROP TABLE graft_dml.spec.dc")
   }
 
