@@ -785,6 +785,41 @@ object TextOps {
           col("sum_ppm"), expr("sum_ppm div n_bigrams").as("avg_ppm"),
           col("min_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── t16: SHARED-GRAM (boilerplate/memorization) FRACTION — the
+    // C4-era corpus-level signal t09's within-doc stats cannot see:
+    // per document, what fraction of its distinct 8-grams also appear
+    // in OTHER documents (df ≥ 2 over doc-distinct grams). High
+    // fraction = boilerplate/template/near-copy — exactly the text
+    // memorization risk a pretraining pipeline prices per document.
+    //
+    // Scale shape (100 TB): grams travel as PORTABLE int64 HASHES, not
+    // strings — the shuffle carries 8 bytes/gram instead of ~50, the
+    // df table is vocabulary-sized with map-side partials, and the
+    // doc×df equi-join is the d04 posting discipline. Hash collisions
+    // exist and are priced: the ORACLE applies the identical poly-31
+    // hash, so parity is exact BY CONSTRUCTION, and a collision only
+    // ever over-counts df (a conservative bias toward flagging).
+    "t16_shared_grams" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val g = Dedup.spreadSmall(docs(s, d))
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
+          .as("gh"))
+        .distinct()
+      val dfTab = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      g.join(dfTab, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          expr("CAST(n_shared * 1000000 div n_grams AS BIGINT)")
+            .as("shared_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1303,7 +1338,27 @@ object TextOps {
         |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm,
         |  CAST(MIN(ppm) AS BIGINT) AS min_ppm
         |FROM gg JOIN d USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the shared-gram census replayed over the IDENTICAL portable
+    // hash, so collision behavior matches by construction
+    "t16_shared_grams" -> {
+      val h = graft.functions.PortableHashFunctions
+        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)),
+        |    '\\s+')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, $h AS gh
+        |      FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)),
+        |dfv AS (SELECT gh, COUNT(*) AS df FROM g GROUP BY gh)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(COUNT(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_shared,
+        |  CAST(CAST(COUNT(*) FILTER (WHERE df >= 2) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS shared_ppm
+        |FROM g JOIN dfv USING (gh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** One pair-count CTE level of the BPE oracle replay. */
