@@ -52,6 +52,11 @@ object Scratch {
     }
   }
 
+  /** Recursive delete for callers that retire a scratch subtree early
+    * (e.g. a per-invocation streaming checkpoint that would otherwise
+    * accumulate for the session lifetime). No-op on a missing path. */
+  def deleteTree(path: String): Unit = deleteRecursively(Paths.get(path))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Ex
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -104,8 +104,17 @@ object RowStore {
     * project by NAME (no Iceberg field-id indirection), so re-adding a
     * dropped name would resurrect the old files' values instead of
     * NULL-padding — the catalog refuses it loudly. */
+  /** `transform` is the ACTIVE partition transform: `bucket` (group =
+    * hash mod numGroups — the default), `truncate` (group =
+    * floorDiv(key, tparam): contiguous key ranges per group, Iceberg's
+    * truncate width), or `days` (group = epoch day of a TIMESTAMP
+    * column). `specId` counts partition-spec EVOLUTIONS: every data
+    * file records the spec it was written under, so a scan plans old
+    * groups by their original layout and new writes use the active one
+    * — Iceberg's spec-evolution model. */
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
-      bucketCol: String = "", dropped: Seq[String] = Seq.empty) {
+      bucketCol: String = "", dropped: Seq[String] = Seq.empty,
+      transform: String = "bucket", tparam: Long = 0L, specId: Int = 0) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
   }
 
@@ -118,7 +127,7 @@ object RowStore {
     * skipped). */
   case class FileEntry(kind: String, group: Int, name: String,
       minK: Option[Long] = None, maxK: Option[Long] = None,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None, spec: Int = 0)
 
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
@@ -137,10 +146,22 @@ object RowStore {
 
   def exists(key: String): Boolean = Files.exists(metaPath(key))
 
+  /** Meta serialization is line-oriented `k=v` with the dropped list
+    * comma-joined, so a column name containing ',', '=', or layout
+    * whitespace would corrupt the file (and silently split the dropped
+    * list, defeating the re-add guard). Validated at every write. */
+  private[sources] def validateColName(n: String): Unit =
+    require(!n.exists(c => c == ',' || c == '=' || c == '\n' ||
+      c == '\r' || c == '\t'),
+      s"column name ${n.replace("\n", "\\n")} contains a character " +
+        "reserved by the catalog's metadata layout (, = tab newline)")
+
   def writeMeta(key: String, m: Meta): Unit = {
+    (m.schema.fieldNames ++ m.dropped).foreach(validateColName)
     Files.createDirectories(Paths.get(tableDir(key)))
     Files.writeString(metaPath(key),
       s"groups=${m.numGroups}\nmor=${m.mor}\npcol=${m.bucketCol}\n" +
+        s"ptf=${m.transform}\nparg=${m.tparam}\nspec=${m.specId}\n" +
         s"dropped=${m.dropped.mkString(",")}\nschema=${m.schema.json}\n")
   }
 
@@ -151,7 +172,10 @@ object RowStore {
     Meta(DataType.fromJson(kv("schema")).asInstanceOf[StructType],
       kv("groups").toInt, kv("mor").toBoolean,
       kv.getOrElse("pcol", ""),
-      kv.getOrElse("dropped", "").split(",").filter(_.nonEmpty).toSeq)
+      kv.getOrElse("dropped", "").split(",").filter(_.nonEmpty).toSeq,
+      kv.getOrElse("ptf", "bucket"),
+      kv.getOrElse("parg", "0").toLong,
+      kv.getOrElse("spec", "0").toInt)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -184,20 +208,29 @@ object RowStore {
   def readManifest(key: String, v: Int): Seq[FileEntry] =
     Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-        // trailing `r<count>` token = the file's exact row count
-        // (what answers COUNT(*) at plan time); min/max stats are
-        // positional as before, so all four shapes stay parseable
-        l.split("\t", 7) match {
-          case Array(kind, g, name, mn, mx, r) if r.startsWith("r") =>
-            FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong),
-              Some(r.tail.toLong))
-          case Array(kind, g, name, mn, mx) =>
-            FileEntry(kind, g.toInt, name, Some(mn.toLong), Some(mx.toLong))
-          case Array(kind, g, name, r) if r.startsWith("r") =>
-            FileEntry(kind, g.toInt, name, rows = Some(r.tail.toLong))
-          case Array(kind, g, name) => FileEntry(kind, g.toInt, name)
-          case other => sys.error(s"corrupt manifest line: $l")
+        // after the fixed `kind group name` prefix the tokens are
+        // self-describing: a bare-number PAIR = the zone-map [min,max],
+        // `r<count>` = the file's exact row count (what answers
+        // COUNT(*) at plan time), `s<spec>` = the partition spec the
+        // file was written under (omitted for spec 0, so pre-evolution
+        // manifests parse unchanged)
+        val toks = l.split("\t")
+        if (toks.length < 3) sys.error(s"corrupt manifest line: $l")
+        var minK, maxK: Option[Long] = None
+        var rows: Option[Long] = None
+        var spec = 0
+        toks.drop(3).foreach { t =>
+          if (t.startsWith("r") && t.tail.nonEmpty &&
+            t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
+          else if (t.startsWith("s") && t.tail.nonEmpty &&
+            t.tail.forall(_.isDigit)) spec = t.tail.toInt
+          else if (minK.isEmpty) minK = Some(t.toLong)
+          else if (maxK.isEmpty) maxK = Some(t.toLong)
+          else sys.error(s"corrupt manifest line: $l")
         }
+        require(minK.isDefined == maxK.isDefined,
+          s"corrupt manifest line (unpaired stats): $l")
+        FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec)
       }.toSeq
 
   /** Streaming-append high-water mark for ONE streaming query: the
@@ -210,18 +243,54 @@ object RowStore {
     * double-commit. Resolution scans retained versions newest-first;
     * like Delta's txn retention, VACUUMing past a query's last commit
     * ends its replay-dedup window. -1 = nothing committed yet. */
+  /** In-memory high-water cache: every epoch commit runs on this
+    * driver under [[commitLock]], so once a (table, query) mark is
+    * resolved from the manifests, later commits keep it current in
+    * memory — without it, each epoch commit re-reads every retained
+    * manifest newest-first (O(versions) file IO per epoch, O(V²) over
+    * a long-running query into a table with deep history). Entries
+    * drop with the table ([[drop]]). */
+  private val epochCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+
   def lastStreamEpoch(key: String, queryId: String): Long = {
-    val pre = s"#ep\t$queryId\t"
-    versions(key).sorted.reverse.iterator.map { v =>
-      Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
-        .collectFirst { case l if l.startsWith(pre) =>
-          l.stripPrefix(pre).toLong }
-    }.collectFirst { case Some(n) => n }.getOrElse(-1L)
+    val ck = (key, queryId)
+    val cached = epochCache.get(ck)
+    if (cached != null) cached.longValue
+    else {
+      val pre = s"#ep\t$queryId\t"
+      val resolved = versions(key).sorted.reverse.iterator.map { v =>
+        Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
+          .collectFirst { case l if l.startsWith(pre) =>
+            l.stripPrefix(pre).toLong }
+      }.collectFirst { case Some(n) => n }.getOrElse(-1L)
+      epochCache.put(ck, java.lang.Long.valueOf(resolved))
+      resolved
+    }
   }
+
+  /** Record a just-committed epoch (called under [[commitLock]] right
+    * after the manifest carrying its `#ep` header is written). */
+  private[sources] def recordStreamEpoch(key: String, queryId: String,
+      epoch: Long): Unit =
+    epochCache.put((key, queryId), java.lang.Long.valueOf(epoch))
 
   /** Test seam for commit wall-clock (TIMESTAMP AS OF resolution). */
   @volatile private[graft] var clock: () => Long =
     () => System.currentTimeMillis()
+
+  /** The schema a version was committed under ([[writeManifest]]'s
+    * `#schema` header) — what `VERSION/TIMESTAMP AS OF` reads resolve
+    * against. None for manifests written before the header existed
+    * (callers fall back to the current schema). */
+  def versionSchema(key: String, v: Int): Option[StructType] = {
+    val p = Paths.get(tableDir(key), s"v$v.manifest")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        DataType.fromJson(l.stripPrefix("#schema\t")).asInstanceOf[StructType]
+    }
+  }
 
   /** A version's recorded commit time (ms). Header line written by
     * [[writeManifest]]; manifests from before the header existed fall
@@ -244,18 +313,34 @@ object RowStore {
       else try math.max(now, commitTimeMs(key, v - 1) + 1)
       catch { case _: java.io.IOException => now }
     }
+    // every version PINS the schema it was committed under (Iceberg/
+    // Delta's snapshot-schema rule): time travel reads this, not the
+    // current meta, so DROP COLUMN can't silently lose a column from
+    // historical reads. Schema JSON is single-line (column names are
+    // validated against layout characters at writeMeta).
+    val schemaHeader =
+      if (Files.exists(metaPath(key)))
+        Seq(s"#schema\t${readMeta(key).schema.json}")
+      else Seq.empty
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
-      s"#ms\t$ms\n" + extraHeader.map(_ + "\n").mkString + entries.map { e =>
+      s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
+        entries.map { e =>
         val stats = (e.minK, e.maxK) match {
           case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
           case _ => ""
         }
         val rows = e.rows.map(r => s"\tr$r").getOrElse("")
-        s"${e.kind}\t${e.group}\t${e.name}$stats$rows"
+        val spec = if (e.spec != 0) s"\ts${e.spec}" else ""
+        s"${e.kind}\t${e.group}\t${e.name}$stats$rows$spec"
       }.mkString("", "\n", "\n"))
   }
 
   def drop(key: String): Boolean = {
+    // the epoch high-water cache follows the table: a re-created table
+    // with the same name starts a fresh manifest chain, so stale marks
+    // must not survive the drop
+    epochCache.keySet.asScala.filter(_._1 == key)
+      .foreach(epochCache.remove)
     val d = Paths.get(tableDir(key))
     if (!Files.exists(d)) false
     else {
@@ -277,6 +362,38 @@ object RowStore {
     case u: UTF8String           => Math.floorMod(u.toString.hashCode, n)
     case s: String               => Math.floorMod(s.hashCode, n)
     case other                   => Math.floorMod(other.hashCode, n)
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** A row's partition (group) value under a declared transform —
+    * the single function writers, DML routing, and the spec all agree
+    * on. `bucket` is [[groupOf]]; `truncate` is Iceberg's width
+    * transform expressed as the RANGE INDEX floorDiv(key, w) (same
+    * grouping as `v - v mod w`, integer-compact); `days` is the epoch
+    * day of a TIMESTAMP column (internal micros). Null → group 0, like
+    * the bucket default. */
+  def partValueOf(transform: String, tparam: Long, numGroups: Int,
+      v: Any): Int = transform match {
+    case "bucket" => groupOf(v, numGroups)
+    case "truncate" =>
+      val k = v match {
+        case null                 => 0L
+        case l: java.lang.Long    => Math.floorDiv(l.longValue, tparam)
+        case i: java.lang.Integer => Math.floorDiv(i.longValue, tparam)
+        case other => sys.error(s"truncate: non-integer key $other")
+      }
+      require(k >= Int.MinValue && k <= Int.MaxValue,
+        s"truncate($tparam) group $k exceeds the 32-bit group space")
+      k.toInt
+    case "days" =>
+      val d = v match {
+        case null              => 0L
+        case l: java.lang.Long => Math.floorDiv(l.longValue, MicrosPerDay)
+        case other => sys.error(s"days: non-timestamp value $other")
+      }
+      d.toInt // epoch micros / day always fits
+    case other => sys.error(s"unknown partition transform $other")
   }
 }
 
@@ -303,6 +420,13 @@ object RowFiles {
           b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
         case IntegerType =>
           b.addField(Types.optional(PrimitiveTypeName.INT32).named(f.name))
+        case TimestampType =>
+          // Spark's internal representation (micros since epoch, UTC)
+          // stored verbatim — the annotation keeps the file honest for
+          // external readers
+          b.addField(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
         case StringType =>
           b.addField(Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(f.name))
@@ -373,9 +497,10 @@ object RowFiles {
             if (!fileSchema.containsField(f.name) ||
               g.getFieldRepetitionCount(f.name) == 0) null
             else f.dataType match {
-              case LongType    => Long.box(g.getLong(f.name, 0))
-              case IntegerType => Int.box(g.getInteger(f.name, 0))
-              case StringType  => g.getString(f.name, 0)
+              case LongType      => Long.box(g.getLong(f.name, 0))
+              case TimestampType => Long.box(g.getLong(f.name, 0))
+              case IntegerType   => Int.box(g.getInteger(f.name, 0))
+              case StringType    => g.getString(f.name, 0)
               case other => sys.error(s"unsupported $other")
             }
           }.toArray
@@ -487,14 +612,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   }
 
   /** `VERSION AS OF v` — SQL time travel: a read-only table pinned to
-    * manifest v (files are immutable, so this is pure planning). */
+    * manifest v (files are immutable, so this is pure planning). The
+    * SNAPSHOT-TIME schema rides the manifest's `#schema` header
+    * (Iceberg/Delta's rule): after ADD/DROP COLUMN, older versions
+    * keep the shape they were committed under instead of being
+    * silently re-projected through the current schema. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val k = key(ident)
     if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
     val v = version.toInt
     val have = RowStore.versions(k)
     require(have.contains(v), s"no version $v for $k (have $have)")
-    new RowTable(k, RowStore.readMeta(k), v)
+    val meta = RowStore.readMeta(k)
+    new RowTable(k,
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema)),
+      v)
   }
 
   /** `PARTITIONED BY (bucket(n, col))` — the Iceberg-shaped partition
@@ -519,7 +651,65 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     require(atOrBefore.nonEmpty,
       s"no snapshot of $k at or before timestamp ${timestampMicros}us " +
         s"(earliest commit: ${RowStore.commitTimeMs(k, have.head)}ms)")
-    new RowTable(k, RowStore.readMeta(k), atOrBefore.max)
+    val v = atOrBefore.max
+    val meta = RowStore.readMeta(k)
+    new RowTable(k,
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema)),
+      v)
+  }
+
+  /** (transform, tparam, col, numGroups) from a declared transform.
+    * SQL and programmatic forms order (literal, ref) differently, so
+    * each argument is picked by type. */
+  private def parseSpec(name: String, args: Array[VExpression],
+      schema: StructType): (String, Long, String, Int) = {
+    val litArg: Option[Long] = args.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case i: java.lang.Integer => i.longValue
+          case l2: java.lang.Long   => l2.longValue
+          case other => sys.error(s"$name: non-integer argument $other")
+        }
+    }
+    val colArg: String = args.collectFirst { case r: NamedReference =>
+      require(r.fieldNames().length == 1,
+        s"$name over a nested column is not supported")
+      r.fieldNames()(0)
+    }.getOrElse(sys.error(s"$name transform carries no column"))
+    resolveSpec(name, litArg, colArg, schema)
+  }
+
+  /** Validate + canonicalize a (transform name, literal, column) spec
+    * against a schema — shared by CREATE's Transform path and ALTER's
+    * `TBLPROPERTIES('partition'='…')` evolution path. */
+  private def resolveSpec(name: String, litArg: Option[Long],
+      colArg: String, schema: StructType): (String, Long, String, Int) = {
+    val f = schema.fields.find(_.name == colArg)
+      .getOrElse(sys.error(s"partition column $colArg not in schema"))
+    name match {
+      case "bucket" =>
+        val n = litArg.getOrElse(
+          sys.error("bucket transform carries no bucket count")).toInt
+        require(n > 0, s"bucket(n, col): n must be positive, got $n")
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType,
+          s"bucket: unsupported column type ${f.dataType}")
+        ("bucket", 0L, colArg, n)
+      case "truncate" =>
+        val w = litArg.getOrElse(
+          sys.error("truncate transform carries no width"))
+        require(w > 0, s"truncate(w, col): w must be positive, got $w")
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"truncate: unsupported column type ${f.dataType} (integer only)")
+        ("truncate", w, colArg, 0)
+      case "days" =>
+        require(f.dataType == TimestampType,
+          s"days: column $colArg must be TIMESTAMP, got ${f.dataType}")
+        ("days", 0L, colArg, 0)
+      case other => sys.error(
+        s"unsupported partition transform $other — " +
+          "bucket(n, col) / truncate(w, col) / days(ts) are supported")
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -529,41 +719,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       "RowStore tables take at most one partition transform")
     schema.fieldNames.foreach(n => require(!RowStore.Reserved(n),
       s"column name $n is reserved"))
-    val bucketSpec: Option[(Int, String)] = partitions.headOption.map { t =>
-      require(t.name() == "bucket",
-        s"unsupported partition transform ${t.describe()} — only " +
-          "bucket(n, col) is supported (no temporal column types exist " +
-          "in this catalog for days/hours)")
-      // SQL and programmatic forms order (literal, ref) differently;
-      // pick each by type
-      val args = t.arguments()
-      val n = args.collectFirst {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          l.value() match {
-            case i: java.lang.Integer => i.intValue
-            case l2: java.lang.Long   => l2.intValue
-            case other => sys.error(s"bucket(n, col): non-integer n $other")
-          }
-      }.getOrElse(sys.error("bucket transform carries no bucket count"))
-      val c = args.collectFirst { case r: NamedReference =>
-        require(r.fieldNames().length == 1,
-          "bucket over a nested column is not supported")
-        r.fieldNames()(0)
-      }.getOrElse(sys.error("bucket transform carries no column"))
-      require(n > 0, s"bucket(n, col): n must be positive, got $n")
-      val f = schema.fields.find(_.name == c)
-        .getOrElse(sys.error(s"bucket column $c not in schema"))
-      require(f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == StringType,
-        s"bucket: unsupported column type ${f.dataType}")
-      (n, c)
-    }
+    val spec: Option[(String, Long, String, Int)] = partitions.headOption
+      .map(t => parseSpec(t.name(), t.arguments(), schema))
     val k = key(ident)
-    val numGroups = bucketSpec.map(_._1)
+    val numGroups = spec.map(_._4).filter(_ > 0)
       .orElse(Option(properties.get("groups")).map(_.toInt)).getOrElse(4)
     val mor = Option(properties.get("format")).contains("mor")
+    require(!mor || spec.forall(_._1 == "bucket"),
+      "merge-on-read tables support only the bucket transform (delta " +
+        "records can target any group; an unbounded group space cannot " +
+        "be planned ahead)")
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
-      bucketSpec.map(_._2).getOrElse("")))
+      spec.map(_._3).getOrElse(""),
+      transform = spec.map(_._1).getOrElse("bucket"),
+      tparam = spec.map(_._2).getOrElse(0L)))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }
@@ -572,13 +741,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * COLUMN rewrites ONLY the schema file — no data files move; old
     * files (and therefore old `VERSION AS OF` reads) surface NULL for
     * the new column via read-time padding. */
+  /** Partition-spec EVOLUTION (Iceberg's `REPLACE PARTITION FIELD`
+    * shape, surfaced through the one ALTER hook Spark SQL gives a
+    * custom catalog): `ALTER TABLE t SET TBLPROPERTIES('partition' =
+    * 'truncate(1000, k)')` — bumps the spec id, so files already
+    * written KEEP their old group layout (the scan plans across both)
+    * while every subsequent write routes by the new transform. MOR
+    * tables refuse (delta records can't span spec layouts); row-level
+    * ops refuse until the table is migrated (INSERT OVERWRITE). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
     RowStore.commitLock.synchronized {
       if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
       val meta = RowStore.readMeta(k)
+      val (specChanges, colChanges) = changes.partition {
+        case p: TableChange.SetProperty => p.property() == "partition"
+        case _ => false
+      }
+      require(specChanges.size <= 1,
+        "at most one partition evolution per ALTER statement")
       var droppedNow = Seq.empty[String]
-      val newSchema = changes.foldLeft(meta.schema) {
+      val newSchema = colChanges.foldLeft(meta.schema) {
         case (sch, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "nested ADD COLUMN not supported")
@@ -614,10 +797,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           s"unsupported table change: $other")
       }
       require(newSchema.nonEmpty, "cannot drop every column")
-      RowStore.writeMeta(k, meta.copy(schema = newSchema,
-        dropped = meta.dropped ++ droppedNow))
-      new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
+      var m2 = meta.copy(schema = newSchema,
+        dropped = meta.dropped ++ droppedNow)
+      specChanges.headOption.foreach { case p: TableChange.SetProperty =>
+        require(!meta.mor, "partition-spec evolution is not supported " +
+          "for merge-on-read tables (delta records cannot span spec " +
+          "layouts)")
+        val (name, lit, col) = parsePartitionProperty(p.value())
+        val (tf, w, c, n) = resolveSpec(name, lit, col, m2.schema)
+        m2 = m2.copy(bucketCol = c, transform = tf, tparam = w,
+          numGroups = if (n > 0) n else m2.numGroups,
+          specId = m2.specId + 1)
+      }
+      RowStore.writeMeta(k, m2)
+      // schema/spec evolution COMMITS a version (same file entries,
+      // new `#schema` header): time travel to any pre-ALTER version
+      // keeps the old shape, the new head pins the new one. Without
+      // this, the evolution would be invisible to the manifest chain
+      // and historical reads would silently re-project through
+      // whatever schema is current.
+      val cur = RowStore.currentVersion(k)
+      RowStore.writeManifest(k, cur + 1, RowStore.readManifest(k, cur))
+      new RowTable(k, RowStore.readMeta(k), cur + 1)
     }
+  }
+
+  /** `'partition'='bucket(4, k)' | 'truncate(1000, k)' | 'days(ts)'`
+    * → (transform name, integer literal, column). The integer and
+    * column argument may come in either order (Iceberg writes
+    * truncate(col, w), Spark DDL bucket(n, col)). */
+  private def parsePartitionProperty(v: String): (String, Option[Long], String) = {
+    val m = java.util.regex.Pattern
+      .compile("""\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*""").matcher(v)
+    require(m.matches(), s"cannot parse partition spec '$v' — expected " +
+      "transform(args), e.g. bucket(4, k) / truncate(1000, k) / days(ts)")
+    val name = m.group(1)
+    val parts = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty && parts.length <= 2,
+      s"partition spec '$v' takes one or two arguments")
+    val (lits, cols) = parts.partition(_.forall(_.isDigit))
+    require(cols.length == 1,
+      s"partition spec '$v' must name exactly one column")
+    (name, lits.headOption.map(_.toLong), cols.head)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -707,10 +928,15 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GroupMetaCol, RidMetaCol)
   /** Surface the declared layout (DESCRIBE, storage-partitioned-join
-    * eligibility): every table is bucket-grouped — by the declared
-    * transform column when one was given, else the first column. */
-  override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(meta.numGroups, meta.keyCol))
+    * eligibility): the ACTIVE spec's transform — bucket by the
+    * declared (or default first) column, or the temporal/range
+    * transform when one was declared. */
+  override def partitioning(): Array[Transform] = meta.transform match {
+    case "days"     => Array(Expressions.days(meta.keyCol))
+    case "truncate" => Array(Expressions.apply("truncate",
+      Expressions.literal(meta.tparam), Expressions.column(meta.keyCol)))
+    case _          => Array(Expressions.bucket(meta.numGroups, meta.keyCol))
+  }
 
   /** Read option `groups=g1,g2,…` (or `compact=…`, the one-option
     * OPTIMIZE handshake) statically restricts the scan to those groups
@@ -985,18 +1211,48 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = RowStore.readManifest(tableKey, version)
-    val byGroup = entries.filter(_.kind == "base").groupBy(_.group)
+    val baseEntries = entries.filter(_.kind == "base")
     val deltas = entries.filter(_.kind == "delta")
     val dir = RowStore.dataDir(tableKey)
-    val kept = (0 until meta.numGroups)
-      .filter(g => groupKeep.forall(_.contains(g)) &&
-        staticGroups.forall(_.contains(g)))
+    // SPEC EVOLUTION boundary: files written under a retired partition
+    // spec keep their original group layout; a plain read plans across
+    // every spec. Rewriting machinery stays on the ACTIVE spec only —
+    // group numbers are not comparable across specs, so row-level ops,
+    // the OPTIMIZE handshake, and MOR deltas refuse loudly until the
+    // table is migrated (INSERT OVERWRITE rewrites everything under
+    // the active spec).
+    val multiSpec = entries.exists(_.spec != meta.specId)
+    if (multiSpec) {
+      require(op.isEmpty,
+        s"$tableKey: row-level operations on a table whose files span " +
+          "partition specs are not supported — migrate with INSERT " +
+          "OVERWRITE onto the active spec first")
+      require(staticGroups.isEmpty,
+        s"$tableKey: OPTIMIZE across partition specs is not supported")
+      require(deltas.isEmpty,
+        s"$tableKey: delta files across partition specs are not supported")
+    }
+    // partition identity = (spec, group): after an evolution two files
+    // can share a group NUMBER while meaning different row sets
+    // (bucket 3 vs epoch-day 3). The active spec plans EVERY bucket
+    // group (bounded space; MOR delta inserts may target a group with
+    // no base file yet); unbounded transforms (days/truncate) plan
+    // only groups the manifest observed — an unobserved group has no
+    // rows, so nothing is lost.
+    val observed = baseEntries.map(e => (e.spec, e.group)).distinct
+    val active: Seq[(Int, Int)] =
+      if (meta.transform == "bucket")
+        (0 until meta.numGroups).map(g => (meta.specId, g))
+      else Seq.empty
+    val kept = (observed ++ active).distinct.sorted
+      .filter { case (_, g) => groupKeep.forall(_.contains(g)) &&
+        staticGroups.forall(_.contains(g)) }
     // the COW write replaces exactly what this plan read
-    op.foreach(_.scannedGroups = Some(kept.toSet))
+    op.foreach(_.scannedGroups = Some(kept.map(_._2).toSet))
     var planned, skipped = 0
-    val parts = kept.map { g =>
+    val parts = kept.map { case (sp, g) =>
       val groupDeltas = deltas.filter(e => e.group == g || e.group < 0)
-      val base = byGroup.getOrElse(g, Seq.empty)
+      val base = baseEntries.filter(e => e.spec == sp && e.group == g)
       // FILE SKIPPING by manifest stats — only when provably sound:
       // plain reads (a COW rewrite replaces whole groups with what it
       // read, so a skipped file's rows would vanish) of CLEAN groups
@@ -1004,11 +1260,13 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       // stats). Statically-restricted scans (the OPTIMIZE handshake
       // read, whose output REPLACES the group wholesale) never skip
       // either — a filtered compact read would silently drop skipped
-      // files' rows from the rewritten group. Statless files never
-      // skip.
+      // files' rows from the rewritten group. Files from a RETIRED
+      // spec never skip: their stats were computed on that spec's key
+      // column, which the pushed range may not refer to. Statless
+      // files never skip.
       val visible =
         if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
-          keyRange.isEmpty) base
+          keyRange.isEmpty || sp != meta.specId) base
         else base.filter(e => (e.minK, e.maxK) match {
           case (Some(mn), Some(mx)) =>
             val (lo, hi) = keyRange.get
@@ -1122,15 +1380,22 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 
   // storage-aligned write: cluster incoming rows by the group hash so
   // each group is written by exactly one task — one file per touched
-  // group per commit instead of (tasks × groups) fragments
-  override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array[VExpression](
+  // group per commit instead of (tasks × groups) fragments. Temporal/
+  // range transforms cluster by the raw column (equal values co-locate
+  // ⊆ equal partition values; Spark resolves identity natively, no V2
+  // function needed) — a group may then span tasks, which the
+  // one-file-per-(task, group) model already allows.
+  override def requiredDistribution(): Distribution = meta.transform match {
+    case "bucket" => Distributions.clustered(Array[VExpression](
       Expressions.bucket(meta.numGroups, meta.keyCol)))
+    case _ => Distributions.clustered(Array[VExpression](
+      Expressions.identity(meta.keyCol)))
+  }
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
-      meta.keyCol, meta.numGroups)
+      meta.keyCol, meta.numGroups, meta.transform, meta.tparam)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -1148,7 +1413,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
         new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
-            meta.numGroups)
+            meta.numGroups, meta.transform, meta.tparam)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -1161,11 +1426,12 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           if (epochId > RowStore.lastStreamEpoch(tableKey, queryId)) {
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
-                f.minK, f.maxK, f.rows)).toSeq
+                f.minK, f.maxK, f.rows, meta.specId)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
               RowStore.readManifest(tableKey, cur) ++ added,
               extraHeader = Seq(s"#ep\t$queryId\t$epochId"))
+            RowStore.recordStreamEpoch(tableKey, queryId, epochId)
           }
         }
       override def abort(epochId: Long,
@@ -1176,7 +1442,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
-        f.rows))
+        f.rows, meta.specId))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -1226,7 +1492,12 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
                   s"groups ${conflicting.toSeq.sorted.mkString(",")} " +
                   s"changed by version $cur — retry the statement")
           }
-          old.filterNot(e => e.kind == "base" && replaced(e.group)) ++ added
+          // spec-qualified: group ids are only unique WITHIN a spec
+          // (the scan refuses row-level ops on multi-spec tables, so
+          // in practice every entry is on the active spec — the
+          // qualifier keeps the swap sound if that ever changes)
+          old.filterNot(e => e.kind == "base" && e.spec == meta.specId &&
+            replaced(e.group)) ++ added
         case GroupWrite.Compact(base, gs) =>
           if (base != cur)
             throw new java.util.ConcurrentModificationException(
@@ -1238,7 +1509,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           // resolved base rows)
           require(old.forall(e => e.kind != "delta" || e.group >= 0),
             s"$tableKey has untagged delta files — cannot compact")
-          old.filterNot(e => gs(e.group)) ++ added
+          old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++ added
       }
       RowStore.writeManifest(tableKey, cur + 1, next)
     }
@@ -1251,7 +1522,9 @@ case class FileMeta(group: Int, name: String, minK: Option[Long],
 case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
-    bucketCol: String, numGroups: Int) extends DataWriterFactory {
+    bucketCol: String, numGroups: Int,
+    transform: String = "bucket", tparam: Long = 0L)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fields = writeSchema.fields.toSeq
@@ -1281,9 +1554,10 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         fields.zipWithIndex.map { case (f, i) =>
           if (row.isNullAt(i)) null
           else f.dataType match {
-            case LongType    => Long.box(row.getLong(i))
-            case IntegerType => Int.box(row.getInt(i))
-            case StringType  => row.getUTF8String(i).toString
+            case LongType      => Long.box(row.getLong(i))
+            case TimestampType => Long.box(row.getLong(i))
+            case IntegerType   => Int.box(row.getInt(i))
+            case StringType    => row.getUTF8String(i).toString
             case other       => sys.error(s"unsupported type $other")
           }
         }.toArray
@@ -1306,7 +1580,9 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
           } else sys.error(s"write row has ${row.numFields} fields, " +
             s"schema has ${fields.length}")
         val g =
-          if (bucketIdx < 0) 0 else RowStore.groupOf(vals(bucketIdx), numGroups)
+          if (bucketIdx < 0) 0
+          else RowStore.partValueOf(transform, tparam, numGroups,
+            vals(bucketIdx))
         val (_, w) = writers.getOrElseUpdate(g, {
           val name = s"g$g-${UUID.randomUUID()}.parquet"
           (name, new RowFiles.FileWriter(s"$dir/$name", fields))
@@ -1369,7 +1645,8 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
       meta.keyCol, meta.numGroups)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
-      .map(f => RowStore.FileEntry("delta", f.group, f.name)).toSeq
+      .map(f => RowStore.FileEntry("delta", f.group, f.name,
+        spec = meta.specId)).toSeq
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
@@ -1406,9 +1683,10 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
         fields.zipWithIndex.map { case (f, i) =>
           if (row == null || row.isNullAt(i)) null
           else f.dataType match {
-            case LongType    => Long.box(row.getLong(i))
-            case IntegerType => Int.box(row.getInt(i))
-            case StringType  => row.getUTF8String(i).toString
+            case LongType      => Long.box(row.getLong(i))
+            case TimestampType => Long.box(row.getLong(i))
+            case IntegerType   => Int.box(row.getInt(i))
+            case StringType    => row.getUTF8String(i).toString
             case other       => sys.error(s"unsupported type $other")
           }
         }.toArray
@@ -1486,7 +1764,12 @@ object ChangesPlanning {
       m.getOrElse(g, Seq.empty) ++ m.filter(_._1 < 0).values.flatten
     val (fBase, fDelta) = side(from)
     val (tBase, tDelta) = side(to)
-    (0 until meta.numGroups).filter { g =>
+    // plan the groups OBSERVED in either manifest (a group with no
+    // files on both sides has no diff) — not 0 until numGroups, which
+    // would miss groups outside the bucket range after a partition-
+    // spec evolution to an unbounded transform
+    (fBase.keys ++ fDelta.keys ++ tBase.keys ++ tDelta.keys)
+      .filter(_ >= 0).toSeq.distinct.sorted.filter { g =>
       // unchanged file signature ⇒ unchanged group ⇒ skip entirely
       forGroup(fBase, g) != forGroup(tBase, g) ||
         forGroup(fDelta, g) != forGroup(tDelta, g)
@@ -1983,6 +2266,61 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
     }),
 
+    // ── q125: PARTITION-SPEC EVOLUTION — Iceberg's headline layout
+    // feature: the table starts bucket(4, k), EVOLVES to
+    // truncate(100000, k) via `ALTER TABLE … SET TBLPROPERTIES
+    // ('partition'=…)`, and a second slice is appended under the new
+    // layout. Files already written keep their bucket groups verbatim
+    // (spec-tagged in the manifest — RowCatalogSpec pins old+new
+    // routing and the migration path); the final read plans across
+    // BOTH specs, so a planner bug on either side of the boundary
+    // (dropped old group, misrouted new write, group-number collision
+    // between bucket 2 and range 2) shifts the aggregate the oracle
+    // restates from raw orders.
+    "q125_dml_spec_evolution" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q125_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.evo")
+      s.sql("CREATE TABLE graft_dml.ns.evo (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.evo
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q125_orders WHERE o_orderkey % 13 = 0""")
+      s.sql("ALTER TABLE graft_dml.ns.evo " +
+        "SET TBLPROPERTIES('partition'='truncate(100000, k)')")
+      s.sql("""INSERT INTO graft_dml.ns.evo
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q125_orders WHERE o_orderkey % 13 = 5""")
+      s.sql("""SELECT CAST(k % 8 AS BIGINT) AS band, COUNT(*) AS n,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.evo GROUP BY 1 ORDER BY band""")
+    }),
+
+    // ── q126: `days(ts)` TEMPORAL PARTITION TRANSFORM — the other
+    // half of the Iceberg transform family: a TIMESTAMP column routes
+    // each row to its UTC epoch-day group (RowCatalogSpec pins the
+    // boundary at midnight), the layout every time-series lake table
+    // uses so day-ranged scans touch only their days' files. The
+    // catalog stores timestamps as their internal micros (INT64,
+    // annotated); the daily rollup read back must match the oracle's
+    // restatement over raw events exactly — a truncation or timezone
+    // slip anywhere moves boundary events across days.
+    "q126_dml_days_transform" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "events").createOrReplaceTempView("q126_events")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.daily")
+      s.sql("CREATE TABLE graft_dml.ns.daily (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      s.sql("""INSERT INTO graft_dml.ns.daily
+        SELECT ts, CAST(round(value * 100) AS BIGINT)
+        FROM q126_events WHERE event_id % 17 = 0""")
+      s.sql("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM graft_dml.ns.daily GROUP BY 1 ORDER BY day_start""")
+    }),
+
     // ── q117: TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` is the
     // clause that turns MERGE into full table synchronization (the
     // warehouse-sync shape Delta/Iceberg document): rows ABSENT from
@@ -2227,6 +2565,23 @@ object RowCatalogQueries {
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
         |ORDER BY k""".stripMargin,
+
+    // both slices restated from raw orders — the engine's answer must
+    // be layout-invariant across the spec boundary
+    "q125_dml_spec_evolution" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 13 IN (0, 5)
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // the daily rollup restated over raw events
+    "q126_dml_days_transform" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events WHERE event_id % 17 = 0
+        |GROUP BY 1 ORDER BY day_start""".stripMargin,
 
     // insert + self-merge restated: a key ≡ 44 (mod 66) had its cents
     // doubled by the MERGE (t.cents + src.cents with src ≡ the seed)

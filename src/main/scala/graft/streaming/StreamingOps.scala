@@ -1592,10 +1592,12 @@ object StreamingOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("status",
           org.apache.spark.sql.types.StringType)))
-      // table sinks demand an explicit checkpoint; fresh per
-      // invocation so the drain re-ingests against the fresh table
-      val ckpt = graft.Scratch.dir(s, "graft_st36_ckpt",
-        s"$tag-${java.util.UUID.randomUUID()}")
+      // table sinks demand an explicit checkpoint; FIXED dir cleared
+      // at the start of each invocation (not UUID-fresh, which would
+      // accumulate orphan checkpoint trees across bench min-of-2 plus
+      // verify runs for the whole session lifetime)
+      val ckpt = graft.Scratch.dir(s, "graft_st36_ckpt", tag)
+      graft.Scratch.deleteTree(ckpt)
       val q = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "2")
         .parquet(s"$src/c*")

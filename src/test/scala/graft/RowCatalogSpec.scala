@@ -50,10 +50,17 @@ class RowCatalogSpec extends AnyFunSuite {
     val scores = s.table("graft_dml.spec.t").orderBy("k")
       .collect().map(r => if (r.isNullAt(3)) -1L else r.getLong(3)).toSeq
     assert(scores == Seq(-1L, 300L, 500L))
-    // a pre-evolution version read under the new schema: NULL-padded
+    // a pre-evolution version read pins its SNAPSHOT-TIME schema
+    // (Iceberg/Delta's rule): v1 predates the ALTER, so no score column
     val v1 = s.sql("SELECT * FROM graft_dml.spec.t VERSION AS OF 1")
-    assert(v1.columns.toSeq == Seq("k", "v", "tag", "score"))
-    assert(v1.count() == 5 && v1.collect().forall(_.isNullAt(3)))
+    assert(v1.columns.toSeq == Seq("k", "v", "tag"))
+    assert(v1.count() == 5)
+    // the ALTER itself commits a version (same files, new schema
+    // header): the post-ALTER, pre-backfill snapshot reads score as
+    // all-NULL under the widened schema
+    val v6 = s.sql("SELECT * FROM graft_dml.spec.t VERSION AS OF 6")
+    assert(v6.columns.toSeq == Seq("k", "v", "tag", "score"))
+    assert(v6.count() == 3 && v6.collect().forall(_.isNullAt(3)))
 
     // catalog plumbing
     assert(s.catalog.tableExists("graft_dml.spec.t"))
@@ -480,6 +487,13 @@ class RowCatalogSpec extends AnyFunSuite {
       "pre-drop files must read correctly under the narrowed schema")
     assert(graft.sources.RowStore.readManifest("graft_dml.spec.dc", 1)
       .map(_.name).toSet == filesBefore, "no file may be rewritten")
+    // time travel to a pre-drop version resurfaces the dropped column
+    // WITH its values — the snapshot-time schema is pinned per version,
+    // so DROP COLUMN can't silently lose a column from historical reads
+    val preDrop = s.sql("SELECT * FROM graft_dml.spec.dc VERSION AS OF 1")
+    assert(preDrop.columns.toSeq == Seq("k", "a", "b"))
+    assert(preDrop.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L), "pre-drop values must read back via time travel")
     // DML keeps working post-drop (the rewrite plans the new schema)
     s.sql("UPDATE graft_dml.spec.dc SET b = 'z' WHERE k = 2")
     assert(s.table("graft_dml.spec.dc").orderBy("k").collect()
@@ -495,6 +509,125 @@ class RowCatalogSpec extends AnyFunSuite {
       s.sql("ALTER TABLE graft_dml.spec.dc ADD COLUMN a BIGINT"))
     assert(e2.getMessage.contains("previously dropped"), e2.getMessage)
     s.sql("DROP TABLE graft_dml.spec.dc")
+  }
+
+  test("truncate and days transforms route groups by range / epoch day") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // truncate(100, k): group = floorDiv(k, 100) — contiguous ranges
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.tr")
+    s.sql("CREATE TABLE graft_dml.spec.tr (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(100, k))")
+    s.sql("INSERT INTO graft_dml.spec.tr VALUES " +
+      "(5, 1), (105, 2), (250, 3), (999, 4)")
+    val trKey = "graft_dml.spec.tr"
+    val trGroups = RowStore.readManifest(trKey, RowStore.currentVersion(trKey))
+      .filter(_.kind == "base").map(_.group).sorted
+    assert(trGroups == Seq(0, 1, 2, 9), s"got $trGroups")
+    assert(s.table("graft_dml.spec.tr").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 105L, 250L, 999L))
+    s.sql("DROP TABLE graft_dml.spec.tr")
+    // days(ts): group = epoch day of a TIMESTAMP column (UTC session)
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.dy")
+    s.sql("CREATE TABLE graft_dml.spec.dy (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    s.sql("INSERT INTO graft_dml.spec.dy VALUES " +
+      "(TIMESTAMP'2024-03-07 10:00:00', 1), " +
+      "(TIMESTAMP'2024-03-07 23:59:59', 2), " +
+      "(TIMESTAMP'2024-03-08 00:00:01', 3)")
+    val dyKey = "graft_dml.spec.dy"
+    val d0 = java.time.LocalDate.of(2024, 3, 7).toEpochDay.toInt
+    val dyGroups = RowStore.readManifest(dyKey, RowStore.currentVersion(dyKey))
+      .filter(_.kind == "base").map(_.group).sorted
+    assert(dyGroups == Seq(d0, d0 + 1), s"got $dyGroups (epoch day $d0)")
+    assert(s.table("graft_dml.spec.dy")
+      .filter("ts < TIMESTAMP'2024-03-08 00:00:00'").count() == 2)
+    s.sql("DROP TABLE graft_dml.spec.dy")
+  }
+
+  test("partition-spec evolution: old groups keep their layout, new writes use the new one") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ev")
+    s.sql("CREATE TABLE graft_dml.spec.ev (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO graft_dml.spec.ev VALUES " +
+      (0 until 16).map(i => s"($i, ${i * 10})").mkString(", "))
+    val key = "graft_dml.spec.ev"
+    val preFiles = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base")
+    assert(preFiles.forall(_.spec == 0))
+    assert(preFiles.map(_.group).distinct.sorted == Seq(0, 1, 2, 3))
+
+    // evolve: k-range groups of width 8; files already written stay
+    s.sql("ALTER TABLE graft_dml.spec.ev " +
+      "SET TBLPROPERTIES('partition'='truncate(8, k)')")
+    s.sql("INSERT INTO graft_dml.spec.ev VALUES (16, 160), (17, 170)")
+    val post = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base")
+    val oldSide = post.filter(_.spec == 0)
+    val newSide = post.filter(_.spec == 1)
+    assert(oldSide.map(e => (e.group, e.name)).toSet ==
+      preFiles.map(e => (e.group, e.name)).toSet,
+      "pre-evolution files must keep their layout verbatim")
+    assert(newSide.nonEmpty && newSide.forall(_.group == 2),
+      s"keys 16/17 route to truncate-group 2, got $newSide")
+    // the scan plans across BOTH specs
+    assert(s.table("graft_dml.spec.ev").count() == 18)
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.ev")
+      .head().getLong(0) == (0 until 16).map(_ * 10L).sum + 330L)
+    // time travel to the pre-evolution snapshot still reads v1 exactly
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.ev VERSION AS OF 1")
+      .head().getLong(0) == 16)
+
+    // row-level ops refuse while files span specs — migration first
+    val e = intercept[Exception](
+      s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 3"))
+    assert(e.getMessage != null && (e.getMessage.contains("span") ||
+      e.getMessage.contains("partition specs") ||
+      Option(e.getCause).exists(_.getMessage.contains("partition specs"))),
+      s"expected a spec-boundary refusal, got: ${e.getMessage}")
+    // INSERT OVERWRITE migrates everything onto the active spec...
+    s.sql("INSERT OVERWRITE graft_dml.spec.ev " +
+      "SELECT k, v FROM graft_dml.spec.ev VERSION AS OF " +
+      RowStore.currentVersion(key))
+    val migrated = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base")
+    assert(migrated.forall(_.spec == 1), s"migration left $migrated")
+    assert(migrated.map(_.group).distinct.sorted == Seq(0, 1, 2),
+      "18 keys in [0,18) under truncate(8) span groups 0..2")
+    // ...after which DML works again
+    s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 3")
+    assert(s.table("graft_dml.spec.ev").count() == 17)
+    s.sql("DROP TABLE graft_dml.spec.ev")
+  }
+
+  test("a rewrite commit whose scan was never planned fails loudly") {
+    // the commit-path soundness guard: ReplaceGroups with no planned
+    // scan has nothing sound to replace — appending the rewrite's
+    // files over intact groups would duplicate every carried-over row,
+    // so the commit must refuse instead of defaulting to append
+    val s = spark
+    import graft.sources.{GroupRowLevelOp, GroupWrite, RowStore}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.up")
+    s.sql("CREATE TABLE graft_dml.spec.up (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.up VALUES (1, 10), (2, 20)")
+    val key = "graft_dml.spec.up"
+    val meta = RowStore.readMeta(key)
+    val op = new GroupRowLevelOp(key, meta,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val w = new GroupWrite(key, meta, meta.schema,
+      GroupWrite.ReplaceGroups(op))
+    val before = RowStore.currentVersion(key)
+    val e = intercept[IllegalArgumentException](
+      w.commit(Array.empty))
+    assert(e.getMessage.contains("planned scan"), e.getMessage)
+    assert(RowStore.currentVersion(key) == before,
+      "the refused commit must not advance the manifest chain")
+    s.sql("DROP TABLE graft_dml.spec.up")
   }
 
   test("COUNT(*) answers from manifest row counts; deltas refuse the shortcut") {
