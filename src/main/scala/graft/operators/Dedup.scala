@@ -936,13 +936,111 @@ object Dedup {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("new_text"), lit("")).as("new_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── d17: EXACT-SUBSTRING dedup — the suffix-array family of
+    // "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al., PAPERS.md): find maximal TOKEN SPANS duplicated
+    // across documents, the operator that catches copied passages
+    // d01 (whole-doc) and d13 (fixed segments) both miss. Re-expressed
+    // Spark-native instead of a distributed suffix array:
+    //  (1) every token position emits its 8-gram's PORTABLE hash —
+    //      (doc, pos, gh), the same 8-byte shuffle economy as t16;
+    //  (2) df over DISTINCT docs marks grams appearing in ≥2 documents
+    //      (vocabulary-sized, map-side partials — the posting
+    //      discipline, never all-pairs);
+    //  (3) a position whose gram is cross-doc shared is "covered";
+    //      maximal runs of consecutive covered positions merge into
+    //      islands via the i − row_number() trick — a PER-DOC window,
+    //      so state is document-sized at any corpus scale;
+    //  (4) an island [a, b] covers tokens [a, b+8) — exactly the
+    //      maximal shared substring (≥ 8 tokens) up to hash collision,
+    //      which the oracle prices away by applying the identical
+    //      poly-31 hash.
+    // Output: per-doc span count, duplicated-token total, longest
+    // span, and the duplicated-token ppm a filtering pipeline would
+    // threshold on (the paper cuts spans ≥ 50 tokens; the fraction is
+    // the per-doc signal).
+    "d17_exact_substring" -> ((s, d) => {
+      exactSubstringSpans(s, spreadSmall(docs(s, d)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("b") + lit(8) - col("a")).cast("long").as("dup_tokens"),
+          max(col("b") + lit(8) - col("a")).cast("long").as("max_span"),
+          max(col("n_toks")).as("n_toks"))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          col("max_span"),
+          expr("CAST(dup_tokens * 1000000 div n_toks AS BIGINT)")
+            .as("dup_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** d17's span core, factored for the DedupGuardSpec pin: one row per
+    * MAXIMAL duplicated span — (doc_id, n_toks, a, b) where the
+    * covered token range is [a, b+8). A span is a maximal run of
+    * consecutive positions whose 8-gram appears in ≥ 2 distinct
+    * documents. */
+  private[graft] def exactSubstringSpans(s: SparkSession,
+      docsDf: DataFrame): DataFrame = {
+    graft.functions.PortableHashFunctions.register(s)
+    val t = docsDf
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 8)
+    val pos = t.select(col("doc_id"), size(col("toks")).as("n_toks"),
+      posexplode(expr(
+        "transform(sequence(0, size(toks) - 8), " +
+          "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
+        .as(Seq("i", "gh")))
+    val shared = pos.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val dup = pos.join(shared, "gh")
+      .select(col("doc_id"), col("n_toks"), col("i"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("grp", col("i") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(max(col("n_toks")).as("n_toks"),
+        min(col("i")).as("a"), max(col("i")).as("b"))
+      .drop("grp")
+  }
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // the same position → cross-doc-df → island pipeline, with the
+    // IDENTICAL poly-31 gram hash (collision behavior matches by
+    // construction — t16's discipline)
+    "d17_exact_substring" -> {
+      val h = graft.functions.PortableHashFunctions
+        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)),
+        |    '\\s+')) >= 8),
+        |pos AS (SELECT doc_id, len(toks) AS n_toks, i, $h AS gh
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)),
+        |dfv AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pos)
+        |  GROUP BY gh HAVING COUNT(*) >= 2),
+        |dup AS (SELECT p.doc_id, p.n_toks, p.i
+        |  FROM pos p JOIN dfv USING (gh)),
+        |isl AS (SELECT doc_id, n_toks, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM dup),
+        |spans AS (SELECT doc_id, MAX(n_toks) AS n_toks,
+        |    MIN(i) AS a, MAX(i) AS b
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(b + 8 - a) AS BIGINT) AS dup_tokens,
+        |  CAST(MAX(b + 8 - a) AS BIGINT) AS max_span,
+        |  CAST(CAST(SUM(b + 8 - a) AS BIGINT) * 1000000
+        |    // MAX(n_toks) AS BIGINT) AS dup_ppm
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // the same explode → count → threshold → reassemble pipeline over
     // segment text (the engine's digest is assumed collision-free, as

@@ -24,6 +24,42 @@ import graft.operators.Dedup
 class DedupGuardSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("d17 spans merge consecutive shared positions and split at gaps") {
+    // Two docs share TWO disjoint passages; doc C is all-unique filler.
+    // Every token is unique outside the engineered passages, so the
+    // expected maximal spans are computable by hand:
+    //  - shared passage P (10 tokens) at A positions 2..11 and B 0..9:
+    //    3 consecutive covered 8-gram positions → ONE span of 10 tokens
+    //    (the merge under test: 3 overlapping grams, not 3 spans)
+    //  - shared passage Q (8 tokens): exactly one covered position → a
+    //    second, SEPARATE span (the gap under test)
+    val s = spark
+    import s.implicits._
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")   // 10-token passage
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")    // 8-token passage
+    def filler(tag: String, n: Int, from: Int = 1) =
+      (from until from + n).map(i => s"$tag$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"${filler("a", 2)} $p ${filler("x", 6)} $q ${filler("y", 4)}"),
+      (2L, s"$p ${filler("b", 9)} $q"),
+      (3L, filler("c", 30))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(s, docsDf)
+      .orderBy(col("doc_id"), col("a"))
+      .collect().map(r => (r.getLong(0),
+        r.getInt(r.fieldIndex("a")), r.getInt(r.fieldIndex("b"))))
+    // doc 1: tokens = a1 a2 | p1..p10 | x1..x6 | q1..q8 | y1..y4
+    //   P covers 8-gram positions 2,3,4 → span (2,4) = tokens [2,12)
+    //   Q covers position 18 → span (18,18) = tokens [18,26)
+    // doc 2: tokens = p1..p10 | b1..b9 | q1..q8
+    //   P → positions 0,1,2 → span (0,2); Q → position 19 → (19,19)
+    assert(spans.toSeq == Seq((1L, 2, 4), (1L, 18, 18),
+      (2L, 0, 2), (2L, 19, 19)),
+      s"got ${spans.toSeq}")
+    // doc 3 (no cross-doc gram) must not appear at all
+    assert(!spans.exists(_._1 == 3L))
+  }
+
   // sf0.1 recall is exercised by the driver's CORRECTNESS gate at bench
   // time; the suite keeps to the two small SFs for runtime.
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
