@@ -1611,6 +1611,124 @@ object StreamingOps {
       s.table("graft_dml.ns.stream_sink")
         .withColumn("multi_batch", lit(lastBatch >= 1L))
         .orderBy(col("k"))
+    }),
+
+    // ── st37: MEDALLION COMPOSITION — the end-to-end lake pipeline
+    // the pieces support but nothing composed until now: (1) BRONZE —
+    // raw events stream into a DML table via the native streaming
+    // write (st36's engine-driven epoch commits, exactly-once via the
+    // atomic per-query manifest mark); (2) SILVER — a second streaming
+    // query follows bronze's CHANGE FEED (st33's one-version-per-
+    // micro-batch admission) and MERGEs per-user aggregates into a
+    // silver DML table (st31's upsert shape). Silver's exactly-once
+    // rides the catalog itself — Delta's txnVersion pattern with the
+    // MANIFEST VERSION as the transaction counter: batch k applies
+    // only when silver sits at version k, and the MERGE's commit IS
+    // the mark advance (atomic — no side state, no crash window).
+    // After the drain the LAST batch is deliberately REPLAYED through
+    // the same guard; `replay_noop` pins that it changed nothing.
+    // Both legs' multi-batch stepping is pinned in-plan; the oracle
+    // restates silver straight from raw events — any loss, duplicate,
+    // or double-application anywhere in the two-hop chain shifts a
+    // per-user count the hash will catch.
+    "st37_medallion" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import graft.sources.RowStore
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // deterministic multi-epoch source: 4 mtime-ordered chunks of
+      // the events slice, 2 files per trigger → 2 bronze epochs
+      val src = graft.Scratch.dir(s, "graft_st37_src", tag)
+      graft.Scratch.materializeOnce(src) {
+        val slice = graft.Tables.events(s, d)
+          .filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(col("user_id").cast("long").as("user_id"),
+            col("event_id").cast("long").as("event_id"))
+        val t0 = System.currentTimeMillis() - 3600000L
+        for (c <- 0 to 3) {
+          val dir = s"$src/c$c"
+          slice.filter(pmod(col("event_id"), lit(20)) === c * 5)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          new java.io.File(dir).listFiles().foreach { f =>
+            require(f.setLastModified(t0 + c * 60000L),
+              s"setLastModified failed for $f: this filesystem cannot " +
+                "set mtimes, so st37's multi-epoch drain is not " +
+                "deterministic")
+          }
+        }
+      }
+      // fresh tables per invocation (DROP clears manifest chains and
+      // epoch marks); fixed checkpoint cleared at start (st36's rule)
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.bronze")
+      s.sql("CREATE TABLE graft_dml.ns.bronze " +
+        "(user_id BIGINT, event_id BIGINT)")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.silver")
+      s.sql("CREATE TABLE graft_dml.ns.silver " +
+        "(user_id BIGINT, n_events BIGINT, max_event_id BIGINT)")
+      val ckptB = graft.Scratch.dir(s, "graft_st37_ckptb", tag)
+      graft.Scratch.deleteTree(ckptB)
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      val qb = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$src/c*")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptB)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_dml.ns.bronze")
+      qb.awaitTermination()
+      val bronzeLast = Option(qb.lastProgress).map(_.batchId).getOrElse(-1L)
+
+      // silver leg: one bronze COMMIT per micro-batch; the version
+      // guard makes application idempotent (replay ⇒ no-op)
+      val silverKey = "graft_dml.ns.silver"
+      def applyBatch(batch: DataFrame, batchId: Long): Unit =
+        if (RowStore.currentVersion(silverKey) == batchId) {
+          batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              max(col("event_id")).as("max_event_id"))
+            .createOrReplaceTempView("st37_delta")
+          batch.sparkSession.sql("""MERGE INTO graft_dml.ns.silver t
+            USING st37_delta s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET
+              n_events = t.n_events + s.n_events,
+              max_event_id = greatest(t.max_event_id, s.max_event_id)
+            WHEN NOT MATCHED THEN INSERT (user_id, n_events, max_event_id)
+              VALUES (s.user_id, s.n_events, s.max_event_id)""")
+          ()
+        }
+      val nSilver = new java.util.concurrent.atomic.AtomicInteger(0)
+      val qs = s.readStream.option("from", "0")
+        .table("graft_dml.ns.bronze.changes")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nSilver.incrementAndGet()
+          applyBatch(batch, batchId)
+        }
+        .start()
+      qs.awaitTermination()
+
+      // exactly-once pin: replay the LAST batch through the same path
+      // — the version guard must reject it without committing
+      val lastV = RowStore.currentVersion(silverKey)
+      val lastDiff = s.read
+        .option("from", (RowStore.currentVersion("graft_dml.ns.bronze") - 1)
+          .toString)
+        .option("to", RowStore.currentVersion("graft_dml.ns.bronze").toString)
+        .table("graft_dml.ns.bronze.changes")
+      applyBatch(lastDiff, lastV - 1) // the batch id it was applied as
+      val replayNoop = RowStore.currentVersion(silverKey) == lastV
+
+      s.table("graft_dml.ns.silver")
+        .withColumn("bronze_multi_batch", lit(bronzeLast >= 1L))
+        .withColumn("silver_multi_batch", lit(nSilver.get >= 2))
+        .withColumn("replay_noop", lit(replayNoop))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2065,6 +2183,17 @@ object StreamingOps {
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  o_orderstatus AS status, TRUE AS multi_batch
-        |FROM orders WHERE o_orderkey % 6 = 0 ORDER BY k""".stripMargin
+        |FROM orders WHERE o_orderkey % 6 = 0 ORDER BY k""".stripMargin,
+
+    // silver restated straight from raw events: the two-hop chain
+    // (stream→bronze commits→change feed→MERGE) must be lossless and
+    // exactly-once end to end
+    "st37_medallion" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+        |  TRUE AS bronze_multi_batch, TRUE AS silver_multi_batch,
+        |  TRUE AS replay_noop
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
