@@ -206,8 +206,11 @@ object RowStore {
     sys.error(s"no committed version for $key"))
 
   def readManifest(key: String, v: Int): Seq[FileEntry] =
-    Files.readAllLines(Paths.get(tableDir(key), s"v$v.manifest")).asScala
-      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+    parseEntries(Files.readAllLines(
+      Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq)
+
+  private def parseEntries(all: Seq[String]): Seq[FileEntry] =
+    all.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         // after the fixed `kind group name` prefix the tokens are
         // self-describing: a bare-number PAIR = the zone-map [min,max],
         // `r<count>` = the file's exact row count (what answers
@@ -231,7 +234,18 @@ object RowStore {
         require(minK.isDefined == maxK.isDefined,
           s"corrupt manifest line (unpaired stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec)
-      }.toSeq
+      }
+
+  private def renderEntries(entries: Seq[FileEntry]): String =
+    entries.map { e =>
+      val stats = (e.minK, e.maxK) match {
+        case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
+        case _ => ""
+      }
+      val rows = e.rows.map(r => s"\tr$r").getOrElse("")
+      val spec = if (e.spec != 0) s"\ts${e.spec}" else ""
+      s"${e.kind}\t${e.group}\t${e.name}$stats$rows$spec"
+    }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the
     * last epoch whose commit landed in the manifest chain. Epoch ids
@@ -324,15 +338,41 @@ object RowStore {
       else Seq.empty
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
       s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
-        entries.map { e =>
-        val stats = (e.minK, e.maxK) match {
-          case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
-          case _ => ""
-        }
-        val rows = e.rows.map(r => s"\tr$r").getOrElse("")
-        val spec = if (e.spec != 0) s"\ts${e.spec}" else ""
-        s"${e.kind}\t${e.group}\t${e.name}$stats$rows$spec"
-      }.mkString("", "\n", "\n"))
+        renderEntries(entries))
+  }
+
+  // ── BRANCHES (Iceberg's write-audit-publish surface): a branch
+  // manifest is a STAGED next snapshot — full entry list plus the
+  // `#base` header recording the version it forked from. Plain reads
+  // never see it; a read with option `branch=<name>` plans from it;
+  // [[RowStoreOps.publishBranch]] promotes it to the next committed
+  // version under the same OCC rule as any rewrite.
+
+  private def branchPath(key: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"branch name '$name' must be alphanumeric")
+    Paths.get(tableDir(key), s"branch-$name.manifest")
+  }
+
+  def branchExists(key: String, name: String): Boolean =
+    Files.exists(branchPath(key, name))
+
+  def writeBranchManifest(key: String, name: String, base: Int,
+      entries: Seq[FileEntry]): Unit =
+    Files.writeString(branchPath(key, name),
+      s"#base\t$base\n" + renderEntries(entries))
+
+  /** (fork-base version, staged entries). */
+  def readBranchManifest(key: String, name: String): (Int, Seq[FileEntry]) = {
+    val all = Files.readAllLines(branchPath(key, name)).asScala.toSeq
+    val base = all.collectFirst {
+      case l if l.startsWith("#base\t") => l.stripPrefix("#base\t").toInt
+    }.getOrElse(sys.error(s"branch $name of $key has no #base header"))
+    (base, parseEntries(all))
+  }
+
+  def dropBranch(key: String, name: String): Unit = {
+    Files.deleteIfExists(branchPath(key, name)); ()
   }
 
   def drop(key: String): Boolean = {
@@ -607,6 +647,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base))
         new ChangesTable(base, RowStore.readMeta(base))
+      else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "history" && ident.namespace().nonEmpty) {
+      // `<table>.history` — snapshot lineage from the manifest chain
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new HistoryTable(base)
       else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }
@@ -953,7 +999,9 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
         .orElse(Option(options.get("compact"))
           .map(v => GroupWrite.parseCompact(v)._2)),
       // streaming start version (readStream.option("from", v))
-      streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0))
+      streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0),
+      // `branch=<name>` reads the STAGED snapshot (WAP audit read)
+      branch = Option(options.get("branch")))
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
     * `truncate()` on the same builder and flips it to replace-all.
@@ -967,8 +1015,15 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
         new GroupWrite(tableKey, meta, info.schema(),
           GroupWrite.Compact(base, gs))
       case None =>
-        new GroupWrite(tableKey, meta, info.schema(), GroupWrite.Append,
-          Option(info.queryId()).getOrElse(""))
+        Option(info.options().get("branch")) match {
+          // write option `branch=<name>`: the append STAGES into the
+          // named branch (WAP) — files land on disk, but no table
+          // version commits until publishBranch
+          case Some(b) => new GroupWrite(tableKey, meta, info.schema(),
+            GroupWrite.StageBranch(b))
+          case None => new GroupWrite(tableKey, meta, info.schema(),
+            GroupWrite.Append, Option(info.queryId()).getOrElse(""))
+        }
     }
 
   /** MERGE/UPDATE/DELETE: Spark rewrites the statement against this
@@ -1011,7 +1066,7 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
 
 class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None,
-    streamFrom: Int = 0)
+    streamFrom: Int = 0, branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1045,7 +1100,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   private def pushAggregationCheck(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    op.isEmpty && staticGroups.isEmpty &&
+    op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       // nonEmpty matters: a count-over-count query collapses to an
       // EMPTY aggregation (0 output columns, 1 row) that a vacuous
@@ -1113,7 +1168,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
-    else Some((keyLo, keyHi)), streamFrom)
+    else Some((keyLo, keyHi)), streamFrom, branch)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -1126,7 +1181,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     required: StructType, op: Option[GroupRowLevelOp],
     staticGroups: Option[Set[Int]] = None,
     keyRange: Option[(Long, Long)] = None,
-    streamFrom: Int = 0)
+    streamFrom: Int = 0, branch: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1210,7 +1265,13 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = RowStore.readManifest(tableKey, version)
+    // a branch read plans from the STAGED manifest (WAP audit); all
+    // other machinery is identical — staged entries are ordinary
+    // immutable files the branch commit added
+    val entries = branch match {
+      case Some(b) => RowStore.readBranchManifest(tableKey, b)._2
+      case None    => RowStore.readManifest(tableKey, version)
+    }
     val baseEntries = entries.filter(_.kind == "base")
     val deltas = entries.filter(_.kind == "delta")
     val dir = RowStore.dataDir(tableKey)
@@ -1355,6 +1416,9 @@ object GroupWrite {
   case object Append extends Mode
   case object Overwrite extends Mode
   case class ReplaceGroups(op: GroupRowLevelOp) extends Mode
+  /** WAP staging: the append lands in branch `name`'s manifest, not
+    * the committed chain. */
+  case class StageBranch(name: String) extends Mode
   /** OPTIMIZE: the incoming files replace EXACTLY these groups'
     * base+delta entries — a group that resolved to zero visible rows
     * writes no file but still sheds its old entries. `base` is the
@@ -1375,8 +1439,12 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
-  override def truncate(): WriteBuilder =
+  override def truncate(): WriteBuilder = {
+    require(!mode.isInstanceOf[GroupWrite.StageBranch],
+      s"$tableKey: INSERT OVERWRITE into a branch is not supported — " +
+        "branches stage appends only (WAP)")
     new GroupWrite(tableKey, meta, writeSchema, GroupWrite.Overwrite, queryId)
+  }
 
   // storage-aligned write: cluster incoming rows by the group hash so
   // each group is written by exactly one task — one file per touched
@@ -1448,7 +1516,23 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       val old = RowStore.readManifest(tableKey, cur)
+      mode match {
+        case GroupWrite.StageBranch(name) =>
+          // WAP staging: fold into the branch manifest (stacked audit
+          // appends compose); NO table version commits. Fork base is
+          // recorded on first stage — publish validates against it.
+          val (base, existing) =
+            if (RowStore.branchExists(tableKey, name))
+              RowStore.readBranchManifest(tableKey, name)
+            else (cur, old)
+          RowStore.writeBranchManifest(tableKey, name, base,
+            existing ++ added)
+          return
+        case _ => ()
+      }
       val next = mode match {
+        case GroupWrite.StageBranch(_) =>
+          sys.error("unreachable: staged above")
         case GroupWrite.Append    => old ++ added
         case GroupWrite.Overwrite => added
         case GroupWrite.ReplaceGroups(op) =>
@@ -1978,8 +2062,21 @@ object RowStoreOps {
       require(keepLast >= 1, "must retain at least the current version")
       val vs = RowStore.versions(table)
       val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+      // staged branch manifests keep their files alive too — VACUUM
+      // must not strand an un-published WAP branch
+      val branchKeep = {
+        val td = Paths.get(RowStore.tableDir(table))
+        val stream = Files.list(td)
+        val names = try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("branch-") && n.endsWith(".manifest"))
+          .map(_.stripPrefix("branch-").stripSuffix(".manifest")).toSeq
+        finally stream.close()
+        names.flatMap(b => RowStore.readBranchManifest(table, b)._2)
+          .map(_.name).toSet
+      }
       val keep = retained.flatMap(v => RowStore.readManifest(table, v))
-        .map(_.name).toSet
+        .map(_.name).toSet ++ branchKeep
       expired.foreach { v =>
         Files.deleteIfExists(
           Paths.get(RowStore.tableDir(table), s"v$v.manifest")); ()
@@ -1998,12 +2095,91 @@ object RowStoreOps {
       }
       (retained, dead.size)
     }
+
+  /** PUBLISH a staged branch (the WAP fast-forward): the branch's
+    * snapshot becomes the next committed version — atomically, under
+    * the same OCC rule as any rewrite: if the table advanced past the
+    * branch's fork base, the staged snapshot no longer contains those
+    * commits and publishing it would silently drop them, so refuse
+    * and let the caller re-stage. Returns the published version. */
+  def publishBranch(table: String, name: String): Int =
+    RowStore.commitLock.synchronized {
+      val (base, entries) = RowStore.readBranchManifest(table, name)
+      val cur = RowStore.currentVersion(table)
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: branch $name forked at version $base but the table " +
+            s"is now at $cur — publishing would drop the interleaved " +
+            "commits; re-stage against the current snapshot")
+      RowStore.writeManifest(table, cur + 1, entries)
+      RowStore.dropBranch(table, name)
+      cur + 1
+    }
 }
+
+/** `<table>.history` — the snapshot-lineage metadata table (Iceberg's
+  * `history`/`snapshots` surface): one row per committed version with
+  * its manifest-derived file and row counts. Metadata-sized by
+  * construction — the scan reads manifests only, never data files. */
+class HistoryTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.history"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("is_current", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = HistoryTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        // computed at plan time on the driver (manifest-sized) and
+        // shipped in the partition — the executor only replays rows
+        val vs = RowStore.versions(baseKey)
+        val cur = vs.max
+        val rows = vs.map { v =>
+          val es = RowStore.readManifest(baseKey, v)
+          val base = es.filter(_.kind == "base")
+          // exact only when every base entry carries a count and no
+          // deltas mutate rows at read time — else unknown (NULL)
+          val nRows: Option[Long] =
+            if (es.exists(_.kind == "delta") || base.exists(_.rows.isEmpty))
+              None
+            else Some(base.map(_.rows.get).sum)
+          HistoryRow(v, es.size.toLong, nRows, v == cur)
+        }
+        Array(HistoryPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[HistoryPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: HistoryRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.version, cur.nFiles,
+                  cur.nRows.map(Long.box).orNull, cur.isCurrent))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class HistoryRow(version: Int, nFiles: Long, nRows: Option[Long],
+    isCurrent: Boolean)
+case class HistoryPartition(rows: Seq[HistoryRow]) extends InputPartition
 
 /** Driver-contract entries for the DML catalog. */
 object RowCatalogQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, lit}
 
   /** q106/q108 share one lifecycle (CREATE → INSERT seed → MERGE →
     * DELETE) differing only in table name and format; the oracle
@@ -2264,6 +2440,60 @@ object RowCatalogQueries {
         ON t.k = src.k
         WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents""")
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
+    }),
+
+    // ── q127: `.history` METADATA TABLE — the snapshot-lineage
+    // surface (Iceberg's `history`, Delta's DESCRIBE HISTORY): one row
+    // per committed version with manifest-derived file/row counts and
+    // the current-pointer flag, answered ENTIRELY from manifests (no
+    // data file opens — q124's economics applied to the whole chain).
+    // Over the shared lifecycle every column is deterministic: row
+    // counts restate q107's per-version aggregates, and file counts
+    // equal the distinct non-empty groups at each stage because the
+    // clustered write distribution provably emits ONE file per touched
+    // group per commit — so the oracle recomputes both relationally.
+    "q127_dml_history" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.table(s"$t.history").orderBy(col("version"))
+    }),
+
+    // ── q128: WRITE-AUDIT-PUBLISH (branch staging) — Iceberg's WAP
+    // pattern (spark.wap.branch): a producer APPENDS into a named
+    // branch (files land, no table version commits), an auditor reads
+    // the STAGED snapshot via the `branch` read option while every
+    // plain reader still sees the published table, and a successful
+    // audit FAST-FORWARDS the branch into the next committed version.
+    // The two in-plan pins make the isolation itself hash-checked:
+    // `staged_invisible` (the main table did NOT see the staged slice
+    // before publish) and `audit_saw_staged` (the branch read DID).
+    // RowCatalogSpec pins the OCC refusal when the table advances
+    // under a staged branch.
+    "q128_dml_wap" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q128_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.wap")
+      s.sql("CREATE TABLE graft_dml.ns.wap (k BIGINT, cents BIGINT)")
+      s.sql("""INSERT INTO graft_dml.ns.wap
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q128_orders WHERE o_orderkey % 8 = 0""")
+      // stage the second slice into branch "audit" — no version commit
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM q128_orders WHERE o_orderkey % 8 = 3""")
+        .writeTo("graft_dml.ns.wap").option("branch", "audit").append()
+      val seedN = s.sql("SELECT COUNT(*) FROM q128_orders " +
+        "WHERE o_orderkey % 8 = 0").head().getLong(0)
+      val stagedN = s.sql("SELECT COUNT(*) FROM q128_orders " +
+        "WHERE o_orderkey % 8 = 3").head().getLong(0)
+      val mainPre = s.table("graft_dml.ns.wap").count()
+      val auditN = s.read.option("branch", "audit")
+        .table("graft_dml.ns.wap").count()
+      RowStoreOps.publishBranch("graft_dml.ns.wap", "audit")
+      s.table("graft_dml.ns.wap")
+        .withColumn("staged_invisible", lit(mainPre == seedN))
+        .withColumn("audit_saw_staged", lit(auditN == seedN + stagedN))
+        .orderBy(col("k"))
     }),
 
     // ── q125: PARTITION-SPEC EVOLUTION — Iceberg's headline layout
@@ -2565,6 +2795,32 @@ object RowCatalogQueries {
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
         |ORDER BY k""".stripMargin,
+
+    // the snapshot lineage recomputed relationally: rows per version
+    // from the lifecycle CTEs, files per version = distinct non-empty
+    // groups (one file per touched group per commit, by the clustered
+    // write distribution)
+    "q127_dml_history" ->
+      s"""$lifecycleCtes,
+        |fin AS (SELECT k, cents, status FROM merged WHERE k % 97 <> 0),
+        |h AS (
+        |  SELECT 0 AS version, 0 AS n_files, 0 AS n_rows
+        |  UNION ALL SELECT 1, COUNT(DISTINCT k % 4), COUNT(*) FROM t0
+        |  UNION ALL SELECT 2, COUNT(DISTINCT k % 4), COUNT(*) FROM merged
+        |  UNION ALL SELECT 3, COUNT(DISTINCT k % 4), COUNT(*) FROM fin)
+        |SELECT CAST(version AS INTEGER) AS version,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  version = 3 AS is_current
+        |FROM h ORDER BY version""".stripMargin,
+
+    // published state = both slices; the isolation pins are TRUE by
+    // the WAP contract
+    "q128_dml_wap" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS staged_invisible, TRUE AS audit_saw_staged
+        |FROM orders WHERE o_orderkey % 8 IN (0, 3) ORDER BY k""".stripMargin,
 
     // both slices restated from raw orders — the engine's answer must
     // be layout-invariant across the spec boundary

@@ -604,6 +604,59 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.ev")
   }
 
+  test("WAP branch: staging invisible, stacked, OCC-guarded publish, vacuum-safe") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.wapx")
+    s.sql("CREATE TABLE graft_dml.spec.wapx (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.wapx VALUES (1, 10), (2, 20)")
+    val key = "graft_dml.spec.wapx"
+    assert(RowStore.currentVersion(key) == 1)
+
+    // stage one row — files land, NO version commits, main unchanged
+    Seq((3L, 30L)).toDF("k", "v")
+      .writeTo("graft_dml.spec.wapx").option("branch", "b").append()
+    assert(RowStore.currentVersion(key) == 1,
+      "staging must not commit a table version")
+    assert(s.table("graft_dml.spec.wapx").count() == 2,
+      "staged rows must be invisible to plain reads")
+    assert(s.read.option("branch", "b").table("graft_dml.spec.wapx")
+      .count() == 3, "the audit read must see the staged snapshot")
+
+    // stacked staging composes into the same branch
+    Seq((4L, 40L)).toDF("k", "v")
+      .writeTo("graft_dml.spec.wapx").option("branch", "b").append()
+    assert(s.read.option("branch", "b").table("graft_dml.spec.wapx")
+      .count() == 4)
+
+    // vacuum must not strand the un-published branch's files
+    RowStoreOps.vacuum(key, 1)
+    assert(s.read.option("branch", "b").table("graft_dml.spec.wapx")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L), "vacuum deleted a staged branch's files")
+
+    // the table advances under the branch → publish must refuse (the
+    // staged snapshot no longer contains v2's commit)
+    s.sql("INSERT INTO graft_dml.spec.wapx VALUES (5, 50)")
+    intercept[java.util.ConcurrentModificationException](
+      RowStoreOps.publishBranch(key, "b"))
+
+    // re-stage against the current snapshot → publish fast-forwards
+    RowStore.dropBranch(key, "b")
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v")
+      .writeTo("graft_dml.spec.wapx").option("branch", "b").append()
+    val v = RowStoreOps.publishBranch(key, "b")
+    assert(v == RowStore.currentVersion(key))
+    assert(s.table("graft_dml.spec.wapx").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    assert(!RowStore.branchExists(key, "b"),
+      "publish must retire the branch manifest")
+    s.sql("DROP TABLE graft_dml.spec.wapx")
+  }
+
   test("a rewrite commit whose scan was never planned fails loudly") {
     // the commit-path soundness guard: ReplaceGroups with no planned
     // scan has nothing sound to replace — appending the rewrite's
