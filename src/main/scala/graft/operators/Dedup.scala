@@ -961,6 +961,53 @@ object Dedup {
     // span, and the duplicated-token ppm a filtering pipeline would
     // threshold on (the paper cuts spans ≥ 50 tokens; the fraction is
     // the per-doc signal).
+    // ── d18: DUPLICATED-SPAN REMOVAL — d17's transformation half: the
+    // paper's actual dedup step EMITS THE CLEANED CORPUS, keeping one
+    // canonical occurrence of every cross-doc duplicated passage. The
+    // keeper rule is deterministic and engine-portable: for each
+    // shared 8-gram, the LOWEST doc_id containing it keeps its text;
+    // every other doc removes the tokens its occurrences cover (an
+    // 8-token offset explode per removed position — bounded, never
+    // all-pairs). Reassembly is d13's in-aggregate array_sort — no
+    // global sort; docs that lose every token (exact clones of an
+    // earlier doc) surface with empty new_text rather than vanishing.
+    "d18_substring_removal" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val base = spreadSmall(docs(s, d))
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_toks"))
+        .localCheckpoint() // three consumers: grams, token explode, totals
+      val pos = base.filter(col("n_toks") >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
+          .as(Seq("i", "gh")))
+      val gs = pos.select(col("doc_id"), col("gh")).distinct()
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
+        .filter(col("df") >= 2)
+      val removedTok = pos.join(gs, "gh")
+        .filter(col("doc_id") > col("min_doc"))
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("t"))
+        .distinct()
+      val toks = base.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("t", "tok")))
+      val agg = toks.join(removedTok, Seq("doc_id", "t"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("concat_ws(' ', transform(" +
+            "array_sort(collect_list(struct(t, tok))), x -> x.tok))")
+            .as("new_text"))
+      base.select(col("doc_id"), col("n_toks"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+            .cast("long").as("n_removed"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d17_exact_substring" -> ((s, d) => {
       exactSubstringSpans(s, spreadSmall(docs(s, d)))
         .groupBy(col("doc_id"))
@@ -1011,6 +1058,39 @@ object Dedup {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // the same keeper-rule pipeline (min-doc canonical, 8-offset
+    // coverage, ordered reassembly) with the identical gram hash
+    "d18_substring_removal" -> {
+      val h = graft.functions.PortableHashFunctions
+        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
+      s"""WITH bt AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i, $h AS gh
+        |  FROM bt, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
+        |  WHERE n_toks >= 8),
+        |gs AS (SELECT gh, MIN(doc_id) AS min_doc
+        |  FROM (SELECT DISTINCT doc_id, gh FROM pos)
+        |  GROUP BY gh HAVING COUNT(*) >= 2),
+        |rt AS (SELECT DISTINCT p.doc_id, v.t
+        |  FROM pos p JOIN gs USING (gh), UNNEST(generate_series(p.i, p.i + 7)) AS v(t)
+        |  WHERE p.doc_id > gs.min_doc),
+        |tk AS (SELECT doc_id, i AS t, toks[i+1] AS tok
+        |  FROM bt, UNNEST(generate_series(0, n_toks - 1)) AS w(i)),
+        |kept AS (SELECT tk.doc_id, tk.t, tk.tok FROM tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM rt
+        |    WHERE rt.doc_id = tk.doc_id AND rt.t = tk.t)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY t) AS new_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT bt.doc_id, CAST(bt.n_toks AS BIGINT) AS n_toks,
+        |  CAST(bt.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(a.new_text, '') AS new_text
+        |FROM bt LEFT JOIN agg a USING (doc_id)
+        |ORDER BY bt.doc_id""".stripMargin
+    },
 
     // the same position → cross-doc-df → island pipeline, with the
     // IDENTICAL poly-31 gram hash (collision behavior matches by

@@ -770,6 +770,64 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── s13: MMR-DIVERSIFIED TOP-K — maximal marginal relevance
+    // (Carbonell/Goldstein), the re-ranking every retrieval-for-
+    // training pipeline bolts onto plain ANN: plain top-k returns
+    // near-duplicates of one mode; MMR greedily selects items scoring
+    // high on relevance MINUS similarity-to-already-selected
+    // (λ·rel − (1−λ)·max-sim, λ=0.7), so the k results COVER the
+    // neighborhood instead of repeating it. Shape: the candidate pool
+    // is a distributed TakeOrdered top-12 (one corpus pass, s01's
+    // economics); the greedy loop then iterates over POOL-sized frames
+    // only (12 rows × 4 rounds, broadcast selected set — d08's
+    // bounded-iteration pattern), so corpus scale never enters the
+    // loop. Fully oracle-checked: the oracle unrolls the same four
+    // greedy rounds as CTEs with identical double arithmetic.
+    "s13_mmr_diversify" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(q))
+        .withColumn("rel", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .orderBy(col("rel").desc, col("n_id").asc).limit(12)
+        .select(col("n_id"), col("nv"), col("rel"))
+        .localCheckpoint()
+      var selected: DataFrame = null
+      var remaining = cand
+      for (r <- 1 to 4) {
+        val scored =
+          if (selected == null) remaining.withColumn("mmr", col("rel") * lit(0.7))
+          else {
+            val selVecs = selected.select(col("n_id").as("s_id"),
+              col("sv"))
+            val msim = remaining.crossJoin(broadcast(selVecs))
+              .withColumn("sim",
+                VectorFunctions.cosineSim(col("nv"), col("sv")))
+              .groupBy(col("n_id")).agg(max(col("sim")).as("msim"))
+            remaining.join(msim, "n_id")
+              .withColumn("mmr",
+                col("rel") * lit(0.7) - col("msim") * lit(0.3))
+          }
+        val pick = scored.orderBy(col("mmr").desc, col("n_id").asc).limit(1)
+          .select(lit(r).as("pick"), col("n_id"), col("mmr"),
+            col("nv").as("sv"))
+          .localCheckpoint()
+        selected =
+          if (selected == null) pick
+          else selected.unionByName(pick).localCheckpoint()
+        remaining = remaining
+          .join(pick.select(col("n_id")), Seq("n_id"), "left_anti")
+          .localCheckpoint()
+      }
+      selected.select(col("pick").cast("int").as("pick"), col("n_id"),
+        (round(col("mmr"), 6) + 0.0).as("mmr"))
+        .orderBy(col("pick"))
+    }),
+
     // ── s11: MULTIMODAL → ANN composition — the m07 encoder output
     // (payload → ArrayType(Float), Multimodal.assetEmbeddings) fed
     // through the SAME IVF index build + probe + rescore path the
@@ -794,6 +852,45 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // the four greedy rounds unrolled as CTEs (BPE-trainer
+    // discipline), identical double arithmetic and (mmr DESC, n_id)
+    // tie-break
+    "s13_mmr_diversify" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0),
+        |cand AS (SELECT c.vec_id AS n_id, c.v,
+        |    list_cosine_similarity(q.v, c.v) AS rel
+        |  FROM e c, q WHERE c.vec_id <> 0
+        |  ORDER BY rel DESC, n_id ASC LIMIT 12),
+        |s1 AS (SELECT n_id, v, rel * 0.7 AS mmr FROM cand
+        |  ORDER BY rel DESC, n_id ASC LIMIT 1),
+        |sel1 AS (SELECT n_id, v FROM s1),
+        |r2 AS (SELECT c.n_id, c.v,
+        |    c.rel * 0.7 - MAX(list_cosine_similarity(c.v, s.v)) * 0.3 AS mmr
+        |  FROM cand c, sel1 s WHERE c.n_id NOT IN (SELECT n_id FROM sel1)
+        |  GROUP BY c.n_id, c.v, c.rel),
+        |s2 AS (SELECT n_id, v, mmr FROM r2 ORDER BY mmr DESC, n_id ASC LIMIT 1),
+        |sel2 AS (SELECT n_id, v FROM sel1 UNION ALL SELECT n_id, v FROM s2),
+        |r3 AS (SELECT c.n_id, c.v,
+        |    c.rel * 0.7 - MAX(list_cosine_similarity(c.v, s.v)) * 0.3 AS mmr
+        |  FROM cand c, sel2 s WHERE c.n_id NOT IN (SELECT n_id FROM sel2)
+        |  GROUP BY c.n_id, c.v, c.rel),
+        |s3 AS (SELECT n_id, v, mmr FROM r3 ORDER BY mmr DESC, n_id ASC LIMIT 1),
+        |sel3 AS (SELECT n_id, v FROM sel2 UNION ALL SELECT n_id, v FROM s3),
+        |r4 AS (SELECT c.n_id, c.v,
+        |    c.rel * 0.7 - MAX(list_cosine_similarity(c.v, s.v)) * 0.3 AS mmr
+        |  FROM cand c, sel3 s WHERE c.n_id NOT IN (SELECT n_id FROM sel3)
+        |  GROUP BY c.n_id, c.v, c.rel),
+        |s4 AS (SELECT n_id, v, mmr FROM r4 ORDER BY mmr DESC, n_id ASC LIMIT 1)
+        |SELECT pick, n_id, round(mmr, 6) + 0.0 AS mmr FROM (
+        |  SELECT 1 AS pick, n_id, mmr FROM s1
+        |  UNION ALL SELECT 2, n_id, mmr FROM s2
+        |  UNION ALL SELECT 3, n_id, mmr FROM s3
+        |  UNION ALL SELECT 4, n_id, mmr FROM s4)
+        |ORDER BY pick""".stripMargin,
+
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
