@@ -801,6 +801,49 @@ object TextOps {
     // exist and are priced: the ORACLE applies the identical poly-31
     // hash, so parity is exact BY CONSTRUCTION, and a collision only
     // ever over-counts df (a conservative bias toward flagging).
+    // ── t17: GOPHER-STYLE QUALITY RULES — the published rule-set
+    // filter (Rae et al.'s Gopher / MassiveText repetition-and-shape
+    // gates) as one codegen'd pass, distinct from t02's soft score:
+    // each NAMED rule surfaces as its own boolean column so a pipeline
+    // can audit WHICH gate rejected a document, and `pass` is their
+    // conjunction. Every test is INTEGER arithmetic on token counts
+    // (3·n ≤ chars ≤ 10·n instead of a double mean) so the oracle is
+    // hash-exact with no float tolerance anywhere. Thresholds are
+    // scaled to the fixture corpus (docs are paragraph-sized); the
+    // rule SHAPES are the paper's.
+    "t17_gopher_rules" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("word_chars",
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))"))
+        .withColumn("alpha_words",
+          expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
+        .withColumn("symbol_words",
+          expr("size(filter(toks, x -> x rlike '[#…]' or x like '%...%'))")
+            .cast("long"))
+        .withColumn("stop_hits",
+          expr("size(array_intersect(array_distinct(toks), " +
+            "array('the','be','to','of','and','that','have','with')))")
+            .cast("long"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 10 && col("n_words") <= 10000)
+            .as("r_word_count"),
+          (lit(3) * col("n_words") <= col("word_chars") &&
+            col("word_chars") <= lit(10) * col("n_words"))
+            .as("r_mean_word_len"),
+          (lit(10) * col("alpha_words") >= lit(8) * col("n_words"))
+            .as("r_alpha_ratio"),
+          (lit(10) * col("symbol_words") <= col("n_words"))
+            .as("r_symbol_ratio"),
+          (col("stop_hits") >= 2).as("r_stopwords"))
+        .withColumn("pass",
+          col("r_word_count") && col("r_mean_word_len") &&
+            col("r_alpha_ratio") && col("r_symbol_ratio") &&
+            col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t16_shared_grams" -> ((s, d) => {
       graft.functions.PortableHashFunctions.register(s)
       val g = Dedup.spreadSmall(docs(s, d))
@@ -1342,6 +1385,37 @@ object TextOps {
 
     // the shared-gram census replayed over the IDENTICAL portable
     // hash, so collision behavior matches by construction
+    // the same integer-exact rule arithmetic over DuckDB list ops
+    "t17_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[#…]')
+        |      OR x LIKE '%...%')) AS BIGINT) AS symbol_words,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words >= 10 AND n_words <= 10000 AS r_word_count,
+        |  3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |    AS r_mean_word_len,
+        |  10 * alpha_words >= 8 * n_words AS r_alpha_ratio,
+        |  10 * symbol_words <= n_words AS r_symbol_ratio,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words >= 10 AND n_words <= 10000)
+        |    AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        |    AND (10 * alpha_words >= 8 * n_words)
+        |    AND (10 * symbol_words <= n_words)
+        |    AND (stop_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "t16_shared_grams" -> {
       val h = graft.functions.PortableHashFunctions
         .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
