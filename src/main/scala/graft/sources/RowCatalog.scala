@@ -1072,26 +1072,55 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo => SEq, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGe, In => SIn, LessThan => SLt, LessThanOrEqual => SLe}
 
-  // ── COUNT(*) from manifest row counts (Iceberg's snapshot-summary
-  // answer): every base file records its exact row count at commit,
-  // so an unfiltered count of a CLEAN snapshot is a plan-time sum —
-  // zero files opened. Engages ONLY when provably exact: no delta
-  // files at this version (deltas add/remove rows at read time), no
+  // ── COUNT(*)/MIN(key)/MAX(key) from manifest metadata (Iceberg's
+  // snapshot-summary answer): every base file records its exact row
+  // count and the key column's [min, max] at commit, so an unfiltered
+  // count — and, for a LONG key column, the key's global extrema —
+  // of a CLEAN snapshot is a plan-time fold over the manifest: zero
+  // files opened. Engages ONLY when provably exact: no delta files at
+  // this version (deltas add/remove/move rows at read time), no
   // static group restriction (the compact handshake), no row-level
-  // operation scan, and every entry carries a count (a legacy entry
-  // without one refuses). Any WHERE leaves residual filters, which
-  // blocks aggregate pushdown in Spark's own rule — so a filtered
-  // count never reaches this path.
-  private var countPushed = false
+  // operation scan, no branch read, single partition spec (a retired
+  // spec's stats were computed on ITS key column), and every entry
+  // carries the needed stat (a legacy/statless entry refuses). Any
+  // WHERE leaves residual filters, which blocks aggregate pushdown in
+  // Spark's own rule — so a filtered aggregate never reaches this
+  // path.
+  private var aggPushed = false
+  private var pushedValues: Seq[Long] = Seq.empty
 
   // one manifest read per scan build: the (tableKey, version) manifest
   // is immutable, and supportCompletePushDown/pushAggregation/build
   // would otherwise each re-read it
+  private lazy val manifestEntries: Seq[RowStore.FileEntry] =
+    RowStore.readManifest(tableKey, version)
+
   private lazy val manifestCount: Option[Long] = {
-    val es = RowStore.readManifest(tableKey, version)
+    val es = manifestEntries
     if (es.exists(_.kind == "delta") || es.exists(_.rows.isEmpty)) None
     else Some(es.map(_.rows.get).sum)
   }
+
+  /** Key extrema from per-file zone maps — defined only when every
+    * base file carries stats on the ACTIVE spec's (LONG) key column
+    * and the fold is over at least one file (the empty case must
+    * return SQL NULL, which declining the pushdown handles for us). */
+  private lazy val manifestMinMax: Option[(Long, Long)] = {
+    val es = manifestEntries
+    val base = es.filter(_.kind == "base")
+    val keyIsLong =
+      meta.schema.fields.find(_.name == meta.keyCol).exists(_.dataType == LongType)
+    if (es.exists(_.kind == "delta") || base.isEmpty || !keyIsLong ||
+      base.exists(e => e.minK.isEmpty || e.spec != meta.specId)) None
+    else Some((base.flatMap(_.minK).min, base.flatMap(_.maxK).max))
+  }
+
+  private def keyColRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(meta.keyCol))
+      case _ => false
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -1099,25 +1128,34 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
 
   private def pushAggregationCheck(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       // nonEmpty matters: a count-over-count query collapses to an
       // EMPTY aggregation (0 output columns, 1 row) that a vacuous
       // forall would accept and then answer with the wrong arity
       agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      manifestCount.isDefined
-
-  private var countCols = 1
+      agg.aggregateExpressions.forall {
+        case _: CountStar => manifestCount.isDefined
+        case m: Min => keyColRef(m.column) && manifestMinMax.isDefined
+        case m: Max => keyColRef(m.column) && manifestMinMax.isDefined
+        case _ => false
+      }
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    countPushed = pushAggregationCheck(agg)
-    if (countPushed) countCols = agg.aggregateExpressions.length
-    countPushed
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    aggPushed = pushAggregationCheck(agg)
+    if (aggPushed) pushedValues = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => manifestCount.get
+      case _: Min       => manifestMinMax.get._1
+      case _: Max       => manifestMinMax.get._2
+      case other => sys.error(s"unreachable pushed agg $other")
+    }
+    aggPushed
   }
 
   // default = full data schema; Spark prunes to referenced data +
@@ -1164,7 +1202,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def pushedFilters(): Array[SFilter] = accepted
 
   override def build(): Scan =
-    if (countPushed) new ManifestCountScan(manifestCount.get, countCols)
+    if (aggPushed) new ManifestAggScan(pushedValues)
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
@@ -1353,24 +1391,24 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
     deltaFiles: Seq[String]) extends InputPartition
 
-/** One-row scan answering a completely-pushed COUNT(*) from manifest
-  * row counts — no data file is ever opened. */
-class ManifestCountScan(count: Long, nCols: Int) extends Scan with Batch {
+/** One-row scan answering completely-pushed manifest-metadata
+  * aggregates (COUNT(*) / MIN(key) / MAX(key)) — no data file is ever
+  * opened. One LONG column per pushed aggregate, in pushdown order. */
+class ManifestAggScan(values: Seq[Long]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    (0 until nCols).map(i => StructField(s"agg_$i", LongType, nullable = false)))
+    values.indices.map(i => StructField(s"agg_$i", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val c = count
-    val n = nCols
+    val vs = values.toArray
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
           override def get(): InternalRow =
-            new GenericInternalRow(Array.fill[Any](n)(c))
+            new GenericInternalRow(vs.map(Long.box).toArray[Any])
           override def close(): Unit = ()
         }
     }
@@ -2442,6 +2480,19 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
     }),
 
+    // ── q129: MIN/MAX FROM ZONE-MAP STATS — q124's metadata economics
+    // extended to the key column's extrema: every base file records
+    // [min, max] of the key at commit, so an unfiltered MIN(k)/MAX(k)
+    // over a clean single-spec snapshot folds over the manifest at
+    // plan time — zero data files opened (spec pins the files-opened
+    // counter at 0 for the three-aggregate statement). At 100 TB this
+    // is the difference between a full-column scan and a metadata
+    // lookup for the watermark/extent queries every pipeline runs.
+    "q129_dml_stats_minmax" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.sql(s"SELECT MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n FROM $t")
+    }),
+
     // ── q127: `.history` METADATA TABLE — the snapshot-lineage
     // surface (Iceberg's `history`, Delta's DESCRIBE HISTORY): one row
     // per committed version with manifest-derived file/row counts and
@@ -2795,6 +2846,13 @@ object RowCatalogQueries {
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
         |ORDER BY k""".stripMargin,
+
+    // the metadata-answered extrema recomputed relationally
+    "q129_dml_stats_minmax" ->
+      s"""$lifecycleCtes
+        |SELECT CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k, COUNT(*) AS n
+        |FROM merged WHERE k % 97 <> 0""".stripMargin,
 
     // the snapshot lineage recomputed relationally: rows per version
     // from the lifecycle CTEs, files per version = distinct non-empty

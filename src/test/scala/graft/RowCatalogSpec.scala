@@ -698,6 +698,21 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(RowFiles.filesOpened.get == 0L,
       s"clean-snapshot COUNT(*) must not open data files, opened " +
         s"${RowFiles.filesOpened.get}")
+    // MIN/MAX of the key fold over per-file zone maps the same way:
+    // exact after the DELETE rewrote stats, zero files opened
+    RowFiles.filesOpened.set(0L)
+    val mm = s.sql("SELECT MIN(k) AS a, MAX(k) AS b, COUNT(*) AS n " +
+      "FROM graft_dml.spec.mc").head()
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) == (1L, 36L, 29L))
+    assert(RowFiles.filesOpened.get == 0L,
+      s"metadata MIN/MAX must not open data files, opened " +
+        s"${RowFiles.filesOpened.get}")
+    // a non-key column's extrema must NOT use the shortcut
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT MAX(v) FROM graft_dml.spec.mc").head().getLong(0)
+      == 36L)
+    assert(RowFiles.filesOpened.get > 0L,
+      "non-key MAX has no zone maps and must read files")
     // a filtered count must NOT use the shortcut (residual filters
     // block aggregate pushdown) and must still be right
     RowFiles.filesOpened.set(0L)
