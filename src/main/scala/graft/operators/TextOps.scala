@@ -394,6 +394,33 @@ object TextOps {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // ── p12: OVERLAPPING TOKEN-WINDOW CHUNKING — the RAG/long-context
+    // chunker every retrieval and pretraining pipeline runs: each
+    // document splits into 60-token windows at stride 45 (25%
+    // overlap, so no boundary sentence is ever lost to a chunk edge),
+    // emitting (chunk_idx, start, length, text) rows keyed for later
+    // embedding/indexing. One narrow pass — the explode is the only
+    // row expansion and the output order is (doc, chunk), so the
+    // chunk table partitions exactly like its parent corpus. The
+    // stride arithmetic is pure integer (chunk_idx = start/stride),
+    // hash-exact against the oracle's stepped generate_series.
+    "p12_chunk_windows" -> ((s, d) => {
+      Dedup.spreadSmall(docs(s, d))
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_toks", size(col("toks")).cast(LongType))
+        .select(col("doc_id"), col("toks"), col("n_toks"),
+          posexplode(expr("sequence(0, size(toks) - 1, 45)"))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("start_tok").cast(LongType).as("start_tok"),
+          least(lit(60L), col("n_toks") - col("start_tok"))
+            .as("n_chunk_toks"),
+          expr("concat_ws(' ', slice(toks, start_tok + 1, 60))")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
     // subset (k docs per language), reproducible across reruns,
     // engines, and repartitions. Ranking by the portable hash gives a
@@ -1385,6 +1412,18 @@ object TextOps {
 
     // the shared-gram census replayed over the IDENTICAL portable
     // hash, so collision behavior matches by construction
+    // the same stepped windows via stride-stepped generate_series
+    "p12_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.i // 45 AS BIGINT) AS chunk_idx,
+        |  CAST(u.i AS BIGINT) AS start_tok,
+        |  CAST(LEAST(60, len(toks) - u.i) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(toks[u.i + 1 : u.i + 60], ' ') AS chunk_text
+        |FROM t, UNNEST(generate_series(0, len(toks) - 1, 45)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // the same integer-exact rule arithmetic over DuckDB list ops
     "t17_gopher_rules" ->
       """WITH t AS (SELECT doc_id,
