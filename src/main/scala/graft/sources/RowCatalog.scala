@@ -610,6 +610,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     catName = name
   override def name(): String = catName
 
+  /** DEFAULT column values: declaring the capability lets Spark's
+    * analyzer accept `DEFAULT <expr>` in CREATE TABLE (the default
+    * rides the schema's field metadata, which the meta file's schema
+    * JSON round-trips) and fill omitted columns at INSERT analysis —
+    * the connector's writers always see complete rows, so no storage
+    * change is involved. CREATE-time defaults only: ALTER ADD COLUMN
+    * with a default would need exists-default semantics in the
+    * reader's null-padding path, which the catalog does not claim. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   /** The `bucket` V2 function the writes' required distribution
     * resolves through (Iceberg's storage-partitioned-write shape):
     * Spark shuffles write input by bucket(numGroups, firstCol) BEFORE
@@ -2480,6 +2493,31 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
     }),
 
+    // ── q130: DEFAULT COLUMN VALUES — the SQL-surface feature every
+    // warehouse schema relies on: `CREATE TABLE … (v BIGINT DEFAULT
+    // 42, status STRING DEFAULT 'NEW')`, then an INSERT naming only
+    // some columns has the rest filled by the ANALYZER (the catalog
+    // declares SUPPORT_COLUMN_DEFAULT_VALUE; defaults ride the schema
+    // metadata the meta file round-trips, and writers always see
+    // complete rows). One slice inserts only keys (defaults fill),
+    // one inserts explicit values, and the read-back must show
+    // exactly which rows got which — restated relationally.
+    "q130_dml_default_columns" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q130_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.defs")
+      s.sql("CREATE TABLE graft_dml.ns.defs (k BIGINT, " +
+        "cents BIGINT DEFAULT 42, status STRING DEFAULT 'NEW')")
+      s.sql("""INSERT INTO graft_dml.ns.defs (k)
+        SELECT CAST(o_orderkey AS BIGINT)
+        FROM q130_orders WHERE o_orderkey % 12 = 0""")
+      s.sql("""INSERT INTO graft_dml.ns.defs
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q130_orders WHERE o_orderkey % 12 = 5""")
+      s.table("graft_dml.ns.defs").orderBy(col("k"))
+    }),
+
     // ── q129: MIN/MAX FROM ZONE-MAP STATS — q124's metadata economics
     // extended to the key column's extrema: every base file records
     // [min, max] of the key at commit, so an unfiltered MIN(k)/MAX(k)
@@ -2845,6 +2883,16 @@ object RowCatalogQueries {
         |    AS status
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
+        |ORDER BY k""".stripMargin,
+
+    // default-filled and explicit slices restated side by side
+    "q130_dml_default_columns" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CASE WHEN o_orderkey % 12 = 0 THEN 42
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+        |  CASE WHEN o_orderkey % 12 = 0 THEN 'NEW'
+        |       ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey % 12 IN (0, 5)
         |ORDER BY k""".stripMargin,
 
     // the metadata-answered extrema recomputed relationally

@@ -546,6 +546,46 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.dy")
   }
 
+  test("row-level DML works on an unbounded (truncate) partition layout") {
+    // the (spec, group) planner plans observed groups only for
+    // unbounded transforms; a COW rewrite must still replace exactly
+    // the matched groups, and an UPDATE that MOVES a row's key across
+    // a group boundary must land it in its new group
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.trd")
+    s.sql("CREATE TABLE graft_dml.spec.trd (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(10, k))")
+    s.sql("INSERT INTO graft_dml.spec.trd VALUES " +
+      "(1, 10), (5, 50), (15, 150), (25, 250)") // groups 0, 0, 1, 2
+    val key = "graft_dml.spec.trd"
+    def groups() = RowStore
+      .readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base").map(_.group).sorted
+    assert(groups() == Seq(0, 1, 2))
+    val g1Before = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(e => e.kind == "base" && e.group == 1).map(_.name)
+
+    // DELETE matching only group 0: groups 1/2 keep files verbatim
+    s.sql("DELETE FROM graft_dml.spec.trd WHERE k = 5")
+    assert(s.table("graft_dml.spec.trd").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 15L, 25L))
+    assert(RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(e => e.kind == "base" && e.group == 1).map(_.name) == g1Before,
+      "an untouched group must keep its files across an unbounded-layout rewrite")
+
+    // UPDATE moves k=15 to 35 — out of group 1 into (new) group 3
+    s.sql("UPDATE graft_dml.spec.trd SET k = 35 WHERE k = 15")
+    assert(s.table("graft_dml.spec.trd").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 25L, 35L))
+    assert(groups().contains(3),
+      s"moved row must land in its new range group, got ${groups()}")
+    assert(!groups().contains(1),
+      s"emptied group must shed its file in the rewrite, got ${groups()}")
+    s.sql("DROP TABLE graft_dml.spec.trd")
+  }
+
   test("partition-spec evolution: old groups keep their layout, new writes use the new one") {
     val s = spark
     import graft.sources.RowStore
