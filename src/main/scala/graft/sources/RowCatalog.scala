@@ -1234,9 +1234,34 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     keyRange: Option[(Long, Long)] = None,
     streamFrom: Int = 0, branch: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED JOIN eligibility: a plain read of a clean
+    * single-spec bucket table reports KeyGroupedPartitioning over the
+    * SAME `bucket(n, key)` V2 function the writers cluster by — so two
+    * co-bucketed catalog tables JOIN WITH ZERO SHUFFLE under
+    * `spark.sql.sources.v2.bucketing.enabled` (SPARK-37375, Iceberg's
+    * SPJ). Guarded to exactly the cases where one partition == one
+    * bucket: no row-level op scan, no compact restriction, no branch,
+    * bucket transform, and every file on the active spec (after an
+    * evolution two partitions can share a group NUMBER — not a valid
+    * key grouping). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val singleSpecBucket = meta.transform == "bucket" &&
+      op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
+      RowStore.readManifest(tableKey, version).forall(_.spec == meta.specId)
+    if (singleSpecBucket)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.bucket(meta.numGroups, meta.keyCol)),
+          meta.numGroups)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+  }
 
   /** Manifest-derived size estimate — what lets Catalyst's join
     * planning AUTO-BROADCAST a small catalog table (without it, a DSv2
@@ -1403,6 +1428,12 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
 
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
     deltaFiles: Seq[String]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The partition's bucket value — must type-match the reported
+    * KeyGroupedPartitioning expression's result (bucket → INT). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](group))
+}
 
 /** One-row scan answering completely-pushed manifest-metadata
   * aggregates (COUNT(*) / MIN(key) / MAX(key)) — no data file is ever
@@ -2232,6 +2263,20 @@ object RowCatalogQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{col, lit}
 
+  /** Scoped session confs (q43/q53's save/restore pattern): set for
+    * the duration of `body` — which must EXECUTE its plans, not just
+    * construct them — then restored. */
+  private[graft] def withScopedConfs[T](s: SparkSession,
+      confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** q106/q108 share one lifecycle (CREATE → INSERT seed → MERGE →
     * DELETE) differing only in table name and format; the oracle
     * restates the end state relationally from raw orders, so a wrong
@@ -2491,6 +2536,51 @@ object RowCatalogQueries {
         ON t.k = src.k
         WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents""")
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
+    }),
+
+    // ── q131: STORAGE-PARTITIONED JOIN between two LAKE TABLES —
+    // q91's zero-shuffle contract on the DML catalog itself: both
+    // tables declare `bucket(8, k)`, the writers cluster by the SAME
+    // V2 bucket function the scans report as KeyGroupedPartitioning,
+    // so the k-equi-join aligns key groups instead of shuffling either
+    // side (SPARK-37375 / Iceberg SPJ — spec pins the exchange-free
+    // join plan). At 100 TB co-bucketing fact and dim at write time
+    // and joining shuffle-free is the single biggest join economy a
+    // lake layout buys. Broadcast is disabled in scope for the same
+    // reason as q43/q53: the demo models sides too big to broadcast;
+    // the write+read-back keeps the session confs scoped.
+    "q131_dml_spj" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q131_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.spja")
+      s.sql("CREATE TABLE graft_dml.ns.spja (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("""INSERT INTO graft_dml.ns.spja
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q131_orders WHERE o_orderkey % 6 = 0""")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.spjb")
+      s.sql("CREATE TABLE graft_dml.ns.spjb (k BIGINT, cust BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("""INSERT INTO graft_dml.ns.spjb
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT)
+        FROM q131_orders WHERE o_orderkey % 10 = 0""")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = graft.Scratch.dir(s, "graft_q131", tag)
+      withScopedConfs(s, Map(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+        import org.apache.spark.sql.functions.{count, sum}
+        s.table("graft_dml.ns.spja")
+          .join(s.table("graft_dml.ns.spjb"), "k")
+          .groupBy((col("k") % 8).as("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(col("cust")).cast("long").as("sum_cust"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("band"))
     }),
 
     // ── q130: DEFAULT COLUMN VALUES — the SQL-surface feature every
@@ -2884,6 +2974,15 @@ object RowCatalogQueries {
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
         |ORDER BY k""".stripMargin,
+
+    // the co-bucketed join restated: keys in both slices are % 30 = 0
+    "q131_dml_spj" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |FROM orders WHERE o_orderkey % 30 = 0
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     // default-filled and explicit slices restated side by side
     "q130_dml_default_columns" ->

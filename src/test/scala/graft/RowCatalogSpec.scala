@@ -546,6 +546,42 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.dy")
   }
 
+  test("co-bucketed catalog tables join with ZERO shuffle exchanges (SPJ)") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    for (t <- Seq("sa", "sb")) {
+      s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.$t")
+      s.sql(s"CREATE TABLE graft_dml.spec.$t (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    s.sql("INSERT INTO graft_dml.spec.sa VALUES " +
+      (0 until 20).map(i => s"($i, ${i * 10})").mkString(", "))
+    s.sql("INSERT INTO graft_dml.spec.sb VALUES " +
+      (0 until 20 by 2).map(i => s"($i, ${i * 100})").mkString(", "))
+    graft.sources.RowCatalogQueries.withScopedConfs(s, Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val joined = s.table("graft_dml.spec.sa")
+        .join(s.table("graft_dml.spec.sb"), "k")
+      val rows = joined.collect()
+      assert(rows.length == 10, s"expected the 10 even keys, got ${rows.length}")
+      val shuffles = PlanWalk.allNodes(joined.queryExecution.executedPlan)
+        .collect { case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"co-bucketed SPJ join must plan ZERO shuffles, found " +
+          s"${shuffles.size}:\n${joined.queryExecution.executedPlan}")
+    }
+    // semantics-neutral: the same join with SPJ off matches
+    val plain = s.table("graft_dml.spec.sa")
+      .join(s.table("graft_dml.spec.sb"), "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plain.length == 10 && plain.head == ((0L, 0L, 0L)))
+    s.sql("DROP TABLE graft_dml.spec.sa")
+    s.sql("DROP TABLE graft_dml.spec.sb")
+  }
+
   test("row-level DML works on an unbounded (truncate) partition layout") {
     // the (spec, group) planner plans observed groups only for
     // unbounded transforms; a COW rewrite must still replace exactly
