@@ -2538,6 +2538,36 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.bucketed").orderBy(col("k"))
     }),
 
+    // ── q132: CTAS + RTAS — `CREATE TABLE … PARTITIONED BY (bucket)
+    // AS SELECT` materializes a query straight into the catalog (the
+    // transform routes the write like any declared table), and
+    // `REPLACE TABLE … AS SELECT` swaps the definition and contents in
+    // one statement (Spark's create-then-append path over this
+    // catalog's createTable/dropTable). The in-plan `ctas_ok` pin
+    // hash-checks that the intermediate CTAS state really held the
+    // parent slice before the REPLACE narrowed it.
+    "q132_dml_ctas" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q132_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ctas")
+      s.sql("""CREATE TABLE graft_dml.ns.ctas PARTITIONED BY (bucket(4, k))
+        AS SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM q132_orders WHERE o_orderkey % 14 = 0""")
+      val ctasN = s.table("graft_dml.ns.ctas").count()
+      val wantN = s.sql("SELECT COUNT(*) FROM q132_orders " +
+        "WHERE o_orderkey % 14 = 0").head().getLong(0)
+      s.sql("""REPLACE TABLE graft_dml.ns.ctas
+        AS SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       > 20000000 THEN 'BIG' ELSE 'SMALL' END AS size
+        FROM q132_orders WHERE o_orderkey % 28 = 0""")
+      s.table("graft_dml.ns.ctas")
+        .withColumn("ctas_ok", lit(ctasN == wantN))
+        .orderBy(col("k"))
+    }),
+
     // ── q131: STORAGE-PARTITIONED JOIN between two LAKE TABLES —
     // q91's zero-shuffle contract on the DML catalog itself: both
     // tables declare `bucket(8, k)`, the writers cluster by the SAME
@@ -2974,6 +3004,15 @@ object RowCatalogQueries {
         |FROM u
         |WHERE NOT (in_target AND NOT matched AND c0 > 25000000)
         |ORDER BY k""".stripMargin,
+
+    // the post-REPLACE state restated; ctas_ok is TRUE by contract
+    "q132_dml_ctas" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 20000000
+        |       THEN 'BIG' ELSE 'SMALL' END AS size,
+        |  TRUE AS ctas_ok
+        |FROM orders WHERE o_orderkey % 28 = 0 ORDER BY k""".stripMargin,
 
     // the co-bucketed join restated: keys in both slices are % 30 = 0
     "q131_dml_spj" ->
