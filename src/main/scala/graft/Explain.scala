@@ -30,7 +30,12 @@ object Explain {
         "q117_dml_merge_sync", "q118_grouped_pushdown",
         "q119_topn_pushdown", "q120_metadata_columns",
         "q121_dml_subquery", "q122_dml_stats_join", "q123_dml_timestamp_travel", "q124_dml_manifest_count",
-        "s12_hard_negatives", "p11_data_card")
+        "s12_hard_negatives", "p11_data_card",
+        "q125_dml_spec_evolution", "q126_dml_days_transform",
+        "q127_dml_history", "q128_dml_wap", "q129_dml_stats_minmax",
+        "q130_dml_default_columns", "q131_dml_spj", "q132_dml_ctas",
+        "d17_exact_substring", "d18_substring_removal",
+        "s13_mmr_diversify", "t17_gopher_rules", "p12_chunk_windows")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
