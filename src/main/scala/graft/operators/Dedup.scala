@@ -973,16 +973,9 @@ object Dedup {
     // earlier doc) surface with empty new_text rather than vanishing.
     "d18_substring_removal" -> ((s, d) => {
       graft.functions.PortableHashFunctions.register(s)
-      val base = spreadSmall(docs(s, d))
-        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n_toks"))
+      val base = tokenized(spreadSmall(docs(s, d)))
         .localCheckpoint() // three consumers: grams, token explode, totals
-      val pos = base.filter(col("n_toks") >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(toks) - 8), " +
-            "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
-          .as(Seq("i", "gh")))
+      val pos = gramPositions(base).drop("n_toks")
       val gs = pos.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh"))
         .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
@@ -1031,14 +1024,7 @@ object Dedup {
   private[graft] def exactSubstringSpans(s: SparkSession,
       docsDf: DataFrame): DataFrame = {
     graft.functions.PortableHashFunctions.register(s)
-    val t = docsDf
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .filter(size(col("toks")) >= 8)
-    val pos = t.select(col("doc_id"), size(col("toks")).as("n_toks"),
-      posexplode(expr(
-        "transform(sequence(0, size(toks) - 8), " +
-          "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
-        .as(Seq("i", "gh")))
+    val pos = gramPositions(tokenized(docsDf))
     val shared = pos.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
@@ -1053,6 +1039,24 @@ object Dedup {
         min(col("i")).as("a"), max(col("i")).as("b"))
       .drop("grp")
   }
+
+  /** The tokenize → per-position 8-gram poly-hash stages d17 and d18
+    * share. These strings are ORACLE-PARITY-CRITICAL (the DuckDB
+    * restatements apply the identical regex split and poly-31 hash) —
+    * one definition so the two operators can't drift apart. */
+  private def tokenized(docsDf: DataFrame): DataFrame =
+    docsDf.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+
+  /** One row per token position i of every ≥8-token doc, carrying the
+    * portable hash of the 8-gram starting at i: (doc_id, n_toks, i, gh). */
+  private def gramPositions(base: DataFrame): DataFrame =
+    base.filter(col("n_toks") >= 8)
+      .select(col("doc_id"), col("n_toks"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 8), " +
+          "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
+        .as(Seq("i", "gh")))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->

@@ -835,6 +835,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"cannot re-add previously dropped column " +
               s"${add.fieldNames()(0)}: retained files still carry its " +
               "old values under that name")
+          // defaults resolve at CREATE time only: the capability makes
+          // the analyzer route ADD COLUMN ... DEFAULT here, and storing
+          // the field without its CURRENT_DEFAULT metadata would fill
+          // NULL where the user asked for the default — refuse loudly
+          require(add.defaultValue() == null,
+            s"ADD COLUMN ${add.fieldNames()(0)} DEFAULT is not " +
+              "supported: this catalog resolves DEFAULT at CREATE " +
+              "TABLE time only")
           StructType(sch.fields :+
             StructField(add.fieldNames()(0), add.dataType(), nullable = true))
         // DROP COLUMN, the other metadata-only evolution: files are
@@ -1239,6 +1247,13 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The (tableKey, version) manifest is immutable, and Spark calls
+    * outputPartitioning/estimateStatistics/planInputPartitions
+    * repeatedly per scan while planning a multi-join query — read and
+    * parse it once per scan instance. */
+  private lazy val versionEntries: Seq[RowStore.FileEntry] =
+    RowStore.readManifest(tableKey, version)
+
   /** STORAGE-PARTITIONED JOIN eligibility: a plain read of a clean
     * single-spec bucket table reports KeyGroupedPartitioning over the
     * SAME `bucket(n, key)` V2 function the writers cluster by — so two
@@ -1253,7 +1268,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val singleSpecBucket = meta.transform == "bucket" &&
       op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
-      RowStore.readManifest(tableKey, version).forall(_.spec == meta.specId)
+      versionEntries.forall(_.spec == meta.specId)
     if (singleSpecBucket)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
@@ -1272,10 +1287,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     * threshold's safety margin; estimates feed planning only, never
     * correctness. */
   private lazy val cachedStats: Statistics = {
-    // computed once: the (tableKey, version) manifest is immutable and
-    // Spark may ask several times while planning a multi-join query
     val dir = RowStore.dataDir(tableKey)
-    val bytes = RowStore.readManifest(tableKey, version)
+    val bytes = versionEntries
       .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1305,9 +1318,16 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     * INSERT OVERWRITE) or wrote deltas fails loudly at plan time
     * instead of silently re-emitting or dropping rows. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the stream plans from the COMMITTED manifest chain; silently
+    // serving it for a branch read would hand the WAP auditor data
+    // that excludes everything staged on the branch
+    require(branch.isEmpty,
+      s"$tableKey: streaming reads of a WAP branch are not supported " +
+        "— audit a staged branch with a batch read")
     new AppendTableStream(tableKey, meta, streamFrom,
       createReaderFactory())
+  }
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
@@ -1346,7 +1366,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     // immutable files the branch commit added
     val entries = branch match {
       case Some(b) => RowStore.readBranchManifest(tableKey, b)._2
-      case None    => RowStore.readManifest(tableKey, version)
+      case None    => versionEntries
     }
     val baseEntries = entries.filter(_.kind == "base")
     val deltas = entries.filter(_.kind == "delta")
@@ -1926,7 +1946,15 @@ object ChangesPlanning {
         .map { case (g, fs) => (g, fs.map(e => s"$dir/${e.name}")) }
       (paths("base"), paths("delta"))
     }
-    def forGroup(m: Map[Int, Seq[String]], g: Int): Seq[String] =
+    // the `group < 0` TABLE-WIDE sentinel applies to DELTA files only
+    // (MOR is bucket-transform-only, so a real delta group is never
+    // negative) — BASE groups can be legitimately negative under the
+    // unbounded transforms (days(ts) pre-epoch, truncate of negative
+    // keys), so base lookups are exact-group and negative base groups
+    // are planned like any other
+    def baseFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
+      m.getOrElse(g, Seq.empty)
+    def deltaFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
       m.getOrElse(g, Seq.empty) ++ m.filter(_._1 < 0).values.flatten
     val (fBase, fDelta) = side(from)
     val (tBase, tDelta) = side(to)
@@ -1934,14 +1962,15 @@ object ChangesPlanning {
     // files on both sides has no diff) — not 0 until numGroups, which
     // would miss groups outside the bucket range after a partition-
     // spec evolution to an unbounded transform
-    (fBase.keys ++ fDelta.keys ++ tBase.keys ++ tDelta.keys)
-      .filter(_ >= 0).toSeq.distinct.sorted.filter { g =>
+    (fBase.keys ++ tBase.keys ++
+      (fDelta.keys ++ tDelta.keys).filter(_ >= 0))
+      .toSeq.distinct.sorted.filter { g =>
       // unchanged file signature ⇒ unchanged group ⇒ skip entirely
-      forGroup(fBase, g) != forGroup(tBase, g) ||
-        forGroup(fDelta, g) != forGroup(tDelta, g)
+      baseFor(fBase, g) != baseFor(tBase, g) ||
+        deltaFor(fDelta, g) != deltaFor(tDelta, g)
     }.map { g =>
-      ChangesPartition(g, forGroup(fBase, g), forGroup(fDelta, g),
-        forGroup(tBase, g), forGroup(tDelta, g))
+      ChangesPartition(g, baseFor(fBase, g), deltaFor(fDelta, g),
+        baseFor(tBase, g), deltaFor(tDelta, g))
     }.toArray
   }
 }

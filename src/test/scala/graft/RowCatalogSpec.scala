@@ -546,6 +546,48 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.dy")
   }
 
+  test("change feed plans negative groups; DEFAULT add and branch stream refuse") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ng")
+    s.sql("CREATE TABLE graft_dml.spec.ng (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // pre-epoch timestamp → epoch day −1: a legitimately NEGATIVE base
+    // group, which must not collide with the table-wide delta sentinel
+    s.sql("INSERT INTO graft_dml.spec.ng VALUES " +
+      "(TIMESTAMP'1969-12-31 12:00:00', 1)")                        // v1
+    s.sql("INSERT INTO graft_dml.spec.ng VALUES " +
+      "(TIMESTAMP'2024-03-07 10:00:00', 2)")                        // v2
+    val feed = s.read.option("from", "0").option("to", "2")
+      .table("graft_dml.spec.ng.changes")
+      .selectExpr("v", "_change").orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the group-(−1) row appears EXACTLY ONCE: planned (not dropped by
+    // a >=0 filter) and not folded into the other group's diff state
+    assert(feed == Seq((1L, "insert"), (2L, "insert")), s"got $feed")
+    // ALTER ADD COLUMN with a DEFAULT would silently store NULLs (no
+    // CURRENT_DEFAULT metadata survives) — must refuse loudly
+    val e = intercept[Exception](s.sql(
+      "ALTER TABLE graft_dml.spec.ng ADD COLUMN w BIGINT DEFAULT 42"))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    // a streaming read of a WAP branch would silently serve the
+    // COMMITTED snapshot to the auditor — must refuse loudly
+    val q = s.readStream.option("branch", "audit")
+      .table("graft_dml.spec.ng")
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("branch")),
+      s"expected the branch-stream refusal, got: ${messages(e2)}")
+    s.sql("DROP TABLE graft_dml.spec.ng")
+  }
+
   test("co-bucketed catalog tables join with ZERO shuffle exchanges (SPJ)") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
