@@ -112,10 +112,20 @@ object RowStore {
     * file records the spec it was written under, so a scan plans old
     * groups by their original layout and new writes use the active one
     * — Iceberg's spec-evolution model. */
+  /** `renames` maps a column's CURRENT (display) name to the name its
+    * values are stored under in data files (its name at column
+    * creation — identity entries are omitted). RENAME COLUMN is
+    * metadata-only: files never rewrite; readers translate
+    * display→storage at the parquet boundary and writers keep writing
+    * the storage name, so old and new files stay mutually readable —
+    * the name-mapping half of Iceberg's field-id indirection. */
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
       bucketCol: String = "", dropped: Seq[String] = Seq.empty,
-      transform: String = "bucket", tparam: Long = 0L, specId: Int = 0) {
+      transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
+      renames: Map[String, String] = Map.empty) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
+    /** The name column `n`'s values are stored under in data files. */
+    def storageOf(n: String): String = renames.getOrElse(n, n)
   }
 
   /** One manifest entry: `kind` ∈ base|delta; base entries carry the
@@ -152,17 +162,27 @@ object RowStore {
     * list, defeating the re-add guard). Validated at every write. */
   private[sources] def validateColName(n: String): Unit =
     require(!n.exists(c => c == ',' || c == '=' || c == '\n' ||
-      c == '\r' || c == '\t'),
+      c == '\r' || c == '\t' || c == '>'),
       s"column name ${n.replace("\n", "\\n")} contains a character " +
-        "reserved by the catalog's metadata layout (, = tab newline)")
+        "reserved by the catalog's metadata layout (, = > tab newline)")
+
+  private def renderRenames(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (d, s) => s"$d>$s" }.mkString(",")
+
+  private def parseRenames(v: String): Map[String, String] =
+    v.split(",").filter(_.nonEmpty).map { p =>
+      val Array(d, s) = p.split(">", 2); (d, s)
+    }.toMap
 
   def writeMeta(key: String, m: Meta): Unit = {
-    (m.schema.fieldNames ++ m.dropped).foreach(validateColName)
+    (m.schema.fieldNames ++ m.dropped ++
+      m.renames.keys ++ m.renames.values).foreach(validateColName)
     Files.createDirectories(Paths.get(tableDir(key)))
     Files.writeString(metaPath(key),
       s"groups=${m.numGroups}\nmor=${m.mor}\npcol=${m.bucketCol}\n" +
         s"ptf=${m.transform}\nparg=${m.tparam}\nspec=${m.specId}\n" +
-        s"dropped=${m.dropped.mkString(",")}\nschema=${m.schema.json}\n")
+        s"dropped=${m.dropped.mkString(",")}\n" +
+        s"renames=${renderRenames(m.renames)}\nschema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -175,7 +195,8 @@ object RowStore {
       kv.getOrElse("dropped", "").split(",").filter(_.nonEmpty).toSeq,
       kv.getOrElse("ptf", "bucket"),
       kv.getOrElse("parg", "0").toLong,
-      kv.getOrElse("spec", "0").toInt)
+      kv.getOrElse("spec", "0").toInt,
+      parseRenames(kv.getOrElse("renames", "")))
   }
 
   def listTableKeys(): Seq[String] = {
@@ -306,6 +327,19 @@ object RowStore {
     }
   }
 
+  /** The display→storage rename mapping a version was committed under
+    * (`#renames` manifest header). Empty for versions committed while
+    * no column was renamed — identity mapping, which is correct for
+    * that era by construction. */
+  def versionRenames(key: String, v: Int): Map[String, String] = {
+    val p = Paths.get(tableDir(key), s"v$v.manifest")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.collectFirst {
+      case l if l.startsWith("#renames\t") =>
+        parseRenames(l.stripPrefix("#renames\t"))
+    }.getOrElse(Map.empty)
+  }
+
   /** A version's recorded commit time (ms). Header line written by
     * [[writeManifest]]; manifests from before the header existed fall
     * back to file mtime. */
@@ -333,9 +367,16 @@ object RowStore {
     // historical reads. Schema JSON is single-line (column names are
     // validated against layout characters at writeMeta).
     val schemaHeader =
-      if (Files.exists(metaPath(key)))
-        Seq(s"#schema\t${readMeta(key).schema.json}")
-      else Seq.empty
+      if (Files.exists(metaPath(key))) {
+        val m = readMeta(key)
+        Seq(s"#schema\t${m.schema.json}") ++
+          // the era's display→storage mapping rides with its schema,
+          // so a time-travel read of a post-RENAME version projects
+          // files by the right stored names
+          (if (m.renames.nonEmpty)
+            Seq(s"#renames\t${renderRenames(m.renames)}")
+          else Seq.empty)
+      } else Seq.empty
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
       s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
         renderEntries(entries))
@@ -684,7 +725,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     require(have.contains(v), s"no version $v for $k (have $have)")
     val meta = RowStore.readMeta(k)
     new RowTable(k,
-      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema)),
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
+        renames = RowStore.versionRenames(k, v)),
       v)
   }
 
@@ -713,7 +755,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     val v = atOrBefore.max
     val meta = RowStore.readMeta(k)
     new RowTable(k,
-      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema)),
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
+        renames = RowStore.versionRenames(k, v)),
       v)
   }
 
@@ -820,6 +863,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       require(specChanges.size <= 1,
         "at most one partition evolution per ALTER statement")
       var droppedNow = Seq.empty[String]
+      var renamesNow = meta.renames
+      var pcolNow = meta.bucketCol
       val newSchema = colChanges.foldLeft(meta.schema) {
         case (sch, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
@@ -835,6 +880,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"cannot re-add previously dropped column " +
               s"${add.fieldNames()(0)}: retained files still carry its " +
               "old values under that name")
+          // ditto for a name files store ANOTHER column's values under
+          // (the renamed-away display name of a live column)
+          require(!sch.fieldNames.exists(n =>
+            renamesNow.getOrElse(n, n) == add.fieldNames()(0)),
+            s"cannot add column ${add.fieldNames()(0)}: retained files " +
+              "store another column's values under that name")
           // defaults resolve at CREATE time only: the capability makes
           // the analyzer route ADD COLUMN ... DEFAULT here, and storing
           // the field without its CURRENT_DEFAULT metadata would fill
@@ -858,14 +909,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"cannot drop missing column $name")
           require(name != meta.keyCol,
             s"cannot drop the group-key column ${meta.keyCol}")
-          droppedNow = droppedNow :+ name
+          // blacklist the STORAGE name — that's what retained files
+          // carry the values under (== display name unless renamed)
+          droppedNow = droppedNow :+ renamesNow.getOrElse(name, name)
+          renamesNow = renamesNow - name
           StructType(sch.fields.filterNot(_.name == name))
+        // RENAME COLUMN — metadata-only (Iceberg's rename): files keep
+        // their written name; the display→storage mapping bridges.
+        case (sch, ren: TableChange.RenameColumn) =>
+          require(!meta.mor, "RENAME COLUMN is not supported for " +
+            "merge-on-read tables (delta records are projected by " +
+            "written name)")
+          require(ren.fieldNames().length == 1,
+            "nested RENAME COLUMN not supported")
+          val from = ren.fieldNames()(0)
+          val to = ren.newName()
+          require(sch.fieldNames.contains(from),
+            s"cannot rename missing column $from")
+          require(!sch.fieldNames.contains(to),
+            s"cannot rename $from to $to: column $to already exists")
+          RowStore.validateColName(to)
+          require(!RowStore.Reserved(to), s"column name $to is reserved")
+          require(!meta.dropped.contains(to) && !droppedNow.contains(to),
+            s"cannot rename to previously dropped name $to: retained " +
+              "files still carry its old values")
+          // another live column's storage name is equally off-limits
+          require(!sch.fieldNames.filter(_ != from).exists(n =>
+            renamesNow.getOrElse(n, n) == to),
+            s"cannot rename $from to $to: retained files store another " +
+              "column's values under that name")
+          val storage = renamesNow.getOrElse(from, from)
+          renamesNow = renamesNow - from
+          if (to != storage) renamesNow = renamesNow + (to -> storage)
+          if (pcolNow == from) pcolNow = to
+          StructType(sch.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
       require(newSchema.nonEmpty, "cannot drop every column")
       var m2 = meta.copy(schema = newSchema,
-        dropped = meta.dropped ++ droppedNow)
+        dropped = meta.dropped ++ droppedNow,
+        renames = renamesNow, bucketCol = pcolNow)
       specChanges.headOption.foreach { case p: TableChange.SetProperty =>
         require(!meta.mor, "partition-spec evolution is not supported " +
           "for merge-on-read tables (delta records cannot span spec " +
@@ -1443,7 +1528,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GroupReaderFactory(required, meta.schema)
+    new GroupReaderFactory(required, meta.schema, meta.renames)
 }
 
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
@@ -1479,15 +1564,20 @@ class ManifestAggScan(values: Seq[Long]) extends Scan with Batch {
   }
 }
 
-class GroupReaderFactory(required: StructType, dataSchema: StructType)
+class GroupReaderFactory(required: StructType, dataSchema: StructType,
+    renames: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GroupFilesPartition]
     val dataNames = dataSchema.fieldNames.toSet
     val wanted = required.fields.filter(f => dataNames(f.name)).toSeq
     val wantedIdx = wanted.map(_.name).zipWithIndex.toMap
+    // files store a renamed column under its STORAGE name — project by
+    // that, emit under the display name (same positions)
+    val wantedStorage = wanted.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name)))
     val rows = RowResolve.resolve(part.group, part.baseFiles,
-      part.deltaFiles, wanted)
+      part.deltaFiles, wantedStorage)
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var cur: (String, Array[Any]) = _
@@ -1565,7 +1655,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
-      meta.keyCol, meta.numGroups, meta.transform, meta.tparam)
+      meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
+      meta.renames)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -1583,7 +1674,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
         new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
-            meta.numGroups, meta.transform, meta.tparam)
+            meta.numGroups, meta.transform, meta.tparam, meta.renames)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -1709,11 +1800,16 @@ case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int,
-    transform: String = "bucket", tparam: Long = 0L)
+    transform: String = "bucket", tparam: Long = 0L,
+    renames: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fields = writeSchema.fields.toSeq
+      // files ALWAYS store a renamed column under its storage name, so
+      // pre- and post-rename files stay mutually readable
+      private val fileFields = fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name)))
       private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
@@ -1771,7 +1867,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             vals(bucketIdx))
         val (_, w) = writers.getOrElseUpdate(g, {
           val name = s"g$g-${UUID.randomUUID()}.parquet"
-          (name, new RowFiles.FileWriter(s"$dir/$name", fields))
+          (name, new RowFiles.FileWriter(s"$dir/$name", fileFields))
         })
         if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
         w.write(vals)
@@ -1992,9 +2088,16 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     new ChangesMicroBatchStream(baseKey, meta, from,
       createReaderFactory())
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // project files by STORAGE names (output is positional, so the
+    // display schema's order carries the values out unchanged).
+    // Computed OUTSIDE the anonymous factory: a lambda on the inner
+    // class would pin a non-serializable $outer (this Scan) into the
+    // task closure.
+    val storageFields = meta.schema.fields.toSeq.map(f =>
+      f.copy(name = meta.storageOf(f.name)))
     new PartitionReaderFactory {
-      private val dataFields = meta.schema.fields.toSeq
+      private val dataFields = storageFields
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val c = p.asInstanceOf[ChangesPartition]
         // multiset diff of the two resolved group states
@@ -2022,6 +2125,7 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
         }
       }
     }
+  }
 }
 
 case class ChangesPartition(group: Int, fromBase: Seq[String],
@@ -2789,6 +2893,41 @@ object RowCatalogQueries {
         FROM graft_dml.ns.daily GROUP BY 1 ORDER BY day_start""")
     }),
 
+    // ── q133: RENAME COLUMN — the third leg of schema evolution
+    // (ADD/DROP/RENAME), Iceberg's metadata-only rename: no file
+    // rewrites; a display→storage name mapping bridges, so files
+    // written BEFORE the rename (storing `cents`) and AFTER it (still
+    // storing `cents` on disk) read back as one column `amount`, and
+    // a COW UPDATE rewrites rows through the mapping. The time-travel
+    // leg joins the v1 snapshot — which surfaces the SNAPSHOT-TIME
+    // name `cents` — against the head, so a mapping slip on either
+    // side (NULL column after rename, resurrection under the old
+    // name, a mistranslated rewrite) breaks the hash. RowCatalogSpec
+    // pins the refusal surface (re-use of a stored name, MOR).
+    "q133_dml_rename_column" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q133_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ren")
+      s.sql("CREATE TABLE graft_dml.ns.ren (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("""INSERT INTO graft_dml.ns.ren
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q133_orders WHERE o_orderkey % 4 = 1""")                  // v1
+      s.sql("ALTER TABLE graft_dml.ns.ren RENAME COLUMN cents TO amount") // v2
+      s.sql("""INSERT INTO graft_dml.ns.ren
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q133_orders WHERE o_orderkey % 4 = 2""")                  // v3
+      s.sql("UPDATE graft_dml.ns.ren SET amount = amount + 7 " +
+        "WHERE k % 10 = 3")                                            // v4
+      s.sql("""SELECT t.k, t.amount, v.cents AS cents_v1
+        FROM graft_dml.ns.ren t
+        LEFT JOIN (SELECT k, cents FROM graft_dml.ns.ren VERSION AS OF 1) v
+          ON t.k = v.k
+        ORDER BY t.k""")
+    }),
+
     // ── q117: TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` is the
     // clause that turns MERGE into full table synchronization (the
     // warehouse-sync shape Delta/Iceberg document): rows ABSENT from
@@ -3111,6 +3250,23 @@ object RowCatalogQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events WHERE event_id % 17 = 0
         |GROUP BY 1 ORDER BY day_start""".stripMargin,
+
+    // the whole lifecycle restated: seed (pre-rename files) + second
+    // slice (post-rename files) + the COW update, with the v1 snapshot
+    // re-joined under its snapshot-time column name
+    "q133_dml_rename_column" ->
+      """WITH seed AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |add2 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 = 2),
+        |fin AS (SELECT k,
+        |    CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS amount
+        |  FROM (SELECT * FROM seed UNION ALL SELECT * FROM add2))
+        |SELECT f.k, f.amount, s.cents AS cents_v1
+        |FROM fin f LEFT JOIN seed s USING (k)
+        |ORDER BY f.k""".stripMargin,
 
     // insert + self-merge restated: a key ≡ 44 (mod 66) had its cents
     // doubled by the MERGE (t.cents + src.cents with src ≡ the seed)

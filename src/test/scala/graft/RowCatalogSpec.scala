@@ -588,6 +588,52 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.ng")
   }
 
+  test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.rn")
+    s.sql("CREATE TABLE graft_dml.spec.rn (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.rn VALUES (1, 10), (2, 20)")   // v1
+    s.sql("ALTER TABLE graft_dml.spec.rn RENAME COLUMN cents TO amount") // v2
+    s.sql("INSERT INTO graft_dml.spec.rn VALUES (3, 30)")            // v3
+    val key = "graft_dml.spec.rn"
+    // post-rename files STILL store the original name (metadata-only:
+    // old and new files mutually readable through the mapping)
+    assert(RowStore.readMeta(key).renames == Map("amount" -> "cents"))
+    val allRows = s.sql("SELECT k, amount FROM graft_dml.spec.rn")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(allRows == Seq((1L, 10L), (2L, 20L), (3L, 30L)), s"got $allRows")
+    // the v1 snapshot surfaces its SNAPSHOT-TIME name
+    assert(s.sql("SELECT * FROM graft_dml.spec.rn VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("k", "cents"))
+    // ADD of the stored name would resurrect the old files' values
+    val e1 = intercept[Exception](
+      s.sql("ALTER TABLE graft_dml.spec.rn ADD COLUMN cents BIGINT"))
+    assert(e1.getMessage.contains("store"), e1.getMessage)
+    // rename-back restores the identity mapping
+    s.sql("ALTER TABLE graft_dml.spec.rn RENAME COLUMN amount TO cents")
+    assert(RowStore.readMeta(key).renames.isEmpty)
+    assert(s.sql("SELECT sum(cents) FROM graft_dml.spec.rn")
+      .head().getLong(0) == 60L)
+    // DROP of a renamed column blacklists the STORAGE name
+    s.sql("ALTER TABLE graft_dml.spec.rn RENAME COLUMN cents TO amount")
+    s.sql("ALTER TABLE graft_dml.spec.rn DROP COLUMN amount")
+    assert(RowStore.readMeta(key).dropped.contains("cents"))
+    val e2 = intercept[Exception](
+      s.sql("ALTER TABLE graft_dml.spec.rn ADD COLUMN cents BIGINT"))
+    assert(e2.getMessage.contains("previously dropped"), e2.getMessage)
+    s.sql("DROP TABLE graft_dml.spec.rn")
+    // MOR refuses: delta records are projected by written name
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.rnm")
+    s.sql("CREATE TABLE graft_dml.spec.rnm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    val e3 = intercept[Exception](
+      s.sql("ALTER TABLE graft_dml.spec.rnm RENAME COLUMN v TO w"))
+    assert(e3.getMessage.contains("merge-on-read"), e3.getMessage)
+    s.sql("DROP TABLE graft_dml.spec.rnm")
+  }
+
   test("co-bucketed catalog tables join with ZERO shuffle exchanges (SPJ)") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
