@@ -890,6 +890,46 @@ object TextOps {
           expr("CAST(n_shared * 1000000 div n_grams AS BIGINT)")
             .as("shared_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── t18: DSIR-STYLE IMPORTANCE WEIGHTING — Data Selection via
+    // Importance Resampling (Xie et al. 2023): score raw docs by how
+    // target-like their hashed n-gram bag is, then resample in
+    // proportion to the weight. Target distribution = the English
+    // slice; features = unigrams hashed into 512 buckets (the paper's
+    // hashed bag-of-ngrams generative model). Re-expressed
+    // integer-exact: per-bucket ratio_ppm = (t+1)·10⁶ div (r+1) (the
+    // add-1-smoothed target/raw ratio — target ⊆ raw, so ≤ 10⁶);
+    // per-doc weight = mean bucket ratio over the doc's tokens; and
+    // the RESAMPLING draw is the portable-hash uniform gate (p02's
+    // split primitive): selected ⇔ hash(doc) mod 10⁶ < weight_ppm —
+    // deterministic "keep with probability ∝ importance weight",
+    // restatable in any engine. Scale: two 512-row corpus aggregates
+    // (broadcast), one token explode joined against the broadcast
+    // ratio table, one per-doc aggregate. No all-pairs, no global
+    // window, no floats.
+    "t18_dsir_weights" -> ((s, d) => {
+      graft.functions.PortableHashFunctions.register(s)
+      val toks = Dedup.spreadSmall(docs(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .withColumn("b", expr("poly_hash(tok) % 512"))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+      val ratio = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), expr(
+          "CAST((coalesce(t_cnt, 0) + 1) * 1000000 div (r_cnt + 1) " +
+            "AS BIGINT)").as("ratio_ppm"))
+      toks.join(broadcast(ratio), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"),
+          expr("CAST(sum(ratio_ppm) div count(1) AS BIGINT)")
+            .as("dsir_ppm"))
+        .withColumn("selected",
+          expr("poly_hash(concat('dsir:', CAST(doc_id AS STRING))) " +
+            "% 1000000") < col("dsir_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1471,6 +1511,31 @@ object TextOps {
         |    * 1000000 // COUNT(*) AS BIGINT) AS shared_ppm
         |FROM g JOIN dfv USING (gh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the identical hash-bucket → smoothed-ratio → mean → resample-gate
+    // pipeline; collision behavior matches by construction
+    "t18_dsir_weights" -> {
+      val hTok = graft.functions.PortableHashFunctions.polyHashSql("tok")
+      val hDoc = graft.functions.PortableHashFunctions
+        .polyHashSql("'dsir:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang, $hTok % 512 AS b FROM tk),
+        |raw AS (SELECT b, COUNT(*) AS r_cnt FROM tb GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS t_cnt FROM tb
+        |  WHERE lang = 'en' GROUP BY b),
+        |ratio AS (SELECT raw.b,
+        |    CAST((COALESCE(t_cnt, 0) + 1) * 1000000 // (r_cnt + 1)
+        |      AS BIGINT) AS ratio_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        |agg AS (SELECT doc_id, lang, COUNT(*) AS n_toks,
+        |    CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+        |  FROM tb JOIN ratio USING (b) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_toks, dsir_ppm,
+        |  ($hDoc % 1000000) < dsir_ppm AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin
     }
   )
 
