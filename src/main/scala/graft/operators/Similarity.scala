@@ -750,6 +750,40 @@ object Similarity {
     // negatives). Same broadcast-anchor block join as s01; the band
     // filter rides the codegen'd cosine before ranking. Fully
     // oracle-checked (the band makes it deterministic like s01).
+    // ── s14: FILTERED ANN — top-k under a metadata predicate (the
+    // vector-DB "filtered search" problem): each query retrieves only
+    // among corpus vectors sharing ITS label (same-category
+    // retrieval). Strategy = PRE-FILTER: the predicate rides the join
+    // condition, so the cosine is computed only for the ~1/10 of
+    // candidates that survive — exact by construction, the right
+    // plan whenever the predicate is selective (for permissive
+    // predicates the IVF route with over-fetch + post-filter (s03's
+    // machinery) wins instead; both end in the same exact rescore).
+    // Scale: broadcast queries × filtered candidate stream, one
+    // narrow pass, ≤ k rows per query survive the rank.
+    "s14_ann_filtered" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("label").as("n_label"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(q), col("q_id") =!= col("n_id") &&
+          col("n_label") === col("q_label"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"),
+          col("n_label").cast("int").as("label"),
+          col("rank").cast("int").as("rank"),
+          (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "s12_hard_negatives" -> ((s, d) => {
       VectorFunctions.register(s)
       val e = Tables(s, d, "embeddings")
@@ -1051,6 +1085,23 @@ object Similarity {
         |    FROM scored) WHERE rank <= 3)
         |SELECT COUNT(*) AS n_pairs, TRUE AS lsh_recall_ok,
         |  TRUE AS ivf_recall_ok FROM topk""".stripMargin,
+
+    // s01's restatement with the same-label predicate applied in the
+    // pair generation (the pre-filter), ranking over survivors only
+    "s14_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS label,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label = q.label)
+        |SELECT q_id, n_id, label, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, label, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // s01's restatement with the near-dup exclusion band applied
     // before ranking
