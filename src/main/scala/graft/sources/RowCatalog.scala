@@ -474,6 +474,29 @@ object RowStore {
         case other => sys.error(s"days: non-timestamp value $other")
       }
       d.toInt // epoch micros / day always fits
+    case "hours" =>
+      val h = v match {
+        case null              => 0L
+        case l: java.lang.Long => Math.floorDiv(l.longValue, 3600000000L)
+        case other => sys.error(s"hours: non-timestamp value $other")
+      }
+      h.toInt
+    // months/years are CALENDAR transforms (Iceberg's definition:
+    // months since 1970-01 / years since 1970, UTC proleptic) — not a
+    // fixed-width division, so they go through LocalDate
+    case "months" =>
+      val ld = java.time.LocalDate.ofEpochDay(v match {
+        case null              => 0L
+        case l: java.lang.Long => Math.floorDiv(l.longValue, MicrosPerDay)
+        case other => sys.error(s"months: non-timestamp value $other")
+      })
+      (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+    case "years" =>
+      java.time.LocalDate.ofEpochDay(v match {
+        case null              => 0L
+        case l: java.lang.Long => Math.floorDiv(l.longValue, MicrosPerDay)
+        case other => sys.error(s"years: non-timestamp value $other")
+      }).getYear - 1970
     case other => sys.error(s"unknown partition transform $other")
   }
 }
@@ -804,13 +827,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         require(f.dataType == LongType || f.dataType == IntegerType,
           s"truncate: unsupported column type ${f.dataType} (integer only)")
         ("truncate", w, colArg, 0)
-      case "days" =>
+      case t @ ("days" | "hours" | "months" | "years") =>
         require(f.dataType == TimestampType,
-          s"days: column $colArg must be TIMESTAMP, got ${f.dataType}")
-        ("days", 0L, colArg, 0)
+          s"$t: column $colArg must be TIMESTAMP, got ${f.dataType}")
+        (t, 0L, colArg, 0)
       case other => sys.error(
-        s"unsupported partition transform $other — " +
-          "bucket(n, col) / truncate(w, col) / days(ts) are supported")
+        s"unsupported partition transform $other — bucket(n, col) / " +
+          "truncate(w, col) / days|hours|months|years(ts) are supported")
     }
   }
 
@@ -2311,6 +2334,22 @@ object RowStoreOps {
       (retained, dead.size)
     }
 
+  /** ROLLBACK to an earlier snapshot (Iceberg's
+    * `rollback_to_snapshot`): commits a NEW version whose entry list
+    * is version `v`'s — history is never rewritten (the bad versions
+    * stay visible to time travel until VACUUM expires them), the head
+    * just points at the old state again. Files are immutable, so this
+    * is pure manifest metadata. Returns the new head version. */
+  def rollback(table: String, v: Int): Int =
+    RowStore.commitLock.synchronized {
+      val have = RowStore.versions(table)
+      require(have.contains(v),
+        s"cannot roll back $table to version $v (have $have)")
+      val cur = RowStore.currentVersion(table)
+      RowStore.writeManifest(table, cur + 1, RowStore.readManifest(table, v))
+      cur + 1
+    }
+
   /** PUBLISH a staged branch (the WAP fast-forward): the branch's
     * snapshot becomes the next committed version — atomically, under
     * the same OCC rule as any rewrite: if the table advanced past the
@@ -2893,6 +2932,58 @@ object RowCatalogQueries {
         FROM graft_dml.ns.daily GROUP BY 1 ORDER BY day_start""")
     }),
 
+    // ── q134: `months(ts)` CALENDAR TRANSFORM — the rest of the
+    // Iceberg temporal family (hours/months/years landed with it):
+    // unlike days/hours these are NOT fixed-width divisions — a month
+    // boundary is calendar arithmetic, so a proleptic-calendar slip
+    // (or a local-time one) moves boundary rows into the wrong group.
+    // The monthly rollup read back must match the oracle's
+    // restatement over raw events exactly; RowCatalogSpec pins the
+    // group numbers (months since 1970-01) at a month boundary.
+    "q134_dml_months_transform" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q134_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.monthly")
+      s.sql("CREATE TABLE graft_dml.ns.monthly (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (months(ts))")
+      // orders span ~80 calendar months (1995–2001) — a real monthly
+      // layout, one group per month
+      s.sql("""INSERT INTO graft_dml.ns.monthly
+        SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q134_orders WHERE o_orderkey % 19 = 0""")
+      s.sql("""SELECT CAST(date_trunc('month', ts) AS TIMESTAMP)
+          AS month_start,
+        COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM graft_dml.ns.monthly GROUP BY 1 ORDER BY month_start""")
+    }),
+
+    // ── q135: ROLLBACK TO SNAPSHOT — Iceberg's incident-recovery
+    // surface: a bad statement lands (here a DELETE), rollback commits
+    // a NEW head pointing at the pre-incident entry list (history is
+    // append-only — the bad version STAYS time-travelable until
+    // VACUUM). The output pins both sides: current content == the
+    // seed again, and `VERSION AS OF 2` still shows which rows the
+    // bad DELETE removed.
+    "q135_dml_rollback" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q135_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.rb")
+      s.sql("CREATE TABLE graft_dml.ns.rb (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("""INSERT INTO graft_dml.ns.rb
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q135_orders WHERE o_orderkey % 6 = 1""")                  // v1
+      s.sql("DELETE FROM graft_dml.ns.rb WHERE k % 5 = 0")             // v2
+      val newHead = RowStoreOps.rollback("graft_dml.ns.rb", 1)         // v3
+      require(newHead == 3, s"rollback committed version $newHead")
+      s.sql("""SELECT t.k, t.cents, (v2.k IS NULL) AS deleted_in_v2
+        FROM graft_dml.ns.rb t
+        LEFT JOIN (SELECT k FROM graft_dml.ns.rb VERSION AS OF 2) v2
+          ON t.k = v2.k
+        ORDER BY t.k""")
+    }),
+
     // ── q133: RENAME COLUMN — the third leg of schema evolution
     // (ADD/DROP/RENAME), Iceberg's metadata-only rename: no file
     // rewrites; a display→storage name mapping bridges, so files
@@ -3250,6 +3341,26 @@ object RowCatalogQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events WHERE event_id % 17 = 0
         |GROUP BY 1 ORDER BY day_start""".stripMargin,
+
+    // the monthly rollup restated over raw orders (date_trunc returns
+    // DATE in DuckDB — cast to TIMESTAMP for schema parity)
+    "q134_dml_months_transform" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS month_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_v
+        |FROM orders WHERE o_orderkey % 19 = 0
+        |GROUP BY 1 ORDER BY month_start""".stripMargin,
+
+    // post-rollback head == the seed; the bad DELETE's victims are
+    // exactly the k ≡ 0 (mod 5) seed rows
+    "q135_dml_rollback" ->
+      """WITH seed AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 6 = 1)
+        |SELECT k, cents, (k % 5 = 0) AS deleted_in_v2
+        |FROM seed ORDER BY k""".stripMargin,
 
     // the whole lifecycle restated: seed (pre-rename files) + second
     // slice (post-rename files) + the COW update, with the v1 snapshot

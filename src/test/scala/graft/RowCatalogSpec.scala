@@ -588,6 +588,51 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.ng")
   }
 
+  test("months/years calendar transforms route groups; rollback guards") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // months(ts): group = months since 1970-01, CALENDAR boundaries
+    // (Feb 28 23:59 and Mar 1 00:01 must split despite being 2 min
+    // apart; Jan 2024 = (2024-1970)*12 + 0 = 648)
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mo")
+    s.sql("CREATE TABLE graft_dml.spec.mo (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    s.sql("INSERT INTO graft_dml.spec.mo VALUES " +
+      "(TIMESTAMP'2024-01-15 12:00:00', 1), " +
+      "(TIMESTAMP'2024-02-29 23:59:59', 2), " +   // leap-day month end
+      "(TIMESTAMP'2024-03-01 00:00:01', 3)")
+    val moKey = "graft_dml.spec.mo"
+    val moGroups = RowStore.readManifest(moKey, RowStore.currentVersion(moKey))
+      .filter(_.kind == "base").map(_.group).sorted
+    assert(moGroups == Seq(648, 649, 650), s"got $moGroups")
+    assert(s.table("graft_dml.spec.mo").count() == 3)
+    s.sql("DROP TABLE graft_dml.spec.mo")
+    // years(ts): group = years since 1970; pre-epoch lands negative
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.yr")
+    s.sql("CREATE TABLE graft_dml.spec.yr (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (years(ts))")
+    s.sql("INSERT INTO graft_dml.spec.yr VALUES " +
+      "(TIMESTAMP'1969-06-01 00:00:00', 1), " +
+      "(TIMESTAMP'1970-06-01 00:00:00', 2), " +
+      "(TIMESTAMP'2024-06-01 00:00:00', 3)")
+    val yrKey = "graft_dml.spec.yr"
+    val yrGroups = RowStore.readManifest(yrKey, RowStore.currentVersion(yrKey))
+      .filter(_.kind == "base").map(_.group).sorted
+    assert(yrGroups == Seq(-1, 0, 54), s"got $yrGroups")
+    assert(s.table("graft_dml.spec.yr").count() == 3)
+    // rollback to a missing version refuses; to a real one commits a
+    // NEW head (history append-only)
+    val e = intercept[Exception](RowStoreOps.rollback(yrKey, 9))
+    assert(e.getMessage.contains("roll back"), e.getMessage)
+    s.sql("DELETE FROM graft_dml.spec.yr WHERE v = 2")              // v2
+    assert(s.table("graft_dml.spec.yr").count() == 2)
+    assert(RowStoreOps.rollback(yrKey, 1) == 3)
+    assert(s.table("graft_dml.spec.yr").count() == 3)
+    assert(RowStore.versions(yrKey) == Seq(0, 1, 2, 3))
+    s.sql("DROP TABLE graft_dml.spec.yr")
+  }
+
   test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
     val s = spark
     import graft.sources.RowStore
