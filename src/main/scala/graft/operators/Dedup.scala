@@ -1001,6 +1001,49 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ── d19: CONTAINMENT near-dup — Broder's ASYMMETRIC overlap
+    // measure: containment(S→B) = |grams(S) ∩ grams(B)| / |grams(S)|,
+    // the doc-in-doc detector (quote extraction, boilerplate-wrapped
+    // reposts). Symmetric jaccard (d04) structurally MISSES these: a
+    // 10-gram doc fully contained in a 500-gram doc has jac ≈ 0.02 but
+    // containment 1.0. Candidates come from a RARE-gram posting join
+    // (df ≤ 50 — the d10 fan-out bound; production shingle pipelines
+    // cap hot shingles the same way, and the oracle applies the
+    // IDENTICAL rule so parity holds by construction); the rescore
+    // intersects the FULL sorted hash arrays, oriented small→big, and
+    // the ≥0.8 gate is integer arithmetic (ic·5 ≥ sza·4). Scale:
+    // bounded posting fan-out, per-pair sorted-merge rescore, never
+    // all-pairs.
+    "d19_containment" -> ((s, d) => {
+      SketchFunctions.register(s)
+      val g = withGramHashes(docs(s, d))
+        .select(col("doc_id"), col("gh"), col("gsz")).localCheckpoint()
+      val post = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
+      val freq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val rare = post.join(freq.filter(col("df") <= 50), "h")
+      val cand = rare.select(col("doc_id").as("s_id"), col("gsz").as("ssz"),
+        col("h"))
+        .join(rare.select(col("doc_id").as("b_id"), col("gsz").as("bsz"),
+          col("h")), Seq("h"))
+        .filter(col("ssz") < col("bsz") ||
+          (col("ssz") === col("bsz") && col("s_id") < col("b_id")))
+        .select(col("s_id"), col("b_id")).distinct()
+      val gs = g.select(col("doc_id").as("s_id"), col("gh").as("ghs"),
+        col("gsz").as("sza"))
+      val gb = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"),
+        col("gsz").as("szb"))
+      cand.join(gs, "s_id").join(gb, "b_id")
+        .withColumn("ic",
+          SketchFunctions.sortedIntersectCount(col("ghs"), col("ghb")))
+        .filter(col("ic") * 5 >= col("sza") * 4)
+        .select(col("s_id"), col("b_id"),
+          col("sza").cast("long").as("sza"), col("szb").cast("long").as("szb"),
+          col("ic").cast("long").as("ic"),
+          expr("CAST(CAST(ic AS BIGINT) * 1000000 div sza AS BIGINT)")
+            .as("cont_ppm"))
+        .orderBy(col("s_id"), col("b_id"))
+    }),
+
     "d17_exact_substring" -> ((s, d) => {
       exactSubstringSpans(s, spreadSmall(docs(s, d)))
         .groupBy(col("doc_id"))
@@ -1095,6 +1138,34 @@ object Dedup {
         |FROM bt LEFT JOIN agg a USING (doc_id)
         |ORDER BY bt.doc_id""".stripMargin
     },
+
+    // the identical rare-gram candidate rule (df ≤ 50) + full-set
+    // intersection rescore, oriented small→big; string grams stand in
+    // for the engine's 64-bit hashes (d04's negligible-collision
+    // stance)
+    "d19_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents) WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
+        |dfv AS (SELECT h, COUNT(*) AS df FROM p GROUP BY h),
+        |rare AS (SELECT p.doc_id, p.sz, p.h
+        |  FROM p JOIN dfv USING (h) WHERE df <= 50),
+        |cand AS (SELECT DISTINCT s.doc_id AS s_id, b.doc_id AS b_id
+        |  FROM rare s JOIN rare b ON s.h = b.h
+        |    AND (s.sz < b.sz OR (s.sz = b.sz AND s.doc_id < b.doc_id))),
+        |sc AS (SELECT c.s_id, c.b_id,
+        |    len(gs.grams) AS sza, len(gb.grams) AS szb,
+        |    len(list_intersect(gs.grams, gb.grams)) AS ic
+        |  FROM cand c JOIN g gs ON gs.doc_id = c.s_id
+        |  JOIN g gb ON gb.doc_id = c.b_id)
+        |SELECT s_id, b_id, sza, szb, ic,
+        |  CAST(ic * 1000000 // sza AS BIGINT) AS cont_ppm
+        |FROM sc WHERE ic * 5 >= sza * 4
+        |ORDER BY s_id, b_id""".stripMargin,
 
     // the same position → cross-doc-df → island pipeline, with the
     // IDENTICAL poly-31 gram hash (collision behavior matches by
