@@ -1014,35 +1014,8 @@ object Dedup {
     // the ≥0.8 gate is integer arithmetic (ic·5 ≥ sza·4). Scale:
     // bounded posting fan-out, per-pair sorted-merge rescore, never
     // all-pairs.
-    "d19_containment" -> ((s, d) => {
-      SketchFunctions.register(s)
-      val g = withGramHashes(docs(s, d))
-        .select(col("doc_id"), col("gh"), col("gsz")).localCheckpoint()
-      val post = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
-      val freq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val rare = post.join(freq.filter(col("df") <= 50), "h")
-      val cand = rare.select(col("doc_id").as("s_id"), col("gsz").as("ssz"),
-        col("h"))
-        .join(rare.select(col("doc_id").as("b_id"), col("gsz").as("bsz"),
-          col("h")), Seq("h"))
-        .filter(col("ssz") < col("bsz") ||
-          (col("ssz") === col("bsz") && col("s_id") < col("b_id")))
-        .select(col("s_id"), col("b_id")).distinct()
-      val gs = g.select(col("doc_id").as("s_id"), col("gh").as("ghs"),
-        col("gsz").as("sza"))
-      val gb = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"),
-        col("gsz").as("szb"))
-      cand.join(gs, "s_id").join(gb, "b_id")
-        .withColumn("ic",
-          SketchFunctions.sortedIntersectCount(col("ghs"), col("ghb")))
-        .filter(col("ic") * 5 >= col("sza") * 4)
-        .select(col("s_id"), col("b_id"),
-          col("sza").cast("long").as("sza"), col("szb").cast("long").as("szb"),
-          col("ic").cast("long").as("ic"),
-          expr("CAST(CAST(ic AS BIGINT) * 1000000 div sza AS BIGINT)")
-            .as("cont_ppm"))
-        .orderBy(col("s_id"), col("b_id"))
-    }),
+    "d19_containment" -> ((s, d) =>
+      containmentPairs(s, docs(s, d)).orderBy(col("s_id"), col("b_id"))),
 
     "d17_exact_substring" -> ((s, d) => {
       exactSubstringSpans(s, spreadSmall(docs(s, d)))
@@ -1081,6 +1054,40 @@ object Dedup {
       .agg(max(col("n_toks")).as("n_toks"),
         min(col("i")).as("a"), max(col("i")).as("b"))
       .drop("grp")
+  }
+
+  /** d19's core, factored for the DedupGuardSpec partial-containment
+    * pin: candidates from the rare-gram posting join (df ≤ 50),
+    * oriented small→big, full sorted-hash intersection rescore,
+    * integer ≥0.8 gate. */
+  private[graft] def containmentPairs(s: SparkSession,
+      docsDf: DataFrame): DataFrame = {
+    SketchFunctions.register(s)
+    val g = withGramHashes(docsDf)
+      .select(col("doc_id"), col("gh"), col("gsz")).localCheckpoint()
+    val post = g.select(col("doc_id"), col("gsz"), explode(col("gh")).as("h"))
+    val freq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare = post.join(freq.filter(col("df") <= 50), "h")
+    val cand = rare.select(col("doc_id").as("s_id"), col("gsz").as("ssz"),
+      col("h"))
+      .join(rare.select(col("doc_id").as("b_id"), col("gsz").as("bsz"),
+        col("h")), Seq("h"))
+      .filter(col("ssz") < col("bsz") ||
+        (col("ssz") === col("bsz") && col("s_id") < col("b_id")))
+      .select(col("s_id"), col("b_id")).distinct()
+    val gs = g.select(col("doc_id").as("s_id"), col("gh").as("ghs"),
+      col("gsz").as("sza"))
+    val gb = g.select(col("doc_id").as("b_id"), col("gh").as("ghb"),
+      col("gsz").as("szb"))
+    cand.join(gs, "s_id").join(gb, "b_id")
+      .withColumn("ic",
+        SketchFunctions.sortedIntersectCount(col("ghs"), col("ghb")))
+      .filter(col("ic") * 5 >= col("sza") * 4)
+      .select(col("s_id"), col("b_id"),
+        col("sza").cast("long").as("sza"), col("szb").cast("long").as("szb"),
+        col("ic").cast("long").as("ic"),
+        expr("CAST(CAST(ic AS BIGINT) * 1000000 div sza AS BIGINT)")
+          .as("cont_ppm"))
   }
 
   /** The tokenize → per-position 8-gram poly-hash stages d17 and d18

@@ -24,6 +24,32 @@ import graft.operators.Dedup
 class DedupGuardSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("d19 containment orients small-into-big and gates at 0.8 exactly") {
+    // Hand-computable 3-gram sets: B = b1..b20 (18 grams); S = b1..b7
+    // (5 grams, ALL in B → containment 1.0); P = b1..b6 z1 (5 grams,
+    // 4 in B → exactly 0.8, must PASS the ic·5 ≥ sza·4 gate); Q =
+    // b1..b5 z2 z3 (5 grams, 3 in B → 0.6, must be excluded); X is
+    // unrelated filler. S vs P share 4 of 5 grams (equal sizes →
+    // id-ordered pair).
+    val s = spark
+    import s.implicits._
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docsDf = Seq(
+      (1L, toks("b", 20).mkString(" ")),
+      (2L, toks("b", 7).mkString(" ")),
+      (3L, (toks("b", 6) :+ "z1").mkString(" ")),
+      (4L, (toks("b", 5) ++ Seq("z2", "z3")).mkString(" ")),
+      (5L, toks("c", 10).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(s, docsDf)
+      .orderBy(col("s_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("ic")), r.getLong(r.fieldIndex("cont_ppm"))))
+      .toSeq
+    assert(got == Seq((2L, 1L, 5L, 1000000L), (2L, 3L, 4L, 800000L),
+      (3L, 1L, 4L, 800000L)), s"got $got")
+  }
+
   test("d17 spans merge consecutive shared positions and split at gaps") {
     // Two docs share TWO disjoint passages; doc C is all-unique filler.
     // Every token is unique outside the engineered passages, so the
