@@ -35,7 +35,10 @@ object Explain {
         "q127_dml_history", "q128_dml_wap", "q129_dml_stats_minmax",
         "q130_dml_default_columns", "q131_dml_spj", "q132_dml_ctas",
         "d17_exact_substring", "d18_substring_removal",
-        "s13_mmr_diversify", "t17_gopher_rules", "p12_chunk_windows")
+        "s13_mmr_diversify", "t17_gopher_rules", "p12_chunk_windows",
+        "q133_dml_rename_column", "q134_dml_months_transform",
+        "q135_dml_rollback", "t18_dsir_weights", "s14_ann_filtered",
+        "d19_containment")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
