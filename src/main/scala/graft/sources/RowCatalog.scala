@@ -1308,9 +1308,18 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   private def narrow(lo: Long, hi: Long): Unit = {
     keyLo = math.max(keyLo, lo); keyHi = math.min(keyHi, hi)
   }
+  /** Pushed-filter literal → the key's internal long form. TIMESTAMP
+    * literals arrive as java.sql/java.time values (by the session's
+    * java8API setting), never as raw micros — converting them is what
+    * makes day-range predicates on a `days(ts)` table prune files and
+    * groups at all. */
   private def num(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l.longValue)
     case i: java.lang.Integer => Some(i.longValue)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
     case _ => None
   }
 
@@ -1509,9 +1518,26 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       if (meta.transform == "bucket")
         (0 until meta.numGroups).map(g => (meta.specId, g))
       else Seq.empty
+    // PARTITION PRUNING for the monotonic transforms (truncate/days/
+    // hours/months/years — NOT bucket): group g only holds rows whose
+    // transform value IS g, so a pushed key range [lo, hi] bounds the
+    // reachable groups to [T(lo), T(hi)] regardless of file stats
+    // (covers statless files too — this is the time-series lake
+    // table's day-range scan). Only ACTIVE-spec groups prune: a
+    // retired spec's group numbers mean a different layout.
+    val groupRange: Option[(Int, Int)] =
+      keyRange.filter(_ => meta.transform != "bucket").map {
+        case (lo, hi) =>
+          (RowStore.partValueOf(meta.transform, meta.tparam,
+            meta.numGroups, Long.box(lo)),
+            RowStore.partValueOf(meta.transform, meta.tparam,
+              meta.numGroups, Long.box(hi)))
+      }
     val kept = (observed ++ active).distinct.sorted
-      .filter { case (_, g) => groupKeep.forall(_.contains(g)) &&
-        staticGroups.forall(_.contains(g)) }
+      .filter { case (sp, g) => groupKeep.forall(_.contains(g)) &&
+        staticGroups.forall(_.contains(g)) &&
+        groupRange.forall { case (glo, ghi) =>
+          sp != meta.specId || (g >= glo && g <= ghi) } }
     // the COW write replaces exactly what this plan read
     op.foreach(_.scannedGroups = Some(kept.map(_._2).toSet))
     var planned, skipped = 0

@@ -633,6 +633,32 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.yr")
   }
 
+  test("day-range predicates prune a days(ts) table to in-range files") {
+    val s = spark
+    import graft.sources.RowFiles
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.pr")
+    s.sql("CREATE TABLE graft_dml.spec.pr (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    s.sql("INSERT INTO graft_dml.spec.pr VALUES " +
+      "(TIMESTAMP'2024-03-07 10:00:00', 1), " +
+      "(TIMESTAMP'2024-03-08 10:00:00', 2), " +
+      "(TIMESTAMP'2024-03-09 10:00:00', 3)")
+    // timestamp literals arrive as java.sql/java.time values — without
+    // the micros conversion in the filter pushdown NOTHING prunes and
+    // all 3 files open
+    RowFiles.filesOpened.set(0L)
+    val got = s.table("graft_dml.spec.pr")
+      .filter("ts >= TIMESTAMP'2024-03-08 00:00:00' AND " +
+        "ts < TIMESTAMP'2024-03-09 00:00:00'")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L), s"got $got")
+    assert(RowFiles.filesOpened.get == 1L,
+      s"day-range read must open exactly the in-range day's file, " +
+        s"opened ${RowFiles.filesOpened.get}")
+    s.sql("DROP TABLE graft_dml.spec.pr")
+  }
+
   test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
     val s = spark
     import graft.sources.RowStore
