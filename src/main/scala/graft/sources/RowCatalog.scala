@@ -731,6 +731,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base)) new HistoryTable(base)
       else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "files" && ident.namespace().nonEmpty) {
+      // `<table>.files` — the current snapshot's file-level metadata
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new FilesTable(base)
+      else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }
 
@@ -2456,6 +2462,53 @@ case class HistoryRow(version: Int, nFiles: Long, nRows: Option[Long],
     isCurrent: Boolean)
 case class HistoryPartition(rows: Seq[HistoryRow]) extends InputPartition
 
+/** `<table>.files` — Iceberg's files metadata table: one row per data
+  * file in the CURRENT snapshot with its group, kind, spec, recorded
+  * row count and key zone map. Pure manifest metadata (zero data files
+  * open) — the plan-time debugging surface for layout questions
+  * ("which groups are fragmented / delta-dirty / statless?"). */
+class FilesTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.files"
+  override def schema(): StructType = StructType(Seq(
+    StructField("grp", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("spec", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("min_k", LongType, nullable = true),
+    StructField("max_k", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = FilesTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(FilesPartition(RowStore.readManifest(baseKey,
+          RowStore.currentVersion(baseKey))))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[FilesPartition].entries.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: RowStore.FileEntry = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.group, UTF8String.fromString(cur.kind),
+                  cur.spec, cur.rows.map(Long.box).orNull,
+                  cur.minK.map(Long.box).orNull,
+                  cur.maxK.map(Long.box).orNull))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class FilesPartition(entries: Seq[RowStore.FileEntry])
+    extends InputPartition
+
 /** Driver-contract entries for the DML catalog. */
 object RowCatalogQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2958,6 +3011,24 @@ object RowCatalogQueries {
         FROM graft_dml.ns.daily GROUP BY 1 ORDER BY day_start""")
     }),
 
+    // ── q136: `.files` METADATA TABLE — Iceberg's files table: one
+    // row per data file in the current snapshot with its group, kind,
+    // recorded row count and key zone map, straight from the manifest
+    // (zero data files open). On the shared COW lifecycle the
+    // clustered write distribution emits ONE file per touched group
+    // per commit and COW replaces groups wholesale, so the head has
+    // exactly one base file per group and the per-FILE stats ARE the
+    // per-GROUP stats — which the oracle restates relationally
+    // (k % 4 is the group function for sequential long keys). A
+    // wrong zone map, a lost rewrite, or a phantom delta file all
+    // break the hash.
+    "q136_dml_files_table" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.table(s"$t.files")
+        .selectExpr("grp", "kind", "n_rows", "min_k", "max_k")
+        .orderBy(col("grp"))
+    }),
+
     // ── q134: `months(ts)` CALENDAR TRANSFORM — the rest of the
     // Iceberg temporal family (hours/months/years landed with it):
     // unlike days/hours these are NOT fixed-width divisions — a month
@@ -3367,6 +3438,16 @@ object RowCatalogQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events WHERE event_id % 17 = 0
         |GROUP BY 1 ORDER BY day_start""".stripMargin,
+
+    // one base file per group on the lifecycle head — per-file rows
+    // and zone maps restated as per-group aggregates of the final
+    // state
+    "q136_dml_files_table" ->
+      s"""$lifecycleCtes,
+        |fin AS (SELECT k, cents, status FROM merged WHERE k % 97 <> 0)
+        |SELECT CAST(k % 4 AS INTEGER) AS grp, 'base' AS kind,
+        |  COUNT(*) AS n_rows, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // the monthly rollup restated over raw orders (date_trunc returns
     // DATE in DuckDB — cast to TIMESTAMP for schema parity)
