@@ -38,7 +38,8 @@ object Explain {
         "s13_mmr_diversify", "t17_gopher_rules", "p12_chunk_windows",
         "q133_dml_rename_column", "q134_dml_months_transform",
         "q135_dml_rollback", "t18_dsir_weights", "s14_ann_filtered",
-        "d19_containment", "q136_dml_files_table")
+        "d19_containment", "q136_dml_files_table",
+        "q137_dml_identity_transform")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -457,6 +457,19 @@ object RowStore {
   def partValueOf(transform: String, tparam: Long, numGroups: Int,
       v: Any): Int = transform match {
     case "bucket" => groupOf(v, numGroups)
+    // identity: group = the value itself (the classic low-cardinality
+    // layout — `PARTITIONED BY (region)`); integer columns only, and
+    // the value must fit the 32-bit group space
+    case "identity" =>
+      val k = v match {
+        case null                 => 0L
+        case l: java.lang.Long    => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case other => sys.error(s"identity: non-integer key $other")
+      }
+      require(k >= Int.MinValue && k <= Int.MaxValue,
+        s"identity partition value $k exceeds the 32-bit group space")
+      k.toInt
     case "truncate" =>
       val k = v match {
         case null                 => 0L
@@ -837,9 +850,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         require(f.dataType == TimestampType,
           s"$t: column $colArg must be TIMESTAMP, got ${f.dataType}")
         (t, 0L, colArg, 0)
+      case "identity" =>
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"identity: unsupported column type ${f.dataType} (integer only)")
+        ("identity", 0L, colArg, 0)
       case other => sys.error(
-        s"unsupported partition transform $other — bucket(n, col) / " +
-          "truncate(w, col) / days|hours|months|years(ts) are supported")
+        s"unsupported partition transform $other — PARTITIONED BY (col) " +
+          "/ bucket(n, col) / truncate(w, col) / " +
+          "days|hours|months|years(ts) are supported")
     }
   }
 
@@ -3011,6 +3029,29 @@ object RowCatalogQueries {
         FROM graft_dml.ns.daily GROUP BY 1 ORDER BY day_start""")
     }),
 
+    // ── q137: IDENTITY PARTITION TRANSFORM — `PARTITIONED BY (col)`,
+    // the classic low-cardinality layout (region/date-id/tenant):
+    // group = the value itself, so an equality or range predicate on
+    // the partition column IS partition pruning (the monotonic-
+    // transform group-range path; RowCatalogSpec pins in-range files
+    // only). The band-range rollup read back must match the oracle's
+    // restatement over raw orders.
+    "q137_dml_identity_transform" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q137_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ident")
+      s.sql("CREATE TABLE graft_dml.ns.ident " +
+        "(band BIGINT, k BIGINT, cents BIGINT) PARTITIONED BY (band)")
+      s.sql("""INSERT INTO graft_dml.ns.ident
+        SELECT CAST(o_orderkey % 10 AS BIGINT), CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q137_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""SELECT band, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT)
+          AS sum_cents
+        FROM graft_dml.ns.ident WHERE band BETWEEN 3 AND 5
+        GROUP BY band ORDER BY band""")
+    }),
+
     // ── q136: `.files` METADATA TABLE — Iceberg's files table: one
     // row per data file in the current snapshot with its group, kind,
     // recorded row count and key zone map, straight from the manifest
@@ -3438,6 +3479,15 @@ object RowCatalogQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events WHERE event_id % 17 = 0
         |GROUP BY 1 ORDER BY day_start""".stripMargin,
+
+    // the band rollup restated over raw orders
+    "q137_dml_identity_transform" ->
+      """SELECT CAST(o_orderkey % 10 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |  AND o_orderkey % 10 BETWEEN 3 AND 5
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     // one base file per group on the lifecycle head — per-file rows
     // and zone maps restated as per-group aggregates of the final

@@ -657,6 +657,20 @@ class RowCatalogSpec extends AnyFunSuite {
       s"day-range read must open exactly the in-range day's file, " +
         s"opened ${RowFiles.filesOpened.get}")
     s.sql("DROP TABLE graft_dml.spec.pr")
+    // identity transform: a band predicate IS partition pruning
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.id")
+    s.sql("CREATE TABLE graft_dml.spec.id (band BIGINT, v BIGINT) " +
+      "PARTITIONED BY (band)")
+    s.sql("INSERT INTO graft_dml.spec.id VALUES " +
+      (0 until 10).map(b => s"($b, ${b * 100})").mkString(", "))
+    RowFiles.filesOpened.set(0L)
+    val bands = s.table("graft_dml.spec.id")
+      .filter("band BETWEEN 3 AND 5").collect().map(_.getLong(1)).sorted.toSeq
+    assert(bands == Seq(300L, 400L, 500L), s"got $bands")
+    assert(RowFiles.filesOpened.get == 3L,
+      s"band-range read must open exactly the 3 in-range bands' files, " +
+        s"opened ${RowFiles.filesOpened.get}")
+    s.sql("DROP TABLE graft_dml.spec.id")
   }
 
   test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
