@@ -914,6 +914,7 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .withColumn("b", expr("poly_hash(tok) % 512"))
+        .localCheckpoint() // three consumers: raw, tgt, the ratio join
       val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
       val tgt = toks.filter(col("lang") === "en")
         .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))

@@ -1549,13 +1549,21 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     // (covers statless files too — this is the time-series lake
     // table's day-range scan). Only ACTIVE-spec groups prune: a
     // retired spec's group numbers mean a different layout.
+    // each side saturates to its OPEN bound when the range is
+    // one-sided (the Long.MinValue/MaxValue sentinels — transforming
+    // those would wrap Int and silently plan zero groups) or when the
+    // literal falls outside the transform's group space (identity/
+    // truncate throw there) — under-prune, never wrap or throw; the
+    // residual filter re-checks rows regardless
     val groupRange: Option[(Int, Int)] =
       keyRange.filter(_ => meta.transform != "bucket").map {
         case (lo, hi) =>
-          (RowStore.partValueOf(meta.transform, meta.tparam,
-            meta.numGroups, Long.box(lo)),
-            RowStore.partValueOf(meta.transform, meta.tparam,
-              meta.numGroups, Long.box(hi)))
+          def side(v: Long, open: Int): Int =
+            if (v == Long.MinValue || v == Long.MaxValue) open
+            else try RowStore.partValueOf(meta.transform, meta.tparam,
+              meta.numGroups, Long.box(v))
+            catch { case scala.util.control.NonFatal(_) => open }
+          (side(lo, Int.MinValue), side(hi, Int.MaxValue))
       }
     val kept = (observed ++ active).distinct.sorted
       .filter { case (sp, g) => groupKeep.forall(_.contains(g)) &&

@@ -670,7 +670,27 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(RowFiles.filesOpened.get == 3L,
       s"band-range read must open exactly the 3 in-range bands' files, " +
         s"opened ${RowFiles.filesOpened.get}")
+    // ONE-SIDED predicates: the open side is the Long.MinValue/MaxValue
+    // sentinel — transforming it would wrap Int and silently plan zero
+    // groups (days) or throw at plan time (identity/truncate)
+    val oneSided = s.table("graft_dml.spec.id")
+      .filter("band >= 7").collect().map(_.getLong(1)).sorted.toSeq
+    assert(oneSided == Seq(700L, 800L, 900L), s"got $oneSided")
+    // an out-of-group-space literal must return empty, not crash
+    assert(s.table("graft_dml.spec.id")
+      .filter("band = 5000000000").count() == 0L)
     s.sql("DROP TABLE graft_dml.spec.id")
+    // one-sided on the days table too (the silent-empty wrap case)
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.pr2")
+    s.sql("CREATE TABLE graft_dml.spec.pr2 (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    s.sql("INSERT INTO graft_dml.spec.pr2 VALUES " +
+      "(TIMESTAMP'2024-03-07 10:00:00', 1), " +
+      "(TIMESTAMP'2024-03-09 10:00:00', 3)")
+    assert(s.table("graft_dml.spec.pr2")
+      .filter("ts >= TIMESTAMP'2024-03-08 00:00:00'").count() == 1L,
+      "one-sided day predicate must not wrap to an empty group range")
+    s.sql("DROP TABLE graft_dml.spec.pr2")
   }
 
   test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
