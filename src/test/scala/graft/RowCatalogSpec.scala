@@ -691,6 +691,36 @@ class RowCatalogSpec extends AnyFunSuite {
       .filter("ts >= TIMESTAMP'2024-03-08 00:00:00'").count() == 1L,
       "one-sided day predicate must not wrap to an empty group range")
     s.sql("DROP TABLE graft_dml.spec.pr2")
+    // the DANGEROUS interaction: a COW rewrite whose scan the group
+    // range pruned must leave pruned groups' files VERBATIM (they are
+    // not in scannedGroups, so the commit must not replace them) while
+    // rewriting exactly the in-range group
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.pr3")
+    s.sql("CREATE TABLE graft_dml.spec.pr3 (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    s.sql("INSERT INTO graft_dml.spec.pr3 VALUES " +
+      "(TIMESTAMP'2024-03-07 10:00:00', 1), " +
+      "(TIMESTAMP'2024-03-08 10:00:00', 2), " +
+      "(TIMESTAMP'2024-03-09 10:00:00', 3)")
+    import graft.sources.RowStore
+    val k3 = "graft_dml.spec.pr3"
+    val before = RowStore.readManifest(k3, RowStore.currentVersion(k3))
+      .map(e => (e.group, e.name)).toSet
+    s.sql("UPDATE graft_dml.spec.pr3 SET v = v + 100 WHERE " +
+      "ts >= TIMESTAMP'2024-03-08 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-03-09 00:00:00'")
+    val after = RowStore.readManifest(k3, RowStore.currentVersion(k3))
+      .map(e => (e.group, e.name)).toSet
+    val d8 = java.time.LocalDate.of(2024, 3, 8).toEpochDay.toInt
+    // out-of-range days' files survive byte-identical; day 8's replaced
+    assert((before -- after).forall(_._1 == d8) &&
+      (after -- before).forall(_._1 == d8),
+      s"only day $d8 may change: before=$before after=$after")
+    assert((before -- after).nonEmpty, "day 8's file must be rewritten")
+    val vs = s.table("graft_dml.spec.pr3").orderBy("v")
+      .collect().map(_.getLong(1)).toSeq
+    assert(vs == Seq(1L, 3L, 102L), s"got $vs")
+    s.sql("DROP TABLE graft_dml.spec.pr3")
   }
 
   test("RENAME COLUMN is metadata-only: storage name stable, guards hold") {
