@@ -1132,6 +1132,10 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
     * transform when one was declared. */
   override def partitioning(): Array[Transform] = meta.transform match {
     case "days"     => Array(Expressions.days(meta.keyCol))
+    case "hours"    => Array(Expressions.hours(meta.keyCol))
+    case "months"   => Array(Expressions.months(meta.keyCol))
+    case "years"    => Array(Expressions.years(meta.keyCol))
+    case "identity" => Array(Expressions.identity(meta.keyCol))
     case "truncate" => Array(Expressions.apply("truncate",
       Expressions.literal(meta.tparam), Expressions.column(meta.keyCol)))
     case _          => Array(Expressions.bucket(meta.numGroups, meta.keyCol))
