@@ -962,15 +962,20 @@ object Dedup {
     // threshold on (the paper cuts spans ≥ 50 tokens; the fraction is
     // the per-doc signal).
     // ── d18: DUPLICATED-SPAN REMOVAL — d17's transformation half: the
-    // paper's actual dedup step EMITS THE CLEANED CORPUS, keeping one
-    // canonical occurrence of every cross-doc duplicated passage. The
-    // keeper rule is deterministic and engine-portable: for each
-    // shared 8-gram, the LOWEST doc_id containing it keeps its text;
-    // every other doc removes the tokens its occurrences cover (an
-    // 8-token offset explode per removed position — bounded, never
-    // all-pairs). Reassembly is d13's in-aggregate array_sort — no
-    // global sort; docs that lose every token (exact clones of an
-    // earlier doc) surface with empty new_text rather than vanishing.
+    // paper's actual dedup step EMITS THE CLEANED CORPUS. The keeper
+    // rule is PER-GRAM, deterministic, and engine-portable: for each
+    // shared 8-gram, the LOWEST doc_id containing it keeps the tokens
+    // that gram covers; every other doc removes them (an 8-token
+    // offset explode per removed position — bounded, never all-pairs).
+    // Note this is a per-gram rule, not a per-passage guarantee: when
+    // overlapping grams of one passage have DIFFERENT min-doc keepers,
+    // a keeper doc can still lose tokens of "its" gram to another
+    // gram's earlier keeper, so a passage is not guaranteed one
+    // surviving verbatim occurrence (the paper's suffix-array variant
+    // has the same property). Reassembly is d13's in-aggregate
+    // array_sort — no global sort; docs that lose every token (exact
+    // clones of an earlier doc) surface with empty new_text rather
+    // than vanishing.
     "d18_substring_removal" -> ((s, d) => {
       graft.functions.PortableHashFunctions.register(s)
       val base = tokenized(spreadSmall(docs(s, d)))
@@ -1018,11 +1023,30 @@ object Dedup {
       containmentPairs(s, docs(s, d)).orderBy(col("s_id"), col("b_id"))),
 
     "d17_exact_substring" -> ((s, d) => {
+      // dup_tokens counts DISTINCT covered tokens: two islands 1–7
+      // positions apart have overlapping 8-token coverages, so the
+      // [a, b+8) intervals are merged per doc before summing — this
+      // bounds dup_ppm by 1e6 by construction. The merge is a per-doc
+      // window over span rows (document-sized state, never corpus-wide).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("a"))
+      val prev = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       exactSubstringSpans(s, spreadSmall(docs(s, d)))
+        .withColumn("pmax",
+          coalesce(max(col("b") + lit(8)).over(prev), lit(-1)))
+        .withColumn("ng",
+          when(col("a") >= col("pmax"), lit(1)).otherwise(lit(0)))
+        .withColumn("cg", sum(col("ng")).over(w))
+        .groupBy(col("doc_id"), col("cg"))
+        .agg(count(lit(1)).as("n_isl"),
+          max(col("b") + lit(8) - col("a")).as("mx"),
+          (max(col("b")) + lit(8) - min(col("a"))).as("clen"),
+          max(col("n_toks")).as("n_toks"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("b") + lit(8) - col("a")).cast("long").as("dup_tokens"),
-          max(col("b") + lit(8) - col("a")).cast("long").as("max_span"),
+        .agg(sum(col("n_isl")).cast("long").as("n_spans"),
+          sum(col("clen")).cast("long").as("dup_tokens"),
+          max(col("mx")).cast("long").as("max_span"),
           max(col("n_toks")).as("n_toks"))
         .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
           col("max_span"),
@@ -1195,13 +1219,23 @@ object Dedup {
         |  FROM dup),
         |spans AS (SELECT doc_id, MAX(n_toks) AS n_toks,
         |    MIN(i) AS a, MAX(i) AS b
-        |  FROM isl GROUP BY doc_id, grp)
-        |SELECT doc_id, COUNT(*) AS n_spans,
-        |  CAST(SUM(b + 8 - a) AS BIGINT) AS dup_tokens,
-        |  CAST(MAX(b + 8 - a) AS BIGINT) AS max_span,
-        |  CAST(CAST(SUM(b + 8 - a) AS BIGINT) * 1000000
+        |  FROM isl GROUP BY doc_id, grp),
+        |mg AS (SELECT doc_id, n_toks, a, b,
+        |    CASE WHEN a >= COALESCE(MAX(b + 8) OVER (PARTITION BY doc_id
+        |      ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) THEN 1 ELSE 0 END AS ng
+        |  FROM spans),
+        |cg AS (SELECT doc_id, n_toks, a, b,
+        |    SUM(ng) OVER (PARTITION BY doc_id ORDER BY a) AS grp2 FROM mg),
+        |cov AS (SELECT doc_id, MAX(n_toks) AS n_toks, COUNT(*) AS n_isl,
+        |    MAX(b + 8 - a) AS mx, MAX(b) + 8 - MIN(a) AS clen
+        |  FROM cg GROUP BY doc_id, grp2)
+        |SELECT doc_id, CAST(SUM(n_isl) AS BIGINT) AS n_spans,
+        |  CAST(SUM(clen) AS BIGINT) AS dup_tokens,
+        |  CAST(MAX(mx) AS BIGINT) AS max_span,
+        |  CAST(CAST(SUM(clen) AS BIGINT) * 1000000
         |    // MAX(n_toks) AS BIGINT) AS dup_ppm
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // the same explode → count → threshold → reassemble pipeline over

@@ -284,9 +284,20 @@ object RowStore {
     * memory — without it, each epoch commit re-reads every retained
     * manifest newest-first (O(versions) file IO per epoch, O(V²) over
     * a long-running query into a table with deep history). Entries
-    * drop with the table ([[drop]]). */
-  private val epochCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+    * drop with the table ([[drop]]), and the map is access-order LRU
+    * bounded (same discipline as [[graft.SessionLruCache]] — which
+    * doesn't fit directly: epoch marks need overwrite-put on commit
+    * and per-table invalidation, and the commit path has no session in
+    * scope). Eviction is cheap-and-correct: a dropped mark re-resolves
+    * from the manifests on next touch. */
+  private val EpochCacheCap = 1024
+  private val epochCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]) =
+        size > EpochCacheCap
+    })
 
   def lastStreamEpoch(key: String, queryId: String): Long = {
     val ck = (key, queryId)
@@ -419,9 +430,12 @@ object RowStore {
   def drop(key: String): Boolean = {
     // the epoch high-water cache follows the table: a re-created table
     // with the same name starts a fresh manifest chain, so stale marks
-    // must not survive the drop
-    epochCache.keySet.asScala.filter(_._1 == key)
-      .foreach(epochCache.remove)
+    // must not survive the drop (iteration under the map's own monitor
+    // — synchronizedMap views aren't safe to traverse unsynchronized)
+    epochCache.synchronized {
+      epochCache.keySet.asScala.filter(_._1 == key).toList
+        .foreach(epochCache.remove)
+    }
     val d = Paths.get(tableDir(key))
     if (!Files.exists(d)) false
     else {
@@ -493,6 +507,11 @@ object RowStore {
         case l: java.lang.Long => Math.floorDiv(l.longValue, 3600000000L)
         case other => sys.error(s"hours: non-timestamp value $other")
       }
+      // epoch-micros/hour exceeds Int past ~±245,000 years — representable
+      // by Spark, so guard like identity/truncate: the pruning path's
+      // NonFatal catch saturates to the open bound instead of wrapping
+      require(h >= Int.MinValue && h <= Int.MaxValue,
+        s"hours partition value $h exceeds the 32-bit group space")
       h.toInt
     // months/years are CALENDAR transforms (Iceberg's definition:
     // months since 1970-01 / years since 1970, UTC proleptic) — not a
