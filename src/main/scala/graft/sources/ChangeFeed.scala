@@ -1,0 +1,366 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The CHANGE FEED read (`<table>.changes` with options from/to):
+  * restates inserts/deletes between two retained versions. Because
+  * files are immutable and manifests are per-version, a group whose
+  * file set is IDENTICAL at both versions provably contributed no
+  * change — it is never read. Only changed groups are resolved and
+  * multiset-diffed (an update surfaces as delete+insert; COW storage
+  * keeps no row identity across rewrites, which is the honest
+  * value-based CDF every COW format exposes). */
+class ChangesTable(baseKey: String, meta: RowStore.Meta)
+    extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.changes"
+  override def schema(): StructType =
+    StructType(meta.schema.fields :+
+      StructField("_change", StringType, nullable = false))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val from = Option(options.get("from")).map(_.toInt).getOrElse(0)
+    val to = Option(options.get("to")).map(_.toInt)
+      .getOrElse(RowStore.currentVersion(baseKey))
+    () => new ChangesScan(baseKey, meta, schema(), from, to)
+  }
+}
+
+/** Version-diff planning shared by the batch change-feed scan and the
+  * streaming one: only groups whose file signature differs between the
+  * two manifests are planned. */
+object ChangesPlanning {
+  def partitions(baseKey: String, meta: RowStore.Meta, from: Int,
+      to: Int): Array[InputPartition] = {
+    val dir = RowStore.dataDir(baseKey)
+    def side(v: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      val es = RowStore.readManifest(baseKey, v)
+      def paths(kind: String) = es.filter(_.kind == kind).groupBy(_.group)
+        .map { case (g, fs) => (g, fs.map(e => s"$dir/${e.name}")) }
+      (paths("base"), paths("delta"))
+    }
+    // the `group < 0` TABLE-WIDE sentinel applies to DELTA files only
+    // (MOR is bucket-transform-only, so a real delta group is never
+    // negative) — BASE groups can be legitimately negative under the
+    // unbounded transforms (days(ts) pre-epoch, truncate of negative
+    // keys), so base lookups are exact-group and negative base groups
+    // are planned like any other
+    def baseFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
+      m.getOrElse(g, Seq.empty)
+    def deltaFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
+      m.getOrElse(g, Seq.empty) ++ m.filter(_._1 < 0).values.flatten
+    val (fBase, fDelta) = side(from)
+    val (tBase, tDelta) = side(to)
+    // plan the groups OBSERVED in either manifest (a group with no
+    // files on both sides has no diff) — not 0 until numGroups, which
+    // would miss groups outside the bucket range after a partition-
+    // spec evolution to an unbounded transform
+    (fBase.keys ++ tBase.keys ++
+      (fDelta.keys ++ tDelta.keys).filter(_ >= 0))
+      .toSeq.distinct.sorted.filter { g =>
+      // unchanged file signature ⇒ unchanged group ⇒ skip entirely
+      baseFor(fBase, g) != baseFor(tBase, g) ||
+        deltaFor(fDelta, g) != deltaFor(tDelta, g)
+    }.map { g =>
+      ChangesPartition(g, baseFor(fBase, g), deltaFor(fDelta, g),
+        baseFor(tBase, g), deltaFor(tDelta, g))
+    }.toArray
+  }
+}
+
+class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
+    from: Int, to: Int) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangesPlanning.partitions(baseKey, meta, from, to)
+
+  /** Streaming CDF: the same diff read, micro-batched ONE VERSION per
+    * batch (offset = committed version) — `readStream.table(
+    * "….changes")` follows the table's history exactly the way
+    * Delta/Iceberg CDF streaming reads do. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream(baseKey, meta, from,
+      createReaderFactory())
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // project files by STORAGE names (output is positional, so the
+    // display schema's order carries the values out unchanged).
+    // Computed OUTSIDE the anonymous factory: a lambda on the inner
+    // class would pin a non-serializable $outer (this Scan) into the
+    // task closure.
+    val storageFields = meta.schema.fields.toSeq.map(f =>
+      f.copy(name = meta.storageOf(f.name)))
+    new PartitionReaderFactory {
+      private val dataFields = storageFields
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val c = p.asInstanceOf[ChangesPartition]
+        // multiset diff of the two resolved group states
+        val counts = new java.util.LinkedHashMap[Seq[Any], Int]()
+        RowResolve.resolve(c.group, c.toBase, c.toDelta, dataFields)
+          .foreach { case (_, v) =>
+            counts.merge(v.toSeq, 1, (a, b) => a + b) }
+        RowResolve.resolve(c.group, c.fromBase, c.fromDelta, dataFields)
+          .foreach { case (_, v) =>
+            counts.merge(v.toSeq, -1, (a, b) => a + b) }
+        val rows = counts.asScala.iterator.flatMap { case (v, n) =>
+          val tag = if (n > 0) "insert" else "delete"
+          Iterator.fill(math.abs(n))((v, tag))
+        }
+        new PartitionReader[InternalRow] {
+          private var cur: (Seq[Any], String) = _
+          override def next(): Boolean =
+            { val h = rows.hasNext; if (h) cur = rows.next(); h }
+          override def get(): InternalRow = new GenericInternalRow(
+            (cur._1.map {
+              case s: String => UTF8String.fromString(s)
+              case v         => v
+            } :+ UTF8String.fromString(cur._2)).toArray[Any])
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+case class ChangesPartition(group: Int, fromBase: Seq[String],
+    fromDelta: Seq[String], toBase: Seq[String], toDelta: Seq[String])
+    extends InputPartition
+
+/** Offset = committed table version. */
+case class VersionOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Streaming read of an APPEND-ONLY table's history: one committed
+  * version per micro-batch, each batch exactly the base files that
+  * commit added (Delta's `readStream.table` contract). Append-only is
+  * ENFORCED at plan time: a step whose start manifest is not a subset
+  * of its end manifest (a rewrite/OPTIMIZE/OVERWRITE), or that added
+  * delta files, fails loudly — silently re-emitting a rewritten
+  * group's rows (or dropping a replaced file's) is the corruption
+  * mode this check exists for. */
+class AppendTableStream(tableKey: String, meta: RowStore.Meta,
+    from: Int, factory: PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var target: Int = RowStore.currentVersion(tableKey)
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = RowStore.currentVersion(tableKey)
+  override def initialOffset(): Offset = VersionOffset(from)
+  override def latestOffset(): Offset = sys.error(
+    "admission-controlled source: latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(math.min(start.asInstanceOf[VersionOffset].v + 1, target))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VersionOffset(target)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val before = RowStore.readManifest(tableKey, s)
+    val after = RowStore.readManifest(tableKey, e)
+    val beforeNames = before.map(_.name).toSet
+    require(beforeNames.subsetOf(after.map(_.name).toSet),
+      s"$tableKey: version $s -> $e removed or replaced files — the " +
+        "table stream is append-only; use the .changes feed for DML " +
+        "history")
+    val added = after.filterNot(x => beforeNames(x.name))
+    require(added.forall(_.kind == "base"),
+      s"$tableKey: version $s -> $e wrote delta files — the table " +
+        "stream is append-only; use the .changes feed")
+    val dir = RowStore.dataDir(tableKey)
+    added.groupBy(_.group).map { case (g, fs) =>
+      GroupFilesPartition(g, fs.map(x => s"$dir/${x.name}"),
+        Seq.empty): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = factory
+}
+
+/** The streaming half of the change feed: admission-controlled to ONE
+  * version per micro-batch (so each batch is exactly one commit's
+  * changes — the shape CDC consumers key their exactly-once logic on),
+  * with the AvailableNow target latched at prepare time (SeqSource's
+  * discipline). Planning per batch is the shared version-diff: only
+  * groups whose file signature changed in that commit are read. */
+class ChangesMicroBatchStream(baseKey: String, meta: RowStore.Meta,
+    from: Int, factory: PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var target: Int = RowStore.currentVersion(baseKey)
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = RowStore.currentVersion(baseKey)
+  override def initialOffset(): Offset = VersionOffset(from)
+  override def latestOffset(): Offset = sys.error(
+    "admission-controlled source: latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(math.min(start.asInstanceOf[VersionOffset].v + 1, target))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VersionOffset(target)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ChangesPlanning.partitions(baseKey, meta,
+      start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+  override def createReaderFactory(): PartitionReaderFactory = factory
+}
+
+/** View of `row` with the first `off` fields hidden (the op-code
+  * prefix); only the accessors the externalizer uses. */
+class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
+  override def numFields: Int = row.numFields - off
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + off)
+  override def getLong(i: Int): Long = row.getLong(i + off)
+  override def getInt(i: Int): Int = row.getInt(i + off)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + off)
+}
+
+/** Table-maintenance procedures — the OPTIMIZE / VACUUM half of the
+  * lake-format lifecycle (Iceberg's rewrite_data_files /
+  * expire_snapshots, Delta's OPTIMIZE / VACUUM). Both are
+  * metadata-planned on the driver (manifest-sized); OPTIMIZE's data
+  * movement is a regular distributed read→write. */
+object RowStoreOps {
+  import org.apache.spark.sql.SparkSession
+
+  /** OPTIMIZE: rewrite only DIRTY groups — any delta file (MOR
+    * read-amplification) or >1 base file (append fragmentation) — into
+    * one fresh base file per group, committed as a new version. Clean
+    * groups' files are NEVER read or rewritten (at 100 TB compaction
+    * that rewrites the table is a non-starter); the read is statically
+    * pruned to the dirty groups via the scan's `groups` option and the
+    * commit swaps exactly those groups' base+delta entries. Content is
+    * observationally unchanged — q110's oracle checks that, the spec
+    * pins the file accounting. Returns the dirty-group set and the
+    * manifest entry count before/after. */
+  def compact(s: SparkSession, table: String): (Set[Int], Int, Int) = {
+    val base = RowStore.currentVersion(table)
+    val man = RowStore.readManifest(table, base)
+    val dirty = man.groupBy(_.group).collect {
+      case (g, es) if g >= 0 && (es.exists(_.kind == "delta") ||
+        es.count(_.kind == "base") > 1) => g
+    }.toSet
+    if (dirty.nonEmpty) {
+      val hs = s"$base:" + dirty.toSeq.sorted.mkString(",")
+      s.read.option("compact", hs).table(table)
+        .writeTo(table).option("compact", hs).append()
+    }
+    val after = RowStore.readManifest(table, RowStore.currentVersion(table))
+    (dirty, man.size, after.size)
+  }
+
+  /** VACUUM: retain the newest `keepLast` versions; delete expired
+    * manifests and every data file no retained manifest references.
+    * Time travel to a retained version keeps working (files are
+    * immutable and still referenced); an expired version fails at
+    * ANALYSIS (the manifest is gone), never with a dangling file read.
+    * Returns (retained versions, files physically deleted). */
+  def vacuum(table: String, keepLast: Int): (Seq[Int], Int) =
+    RowStore.commitLock.synchronized {
+      require(keepLast >= 1, "must retain at least the current version")
+      val vs = RowStore.versions(table)
+      val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+      // staged branch manifests keep their files alive too — VACUUM
+      // must not strand an un-published WAP branch
+      val branchKeep = {
+        val td = Paths.get(RowStore.tableDir(table))
+        val stream = Files.list(td)
+        val names = try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("branch-") && n.endsWith(".manifest"))
+          .map(_.stripPrefix("branch-").stripSuffix(".manifest")).toSeq
+        finally stream.close()
+        names.flatMap(b => RowStore.readBranchManifest(table, b)._2)
+          .map(_.name).toSet
+      }
+      val keep = retained.flatMap(v => RowStore.readManifest(table, v))
+        .map(_.name).toSet ++ branchKeep
+      expired.foreach { v =>
+        Files.deleteIfExists(
+          Paths.get(RowStore.tableDir(table), s"v$v.manifest")); ()
+      }
+      val dir = Paths.get(RowStore.dataDir(table))
+      val stream = Files.list(dir)
+      // data files only — Hadoop's LocalFileSystem writes hidden
+      // `.<name>.crc` sidecars, which ride along with their data file
+      val dead = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => !n.startsWith(".") && !keep(n)).toSeq
+      finally stream.close()
+      dead.foreach { n =>
+        Files.deleteIfExists(dir.resolve(n))
+        Files.deleteIfExists(dir.resolve(s".$n.crc")); ()
+      }
+      (retained, dead.size)
+    }
+
+  /** ROLLBACK to an earlier snapshot (Iceberg's
+    * `rollback_to_snapshot`): commits a NEW version whose entry list
+    * is version `v`'s — history is never rewritten (the bad versions
+    * stay visible to time travel until VACUUM expires them), the head
+    * just points at the old state again. Files are immutable, so this
+    * is pure manifest metadata. Returns the new head version. */
+  def rollback(table: String, v: Int): Int =
+    RowStore.commitLock.synchronized {
+      val have = RowStore.versions(table)
+      require(have.contains(v),
+        s"cannot roll back $table to version $v (have $have)")
+      val cur = RowStore.currentVersion(table)
+      RowStore.writeManifest(table, cur + 1, RowStore.readManifest(table, v))
+      cur + 1
+    }
+
+  /** PUBLISH a staged branch (the WAP fast-forward): the branch's
+    * snapshot becomes the next committed version — atomically, under
+    * the same OCC rule as any rewrite: if the table advanced past the
+    * branch's fork base, the staged snapshot no longer contains those
+    * commits and publishing it would silently drop them, so refuse
+    * and let the caller re-stage. Returns the published version. */
+  def publishBranch(table: String, name: String): Int =
+    RowStore.commitLock.synchronized {
+      val (base, entries) = RowStore.readBranchManifest(table, name)
+      val cur = RowStore.currentVersion(table)
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: branch $name forked at version $base but the table " +
+            s"is now at $cur — publishing would drop the interleaved " +
+            "commits; re-stage against the current snapshot")
+      RowStore.writeManifest(table, cur + 1, entries)
+      RowStore.dropBranch(table, name)
+      cur + 1
+    }
+}
+

@@ -1,0 +1,563 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catName = "graft_dml"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  /** DEFAULT column values: declaring the capability lets Spark's
+    * analyzer accept `DEFAULT <expr>` in CREATE TABLE (the default
+    * rides the schema's field metadata, which the meta file's schema
+    * JSON round-trips) and fill omitted columns at INSERT analysis —
+    * the connector's writers always see complete rows, so no storage
+    * change is involved. CREATE-time defaults only: ALTER ADD COLUMN
+    * with a default would need exists-default semantics in the
+    * reader's null-padding path, which the catalog does not claim. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
+  /** The `bucket` V2 function the writes' required distribution
+    * resolves through (Iceberg's storage-partitioned-write shape):
+    * Spark shuffles write input by bucket(numGroups, firstCol) BEFORE
+    * the writers run, so each group's rows land in exactly one task —
+    * one file per group per commit, at any parallelism. */
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  private def key(ident: Identifier): String =
+    (catName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val prefix = (catName +: ns).mkString(".") + "."
+    RowStore.listTableKeys().toArray
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      // only DIRECT children: a table in a nested namespace would
+      // otherwise surface here under a mangled dotted name
+      .filter(!_.contains("."))
+      .map(Identifier.of(ns, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    if (RowStore.exists(k))
+      new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
+    else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      // Iceberg-style metadata table: `<table>.changes` reads the diff
+      // between two versions (options from/to on the scan)
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base))
+        new ChangesTable(base, RowStore.readMeta(base))
+      else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "history" && ident.namespace().nonEmpty) {
+      // `<table>.history` — snapshot lineage from the manifest chain
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new HistoryTable(base)
+      else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "files" && ident.namespace().nonEmpty) {
+      // `<table>.files` — the current snapshot's file-level metadata
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new FilesTable(base)
+      else throw new NoSuchTableException(ident)
+    } else throw new NoSuchTableException(ident)
+  }
+
+  /** `VERSION AS OF v` — SQL time travel: a read-only table pinned to
+    * manifest v (files are immutable, so this is pure planning). The
+    * SNAPSHOT-TIME schema rides the manifest's `#schema` header
+    * (Iceberg/Delta's rule): after ADD/DROP COLUMN, older versions
+    * keep the shape they were committed under instead of being
+    * silently re-projected through the current schema. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+    val v = version.toInt
+    val have = RowStore.versions(k)
+    require(have.contains(v), s"no version $v for $k (have $have)")
+    val meta = RowStore.readMeta(k)
+    new RowTable(k,
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
+        renames = RowStore.versionRenames(k, v)),
+      v)
+  }
+
+  /** `PARTITIONED BY (bucket(n, col))` — the Iceberg-shaped partition
+    * transform: n becomes the group count and col the group key, so
+    * groups, write distribution, zone maps, and file skipping all
+    * follow the DECLARED layout instead of the first-column default.
+    * Only `bucket` is supported: the catalog's column types are
+    * INT/LONG/STRING, so the temporal transforms (`days`/`hours`)
+    * have no legal input column here and fail loudly. */
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch; the
+    * snapshot is the LATEST version committed at or before t
+    * (Iceberg/Delta's as-of rule). Commit times are recorded in the
+    * manifest header and strictly monotonic per table, so the mapping
+    * is total and unambiguous; a timestamp before the first commit
+    * fails loudly. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val k = key(ident)
+    if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+    val have = RowStore.versions(k).sorted
+    val atOrBefore = have.filter(v =>
+      RowStore.commitTimeMs(k, v) * 1000L <= timestampMicros)
+    require(atOrBefore.nonEmpty,
+      s"no snapshot of $k at or before timestamp ${timestampMicros}us " +
+        s"(earliest commit: ${RowStore.commitTimeMs(k, have.head)}ms)")
+    val v = atOrBefore.max
+    val meta = RowStore.readMeta(k)
+    new RowTable(k,
+      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
+        renames = RowStore.versionRenames(k, v)),
+      v)
+  }
+
+  /** (transform, tparam, col, numGroups) from a declared transform.
+    * SQL and programmatic forms order (literal, ref) differently, so
+    * each argument is picked by type. */
+  private def parseSpec(name: String, args: Array[VExpression],
+      schema: StructType): (String, Long, String, Int) = {
+    val litArg: Option[Long] = args.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case i: java.lang.Integer => i.longValue
+          case l2: java.lang.Long   => l2.longValue
+          case other => sys.error(s"$name: non-integer argument $other")
+        }
+    }
+    val colArg: String = args.collectFirst { case r: NamedReference =>
+      require(r.fieldNames().length == 1,
+        s"$name over a nested column is not supported")
+      r.fieldNames()(0)
+    }.getOrElse(sys.error(s"$name transform carries no column"))
+    resolveSpec(name, litArg, colArg, schema)
+  }
+
+  /** Validate + canonicalize a (transform name, literal, column) spec
+    * against a schema — shared by CREATE's Transform path and ALTER's
+    * `TBLPROPERTIES('partition'='…')` evolution path. */
+  private def resolveSpec(name: String, litArg: Option[Long],
+      colArg: String, schema: StructType): (String, Long, String, Int) = {
+    val f = schema.fields.find(_.name == colArg)
+      .getOrElse(sys.error(s"partition column $colArg not in schema"))
+    name match {
+      case "bucket" =>
+        val n = litArg.getOrElse(
+          sys.error("bucket transform carries no bucket count")).toInt
+        require(n > 0, s"bucket(n, col): n must be positive, got $n")
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType,
+          s"bucket: unsupported column type ${f.dataType}")
+        ("bucket", 0L, colArg, n)
+      case "truncate" =>
+        val w = litArg.getOrElse(
+          sys.error("truncate transform carries no width"))
+        require(w > 0, s"truncate(w, col): w must be positive, got $w")
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"truncate: unsupported column type ${f.dataType} (integer only)")
+        ("truncate", w, colArg, 0)
+      case t @ ("days" | "hours" | "months" | "years") =>
+        require(f.dataType == TimestampType,
+          s"$t: column $colArg must be TIMESTAMP, got ${f.dataType}")
+        (t, 0L, colArg, 0)
+      case "identity" =>
+        require(f.dataType == LongType || f.dataType == IntegerType,
+          s"identity: unsupported column type ${f.dataType} (integer only)")
+        ("identity", 0L, colArg, 0)
+      case other => sys.error(
+        s"unsupported partition transform $other — PARTITIONED BY (col) " +
+          "/ bucket(n, col) / truncate(w, col) / " +
+          "days|hours|months|years(ts) are supported")
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.length <= 1,
+      "RowStore tables take at most one partition transform")
+    schema.fieldNames.foreach(n => require(!RowStore.Reserved(n),
+      s"column name $n is reserved"))
+    val spec: Option[(String, Long, String, Int)] = partitions.headOption
+      .map(t => parseSpec(t.name(), t.arguments(), schema))
+    val k = key(ident)
+    val numGroups = spec.map(_._4).filter(_ > 0)
+      .orElse(Option(properties.get("groups")).map(_.toInt)).getOrElse(4)
+    val mor = Option(properties.get("format")).contains("mor")
+    require(!mor || spec.forall(_._1 == "bucket"),
+      "merge-on-read tables support only the bucket transform (delta " +
+        "records can target any group; an unbounded group space cannot " +
+        "be planned ahead)")
+    RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
+      spec.map(_._3).getOrElse(""),
+      transform = spec.map(_._1).getOrElse("bucket"),
+      tparam = spec.map(_._2).getOrElse(0L)))
+    RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
+    new RowTable(k, RowStore.readMeta(k), 0)
+  }
+
+  /** Schema evolution, additive form (the lake-format default): ADD
+    * COLUMN rewrites ONLY the schema file — no data files move; old
+    * files (and therefore old `VERSION AS OF` reads) surface NULL for
+    * the new column via read-time padding. */
+  /** Partition-spec EVOLUTION (Iceberg's `REPLACE PARTITION FIELD`
+    * shape, surfaced through the one ALTER hook Spark SQL gives a
+    * custom catalog): `ALTER TABLE t SET TBLPROPERTIES('partition' =
+    * 'truncate(1000, k)')` — bumps the spec id, so files already
+    * written KEEP their old group layout (the scan plans across both)
+    * while every subsequent write routes by the new transform. MOR
+    * tables refuse (delta records can't span spec layouts); row-level
+    * ops refuse until the table is migrated (INSERT OVERWRITE). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val k = key(ident)
+    RowStore.commitLock.synchronized {
+      if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
+      val meta = RowStore.readMeta(k)
+      val (specChanges, colChanges) = changes.partition {
+        case p: TableChange.SetProperty => p.property() == "partition"
+        case _ => false
+      }
+      require(specChanges.size <= 1,
+        "at most one partition evolution per ALTER statement")
+      var droppedNow = Seq.empty[String]
+      var renamesNow = meta.renames
+      var pcolNow = meta.bucketCol
+      val newSchema = colChanges.foldLeft(meta.schema) {
+        case (sch, add: TableChange.AddColumn) =>
+          require(add.fieldNames().length == 1,
+            "nested ADD COLUMN not supported")
+          require(!RowStore.Reserved(add.fieldNames()(0)),
+            s"column name ${add.fieldNames()(0)} is reserved")
+          // no field-id indirection: retained files still CONTAIN a
+          // dropped column's values under its name, and readers
+          // project by name — re-adding the name would resurrect them
+          // (or crash on a type change) instead of NULL-padding
+          require(!meta.dropped.contains(add.fieldNames()(0)) &&
+            !droppedNow.contains(add.fieldNames()(0)),
+            s"cannot re-add previously dropped column " +
+              s"${add.fieldNames()(0)}: retained files still carry its " +
+              "old values under that name")
+          // ditto for a name files store ANOTHER column's values under
+          // (the renamed-away display name of a live column)
+          require(!sch.fieldNames.exists(n =>
+            renamesNow.getOrElse(n, n) == add.fieldNames()(0)),
+            s"cannot add column ${add.fieldNames()(0)}: retained files " +
+              "store another column's values under that name")
+          // defaults resolve at CREATE time only: the capability makes
+          // the analyzer route ADD COLUMN ... DEFAULT here, and storing
+          // the field without its CURRENT_DEFAULT metadata would fill
+          // NULL where the user asked for the default — refuse loudly
+          require(add.defaultValue() == null,
+            s"ADD COLUMN ${add.fieldNames()(0)} DEFAULT is not " +
+              "supported: this catalog resolves DEFAULT at CREATE " +
+              "TABLE time only")
+          StructType(sch.fields :+
+            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+        // DROP COLUMN, the other metadata-only evolution: files are
+        // untouched (readers project by NAME, so a dropped column's
+        // bytes simply stop being read — Iceberg's lazy-delete
+        // economics). The group-key column can never drop: grouping,
+        // zone maps, and the write distribution all route through it.
+        case (sch, del: TableChange.DeleteColumn) =>
+          require(del.fieldNames().length == 1,
+            "nested DROP COLUMN not supported")
+          val name = del.fieldNames()(0)
+          require(sch.fieldNames.contains(name),
+            s"cannot drop missing column $name")
+          require(name != meta.keyCol,
+            s"cannot drop the group-key column ${meta.keyCol}")
+          // blacklist the STORAGE name — that's what retained files
+          // carry the values under (== display name unless renamed)
+          droppedNow = droppedNow :+ renamesNow.getOrElse(name, name)
+          renamesNow = renamesNow - name
+          StructType(sch.fields.filterNot(_.name == name))
+        // RENAME COLUMN — metadata-only (Iceberg's rename): files keep
+        // their written name; the display→storage mapping bridges.
+        case (sch, ren: TableChange.RenameColumn) =>
+          require(!meta.mor, "RENAME COLUMN is not supported for " +
+            "merge-on-read tables (delta records are projected by " +
+            "written name)")
+          require(ren.fieldNames().length == 1,
+            "nested RENAME COLUMN not supported")
+          val from = ren.fieldNames()(0)
+          val to = ren.newName()
+          require(sch.fieldNames.contains(from),
+            s"cannot rename missing column $from")
+          require(!sch.fieldNames.contains(to),
+            s"cannot rename $from to $to: column $to already exists")
+          RowStore.validateColName(to)
+          require(!RowStore.Reserved(to), s"column name $to is reserved")
+          require(!meta.dropped.contains(to) && !droppedNow.contains(to),
+            s"cannot rename to previously dropped name $to: retained " +
+              "files still carry its old values")
+          // another live column's storage name is equally off-limits
+          require(!sch.fieldNames.filter(_ != from).exists(n =>
+            renamesNow.getOrElse(n, n) == to),
+            s"cannot rename $from to $to: retained files store another " +
+              "column's values under that name")
+          val storage = renamesNow.getOrElse(from, from)
+          renamesNow = renamesNow - from
+          if (to != storage) renamesNow = renamesNow + (to -> storage)
+          if (pcolNow == from) pcolNow = to
+          StructType(sch.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+      require(newSchema.nonEmpty, "cannot drop every column")
+      var m2 = meta.copy(schema = newSchema,
+        dropped = meta.dropped ++ droppedNow,
+        renames = renamesNow, bucketCol = pcolNow)
+      specChanges.headOption.foreach { case p: TableChange.SetProperty =>
+        require(!meta.mor, "partition-spec evolution is not supported " +
+          "for merge-on-read tables (delta records cannot span spec " +
+          "layouts)")
+        val (name, lit, col) = parsePartitionProperty(p.value())
+        val (tf, w, c, n) = resolveSpec(name, lit, col, m2.schema)
+        m2 = m2.copy(bucketCol = c, transform = tf, tparam = w,
+          numGroups = if (n > 0) n else m2.numGroups,
+          specId = m2.specId + 1)
+      }
+      RowStore.writeMeta(k, m2)
+      // schema/spec evolution COMMITS a version (same file entries,
+      // new `#schema` header): time travel to any pre-ALTER version
+      // keeps the old shape, the new head pins the new one. Without
+      // this, the evolution would be invisible to the manifest chain
+      // and historical reads would silently re-project through
+      // whatever schema is current.
+      val cur = RowStore.currentVersion(k)
+      RowStore.writeManifest(k, cur + 1, RowStore.readManifest(k, cur))
+      new RowTable(k, RowStore.readMeta(k), cur + 1)
+    }
+  }
+
+  /** `'partition'='bucket(4, k)' | 'truncate(1000, k)' | 'days(ts)'`
+    * → (transform name, integer literal, column). The integer and
+    * column argument may come in either order (Iceberg writes
+    * truncate(col, w), Spark DDL bucket(n, col)). */
+  private def parsePartitionProperty(v: String): (String, Option[Long], String) = {
+    val m = java.util.regex.Pattern
+      .compile("""\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*""").matcher(v)
+    require(m.matches(), s"cannot parse partition spec '$v' — expected " +
+      "transform(args), e.g. bucket(4, k) / truncate(1000, k) / days(ts)")
+    val name = m.group(1)
+    val parts = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty && parts.length <= 2,
+      s"partition spec '$v' takes one or two arguments")
+    val (lits, cols) = parts.partition(_.forall(_.isDigit))
+    require(cols.length == 1,
+      s"partition spec '$v' must name exactly one column")
+    (name, lits.headOption.map(_.toLong), cols.head)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    RowStore.drop(key(ident))
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+}
+
+/** `bucket(numBuckets, col)` bound to the SAME hash the writers use
+  * ([[RowStore.groupOf]]) — the distribution's clustering and the
+  * files' grouping provably agree. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): the row-group hash of the DML catalog"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, col), got $inputType")
+    val colType = inputType.fields(1).dataType
+    require(colType == LongType || colType == IntegerType ||
+      colType == StringType, s"bucket: unsupported column type $colType")
+    new ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, colType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket($colType)"
+      override def produceResult(input: InternalRow): Int = {
+        val n = input.getInt(0)
+        val v: Any =
+          if (input.isNullAt(1)) null
+          else colType match {
+            case LongType    => Long.box(input.getLong(1))
+            case IntegerType => Int.box(input.getInt(1))
+            case StringType  => input.getUTF8String(1)
+          }
+        RowStore.groupOf(v, n)
+      }
+    }
+  }
+}
+
+/** The `_group` / `_rid` metadata columns every scan can surface —
+  * what the row-level rewrites read via requiredMetadataAttributes /
+  * rowId, exactly Iceberg's `_file`/`_pos` shape. */
+private object GroupMetaCol extends MetadataColumn {
+  override def name(): String = "_group"
+  override def dataType(): DataType = IntegerType
+  override def isNullable: Boolean = false
+}
+private object RidMetaCol extends MetadataColumn {
+  override def name(): String = "_rid"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+}
+
+class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  override def name(): String = tableKey
+  override def schema(): StructType = meta.schema
+
+  /** Metadata delete for the UNCONDITIONAL case only: `DELETE FROM t`
+    * (no WHERE, or one folded to true) optimizes the row-level
+    * rewrite's scan into an empty relation — the scan is never
+    * planned, and the COW commit (correctly) refuses a rewrite with
+    * no planned scan. Spark's OptimizeMetadataOnlyDeleteFromTable
+    * asks here FIRST: a truncate is a pure manifest swap (new empty
+    * version, files retained for time travel / VACUUM — Iceberg's
+    * truncate semantics). Any real predicate declines and takes the
+    * rewrite path. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.isEmpty || predicates.forall(_.name() == "ALWAYS_TRUE")
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      RowStore.writeManifest(tableKey, cur + 1, Seq.empty)
+    }
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GroupMetaCol, RidMetaCol)
+  /** Surface the declared layout (DESCRIBE, storage-partitioned-join
+    * eligibility): the ACTIVE spec's transform — bucket by the
+    * declared (or default first) column, or the temporal/range
+    * transform when one was declared. */
+  override def partitioning(): Array[Transform] = meta.transform match {
+    case "days"     => Array(Expressions.days(meta.keyCol))
+    case "hours"    => Array(Expressions.hours(meta.keyCol))
+    case "months"   => Array(Expressions.months(meta.keyCol))
+    case "years"    => Array(Expressions.years(meta.keyCol))
+    case "identity" => Array(Expressions.identity(meta.keyCol))
+    case "truncate" => Array(Expressions.apply("truncate",
+      Expressions.literal(meta.tparam), Expressions.column(meta.keyCol)))
+    case _          => Array(Expressions.bucket(meta.numGroups, meta.keyCol))
+  }
+
+  /** Read option `groups=g1,g2,…` (or `compact=…`, the one-option
+    * OPTIMIZE handshake) statically restricts the scan to those groups
+    * — the compaction read path: only dirty groups are read, so only
+    * dirty groups are rewritten. The SAME `compact` key drives both
+    * the read restriction and the write's manifest swap because
+    * Spark's V2Writes asserts the (deduplicated) relation options and
+    * the write options agree — two different keys on the same table
+    * trip it. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GroupScanBuilder(tableKey, meta, version, None,
+      Option(options.get("groups"))
+        .map(_.split(",").map(_.trim.toInt).toSet)
+        .orElse(Option(options.get("compact"))
+          .map(v => GroupWrite.parseCompact(v)._2)),
+      // streaming start version (readStream.option("from", v))
+      streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0),
+      // `branch=<name>` reads the STAGED snapshot (WAP audit read)
+      branch = Option(options.get("branch")))
+
+  /** INSERT INTO path: append; INSERT OVERWRITE arrives as
+    * `truncate()` on the same builder and flips it to replace-all.
+    * Write option `compact=g1,g2,…` commits the incoming files as the
+    * REPLACEMENT of exactly those groups' base+delta entries (the
+    * OPTIMIZE swap — see [[RowStoreOps.compact]]). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    Option(info.options().get("compact"))
+      .map(GroupWrite.parseCompact) match {
+      case Some((base, gs)) =>
+        new GroupWrite(tableKey, meta, info.schema(),
+          GroupWrite.Compact(base, gs))
+      case None =>
+        Option(info.options().get("branch")) match {
+          // write option `branch=<name>`: the append STAGES into the
+          // named branch (WAP) — files land on disk, but no table
+          // version commits until publishBranch
+          case Some(b) => new GroupWrite(tableKey, meta, info.schema(),
+            GroupWrite.StageBranch(b))
+          case None => new GroupWrite(tableKey, meta, info.schema(),
+            GroupWrite.Append, Option(info.queryId()).getOrElse(""))
+        }
+    }
+
+  /** MERGE/UPDATE/DELETE: Spark rewrites the statement against this
+    * operation's builders — copy-on-write group replacement by
+    * default, delta (merge-on-read) when the table was created with
+    * 'format'='mor'. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    if (meta.mor) () => new DeltaRowLevelOp(tableKey, meta, info.command())
+    else () => new GroupRowLevelOp(tableKey, meta, info.command())
+}
+
+/** Copy-on-write row-level operation: its scan records which groups
+  * survived runtime group filtering; its write replaces EXACTLY those
+  * groups' files at commit. The scan↔write handshake rides this
+  * object — the same contract Iceberg's copy-on-write scan/write pair
+  * uses. */
+class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Groups the operation's (possibly runtime-pruned) scan planned;
+    * None = scan never planned (plan dropped) → replace nothing. */
+  @volatile private[sources] var scannedGroups: Option[Set[Int]] = None
+  /** Version the operation's scan read — the optimistic-concurrency
+    * base: commit refuses if another commit advanced the table past
+    * it (the rewrite would silently drop that commit's changes). */
+  @volatile private[sources] var baseVersion: Option[Int] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = RowStore.currentVersion(tableKey)
+    baseVersion = Some(v)
+    new GroupScanBuilder(tableKey, meta, v, Some(this))
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GroupWrite(tableKey, meta, info.schema(),
+      GroupWrite.ReplaceGroups(this))
+}
+

@@ -1,0 +1,485 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
+    op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None,
+    streamFrom: Int = 0, branch: Option[String] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.sources.{EqualTo => SEq, Filter => SFilter, GreaterThan => SGt, GreaterThanOrEqual => SGe, In => SIn, LessThan => SLt, LessThanOrEqual => SLe}
+
+  // ── COUNT(*)/MIN(key)/MAX(key) from manifest metadata (Iceberg's
+  // snapshot-summary answer): every base file records its exact row
+  // count and the key column's [min, max] at commit, so an unfiltered
+  // count — and, for a LONG key column, the key's global extrema —
+  // of a CLEAN snapshot is a plan-time fold over the manifest: zero
+  // files opened. Engages ONLY when provably exact: no delta files at
+  // this version (deltas add/remove/move rows at read time), no
+  // static group restriction (the compact handshake), no row-level
+  // operation scan, no branch read, single partition spec (a retired
+  // spec's stats were computed on ITS key column), and every entry
+  // carries the needed stat (a legacy/statless entry refuses). Any
+  // WHERE leaves residual filters, which blocks aggregate pushdown in
+  // Spark's own rule — so a filtered aggregate never reaches this
+  // path.
+  private var aggPushed = false
+  private var pushedValues: Seq[Long] = Seq.empty
+
+  // one manifest read per scan build: the (tableKey, version) manifest
+  // is immutable, and supportCompletePushDown/pushAggregation/build
+  // would otherwise each re-read it
+  private lazy val manifestEntries: Seq[RowStore.FileEntry] =
+    RowStore.readManifest(tableKey, version)
+
+  private lazy val manifestCount: Option[Long] = {
+    val es = manifestEntries
+    if (es.exists(_.kind == "delta") || es.exists(_.rows.isEmpty)) None
+    else Some(es.map(_.rows.get).sum)
+  }
+
+  /** Key extrema from per-file zone maps — defined only when every
+    * base file carries stats on the ACTIVE spec's (LONG) key column
+    * and the fold is over at least one file (the empty case must
+    * return SQL NULL, which declining the pushdown handles for us). */
+  private lazy val manifestMinMax: Option[(Long, Long)] = {
+    val es = manifestEntries
+    val base = es.filter(_.kind == "base")
+    val keyIsLong =
+      meta.schema.fields.find(_.name == meta.keyCol).exists(_.dataType == LongType)
+    if (es.exists(_.kind == "delta") || base.isEmpty || !keyIsLong ||
+      base.exists(e => e.minK.isEmpty || e.spec != meta.specId)) None
+    else Some((base.flatMap(_.minK).min, base.flatMap(_.maxK).max))
+  }
+
+  private def keyColRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(meta.keyCol))
+      case _ => false
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushAggregationCheck(agg)
+
+  private def pushAggregationCheck(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      // nonEmpty matters: a count-over-count query collapses to an
+      // EMPTY aggregation (0 output columns, 1 row) that a vacuous
+      // forall would accept and then answer with the wrong arity
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => manifestCount.isDefined
+        case m: Min => keyColRef(m.column) && manifestMinMax.isDefined
+        case m: Max => keyColRef(m.column) && manifestMinMax.isDefined
+        case _ => false
+      }
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    aggPushed = pushAggregationCheck(agg)
+    if (aggPushed) pushedValues = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => manifestCount.get
+      case _: Min       => manifestMinMax.get._1
+      case _: Max       => manifestMinMax.get._2
+      case other => sys.error(s"unreachable pushed agg $other")
+    }
+    aggPushed
+  }
+
+  // default = full data schema; Spark prunes to referenced data +
+  // metadata columns (so the parquet reads project, and a COUNT(*)
+  // scan reads only footers)
+  private var required: StructType = meta.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** FILE SKIPPING (zone maps): range predicates on the FIRST column
+    * narrow a [lo, hi] window the scan checks against each base
+    * file's manifest stats. CONSERVATIVE on every axis: all filters
+    * come back as residuals (Spark re-evaluates them — a skipping bug
+    * can cost performance, never correctness), non-numeric and
+    * unrecognized shapes are ignored, and the scan only ever skips
+    * clean groups on plain reads (see planInputPartitions). */
+  private var keyLo = Long.MinValue
+  private var keyHi = Long.MaxValue
+  private var accepted: Array[SFilter] = Array.empty
+
+  private def narrow(lo: Long, hi: Long): Unit = {
+    keyLo = math.max(keyLo, lo); keyHi = math.min(keyHi, hi)
+  }
+  /** Pushed-filter literal → the key's internal long form. TIMESTAMP
+    * literals arrive as java.sql/java.time values (by the session's
+    * java8API setting), never as raw micros — converting them is what
+    * makes day-range predicates on a `days(ts)` table prune files and
+    * groups at all. */
+  private def num(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    val k = meta.keyCol
+    accepted = filters.filter {
+      case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true }
+      case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true }
+      case SGe(`k`, v) => num(v).exists { x => narrow(x, Long.MaxValue); true }
+      case SLt(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x - 1); true }
+      case SLe(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x); true }
+      case SIn(`k`, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        val xs = vs.flatMap(num); narrow(xs.min, xs.max); true
+      case _ => false
+    }
+    filters // everything is residual
+  }
+  override def pushedFilters(): Array[SFilter] = accepted
+
+  override def build(): Scan =
+    if (aggPushed) new ManifestAggScan(pushedValues)
+    else new GroupScan(tableKey, meta, version,
+    required, op, staticGroups,
+    if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
+    else Some((keyLo, keyHi)), streamFrom, branch)
+}
+
+/** Manifest-planned scan: one partition per surviving group, carrying
+  * that group's base files (+ the table's delta files for MOR). With a
+  * row-level operation attached it implements runtime group filtering:
+  * Spark evaluates the DML condition first and hands back
+  * `In(_group, …)`, and only those groups are planned — and therefore
+  * only those groups are rewritten. */
+class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
+    required: StructType, op: Option[GroupRowLevelOp],
+    staticGroups: Option[Set[Int]] = None,
+    keyRange: Option[(Long, Long)] = None,
+    streamFrom: Int = 0, branch: Option[String] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** The (tableKey, version) manifest is immutable, and Spark calls
+    * outputPartitioning/estimateStatistics/planInputPartitions
+    * repeatedly per scan while planning a multi-join query — read and
+    * parse it once per scan instance. */
+  private lazy val versionEntries: Seq[RowStore.FileEntry] =
+    RowStore.readManifest(tableKey, version)
+
+  /** STORAGE-PARTITIONED JOIN eligibility: a plain read of a clean
+    * single-spec bucket table reports KeyGroupedPartitioning over the
+    * SAME `bucket(n, key)` V2 function the writers cluster by — so two
+    * co-bucketed catalog tables JOIN WITH ZERO SHUFFLE under
+    * `spark.sql.sources.v2.bucketing.enabled` (SPARK-37375, Iceberg's
+    * SPJ). Guarded to exactly the cases where one partition == one
+    * bucket: no row-level op scan, no compact restriction, no branch,
+    * bucket transform, and every file on the active spec (after an
+    * evolution two partitions can share a group NUMBER — not a valid
+    * key grouping). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val singleSpecBucket = meta.transform == "bucket" &&
+      op.isEmpty && staticGroups.isEmpty && branch.isEmpty &&
+      versionEntries.forall(_.spec == meta.specId)
+    if (singleSpecBucket)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.bucket(meta.numGroups, meta.keyCol)),
+          meta.numGroups)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+  }
+
+  /** Manifest-derived size estimate — what lets Catalyst's join
+    * planning AUTO-BROADCAST a small catalog table (without it, a DSv2
+    * scan defaults to "unknown = huge" and a dimension-sized DML table
+    * always shuffle-joins). Sum of this version's on-disk file sizes:
+    * an UNDERestimate of row-format in-memory size, but parquet
+    * encodes denser than runtime rows by less than the 10 MB default
+    * threshold's safety margin; estimates feed planning only, never
+    * correctness. */
+  private lazy val cachedStats: Statistics = {
+    val dir = RowStore.dataDir(tableKey)
+    val bytes = versionEntries
+      .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+  override def estimateStatistics(): Statistics = cachedStats
+
+  private var groupKeep: Option[Set[Int]] = None
+
+  /** Runtime-filterable on `_group` — but ONLY when this scan actually
+    * outputs it (the row-level operation scans, which read it via
+    * requiredMetadataAttributes). Advertising an attribute the plan
+    * can't resolve would break UNRELATED joins against this table
+    * (e.g. a MERGE whose source is another catalog table). */
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("_group"))
+      Array(Expressions.column("_group"))
+    else Array.empty
+
+  /** Streaming read of the TABLE (Delta's `readStream.table` shape):
+    * offset = committed version, one version per micro-batch, each
+    * batch the files that commit ADDED. Sound only for APPEND-ONLY
+    * history — a commit that replaced/removed files (DML, OPTIMIZE,
+    * INSERT OVERWRITE) or wrote deltas fails loudly at plan time
+    * instead of silently re-emitting or dropping rows. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the stream plans from the COMMITTED manifest chain; silently
+    // serving it for a branch read would hand the WAP auditor data
+    // that excludes everything staged on the branch
+    require(branch.isEmpty,
+      s"$tableKey: streaming reads of a WAP branch are not supported " +
+        "— audit a staged branch with a batch read")
+    new AppendTableStream(tableKey, meta, streamFrom,
+      createReaderFactory())
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      parseGroupPredicate(p).foreach { ks =>
+        groupKeep = Some(groupKeep.fold(ks)(_ intersect ks))
+      }
+    }
+
+  /** `IN(_group, ints…)` / `=(_group, int)` → the kept-group set; any
+    * other shape (or any non-int literal) is IGNORED — under-pruning
+    * is sound (the operation re-applies its own condition), silently
+    * dropping a value would over-prune. */
+  private def parseGroupPredicate(p: Predicate): Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit}
+    val ch = p.children()
+    val onGroup = ch.headOption.exists {
+      case r: NamedReference => r.fieldNames().sameElements(Array("_group"))
+      case _ => false
+    }
+    if (!onGroup || (p.name() != "IN" && p.name() != "=")) None
+    else {
+      val vals = ch.drop(1).map {
+        case l: VLit[_] => l.value() match {
+          case i: java.lang.Integer => Some(i.intValue)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten.toSet)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // a branch read plans from the STAGED manifest (WAP audit); all
+    // other machinery is identical — staged entries are ordinary
+    // immutable files the branch commit added
+    val entries = branch match {
+      case Some(b) => RowStore.readBranchManifest(tableKey, b)._2
+      case None    => versionEntries
+    }
+    val baseEntries = entries.filter(_.kind == "base")
+    val deltas = entries.filter(_.kind == "delta")
+    val dir = RowStore.dataDir(tableKey)
+    // SPEC EVOLUTION boundary: files written under a retired partition
+    // spec keep their original group layout; a plain read plans across
+    // every spec. Rewriting machinery stays on the ACTIVE spec only —
+    // group numbers are not comparable across specs, so row-level ops,
+    // the OPTIMIZE handshake, and MOR deltas refuse loudly until the
+    // table is migrated (INSERT OVERWRITE rewrites everything under
+    // the active spec).
+    val multiSpec = entries.exists(_.spec != meta.specId)
+    if (multiSpec) {
+      require(op.isEmpty,
+        s"$tableKey: row-level operations on a table whose files span " +
+          "partition specs are not supported — migrate with INSERT " +
+          "OVERWRITE onto the active spec first")
+      require(staticGroups.isEmpty,
+        s"$tableKey: OPTIMIZE across partition specs is not supported")
+      require(deltas.isEmpty,
+        s"$tableKey: delta files across partition specs are not supported")
+    }
+    // partition identity = (spec, group): after an evolution two files
+    // can share a group NUMBER while meaning different row sets
+    // (bucket 3 vs epoch-day 3). The active spec plans EVERY bucket
+    // group (bounded space; MOR delta inserts may target a group with
+    // no base file yet); unbounded transforms (days/truncate) plan
+    // only groups the manifest observed — an unobserved group has no
+    // rows, so nothing is lost.
+    val observed = baseEntries.map(e => (e.spec, e.group)).distinct
+    val active: Seq[(Int, Int)] =
+      if (meta.transform == "bucket")
+        (0 until meta.numGroups).map(g => (meta.specId, g))
+      else Seq.empty
+    // PARTITION PRUNING for the monotonic transforms (truncate/days/
+    // hours/months/years — NOT bucket): group g only holds rows whose
+    // transform value IS g, so a pushed key range [lo, hi] bounds the
+    // reachable groups to [T(lo), T(hi)] regardless of file stats
+    // (covers statless files too — this is the time-series lake
+    // table's day-range scan). Only ACTIVE-spec groups prune: a
+    // retired spec's group numbers mean a different layout.
+    // each side saturates to its OPEN bound when the range is
+    // one-sided (the Long.MinValue/MaxValue sentinels — transforming
+    // those would wrap Int and silently plan zero groups) or when the
+    // literal falls outside the transform's group space (identity/
+    // truncate throw there) — under-prune, never wrap or throw; the
+    // residual filter re-checks rows regardless
+    val groupRange: Option[(Int, Int)] =
+      keyRange.filter(_ => meta.transform != "bucket").map {
+        case (lo, hi) =>
+          def side(v: Long, open: Int): Int =
+            if (v == Long.MinValue || v == Long.MaxValue) open
+            else try RowStore.partValueOf(meta.transform, meta.tparam,
+              meta.numGroups, Long.box(v))
+            catch { case scala.util.control.NonFatal(_) => open }
+          (side(lo, Int.MinValue), side(hi, Int.MaxValue))
+      }
+    val kept = (observed ++ active).distinct.sorted
+      .filter { case (sp, g) => groupKeep.forall(_.contains(g)) &&
+        staticGroups.forall(_.contains(g)) &&
+        groupRange.forall { case (glo, ghi) =>
+          sp != meta.specId || (g >= glo && g <= ghi) } }
+    // the COW write replaces exactly what this plan read
+    op.foreach(_.scannedGroups = Some(kept.map(_._2).toSet))
+    var planned, skipped = 0
+    val parts = kept.map { case (sp, g) =>
+      val groupDeltas = deltas.filter(e => e.group == g || e.group < 0)
+      val base = baseEntries.filter(e => e.spec == sp && e.group == g)
+      // FILE SKIPPING by manifest stats — only when provably sound:
+      // plain reads (a COW rewrite replaces whole groups with what it
+      // read, so a skipped file's rows would vanish) of CLEAN groups
+      // (an update delta can move a row's key outside its base file's
+      // stats). Statically-restricted scans (the OPTIMIZE handshake
+      // read, whose output REPLACES the group wholesale) never skip
+      // either — a filtered compact read would silently drop skipped
+      // files' rows from the rewritten group. Files from a RETIRED
+      // spec never skip: their stats were computed on that spec's key
+      // column, which the pushed range may not refer to. Statless
+      // files never skip.
+      val visible =
+        if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
+          keyRange.isEmpty || sp != meta.specId) base
+        else base.filter(e => (e.minK, e.maxK) match {
+          case (Some(mn), Some(mx)) =>
+            val (lo, hi) = keyRange.get
+            mx >= lo && mn <= hi
+          case _ => true
+        })
+      planned += visible.size
+      skipped += base.size - visible.size
+      GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),
+        // group-tagged delta files: only this group's records can be
+        // inside (records re-check, so an untagged file stays sound)
+        groupDeltas.map(e => s"$dir/${e.name}")): InputPartition
+    }.toArray
+    RowStore.lastPlannedBaseFiles.set(planned)
+    RowStore.lastSkippedBaseFiles.set(skipped)
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupReaderFactory(required, meta.schema, meta.renames)
+}
+
+case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
+    deltaFiles: Seq[String]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The partition's bucket value — must type-match the reported
+    * KeyGroupedPartitioning expression's result (bucket → INT). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](group))
+}
+
+/** One-row scan answering completely-pushed manifest-metadata
+  * aggregates (COUNT(*) / MIN(key) / MAX(key)) — no data file is ever
+  * opened. One LONG column per pushed aggregate, in pushdown order. */
+class ManifestAggScan(values: Seq[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    values.indices.map(i => StructField(s"agg_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vs = values.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(vs.map(Long.box).toArray[Any])
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
+class GroupReaderFactory(required: StructType, dataSchema: StructType,
+    renames: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GroupFilesPartition]
+    val dataNames = dataSchema.fieldNames.toSet
+    val wanted = required.fields.filter(f => dataNames(f.name)).toSeq
+    val wantedIdx = wanted.map(_.name).zipWithIndex.toMap
+    // files store a renamed column under its STORAGE name — project by
+    // that, emit under the display name (same positions)
+    val wantedStorage = wanted.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name)))
+    val rows = RowResolve.resolve(part.group, part.baseFiles,
+      part.deltaFiles, wantedStorage)
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: (String, Array[Any]) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = new GenericInternalRow(
+        required.fields.map { f =>
+          f.name match {
+            case "_group" => Int.box(part.group)
+            case "_rid"   => UTF8String.fromString(cur._1)
+            case n => cur._2(wantedIdx(n)) match {
+              case s: String => UTF8String.fromString(s)
+              case v         => v
+            }
+          }
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}
+

@@ -1,0 +1,430 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Batch write: executors bucket rows by the first-column hash and
+  * write one parquet file per (task, non-empty group); commit messages
+  * carry FILE METADATA only (name/group/rowcount — never rows), and the
+  * driver swaps the manifest. Modes: append (INSERT), overwrite
+  * (INSERT OVERWRITE via truncate()), replace-groups (the COW swap). */
+object GroupWrite {
+  sealed trait Mode extends Serializable
+  case object Append extends Mode
+  case object Overwrite extends Mode
+  case class ReplaceGroups(op: GroupRowLevelOp) extends Mode
+  /** WAP staging: the append lands in branch `name`'s manifest, not
+    * the committed chain. */
+  case class StageBranch(name: String) extends Mode
+  /** OPTIMIZE: the incoming files replace EXACTLY these groups'
+    * base+delta entries — a group that resolved to zero visible rows
+    * writes no file but still sheds its old entries. `base` is the
+    * version the compaction read, for the OCC commit check. */
+  case class Compact(base: Int, groups: Set[Int]) extends Mode
+
+  /** Option value codec for the compact handshake: `<ver>:<g1>,<g2>`. */
+  def parseCompact(v: String): (Int, Set[Int]) = {
+    val Array(ver, gs) = v.split(":", 2)
+    (ver.toInt, gs.split(",").map(_.trim.toInt).toSet)
+  }
+}
+
+class GroupWrite(tableKey: String, meta: RowStore.Meta,
+    writeSchema: StructType, mode: GroupWrite.Mode,
+    queryId: String = "")
+    extends WriteBuilder with Write with BatchWrite with SupportsTruncate
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def truncate(): WriteBuilder = {
+    require(!mode.isInstanceOf[GroupWrite.StageBranch],
+      s"$tableKey: INSERT OVERWRITE into a branch is not supported — " +
+        "branches stage appends only (WAP)")
+    new GroupWrite(tableKey, meta, writeSchema, GroupWrite.Overwrite, queryId)
+  }
+
+  // storage-aligned write: cluster incoming rows by the group hash so
+  // each group is written by exactly one task — one file per touched
+  // group per commit instead of (tasks × groups) fragments. Temporal/
+  // range transforms cluster by the raw column (equal values co-locate
+  // ⊆ equal partition values; Spark resolves identity natively, no V2
+  // function needed) — a group may then span tasks, which the
+  // one-file-per-(task, group) model already allows.
+  override def requiredDistribution(): Distribution = meta.transform match {
+    case "bucket" => Distributions.clustered(Array[VExpression](
+      Expressions.bucket(meta.numGroups, meta.keyCol)))
+    case _ => Distributions.clustered(Array[VExpression](
+      Expressions.identity(meta.keyCol)))
+  }
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
+      meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
+      meta.renames)
+
+  /** `writeStream.toTable` — the native streaming APPEND (Delta's
+    * shape): each epoch commits one manifest version, and a
+    * RE-DELIVERED epoch (post-failure replay of a batch whose commit
+    * already landed) is recognized from the recorded high-water mark
+    * and skipped — files written by the replay are simply never
+    * referenced, which is exactly how manifest-based exactly-once
+    * works. Append-only: OVERWRITE/complete modes refuse at plan. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode == GroupWrite.Append,
+      s"streaming writes into $tableKey are append-only (got $mode)")
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+          private val inner = new GroupWriterFactory(
+            RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
+            meta.numGroups, meta.transform, meta.tparam, meta.renames)
+          override def createWriter(partitionId: Int, taskId: Long,
+              epochId: Long): DataWriter[InternalRow] =
+            inner.createWriter(partitionId, taskId)
+        }
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        RowStore.commitLock.synchronized {
+          require(queryId.nonEmpty,
+            s"$tableKey: streaming write without a query id")
+          if (epochId > RowStore.lastStreamEpoch(tableKey, queryId)) {
+            val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+              .map(f => RowStore.FileEntry("base", f.group, f.name,
+                f.minK, f.maxK, f.rows, meta.specId)).toSeq
+            val cur = RowStore.currentVersion(tableKey)
+            RowStore.writeManifest(tableKey, cur + 1,
+              RowStore.readManifest(tableKey, cur) ++ added,
+              extraHeader = Seq(s"#ep\t$queryId\t$epochId"))
+            RowStore.recordStreamEpoch(tableKey, queryId, epochId)
+          }
+        }
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+      .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
+        f.rows, meta.specId))
+      .toSeq
+    RowStore.preCommitHook()
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      val old = RowStore.readManifest(tableKey, cur)
+      mode match {
+        case GroupWrite.StageBranch(name) =>
+          // WAP staging: fold into the branch manifest (stacked audit
+          // appends compose); NO table version commits. Fork base is
+          // recorded on first stage — publish validates against it.
+          val (base, existing) =
+            if (RowStore.branchExists(tableKey, name))
+              RowStore.readBranchManifest(tableKey, name)
+            else (cur, old)
+          RowStore.writeBranchManifest(tableKey, name, base,
+            existing ++ added)
+          return
+        case _ => ()
+      }
+      val next = mode match {
+        case GroupWrite.StageBranch(_) =>
+          sys.error("unreachable: staged above")
+        case GroupWrite.Append    => old ++ added
+        case GroupWrite.Overwrite => added
+        case GroupWrite.ReplaceGroups(op) =>
+          // a rewrite commit whose scan was never planned has nothing
+          // sound to replace — defaulting to "replace nothing, append
+          // the rewrite's files" would duplicate every carried-over
+          // row, so fail loudly instead
+          require(op.baseVersion.isDefined && op.scannedGroups.isDefined,
+            s"$tableKey: row-level operation committing without a " +
+              "planned scan — refusing to append rewrite output over " +
+              "intact groups")
+          val base = op.baseVersion.get
+          // replace exactly the groups the operation's scan read; a
+          // group the runtime filter pruned keeps its files verbatim
+          val replaced = op.scannedGroups.get
+          // optimistic concurrency, Iceberg's validate-then-swap: the
+          // rewrite was computed against `base`'s snapshot. Appends
+          // and rewrites of OTHER groups compose — only a group this
+          // commit replaces that CHANGED since its scan is a real
+          // conflict (the swap would silently drop that change).
+          // Per-group file signatures (incl. table-wide deltas, which
+          // affect every group) decide; untouched → rebase onto the
+          // current manifest, touched → refuse and let the caller
+          // retry against the new snapshot.
+          if (base != cur) {
+            val baseMan =
+              try RowStore.readManifest(tableKey, base)
+              catch { case _: Exception =>
+                throw new java.util.ConcurrentModificationException(
+                  s"$tableKey: row-level operation read version $base " +
+                    "whose manifest is no longer retained — cannot " +
+                    "validate the rewrite; retry the statement")
+              }
+            def sig(man: Seq[RowStore.FileEntry], g: Int) =
+              man.filter(e => e.group == g ||
+                (e.kind == "delta" && e.group < 0)).toSet
+            val conflicting = replaced.filter(g => sig(baseMan, g) != sig(old, g))
+            if (conflicting.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"$tableKey: row-level operation read version $base but " +
+                  s"groups ${conflicting.toSeq.sorted.mkString(",")} " +
+                  s"changed by version $cur — retry the statement")
+          }
+          // spec-qualified: group ids are only unique WITHIN a spec
+          // (the scan refuses row-level ops on multi-spec tables, so
+          // in practice every entry is on the active spec — the
+          // qualifier keeps the swap sound if that ever changes)
+          old.filterNot(e => e.kind == "base" && e.spec == meta.specId &&
+            replaced(e.group)) ++ added
+        case GroupWrite.Compact(base, gs) =>
+          if (base != cur)
+            throw new java.util.ConcurrentModificationException(
+              s"$tableKey: compaction planned at version $base but the " +
+                s"table is now at $cur — retry")
+          // dropping a compacted group's deltas is only sound when
+          // every delta entry is group-tagged (ours always are; an
+          // untagged table-wide delta would re-apply onto the freshly
+          // resolved base rows)
+          require(old.forall(e => e.kind != "delta" || e.group >= 0),
+            s"$tableKey has untagged delta files — cannot compact")
+          old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++ added
+      }
+      RowStore.writeManifest(tableKey, cur + 1, next)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class FileMeta(group: Int, name: String, minK: Option[Long],
+    maxK: Option[Long], rows: Option[Long] = None)
+case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
+
+class GroupWriterFactory(dir: String, writeSchema: StructType,
+    bucketCol: String, numGroups: Int,
+    transform: String = "bucket", tparam: Long = 0L,
+    renames: Map[String, String] = Map.empty)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fields = writeSchema.fields.toSeq
+      // files ALWAYS store a renamed column under its storage name, so
+      // pre- and post-rename files stay mutually readable
+      private val fileFields = fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name)))
+      private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
+      private val writers =
+        scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+      // zone-map stats of the bucket column per file (numeric keys
+      // only; a null or string key leaves the file statless = never
+      // skipped)
+      private val stats =
+        scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      private val statless = scala.collection.mutable.Set.empty[Int]
+
+      private def trackStats(g: Int, v: Any): Unit = v match {
+        case l: java.lang.Long =>
+          val k = l.longValue
+          stats.get(g) match {
+            case Some((mn, mx)) =>
+              stats(g) = (math.min(mn, k), math.max(mx, k))
+            case None => stats(g) = (k, k)
+          }
+        case i: java.lang.Integer => trackStats(g, Long.box(i.longValue))
+        case _ => statless += g; ()
+      }
+
+      private def externalize(row: InternalRow): Array[Any] =
+        fields.zipWithIndex.map { case (f, i) =>
+          if (row.isNullAt(i)) null
+          else f.dataType match {
+            case LongType      => Long.box(row.getLong(i))
+            case TimestampType => Long.box(row.getLong(i))
+            case IntegerType   => Int.box(row.getInt(i))
+            case StringType    => row.getUTF8String(i).toString
+            case other       => sys.error(s"unsupported type $other")
+          }
+        }.toArray
+
+      override def write(row: InternalRow): Unit = {
+        // Defense for the no-metadata ReplaceData layout (op-code int
+        // prefixed): with requiredMetadataAttributes declared Spark's
+        // DataAndMetadataWritingSparkTask strips it before us, so an
+        // unexpected width fails LOUDLY rather than corrupting rows.
+        val vals =
+          if (row.numFields == fields.length) externalize(row)
+          else if (row.numFields == fields.length + 1) {
+            val opc = row.getInt(0)
+            require(opc == RowDeltaUtils.WRITE_OPERATION ||
+              opc == RowDeltaUtils.DELETE_OPERATION ||
+              opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+              s"unexpected op code $opc in op-prefixed write row")
+            if (opc == RowDeltaUtils.DELETE_OPERATION) return
+            externalize(new OffsetRow(row, 1))
+          } else sys.error(s"write row has ${row.numFields} fields, " +
+            s"schema has ${fields.length}")
+        val g =
+          if (bucketIdx < 0) 0
+          else RowStore.partValueOf(transform, tparam, numGroups,
+            vals(bucketIdx))
+        val (_, w) = writers.getOrElseUpdate(g, {
+          val name = s"g$g-${UUID.randomUUID()}.parquet"
+          (name, new RowFiles.FileWriter(s"$dir/$name", fileFields))
+        })
+        if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
+        w.write(vals)
+      }
+
+      // metadata-carrying form (WRITE_WITH_METADATA rows): the source
+      // group rides `metadata`, but this writer re-buckets by content,
+      // so the metadata is advisory only
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        FilesMessage(writers.map { case (g, (n, w)) =>
+          val st = if (statless(g)) None else stats.get(g)
+          FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong))
+        }.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.close())
+      override def close(): Unit = ()
+    }
+}
+
+/** Merge-on-read row-level operation ([[SupportsDelta]]): the engine
+  * hands per-row insert/update/delete calls keyed by `_rid`; one delta
+  * parquet file per writer task records them, the manifest appends it,
+  * and NO base file is rewritten (pinned in RowCatalogSpec). */
+class DeltaRowLevelOp(tableKey: String, meta: RowStore.Meta,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  /** OCC base, as in [[GroupRowLevelOp]]: delta records reference
+    * `_rid`s of this snapshot — replaying them over a different one
+    * could hit relocated/compacted rows. */
+  @volatile private[sources] var baseVersion: Option[Int] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_rid"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = RowStore.currentVersion(tableKey)
+    baseVersion = Some(v)
+    new GroupScanBuilder(tableKey, meta, v, None)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new RowDeltaWrite(tableKey, meta, info.schema(), Some(this))
+}
+
+class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
+    rowSchema: StructType, op: Option[DeltaRowLevelOp] = None)
+    extends DeltaWriteBuilder with DeltaWrite
+    with DeltaBatchWrite {
+  override def build(): DeltaWrite = this
+  override def toBatch: DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
+      meta.keyCol, meta.numGroups)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+      .map(f => RowStore.FileEntry("delta", f.group, f.name,
+        spec = meta.specId)).toSeq
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(tableKey)
+      op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
+        throw new java.util.ConcurrentModificationException(
+          s"$tableKey: delta operation read version $v but the table " +
+            s"is now at $cur — its _rids may no longer resolve; retry")
+      }
+      RowStore.writeManifest(tableKey, cur + 1,
+        RowStore.readManifest(tableKey, cur) ++ added)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
+    bucketCol: String, numGroups: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val fields = rowSchema.fields.toSeq
+      private val bucketIdx = rowSchema.fieldNames.indexOf(bucketCol)
+      private val fileSchema = RowResolve.DeltaMetaFields ++ fields
+      // one delta file per (task, touched group): group-tagged in the
+      // manifest, so reads replay only the deltas that can affect the
+      // group they're resolving
+      private val writers =
+        scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+      private def writer(g: Int): RowFiles.FileWriter =
+        writers.getOrElseUpdate(g, {
+          val name = s"d$g-${UUID.randomUUID()}.parquet"
+          (name, new RowFiles.FileWriter(s"$dir/$name", fileSchema))
+        })._2
+
+      private def dataVals(row: InternalRow): Array[Any] =
+        fields.zipWithIndex.map { case (f, i) =>
+          if (row == null || row.isNullAt(i)) null
+          else f.dataType match {
+            case LongType      => Long.box(row.getLong(i))
+            case TimestampType => Long.box(row.getLong(i))
+            case IntegerType   => Int.box(row.getInt(i))
+            case StringType    => row.getUTF8String(i).toString
+            case other       => sys.error(s"unsupported type $other")
+          }
+        }.toArray
+
+      private def rec(op: Int, rid: String, grp: Int, row: InternalRow): Unit =
+        writer(grp).write(
+          Array[Any](Int.box(op), rid, Int.box(grp)) ++ dataVals(row))
+
+      /** metadata = [_group] (the row's RESIDENT group — where the rid
+        * lives, not where the new values would hash; MOR never
+        * relocates rows, compaction does). id = [_rid]. */
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        rec(RowResolve.DeleteOp, id.getUTF8String(0).toString,
+          metadata.getInt(0), null)
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
+          metadata.getInt(0), row)
+      override def insert(row: InternalRow): Unit = {
+        val vals = dataVals(row)
+        val g = if (bucketIdx < 0) 0
+          else RowStore.groupOf(vals(bucketIdx), numGroups)
+        writer(g).write(Array[Any](Int.box(RowResolve.InsertOp), null,
+          Int.box(g)) ++ vals)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        FilesMessage(writers.map { case (g, (n, _)) =>
+          FileMeta(g, n, None, None) }.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.close())
+      override def close(): Unit = ()
+    }
+}
+

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `<table>.history` — the snapshot-lineage metadata table (Iceberg's
+  * `history`/`snapshots` surface): one row per committed version with
+  * its manifest-derived file and row counts. Metadata-sized by
+  * construction — the scan reads manifests only, never data files. */
+class HistoryTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.history"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("is_current", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = HistoryTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        // computed at plan time on the driver (manifest-sized) and
+        // shipped in the partition — the executor only replays rows
+        val vs = RowStore.versions(baseKey)
+        val cur = vs.max
+        val rows = vs.map { v =>
+          val es = RowStore.readManifest(baseKey, v)
+          val base = es.filter(_.kind == "base")
+          // exact only when every base entry carries a count and no
+          // deltas mutate rows at read time — else unknown (NULL)
+          val nRows: Option[Long] =
+            if (es.exists(_.kind == "delta") || base.exists(_.rows.isEmpty))
+              None
+            else Some(base.map(_.rows.get).sum)
+          HistoryRow(v, es.size.toLong, nRows, v == cur)
+        }
+        Array(HistoryPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[HistoryPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: HistoryRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.version, cur.nFiles,
+                  cur.nRows.map(Long.box).orNull, cur.isCurrent))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class HistoryRow(version: Int, nFiles: Long, nRows: Option[Long],
+    isCurrent: Boolean)
+case class HistoryPartition(rows: Seq[HistoryRow]) extends InputPartition
+
+/** `<table>.files` — Iceberg's files metadata table: one row per data
+  * file in the CURRENT snapshot with its group, kind, spec, recorded
+  * row count and key zone map. Pure manifest metadata (zero data files
+  * open) — the plan-time debugging surface for layout questions
+  * ("which groups are fragmented / delta-dirty / statless?"). */
+class FilesTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.files"
+  override def schema(): StructType = StructType(Seq(
+    StructField("grp", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("spec", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("min_k", LongType, nullable = true),
+    StructField("max_k", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = FilesTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(FilesPartition(RowStore.readManifest(baseKey,
+          RowStore.currentVersion(baseKey))))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[FilesPartition].entries.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: RowStore.FileEntry = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.group, UTF8String.fromString(cur.kind),
+                  cur.spec, cur.rows.map(Long.box).orNull,
+                  cur.minK.map(Long.box).orNull,
+                  cur.maxK.map(Long.box).orNull))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class FilesPartition(entries: Seq[RowStore.FileEntry])
+    extends InputPartition
+
