@@ -131,10 +131,19 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     * clean groups on plain reads (see planInputPartitions). */
   private var keyLo = Long.MinValue
   private var keyHi = Long.MaxValue
+  // string-key window (both sides INCLUSIVE — strict string bounds
+  // have no clean ±1, so Gt/Lt widen to Ge/Le: a sound over-scan)
+  private var strLo: Option[String] = None
+  private var strHi: Option[String] = None
   private var accepted: Array[SFilter] = Array.empty
 
   private def narrow(lo: Long, hi: Long): Unit = {
     keyLo = math.max(keyLo, lo); keyHi = math.min(keyHi, hi)
+  }
+  private def narrowS(lo: Option[String], hi: Option[String]): Unit = {
+    import RowStore.StrBounds.cmp
+    lo.foreach(l => strLo = Some(strLo.filter(cmp(_, l) > 0).getOrElse(l)))
+    hi.foreach(h => strHi = Some(strHi.filter(cmp(_, h) < 0).getOrElse(h)))
   }
   /** Pushed-filter literal → the key's internal long form. TIMESTAMP
     * literals arrive as java.sql/java.time values (by the session's
@@ -151,16 +160,34 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     case _ => None
   }
 
+  /** Pushed STRING literal (string-keyed tables' zone-map window). */
+  private def str(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     val k = meta.keyCol
     accepted = filters.filter {
-      case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true }
-      case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true }
-      case SGe(`k`, v) => num(v).exists { x => narrow(x, Long.MaxValue); true }
-      case SLt(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x - 1); true }
-      case SLe(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x); true }
+      case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true } ||
+        str(v).exists { x => narrowS(Some(x), Some(x)); true }
+      case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true } ||
+        str(v).exists { x => narrowS(Some(x), None); true }
+      case SGe(`k`, v) => num(v).exists { x => narrow(x, Long.MaxValue); true } ||
+        str(v).exists { x => narrowS(Some(x), None); true }
+      case SLt(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x - 1); true } ||
+        str(v).exists { x => narrowS(None, Some(x)); true }
+      case SLe(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x); true } ||
+        str(v).exists { x => narrowS(None, Some(x)); true }
       case SIn(`k`, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
         val xs = vs.flatMap(num); narrow(xs.min, xs.max); true
+      case SIn(`k`, vs) if vs.nonEmpty && vs.forall(str(_).isDefined) =>
+        import RowStore.StrBounds.cmp
+        val xs = vs.flatMap(str)
+        narrowS(Some(xs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
+          Some(xs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+        true
       case _ => false
     }
     filters // everything is residual
@@ -172,7 +199,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
-    else Some((keyLo, keyHi)), streamFrom, branch)
+    else Some((keyLo, keyHi)), streamFrom, branch, (strLo, strHi))
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -185,7 +212,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     required: StructType, op: Option[GroupRowLevelOp],
     staticGroups: Option[Set[Int]] = None,
     keyRange: Option[(Long, Long)] = None,
-    streamFrom: Int = 0, branch: Option[String] = None)
+    streamFrom: Int = 0, branch: Option[String] = None,
+    strRange: (Option[String], Option[String]) = (None, None))
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -393,13 +421,26 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       // files never skip.
       val visible =
         if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
-          keyRange.isEmpty || sp != meta.specId) base
-        else base.filter(e => (e.minK, e.maxK) match {
-          case (Some(mn), Some(mx)) =>
-            val (lo, hi) = keyRange.get
-            mx >= lo && mn <= hi
-          case _ => true
-        })
+          (keyRange.isEmpty && strRange == ((None, None))) ||
+          sp != meta.specId) base
+        else base.filter { e =>
+          val numOk = (e.minK, e.maxK, keyRange) match {
+            case (Some(mn), Some(mx), Some((lo, hi))) =>
+              mx >= lo && mn <= hi
+            case _ => true
+          }
+          // string zone maps: TRUNCATED bounds, so [minS, maxS] is a
+          // superset of the file's true key range — intersecting it
+          // with the pushed window under-prunes, never over-prunes
+          val strOk = (e.minS, e.maxS) match {
+            case (Some(mn), Some(mx)) =>
+              import RowStore.StrBounds.cmp
+              strRange._1.forall(lo => cmp(mx, lo) >= 0) &&
+                strRange._2.forall(hi => cmp(mn, hi) <= 0)
+            case _ => true
+          }
+          numOk && strOk
+        }
       planned += visible.size
       skipped += base.size - visible.size
       GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),

@@ -110,7 +110,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           if (epochId > RowStore.lastStreamEpoch(tableKey, queryId)) {
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
-                f.minK, f.maxK, f.rows, meta.specId)).toSeq
+                f.minK, f.maxK, f.rows, meta.specId, f.minS, f.maxS)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
               RowStore.readManifest(tableKey, cur) ++ added,
@@ -126,7 +126,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
-        f.rows, meta.specId))
+        f.rows, meta.specId, f.minS, f.maxS))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -218,7 +218,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 }
 
 case class FileMeta(group: Int, name: String, minK: Option[Long],
-    maxK: Option[Long], rows: Option[Long] = None)
+    maxK: Option[Long], rows: Option[Long] = None,
+    minS: Option[String] = None, maxS: Option[String] = None)
 case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
@@ -236,11 +237,16 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
-      // zone-map stats of the bucket column per file (numeric keys
-      // only; a null or string key leaves the file statless = never
-      // skipped)
+      // zone-map stats of the bucket column per file: numeric keys
+      // track exact [min, max]; string keys track the exact extrema in
+      // UTF8 order and commit TRUNCATED bounds ([[RowStore.StrBounds]]
+      // — Iceberg's string-stats model). A null key, or a string whose
+      // prefix the truncation can't bound soundly, leaves the file
+      // statless = never skipped.
       private val stats =
         scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      private val sstats =
+        scala.collection.mutable.Map.empty[Int, (String, String)]
       private val statless = scala.collection.mutable.Set.empty[Int]
 
       private def trackStats(g: Int, v: Any): Unit = v match {
@@ -252,6 +258,13 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             case None => stats(g) = (k, k)
           }
         case i: java.lang.Integer => trackStats(g, Long.box(i.longValue))
+        case s: String =>
+          import RowStore.StrBounds.cmp
+          sstats.get(g) match {
+            case Some((mn, mx)) => sstats(g) = (
+              if (cmp(s, mn) < 0) s else mn, if (cmp(s, mx) > 0) s else mx)
+            case None => sstats(g) = (s, s)
+          }
         case _ => statless += g; ()
       }
 
@@ -306,7 +319,11 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         writers.values.foreach(_._2.close())
         FilesMessage(writers.map { case (g, (n, w)) =>
           val st = if (statless(g)) None else stats.get(g)
-          FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong))
+          val sst = if (statless(g)) None
+            else sstats.get(g).flatMap { case (mn, mx) =>
+              RowStore.StrBounds.truncated(mn, mx) }
+          FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong),
+            sst.map(_._1), sst.map(_._2))
         }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())

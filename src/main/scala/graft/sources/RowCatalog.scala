@@ -252,6 +252,33 @@ object RowCatalogQueries {
         GROUP BY status ORDER BY status""")
     }),
 
+    // ── q140: STRING-KEY FILE SKIPPING — q115's zone-map read path on
+    // the most common real-world key type. Bounds are TRUNCATED
+    // Iceberg-style ([[RowStore.StrBounds]]: 16-char prefix, upper
+    // bound's last char incremented), so a long-key table's manifest
+    // stays metadata-sized; the part names here run past 16 chars, so
+    // the truncation genuinely engages. Three INSERT commits land
+    // three disjoint name-prefix bands; the banded SELECT pushes its
+    // string range down and plans only the middle band's files
+    // (RowCatalogSpec pins the planned/skipped accounting). All
+    // filters stay residual — skipping can cost performance, never
+    // correctness — and the oracle restates the band from raw part.
+    "q140_dml_string_skip" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "part").createOrReplaceTempView("q140_part")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.sledger")
+      s.sql("CREATE TABLE graft_dml.ns.sledger (name STRING, cents BIGINT)")
+      for ((p, e) <- Seq(("a", 0), ("m", 1), ("z", 2)))
+        s.sql(s"""INSERT INTO graft_dml.ns.sledger
+          SELECT concat('${p}_', p_name, '_', CAST(p_partkey AS STRING)),
+                 CAST(round(p_retailprice * 100) AS BIGINT)
+          FROM q140_part WHERE p_partkey % 3 = $e""")
+      s.sql("""SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               MIN(name) AS min_name, MAX(name) AS max_name
+        FROM graft_dml.ns.sledger
+        WHERE name >= 'm' AND name < 'n'""")
+    }),
+
     "q111_dml_vacuum" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
       val t = "graft_dml.ns.accounts_vac"
@@ -834,6 +861,16 @@ object RowCatalogQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the middle name band restated from raw part
+    "q140_dml_string_skip" ->
+      """WITH b AS (
+        |  SELECT 'm_' || p_name || '_' || CAST(p_partkey AS VARCHAR) AS name,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part WHERE p_partkey % 3 = 1)
+        |SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(name) AS min_name, MAX(name) AS max_name
+        |FROM b WHERE name >= 'm' AND name < 'n'""".stripMargin,
 
     // the manifest-answered count recomputed relationally
     "q124_dml_manifest_count" ->

@@ -131,13 +131,64 @@ object RowStore {
   /** One manifest entry: `kind` ∈ base|delta; base entries carry the
     * group they belong to, delta entries apply table-wide (each record
     * inside names its group). Base entries written by this version
-    * also carry the FIRST column's [min, max] — the zone-map stats
-    * file skipping plans from (None for string keys, delta files, and
-    * entries written before stats existed; statless files are never
-    * skipped). */
+    * also carry the key column's [min, max] — the zone-map stats file
+    * skipping plans from: `minK`/`maxK` for numeric/temporal keys,
+    * `minS`/`maxS` TRUNCATED bounds (Iceberg's string-stats model,
+    * [[StrBounds]]) for string keys. None for delta files, entries
+    * written before stats existed, and string prefixes the truncation
+    * can't bound soundly; statless files are never skipped. */
   case class FileEntry(kind: String, group: Int, name: String,
       minK: Option[Long] = None, maxK: Option[Long] = None,
-      rows: Option[Long] = None, spec: Int = 0)
+      rows: Option[Long] = None, spec: Int = 0,
+      minS: Option[String] = None, maxS: Option[String] = None)
+
+  /** TRUNCATED string bounds — Iceberg's string zone-map model
+    * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
+    * [[StrBounds.Len]] chars so a long-key table's manifest stays
+    * metadata-sized. The lower bound truncates plainly (a prefix is ≤
+    * the full string in binary order); the upper bound truncates and
+    * INCREMENTS its last char so it stays ≥ every string it covers.
+    * Soundness guard: bounds are recorded only when the truncated
+    * prefix is pure ASCII (and, for an incremented upper, the last
+    * char has ASCII headroom) — there UTF-16 char order, UTF-8 byte
+    * order (Spark's string comparison), and the +1 increment all
+    * agree. Anything else degrades to statless = never skipped;
+    * skipping may lose performance, never correctness. */
+  object StrBounds {
+    val Len = 16
+
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    /** Spark's string ordering (UTF8String binary compare). */
+    def cmp(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+    private def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
+
+    /** (lower, upper) truncated bounds covering exact [mn, mx], or
+      * None when no sound truncation exists. A string short enough to
+      * store exactly is sound for ANY content (the writer tracked the
+      * extrema in UTF8 order already); only truncation needs the
+      * ASCII guard. */
+    def truncated(mn: String, mx: String): Option[(String, String)] = {
+      val lo =
+        if (mn.length <= Len) Some(mn)
+        else Some(mn.take(Len)).filter(asciiOnly)
+      val up =
+        if (mx.length <= Len) Some(mx)
+        else {
+          val p = mx.take(Len)
+          // incrementing the last char makes p' > any string with
+          // prefix p — valid in byte order only with ASCII headroom
+          if (asciiOnly(p) && p.last < 0x7f) Some(p.init + (p.last + 1).toChar)
+          else None
+        }
+      for (l <- lo; u <- up) yield (l, u)
+    }
+  }
 
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
@@ -241,6 +292,7 @@ object RowStore {
         val toks = l.split("\t")
         if (toks.length < 3) sys.error(s"corrupt manifest line: $l")
         var minK, maxK: Option[Long] = None
+        var minS, maxS: Option[String] = None
         var rows: Option[Long] = None
         var spec = 0
         toks.drop(3).foreach { t =>
@@ -248,13 +300,21 @@ object RowStore {
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
           else if (t.startsWith("s") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) spec = t.tail.toInt
+          // `L<enc>`/`U<enc>` = URL-encoded truncated STRING bounds
+          // (encoding keeps a bound containing tab/newline from
+          // corrupting the line-oriented layout)
+          else if (t.startsWith("L")) minS = Some(StrBounds.dec(t.tail))
+          else if (t.startsWith("U")) maxS = Some(StrBounds.dec(t.tail))
           else if (minK.isEmpty) minK = Some(t.toLong)
           else if (maxK.isEmpty) maxK = Some(t.toLong)
           else sys.error(s"corrupt manifest line: $l")
         }
         require(minK.isDefined == maxK.isDefined,
           s"corrupt manifest line (unpaired stats): $l")
-        FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec)
+        require(minS.isDefined == maxS.isDefined,
+          s"corrupt manifest line (unpaired string stats): $l")
+        FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
+          minS, maxS)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -263,9 +323,14 @@ object RowStore {
         case (Some(mn), (Some(mx))) => s"\t$mn\t$mx"
         case _ => ""
       }
+      val sstats = (e.minS, e.maxS) match {
+        case (Some(mn), Some(mx)) =>
+          s"\tL${StrBounds.enc(mn)}\tU${StrBounds.enc(mx)}"
+        case _ => ""
+      }
       val rows = e.rows.map(r => s"\tr$r").getOrElse("")
       val spec = if (e.spec != 0) s"\ts${e.spec}" else ""
-      s"${e.kind}\t${e.group}\t${e.name}$stats$rows$spec"
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the

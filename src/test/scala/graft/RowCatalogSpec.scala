@@ -1124,6 +1124,58 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.skipm")
   }
 
+  test("string-key zone maps skip files via truncated bounds") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+
+    // the truncation helper's own contract first: exact short bounds,
+    // truncated lower, incremented upper, and the unsound cases
+    assert(RowStore.StrBounds.truncated("abc", "xyz") == Some(("abc", "xyz")))
+    val long = "abcdefghijklmnopqrstuvwxyz" // 26 chars
+    assert(RowStore.StrBounds.truncated(long, long) ==
+      Some(("abcdefghijklmnop", "abcdefghijklmnoq")),
+      "upper bound must truncate to 16 chars and increment the last")
+    // an incremented upper really does bound the full string
+    assert(RowStore.StrBounds.cmp(long, "abcdefghijklmnoq") < 0)
+    // no ASCII headroom in the truncated last char (0x7f) -> no sound upper
+    assert(RowStore.StrBounds.truncated("a", "abcdefghijklmno\u007ftail")
+      .isEmpty)
+    // non-ASCII truncated prefix → statless (exact short non-ASCII ok)
+    assert(RowStore.StrBounds.truncated("é", "é") == Some(("é", "é")))
+    assert(RowStore.StrBounds
+      .truncated("a", "ééééééééééééééééé-tail").isEmpty)
+
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.sskip")
+    s.sql("CREATE TABLE graft_dml.spec.sskip (name STRING, v BIGINT)")
+    // three commits with disjoint name-prefix bands; names are >16
+    // chars so the TRUNCATED path (not the exact-bound path) is what
+    // this pin exercises
+    for ((p, e) <- Seq(("a", 0), ("m", 1), ("z", 2)))
+      s.sql("INSERT INTO graft_dml.spec.sskip VALUES " +
+        (0 until 16).map(i =>
+          s"('${p}_padding_padding_$i', ${e * 1000 + i})").mkString(", "))
+    val sum = s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.sskip " +
+      "WHERE name >= 'm' AND name < 'n'").head().getLong(0)
+    assert(sum == (0 until 16).map(_ + 1000L).sum)
+    assert(RowStore.lastPlannedBaseFiles.get > 0 &&
+      RowStore.lastSkippedBaseFiles.get > 0,
+      s"string range must skip out-of-band files, got " +
+        s"${RowStore.lastPlannedBaseFiles.get} planned / " +
+        s"${RowStore.lastSkippedBaseFiles.get} skipped")
+    // the middle band must skip BOTH other bands: planned ≤ 1/3 of all
+    val total =
+      RowStore.lastPlannedBaseFiles.get + RowStore.lastSkippedBaseFiles.get
+    assert(RowStore.lastPlannedBaseFiles.get * 3 <= total,
+      s"expected ≤ total/3 planned, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/$total")
+    // unfiltered read: nothing skips
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT), COUNT(*) " +
+      "FROM graft_dml.spec.sskip").head().getLong(1) == 48)
+    assert(RowStore.lastSkippedBaseFiles.get == 0)
+    s.sql("DROP TABLE graft_dml.spec.sskip")
+  }
+
   test("the table stream refuses rewriting commits (append-only contract)") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
