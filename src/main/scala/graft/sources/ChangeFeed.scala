@@ -292,20 +292,19 @@ object RowStoreOps {
     RowStore.commitLock.synchronized {
       require(keepLast >= 1, "must retain at least the current version")
       val vs = RowStore.versions(table)
-      val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+      // TAGGED versions are retained regardless of the keepLast window
+      // — a tag is a promise the snapshot stays reproducible (Iceberg's
+      // tag retention); its manifest survives and so do its files
+      val tagged = RowStore.listTags(table).map(_._2).toSet
+      val (window, retainedWindow) =
+        vs.splitAt(math.max(0, vs.size - keepLast))
+      val (keptByTag, expired) = window.partition(tagged)
+      val retained = (keptByTag ++ retainedWindow).sorted
       // staged branch manifests keep their files alive too — VACUUM
       // must not strand an un-published WAP branch
-      val branchKeep = {
-        val td = Paths.get(RowStore.tableDir(table))
-        val stream = Files.list(td)
-        val names = try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("branch-") && n.endsWith(".manifest"))
-          .map(_.stripPrefix("branch-").stripSuffix(".manifest")).toSeq
-        finally stream.close()
-        names.flatMap(b => RowStore.readBranchManifest(table, b)._2)
-          .map(_.name).toSet
-      }
+      val branchKeep = RowStore.listBranches(table)
+        .flatMap(b => RowStore.readBranchManifest(table, b)._2)
+        .map(_.name).toSet
       val keep = retained.flatMap(v => RowStore.readManifest(table, v))
         .map(_.name).toSet ++ branchKeep
       expired.foreach { v =>
@@ -342,6 +341,15 @@ object RowStoreOps {
       RowStore.writeManifest(table, cur + 1, RowStore.readManifest(table, v))
       cur + 1
     }
+
+  /** TAG a committed snapshot (Iceberg's `create_tag`): an immutable
+    * named ref `VERSION AS OF '<tag>'` resolves and VACUUM retains.
+    * Tags the current version when `v` is negative. */
+  def createTag(table: String, name: String, v: Int = -1): Int = {
+    val ver = if (v >= 0) v else RowStore.currentVersion(table)
+    RowStore.createTag(table, name, ver)
+    ver
+  }
 
   /** PUBLISH a staged branch (the WAP fast-forward): the branch's
     * snapshot becomes the next committed version — atomically, under

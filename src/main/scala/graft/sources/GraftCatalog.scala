@@ -90,6 +90,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base)) new FilesTable(base)
       else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "partitions" && ident.namespace().nonEmpty) {
+      // `<table>.partitions` — per-(spec, group) operational metadata
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new PartitionsTable(base)
+      else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }
 
@@ -98,18 +104,38 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * SNAPSHOT-TIME schema rides the manifest's `#schema` header
     * (Iceberg/Delta's rule): after ADD/DROP COLUMN, older versions
     * keep the shape they were committed under instead of being
-    * silently re-projected through the current schema. */
+    * silently re-projected through the current schema.
+    *
+    * A NON-numeric version resolves as a NAMED REF (Iceberg's
+    * `VERSION AS OF 'ref'`): a TAG pins to its recorded committed
+    * version (snapshot-time schema rules apply unchanged); a staged
+    * WAP BRANCH reads the staged snapshot — the SQL spelling of the
+    * `branch=<name>` read option. Tags win over branches on a name
+    * collision (a tag is a committed fact, a branch a proposal). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val k = key(ident)
     if (!RowStore.exists(k)) throw new NoSuchTableException(ident)
-    val v = version.toInt
-    val have = RowStore.versions(k)
-    require(have.contains(v), s"no version $v for $k (have $have)")
     val meta = RowStore.readMeta(k)
-    new RowTable(k,
-      meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
-        renames = RowStore.versionRenames(k, v)),
-      v)
+    def pinned(v: Int): Table = {
+      val have = RowStore.versions(k)
+      require(have.contains(v), s"no version $v for $k (have $have)")
+      new RowTable(k,
+        meta.copy(schema = RowStore.versionSchema(k, v).getOrElse(meta.schema),
+          renames = RowStore.versionRenames(k, v)),
+        v)
+    }
+    version.toIntOption match {
+      case Some(v) => pinned(v)
+      case None if RowStore.tagExists(k, version) =>
+        pinned(RowStore.readTag(k, version))
+      case None if RowStore.branchExists(k, version) =>
+        // branch reads plan from the STAGED manifest; version is the
+        // fork base (display/metadata only — the scan ignores it)
+        new RowTable(k, meta, RowStore.readBranchManifest(k, version)._1,
+          forceBranch = Some(version))
+      case None => sys.error(
+        s"$k has no version, tag, or staged branch named '$version'")
+    }
   }
 
   /** `PARTITIONED BY (bucket(n, col))` — the Iceberg-shaped partition
@@ -435,7 +461,8 @@ private object RidMetaCol extends MetadataColumn {
   override def isNullable: Boolean = false
 }
 
-class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
+class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
+    forceBranch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -497,8 +524,9 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int)
           .map(v => GroupWrite.parseCompact(v)._2)),
       // streaming start version (readStream.option("from", v))
       streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0),
-      // `branch=<name>` reads the STAGED snapshot (WAP audit read)
-      branch = Option(options.get("branch")))
+      // `branch=<name>` reads the STAGED snapshot (WAP audit read);
+      // a `VERSION AS OF '<branch>'` table arrives branch-pinned
+      branch = forceBranch.orElse(Option(options.get("branch"))))
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
     * `truncate()` on the same builder and flips it to replace-all.

@@ -127,3 +127,72 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
 case class FilesPartition(entries: Seq[RowStore.FileEntry])
     extends InputPartition
 
+/** `<table>.partitions` — Iceberg's partitions metadata table: one row
+  * per (spec, group) of the CURRENT snapshot with its file counts,
+  * exact row count when the manifest knows it, and on-disk byte size.
+  * The operational table lake users query most after `.files` ("which
+  * partitions are big / fragmented / delta-dirty?"). Pure manifest
+  * metadata + filesystem stat calls — ZERO data files opened (pinned
+  * in RowCatalogSpec via the parquet-open counter). */
+class PartitionsTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.partitions"
+  override def schema(): StructType = StructType(Seq(
+    StructField("spec", IntegerType, nullable = false),
+    StructField("grp", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_delta_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = PartitionsTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val es = RowStore.readManifest(baseKey,
+          RowStore.currentVersion(baseKey))
+        val dir = RowStore.dataDir(baseKey)
+        // any table-wide delta file (group < 0) can hold records of
+        // EVERY group, so no group's row count is exact under one
+        val tableWideDelta = es.exists(e => e.kind == "delta" && e.group < 0)
+        val rows = es.groupBy(e => (e.spec, e.group)).toSeq
+          .sortBy { case ((sp, g), _) => (sp, g) }
+          .map { case ((sp, g), fs) =>
+            val base = fs.filter(_.kind == "base")
+            val nDelta = fs.count(_.kind == "delta")
+            val nRows: Option[Long] =
+              if (nDelta > 0 || tableWideDelta || base.exists(_.rows.isEmpty))
+                None
+              else Some(base.map(_.rows.get).sum)
+            val bytes = fs
+              .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+            PartitionRow(sp, g, base.size.toLong, nDelta.toLong, nRows,
+              bytes)
+          }
+        Array(PartitionsPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[PartitionsPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: PartitionRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.spec, cur.grp, cur.nFiles, cur.nDelta,
+                  cur.nRows.map(Long.box).orNull, cur.bytes))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class PartitionRow(spec: Int, grp: Int, nFiles: Long, nDelta: Long,
+    nRows: Option[Long], bytes: Long)
+case class PartitionsPartition(rows: Seq[PartitionRow])
+    extends InputPartition
+

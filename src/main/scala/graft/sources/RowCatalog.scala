@@ -495,6 +495,49 @@ object RowCatalogQueries {
         .orderBy(col("k"))
     }),
 
+    // ── q138: SNAPSHOT TAGS + SQL REF READS — Iceberg's named refs:
+    // tag the seed version as 'release', advance the table, stage a
+    // WAP slice on branch 'audit', then read BOTH by name through
+    // `VERSION AS OF '<ref>'` — the SQL spelling of the ref surface
+    // (no read options). VACUUM(keepLast=1) then expires untagged
+    // history while TAG RETENTION keeps the tagged snapshot readable.
+    // In-plan pins: tag_frozen (the tag answers the seed aggregate
+    // both after the table advanced and after VACUUM) and
+    // branch_saw_staged (the SQL branch read sees published+staged).
+    // RowCatalogSpec pins tag immutability and the retention
+    // accounting.
+    "q138_dml_tags" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q138_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.tagged")
+      s.sql("CREATE TABLE graft_dml.ns.tagged (k BIGINT, cents BIGINT)")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.tagged
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q138_orders WHERE o_orderkey % 8 = $r"""); () }
+      def slice(r: Int): Long = s.sql("SELECT COUNT(*) FROM q138_orders " +
+        s"WHERE o_orderkey % 8 = $r").head().getLong(0)
+      ins(0)
+      RowStoreOps.createTag("graft_dml.ns.tagged", "release")
+      ins(1)
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM q138_orders WHERE o_orderkey % 8 = 2""")
+        .writeTo("graft_dml.ns.tagged").option("branch", "audit").append()
+      val (na, nb, nc) = (slice(0), slice(1), slice(2))
+      val tagPre = s.sql("SELECT COUNT(*) FROM graft_dml.ns.tagged " +
+        "VERSION AS OF 'release'").head().getLong(0)
+      val brN = s.sql("SELECT COUNT(*) FROM graft_dml.ns.tagged " +
+        "VERSION AS OF 'audit'").head().getLong(0)
+      RowStoreOps.vacuum("graft_dml.ns.tagged", keepLast = 1)
+      val tagPost = s.sql("SELECT COUNT(*) FROM graft_dml.ns.tagged " +
+        "VERSION AS OF 'release'").head().getLong(0)
+      s.table("graft_dml.ns.tagged")
+        .withColumn("tag_frozen", lit(tagPre == na && tagPost == na))
+        .withColumn("branch_saw_staged", lit(brN == na + nb + nc))
+        .orderBy(col("k"))
+    }),
+
     // ── q125: PARTITION-SPEC EVOLUTION — Iceberg's headline layout
     // feature: the table starts bucket(4, k), EVOLVES to
     // truncate(100000, k) via `ALTER TABLE … SET TBLPROPERTIES
@@ -589,6 +632,22 @@ object RowCatalogQueries {
       s.table(s"$t.files")
         .selectExpr("grp", "kind", "n_rows", "min_k", "max_k")
         .orderBy(col("grp"))
+    }),
+
+    // ── q139: `.partitions` METADATA TABLE — the per-(spec, group)
+    // operational rollup (Iceberg's `partitions`): file counts, exact
+    // row counts, on-disk size — all from manifests + fs stat calls,
+    // ZERO data files opened (RowCatalogSpec pins the open counter).
+    // Over the COW lifecycle head every group holds exactly one base
+    // file and no deltas, so the oracle restates the rollup
+    // relationally; `has_bytes` pins that sizes are real without
+    // hashing a non-portable byte count.
+    "q139_dml_partitions_table" -> ((s, d) => {
+      val t = sharedLifecycle(s, d, mor = false)
+      s.table(s"$t.partitions")
+        .selectExpr("spec", "grp", "n_files", "n_delta_files", "n_rows",
+          "bytes > 0 AS has_bytes")
+        .orderBy(col("spec"), col("grp"))
     }),
 
     // ── q134: `months(ts)` CALENDAR TRANSFORM — the rest of the
@@ -994,6 +1053,14 @@ object RowCatalogQueries {
         |  TRUE AS staged_invisible, TRUE AS audit_saw_staged
         |FROM orders WHERE o_orderkey % 8 IN (0, 3) ORDER BY k""".stripMargin,
 
+    // the published slices; the tag/branch pins are TRUE by the named
+    // refs' contract (frozen tag, staged-superset branch)
+    "q138_dml_tags" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS tag_frozen, TRUE AS branch_saw_staged
+        |FROM orders WHERE o_orderkey % 8 IN (0, 1) ORDER BY k""".stripMargin,
+
     // both slices restated from raw orders — the engine's answer must
     // be layout-invariant across the spec boundary
     "q125_dml_spec_evolution" ->
@@ -1029,6 +1096,16 @@ object RowCatalogQueries {
         |SELECT CAST(k % 4 AS INTEGER) AS grp, 'base' AS kind,
         |  COUNT(*) AS n_rows, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM fin GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // one base file, zero deltas per group on the COW lifecycle head;
+    // row counts restate the final state per group
+    "q139_dml_partitions_table" ->
+      s"""$lifecycleCtes,
+        |fin AS (SELECT k, cents, status FROM merged WHERE k % 97 <> 0)
+        |SELECT CAST(0 AS INTEGER) AS spec, CAST(k % 4 AS INTEGER) AS grp,
+        |  CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_delta_files,
+        |  COUNT(*) AS n_rows, TRUE AS has_bytes
+        |FROM fin GROUP BY 2 ORDER BY spec, grp""".stripMargin,
 
     // the monthly rollup restated over raw orders (date_trunc returns
     // DATE in DuckDB — cast to TIMESTAMP for schema parity)

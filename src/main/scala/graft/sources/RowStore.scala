@@ -492,6 +492,70 @@ object RowStore {
     Files.deleteIfExists(branchPath(key, name)); ()
   }
 
+  /** Names of every staged branch of `key`. */
+  def listBranches(key: String): Seq[String] = {
+    val td = Paths.get(tableDir(key))
+    if (!Files.isDirectory(td)) Seq.empty
+    else {
+      val stream = Files.list(td)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("branch-") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("branch-").stripSuffix(".manifest")).toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  // ── TAGS (Iceberg's named immutable snapshot refs): a tag pins a
+  // COMMITTED version under a name — `VERSION AS OF '<tag>'` resolves
+  // through it, and VACUUM retains a tagged version's manifest and
+  // files regardless of the keepLast window (the "audited release"
+  // use: tag it and it stays reproducible). Tags are immutable:
+  // re-pointing a name is a loud error, not a silent move.
+
+  private def tagPath(key: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"tag name '$name' must be alphanumeric")
+    // an all-digit tag would be unreachable: VERSION AS OF resolves
+    // numerics as version ids first
+    require(name.exists(!_.isDigit),
+      s"tag name '$name' must contain a non-digit")
+    Paths.get(tableDir(key), s"tag-$name.ref")
+  }
+
+  def tagExists(key: String, name: String): Boolean =
+    Files.exists(tagPath(key, name))
+
+  def createTag(key: String, name: String, v: Int): Unit =
+    commitLock.synchronized {
+      require(versions(key).contains(v),
+        s"cannot tag $key@$v: no such committed version")
+      require(!tagExists(key, name),
+        s"tag '$name' of $key already exists (tags are immutable — " +
+          "drop it first to re-point)")
+      Files.writeString(tagPath(key, name), s"$v\n"); ()
+    }
+
+  def readTag(key: String, name: String): Int =
+    Files.readString(tagPath(key, name)).trim.toInt
+
+  def dropTag(key: String, name: String): Unit = {
+    Files.deleteIfExists(tagPath(key, name)); ()
+  }
+
+  /** (name, version) of every tag of `key`. */
+  def listTags(key: String): Seq[(String, Int)] = {
+    val td = Paths.get(tableDir(key))
+    if (!Files.isDirectory(td)) Seq.empty
+    else {
+      val stream = Files.list(td)
+      val names = try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("tag-") && n.endsWith(".ref"))
+        .map(_.stripPrefix("tag-").stripSuffix(".ref")).toSeq.sorted
+      finally stream.close()
+      names.map(n => (n, readTag(key, n)))
+    }
+  }
+
   def drop(key: String): Boolean = {
     // the epoch high-water cache follows the table: a re-created table
     // with the same name starts a fresh manifest chain, so stale marks

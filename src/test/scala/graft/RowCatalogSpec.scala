@@ -1176,6 +1176,88 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.sskip")
   }
 
+  test(".partitions reports per-group rollups with zero data-file opens") {
+    val s = spark
+    import graft.sources.RowFiles
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.pt")
+    s.sql("CREATE TABLE graft_dml.spec.pt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    // two appends → 2 base files per group; all rows exact
+    s.sql("INSERT INTO graft_dml.spec.pt VALUES (0, 1), (1, 2), (2, 3)")
+    s.sql("INSERT INTO graft_dml.spec.pt VALUES (4, 5), (5, 6)")
+    RowFiles.filesOpened.set(0L)
+    val rows = s.table("graft_dml.spec.pt.partitions")
+      .orderBy("spec", "grp").collect()
+    assert(RowFiles.filesOpened.get == 0L,
+      s".partitions must open no data files, opened " +
+        s"${RowFiles.filesOpened.get}")
+    assert(rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq == Seq((0, 2L, 0L, 3L), (1, 2L, 0L, 2L)),
+      rows.mkString("; "))
+    assert(rows.forall(_.getLong(5) > 0), "bytes must be real fs sizes")
+
+    // MOR: a group with a delta file loses its exact row count (NULL)
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ptm")
+    s.sql("CREATE TABLE graft_dml.spec.ptm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.ptm VALUES (1, 10), (2, 20)")
+    s.sql("UPDATE graft_dml.spec.ptm SET v = 99 WHERE k = 1")
+    val mr = s.table("graft_dml.spec.ptm.partitions").collect()
+    assert(mr.exists(_.getLong(3) > 0), "the delta file must be counted")
+    assert(mr.filter(_.getLong(3) > 0).forall(_.isNullAt(4)),
+      "a delta-dirty partition has no exact row count")
+    s.sql("DROP TABLE graft_dml.spec.pt")
+    s.sql("DROP TABLE graft_dml.spec.ptm")
+  }
+
+  test("tags are immutable and VACUUM honors tag retention") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.tg")
+    s.sql("CREATE TABLE graft_dml.spec.tg (k BIGINT, v BIGINT)") // v0
+    s.sql("INSERT INTO graft_dml.spec.tg VALUES (1, 10), (2, 20)") // v1
+    RowStoreOps.createTag("graft_dml.spec.tg", "rel_a") // tags v1
+    s.sql("INSERT INTO graft_dml.spec.tg VALUES (3, 30)") // v2
+    s.sql("INSERT INTO graft_dml.spec.tg VALUES (4, 40)") // v3
+
+    // immutability: re-pointing an existing tag fails loudly
+    val repoint =
+      try { RowStoreOps.createTag("graft_dml.spec.tg", "rel_a"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("immutable") }
+    assert(repoint, "re-creating an existing tag must fail loudly")
+    // all-digit names would shadow version ids → rejected
+    intercept[IllegalArgumentException] {
+      RowStoreOps.createTag("graft_dml.spec.tg", "123")
+    }
+
+    // VERSION AS OF '<tag>' resolves by name
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.tg " +
+      "VERSION AS OF 'rel_a'").head().getLong(0) == 2)
+
+    // keepLast=1 would expire v0..v2; the tag keeps v1's manifest and
+    // files alive, v0/v2 expire
+    val (retained, _) = RowStoreOps.vacuum("graft_dml.spec.tg", keepLast = 1)
+    assert(retained == Seq(1, 3),
+      s"tagged v1 + head v3 must be retained, got $retained")
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.tg " +
+      "VERSION AS OF 'rel_a'").head().getLong(0) == 30,
+      "the tagged snapshot must stay fully readable after VACUUM")
+    val expiredFails =
+      try { s.sql("SELECT * FROM graft_dml.spec.tg VERSION AS OF 2").collect(); false }
+      catch { case _: Exception => true }
+    assert(expiredFails, "untagged expired versions must fail at analysis")
+    // an unknown ref name fails loudly, not as a silent empty read
+    val unknownFails =
+      try { s.sql("SELECT * FROM graft_dml.spec.tg " +
+        "VERSION AS OF 'nope_ref'").collect(); false }
+      catch { case _: Exception => true }
+    assert(unknownFails)
+    s.sql("DROP TABLE graft_dml.spec.tg")
+  }
+
   test("the table stream refuses rewriting commits (append-only contract)") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
