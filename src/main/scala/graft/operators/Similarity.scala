@@ -784,6 +784,62 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── s15: FILTERED ANN, PERMISSIVE-PREDICATE LEG — s14's
+    // pre-filter is right when the predicate is selective (there the
+    // filter shrinks the candidate stream). For a PERMISSIVE predicate
+    // (here `label < 8`, ~80% of the corpus) the vector-DB answer is
+    // the opposite: probe the IVF index predicate-BLIND with an
+    // over-fetch (k·8 candidates from the routed cells), post-filter
+    // the over-fetched set, and keep the top-k survivors — the index
+    // prunes by geometry, the predicate prunes after, and the cells
+    // read stay bounded regardless of predicate shape. Emitted as a
+    // GATE row (the s04 convention — the approximate set itself is
+    // engine-specific): recall ≥ 0.7 vs the in-plan exact FILTERED
+    // baseline, plus a non-vacuity pin that the predicate really
+    // rejected over-fetched candidates (else the leg collapses to
+    // plain ANN and the gate proves nothing). SimilarityGuardSpec
+    // re-checks non-vacuity structurally.
+    "s15_ann_filtered_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val (assigned, cents) = ivfIndex(s, d)
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      // exact filtered baseline: brute force over the label<8 corpus
+      val wx = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val exact = e.filter(col("label") < 8)
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("n_id"))
+      // predicate-blind over-fetch from the routed cells (Euclid
+      // router — the index's own metric, s06's discipline)
+      val probed = probeCellsEuclid(q, cents, nProbe = 6)
+      val fetched = assigned
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+          col("cell"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= K * 8)
+        .join(e.select(col("vec_id").as("n_id"), col("label")), Seq("n_id"))
+        .localCheckpoint() // two consumers: survivors + the vacuity pin
+      val survivors = fetched.filter(col("label") < 8)
+        .withColumn("rank2", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rank2") <= K)
+        .select(col("q_id"), col("n_id"))
+      val rejected = fetched.filter(col("label") >= 8)
+        .agg((count(lit(1)) > 0).as("predicate_rejected_some"))
+      recallGate(exact, survivors, 0.7, "filtered_ivf_recall_ok")
+        .crossJoin(rejected)
+    }),
+
     "s12_hard_negatives" -> ((s, d) => {
       VectorFunctions.register(s)
       val e = Tables(s, d, "embeddings")
@@ -1102,6 +1158,26 @@ object Similarity {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // n_pairs restates the exact FILTERED baseline's pair count; the
+    // booleans are the recall + non-vacuity contract
+    "s15_ann_filtered_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label < 8),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS filtered_ivf_recall_ok,
+        |  TRUE AS predicate_rejected_some FROM topk""".stripMargin,
 
     // s01's restatement with the near-dup exclusion band applied
     // before ranking

@@ -15,6 +15,20 @@ class PersistedIndexSpec extends AnyFunSuite {
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
 
+  test("s15 filtered-ANN gate holds and its predicate is non-vacuous") {
+    // the permissive-predicate leg's contract: recall ≥ 0.7 vs the
+    // exact filtered baseline AND the predicate really rejected
+    // over-fetched candidates — without the second half the leg
+    // silently degenerates to plain ANN and the gate proves nothing
+    val row = graft.operators.Similarity
+      .queries("s15_ann_filtered_ivf")(spark, sf).head()
+    assert(row.getLong(0) > 0, "exact filtered baseline must be non-empty")
+    assert(row.getBoolean(1), "filtered-IVF recall gate must hold")
+    assert(row.getBoolean(2),
+      "the predicate must reject some over-fetched candidates " +
+        "(non-vacuity of the post-filter)")
+  }
+
   test("s06 serving scan is partition-pruned to the routed cells") {
     val served = graft.operators.Similarity.servedProbe(spark, sf)
     served.collect()
