@@ -13,29 +13,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import scala.util.control.NonFatal
-    // warm-up + shared-fixture pre-warm are timed as ONE separate
-    // `fixtures` bucket in the output JSON, so per-query numbers are
-    // pure marginal cost and round-over-round deltas for untouched
-    // files stay within the measured ±30% run-to-run noise band.
-    val fx0 = System.nanoTime()
+    // warm-up + shared-fixture pre-warm are timed OUTSIDE any query's
+    // bucket, and each pre-warm entry is timed INDIVIDUALLY in the
+    // output's `fixtures` map (round-8 advisor: one opaque number hid
+    // which fixture regressed), so per-query numbers are pure marginal
+    // cost and a fixture-cost regression is attributable by name.
+    var fixtures = Vector.empty[(String, Double)]
+    def timedFixture(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      fixtures :+= (name, (System.nanoTime() - t0) / 1e9)
+    }
     // warm-up: pay session init, codegen compiler, parquet footer
     // reads, AND the parquet write path (committer + output codegen —
     // otherwise the alphabetically-first write-path query absorbs it)
     // once, outside any query's timing.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.Tables.names.foreach(n =>
-      try graft.Tables(spark, sfDir, n).count()
-      // NonFatal only: an OOM/Interrupted here means the JVM is
-      // already broken — masking it would surface later as a
-      // confusing per-query timeout
-      catch { case NonFatal(e) =>
-        System.err.println(s"[bench] warm-up $n suppressed: $e") })
-    try {
-      val wdir = graft.Scratch.dir(spark, "graft_bench_warm", "w")
-      spark.range(1000).write.mode("overwrite").parquet(wdir)
-      spark.read.parquet(wdir).count()
-    } catch { case NonFatal(e) =>
-      System.err.println(s"[bench] write warm-up suppressed: $e") }
+    timedFixture("warmup") {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      graft.Tables.names.foreach(n =>
+        try graft.Tables(spark, sfDir, n).count()
+        // NonFatal only: an OOM/Interrupted here means the JVM is
+        // already broken — masking it would surface later as a
+        // confusing per-query timeout
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] warm-up $n suppressed: $e") })
+      try {
+        val wdir = graft.Scratch.dir(spark, "graft_bench_warm", "w")
+        spark.range(1000).write.mode("overwrite").parquet(wdir)
+        spark.read.parquet(wdir).count()
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] write warm-up suppressed: $e") }
+    }
     // optional dev filter (regex) for profiling single queries; the
     // driver sets no filter and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -54,10 +62,11 @@ object Bench {
         "d10_tfidf_cosine", "s03_ann_ivf", "s09_ann_pq", "s08_ann_selfjoin",
         "q106_merge_into", "q108_merge_mor")
       prewarm.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
-        try { fn(spark, sfDir); () } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] pre-warm $n suppressed: $e") }))
+        timedFixture(n) {
+          try { fn(spark, sfDir); () } catch { case NonFatal(e) =>
+            System.err.println(s"[bench] pre-warm $n suppressed: $e") }}))
     }
-    val fixturesSec = (System.nanoTime() - fx0) / 1e9
+    val fixturesSec = fixtures.map(_._2).sum
     // min of two runs per query: run-to-run noise on a shared box was
     // measured at ±30%; the min is the standard low-noise estimator.
     //
@@ -102,9 +111,11 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fxs = fixtures.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixtures":$fixturesSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
     // The driver captures a tail of stdout; a noisy shutdown once pushed
     // the JSON line past the capture window and BENCH_r03 recorded
     // "parsed": null with ~21 of 83 entries lost. Belt and braces:
