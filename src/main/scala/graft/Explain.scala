@@ -39,7 +39,9 @@ object Explain {
         "q133_dml_rename_column", "q134_dml_months_transform",
         "q135_dml_rollback", "t18_dsir_weights", "s14_ann_filtered",
         "d19_containment", "q136_dml_files_table",
-        "q137_dml_identity_transform")
+        "q137_dml_identity_transform", "q138_dml_tags",
+        "q139_dml_partitions_table", "q140_dml_string_skip",
+        "s15_ann_filtered_ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
