@@ -41,7 +41,7 @@ object Explain {
         "d19_containment", "q136_dml_files_table",
         "q137_dml_identity_transform", "q138_dml_tags",
         "q139_dml_partitions_table", "q140_dml_string_skip",
-        "s15_ann_filtered_ivf")
+        "s15_ann_filtered_ivf", "q141_dml_procedures")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

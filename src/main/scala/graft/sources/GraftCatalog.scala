@@ -21,10 +21,112 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName = "graft_dml"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
+
+  // ── SQL PROCEDURES (`CALL graft_dml.system.<proc>(…)`) — Iceberg's
+  // stored-procedure surface for the maintenance operations that have
+  // no DML spelling: rollback, tagging, snapshot expiry, compaction,
+  // branch publish. Each runs the SAME RowStoreOps/RowStore code path
+  // the programmatic API uses and returns its outcome as a one-row
+  // result set (a LocalScan — driver-side metadata, never data).
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => VScan}
+
+  /** One self-binding procedure: fixed IN parameters, one-row result. */
+  private abstract class Proc(procName: String, desc: String,
+      params: Seq[(String, DataType)], out: Seq[(String, DataType)])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(input: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+    override def isDeterministic: Boolean = false // mutates table state
+    /** args arrive in parameters() order (strings as UTF8String). */
+    def run(args: InternalRow): Array[Any]
+    override def call(input: InternalRow): java.util.Iterator[VScan] = {
+      val row: InternalRow = new GenericInternalRow(run(input))
+      val schema = StructType(out.map { case (n, t) =>
+        StructField(n, t, nullable = false) })
+      java.util.List.of[VScan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  /** Procedure arg `'ns.table'` → the store key (catalog-qualified). */
+  private def tkey(t: UTF8String): String = s"$catName.${t.toString}"
+
+  private lazy val procedures: Map[String, Proc] = Seq(
+    new Proc("create_tag",
+      "tag the table's current version as an immutable named ref",
+      Seq(("table", StringType), ("tag", StringType)),
+      Seq(("tag", StringType), ("version", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val v = RowStoreOps.createTag(tkey(a.getUTF8String(0)),
+          a.getUTF8String(1).toString)
+        Array(a.getUTF8String(1).copy(), v)
+      }
+    },
+    new Proc("rollback_to_snapshot",
+      "commit a new head whose content is an earlier version's",
+      Seq(("table", StringType), ("version", IntegerType)),
+      Seq(("previous_version", IntegerType), ("current_version", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val k = tkey(a.getUTF8String(0))
+        val prev = RowStore.currentVersion(k)
+        Array(prev, RowStoreOps.rollback(k, a.getInt(1)))
+      }
+    },
+    new Proc("expire_snapshots",
+      "retain the newest keep_last versions (+ tagged ones); delete " +
+        "expired manifests and orphaned files",
+      Seq(("table", StringType), ("keep_last", IntegerType)),
+      Seq(("retained_versions", IntegerType), ("deleted_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (retained, deleted) =
+          RowStoreOps.vacuum(tkey(a.getUTF8String(0)), a.getInt(1))
+        Array(retained.size, deleted)
+      }
+    },
+    new Proc("rewrite_data_files",
+      "compact dirty groups (fragmented or delta-bearing) into one " +
+        "base file each",
+      Seq(("table", StringType)),
+      Seq(("compacted_groups", IntegerType), ("entries_before", IntegerType),
+        ("entries_after", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (dirty, before, after) = RowStoreOps.compact(
+          SparkSession.active, tkey(a.getUTF8String(0)))
+        Array(dirty.size, before, after)
+      }
+    },
+    new Proc("publish_branch",
+      "fast-forward a staged WAP branch into the next committed version",
+      Seq(("table", StringType), ("branch", StringType)),
+      Seq(("published_version", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] =
+        Array(RowStoreOps.publishBranch(tkey(a.getUTF8String(0)),
+          a.getUTF8String(1).toString))
+    }
+  ).map(p => p.name() -> p).toMap
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace, got $ident")
+    procedures.getOrElse(ident.name(),
+      sys.error(s"unknown procedure ${ident.name()} " +
+        s"(have ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
   override def name(): String = catName
 
   /** DEFAULT column values: declaring the capability lets Spark's

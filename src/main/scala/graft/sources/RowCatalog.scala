@@ -538,6 +538,46 @@ object RowCatalogQueries {
         .orderBy(col("k"))
     }),
 
+    // ── q141: SQL PROCEDURES — Iceberg's `CALL catalog.system.<proc>`
+    // maintenance surface through Spark 4's ProcedureCatalog: the
+    // lifecycle here drives tag → bad DELETE → rollback → append →
+    // compact → expire ENTIRELY via CALL statements (each returns its
+    // outcome as a one-row result set; the same RowStoreOps code paths
+    // the programmatic API uses, now SQL-reachable). The final content
+    // is layout- and history-invariant (rollback undid the DELETE,
+    // compaction is observationally invisible, expiry kept the tagged
+    // seed) — exactly what the oracle restates from raw orders; the
+    // tag_ok pin re-reads the tagged snapshot through VERSION AS OF
+    // after expiry. RowCatalogSpec pins each procedure's result row,
+    // named-argument binding, and the unknown-procedure error.
+    "q141_dml_procedures" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q141_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.proc")
+      s.sql("CREATE TABLE graft_dml.ns.proc (k BIGINT, cents BIGINT)")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.proc
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q141_orders WHERE o_orderkey % 11 = $r"""); () }
+      ins(0) // v1: the seed
+      s.sql("CALL graft_dml.system.create_tag('ns.proc', 'seed')").collect()
+      s.sql("DELETE FROM graft_dml.ns.proc WHERE k % 2 = 0") // v2: bad
+      s.sql("CALL graft_dml.system.rollback_to_snapshot('ns.proc', 1)")
+        .collect() // v3 == seed again
+      ins(3) // v4: fragments the seed's groups
+      s.sql("CALL graft_dml.system.rewrite_data_files(table => 'ns.proc')")
+        .collect() // v5: compacted, content-invisible
+      s.sql("CALL graft_dml.system.expire_snapshots('ns.proc', 1)")
+        .collect() // keeps v5 + tagged v1
+      val na = s.sql("SELECT COUNT(*) FROM q141_orders " +
+        "WHERE o_orderkey % 11 = 0").head().getLong(0)
+      val tagN = s.sql("SELECT COUNT(*) FROM graft_dml.ns.proc " +
+        "VERSION AS OF 'seed'").head().getLong(0)
+      s.table("graft_dml.ns.proc")
+        .withColumn("tag_ok", lit(tagN == na))
+        .orderBy(col("k"))
+    }),
+
     // ── q125: PARTITION-SPEC EVOLUTION — Iceberg's headline layout
     // feature: the table starts bucket(4, k), EVOLVES to
     // truncate(100000, k) via `ALTER TABLE … SET TBLPROPERTIES
@@ -1052,6 +1092,15 @@ object RowCatalogQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  TRUE AS staged_invisible, TRUE AS audit_saw_staged
         |FROM orders WHERE o_orderkey % 8 IN (0, 3) ORDER BY k""".stripMargin,
+
+    // rollback undid the DELETE and compaction/expiry are invisible:
+    // final content = both inserted slices; the tag pin is TRUE by the
+    // retention contract
+    "q141_dml_procedures" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS tag_ok
+        |FROM orders WHERE o_orderkey % 11 IN (0, 3) ORDER BY k""".stripMargin,
 
     // the published slices; the tag/branch pins are TRUE by the named
     // refs' contract (frozen tag, staged-superset branch)

@@ -1211,6 +1211,57 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.ptm")
   }
 
+  test("CALL procedures drive the maintenance surface end to end") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.proc")
+    s.sql("CREATE TABLE graft_dml.spec.proc (k BIGINT, v BIGINT)") // v0
+    s.sql("INSERT INTO graft_dml.spec.proc VALUES (1, 10), (2, 20)") // v1
+    s.sql("INSERT INTO graft_dml.spec.proc VALUES (3, 30)") // v2
+
+    // create_tag returns (tag, version = current)
+    val tagRow = s.sql(
+      "CALL graft_dml.system.create_tag('spec.proc', 'rel')").head()
+    assert((tagRow.getString(0), tagRow.getInt(1)) == ("rel", 2))
+
+    // rollback_to_snapshot commits a NEW head with v1's content
+    val rb = s.sql(
+      "CALL graft_dml.system.rollback_to_snapshot('spec.proc', 1)").head()
+    assert((rb.getInt(0), rb.getInt(1)) == (2, 3))
+    assert(s.table("graft_dml.spec.proc").count() == 2)
+
+    // named-argument form works too (Spark's CALL by-name binding)
+    // key 5 shares key 1's bucket → that group now has 2 base files
+    s.sql("INSERT INTO graft_dml.spec.proc VALUES (5, 40)") // v4
+    val rw = s.sql("CALL graft_dml.system.rewrite_data_files(" +
+      "table => 'spec.proc')").head()
+    assert(rw.getInt(0) >= 1, s"fragmented group must compact: $rw")
+    assert(s.table("graft_dml.spec.proc").count() == 3)
+
+    // expire_snapshots: keep_last=1 + the tagged v2
+    val ex = s.sql("CALL graft_dml.system.expire_snapshots(" +
+      "'spec.proc', 1)").head()
+    assert(ex.getInt(0) == 2, s"head + tagged v2 retained: $ex")
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.proc " +
+      "VERSION AS OF 'rel'").head().getLong(0) == 3)
+
+    // publish_branch: stage then CALL-publish
+    s.sql("SELECT CAST(9 AS BIGINT) AS k, CAST(90 AS BIGINT) AS v")
+      .writeTo("graft_dml.spec.proc").option("branch", "b1").append()
+    val pb = s.sql("CALL graft_dml.system.publish_branch(" +
+      "'spec.proc', 'b1')").head()
+    assert(pb.getInt(0) > 0)
+    assert(s.table("graft_dml.spec.proc").count() == 4)
+
+    // unknown procedure fails loudly
+    val unknown =
+      try { s.sql("CALL graft_dml.system.nope('x')").collect(); false }
+      catch { case e: Exception => e.getMessage.contains("unknown procedure") ||
+        e.getMessage.contains("nope") }
+    assert(unknown)
+    s.sql("DROP TABLE graft_dml.spec.proc")
+  }
+
   test("tags are immutable and VACUUM honors tag retention") {
     val s = spark
     import graft.sources.{RowStore, RowStoreOps}
