@@ -33,6 +33,22 @@ object Similarity {
     * round-3 advisor). */
   private val ivfCache = new graft.SessionLruCache[(DataFrame, DataFrame)](4)
 
+  /** FAISS's trainer discipline: quantizer/codebook KMeans fits train
+    * on a BOUNDED deterministic sample (portable-hash ppm gate on
+    * vec_id, ≤ [[TrainCap]] vectors), never the full corpus — at
+    * 100 TB a full-corpus sweep per codebook fit is the wrong build
+    * (the encode pass touches the corpus once; training never should).
+    * The recall gates (s04/s06/s08–s11/st35) remain the contract that
+    * sampling didn't hurt. At harness SFs the corpus sits under the
+    * cap, so the gate keeps every vector and results are unchanged. */
+  private[operators] val TrainCap = 100000L
+  private[operators] def trainSample(df: DataFrame, corpusRows: Long): DataFrame =
+    if (corpusRows <= TrainCap) df
+    else {
+      val ppm = math.max(1L, TrainCap * 1000000L / corpusRows)
+      df.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(ppm))
+    }
+
   private[operators] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfIndexFor(s, d, Tables(s, d, "embeddings"))
 
@@ -48,14 +64,20 @@ object Similarity {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val nCells = 16
+      // sized BEFORE the repartition/vectorize lineage: on a parquet
+      // source this count folds to footer metadata, no data pages
+      val corpusRows = source.count()
       val e = source
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fv", array_to_vector(col("embedding")))
       // a coarse quantizer only partitions space — 5 iterations is
-      // plenty and halves the fit cost vs the default 20
+      // plenty and halves the fit cost vs the default 20. The fit
+      // trains on the bounded sample ([[trainSample]]); the one
+      // full-corpus pass is the transform (cell assignment) below,
+      // which a real index build pays by definition.
       val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(e)
+        .fit(trainSample(e, corpusRows))
       val assigned = model.transform(e)
         .select(col("vec_id"), col("embedding"), col("cell"))
         .localCheckpoint() // materialized index: reused by every query
@@ -276,6 +298,7 @@ object Similarity {
       // cosine estimate (a raw-dot ADC ranks by magnitude·angle and
       // diverges from the cosine baseline badly enough to fail the
       // recall gate)
+      val corpusRows = Tables(s, d, "embeddings").count() // footer-only
       val e = Tables(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", expr("greatest(sqrt(aggregate(embedding, " +
@@ -283,8 +306,16 @@ object Similarity {
           "CAST(x AS DOUBLE))), CAST(1e-12 AS DOUBLE))"))
         .withColumn("nv",
           expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"))
+      // the 16 per-subspace fits read ONE materialized bounded sample
+      // ([[trainSample]] + localCheckpoint) — before this, each fit
+      // re-ran the scan+normalize pipeline over the FULL corpus (16
+      // sequential sweeps: the dominant bench fixture, and the wrong
+      // build at 100 TB). The corpus is touched exactly once more, by
+      // the encode pass below.
+      val train = trainSample(e, corpusRows).select(col("nv"))
+        .localCheckpoint()
       val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { m =>
-        val sub = e.withColumn("fv", array_to_vector(
+        val sub = train.withColumn("fv", array_to_vector(
           expr(s"slice(nv, ${m * PqSub + 1}, $PqSub)")))
         new KMeans().setK(PqCodes).setSeed(42L + m).setMaxIter(5)
           .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
