@@ -122,19 +122,29 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** FILE SKIPPING (zone maps): range predicates on the FIRST column
-    * narrow a [lo, hi] window the scan checks against each base
-    * file's manifest stats. CONSERVATIVE on every axis: all filters
-    * come back as residuals (Spark re-evaluates them — a skipping bug
-    * can cost performance, never correctness), non-numeric and
-    * unrecognized shapes are ignored, and the scan only ever skips
-    * clean groups on plain reads (see planInputPartitions). */
+  /** FILE SKIPPING (zone maps): range predicates narrow a per-column
+    * [lo, hi] window the scan checks against each base file's manifest
+    * stats — the KEY column's window additionally drives partition
+    * pruning for the monotonic transforms; every other column prunes
+    * via the per-column bounds ([[RowStore.FileEntry.colsN]]/`colsS`,
+    * Iceberg's every-column lower/upper bounds). CONSERVATIVE on every
+    * axis: all filters come back as residuals (Spark re-evaluates them
+    * — a skipping bug can cost performance, never correctness),
+    * non-numeric and unrecognized shapes are ignored, and the scan
+    * only ever skips clean groups on plain reads (see
+    * planInputPartitions). */
   private var keyLo = Long.MinValue
   private var keyHi = Long.MaxValue
   // string-key window (both sides INCLUSIVE — strict string bounds
   // have no clean ±1, so Gt/Lt widen to Ge/Le: a sound over-scan)
   private var strLo: Option[String] = None
   private var strHi: Option[String] = None
+  // per-COLUMN windows, keyed by STORAGE name (what the manifest's
+  // per-column bounds are recorded under — stable across RENAME)
+  private val colWinN =
+    scala.collection.mutable.Map.empty[String, (Long, Long)]
+  private val colWinS =
+    scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
   private var accepted: Array[SFilter] = Array.empty
 
   private def narrow(lo: Long, hi: Long): Unit = {
@@ -144,6 +154,19 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     import RowStore.StrBounds.cmp
     lo.foreach(l => strLo = Some(strLo.filter(cmp(_, l) > 0).getOrElse(l)))
     hi.foreach(h => strHi = Some(strHi.filter(cmp(_, h) < 0).getOrElse(h)))
+  }
+  private def narrowCol(c: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = colWinN.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    colWinN(c) = (math.max(l0, lo), math.min(h0, hi))
+  }
+  private def narrowColS(c: String, lo: Option[String],
+      hi: Option[String]): Unit = {
+    import RowStore.StrBounds.cmp
+    val (l0, h0) = colWinS.getOrElse(c,
+      (None, None): (Option[String], Option[String]))
+    val nl = lo.map(l => l0.filter(cmp(_, l) > 0).getOrElse(l)).orElse(l0)
+    val nh = hi.map(h => h0.filter(cmp(_, h) < 0).getOrElse(h)).orElse(h0)
+    colWinS(c) = (nl, nh)
   }
   /** Pushed-filter literal → the key's internal long form. TIMESTAMP
     * literals arrive as java.sql/java.time values (by the session's
@@ -169,25 +192,37 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     val k = meta.keyCol
+    // a filter on ANY schema column narrows that column's window
+    // (storage-name-keyed); the KEY column's window additionally
+    // narrows the legacy key range (partition pruning, retro skipping
+    // of pre-per-column-stats manifests)
+    def known(n: String): Option[String] =
+      meta.schema.fields.find(_.name == n).map(_ => meta.storageOf(n))
+    def handleN(n: String, lo: Long, hi: Long): Boolean =
+      known(n).exists { st =>
+        narrowCol(st, lo, hi); if (n == k) narrow(lo, hi); true }
+    def handleS(n: String, lo: Option[String], hi: Option[String]): Boolean =
+      known(n).exists { st =>
+        narrowColS(st, lo, hi); if (n == k) narrowS(lo, hi); true }
     accepted = filters.filter {
-      case SEq(`k`, v) => num(v).exists { x => narrow(x, x); true } ||
-        str(v).exists { x => narrowS(Some(x), Some(x)); true }
-      case SGt(`k`, v) => num(v).exists { x => narrow(x + 1, Long.MaxValue); true } ||
-        str(v).exists { x => narrowS(Some(x), None); true }
-      case SGe(`k`, v) => num(v).exists { x => narrow(x, Long.MaxValue); true } ||
-        str(v).exists { x => narrowS(Some(x), None); true }
-      case SLt(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x - 1); true } ||
-        str(v).exists { x => narrowS(None, Some(x)); true }
-      case SLe(`k`, v) => num(v).exists { x => narrow(Long.MinValue, x); true } ||
-        str(v).exists { x => narrowS(None, Some(x)); true }
-      case SIn(`k`, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
-        val xs = vs.flatMap(num); narrow(xs.min, xs.max); true
-      case SIn(`k`, vs) if vs.nonEmpty && vs.forall(str(_).isDefined) =>
+      case SEq(c, v) => num(v).exists(x => handleN(c, x, x)) ||
+        str(v).exists(x => handleS(c, Some(x), Some(x)))
+      case SGt(c, v) => num(v).exists(x => handleN(c, x + 1, Long.MaxValue)) ||
+        str(v).exists(x => handleS(c, Some(x), None))
+      case SGe(c, v) => num(v).exists(x => handleN(c, x, Long.MaxValue)) ||
+        str(v).exists(x => handleS(c, Some(x), None))
+      case SLt(c, v) => num(v).exists(x => handleN(c, Long.MinValue, x - 1)) ||
+        str(v).exists(x => handleS(c, None, Some(x)))
+      case SLe(c, v) => num(v).exists(x => handleN(c, Long.MinValue, x)) ||
+        str(v).exists(x => handleS(c, None, Some(x)))
+      case SIn(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        val xs = vs.flatMap(num); handleN(c, xs.min, xs.max)
+      case SIn(c, vs) if vs.nonEmpty && vs.forall(str(_).isDefined) =>
         import RowStore.StrBounds.cmp
         val xs = vs.flatMap(str)
-        narrowS(Some(xs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
+        handleS(c,
+          Some(xs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
           Some(xs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
-        true
       case _ => false
     }
     filters // everything is residual
@@ -199,7 +234,8 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     else new GroupScan(tableKey, meta, version,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
-    else Some((keyLo, keyHi)), streamFrom, branch, (strLo, strHi))
+    else Some((keyLo, keyHi)), streamFrom, branch, (strLo, strHi),
+    colWinN.toMap, colWinS.toMap)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -213,7 +249,9 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     staticGroups: Option[Set[Int]] = None,
     keyRange: Option[(Long, Long)] = None,
     streamFrom: Int = 0, branch: Option[String] = None,
-    strRange: (Option[String], Option[String]) = (None, None))
+    strRange: (Option[String], Option[String]) = (None, None),
+    colWinN: Map[String, (Long, Long)] = Map.empty,
+    colWinS: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -421,9 +459,11 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       // files never skip.
       val visible =
         if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
-          (keyRange.isEmpty && strRange == ((None, None))) ||
+          (keyRange.isEmpty && strRange == ((None, None)) &&
+            colWinN.isEmpty && colWinS.isEmpty) ||
           sp != meta.specId) base
         else base.filter { e =>
+          import RowStore.StrBounds.cmp
           val numOk = (e.minK, e.maxK, keyRange) match {
             case (Some(mn), Some(mx), Some((lo, hi))) =>
               mx >= lo && mn <= hi
@@ -434,12 +474,29 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
           // with the pushed window under-prunes, never over-prunes
           val strOk = (e.minS, e.maxS) match {
             case (Some(mn), Some(mx)) =>
-              import RowStore.StrBounds.cmp
               strRange._1.forall(lo => cmp(mx, lo) >= 0) &&
                 strRange._2.forall(hi => cmp(mn, hi) <= 0)
             case _ => true
           }
-          numOk && strOk
+          // PER-COLUMN zone maps: a file survives only if every pushed
+          // column window intersects the file's recorded bounds for
+          // that column — any column a file carries no bounds for
+          // simply can't skip it (under-prune, never over-prune)
+          val colNOk = colWinN.forall { case (cn, (lo, hi)) =>
+            e.colsN.get(cn) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true
+            }
+          }
+          val colSOk = colWinS.forall { case (cn, (lo, hi)) =>
+            e.colsS.get(cn) match {
+              case Some((mn, mx)) =>
+                lo.forall(l => cmp(mx, l) >= 0) &&
+                  hi.forall(h => cmp(mn, h) <= 0)
+              case None => true
+            }
+          }
+          numOk && strOk && colNOk && colSOk
         }
       planned += visible.size
       skipped += base.size - visible.size

@@ -110,7 +110,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           if (epochId > RowStore.lastStreamEpoch(tableKey, queryId)) {
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
-                f.minK, f.maxK, f.rows, meta.specId, f.minS, f.maxS)).toSeq
+                f.minK, f.maxK, f.rows, meta.specId, f.minS, f.maxS,
+                f.colsN, f.colsS)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
               RowStore.readManifest(tableKey, cur) ++ added,
@@ -126,7 +127,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
-        f.rows, meta.specId, f.minS, f.maxS))
+        f.rows, meta.specId, f.minS, f.maxS, f.colsN, f.colsS))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -219,7 +220,9 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
 
 case class FileMeta(group: Int, name: String, minK: Option[Long],
     maxK: Option[Long], rows: Option[Long] = None,
-    minS: Option[String] = None, maxS: Option[String] = None)
+    minS: Option[String] = None, maxS: Option[String] = None,
+    colsN: Map[String, (Long, Long)] = Map.empty,
+    colsS: Map[String, (String, String)] = Map.empty)
 case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
@@ -248,6 +251,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private val sstats =
         scala.collection.mutable.Map.empty[Int, (String, String)]
       private val statless = scala.collection.mutable.Set.empty[Int]
+      // PER-COLUMN zone maps (Iceberg's lower/upper bounds for every
+      // column): exact extrema of each column's NON-NULL values per
+      // (group, column). Numeric slots in `cmins`/`cmaxs` (has-flag in
+      // `chas`), string extrema in `csmin`/`csmax` (truncated at
+      // commit). NULLs are simply not tracked — no pushed comparison
+      // shape accepts NULL, so a file whose non-null range misses the
+      // window is skippable regardless of its NULL rows.
+      private case class ColStats(cmins: Array[Long], cmaxs: Array[Long],
+        chas: Array[Boolean], csmin: Array[String], csmax: Array[String])
+      private val colStats =
+        scala.collection.mutable.Map.empty[Int, ColStats]
 
       private def trackStats(g: Int, v: Any): Unit = v match {
         case l: java.lang.Long =>
@@ -266,6 +280,42 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             case None => sstats(g) = (s, s)
           }
         case _ => statless += g; ()
+      }
+
+      private def trackColStats(g: Int, vals: Array[Any]): Unit = {
+        import RowStore.StrBounds.cmp
+        val cs = colStats.getOrElseUpdate(g, ColStats(
+          new Array[Long](fields.length), new Array[Long](fields.length),
+          new Array[Boolean](fields.length),
+          new Array[String](fields.length), new Array[String](fields.length)))
+        var i = 0
+        while (i < vals.length) {
+          vals(i) match {
+            case null => ()
+            case l: java.lang.Long =>
+              val k = l.longValue
+              if (!cs.chas(i)) { cs.cmins(i) = k; cs.cmaxs(i) = k; cs.chas(i) = true }
+              else {
+                if (k < cs.cmins(i)) cs.cmins(i) = k
+                if (k > cs.cmaxs(i)) cs.cmaxs(i) = k
+              }
+            case n: java.lang.Integer =>
+              val k = n.longValue
+              if (!cs.chas(i)) { cs.cmins(i) = k; cs.cmaxs(i) = k; cs.chas(i) = true }
+              else {
+                if (k < cs.cmins(i)) cs.cmins(i) = k
+                if (k > cs.cmaxs(i)) cs.cmaxs(i) = k
+              }
+            case s: String =>
+              if (cs.csmin(i) == null) { cs.csmin(i) = s; cs.csmax(i) = s }
+              else {
+                if (cmp(s, cs.csmin(i)) < 0) cs.csmin(i) = s
+                if (cmp(s, cs.csmax(i)) > 0) cs.csmax(i) = s
+              }
+            case _ => ()
+          }
+          i += 1
+        }
       }
 
       private def externalize(row: InternalRow): Array[Any] =
@@ -306,6 +356,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
           (name, new RowFiles.FileWriter(s"$dir/$name", fileFields))
         })
         if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
+        trackColStats(g, vals)
         w.write(vals)
       }
 
@@ -322,8 +373,22 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
           val sst = if (statless(g)) None
             else sstats.get(g).flatMap { case (mn, mx) =>
               RowStore.StrBounds.truncated(mn, mx) }
+          // per-column bounds keyed by STORAGE name (`fileFields` —
+          // what the scan translates pushed display names to); an
+          // unsoundly-truncatable string column just drops its entry
+          val (cn, cs) = colStats.get(g).map { c =>
+            val nums = fields.indices.collect {
+              case i if c.chas(i) =>
+                fileFields(i).name -> (c.cmins(i), c.cmaxs(i)) }.toMap
+            val strs = fields.indices.flatMap { i =>
+              Option(c.csmin(i)).flatMap(mn =>
+                RowStore.StrBounds.truncated(mn, c.csmax(i)))
+                .map(fileFields(i).name -> _) }.toMap
+            (nums, strs)
+          }.getOrElse((Map.empty[String, (Long, Long)],
+            Map.empty[String, (String, String)]))
           FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong),
-            sst.map(_._1), sst.map(_._2))
+            sst.map(_._1), sst.map(_._2), cn, cs)
         }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())

@@ -279,6 +279,50 @@ object RowCatalogQueries {
         WHERE name >= 'm' AND name < 'n'""")
     }),
 
+    // ── q142: PER-COLUMN ZONE-MAP FILE SKIPPING — Iceberg records
+    // lower/upper bounds for EVERY column, not just the partition key;
+    // without that, a pushed predicate on a non-key column (the
+    // timestamp on a bucket-keyed table, the price band on an
+    // id-keyed ledger) never skips a file. Here the table is KEYED on
+    // k (bucket default) while the three INSERT commits land disjoint
+    // bands of the NON-KEY columns: `cents` (numeric, epoch·off
+    // offsets) and `name` (string prefix bands, truncated bounds).
+    // The two legs push each predicate down separately and must both
+    // plan only the middle commit's files (RowCatalogSpec pins the
+    // planned/skipped accounting per leg); both legs restate the SAME
+    // band, so the oracle is one relational restatement twice. All
+    // filters stay residual — skipping can cost performance, never
+    // correctness.
+    "q142_dml_column_skip" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q142_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.colz")
+      s.sql("CREATE TABLE graft_dml.ns.colz " +
+        "(k BIGINT, cents BIGINT, name STRING)")
+      // band offset = first power of 10 above max(cents) — the q115
+      // discipline: a 1-row bounds fetch is planning metadata
+      val mxC = s.sql("SELECT CAST(max(round(o_totalprice * 100)) AS " +
+        "BIGINT) FROM q142_orders").head().getLong(0)
+      var off = 10000000L
+      while (off <= mxC) off *= 10
+      for ((p, e) <- Seq(("a", 0), ("m", 1), ("z", 2)))
+        s.sql(s"""INSERT INTO graft_dml.ns.colz
+          SELECT CAST(o_orderkey AS BIGINT),
+                 CAST(round(o_totalprice * 100) AS BIGINT) + ${e}L * ${off}L,
+                 concat('${p}_padding_padding_', CAST(o_orderkey AS STRING))
+          FROM q142_orders WHERE o_orderkey % 3 = $e""")
+      s.sql(s"""SELECT 'num' AS leg, COUNT(*) AS n,
+               CAST(SUM(cents) - COUNT(*) * ${off}L AS BIGINT)
+                 AS sum_base_cents
+        FROM graft_dml.ns.colz
+        WHERE cents >= ${off}L AND cents < ${2 * off}L
+        UNION ALL
+        SELECT 'str', COUNT(*),
+               CAST(SUM(cents) - COUNT(*) * ${off}L AS BIGINT)
+        FROM graft_dml.ns.colz WHERE name >= 'm' AND name < 'n'
+        ORDER BY leg""")
+    }),
+
     "q111_dml_vacuum" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
       val t = "graft_dml.ns.accounts_vac"
@@ -970,6 +1014,18 @@ object RowCatalogQueries {
         |SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  MIN(name) AS min_name, MAX(name) AS max_name
         |FROM b WHERE name >= 'm' AND name < 'n'""".stripMargin,
+
+    // both legs select the SAME middle band (o_orderkey % 3 = 1),
+    // restated from raw orders with the engine's offset subtracted out
+    "q142_dml_column_skip" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT 'num' AS leg, COUNT(*) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS sum_base_cents FROM b
+        |UNION ALL
+        |SELECT 'str', COUNT(*), CAST(SUM(c) AS BIGINT) FROM b
+        |ORDER BY leg""".stripMargin,
 
     // the manifest-answered count recomputed relationally
     "q124_dml_manifest_count" ->

@@ -136,11 +136,22 @@ object RowStore {
     * `minS`/`maxS` TRUNCATED bounds (Iceberg's string-stats model,
     * [[StrBounds]]) for string keys. None for delta files, entries
     * written before stats existed, and string prefixes the truncation
-    * can't bound soundly; statless files are never skipped. */
+    * can't bound soundly; statless files are never skipped.
+    *
+    * `colsN`/`colsS` are PER-COLUMN zone maps (Iceberg's
+    * lower_bounds/upper_bounds, which it records for EVERY column):
+    * exact [min, max] of each numeric/temporal column and truncated
+    * string bounds of each string column, keyed by the column's
+    * STORAGE name (stable across RENAME). Bounds cover the column's
+    * NON-NULL values — sound for the pushed comparison shapes, which
+    * no NULL satisfies. A column absent from the map (all-NULL file,
+    * unsound truncation, pre-stats manifest) never skips. */
   case class FileEntry(kind: String, group: Int, name: String,
       minK: Option[Long] = None, maxK: Option[Long] = None,
       rows: Option[Long] = None, spec: Int = 0,
-      minS: Option[String] = None, maxS: Option[String] = None)
+      minS: Option[String] = None, maxS: Option[String] = None,
+      colsN: Map[String, (Long, Long)] = Map.empty,
+      colsS: Map[String, (String, String)] = Map.empty)
 
   /** TRUNCATED string bounds — Iceberg's string zone-map model
     * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
@@ -295,6 +306,8 @@ object RowStore {
         var minS, maxS: Option[String] = None
         var rows: Option[Long] = None
         var spec = 0
+        var colsN = Map.empty[String, (Long, Long)]
+        var colsS = Map.empty[String, (String, String)]
         toks.drop(3).foreach { t =>
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
@@ -305,6 +318,17 @@ object RowStore {
           // corrupting the line-oriented layout)
           else if (t.startsWith("L")) minS = Some(StrBounds.dec(t.tail))
           else if (t.startsWith("U")) maxS = Some(StrBounds.dec(t.tail))
+          // `C<enc(col)>~<min>~<max>` / `T<enc(col)>~<encLo>~<encHi>`
+          // = per-COLUMN numeric / truncated-string bounds (all three
+          // parts URL-encoded, so `~` in a name or bound can't split)
+          else if (t.startsWith("C")) {
+            val Array(n, mn, mx) = t.tail.split("~", 3)
+            colsN += StrBounds.dec(n) -> (mn.toLong, mx.toLong)
+          } else if (t.startsWith("T")) {
+            val Array(n, lo, hi) = t.tail.split("~", 3)
+            colsS += StrBounds.dec(n) ->
+              (StrBounds.dec(lo), StrBounds.dec(hi))
+          }
           else if (minK.isEmpty) minK = Some(t.toLong)
           else if (maxK.isEmpty) maxK = Some(t.toLong)
           else sys.error(s"corrupt manifest line: $l")
@@ -314,7 +338,7 @@ object RowStore {
         require(minS.isDefined == maxS.isDefined,
           s"corrupt manifest line (unpaired string stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
-          minS, maxS)
+          minS, maxS, colsN, colsS)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -330,7 +354,12 @@ object RowStore {
       }
       val rows = e.rows.map(r => s"\tr$r").getOrElse("")
       val spec = if (e.spec != 0) s"\ts${e.spec}" else ""
-      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec"
+      val cn = e.colsN.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+        s"\tC${StrBounds.enc(n)}~$mn~$mx" }.mkString
+      val cs = e.colsS.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+        s"\tT${StrBounds.enc(n)}~${StrBounds.enc(lo)}~${StrBounds.enc(hi)}"
+      }.mkString
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the

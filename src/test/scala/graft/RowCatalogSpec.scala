@@ -1176,6 +1176,75 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.sskip")
   }
 
+  test("per-column zone maps skip files under non-key predicates") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cskip")
+    // table KEYED on k (bucket default): every commit covers every
+    // residue mod 4, so KEY stats never separate the commits — only
+    // the per-column bounds on v (numeric) and name (string) can
+    s.sql("CREATE TABLE graft_dml.spec.cskip (k BIGINT, v BIGINT, " +
+      "name STRING)")
+    for ((p, e) <- Seq(("a", 0), ("m", 1), ("z", 2)))
+      s.sql("INSERT INTO graft_dml.spec.cskip VALUES " +
+        (0 until 16).map(i =>
+          s"($i, ${e * 1000 + i}, '${p}_padding_padding_$i')")
+          .mkString(", "))
+    // numeric non-key predicate: only the middle band's 4 files plan
+    val sum = s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM " +
+      "graft_dml.spec.cskip WHERE v >= 1000 AND v <= 1015")
+      .head().getLong(0)
+    assert(sum == (0 until 16).map(_ + 1000L).sum)
+    assert(RowStore.lastPlannedBaseFiles.get == 4 &&
+      RowStore.lastSkippedBaseFiles.get == 8,
+      s"numeric non-key predicate: expected 4 planned / 8 skipped, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    // string non-key predicate (truncated bounds: names run past 16
+    // chars): same accounting
+    val cnt = s.sql("SELECT COUNT(*), CAST(SUM(v) AS BIGINT) FROM " +
+      "graft_dml.spec.cskip WHERE name >= 'm' AND name < 'n'").head()
+    assert(cnt.getLong(0) == 16 && cnt.getLong(1) == sum)
+    assert(RowStore.lastPlannedBaseFiles.get == 4 &&
+      RowStore.lastSkippedBaseFiles.get == 8,
+      s"string non-key predicate: expected 4 planned / 8 skipped, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    // conjunction across columns: v-band of commit 1 ∧ name-band of
+    // commit 2 is empty, and the windows compose to skip EVERYTHING
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.cskip " +
+      "WHERE v >= 1000 AND v <= 1015 AND name >= 'z'").head().getLong(0)
+      == 0)
+    assert(RowStore.lastPlannedBaseFiles.get == 0 &&
+      RowStore.lastSkippedBaseFiles.get == 12,
+      s"cross-column conjunction: expected 0 planned / 12 skipped, got " +
+        s"${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    // unfiltered read: nothing skips
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT), COUNT(*) FROM " +
+      "graft_dml.spec.cskip").head().getLong(1) == 48)
+    assert(RowStore.lastSkippedBaseFiles.get == 0)
+    // an all-NULL column records no bounds and never skips (sound:
+    // the file stays planned) while a present column still prunes
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cnull")
+    s.sql("CREATE TABLE graft_dml.spec.cnull (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.cnull VALUES (0, NULL), (1, NULL)")
+    s.sql("INSERT INTO graft_dml.spec.cnull VALUES (2, 10), (3, 20)")
+    val got = s.sql("SELECT COUNT(*) FROM graft_dml.spec.cnull " +
+      "WHERE v >= 100").head().getLong(0)
+    assert(got == 0)
+    // the all-NULL commit's files must be PLANNED (no bounds), the
+    // [10,20] commit's files skipped by the v >= 100 window
+    assert(RowStore.lastSkippedBaseFiles.get > 0 &&
+      RowStore.lastPlannedBaseFiles.get > 0,
+      s"expected the statless files planned and the bounded ones " +
+        s"skipped, got ${RowStore.lastPlannedBaseFiles.get}/" +
+        s"${RowStore.lastSkippedBaseFiles.get}")
+    s.sql("DROP TABLE graft_dml.spec.cnull")
+    s.sql("DROP TABLE graft_dml.spec.cskip")
+  }
+
   test(".partitions reports per-group rollups with zero data-file opens") {
     val s = spark
     import graft.sources.RowFiles
