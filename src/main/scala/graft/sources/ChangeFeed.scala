@@ -351,6 +351,39 @@ object RowStoreOps {
     ver
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION — Delta's `mergeSchema` behavior:
+    * top-level columns present in the SOURCE but not the target are
+    * auto-ADDED (through the ordinary ALTER ADD path, so committed
+    * rows NULL-pad via read-time padding and time travel keeps the
+    * pre-merge shape), then the MERGE statement runs against the
+    * evolved schema. COW only — MOR delta records are projected by
+    * written name against a pinned schema, the same rule that refuses
+    * RENAME there. Returns the added column names (empty = the plain
+    * MERGE path, byte-identical to not calling this). */
+  def mergeEvolving(s: SparkSession, table: String, sourceView: String,
+      mergeSql: String): Seq[String] = {
+    val meta = RowStore.readMeta(table)
+    require(!meta.mor, s"$table: MERGE schema evolution is not " +
+      "supported for merge-on-read tables (delta records are " +
+      "projected by written name)")
+    val have = meta.schema.fieldNames.toSet
+    val added = s.table(sourceView).schema.fields.toSeq
+      .filterNot(f => have(f.name)).map { f =>
+        val ddl = f.dataType match {
+          case LongType      => "BIGINT"
+          case IntegerType   => "INT"
+          case StringType    => "STRING"
+          case TimestampType => "TIMESTAMP"
+          case other => sys.error(s"$table: cannot auto-add column " +
+            s"${f.name} of unsupported type $other")
+        }
+        s.sql(s"ALTER TABLE $table ADD COLUMNS (${f.name} $ddl)")
+        f.name
+      }
+    s.sql(mergeSql)
+    added
+  }
+
   /** PUBLISH a staged branch (the WAP fast-forward): the branch's
     * snapshot becomes the next committed version — atomically, under
     * the same OCC rule as any rewrite: if the table advanced past the

@@ -459,6 +459,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           if (pcolNow == from) pcolNow = to
           StructType(sch.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
+        // TYPE WIDENING — Iceberg's type-promotion rule (the fourth
+        // schema-evolution leg after ADD/DROP/RENAME): ALTER COLUMN
+        // int → bigint is metadata-only. Committed files keep the
+        // narrow INT32 physical type; readers widen at the parquet
+        // boundary (RowFiles.readRows), new files write INT64, and
+        // each manifest's pinned `#schema` makes time travel surface
+        // the snapshot-time type. Narrowing (or any other change)
+        // refuses loudly: committed wide values could not be read
+        // back through a narrower type.
+        case (sch, upd: TableChange.UpdateColumnType) =>
+          require(upd.fieldNames().length == 1,
+            "nested ALTER COLUMN TYPE not supported")
+          val name = upd.fieldNames()(0)
+          val f = sch.fields.find(_.name == name).getOrElse(
+            sys.error(s"cannot alter type of missing column $name"))
+          require(f.dataType == IntegerType &&
+            upd.newDataType() == LongType,
+            s"unsupported type change ${f.dataType.simpleString} -> " +
+              s"${upd.newDataType().simpleString} for column $name: " +
+              "only the widening INT -> BIGINT promotion is supported")
+          StructType(sch.fields.map(x =>
+            if (x.name == name) x.copy(dataType = LongType) else x))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

@@ -821,6 +821,71 @@ object RowCatalogQueries {
         ORDER BY t.k""")
     }),
 
+    // ── q143: TYPE-WIDENING SCHEMA EVOLUTION — Iceberg's type
+    // promotion (`ALTER COLUMN v TYPE BIGINT`): metadata-only, files
+    // never rewrite. The seed commits INT32 files; after widening, a
+    // second slice writes values PAST Int.MaxValue (provably needing
+    // the wide type) into INT64 files, and the head read plans both
+    // eras in ONE scan — the reader widens narrow files at the
+    // parquet boundary. The time-travel leg joins the v1 snapshot,
+    // whose pinned `#schema` surfaces the SNAPSHOT-TIME narrow type
+    // (v_v1 is INT in the output schema, the oracle restates it as
+    // INTEGER), so a schema-pinning slip on either side breaks the
+    // schema or hash match. RowCatalogSpec pins the refusal surface
+    // (narrowing, non-integer changes) and the boundary types.
+    "q143_dml_type_widening" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q143_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.widen")
+      s.sql("CREATE TABLE graft_dml.ns.widen (k BIGINT, v INT)")
+      s.sql("""INSERT INTO graft_dml.ns.widen
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS INT)
+        FROM q143_orders WHERE o_orderkey % 5 = 0""")                  // v1
+      s.sql("ALTER TABLE graft_dml.ns.widen ALTER COLUMN v TYPE BIGINT") // v2
+      s.sql("""INSERT INTO graft_dml.ns.widen
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(o_custkey AS BIGINT) + 3000000000
+        FROM q143_orders WHERE o_orderkey % 5 = 2""")                  // v3
+      s.sql("""SELECT t.k, t.v, v1.v AS v_v1
+        FROM graft_dml.ns.widen t
+        LEFT JOIN (SELECT k, v FROM graft_dml.ns.widen VERSION AS OF 1) v1
+          ON t.k = v1.k
+        ORDER BY t.k""")
+    }),
+
+    // ── q144: MERGE SCHEMA EVOLUTION — Delta's `mergeSchema`: the
+    // source carries a column (`status`) the target lacks; the
+    // evolving merge auto-ADDs it through the ordinary ALTER ADD path
+    // (committed rows NULL-pad at read, time travel keeps the
+    // pre-merge shape), then applies the MERGE. A correct result
+    // needs all three row classes right: matched rows updated AND
+    // stamped, source-only rows inserted complete, and target-only
+    // rows surfacing NULL in the new column — exactly what the oracle
+    // restates from raw orders. RowCatalogSpec pins the added-column
+    // list, the MOR refusal, and the pre-merge snapshot's shape.
+    "q144_dml_merge_evolution" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q144_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.mev")
+      s.sql("CREATE TABLE graft_dml.ns.mev (k BIGINT, cents BIGINT)")
+      s.sql("""INSERT INTO graft_dml.ns.mev
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q144_orders WHERE o_orderkey % 9 = 0""")
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM q144_orders WHERE o_orderkey % 6 = 0""")
+        .createOrReplaceTempView("q144_src")
+      RowStoreOps.mergeEvolving(s, "graft_dml.ns.mev", "q144_src",
+        """MERGE INTO graft_dml.ns.mev t USING q144_src s ON t.k = s.k
+          WHEN MATCHED THEN
+            UPDATE SET cents = t.cents + s.cents, status = s.status
+          WHEN NOT MATCHED THEN INSERT (k, cents, status)
+            VALUES (s.k, s.cents, s.status)""")
+      s.table("graft_dml.ns.mev").orderBy(col("k"))
+    }),
+
     // ── q117: TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` is the
     // clause that turns MERGE into full table synchronization (the
     // warehouse-sync shape Delta/Iceberg document): rows ABSENT from
@@ -1067,6 +1132,33 @@ object RowCatalogQueries {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged WHERE k % 97 <> 0
         |GROUP BY 1 ORDER BY _group""".stripMargin,
+
+    // pre-widening slice (narrow, re-read wide at the head) + the
+    // post-widening slice with values past Int.MaxValue; the v1 leg
+    // keeps its snapshot-time INTEGER type
+    "q143_dml_type_widening" ->
+      """WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS INTEGER) AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |b AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) + 3000000000 AS v
+        |  FROM orders WHERE o_orderkey % 5 = 2)
+        |SELECT t.k, t.v, a.v AS v_v1
+        |FROM (SELECT k, CAST(v AS BIGINT) AS v FROM a
+        |      UNION ALL SELECT k, v FROM b) t
+        |LEFT JOIN a ON t.k = a.k
+        |ORDER BY t.k""".stripMargin,
+
+    // matched keys (mod 18) doubled + stamped, source-only inserted
+    // complete, target-only NULL in the auto-added column
+    "q144_dml_merge_evolution" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * (CASE WHEN o_orderkey % 18 = 0 THEN 2 ELSE 1 END) AS cents,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_orderstatus
+        |       ELSE NULL END AS status
+        |FROM orders WHERE o_orderkey % 9 = 0 OR o_orderkey % 6 = 0
+        |ORDER BY k""".stripMargin,
 
     // the three-way sync restated: matched keys (mod 30) doubled,
     // source-only keys inserted as seeded, target-only keys deleted

@@ -780,7 +780,20 @@ object RowFiles {
     if (present.isEmpty) {
       Array.fill(rowCount.toInt)(new Array[Any](wanted.length))
     } else {
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, messageType(present).toString)
+      // project by the FILE's own types, not the requested ones: after
+      // ALTER COLUMN int→long (type widening) the wanted type is INT64
+      // while files committed earlier keep the narrow INT32 physical
+      // type — Iceberg's promotion rule: files never rewrite, readers
+      // widen at the parquet boundary (extraction below)
+      def fileType(n: String): org.apache.parquet.schema.Type =
+        fileSchema.getType(Seq(n): _*)
+      val projection = new MessageType("row",
+        present.map(f => fileType(f.name)): _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      val int32 = present.filter { f =>
+        fileType(f.name).asPrimitiveType()
+          .getPrimitiveTypeName == PrimitiveTypeName.INT32
+      }.map(_.name).toSet
       val r = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
         .withConf(conf).build()
       val out = Array.newBuilder[Array[Any]]
@@ -791,6 +804,8 @@ object RowFiles {
             if (!fileSchema.containsField(f.name) ||
               g.getFieldRepetitionCount(f.name) == 0) null
             else f.dataType match {
+              case LongType if int32(f.name) =>
+                Long.box(g.getInteger(f.name, 0).toLong) // widened read
               case LongType      => Long.box(g.getLong(f.name, 0))
               case TimestampType => Long.box(g.getLong(f.name, 0))
               case IntegerType   => Int.box(g.getInteger(f.name, 0))

@@ -1245,6 +1245,94 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.cskip")
   }
 
+  test("type widening: int->bigint is metadata-only; narrowing refuses") {
+    val s = spark
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.wid")
+    s.sql("CREATE TABLE graft_dml.spec.wid (k BIGINT, v INT)")
+    s.sql("INSERT INTO graft_dml.spec.wid VALUES (1, 10), (2, 20)") // v1
+    val filesBefore = graft.sources.RowStore
+      .readManifest("graft_dml.spec.wid", 1).map(_.name).toSet
+    s.sql("ALTER TABLE graft_dml.spec.wid ALTER COLUMN v TYPE BIGINT") // v2
+    // metadata-only: no file moved
+    assert(graft.sources.RowStore.readManifest("graft_dml.spec.wid", 2)
+      .map(_.name).toSet == filesBefore)
+    // post-widening values past Int.MaxValue land in INT64 files; the
+    // head read plans BOTH eras in one scan and widens the narrow one
+    s.sql("INSERT INTO graft_dml.spec.wid VALUES (3, 3000000000)") // v3
+    val head = s.table("graft_dml.spec.wid").orderBy("k").collect()
+    assert(head.map(_.getLong(1)).toSeq == Seq(10L, 20L, 3000000000L))
+    assert(s.table("graft_dml.spec.wid").schema("v").dataType == LongType)
+    // time travel surfaces the SNAPSHOT-TIME type (pinned #schema)
+    val v1 = s.sql("SELECT * FROM graft_dml.spec.wid VERSION AS OF 1")
+    assert(v1.schema("v").dataType == IntegerType)
+    assert(v1.orderBy("k").collect().map(_.getInt(1)).toSeq == Seq(10, 20))
+    // the widened column still answers pushed aggregates / zone maps
+    // soundly: per-column bounds recorded as longs on both eras
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.wid")
+      .head().getLong(0) == 3000000030L)
+    // refusal surface: narrowing and non-widening changes refuse —
+    // Spark's analyzer rejects non-up-cast changes before the catalog
+    // (NOT_SUPPORTED_CHANGE_COLUMN); anything it lets through (e.g.
+    // int->string is a legal up-cast to the analyzer) must hit the
+    // catalog's own only-int-to-bigint guard
+    val e1 = intercept[Exception] {
+      s.sql("ALTER TABLE graft_dml.spec.wid ALTER COLUMN v TYPE INT") }
+    assert(e1.getMessage.contains("only the widening") ||
+      e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"narrowing must refuse, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      s.sql("ALTER TABLE graft_dml.spec.wid ALTER COLUMN k TYPE STRING") }
+    assert(e2.getMessage.contains("only the widening") ||
+      e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"bigint->string must refuse, got: ${e2.getMessage}")
+    s.sql("DROP TABLE graft_dml.spec.wid")
+  }
+
+  test("merge schema evolution auto-adds source-only columns; MOR refuses") {
+    val s = spark
+    import graft.sources.RowStoreOps
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mev")
+    s.sql("CREATE TABLE graft_dml.spec.mev (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.mev VALUES (1, 10), (2, 20)") // v1
+    s.sql("SELECT * FROM VALUES (2L, 5L, 'x'), (3L, 30L, 'y') " +
+      "AS t(k, v, tag)").createOrReplaceTempView("mev_src")
+    val added = RowStoreOps.mergeEvolving(s, "graft_dml.spec.mev",
+      "mev_src",
+      """MERGE INTO graft_dml.spec.mev t USING mev_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = s.tag
+        WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)""")
+    assert(added == Seq("tag"))
+    val rows = s.table("graft_dml.spec.mev").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    // untouched row NULL-pads, matched row updated+stamped, new row
+    // inserted complete
+    assert(rows == Seq((1L, 10L, null), (2L, 25L, "x"), (3L, 30L, "y")))
+    // the pre-merge snapshot keeps its shape (no `tag`)
+    assert(s.sql("SELECT * FROM graft_dml.spec.mev VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+    // idempotent surface: no new columns → plain merge, nothing added
+    assert(RowStoreOps.mergeEvolving(s, "graft_dml.spec.mev", "mev_src",
+      """MERGE INTO graft_dml.spec.mev t USING mev_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET tag = s.tag""").isEmpty)
+    s.sql("DROP TABLE graft_dml.spec.mev")
+
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mevm")
+    s.sql("CREATE TABLE graft_dml.spec.mevm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.mevm VALUES (1, 10)")
+    val e = intercept[Exception] {
+      RowStoreOps.mergeEvolving(s, "graft_dml.spec.mevm", "mev_src",
+        "MERGE INTO graft_dml.spec.mevm t USING mev_src s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v") }
+    assert(e.getMessage.contains("merge-on-read"),
+      s"MOR must refuse schema evolution, got: ${e.getMessage}")
+    s.sql("DROP TABLE graft_dml.spec.mevm")
+  }
+
   test(".partitions reports per-group rollups with zero data-file opens") {
     val s = spark
     import graft.sources.RowFiles
