@@ -52,37 +52,39 @@ object ChangesPlanning {
   def partitions(baseKey: String, meta: RowStore.Meta, from: Int,
       to: Int): Array[InputPartition] = {
     val dir = RowStore.dataDir(baseKey)
-    def side(v: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
-      val es = RowStore.readManifest(baseKey, v)
-      def paths(kind: String) = es.filter(_.kind == kind).groupBy(_.group)
-        .map { case (g, fs) => (g, fs.map(e => s"$dir/${e.name}")) }
-      (paths("base"), paths("delta"))
-    }
-    // the `group < 0` TABLE-WIDE sentinel applies to DELTA files only
+    // a side's replay sequence per group, in manifest (= commit)
+    // order — the ordering that scopes equality deletes correctly.
+    // The `group < 0` TABLE-WIDE sentinel applies to DELTA files only
     // (MOR is bucket-transform-only, so a real delta group is never
     // negative) — BASE groups can be legitimately negative under the
     // unbounded transforms (days(ts) pre-epoch, truncate of negative
     // keys), so base lookups are exact-group and negative base groups
     // are planned like any other
-    def baseFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
-      m.getOrElse(g, Seq.empty)
-    def deltaFor(m: Map[Int, Seq[String]], g: Int): Seq[String] =
-      m.getOrElse(g, Seq.empty) ++ m.filter(_._1 < 0).values.flatten
-    val (fBase, fDelta) = side(from)
-    val (tBase, tDelta) = side(to)
+    def side(v: Int): Seq[RowStore.FileEntry] =
+      RowStore.readManifest(baseKey, v)
+    def itemsFor(es: Seq[RowStore.FileEntry], g: Int): Seq[(String, String)] =
+      es.collect {
+        case e if e.kind == "base" && e.group == g =>
+          ("base", s"$dir/${e.name}")
+        case e if e.kind == "delta" && (e.group == g || e.group < 0) =>
+          ("delta", s"$dir/${e.name}")
+      }
+    val fEs = side(from)
+    val tEs = side(to)
     // plan the groups OBSERVED in either manifest (a group with no
     // files on both sides has no diff) — not 0 until numGroups, which
     // would miss groups outside the bucket range after a partition-
     // spec evolution to an unbounded transform
-    (fBase.keys ++ tBase.keys ++
-      (fDelta.keys ++ tDelta.keys).filter(_ >= 0))
-      .toSeq.distinct.sorted.filter { g =>
-      // unchanged file signature ⇒ unchanged group ⇒ skip entirely
-      baseFor(fBase, g) != baseFor(tBase, g) ||
-        deltaFor(fDelta, g) != deltaFor(tDelta, g)
+    (fEs.filter(_.kind == "base").map(_.group) ++
+      tEs.filter(_.kind == "base").map(_.group) ++
+      (fEs ++ tEs).filter(e => e.kind == "delta" && e.group >= 0)
+        .map(_.group))
+      .distinct.sorted.filter { g =>
+      // unchanged replay sequence ⇒ unchanged group ⇒ skip entirely
+      itemsFor(fEs, g) != itemsFor(tEs, g)
     }.map { g =>
-      ChangesPartition(g, baseFor(fBase, g), deltaFor(fDelta, g),
-        baseFor(tBase, g), deltaFor(tDelta, g))
+      ChangesPartition(g, itemsFor(fEs, g), itemsFor(tEs, g))
+        : InputPartition
     }.toArray
   }
 }
@@ -112,16 +114,20 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     // task closure.
     val storageFields = meta.schema.fields.toSeq.map(f =>
       f.copy(name = meta.storageOf(f.name)))
+    // full-schema projection always includes the key — equality-delete
+    // replay inside resolve compares against this index
+    val keyPos = meta.schema.fieldNames.indexOf(meta.keyCol)
     new PartitionReaderFactory {
       private val dataFields = storageFields
+      private val keyIdx = keyPos
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val c = p.asInstanceOf[ChangesPartition]
         // multiset diff of the two resolved group states
         val counts = new java.util.LinkedHashMap[Seq[Any], Int]()
-        RowResolve.resolve(c.group, c.toBase, c.toDelta, dataFields)
+        RowResolve.resolveOrdered(c.group, c.toItems, dataFields, keyIdx)
           .foreach { case (_, v) =>
             counts.merge(v.toSeq, 1, (a, b) => a + b) }
-        RowResolve.resolve(c.group, c.fromBase, c.fromDelta, dataFields)
+        RowResolve.resolveOrdered(c.group, c.fromItems, dataFields, keyIdx)
           .foreach { case (_, v) =>
             counts.merge(v.toSeq, -1, (a, b) => a + b) }
         val rows = counts.asScala.iterator.flatMap { case (v, n) =>
@@ -144,9 +150,8 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
   }
 }
 
-case class ChangesPartition(group: Int, fromBase: Seq[String],
-    fromDelta: Seq[String], toBase: Seq[String], toDelta: Seq[String])
-    extends InputPartition
+case class ChangesPartition(group: Int, fromItems: Seq[(String, String)],
+    toItems: Seq[(String, String)]) extends InputPartition
 
 /** Offset = committed table version. */
 case class VersionOffset(v: Int)
@@ -349,6 +354,74 @@ object RowStoreOps {
     val ver = if (v >= 0) v else RowStore.currentVersion(table)
     RowStore.createTag(table, name, ver)
     ver
+  }
+
+  /** EQUALITY DELETES — Iceberg's second delete-file kind: delete by
+    * KEY VALUE, no position scan. This is the shape CDC writers need
+    * when they know which keys changed but not where their rows live
+    * — a positional delete would first have to SCAN for positions,
+    * which at 100 TB is exactly the read the delete file exists to
+    * avoid. `keys` is a single-column frame of key values; EXECUTORS
+    * bucket them by the table's group function and write one
+    * group-tagged eq-delete delta parquet per (task, group) — key
+    * bytes never ride the driver (the collect below is file-count-
+    * sized metadata). Replay removes every row visible at the
+    * delete's commit point whose key matches; later inserts
+    * resurrect the key, and OPTIMIZE folds eq-deltas away like
+    * positional ones. MOR bucket tables only. Returns the number of
+    * delete files committed. */
+  def equalityDelete(s: SparkSession, table: String,
+      keys: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    val meta = RowStore.readMeta(table)
+    require(meta.mor, s"$table: equality deletes are a merge-on-read " +
+      "construct — COW row-level operations rewrite groups instead " +
+      "(use DELETE FROM)")
+    require(meta.transform == "bucket",
+      s"$table: equality deletes require the bucket transform")
+    require(keys.schema.length == 1,
+      s"keys frame must have exactly one column, got ${keys.schema}")
+    val keyField = meta.schema.fields.find(_.name == meta.keyCol).get
+    val dir = RowStore.dataDir(table)
+    val n = meta.numGroups
+    // same file layout as positional deltas (meta fields + the full
+    // data schema in storage names): the reader's projection
+    // machinery applies unchanged
+    val fileFields = RowResolve.DeltaMetaFields ++
+      meta.schema.fields.toSeq.map(f => f.copy(name = meta.storageOf(f.name)))
+    val keyPos = RowResolve.DeltaMetaFields.length +
+      meta.schema.fieldNames.indexOf(meta.keyCol)
+    val width = fileFields.length
+    val eqOp = RowResolve.EqDeleteOp
+    val files = keys.toDF("kv")
+      .select(col("kv").cast(keyField.dataType)).distinct()
+      .rdd.mapPartitions { it =>
+        val writers = scala.collection.mutable
+          .Map.empty[Int, (String, RowFiles.FileWriter)]
+        it.foreach { r =>
+          val v = r.get(0)
+          val g = RowStore.groupOf(v, n)
+          val (_, w) = writers.getOrElseUpdate(g, {
+            val name = s"e$g-${java.util.UUID.randomUUID()}.parquet"
+            (name, new RowFiles.FileWriter(s"$dir/$name", fileFields))
+          })
+          val vals = new Array[Any](width)
+          vals(0) = Int.box(eqOp)
+          vals(2) = Int.box(g)
+          vals(keyPos) = v
+          w.write(vals)
+        }
+        writers.values.foreach(_._2.close())
+        writers.iterator.map { case (g, (name, _)) => (g, name) }
+      }.collect()
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(table)
+      RowStore.writeManifest(table, cur + 1,
+        RowStore.readManifest(table, cur) ++ files.toSeq.map {
+          case (g, name) =>
+            RowStore.FileEntry("delta", g, name, spec = meta.specId) })
+    }
+    files.length
   }
 
   /** MERGE WITH SCHEMA EVOLUTION — Delta's `mergeSchema` behavior:

@@ -500,10 +500,21 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
         }
       planned += visible.size
       skipped += base.size - visible.size
+      // replay sequence in manifest (= commit) order: the group's
+      // surviving base entries interleaved with its delta entries
+      // exactly as the manifest lists them — what gives equality
+      // deletes their commit-scoped semantics
+      val visibleNames = visible.map(_.name).toSet
+      val ordered = entries.collect {
+        case e if e.kind == "base" && e.spec == sp && e.group == g &&
+          visibleNames(e.name) => ("base", s"$dir/${e.name}")
+        case e if e.kind == "delta" && (e.group == g || e.group < 0) =>
+          ("delta", s"$dir/${e.name}")
+      }
       GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),
         // group-tagged delta files: only this group's records can be
         // inside (records re-check, so an untagged file stays sound)
-        groupDeltas.map(e => s"$dir/${e.name}")): InputPartition
+        groupDeltas.map(e => s"$dir/${e.name}"), ordered): InputPartition
     }.toArray
     RowStore.lastPlannedBaseFiles.set(planned)
     RowStore.lastSkippedBaseFiles.set(skipped)
@@ -511,11 +522,17 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GroupReaderFactory(required, meta.schema, meta.renames)
+    new GroupReaderFactory(required, meta.schema, meta.renames,
+      meta.keyCol)
 }
 
+/** `ordered` is the group's (kind, path) replay sequence in MANIFEST
+  * (= commit) order — what equality-delete semantics need; empty means
+  * bases-then-deltas (always correct for positional-only replay, the
+  * shape the append-stream planner emits). */
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
-    deltaFiles: Seq[String]) extends InputPartition
+    deltaFiles: Seq[String],
+    ordered: Seq[(String, String)] = Seq.empty) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The partition's bucket value — must type-match the reported
     * KeyGroupedPartitioning expression's result (bucket → INT). */
@@ -548,19 +565,33 @@ class ManifestAggScan(values: Seq[Long]) extends Scan with Batch {
 }
 
 class GroupReaderFactory(required: StructType, dataSchema: StructType,
-    renames: Map[String, String] = Map.empty)
+    renames: Map[String, String] = Map.empty, keyCol: String = "")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GroupFilesPartition]
     val dataNames = dataSchema.fieldNames.toSet
-    val wanted = required.fields.filter(f => dataNames(f.name)).toSeq
+    val projected = required.fields.filter(f => dataNames(f.name)).toSeq
+    // a delta-bearing group may carry EQUALITY deletes, whose replay
+    // compares key values — read the key alongside the projection
+    // (group-sized extra column, dropped at emit) even when the query
+    // pruned it
+    val wanted =
+      if (part.deltaFiles.nonEmpty && keyCol.nonEmpty &&
+        !projected.exists(_.name == keyCol))
+        projected ++ dataSchema.fields.find(_.name == keyCol)
+      else projected
+    val keyIdx = wanted.indexWhere(_.name == keyCol)
     val wantedIdx = wanted.map(_.name).zipWithIndex.toMap
     // files store a renamed column under its STORAGE name — project by
     // that, emit under the display name (same positions)
     val wantedStorage = wanted.map(f =>
       f.copy(name = renames.getOrElse(f.name, f.name)))
-    val rows = RowResolve.resolve(part.group, part.baseFiles,
-      part.deltaFiles, wantedStorage)
+    val items =
+      if (part.ordered.nonEmpty) part.ordered
+      else part.baseFiles.map(("base", _)) ++
+        part.deltaFiles.map(("delta", _))
+    val rows = RowResolve.resolveOrdered(part.group, items,
+      wantedStorage, keyIdx)
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var cur: (String, Array[Any]) = _

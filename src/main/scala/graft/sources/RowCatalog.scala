@@ -886,6 +886,41 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.mev").orderBy(col("k"))
     }),
 
+    // ── q145: EQUALITY DELETES — Iceberg's second delete-file kind:
+    // a CDC writer deletes by KEY VALUE without scanning for row
+    // positions. The MOR table seeds one slice; an executor-written
+    // eq-delete delta removes a keyed subset; a second insert then
+    // RESURRECTS part of the deleted band (replay-order semantics: an
+    // eq-delete only affects rows visible at its commit point); and
+    // OPTIMIZE folds the deltas into clean base files — which must be
+    // observationally invisible, so the final read's oracle is a pure
+    // relational restatement from raw orders. RowCatalogSpec pins the
+    // no-base-rewrite accounting, the post-OPTIMIZE files-opened
+    // count, and the COW/non-bucket refusals.
+    "q145_dml_equality_delete" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q145_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.eqd")
+      s.sql("CREATE TABLE graft_dml.ns.eqd (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('format'='mor')")
+      s.sql("""INSERT INTO graft_dml.ns.eqd
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q145_orders WHERE o_orderkey % 8 = 0""")
+      RowStoreOps.equalityDelete(s, "graft_dml.ns.eqd",
+        s.sql("SELECT CAST(o_orderkey AS BIGINT) FROM q145_orders " +
+          "WHERE o_orderkey % 16 = 0"))
+      // resurrection: re-insert the deleted keys ≡ 0 (mod 32) — the
+      // earlier eq-delete must NOT affect them (with doubled cents so
+      // a wrongly-surviving original is hash-distinct)
+      s.sql("""INSERT INTO graft_dml.ns.eqd
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        FROM q145_orders WHERE o_orderkey % 32 = 0""")
+      RowStoreOps.compact(s, "graft_dml.ns.eqd")
+      s.table("graft_dml.ns.eqd").orderBy(col("k"))
+    }),
+
     // ── q117: TRI-CLAUSE MERGE — `WHEN NOT MATCHED BY SOURCE` is the
     // clause that turns MERGE into full table synchronization (the
     // warehouse-sync shape Delta/Iceberg document): rows ABSENT from
@@ -1148,6 +1183,18 @@ object RowCatalogQueries {
         |      UNION ALL SELECT k, v FROM b) t
         |LEFT JOIN a ON t.k = a.k
         |ORDER BY t.k""".stripMargin,
+
+    // survivors = seed minus the eq-deleted band, plus the
+    // resurrected (doubled-cents) re-insert; compaction invisible
+    "q145_dml_equality_delete" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 8 = 0 AND o_orderkey % 16 <> 0
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT),
+        |  CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |FROM orders WHERE o_orderkey % 32 = 0
+        |ORDER BY k""".stripMargin,
 
     // matched keys (mod 18) doubled + stamped, source-only inserted
     // complete, target-only NULL in the auto-added column

@@ -829,6 +829,12 @@ object RowResolve {
   val DeleteOp = 1
   val UpdateOp = 2
   val InsertOp = 3
+  /** EQUALITY delete (Iceberg's second delete-file kind): the record
+    * carries a KEY VALUE (in the key column's slot, no `_rid`), and
+    * replay removes every row visible AT THAT POINT in commit order
+    * whose key equals it — later inserts resurrect the key, exactly
+    * Iceberg's sequence-number semantics expressed in replay order. */
+  val EqDeleteOp = 4
 
   val DeltaMetaFields: Seq[StructField] = Seq(
     StructField("_op", IntegerType), StructField("_rid", StringType),
@@ -836,37 +842,71 @@ object RowResolve {
 
   private def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  /** Visible (rid, values) of one group at one version. `wanted` is
-    * the projected DATA columns. */
+  /** Visible (rid, values) of one group at one version — the
+    * two-list form (all bases, then all deltas): correct whenever no
+    * EQUALITY delete can appear, because positional records address
+    * rids (a later base file's rids are never referenced by an
+    * earlier delta). */
   def resolve(group: Int, baseFiles: Seq[String], deltaFiles: Seq[String],
-      wanted: Seq[StructField]): Seq[(String, Array[Any])] = {
-    val base = baseFiles.iterator.flatMap { f =>
-      val n = leaf(f)
-      RowFiles.readRows(f, wanted).iterator.zipWithIndex
-        .map { case (v, i) => (s"$n#$i", v) }
-    }
-    if (deltaFiles.isEmpty) base.toSeq
-    else {
-      // LinkedHashMap keeps a row's original position across updates,
-      // so resolution order is deterministic (base order + insert order)
-      val m = new java.util.LinkedHashMap[String, Array[Any]]()
-      base.foreach { case (rid, v) => m.put(rid, v) }
-      deltaFiles.foreach { f =>
+      wanted: Seq[StructField], keyIdx: Int = -1): Seq[(String, Array[Any])] =
+    resolveOrdered(group,
+      baseFiles.map(("base", _)) ++ deltaFiles.map(("delta", _)),
+      wanted, keyIdx)
+
+  /** Visible (rid, values) of one group, replaying `items` (kind,
+    * path) in MANIFEST ORDER — which is commit order, because every
+    * commit appends its new entries after the carried-over ones. The
+    * order is what gives EQUALITY deletes Iceberg's sequence-number
+    * semantics: a value-addressed delete removes only rows from files
+    * committed BEFORE it, and a later insert of the same key
+    * resurrects. `wanted` is the projected DATA columns; `keyIdx` is
+    * the key column's index within it (readers facing possible
+    * equality deletes must include the key; -1 is valid only when no
+    * eq-delete record can appear). */
+  def resolveOrdered(group: Int, items: Seq[(String, String)],
+      wanted: Seq[StructField], keyIdx: Int = -1): Seq[(String, Array[Any])] = {
+    if (items.forall(_._1 == "base")) {
+      // clean group: no delta can touch it, stream the files directly
+      items.flatMap { case (_, f) =>
         val n = leaf(f)
-        RowFiles.readRows(f, DeltaMetaFields ++ wanted).zipWithIndex.foreach {
-          case (rec, i) =>
-            val grp = rec(2).asInstanceOf[java.lang.Integer]
-            if (grp != null && grp.intValue == group) {
-              val rid = rec(1).asInstanceOf[String]
-              val data = rec.drop(DeltaMetaFields.length)
-              rec(0).asInstanceOf[java.lang.Integer].intValue match {
-                case DeleteOp => m.remove(rid)
-                case UpdateOp => if (m.containsKey(rid)) m.put(rid, data)
-                case InsertOp => m.put(s"$n#$i", data)
-                case other => sys.error(s"corrupt delta record op=$other")
+        RowFiles.readRows(f, wanted).iterator.zipWithIndex
+          .map { case (v, i) => (s"$n#$i", v) }
+      }
+    } else {
+      // LinkedHashMap keeps a row's original position across updates,
+      // so resolution order is deterministic (commit order + insert
+      // order)
+      val m = new java.util.LinkedHashMap[String, Array[Any]]()
+      items.foreach {
+        case ("base", f) =>
+          val n = leaf(f)
+          RowFiles.readRows(f, wanted).iterator.zipWithIndex
+            .foreach { case (v, i) => m.put(s"$n#$i", v) }
+        case (_, f) =>
+          val n = leaf(f)
+          RowFiles.readRows(f, DeltaMetaFields ++ wanted).zipWithIndex
+            .foreach { case (rec, i) =>
+              val grp = rec(2).asInstanceOf[java.lang.Integer]
+              if (grp != null && grp.intValue == group) {
+                val rid = rec(1).asInstanceOf[String]
+                val data = rec.drop(DeltaMetaFields.length)
+                rec(0).asInstanceOf[java.lang.Integer].intValue match {
+                  case DeleteOp => m.remove(rid)
+                  case UpdateOp => if (m.containsKey(rid)) m.put(rid, data)
+                  case InsertOp => m.put(s"$n#$i", data)
+                  case EqDeleteOp =>
+                    require(keyIdx >= 0, "equality-delete replay needs " +
+                      "the key column in the resolved projection")
+                    val kv = data(keyIdx)
+                    val it = m.entrySet().iterator()
+                    while (it.hasNext) {
+                      if (java.util.Objects.equals(
+                        it.next().getValue()(keyIdx), kv)) it.remove()
+                    }
+                  case other => sys.error(s"corrupt delta record op=$other")
+                }
               }
             }
-        }
       }
       m.asScala.toSeq
     }

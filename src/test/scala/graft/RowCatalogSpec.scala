@@ -1333,6 +1333,67 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.mevm")
   }
 
+  test("equality deletes: key-value deltas, no base rewrite, OPTIMIZE folds") {
+    val s = spark
+    import graft.sources.{RowFiles, RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.eqd")
+    s.sql("CREATE TABLE graft_dml.spec.eqd (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.eqd VALUES " +
+      "(1, 10), (2, 20), (5, 50), (6, 60)") // v1
+    val basesBefore = RowStore.readManifest("graft_dml.spec.eqd", 1)
+      .filter(_.kind == "base").map(_.name).toSet
+    val nFiles = RowStoreOps.equalityDelete(s, "graft_dml.spec.eqd",
+      s.range(1, 3).toDF("kv")) // delete keys 1, 2
+    assert(nFiles > 0)
+    // NO base file was rewritten — the delete is delta-only
+    val man2 = RowStore.readManifest("graft_dml.spec.eqd", 2)
+    assert(man2.filter(_.kind == "base").map(_.name).toSet == basesBefore)
+    assert(man2.count(_.kind == "delta") == nFiles)
+    // content: keys 1, 2 gone
+    assert(s.table("graft_dml.spec.eqd").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 50L), (6L, 60L)))
+    // a PRUNED projection (no key column) must still replay the
+    // eq-delete — the reader widens its own read to include the key
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.eqd")
+      .head().getLong(0) == 110L)
+    // resurrection: re-inserting key 1 must survive the OLD delete
+    s.sql("INSERT INTO graft_dml.spec.eqd VALUES (1, 11)") // v3
+    assert(s.table("graft_dml.spec.eqd").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (5L, 50L), (6L, 60L)))
+    // OPTIMIZE folds the eq-deltas away; content invisible, and the
+    // post-compact read opens exactly one base file per non-empty
+    // group with zero deltas
+    RowStoreOps.compact(s, "graft_dml.spec.eqd")
+    val head = RowStore.currentVersion("graft_dml.spec.eqd")
+    val manH = RowStore.readManifest("graft_dml.spec.eqd", head)
+    assert(manH.count(_.kind == "delta") == 0,
+      s"compaction must drop eq-deltas, got $manH")
+    RowFiles.filesOpened.set(0L)
+    // unsorted scan (orderBy's range sampling would read files twice)
+    assert(s.table("graft_dml.spec.eqd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      Seq((1L, 11L), (5L, 50L), (6L, 60L)))
+    assert(RowFiles.filesOpened.get == manH.count(_.kind == "base"),
+      s"post-compact read must open exactly the base files, opened " +
+        s"${RowFiles.filesOpened.get} of ${manH.count(_.kind == "base")}")
+    s.sql("DROP TABLE graft_dml.spec.eqd")
+
+    // refusal surface: COW tables have no delta read path
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.eqc")
+    s.sql("CREATE TABLE graft_dml.spec.eqc (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.eqc VALUES (1, 10)")
+    val e = intercept[Exception] {
+      RowStoreOps.equalityDelete(s, "graft_dml.spec.eqc",
+        s.range(1, 2).toDF("kv")) }
+    assert(e.getMessage.contains("merge-on-read"),
+      s"COW must refuse equality deletes, got: ${e.getMessage}")
+    s.sql("DROP TABLE graft_dml.spec.eqc")
+  }
+
   test(".partitions reports per-group rollups with zero data-file opens") {
     val s = spark
     import graft.sources.RowFiles
