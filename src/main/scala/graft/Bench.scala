@@ -13,6 +13,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import scala.util.control.NonFatal
+    // Machine-contention context: round-9's driver bench carried a 12×
+    // contamination band (q60–q68 41.3 s driver vs 3.5 s isolated,
+    // same code) that min-of-two could not smooth. Recording the box
+    // load at start/end — plus BOTH run times per query below — lets
+    // a reader detect contention from the artifact alone instead of
+    // re-running.
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ").take(3).mkString(" ")
+        finally src.close()
+      } catch { case NonFatal(_) => "unavailable" }
+    val loadStart = loadavg()
     // warm-up + shared-fixture pre-warm are timed OUTSIDE any query's
     // bucket, and each pre-warm entry is timed INDIVIDUALLY in the
     // output's `fixtures` map (round-8 advisor: one opaque number hid
@@ -107,15 +120,21 @@ object Bench {
             -1.0
           }
         }
-        name -> math.min(once(), once())
+        val (r1, r2) = (once(), once())
+        name -> (r1, r2)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, (a, b)) =>
+      s"\"" + k + "\":" + math.min(a, b) }.mkString("{", ",", "}")
+    // both raw run times, in run order — the spread between them (and
+    // vs the min) is the contention fingerprint
+    val runPairs = results.map { case (k, (a, b)) =>
+      s"\"" + k + "\":[" + a + "," + b + "]" }.mkString("{", ",", "}")
     val fxs = fixtures.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map { case (_, (a, b)) => math.min(a, b) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"load_start":"$loadStart","load_end":"$loadEnd","fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
     // The driver captures a tail of stdout; a noisy shutdown once pushed
     // the JSON line past the capture window and BENCH_r03 recorded
     // "parsed": null with ~21 of 83 entries lost. Belt and braces:

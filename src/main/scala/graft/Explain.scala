@@ -41,7 +41,9 @@ object Explain {
         "d19_containment", "q136_dml_files_table",
         "q137_dml_identity_transform", "q138_dml_tags",
         "q139_dml_partitions_table", "q140_dml_string_skip",
-        "s15_ann_filtered_ivf", "q141_dml_procedures")
+        "s15_ann_filtered_ivf", "q141_dml_procedures",
+        "q142_dml_column_skip", "q143_dml_type_widening",
+        "q144_dml_merge_evolution", "q145_dml_equality_delete")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
