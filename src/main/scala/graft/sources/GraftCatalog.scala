@@ -198,6 +198,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base)) new PartitionsTable(base)
       else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "refs" && ident.namespace().nonEmpty) {
+      // `<table>.refs` — named references: main, tags, staged branches
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new RefsTable(base)
+      else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }
 

@@ -196,3 +196,59 @@ case class PartitionRow(spec: Int, grp: Int, nFiles: Long, nDelta: Long,
 case class PartitionsPartition(rows: Seq[PartitionRow])
     extends InputPartition
 
+
+/** `<table>.refs` — Iceberg's refs metadata table: one row per named
+  * reference — the implicit `main` branch at the current head, every
+  * immutable TAG with its pinned version, and every staged
+  * write-audit-publish BRANCH with the version it forked from. The
+  * "what can I time-travel to, and where would a publish land?"
+  * surface; with `.history`/`.files`/`.partitions`/`.changes` this
+  * completes the metadata-table family. Pure directory listing +
+  * ref/manifest-header reads — ZERO data files opened (pinned in
+  * RowCatalogSpec via the parquet-open counter). */
+class RefsTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.refs"
+  override def schema(): StructType = StructType(Seq(
+    StructField("ref_name", StringType, nullable = false),
+    StructField("ref_type", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = RefsTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        // computed at plan time (ref-count-sized) and shipped in the
+        // partition: `main` tracks the head; a staged branch reports
+        // its fork base (publish validates against it — OCC)
+        val main = RefRow("main", "BRANCH",
+          RowStore.currentVersion(baseKey))
+        val tags = RowStore.listTags(baseKey).map { case (n, v) =>
+          RefRow(n, "TAG", v) }
+        val branches = RowStore.listBranches(baseKey).map { n =>
+          RefRow(n, "BRANCH", RowStore.readBranchManifest(baseKey, n)._1) }
+        Array(RefsPartition((Seq(main) ++ branches ++ tags)
+          .sortBy(r => (r.refName, r.refType))))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[RefsPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: RefRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](UTF8String.fromString(cur.refName),
+                  UTF8String.fromString(cur.refType), cur.version))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class RefRow(refName: String, refType: String, version: Int)
+case class RefsPartition(rows: Seq[RefRow]) extends InputPartition

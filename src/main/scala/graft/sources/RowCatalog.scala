@@ -582,6 +582,49 @@ object RowCatalogQueries {
         .orderBy(col("k"))
     }),
 
+    // ── q146: THE `.refs` METADATA TABLE — Iceberg's refs surface:
+    // one row per named reference — the implicit `main` branch at the
+    // current head, every immutable TAG at its pinned version, every
+    // staged WAP branch at the version it forked from. The lifecycle
+    // here: seed (v1) → tag 'release' → second slice (v2) → stage
+    // branch 'audit'; the result then joins each ref to the row count
+    // VISIBLE AT THAT REF through the same named reads `.refs`
+    // advertises (tag → pinned snapshot, branch → staged snapshot,
+    // main → head), so name, type, version AND per-ref visibility are
+    // all restated relationally from raw orders by the oracle.
+    // RowCatalogSpec pins zero data-file opens for the `.refs` scan
+    // itself and that tag/branch drops leave only `main`.
+    "q146_dml_refs_table" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q146_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.refsd")
+      s.sql("CREATE TABLE graft_dml.ns.refsd (k BIGINT, cents BIGINT)")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.refsd
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q146_orders WHERE o_orderkey % 8 = $r"""); () }
+      ins(0) // v1: the tagged seed
+      RowStoreOps.createTag("graft_dml.ns.refsd", "release")
+      ins(1) // v2: the published head
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM q146_orders WHERE o_orderkey % 8 = 2""")
+        .writeTo("graft_dml.ns.refsd").option("branch", "audit").append()
+      import s.implicits._
+      val visible = Seq(
+        ("main", s.table("graft_dml.ns.refsd").count()),
+        ("release", s.sql("SELECT COUNT(*) FROM graft_dml.ns.refsd " +
+          "VERSION AS OF 'release'").head().getLong(0)),
+        ("audit", s.sql("SELECT COUNT(*) FROM graft_dml.ns.refsd " +
+          "VERSION AS OF 'audit'").head().getLong(0)))
+        .toDF("ref_name", "n_visible")
+      s.table("graft_dml.ns.refsd.refs")
+        .join(visible, "ref_name")
+        .select(col("ref_name"), col("ref_type"), col("version"),
+          col("n_visible"))
+        .orderBy(col("ref_name"))
+    }),
+
     // ── q141: SQL PROCEDURES — Iceberg's `CALL catalog.system.<proc>`
     // maintenance surface through Spark 4's ProcedureCatalog: the
     // lifecycle here drives tag → bad DELETE → rollback → append →
@@ -1304,6 +1347,20 @@ object RowCatalogQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  TRUE AS tag_frozen, TRUE AS branch_saw_staged
         |FROM orders WHERE o_orderkey % 8 IN (0, 1) ORDER BY k""".stripMargin,
+
+    // refs: main at head v2, the tag pinned at v1, the staged branch
+    // forked from v2; per-ref visibility restated from the slices
+    "q146_dml_refs_table" ->
+      """WITH a AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 8 = 0),
+        |     b AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 8 = 1),
+        |     c AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 8 = 2)
+        |SELECT 'audit' AS ref_name, 'BRANCH' AS ref_type, 2 AS version,
+        |       CAST(a.n + b.n + c.n AS BIGINT) AS n_visible FROM a, b, c
+        |UNION ALL
+        |SELECT 'main', 'BRANCH', 2, CAST(a.n + b.n AS BIGINT) FROM a, b
+        |UNION ALL
+        |SELECT 'release', 'TAG', 1, CAST(a.n AS BIGINT) FROM a
+        |ORDER BY ref_name""".stripMargin,
 
     // both slices restated from raw orders — the engine's answer must
     // be layout-invariant across the spec boundary

@@ -1394,6 +1394,34 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.eqc")
   }
 
+  test(".refs lists main, tags, and staged branches with zero data-file opens") {
+    val s = spark
+    import graft.sources.{RowFiles, RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.refs")
+    s.sql("CREATE TABLE graft_dml.spec.refs (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.refs VALUES (1, 10)") // v1
+    RowStoreOps.createTag("graft_dml.spec.refs", "rel1")
+    s.sql("INSERT INTO graft_dml.spec.refs VALUES (2, 20)") // v2
+    s.sql("SELECT CAST(3 AS BIGINT) AS k, CAST(30 AS BIGINT) AS v")
+      .writeTo("graft_dml.spec.refs").option("branch", "wip").append()
+    RowFiles.filesOpened.set(0L)
+    val rows = s.table("graft_dml.spec.refs.refs").orderBy("ref_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(RowFiles.filesOpened.get == 0L,
+      s".refs must open no data files, opened ${RowFiles.filesOpened.get}")
+    // main tracks the head, the tag pins v1, the branch reports its
+    // fork base (v2 — what publish will OCC-validate against)
+    assert(rows.toSeq == Seq(("main", "BRANCH", 2), ("rel1", "TAG", 1),
+      ("wip", "BRANCH", 2)), rows.mkString("; "))
+    // drops reflect immediately: only the implicit main remains
+    RowStore.dropTag("graft_dml.spec.refs", "rel1")
+    RowStore.dropBranch("graft_dml.spec.refs", "wip")
+    assert(s.table("graft_dml.spec.refs.refs").collect()
+      .map(_.getString(0)).toSeq == Seq("main"))
+    s.sql("DROP TABLE graft_dml.spec.refs")
+  }
+
   test(".partitions reports per-group rollups with zero data-file opens") {
     val s = spark
     import graft.sources.RowFiles
