@@ -43,7 +43,8 @@ object Explain {
         "q139_dml_partitions_table", "q140_dml_string_skip",
         "s15_ann_filtered_ivf", "q141_dml_procedures",
         "q142_dml_column_skip", "q143_dml_type_widening",
-        "q144_dml_merge_evolution", "q145_dml_equality_delete")
+        "q144_dml_merge_evolution", "q145_dml_equality_delete",
+        "q146_dml_refs_table")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
