@@ -1053,8 +1053,48 @@ object Dedup {
           expr("CAST(dup_tokens * 1000000 div n_toks AS BIGINT)")
             .as("dup_ppm"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ── d20: BENCHMARK DECONTAMINATION — the GPT-3/Pile training-data
+    // discipline: before training, flag every corpus document that
+    // shares an n-gram with the EVALUATION benchmark, so test answers
+    // don't leak into the training set. The benchmark here is the
+    // deterministic doc_id % 7 == 0 slice (an eval suite is just
+    // another document set); the remaining corpus is "training". One
+    // row per CONTAMINATED training doc: how many of its distinct
+    // 8-grams (d17's portable-hash gram machinery, token-level) appear
+    // anywhere in the benchmark, and the ppm of its gram set that
+    // overlap covers. Scale path: the benchmark gram set is
+    // eval-suite-sized — fixed and small no matter how big the corpus
+    // — so it BROADCASTS and the detection is one narrow hash join
+    // keyed by gram hash over the corpus postings; never a
+    // corpus×benchmark pair stage. Non-vacuous at all three SFs
+    // (7/9/57 contaminated docs).
+    "d20_decontaminate" -> ((s, d) =>
+      decontaminationStats(s, spreadSmall(docs(s, d)))
+        .orderBy(col("doc_id")))
   )
+
+  /** d20's core, factored for the DedupGuardSpec pin: benchmark =
+    * the doc_id % 7 == 0 slice, overlap counted on DISTINCT 8-gram
+    * portable hashes, one row per contaminated training doc. */
+  private[graft] def decontaminationStats(s: SparkSession,
+      docsDf: DataFrame): DataFrame = {
+    graft.functions.PortableHashFunctions.register(s)
+    val pos = gramPositions(tokenized(docsDf))
+    val grams = pos.select(col("doc_id"), col("gh")).distinct()
+    val bench = grams.filter(col("doc_id") % 7 === 0)
+      .select(col("gh")).distinct()
+    val train = grams.filter(col("doc_id") % 7 =!= 0)
+    val tot = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = train.join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    shared.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        expr("CAST(n_shared * 1000000 div n_grams AS BIGINT)")
+          .as("contam_ppm"))
+  }
 
   /** d17's span core, factored for the DedupGuardSpec pin: one row per
     * MAXIMAL duplicated span — (doc_id, n_toks, a, b) where the
@@ -1236,6 +1276,28 @@ object Dedup {
         |  CAST(CAST(SUM(clen) AS BIGINT) * 1000000
         |    // MAX(n_toks) AS BIGINT) AS dup_ppm
         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the same distinct-gram posting restatement: benchmark = the
+    // doc_id % 7 slice, overlap counted on the portable gram hash
+    "d20_decontaminate" -> {
+      val h = graft.functions.PortableHashFunctions
+        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)),
+        |    '\\s+')) >= 8),
+        |pos AS (SELECT DISTINCT doc_id, $h AS gh
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)),
+        |bench AS (SELECT DISTINCT gh FROM pos WHERE doc_id % 7 = 0),
+        |train AS (SELECT doc_id, gh FROM pos WHERE doc_id % 7 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
+        |sh AS (SELECT doc_id, COUNT(*) AS ns FROM train
+        |  JOIN bench USING (gh) GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(s.ns AS BIGINT) AS n_shared,
+        |  CAST(t.n AS BIGINT) AS n_grams,
+        |  CAST(s.ns * 1000000 // t.n AS BIGINT) AS contam_ppm
+        |FROM sh s JOIN tot t USING (doc_id) ORDER BY s.doc_id""".stripMargin
     },
 
     // the same explode → count → threshold → reassemble pipeline over

@@ -931,6 +931,47 @@ object TextOps {
           expr("poly_hash(concat('dsir:', CAST(doc_id AS STRING))) " +
             "% 1000000") < col("dsir_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── t19: PII SCRUBBING — the redaction pass every training-data
+    // pipeline runs before text leaves the curation boundary: named
+    // identifiers and phone-shaped digit runs replaced with typed
+    // placeholder tokens, with per-doc redaction counts kept for the
+    // data card. The corpus fixture has no organic PII (synthetic
+    // word text), so the query COMPOSES a non-vacuous input in-plan —
+    // each doc enriched with its deterministically-joined customer's
+    // display name and a custkey-derived phone (the m02 stub-fixture
+    // convention: the composition is the stand-in; the scrub
+    // machinery is the real operator). Everything downstream of the
+    // broadcast enrich join is ONE codegen'd narrow pass (two
+    // regexp_replace + two match counts, no shuffle before the final
+    // sort); counts come from the PRE-scrub text and the scrubbed
+    // string itself is hash-checked cross-engine. Name-scrub runs
+    // first, so the digit-free <NAME> token can never half-match the
+    // phone pattern.
+    "t19_pii_scrub" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      docs(s, d)
+        .join(broadcast(cust),
+          col("c_custkey") === pmod(col("doc_id"), lit(150)))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact "), col("c_name"),
+            lit(" phone "),
+            format_string("%03d-%03d-%04d",
+              pmod(col("c_custkey"), lit(1000)),
+              pmod(col("c_custkey") * 7, lit(1000)),
+              pmod(col("c_custkey") * 13, lit(10000)))).as("raw"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit("Customer#[0-9]+"),
+            lit(0))).cast(LongType).as("n_names"),
+          size(regexp_extract_all(col("raw"),
+            lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit(0)))
+            .cast(LongType).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), "Customer#[0-9]+", "<NAME>"),
+            "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("clean"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1537,7 +1578,24 @@ object TextOps {
         |SELECT doc_id, lang, n_toks, dsir_ppm,
         |  ($hDoc % 1000000) < dsir_ppm AS selected
         |FROM agg ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the same compose → count → two-stage redaction; 'g' makes
+    // DuckDB's regexp_replace global like Spark's
+    "t19_pii_scrub" ->
+      """WITH raw AS (SELECT d.doc_id,
+        |    d.text || ' contact ' || c.c_name || ' phone ' ||
+        |    printf('%03d-%03d-%04d', c.c_custkey % 1000,
+        |      (c.c_custkey * 7) % 1000, (c.c_custkey * 13) % 10000) AS raw
+        |  FROM documents d JOIN customer c ON c.c_custkey = d.doc_id % 150)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, 'Customer#[0-9]+'))
+        |    AS BIGINT) AS n_names,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw, 'Customer#[0-9]+', '<NAME>',
+        |    'g'), '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin
   )
 
   /** One pair-count CTE level of the BPE oracle replay. */

@@ -165,4 +165,31 @@ class DedupGuardSpec extends AnyFunSuite {
       val extra = filtered -- full
       assert(extra.isEmpty, s"prefix filter INVENTED pairs: ${extra.take(5)}")
     }
+
+  test("d20 decontamination counts distinct shared grams per training doc") {
+    // Hand-computable 8-gram sets. Benchmark slice (doc_id % 7 == 0):
+    // doc 0 = a1..a10 (3 grams), doc 14 = b1..b8 (1 gram). Training:
+    // doc 1 = a1..a8 — its single gram IS doc 0's first gram →
+    // (1 shared, 1 total, ppm 1000000); doc 3 = b1..b8 c1 — grams
+    // {b1..b8, b2..c1}, the first in the benchmark → (1, 2, 500000);
+    // doc 2 = z1..z9 shares nothing → NOT in the output; doc 4 is
+    // 7 tokens → no grams at all.
+    val s = spark
+    import s.implicits._
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docsDf = Seq(
+      (0L, toks("a", 10).mkString(" ")),
+      (14L, toks("b", 8).mkString(" ")),
+      (1L, toks("a", 8).mkString(" ")),
+      (3L, (toks("b", 8) :+ "c1").mkString(" ")),
+      (2L, toks("z", 9).mkString(" ")),
+      (4L, toks("q", 7).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminationStats(s, docsDf)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 1L, 1L, 1000000L), (3L, 1L, 2L, 500000L)),
+      s"got $got")
+  }
 }

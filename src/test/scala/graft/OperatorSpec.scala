@@ -182,4 +182,21 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
     assert(streamed.count() == batch.count())
   }
+
+  test("t19 scrub redacts every injected identifier and nothing survives") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("t19_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the composed enrichment guarantees ≥1 name and ≥1 phone per doc
+    // (non-vacuity), and the scrub must leave no match behind
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_names")) >= 1L, r.toString)
+      assert(r.getLong(r.fieldIndex("n_phones")) >= 1L, r.toString)
+      val clean = r.getString(r.fieldIndex("clean"))
+      assert(!clean.matches(".*Customer#[0-9]+.*"), clean.takeRight(80))
+      assert(!clean.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"),
+        clean.takeRight(80))
+      assert(clean.contains("<NAME>") && clean.contains("<PHONE>"))
+    }
+  }
 }
