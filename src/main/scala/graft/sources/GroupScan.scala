@@ -44,7 +44,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   // Spark's own rule — so a filtered aggregate never reaches this
   // path.
   private var aggPushed = false
-  private var pushedValues: Seq[Long] = Seq.empty
+  private var pushedValues: Seq[(Long, DataType)] = Seq.empty
 
   // one manifest read per scan build: the (tableKey, version) manifest
   // is immutable, and supportCompletePushDown/pushAggregation/build
@@ -79,6 +79,44 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       case _ => false
     }
 
+  private def namedCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  /** ANY-column extrema from the per-column zone maps (`colsN` —
+    * Iceberg's lower/upper bounds for every column), the non-key
+    * extension of [[manifestMinMax]]: defined for LONG and TIMESTAMP
+    * columns of a clean snapshot where EVERY base file carries bounds
+    * for the column's storage name. A statless, legacy, or pre-ADD
+    * file refuses; so does an all-NULL file (it records no bounds) —
+    * which is also why the refusal is REQUIRED for correctness there:
+    * SQL MIN/MAX ignores NULLs, but a file of only NULLs contributes
+    * no extrema, and "no entry" is indistinguishable from "not
+    * tracked". Unlike the key-slot stats, `colsN` means the same
+    * thing under every partition spec (bounds are a property of the
+    * column's data, not of the layout), so mixed-spec snapshots
+    * qualify. Returns the folded (min, max) with the column's output
+    * type (timestamps fold as their internal micros). */
+  private def colMinMax(colName: String): Option[((Long, Long), DataType)] = {
+    val dt = meta.schema.fields.find(_.name == colName).map(_.dataType)
+    if (!dt.contains(LongType) && !dt.contains(TimestampType)) None
+    else {
+      val es = manifestEntries
+      val base = es.filter(_.kind == "base")
+      val storage = meta.storageOf(colName)
+      if (es.exists(_.kind == "delta") || base.isEmpty ||
+        base.exists(e => !e.colsN.contains(storage))) None
+      else {
+        val bs = base.map(_.colsN(storage))
+        Some(((bs.map(_._1).min, bs.map(_._2).max), dt.get))
+      }
+    }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = pushAggregationCheck(agg)
@@ -95,8 +133,10 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => manifestCount.isDefined
-        case m: Min => keyColRef(m.column) && manifestMinMax.isDefined
-        case m: Max => keyColRef(m.column) && manifestMinMax.isDefined
+        case m: Min => (keyColRef(m.column) && manifestMinMax.isDefined) ||
+          namedCol(m.column).exists(colMinMax(_).isDefined)
+        case m: Max => (keyColRef(m.column) && manifestMinMax.isDefined) ||
+          namedCol(m.column).exists(colMinMax(_).isDefined)
         case _ => false
       }
   }
@@ -107,9 +147,17 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     aggPushed = pushAggregationCheck(agg)
     if (aggPushed) pushedValues = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => manifestCount.get
-      case _: Min       => manifestMinMax.get._1
-      case _: Max       => manifestMinMax.get._2
+      case _: CountStar => (manifestCount.get, LongType: DataType)
+      case m: Min if keyColRef(m.column) && manifestMinMax.isDefined =>
+        (manifestMinMax.get._1, LongType: DataType)
+      case m: Max if keyColRef(m.column) && manifestMinMax.isDefined =>
+        (manifestMinMax.get._2, LongType: DataType)
+      case m: Min =>
+        val ((lo, _), dt) = colMinMax(namedCol(m.column).get).get
+        (lo, dt)
+      case m: Max =>
+        val ((_, hi), dt) = colMinMax(namedCol(m.column).get).get
+        (hi, dt)
       case other => sys.error(s"unreachable pushed agg $other")
     }
     aggPushed
@@ -543,14 +591,20 @@ case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
 /** One-row scan answering completely-pushed manifest-metadata
   * aggregates (COUNT(*) / MIN(key) / MAX(key)) — no data file is ever
   * opened. One LONG column per pushed aggregate, in pushdown order. */
-class ManifestAggScan(values: Seq[Long]) extends Scan with Batch {
+/** Each pushed slot carries its OUTPUT type alongside the folded
+  * value: LongType slots are counts/BIGINT extrema, TimestampType
+  * slots are micros (a timestamp's internal representation IS the
+  * long, so the emit path is type-agnostic — only the declared
+  * schema differs). */
+class ManifestAggScan(values: Seq[(Long, DataType)]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    values.indices.map(i => StructField(s"agg_$i", LongType, nullable = false)))
+    values.zipWithIndex.map { case ((_, dt), i) =>
+      StructField(s"agg_$i", dt, nullable = false) })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val vs = values.toArray
+    val vs = values.map(_._1).toArray
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {

@@ -582,6 +582,34 @@ object RowCatalogQueries {
         .orderBy(col("k"))
     }),
 
+    // ── q147: NON-KEY MIN/MAX FROM PER-COLUMN ZONE MAPS — the
+    // metadata-aggregate shortcut (q124 COUNT, q129 key extrema)
+    // extended to EVERY long/timestamp column: q142's per-column
+    // manifest bounds let an unfiltered MIN/MAX of a non-key column
+    // answer as a plan-time fold over the manifest — zero data files
+    // opened (spec-pinned), exact because the bounds are exact
+    // non-null extrema and an all-NULL or pre-ADD file refuses the
+    // shortcut. Two commits fragment every bucket first, so the fold
+    // really spans multiple files per group. The oracle restates all
+    // five aggregates relationally from raw orders.
+    "q147_dml_column_minmax" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q147_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cmm")
+      s.sql("CREATE TABLE graft_dml.ns.cmm " +
+        "(k BIGINT, cents BIGINT, ots TIMESTAMP) " +
+        "PARTITIONED BY (bucket(4, k))")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.cmm
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderdate
+        FROM q147_orders WHERE o_orderkey % 6 = $r"""); () }
+      ins(0); ins(3)
+      s.sql("""SELECT COUNT(*) AS n_rows,
+        MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        MIN(ots) AS min_ts, MAX(ots) AS max_ts
+        FROM graft_dml.ns.cmm""")
+    }),
+
     // ── q146: THE `.refs` METADATA TABLE — Iceberg's refs surface:
     // one row per named reference — the implicit `main` branch at the
     // current head, every immutable TAG at its pinned version, every
@@ -1347,6 +1375,16 @@ object RowCatalogQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  TRUE AS tag_frozen, TRUE AS branch_saw_staged
         |FROM orders WHERE o_orderkey % 8 IN (0, 1) ORDER BY k""".stripMargin,
+
+    // the five aggregates restated over the same two slices
+    "q147_dml_column_minmax" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents,
+        |  MIN(o_orderdate) AS min_ts, MAX(o_orderdate) AS max_ts
+        |FROM orders WHERE o_orderkey % 6 IN (0, 3)""".stripMargin,
 
     // refs: main at head v2, the tag pinned at v1, the staged branch
     // forked from v2; per-ref visibility restated from the slices

@@ -1006,12 +1006,39 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(RowFiles.filesOpened.get == 0L,
       s"metadata MIN/MAX must not open data files, opened " +
         s"${RowFiles.filesOpened.get}")
-    // a non-key column's extrema must NOT use the shortcut
+    // a non-key LONG column's extrema fold the PER-COLUMN zone maps
+    // (round-10 extension of the key-only shortcut): zero files opened
     RowFiles.filesOpened.set(0L)
     assert(s.sql("SELECT MAX(v) FROM graft_dml.spec.mc").head().getLong(0)
       == 36L)
+    assert(RowFiles.filesOpened.get == 0L,
+      s"non-key MAX must answer from per-column zone maps, opened " +
+        s"${RowFiles.filesOpened.get}")
+    // a column ADDed after the files committed has no recorded bounds
+    // — the shortcut refuses and the scan reads files (and the NULL
+    // answer is the files', not a fabricated extremum)
+    s.sql("ALTER TABLE graft_dml.spec.mc ADD COLUMN w BIGINT")
+    RowFiles.filesOpened.set(0L)
+    assert(s.sql("SELECT MAX(w) FROM graft_dml.spec.mc").head().isNullAt(0))
     assert(RowFiles.filesOpened.get > 0L,
-      "non-key MAX has no zone maps and must read files")
+      "a statless column must refuse the shortcut and read files")
+    // TIMESTAMP columns fold as their internal micros and surface
+    // with the TIMESTAMP output type — still zero files opened
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mct")
+    s.sql("CREATE TABLE graft_dml.spec.mct (k BIGINT, ts TIMESTAMP)")
+    s.sql("INSERT INTO graft_dml.spec.mct VALUES " +
+      "(1, TIMESTAMP'2001-02-03 04:05:06'), " +
+      "(2, TIMESTAMP'1999-01-01 00:00:00')")
+    RowFiles.filesOpened.set(0L)
+    val tm = s.sql("SELECT MIN(ts) AS a, MAX(ts) AS b " +
+      "FROM graft_dml.spec.mct").head()
+    assert(tm.getTimestamp(0).getTime == 915148800000L &&
+      tm.getTimestamp(1).getTime == 981173106000L,
+      s"got ${tm.getTimestamp(0)} / ${tm.getTimestamp(1)}")
+    assert(RowFiles.filesOpened.get == 0L,
+      "timestamp MIN/MAX must answer from per-column zone maps")
+    s.sql("DROP TABLE graft_dml.spec.mct")
+
     // a filtered count must NOT use the shortcut (residual filters
     // block aggregate pushdown) and must still be right
     RowFiles.filesOpened.set(0L)
