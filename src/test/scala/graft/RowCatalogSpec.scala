@@ -546,6 +546,33 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.dy")
   }
 
+  test("change feed diffs across equality-delete versions") {
+    val s = spark
+    import graft.sources.RowStoreOps
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ecdf")
+    s.sql("CREATE TABLE graft_dml.spec.ecdf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.ecdf VALUES (1, 10), (2, 20), (5, 50)") // v1
+    RowStoreOps.equalityDelete(s, "graft_dml.spec.ecdf",
+      s.range(1, 3).toDF("kv")) // v2: eq-delete keys 1, 2
+    s.sql("INSERT INTO graft_dml.spec.ecdf VALUES (1, 11)") // v3: resurrect
+    def feed(a: Int, b: Int) = s.read
+      .option("from", a.toString).option("to", b.toString)
+      .table("graft_dml.spec.ecdf.changes")
+      .selectExpr("k", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(feed(1, 2) == Seq((1L, 10L, "delete"), (2L, 20L, "delete")),
+      s"got ${feed(1, 2)}")
+    assert(feed(2, 3) == Seq((1L, 11L, "insert")), s"got ${feed(2, 3)}")
+    // the straddling read nets out: old values deleted, the
+    // resurrected row inserted, key 5 untouched (ordered replay keeps
+    // the v3 insert out of the v2 delete's scope)
+    assert(feed(1, 3) == Seq((1L, 10L, "delete"), (1L, 11L, "insert"),
+      (2L, 20L, "delete")), s"got ${feed(1, 3)}")
+    s.sql("DROP TABLE graft_dml.spec.ecdf")
+  }
+
   test("change feed plans negative groups; DEFAULT add and branch stream refuse") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
