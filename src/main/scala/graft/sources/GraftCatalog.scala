@@ -352,10 +352,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       "merge-on-read tables support only the bucket transform (delta " +
         "records can target any group; an unbounded group space cannot " +
         "be planned ahead)")
+    // opt-in per-column bloom filters for equality-predicate file
+    // skipping: TBLPROPERTIES('bloom'='col,...') — Delta's per-column
+    // bloom index surface. Long/int/timestamp/string columns only
+    // (what [[RowStore.Bloom.hashOf]] tracks).
+    val bloomCols = Option(properties.get("bloom"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"bloom column $c is not in the table schema"))
+      require(Set[DataType](LongType, IntegerType, TimestampType,
+        StringType)(f.dataType),
+        s"bloom column $c has untrackable type ${f.dataType}")
+    }
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
-      tparam = spec.map(_._2).getOrElse(0L)))
+      tparam = spec.map(_._2).getOrElse(0L),
+      bloomCols = bloomCols))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }

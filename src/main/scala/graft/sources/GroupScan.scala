@@ -193,6 +193,12 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     scala.collection.mutable.Map.empty[String, (Long, Long)]
   private val colWinS =
     scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+  // EQUALITY constraints for bloom probing, storage-name-keyed: each
+  // pushed Eq/In contributes one constraint a file must satisfy (for
+  // In, matching ANY listed hash suffices); files without a bloom for
+  // the column are never skipped by it
+  private val colEqCons =
+    scala.collection.mutable.Buffer.empty[(String, Seq[Long])]
   private var accepted: Array[SFilter] = Array.empty
 
   private def narrow(lo: Long, hi: Long): Unit = {
@@ -252,9 +258,19 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     def handleS(n: String, lo: Option[String], hi: Option[String]): Boolean =
       known(n).exists { st =>
         narrowColS(st, lo, hi); if (n == k) narrowS(lo, hi); true }
+    // a pushed literal's bloom hash — the same externalized form the
+    // writer hashed (timestamps via their micros long)
+    def bloomH(v: Any): Option[Long] =
+      num(v).flatMap(x => RowStore.Bloom.hashOf(Long.box(x)))
+        .orElse(str(v).flatMap(RowStore.Bloom.hashOf))
+    def eqCons(n: String, hs: Seq[Long]): Unit =
+      known(n).foreach(st => colEqCons += ((st, hs)))
     accepted = filters.filter {
-      case SEq(c, v) => num(v).exists(x => handleN(c, x, x)) ||
-        str(v).exists(x => handleS(c, Some(x), Some(x)))
+      case SEq(c, v) =>
+        val ok = num(v).exists(x => handleN(c, x, x)) ||
+          str(v).exists(x => handleS(c, Some(x), Some(x)))
+        if (ok) bloomH(v).foreach(h => eqCons(c, Seq(h)))
+        ok
       case SGt(c, v) => num(v).exists(x => handleN(c, x + 1, Long.MaxValue)) ||
         str(v).exists(x => handleS(c, Some(x), None))
       case SGe(c, v) => num(v).exists(x => handleN(c, x, Long.MaxValue)) ||
@@ -264,13 +280,19 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       case SLe(c, v) => num(v).exists(x => handleN(c, Long.MinValue, x)) ||
         str(v).exists(x => handleS(c, None, Some(x)))
       case SIn(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
-        val xs = vs.flatMap(num); handleN(c, xs.min, xs.max)
+        val xs = vs.flatMap(num)
+        val ok = handleN(c, xs.min, xs.max)
+        if (ok) eqCons(c, xs.toSeq.flatMap(x =>
+          RowStore.Bloom.hashOf(Long.box(x))))
+        ok
       case SIn(c, vs) if vs.nonEmpty && vs.forall(str(_).isDefined) =>
         import RowStore.StrBounds.cmp
         val xs = vs.flatMap(str)
-        handleS(c,
+        val ok = handleS(c,
           Some(xs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
           Some(xs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+        if (ok) eqCons(c, xs.toSeq.flatMap(RowStore.Bloom.hashOf))
+        ok
       case _ => false
     }
     filters // everything is residual
@@ -283,7 +305,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
     else Some((keyLo, keyHi)), streamFrom, branch, (strLo, strHi),
-    colWinN.toMap, colWinS.toMap)
+    colWinN.toMap, colWinS.toMap, colEqCons.toSeq)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -299,7 +321,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     streamFrom: Int = 0, branch: Option[String] = None,
     strRange: (Option[String], Option[String]) = (None, None),
     colWinN: Map[String, (Long, Long)] = Map.empty,
-    colWinS: Map[String, (Option[String], Option[String])] = Map.empty)
+    colWinS: Map[String, (Option[String], Option[String])] = Map.empty,
+    colEq: Seq[(String, Seq[Long])] = Seq.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -508,7 +531,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       val visible =
         if (op.nonEmpty || staticGroups.nonEmpty || groupDeltas.nonEmpty ||
           (keyRange.isEmpty && strRange == ((None, None)) &&
-            colWinN.isEmpty && colWinS.isEmpty) ||
+            colWinN.isEmpty && colWinS.isEmpty && colEq.isEmpty) ||
           sp != meta.specId) base
         else base.filter { e =>
           import RowStore.StrBounds.cmp
@@ -544,7 +567,21 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
               case None => true
             }
           }
-          numOk && strOk && colNOk && colSOk
+          // BLOOM probes: a file skips only when its recorded filter
+          // answers "definitely absent" for EVERY value of some
+          // pushed equality constraint — zone maps can't skip a point
+          // lookup on an unclustered column, this can. No bloom for
+          // the column (not opted in, overflowed, or pre-property
+          // files) → never skipped by it
+          val bloomOk = colEq.forall { case (cn, hs) =>
+            e.blooms.get(cn) match {
+              case Some(enc) =>
+                val (m, words) = RowStore.Bloom.dec(enc)
+                hs.exists(h => RowStore.Bloom.contains(words, m, h))
+              case None => true
+            }
+          }
+          numOk && strOk && colNOk && colSOk && bloomOk
         }
       planned += visible.size
       skipped += base.size - visible.size

@@ -79,7 +79,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
       meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
-      meta.renames)
+      meta.renames, meta.bloomCols)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -97,7 +97,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
         new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
-            meta.numGroups, meta.transform, meta.tparam, meta.renames)
+            meta.numGroups, meta.transform, meta.tparam, meta.renames,
+            meta.bloomCols)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -111,7 +112,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
                 f.minK, f.maxK, f.rows, meta.specId, f.minS, f.maxS,
-                f.colsN, f.colsS)).toSeq
+                f.colsN, f.colsS, f.blooms)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
               RowStore.readManifest(tableKey, cur) ++ added,
@@ -127,7 +128,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
-        f.rows, meta.specId, f.minS, f.maxS, f.colsN, f.colsS))
+        f.rows, meta.specId, f.minS, f.maxS, f.colsN, f.colsS, f.blooms))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -222,13 +223,15 @@ case class FileMeta(group: Int, name: String, minK: Option[Long],
     maxK: Option[Long], rows: Option[Long] = None,
     minS: Option[String] = None, maxS: Option[String] = None,
     colsN: Map[String, (Long, Long)] = Map.empty,
-    colsS: Map[String, (String, String)] = Map.empty)
+    colsS: Map[String, (String, String)] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int,
     transform: String = "bucket", tparam: Long = 0L,
-    renames: Map[String, String] = Map.empty)
+    renames: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -262,6 +265,26 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         chas: Array[Boolean], csmin: Array[String], csmax: Array[String])
       private val colStats =
         scala.collection.mutable.Map.empty[Int, ColStats]
+      // opt-in per-column blooms: distinct value hashes per
+      // (group, column index), capped — an overflowing (group, col)
+      // records NO bloom (a saturated filter skips nothing), which
+      // also bounds writer memory at MaxDistinct longs per slot
+      private val bloomIdx = bloomCols
+        .map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0)
+      private val bloomVals = scala.collection.mutable
+        .Map.empty[(Int, Int), scala.collection.mutable.Set[Long]]
+      private val bloomOver = scala.collection.mutable.Set.empty[(Int, Int)]
+      private def trackBlooms(g: Int, vals: Array[Any]): Unit =
+        bloomIdx.foreach { i =>
+          if (!bloomOver((g, i))) RowStore.Bloom.hashOf(vals(i)).foreach { h =>
+            val set = bloomVals.getOrElseUpdate((g, i),
+              scala.collection.mutable.Set.empty[Long])
+            set += h
+            if (set.size > RowStore.Bloom.MaxDistinct) {
+              bloomOver += ((g, i)); bloomVals.remove((g, i)); ()
+            }
+          }
+        }
 
       private def trackStats(g: Int, v: Any): Unit = v match {
         case l: java.lang.Long =>
@@ -357,6 +380,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         })
         if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
         trackColStats(g, vals)
+        trackBlooms(g, vals)
         w.write(vals)
       }
 
@@ -387,8 +411,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             (nums, strs)
           }.getOrElse((Map.empty[String, (Long, Long)],
             Map.empty[String, (String, String)]))
+          // blooms keyed by STORAGE name like the other per-column
+          // stats; sized to this file's distinct count
+          val bl = bloomIdx.flatMap { i =>
+            bloomVals.get((g, i)).filter(_.nonEmpty).map { hs =>
+              val m = RowStore.Bloom.sizedBits(hs.size)
+              fileFields(i).name ->
+                RowStore.Bloom.enc(m, RowStore.Bloom.build(hs, m))
+            }
+          }.toMap
           FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong),
-            sst.map(_._1), sst.map(_._2), cn, cs)
+            sst.map(_._1), sst.map(_._2), cn, cs, bl)
         }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())

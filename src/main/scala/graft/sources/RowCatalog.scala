@@ -610,6 +610,37 @@ object RowCatalogQueries {
         FROM graft_dml.ns.cmm""")
     }),
 
+    // ── q148: BLOOM-FILTER FILE SKIPPING — zone maps skip range
+    // predicates on CLUSTERED columns; a point lookup on an
+    // UNCLUSTERED column straddles every file's [min, max] and reads
+    // everything. The opt-in per-column bloom filter
+    // (TBLPROPERTIES('bloom'='cents')) answers "definitely absent"
+    // for exactly that shape — Delta's bloom index, manifest-resident.
+    // Two interleaved slices give every bucket multiple files with
+    // overlapping cents ranges (zone maps provably can't help), then
+    // the needle query reads back one known order's cents value.
+    // RowCatalogSpec pins the planned/skipped file accounting for
+    // numeric and string blooms with overlap-by-construction fixtures;
+    // the oracle here restates the needle lookup relationally (the
+    // bloom is performance metadata — results must be identical with
+    // or without it).
+    "q148_dml_bloom_skip" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q148_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.blm")
+      s.sql("CREATE TABLE graft_dml.ns.blm (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('bloom'='cents')")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.blm
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q148_orders WHERE o_orderkey % 4 = $r"""); () }
+      ins(0); ins(1)
+      val needle = s.sql("SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM q148_orders WHERE o_orderkey = 32").head().getLong(0)
+      s.table("graft_dml.ns.blm").filter(col("cents") === needle)
+        .orderBy(col("k"))
+    }),
+
     // ── q146: THE `.refs` METADATA TABLE — Iceberg's refs surface:
     // one row per named reference — the implicit `main` branch at the
     // current head, every immutable TAG at its pinned version, every
@@ -1375,6 +1406,17 @@ object RowCatalogQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  TRUE AS tag_frozen, TRUE AS branch_saw_staged
         |FROM orders WHERE o_orderkey % 8 IN (0, 1) ORDER BY k""".stripMargin,
+
+    // the needle lookup restated relationally — the bloom must be
+    // invisible to results
+    "q148_dml_bloom_skip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT) =
+        |    (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |     FROM orders WHERE o_orderkey = 32)
+        |ORDER BY k""".stripMargin,
 
     // the five aggregates restated over the same two slices
     "q147_dml_column_minmax" ->

@@ -122,7 +122,8 @@ object RowStore {
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
       bucketCol: String = "", dropped: Seq[String] = Seq.empty,
       transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -151,7 +152,8 @@ object RowStore {
       rows: Option[Long] = None, spec: Int = 0,
       minS: Option[String] = None, maxS: Option[String] = None,
       colsN: Map[String, (Long, Long)] = Map.empty,
-      colsS: Map[String, (String, String)] = Map.empty)
+      colsS: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** TRUNCATED string bounds — Iceberg's string zone-map model
     * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
@@ -201,6 +203,90 @@ object RowStore {
     }
   }
 
+  /** OPT-IN per-column BLOOM FILTERS for equality-predicate file
+    * skipping (Delta's per-column bloom index, manifest-resident like
+    * Iceberg's puffin blobs): zone maps only skip when the data is
+    * CLUSTERED by the predicate column — a point lookup on an
+    * unclustered column finds every file's [min, max] straddling the
+    * value and reads everything. A small per-file bloom answers
+    * "definitely absent" for exactly that shape. Opt-in via
+    * `TBLPROPERTIES('bloom'='col,...')` because the bytes are paid per
+    * (file, column): sized at 8 bits per distinct value (power of
+    * two, [2^10, 2^16] bits → ≤8 KiB per column per file), k=3
+    * probes; a column exceeding [[MaxDistinct]] distinct values in
+    * one file records NO bloom (a saturated filter skips nothing but
+    * still costs bytes — sound either way, absence just means "never
+    * skip"). Hashing is engine-internal (never compared to an
+    * oracle): splitmix64 over the long form / FNV-1a over UTF-8 for
+    * strings, double hashing for the probe sequence. */
+  object Bloom {
+    val K = 3
+    val MinBits = 1 << 10
+    val MaxBits = 1 << 16
+    val MaxDistinct = 16384
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    /** Hash of a stored value's EXTERNALIZED form (what the writer
+      * sees): longs/ints/timestamp-micros via the long form, strings
+      * via FNV-1a. None = untracked type, no bloom participation. */
+    def hashOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(mix(l.longValue))
+      case i: java.lang.Integer => Some(mix(i.longValue))
+      case s: String =>
+        var h = 0xcbf29ce484222325L
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+          h ^= (b & 0xffL); h *= 0x100000001b3L
+        }
+        Some(mix(h))
+      case _ => None
+    }
+    def sizedBits(nDistinct: Int): Int = {
+      var m = MinBits
+      while (m < nDistinct * 8 && m < MaxBits) m <<= 1
+      m
+    }
+    private def probe(words: Array[Long], m: Int, h: Long,
+        set: Boolean): Boolean = {
+      val h2 = mix(h) | 1L
+      var i = 0
+      var all = true
+      while (i < K) {
+        val bit = java.lang.Long.remainderUnsigned(h + i.toLong * h2, m).toInt
+        if (set) words(bit >> 6) |= 1L << (bit & 63)
+        else if ((words(bit >> 6) & (1L << (bit & 63))) == 0L) all = false
+        i += 1
+      }
+      all
+    }
+    def build(hashes: Iterable[Long], m: Int): Array[Long] = {
+      val words = new Array[Long](m / 64)
+      hashes.foreach(h => probe(words, m, h, set = true))
+      words
+    }
+    def contains(words: Array[Long], m: Int, h: Long): Boolean =
+      probe(words, m, h, set = false)
+    def enc(m: Int, words: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      words.foreach(bb.putLong)
+      s"$m:" + java.util.Base64.getEncoder.withoutPadding
+        .encodeToString(bb.array)
+    }
+    def dec(s: String): (Int, Array[Long]) = {
+      val i = s.indexOf(':')
+      val m = s.substring(0, i).toInt
+      val bytes = java.util.Base64.getDecoder.decode(s.substring(i + 1))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      var j = 0
+      while (j < words.length) { words(j) = bb.getLong; j += 1 }
+      (m, words)
+    }
+  }
+
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
     * executors only ever see absolute file paths. */
@@ -244,7 +330,8 @@ object RowStore {
       s"groups=${m.numGroups}\nmor=${m.mor}\npcol=${m.bucketCol}\n" +
         s"ptf=${m.transform}\nparg=${m.tparam}\nspec=${m.specId}\n" +
         s"dropped=${m.dropped.mkString(",")}\n" +
-        s"renames=${renderRenames(m.renames)}\nschema=${m.schema.json}\n")
+        s"renames=${renderRenames(m.renames)}\n" +
+        s"bloom=${m.bloomCols.mkString(",")}\nschema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -258,7 +345,8 @@ object RowStore {
       kv.getOrElse("ptf", "bucket"),
       kv.getOrElse("parg", "0").toLong,
       kv.getOrElse("spec", "0").toInt,
-      parseRenames(kv.getOrElse("renames", "")))
+      parseRenames(kv.getOrElse("renames", "")),
+      kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -308,6 +396,7 @@ object RowStore {
         var spec = 0
         var colsN = Map.empty[String, (Long, Long)]
         var colsS = Map.empty[String, (String, String)]
+        var blooms = Map.empty[String, String]
         toks.drop(3).foreach { t =>
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
@@ -329,6 +418,12 @@ object RowStore {
             colsS += StrBounds.dec(n) ->
               (StrBounds.dec(lo), StrBounds.dec(hi))
           }
+          // `F<enc(col)>~<m>:<b64bits>` = opt-in per-column BLOOM
+          // filter for equality-predicate file skipping
+          else if (t.startsWith("F")) {
+            val Array(n, b) = t.tail.split("~", 2)
+            blooms += StrBounds.dec(n) -> b
+          }
           else if (minK.isEmpty) minK = Some(t.toLong)
           else if (maxK.isEmpty) maxK = Some(t.toLong)
           else sys.error(s"corrupt manifest line: $l")
@@ -338,7 +433,7 @@ object RowStore {
         require(minS.isDefined == maxS.isDefined,
           s"corrupt manifest line (unpaired string stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
-          minS, maxS, colsN, colsS)
+          minS, maxS, colsN, colsS, blooms)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -359,7 +454,9 @@ object RowStore {
       val cs = e.colsS.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
         s"\tT${StrBounds.enc(n)}~${StrBounds.enc(lo)}~${StrBounds.enc(hi)}"
       }.mkString
-      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs"
+      val bl = e.blooms.toSeq.sortBy(_._1).map { case (n, b) =>
+        s"\tF${StrBounds.enc(n)}~$b" }.mkString
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the

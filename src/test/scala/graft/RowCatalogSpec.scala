@@ -1178,6 +1178,62 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.skipm")
   }
 
+  test("bloom filters skip point lookups that zone maps cannot") {
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+
+    // the filter kernel's own contract first: round-trip + membership
+    val hs = (0L until 100L).flatMap(i => RowStore.Bloom.hashOf(Long.box(i)))
+    val m = RowStore.Bloom.sizedBits(hs.size)
+    val (m2, words) = RowStore.Bloom.dec(
+      RowStore.Bloom.enc(m, RowStore.Bloom.build(hs, m)))
+    assert(m2 == m)
+    assert(hs.forall(RowStore.Bloom.contains(words, m, _)),
+      "a bloom filter must never report a present value absent")
+
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.bl")
+    s.sql("CREATE TABLE graft_dml.spec.bl (k BIGINT, v BIGINT, t STRING) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('bloom'='v,t')")
+    // two commits with INTERLEAVED value ranges: file 1 evens
+    // 100..198 + 'e…' strings, file 2 odds 101..199 + 'o…' — every
+    // file's [min, max] straddles every probe below, so zone maps
+    // PROVABLY cannot skip; only the blooms can.
+    s.sql("INSERT INTO graft_dml.spec.bl VALUES " +
+      (0 until 50).map(i => s"($i, ${100 + 2 * i}, 'e$i')").mkString(", "))
+    s.sql("INSERT INTO graft_dml.spec.bl VALUES " +
+      (0 until 50).map(i => s"(${100 + i}, ${101 + 2 * i}, 'o$i')")
+        .mkString(", "))
+    // numeric point lookup: the odd file is definitely-absent
+    assert(s.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft_dml.spec.bl " +
+      "WHERE v = 150").head().getLong(0) == 25L)
+    assert(RowStore.lastPlannedBaseFiles.get == 1 &&
+      RowStore.lastSkippedBaseFiles.get == 1,
+      s"numeric bloom must skip the odd file, got " +
+        s"${RowStore.lastPlannedBaseFiles.get} planned / " +
+        s"${RowStore.lastSkippedBaseFiles.get} skipped")
+    // string point lookup: the even file is definitely-absent
+    assert(s.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft_dml.spec.bl " +
+      "WHERE t = 'o7'").head().getLong(0) == 107L)
+    assert(RowStore.lastPlannedBaseFiles.get == 1 &&
+      RowStore.lastSkippedBaseFiles.get == 1,
+      s"string bloom must skip the even file, got " +
+        s"${RowStore.lastPlannedBaseFiles.get} planned / " +
+        s"${RowStore.lastSkippedBaseFiles.get} skipped")
+    // IN straddling both files: each value hits one bloom — both plan
+    assert(s.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft_dml.spec.bl " +
+      "WHERE v IN (150, 151)").head().getLong(0) == 25L + 125L)
+    assert(RowStore.lastSkippedBaseFiles.get == 0,
+      "an IN matching every file's bloom must skip nothing")
+    s.sql("DROP TABLE graft_dml.spec.bl")
+
+    // refusal surface: a bloom column must exist in the schema
+    val e = intercept[Exception] { s.sql(
+      "CREATE TABLE graft_dml.spec.blbad (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('bloom'='nope')") }
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
   test("string-key zone maps skip files via truncated bounds") {
     val s = spark
     import graft.sources.RowStore
