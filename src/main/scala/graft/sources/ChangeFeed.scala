@@ -382,6 +382,15 @@ object RowStoreOps {
     require(keys.schema.length == 1,
       s"keys frame must have exactly one column, got ${keys.schema}")
     val keyField = meta.schema.fields.find(_.name == meta.keyCol).get
+    // validate the key type UP FRONT: a blind Column.cast would turn
+    // uncastable values into NULL eq-delete keys, which would then
+    // silently delete the null-key rows of group 0 instead of erroring.
+    // Exact match or lossless integral widening only.
+    val inType = keys.schema.head.dataType
+    require(inType == keyField.dataType ||
+      (inType == IntegerType && keyField.dataType == LongType),
+      s"$table: keys frame column type $inType does not match key " +
+        s"column ${meta.keyCol}: ${keyField.dataType} — cast explicitly")
     val dir = RowStore.dataDir(table)
     val n = meta.numGroups
     // same file layout as positional deltas (meta fields + the full
@@ -400,6 +409,10 @@ object RowStoreOps {
           .Map.empty[Int, (String, RowFiles.FileWriter)]
         it.foreach { r =>
           val v = r.get(0)
+          // a NULL eq-delete key would delete every null-key row in
+          // group 0 — a mistake, not a request; fail loudly instead
+          require(v != null,
+            "equality-delete keys frame contains a NULL key")
           val g = RowStore.groupOf(v, n)
           val (_, w) = writers.getOrElseUpdate(g, {
             val name = s"e$g-${java.util.UUID.randomUUID()}.parquet"
@@ -414,6 +427,10 @@ object RowStoreOps {
         writers.values.foreach(_._2.close())
         writers.iterator.map { case (g, (name, _)) => (g, name) }
       }.collect()
+    // same pre-commit seam as every batch-write commit (GroupWrite
+    // .commit): concurrency fault-injection tests can latch this
+    // writer's commit like any other
+    RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(table)
       RowStore.writeManifest(table, cur + 1,
@@ -432,7 +449,14 @@ object RowStoreOps {
     * evolved schema. COW only — MOR delta records are projected by
     * written name against a pinned schema, the same rule that refuses
     * RENAME there. Returns the added column names (empty = the plain
-    * MERGE path, byte-identical to not calling this). */
+    * MERGE path, byte-identical to not calling this).
+    *
+    * NOT ATOMIC across schema + data: each auto-added column commits
+    * its own ALTER version before the MERGE runs, so a MERGE that then
+    * fails leaves the schema evolved (added columns all-NULL) — unlike
+    * Delta's mergeSchema, which evolves atomically with the merge.
+    * Safe to re-run: the re-issued call finds the columns present and
+    * degenerates to the plain MERGE. */
   def mergeEvolving(s: SparkSession, table: String, sourceView: String,
       mergeSql: String): Seq[String] = {
     val meta = RowStore.readMeta(table)
@@ -450,7 +474,9 @@ object RowStoreOps {
           case other => sys.error(s"$table: cannot auto-add column " +
             s"${f.name} of unsupported type $other")
         }
-        s.sql(s"ALTER TABLE $table ADD COLUMNS (${f.name} $ddl)")
+        // backtick-quoted: a source column named like a keyword (or
+        // containing spaces) must not splice raw into the DDL
+        s.sql(s"ALTER TABLE $table ADD COLUMNS (`${f.name}` $ddl)")
         f.name
       }
     s.sql(mergeSql)

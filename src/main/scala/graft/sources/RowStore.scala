@@ -981,6 +981,23 @@ object RowResolve {
             .foreach { case (v, i) => m.put(s"$n#$i", v) }
         case (_, f) =>
           val n = leaf(f)
+          // CONSECUTIVE eq-delete records batch into one key set and
+          // apply in a single sweep over the visible rows: records in
+          // one file share a commit point, so a run of eq-deletes is
+          // order-free among themselves — semantically identical to
+          // per-record sweeps, but O(rows + keys) instead of
+          // O(rows × keys) for CDC-sized delete files. The set flushes
+          // before any non-eq record for this group (an interleaved
+          // insert of a deleted key must still resurrect it).
+          val pendingEq = new java.util.HashSet[Any]()
+          def flushEq(): Unit = if (!pendingEq.isEmpty) {
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              if (pendingEq.contains(it.next().getValue()(keyIdx)))
+                it.remove()
+            }
+            pendingEq.clear()
+          }
           RowFiles.readRows(f, DeltaMetaFields ++ wanted).zipWithIndex
             .foreach { case (rec, i) =>
               val grp = rec(2).asInstanceOf[java.lang.Integer]
@@ -988,22 +1005,19 @@ object RowResolve {
                 val rid = rec(1).asInstanceOf[String]
                 val data = rec.drop(DeltaMetaFields.length)
                 rec(0).asInstanceOf[java.lang.Integer].intValue match {
-                  case DeleteOp => m.remove(rid)
-                  case UpdateOp => if (m.containsKey(rid)) m.put(rid, data)
-                  case InsertOp => m.put(s"$n#$i", data)
+                  case DeleteOp => flushEq(); m.remove(rid); ()
+                  case UpdateOp =>
+                    flushEq(); if (m.containsKey(rid)) m.put(rid, data); ()
+                  case InsertOp => flushEq(); m.put(s"$n#$i", data); ()
                   case EqDeleteOp =>
                     require(keyIdx >= 0, "equality-delete replay needs " +
                       "the key column in the resolved projection")
-                    val kv = data(keyIdx)
-                    val it = m.entrySet().iterator()
-                    while (it.hasNext) {
-                      if (java.util.Objects.equals(
-                        it.next().getValue()(keyIdx), kv)) it.remove()
-                    }
+                    pendingEq.add(data(keyIdx)); ()
                   case other => sys.error(s"corrupt delta record op=$other")
                 }
               }
             }
+          flushEq()
       }
       m.asScala.toSeq
     }

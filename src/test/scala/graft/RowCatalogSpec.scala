@@ -1504,6 +1504,51 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.eqc")
   }
 
+  test("interleaved position + equality deletes replay like the COW oracle") {
+    // the trickiest MOR ordering: a POSITION delete (SQL DELETE on a
+    // MOR table) removes rows from the seed file, then an EQUALITY
+    // delete re-targets keys of that SAME file — one already
+    // position-deleted (must stay a no-op, not resurrect or error),
+    // one still live (must go) — then re-inserts resurrect both.
+    // Oracle: a COW twin runs the semantically identical statements
+    // (an eq-delete at commit point == DELETE ... WHERE k IN (...)),
+    // and every version of the two chains must agree.
+    val s = spark
+    import graft.sources.RowStoreOps
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    for ((t, props) <- Seq(
+      ("graft_dml.spec.mixm", " TBLPROPERTIES ('format'='mor')"),
+      ("graft_dml.spec.mixc", ""))) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)$props")        // v0
+      s.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 10)") // v1
+      s.sql(s"DELETE FROM $t WHERE k IN (1, 3)")                  // v2 (pos)
+      if (t.endsWith("mixm"))                                     // v3 (eq)
+        RowStoreOps.equalityDelete(s, t,
+          s.sql("SELECT CAST(k AS BIGINT) FROM VALUES (3), (5) AS d(k)"))
+      else s.sql(s"DELETE FROM $t WHERE k IN (3, 5)")
+      s.sql(s"INSERT INTO $t VALUES (3, 31), (5, 51)")            // v4
+    }
+    // the MOR chain kept its seed base file un-rewritten and carries
+    // BOTH delta kinds
+    import graft.sources.RowStore
+    val man = RowStore.readManifest("graft_dml.spec.mixm", 4)
+    assert(man.count(_.kind == "delta") >= 2,
+      s"expected position + equality delta files, got $man")
+    def state(t: String, v: Int): Seq[(Long, Long)] =
+      s.sql(s"SELECT k, v FROM $t VERSION AS OF $v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (v <- 1 to 4)
+      assert(state("graft_dml.spec.mixm", v) ==
+        state("graft_dml.spec.mixc", v),
+        s"MOR replay diverged from the COW oracle at version $v")
+    assert(state("graft_dml.spec.mixm", 4) ==
+      Seq((0L, 0L), (2L, 20L), (3L, 31L), (4L, 40L), (5L, 51L),
+        (6L, 60L), (7L, 70L), (8L, 80L), (9L, 90L)))
+    s.sql("DROP TABLE graft_dml.spec.mixm")
+    s.sql("DROP TABLE graft_dml.spec.mixc")
+  }
+
   test(".refs lists main, tags, and staged branches with zero data-file opens") {
     val s = spark
     import graft.sources.{RowFiles, RowStore, RowStoreOps}
