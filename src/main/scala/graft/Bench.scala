@@ -121,20 +121,34 @@ object Bench {
           }
         }
         val (r1, r2) = (once(), once())
-        name -> (r1, r2)
+        // contention retry: three consecutive rounds of driver benches
+        // carried contamination bands min-of-two could not smooth
+        // (r9 q60–q68 12×; r10 q113 [79.4, 28.0] vs 1.98 s isolated).
+        // The run pair exposes it — act on it: a >3× spread within the
+        // pair means at least one run was poisoned by box load, so
+        // take a third and report min-of-three, marking the entry
+        // `retried` so the artifact is self-describing.
+        val runs =
+          if (r1 >= 0 && r2 >= 0 &&
+            math.max(r1, r2) > 3 * math.min(r1, r2)) Seq(r1, r2, once())
+          else Seq(r1, r2)
+        name -> runs
       }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, (a, b)) =>
-      s"\"" + k + "\":" + math.min(a, b) }.mkString("{", ",", "}")
-    // both raw run times, in run order — the spread between them (and
-    // vs the min) is the contention fingerprint
-    val runPairs = results.map { case (k, (a, b)) =>
-      s"\"" + k + "\":[" + a + "," + b + "]" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
+    // all raw run times, in run order (3 entries = retried) — the
+    // spread between them (and vs the min) is the contention
+    // fingerprint
+    val runPairs = results.map { case (k, rs) =>
+      s"\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
+    val retried = results.collect { case (k, rs) if rs.length > 2 =>
+      s"\"" + k + "\"" }.mkString("[", ",", "]")
     val fxs = fixtures.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, (a, b)) => math.min(a, b) }.sum
+    val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"load_start":"$loadStart","load_end":"$loadEnd","fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_start":"$loadStart","load_end":"$loadEnd","fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
     // The driver captures a tail of stdout; a noisy shutdown once pushed
     // the JSON line past the capture window and BENCH_r03 recorded
     // "parsed": null with ~21 of 83 entries lost. Belt and braces:
