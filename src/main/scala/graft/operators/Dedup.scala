@@ -34,7 +34,7 @@ import graft.functions.{SketchFunctions, VectorFunctions}
   */
 object Dedup {
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private[operators] def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
   /** word-level 3-gram shingle set (distinct), lowercased.
@@ -126,7 +126,7 @@ object Dedup {
     * collapses the self-join diamond: both posting sides and every
     * consumer would otherwise recompute the interpreted gram pipeline;
     * the final checkpoint materializes the pair set for the cache. */
-  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(s, d)(
       exactJaccardPairsUncached(s, d).localCheckpoint())
 
@@ -189,11 +189,11 @@ object Dedup {
     * [[cosinePairsUncached]] LIVE instead: its value to the suite is
     * the block-join plan itself (PLANS.md dump + the BNLJ-free sweep in
     * PortableHashSpec), which a checkpoint scan would make vacuous. */
-  private def cosinePairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def cosinePairs(s: SparkSession, d: String): DataFrame =
     cosineCache.getOrElseUpdate(s, d)(
       cosinePairsUncached(s, d).localCheckpoint())
 
-  private def cosinePairsUncached(s: SparkSession, d: String): DataFrame = {
+  private[operators] def cosinePairsUncached(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     import s.implicits._
     val B = 8
@@ -284,7 +284,7 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[operators] val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── d01: exact dedup — groupBy (length, xxhash64) of the text, keep
     // min doc_id as the canonical representative (deterministic, unlike
@@ -446,259 +446,6 @@ object Dedup {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    // ── d06: near-dup CLUSTERING — connected components over the exact
-    // pair graph via min-label propagation: each iteration every node
-    // takes the min of its own label and its neighbors', until
-    // fixpoint. Iterative DataFrame jobs need lineage control — each
-    // iteration localCheckpoints, or the plan depth doubles per round.
-    // Converges in O(log diameter) rounds; components here are tiny.
-    "d06_dedup_clusters" -> ((s, d) => {
-      val pairs = exactJaccardPairs(s, d)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
-      val edges = pairs
-        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .toDF("src", "dst").localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-        // carry a moved flag through the checkpoint so convergence is a
-        // cheap scan of the just-materialized partitions — not a second
-        // join against the previous labels (round-1 verdict minor)
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"),
-            (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("moved"))
-          .localCheckpoint()
-        changed = next.filter(col("moved")).count()
-        labels = next.select(col("id"), col("new_lbl").as("lbl"))
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── d07: near-dup clustering via the ALTERNATING STAR algorithm
-    // (large-star/small-star, Kiveris et al., "Connected Components in
-    // MapReduce and Beyond") — the billion-edge-scale alternative to
-    // d06's label propagation. Each round is a groupBy-min plus a
-    // re-emit of edges toward component minima:
-    //  - large-star: every node points its LARGER neighbors at the min
-    //    of its neighborhood (∪ itself);
-    //  - small-star: edges oriented to their larger endpoint; that
-    //    endpoint points its smaller neighbors (and itself) at the min.
-    // Converges in O(log n) rounds REGARDLESS of component diameter
-    // (label propagation needs O(diameter)), and hot high-degree nodes
-    // shrink monotonically — the properties that matter at 10⁹ edges.
-    // Same output and oracle as d06: (doc_id, min doc_id of component).
-    "d07_dedup_clusters_star" -> ((s, d) => {
-      val pairs = exactJaccardPairs(s, d)
-        .select(col("b_id").as("u"), col("a_id").as("v")).localCheckpoint()
-      starComponents(pairs).orderBy(col("doc_id"))
-    }),
-
-    // ── d09: SEMANTIC dedup clustering — connected components over the
-    // embedding-cosine pair graph (d05's block-decomposed output feeds
-    // the d07 star algorithm). This is the "semantic dedup" recipe:
-    // near-dup TEXT clusters catch verbatim copies, embedding clusters
-    // catch paraphrases; the representative (min vec_id per component)
-    // is what survives into training. At sf0.1 the 0.35 graph is one
-    // ~2000-node component — the O(log n) star rounds are exercised for
-    // real, not on toy 2-node islands.
-    "d09_semantic_clusters" -> ((s, d) => {
-      val pairs = cosinePairs(s, d)
-        .select(col("a_id").as("u"), col("b_id").as("v"))
-      starComponents(pairs)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // ── d05: embedding near-dup pairs via the custom CosineSimilarity
-    // Catalyst expression, on a BLOCK-DECOMPOSED equi-join (round-1
-    // all-pairs theta join was a BroadcastNestedLoopJoin — O(n²) pair
-    // materialization through one operator).
-    //
-    // Exactness requires visiting every pair at this threshold: 0.35
-    // cosine is a 69.5° angle, where sign-LSH agrees per hyperplane
-    // with p≈0.61 — no banding regime has both recall 1 and sublinear
-    // candidates (measured: the sf0.01 corpus has 931 pairs in cosine
-    // [0.30, 0.40]; there is no similarity gap to exploit). LSH is the
-    // right tool at true near-dup thresholds (≥0.8) — that path is s02.
-    // So the scale fix is GEMM-style blocking, not candidate pruning:
-    // vectors are assigned to B blocks, the B(B+1)/2 block PAIRS become
-    // join keys, and each task cross-scores one block pair internally.
-    //  - shuffle volume: n·B rows (each vector copied to ≤B tasks),
-    //    not n² pairs; B = √(2·tasks) tunes task count to the cluster.
-    //  - plan: LocalRelation task list + two hash equi-joins — no
-    //    BroadcastNestedLoopJoin, no CartesianProduct (plan-asserted in
-    //    DedupPlanSpec).
-    "d05_dedup_embedding" -> ((s, d) =>
-      cosinePairsUncached(s, d).orderBy(col("a_id"), col("b_id"))),
-
-    // ── d12: LSH-BUCKETED embedding near-dup — the sublinear
-    // candidate-generation path next to d05's exact block join, for the
-    // workloads that trade recall for it (d05's comment derives why
-    // recall 1 at 0.35 cosine forces all pairs; many production near-dup
-    // passes accept partial recall per pass because dedup is iterated).
-    // Candidates are MULTI-PROBED co-bucket pairs in ANY of the 8
-    // hyperplane tables (Similarity's fused index family — the same
-    // one s02 uses for ANN): one side joins its 8-probe expansion
-    // (every subset of its three weakest-margin bits) against the
-    // other side's capped base buckets, so a pair is a candidate iff
-    // their buckets are within that flip set in some table — recall
-    // several times the single-bucket floor at ZERO extra index size,
-    // and the base side keeps the 256-per-bucket cap so a degenerate
-    // bucket still can't go quadratic. Then EXACT cosine rescore at
-    // the d05 threshold. The output is the engine-independent
-    // CONTRACT, the s04 discipline: false positives are structurally 0
-    // (the rescore is exact — counted in-plan by the anti-join, not
-    // assumed), and recall vs the exact d05 pair set is thresholded.
-    // Single-bucket collision at the band's LOW end (cos 0.35) is
-    // p ≈ 0.61^6 per table, union ≈ 0.36 over 8 tables — the old
-    // floor and old gate; multi-probe lifts measured recall past the
-    // new 0.75 gate at all three SFs (single-probe measured
-    // 0.38–0.40). Deterministic (fixed hyperplanes, fixed corpus), so
-    // the gate is stable green.
-    "d12_dedup_embedding_lsh" -> ((s, d) => {
-      VectorFunctions.register(s)
-      SketchFunctions.register(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("table_id"), col("bucket")).orderBy(col("vec_id"))
-      val capped = Similarity.bucketed(Tables(s, d, "embeddings"), "embedding")
-        .select(col("vec_id"), col("table_id"), col("bucket"))
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= 256).drop("pos")
-      val probes = Similarity.probeBucketed(Tables(s, d, "embeddings"), "embedding")
-        .select(col("vec_id").as("a_id"), col("table_id"), col("bucket"))
-      val cands = probes
-        .join(capped.select(col("vec_id").as("b_id"),
-          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(least(col("a_id"), col("b_id")).as("a_id"),
-          greatest(col("a_id"), col("b_id")).as("b_id"))
-        .distinct()
-      val va = Tables(s, d, "embeddings")
-        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val vb = Tables(s, d, "embeddings")
-        .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-      // two consumers (recall hits + the false-positive anti-join):
-      // materialize once, the d10 discipline
-      val approx = cands.join(va, "a_id").join(vb, "b_id")
-        .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.35)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
-      val exact = cosinePairs(s, d).select(col("a_id"), col("b_id"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-      val hits = exact.join(approx, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val falsePos = approx.join(exact, Seq("a_id", "b_id"), "left_anti")
-        .agg(count(lit(1)).as("n_false_pos"))
-      nExact.crossJoin(hits).crossJoin(falsePos)
-        .select(col("n_exact_pairs"), col("n_false_pos"),
-          (col("n_exact_pairs") === 0L ||
-            col("hits").cast("double") / col("n_exact_pairs") >= 0.75)
-            .as("recall_ok"))
-    }),
-
-    // ── d16: SEMANTIC DEDUP, cluster-bounded (the SemDeDup shape):
-    // candidate pairs are generated ONLY within k-means cells of the
-    // shared IVF quantizer (Similarity's cached fit — one index, two
-    // consumers), then exact-rescored at the d05 threshold. The third
-    // embedding-dedup scale economy next to d05 (exact, all pairs)
-    // and d12 (LSH buckets): cells bound candidate volume to
-    // Σ|cell|² ≈ n²/k with NO per-pair hashing, which is why
-    // web-scale curation (SemDeDup over LAION) runs this shape —
-    // clustering is one narrow pass and the quadratic stage is
-    // embarrassingly cell-parallel. The contract is d12's: false
-    // positives structurally 0 (exact rescore, counted in-plan),
-    // recall vs the exact d05 pair set thresholded (cluster-routing
-    // loss is the priced trade; measured 0.82–0.89 across SFs with
-    // 3-way assignment, gate 0.7 — a near-dup pair the quantizer
-    // splits across every shared cell is the known SemDeDup miss
-    // mode).
-    "d16_semantic_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      VectorFunctions.register(s)
-      val (_, cents) = Similarity.ivfIndex(s, d)
-      // MULTI-ASSIGNMENT: each vector joins its top-3 cells by
-      // centroid cosine (single-assignment measured recall 0.25–0.39
-      // — the quantizer splits near-dup pairs across a cell boundary
-      // far too often; 3-way assignment triples index rows and lifts
-      // measured recall to 0.82–0.89 across SFs, the standard
-      // SemDeDup/IVF multi-assignment remedy)
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("mcell").asc)
-      val multi = Tables(s, d, "embeddings")
-        .crossJoin(broadcast(cents.select(col("cell").as("mcell"),
-          col("centroid"))))
-        .withColumn("ccos",
-          VectorFunctions.cosineSim(col("embedding"), col("centroid")))
-        .withColumn("cr", row_number().over(wc))
-        .filter(col("cr") <= 3)
-        .select(col("mcell").as("cell"), col("vec_id"), col("embedding"))
-        .localCheckpoint() // the (replicated) serving index
-      val a = multi.select(col("cell"), col("vec_id").as("a_id"),
-        col("embedding").as("va"))
-      val b = multi.select(col("cell"), col("vec_id").as("b_id"),
-        col("embedding").as("vb"))
-      val approx = a.join(b, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.35)
-        .select(col("a_id"), col("b_id")).distinct().localCheckpoint()
-      val exact = cosinePairs(s, d).select(col("a_id"), col("b_id"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-      val hits = exact.join(approx, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val falsePos = approx.join(exact, Seq("a_id", "b_id"), "left_anti")
-        .agg(count(lit(1)).as("n_false_pos"))
-      nExact.crossJoin(hits).crossJoin(falsePos)
-        .select(col("n_exact_pairs"), col("n_false_pos"),
-          (col("n_exact_pairs") === 0L ||
-            col("hits").cast("double") / col("n_exact_pairs") >= 0.7)
-            .as("cell_recall_ok"))
-    }),
-
-    // ── p06: LEAKAGE-SAFE train/val/test split — the split decision
-    // that makes held-out evaluation honest: if two near-duplicate
-    // documents land in different splits, the test set leaks into
-    // training and eval scores inflate. p02's per-document hash split
-    // cannot prevent that; the fix is to split by NEAR-DUP CLUSTER:
-    // every document inherits its connected component's id (singletons
-    // keep their own), and the split hash is computed over the CLUSTER
-    // id — so a whole duplicate family moves between splits as one
-    // unit. Composition is entirely index-reuse: the cached ≥0.2 pair
-    // table feeds the O(log n) star clustering, one left join labels
-    // the corpus, and the verification column (cross-split pair count,
-    // necessarily 0) is computed in-plan from the same pair table — the
-    // contract is visible in the output row, not just implied.
-    "p06_leakage_safe_split" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      val pairs = exactJaccardPairs(s, d)
-      val comp = starComponents(
-        pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      import graft.functions.PortableHashFunctions.{splitBucket, splitLabel}
-      val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("split",
-          splitLabel(splitBucket("lsplit:", col("cluster_id"))))
-        .localCheckpoint() // two consumers below; the component loop is iterative
-      val sa = assigned.select(col("doc_id").as("a_id"), col("split").as("a_split"))
-      val sb = assigned.select(col("doc_id").as("b_id"), col("split").as("b_split"))
-      val violations = pairs.select(col("a_id"), col("b_id"))
-        .join(sa, "a_id").join(sb, "b_id")
-        .agg(coalesce(sum(when(col("a_split") =!= col("b_split"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_cross_split_pairs"))
-      assigned.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          sum(col("n_chars")).as("sum_chars"))
-        .crossJoin(broadcast(violations))
-        .orderBy(col("split"))
-    }),
-
     // ── d10: SPARSE TF-IDF COSINE near-dup — the sparse-vector
     // complement to d05's dense embedding cosine: similarity computed
     // over an inverted index (posting-list equi-join + dot product),
@@ -851,228 +598,6 @@ object Dedup {
       definiteNew.unionByName(confirmed).orderBy(col("doc_id"))
     }),
 
-    // ── d14: CLUSTER REPRESENTATIVE SELECTION — the canonicalization
-    // stage between clustering (d06/d07 emit components) and corpus
-    // selection (p01 consumes documents): each near-dup family keeps
-    // exactly ONE survivor — the longest member, ties to the smaller
-    // doc_id — and the rest are dropped with their char mass
-    // accounted. Deduplicated pretraining corpora are built this way
-    // (keep-best, not keep-first): the representative choice is a
-    // POLICY, so it rides as an argmax key, not code.
-    //
-    // 100 TB shape: the pair table and star components are the cached
-    // d04/d07 machinery; singletons never enter the component loop
-    // (they inherit their own id via the left join + coalesce — p06's
-    // pattern), and the selection itself is one hash aggregate with a
-    // collision-free integer argmax fold (n_chars·10¹² − doc_id, both
-    // factors bounded so int64 holds) — no window, no per-cluster
-    // sort.
-    "d14_cluster_reps" -> ((s, d) => {
-      val pairs = exactJaccardPairs(s, d)
-        .select(col("b_id").as("u"), col("a_id").as("v")).localCheckpoint()
-      val comp = starComponents(pairs)
-      docs(s, d).select(col("doc_id"), col("n_chars"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-          col("n_chars"))
-        .groupBy(col("cluster_id"))
-        .agg(
-          max_by(col("doc_id"),
-            col("n_chars") * lit(1000000000000L) - col("doc_id"))
-            .as("rep_doc_id"),
-          count(lit(1)).as("n_members"),
-          (sum(col("n_chars")) - max(col("n_chars"))).as("chars_removed"))
-        .orderBy(col("cluster_id"))
-    }),
-
-    // ── d13: PARAGRAPH-LEVEL exact dedup — the granularity real
-    // pretraining dedup runs at (boilerplate headers/footers repeat
-    // across documents that are nowhere near whole-document
-    // duplicates; d01 only sees the latter). The fixture text has no
-    // newlines, so "paragraphs" are deterministic 10-token windows —
-    // the segmentation is a stand-in; the OPERATOR SHAPE (explode →
-    // digest-count → threshold → reassemble-in-order) is the real
-    // thing. A segment whose corpus-wide multiplicity exceeds 2 is
-    // removed from EVERY document; survivors are reassembled in
-    // original order.
-    //
-    // 100 TB shape: three shuffles, none keyed by text — (1) the
-    // multiplicity count groups by the 12-byte (length, xxhash64)
-    // digest with map-side partial aggregation (d01's narrow-key
-    // discipline at segment granularity); (2) the count joins back on
-    // the same digest (segment text rides as payload, never as key);
-    // (3) reassembly groups by doc_id. Segment order is restored by
-    // array_sort over (seg_idx, seg) structs inside the aggregate —
-    // no window, no global sort. The oracle restates the whole
-    // pipeline over segment TEXT (the digest is assumed
-    // collision-free, exactly d01's contract), so the reassembled
-    // corpus — not a summary — is what hash-matches.
-    "d13_line_dedup" -> ((s, d) => {
-      val segs = spreadSmall(docs(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 1)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, (size(tk)-1) div 10), " +
-            "i -> concat_ws(' ', slice(tk, i*10+1, 10)))"))
-          .as(Seq("seg_idx", "seg")))
-        .localCheckpoint() // three consumers: count, join-back, totals
-      val cnt = segs
-        .groupBy(length(col("seg")).as("slen"), xxhash64(col("seg")).as("shash"))
-        .agg(count(lit(1)).as("c"))
-      val kept = segs
-        .withColumn("slen", length(col("seg")))
-        .withColumn("shash", xxhash64(col("seg")))
-        .join(cnt, Seq("slen", "shash"))
-        .filter(col("c") <= 2)
-      val reasm = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          expr("concat_ws(' ', transform(" +
-            "array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg))")
-            .as("new_text"))
-      val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
-      tot.join(reasm, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("new_text"), lit("")).as("new_text"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── d17: EXACT-SUBSTRING dedup — the suffix-array family of
-    // "Deduplicating Training Data Makes Language Models Better"
-    // (Lee et al., PAPERS.md): find maximal TOKEN SPANS duplicated
-    // across documents, the operator that catches copied passages
-    // d01 (whole-doc) and d13 (fixed segments) both miss. Re-expressed
-    // Spark-native instead of a distributed suffix array:
-    //  (1) every token position emits its 8-gram's PORTABLE hash —
-    //      (doc, pos, gh), the same 8-byte shuffle economy as t16;
-    //  (2) df over DISTINCT docs marks grams appearing in ≥2 documents
-    //      (vocabulary-sized, map-side partials — the posting
-    //      discipline, never all-pairs);
-    //  (3) a position whose gram is cross-doc shared is "covered";
-    //      maximal runs of consecutive covered positions merge into
-    //      islands via the i − row_number() trick — a PER-DOC window,
-    //      so state is document-sized at any corpus scale;
-    //  (4) an island [a, b] covers tokens [a, b+8) — exactly the
-    //      maximal shared substring (≥ 8 tokens) up to hash collision,
-    //      which the oracle prices away by applying the identical
-    //      poly-31 hash.
-    // Output: per-doc span count, duplicated-token total, longest
-    // span, and the duplicated-token ppm a filtering pipeline would
-    // threshold on (the paper cuts spans ≥ 50 tokens; the fraction is
-    // the per-doc signal).
-    // ── d18: DUPLICATED-SPAN REMOVAL — d17's transformation half: the
-    // paper's actual dedup step EMITS THE CLEANED CORPUS. The keeper
-    // rule is PER-GRAM, deterministic, and engine-portable: for each
-    // shared 8-gram, the LOWEST doc_id containing it keeps the tokens
-    // that gram covers; every other doc removes them (an 8-token
-    // offset explode per removed position — bounded, never all-pairs).
-    // Note this is a per-gram rule, not a per-passage guarantee: when
-    // overlapping grams of one passage have DIFFERENT min-doc keepers,
-    // a keeper doc can still lose tokens of "its" gram to another
-    // gram's earlier keeper, so a passage is not guaranteed one
-    // surviving verbatim occurrence (the paper's suffix-array variant
-    // has the same property). Reassembly is d13's in-aggregate
-    // array_sort — no global sort; docs that lose every token (exact
-    // clones of an earlier doc) surface with empty new_text rather
-    // than vanishing.
-    "d18_substring_removal" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      val base = tokenized(spreadSmall(docs(s, d)))
-        .localCheckpoint() // three consumers: grams, token explode, totals
-      val pos = gramPositions(base).drop("n_toks")
-      val gs = pos.select(col("doc_id"), col("gh")).distinct()
-        .groupBy(col("gh"))
-        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
-        .filter(col("df") >= 2)
-      val removedTok = pos.join(gs, "gh")
-        .filter(col("doc_id") > col("min_doc"))
-        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("t"))
-        .distinct()
-      val toks = base.select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("t", "tok")))
-      val agg = toks.join(removedTok, Seq("doc_id", "t"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          expr("concat_ws(' ', transform(" +
-            "array_sort(collect_list(struct(t, tok))), x -> x.tok))")
-            .as("new_text"))
-      base.select(col("doc_id"), col("n_toks"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"),
-          (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
-            .cast("long").as("n_removed"),
-          coalesce(col("new_text"), lit("")).as("new_text"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── d19: CONTAINMENT near-dup — Broder's ASYMMETRIC overlap
-    // measure: containment(S→B) = |grams(S) ∩ grams(B)| / |grams(S)|,
-    // the doc-in-doc detector (quote extraction, boilerplate-wrapped
-    // reposts). Symmetric jaccard (d04) structurally MISSES these: a
-    // 10-gram doc fully contained in a 500-gram doc has jac ≈ 0.02 but
-    // containment 1.0. Candidates come from a RARE-gram posting join
-    // (df ≤ 50 — the d10 fan-out bound; production shingle pipelines
-    // cap hot shingles the same way, and the oracle applies the
-    // IDENTICAL rule so parity holds by construction); the rescore
-    // intersects the FULL sorted hash arrays, oriented small→big, and
-    // the ≥0.8 gate is integer arithmetic (ic·5 ≥ sza·4). Scale:
-    // bounded posting fan-out, per-pair sorted-merge rescore, never
-    // all-pairs.
-    "d19_containment" -> ((s, d) =>
-      containmentPairs(s, docs(s, d)).orderBy(col("s_id"), col("b_id"))),
-
-    "d17_exact_substring" -> ((s, d) => {
-      // dup_tokens counts DISTINCT covered tokens: two islands 1–7
-      // positions apart have overlapping 8-token coverages, so the
-      // [a, b+8) intervals are merged per doc before summing — this
-      // bounds dup_ppm by 1e6 by construction. The merge is a per-doc
-      // window over span rows (document-sized state, never corpus-wide).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("a"))
-      val prev = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      exactSubstringSpans(s, spreadSmall(docs(s, d)))
-        .withColumn("pmax",
-          coalesce(max(col("b") + lit(8)).over(prev), lit(-1)))
-        .withColumn("ng",
-          when(col("a") >= col("pmax"), lit(1)).otherwise(lit(0)))
-        .withColumn("cg", sum(col("ng")).over(w))
-        .groupBy(col("doc_id"), col("cg"))
-        .agg(count(lit(1)).as("n_isl"),
-          max(col("b") + lit(8) - col("a")).as("mx"),
-          (max(col("b")) + lit(8) - min(col("a"))).as("clen"),
-          max(col("n_toks")).as("n_toks"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n_isl")).cast("long").as("n_spans"),
-          sum(col("clen")).cast("long").as("dup_tokens"),
-          max(col("mx")).cast("long").as("max_span"),
-          max(col("n_toks")).as("n_toks"))
-        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
-          col("max_span"),
-          expr("CAST(dup_tokens * 1000000 div n_toks AS BIGINT)")
-            .as("dup_ppm"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── d20: BENCHMARK DECONTAMINATION — the GPT-3/Pile training-data
-    // discipline: before training, flag every corpus document that
-    // shares an n-gram with the EVALUATION benchmark, so test answers
-    // don't leak into the training set. The benchmark here is the
-    // deterministic doc_id % 7 == 0 slice (an eval suite is just
-    // another document set); the remaining corpus is "training". One
-    // row per CONTAMINATED training doc: how many of its distinct
-    // 8-grams (d17's portable-hash gram machinery, token-level) appear
-    // anywhere in the benchmark, and the ppm of its gram set that
-    // overlap covers. Scale path: the benchmark gram set is
-    // eval-suite-sized — fixed and small no matter how big the corpus
-    // — so it BROADCASTS and the detection is one narrow hash join
-    // keyed by gram hash over the corpus postings; never a
-    // corpus×benchmark pair stage. Non-vacuous at all three SFs
-    // (7/9/57 contaminated docs).
-    "d20_decontaminate" -> ((s, d) =>
-      decontaminationStats(s, spreadSmall(docs(s, d)))
-        .orderBy(col("doc_id")))
   )
 
   /** d20's core, factored for the DedupGuardSpec pin: benchmark =
@@ -1158,172 +683,24 @@ object Dedup {
     * share. These strings are ORACLE-PARITY-CRITICAL (the DuckDB
     * restatements apply the identical regex split and poly-31 hash) —
     * one definition so the two operators can't drift apart. */
-  private def tokenized(docsDf: DataFrame): DataFrame =
+  private[operators] def tokenized(docsDf: DataFrame): DataFrame =
     docsDf.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_toks"))
 
   /** One row per token position i of every ≥8-token doc, carrying the
     * portable hash of the 8-gram starting at i: (doc_id, n_toks, i, gh). */
-  private def gramPositions(base: DataFrame): DataFrame =
+  private[operators] def gramPositions(base: DataFrame): DataFrame =
     base.filter(col("n_toks") >= 8)
       .select(col("doc_id"), col("n_toks"), posexplode(expr(
         "transform(sequence(0, size(toks) - 8), " +
           "i -> poly_hash(concat_ws(' ', slice(toks, i + 1, 8))))"))
         .as(Seq("i", "gh")))
 
-  val oracles: Map[String, String] = Map(
+  private[operators] val coreOracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
-
-    // the same keeper-rule pipeline (min-doc canonical, 8-offset
-    // coverage, ordered reassembly) with the identical gram hash
-    "d18_substring_removal" -> {
-      val h = graft.functions.PortableHashFunctions
-        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
-      s"""WITH bt AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
-        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
-        |  FROM documents),
-        |pos AS (SELECT doc_id, i, $h AS gh
-        |  FROM bt, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
-        |  WHERE n_toks >= 8),
-        |gs AS (SELECT gh, MIN(doc_id) AS min_doc
-        |  FROM (SELECT DISTINCT doc_id, gh FROM pos)
-        |  GROUP BY gh HAVING COUNT(*) >= 2),
-        |rt AS (SELECT DISTINCT p.doc_id, v.t
-        |  FROM pos p JOIN gs USING (gh), UNNEST(generate_series(p.i, p.i + 7)) AS v(t)
-        |  WHERE p.doc_id > gs.min_doc),
-        |tk AS (SELECT doc_id, i AS t, toks[i+1] AS tok
-        |  FROM bt, UNNEST(generate_series(0, n_toks - 1)) AS w(i)),
-        |kept AS (SELECT tk.doc_id, tk.t, tk.tok FROM tk
-        |  WHERE NOT EXISTS (SELECT 1 FROM rt
-        |    WHERE rt.doc_id = tk.doc_id AND rt.t = tk.t)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY t) AS new_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT bt.doc_id, CAST(bt.n_toks AS BIGINT) AS n_toks,
-        |  CAST(bt.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
-        |  COALESCE(a.new_text, '') AS new_text
-        |FROM bt LEFT JOIN agg a USING (doc_id)
-        |ORDER BY bt.doc_id""".stripMargin
-    },
-
-    // the identical rare-gram candidate rule (df ≤ 50) + full-set
-    // intersection rescore, oriented small→big; string grams stand in
-    // for the engine's 64-bit hashes (d04's negligible-collision
-    // stance)
-    "d19_containment" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-        |        FROM documents) WHERE len(toks) >= 3),
-        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
-        |dfv AS (SELECT h, COUNT(*) AS df FROM p GROUP BY h),
-        |rare AS (SELECT p.doc_id, p.sz, p.h
-        |  FROM p JOIN dfv USING (h) WHERE df <= 50),
-        |cand AS (SELECT DISTINCT s.doc_id AS s_id, b.doc_id AS b_id
-        |  FROM rare s JOIN rare b ON s.h = b.h
-        |    AND (s.sz < b.sz OR (s.sz = b.sz AND s.doc_id < b.doc_id))),
-        |sc AS (SELECT c.s_id, c.b_id,
-        |    len(gs.grams) AS sza, len(gb.grams) AS szb,
-        |    len(list_intersect(gs.grams, gb.grams)) AS ic
-        |  FROM cand c JOIN g gs ON gs.doc_id = c.s_id
-        |  JOIN g gb ON gb.doc_id = c.b_id)
-        |SELECT s_id, b_id, sza, szb, ic,
-        |  CAST(ic * 1000000 // sza AS BIGINT) AS cont_ppm
-        |FROM sc WHERE ic * 5 >= sza * 4
-        |ORDER BY s_id, b_id""".stripMargin,
-
-    // the same position → cross-doc-df → island pipeline, with the
-    // IDENTICAL poly-31 gram hash (collision behavior matches by
-    // construction — t16's discipline)
-    "d17_exact_substring" -> {
-      val h = graft.functions.PortableHashFunctions
-        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
-      s"""WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)),
-        |    '\\s+')) >= 8),
-        |pos AS (SELECT doc_id, len(toks) AS n_toks, i, $h AS gh
-        |  FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)),
-        |dfv AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pos)
-        |  GROUP BY gh HAVING COUNT(*) >= 2),
-        |dup AS (SELECT p.doc_id, p.n_toks, p.i
-        |  FROM pos p JOIN dfv USING (gh)),
-        |isl AS (SELECT doc_id, n_toks, i,
-        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-        |  FROM dup),
-        |spans AS (SELECT doc_id, MAX(n_toks) AS n_toks,
-        |    MIN(i) AS a, MAX(i) AS b
-        |  FROM isl GROUP BY doc_id, grp),
-        |mg AS (SELECT doc_id, n_toks, a, b,
-        |    CASE WHEN a >= COALESCE(MAX(b + 8) OVER (PARTITION BY doc_id
-        |      ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      -1) THEN 1 ELSE 0 END AS ng
-        |  FROM spans),
-        |cg AS (SELECT doc_id, n_toks, a, b,
-        |    SUM(ng) OVER (PARTITION BY doc_id ORDER BY a) AS grp2 FROM mg),
-        |cov AS (SELECT doc_id, MAX(n_toks) AS n_toks, COUNT(*) AS n_isl,
-        |    MAX(b + 8 - a) AS mx, MAX(b) + 8 - MIN(a) AS clen
-        |  FROM cg GROUP BY doc_id, grp2)
-        |SELECT doc_id, CAST(SUM(n_isl) AS BIGINT) AS n_spans,
-        |  CAST(SUM(clen) AS BIGINT) AS dup_tokens,
-        |  CAST(MAX(mx) AS BIGINT) AS max_span,
-        |  CAST(CAST(SUM(clen) AS BIGINT) * 1000000
-        |    // MAX(n_toks) AS BIGINT) AS dup_ppm
-        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-
-    // the same distinct-gram posting restatement: benchmark = the
-    // doc_id % 7 slice, overlap counted on the portable gram hash
-    "d20_decontaminate" -> {
-      val h = graft.functions.PortableHashFunctions
-        .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")
-      s"""WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)),
-        |    '\\s+')) >= 8),
-        |pos AS (SELECT DISTINCT doc_id, $h AS gh
-        |  FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)),
-        |bench AS (SELECT DISTINCT gh FROM pos WHERE doc_id % 7 = 0),
-        |train AS (SELECT doc_id, gh FROM pos WHERE doc_id % 7 <> 0),
-        |tot AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
-        |sh AS (SELECT doc_id, COUNT(*) AS ns FROM train
-        |  JOIN bench USING (gh) GROUP BY doc_id)
-        |SELECT s.doc_id, CAST(s.ns AS BIGINT) AS n_shared,
-        |  CAST(t.n AS BIGINT) AS n_grams,
-        |  CAST(s.ns * 1000000 // t.n AS BIGINT) AS contam_ppm
-        |FROM sh s JOIN tot t USING (doc_id) ORDER BY s.doc_id""".stripMargin
-    },
-
-    // the same explode → count → threshold → reassemble pipeline over
-    // segment text (the engine's digest is assumed collision-free, as
-    // in d01); string_agg ORDER BY seg_idx restates the array_sort
-    // reassembly
-    "d13_line_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 1),
-        |segs AS (
-        |  SELECT doc_id, i AS seg_idx,
-        |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
-        |  FROM toks, UNNEST(generate_series(0, (len(tk)-1)//10)) AS t(i)),
-        |cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),
-        |kept AS (SELECT s.doc_id, s.seg_idx, s.seg
-        |         FROM segs s JOIN cnt USING (seg) WHERE c <= 2),
-        |reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |            string_agg(seg, ' ' ORDER BY seg_idx) AS new_text
-        |          FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
-        |SELECT t.doc_id, t.n_segs,
-        |  COALESCE(r.n_kept, 0) AS n_kept,
-        |  COALESCE(r.new_text, '') AS new_text
-        |FROM tot t LEFT JOIN reasm r USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
 
     // inverted-index formulation on the oracle side too — identical
     // results to the all-pairs list jaccard (verified), 76× faster
@@ -1407,32 +784,6 @@ object Dedup {
         |FROM pc WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // connected components as a recursive CTE: transitive closure, then
-    // min reachable id per node — the declarative fixpoint matching the
-    // label-propagation loop
-    "d06_dedup_clusters" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-        |        FROM documents) WHERE len(toks) >= 3),
-        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
-        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
-        |         b.sz AS szb, count(*) AS ic
-        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2, 3, 4),
-        |pairs AS (SELECT a_id, b_id FROM pc
-        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
-        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |      UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-        |SELECT src AS doc_id, min(dst) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-
     // d08's exact-dup leg alone: the bloom gate moves work between
     // phases but never changes the answer
     "d15_bloom_membership" ->
@@ -1444,40 +795,6 @@ object Dedup {
         |SELECT n.doc_id FROM documents n JOIN cut ON n.doc_id >= c
         |WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_dup)
         |ORDER BY n.doc_id""".stripMargin,
-
-    // d06's component fixpoint, then keep-best per family: argmax by
-    // the same (n_chars·10¹² − doc_id) fold, singletons via left join
-    "d14_cluster_reps" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-        |        FROM documents) WHERE len(toks) >= 3),
-        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
-        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
-        |         b.sz AS szb, count(*) AS ic
-        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2, 3, 4),
-        |pairs AS (SELECT a_id, b_id FROM pc
-        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
-        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |      UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
-        |         FROM reach GROUP BY src),
-        |assigned AS (
-        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-        |    d.n_chars
-        |  FROM documents d LEFT JOIN comp c USING (doc_id))
-        |SELECT cluster_id,
-        |  max_by(doc_id, n_chars * 1000000000000 - doc_id) AS rep_doc_id,
-        |  COUNT(*) AS n_members,
-        |  CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_removed
-        |FROM assigned GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // exact-jaccard ≥ 0.5 — the LSH pipeline's full-recall contract on
     // the harness corpora (same inverted-index formulation as d04)
@@ -1532,126 +849,6 @@ object Dedup {
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // identical contract to d06 — the star algorithm must produce the
-    // same components
-    "d07_dedup_clusters_star" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-        |        FROM documents) WHERE len(toks) >= 3),
-        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
-        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
-        |         b.sz AS szb, count(*) AS ic
-        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2, 3, 4),
-        |pairs AS (SELECT a_id, b_id FROM pc
-        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
-        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |      UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-        |SELECT src AS doc_id, min(dst) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-
-    // transitive closure over the cosine pair graph, min reachable id
-    // per node — the same declarative fixpoint as d06/d07's oracle
-    "d09_semantic_clusters" ->
-      """WITH RECURSIVE e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |       FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
-        |e2 AS (SELECT a_id AS src, b_id AS dst FROM pr
-        |       UNION ALL SELECT b_id, a_id FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM e2
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src)
-        |SELECT src AS vec_id, min(dst) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
-
-    "d05_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin,
-
-    // the contract restated: the exact pair count is engine-independent,
-    // the rescore makes false positives impossible, and the recall gate
-    // must hold — a recall regression (or a rescore bug) flips a column
-    "d12_dedup_embedding_lsh" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT COUNT(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pos,
-        |  TRUE AS recall_ok
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
-
-    // d12's contract shape for the cluster-bounded route
-    "d16_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT COUNT(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pos,
-        |  TRUE AS cell_recall_ok
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
-
-    // components via the d06 recursive CTE, cluster-keyed hash split,
-    // and the cross-split pair count restated (necessarily 0 when the
-    // split is computed over cluster ids)
-    "p06_leakage_safe_split" ->
-      s"""WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-        |        FROM documents) WHERE len(toks) >= 3),
-        |p AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS h FROM g),
-        |pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza,
-        |         b.sz AS szb, count(*) AS ic
-        |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2, 3, 4),
-        |pairs AS (SELECT a_id, b_id FROM pc
-        |          WHERE CAST(ic AS DOUBLE) / (sza + szb - ic) >= 0.2),
-        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |      UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
-        |         FROM reach GROUP BY src),
-        |asg AS (
-        |  SELECT d.doc_id, d.n_chars,
-        |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-        |    ${graft.functions.PortableHashFunctions.splitLabelSql(
-             graft.functions.PortableHashFunctions.splitBucketSql("lsplit:",
-               "CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"))} AS split
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-        |viol AS (
-        |  SELECT CAST(COALESCE(SUM(
-        |      CASE WHEN x.split != y.split THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |    AS n_cross_split_pairs
-        |  FROM pairs pr JOIN asg x ON pr.a_id = x.doc_id
-        |                JOIN asg y ON pr.b_id = y.doc_id)
-        |SELECT split, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT cluster_id) AS n_clusters,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  n_cross_split_pairs
-        |FROM asg, viol
-        |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin,
-
     // the same block / sort-key / 3-lag construction; DuckDB's
     // levenshtein is the same unit-cost edit distance over the
     // ASCII-normalized heads
@@ -1681,4 +878,14 @@ object Dedup {
         |FROM c WHERE levenshtein(head, ph) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  /** Full dedup registry: the exact/hash/sketch core above plus the
+    * split-out embedding/cluster ([[DedupCluster]]) and substring
+    * ([[DedupSubstring]]) families — one map for SparkEntry, three
+    * files under the repo's 1,500-line discipline. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ DedupCluster.queries ++ DedupSubstring.queries
+
+  val oracles: Map[String, String] =
+    coreOracles ++ DedupCluster.oracles ++ DedupSubstring.oracles
 }

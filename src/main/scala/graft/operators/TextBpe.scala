@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextOps.docs
+
+/** The BPE TOKENIZER family, split out of [[TextOps]]: merge-pair
+  * counting (t12), the iterated trainer (t13), and encode (t14), plus
+  * the vocabulary-sized training loop and its oracle replay CTEs.
+  * Query semantics, oracles, and plan shapes are byte-identical to
+  * their pre-split form. */
+object TextBpe {
+
+  /** Adjacent-position pair counts over a BPE vocab state; the
+    * ≥2-symbol guard matters from round 1 on (a fully-merged 2-char
+    * word is a single symbol; Spark's sequence(1,0) would walk
+    * BACKWARD). */
+  private def bpePairCounts(v: DataFrame): DataFrame =
+    v.select(col("seg"), col("f"),
+      split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("seg"), col("f"), col("syms"),
+        explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+      .select(col("seg"), col("f"),
+        expr("syms[i-1]").as("pa"), expr("syms[i]").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(sum(col("f")).as("weight"),
+        countDistinct(col("seg")).as("n_words"))
+
+  /** Merge-round count for the t13/t14 trainer. Production trainers
+    * run until a vocabulary-size target is hit; the round count is the
+    * knob that expresses that target here (merges = rounds), and the
+    * loop stays vocabulary-sized per round no matter how high it is
+    * set — only round 0 touches the corpus. */
+  private[graft] val BpeRounds = 8
+
+  /** The t13 training loop (BpeRounds rounds of pick-best-pair →
+    * re-segment), shared with t14's encode: returns the final vocab
+    * state (w, seg, f) and the per-round chosen merges tagged with
+    * their step. Corpus touched once; vocabulary-sized with
+    * localCheckpoint per round; the chosen pair re-enters as a
+    * broadcast 1-row crossJoin (d08's cutoff pattern — no driver-side
+    * value). */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val words = docs(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var vocab = words.select(col("w"),
+      concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+        .as("seg"),
+      col("f")).localCheckpoint()
+    val rounds = (1 to BpeRounds).map { r =>
+      val b = bpePairCounts(vocab)
+        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
+        .select(col("w"),
+          expr("replace(seg, '|' || pa || '||' || pb || '|', " +
+            "'|' || pa || pb || '|')").as("seg"), col("f"))
+        .localCheckpoint()
+      b.withColumn("step", lit(r))
+    }
+    (vocab, rounds)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── t12: BPE MERGE-PAIR COUNTING — the first iteration of
+    // byte-pair-encoding tokenizer training: the corpus-weighted
+    // frequency of every adjacent character pair inside words, ranked
+    // to pick the next merge. The scale shape is the whole point: the
+    // only corpus-scale work is ONE scan + one shuffle building the
+    // word-frequency table; the quadratic-looking pair expansion then
+    // runs over the VOCABULARY aggregate (≪ corpus, bounded by distinct
+    // words × word length) — exactly how production BPE trainers
+    // restructure the count. A naive per-document char-pair explode
+    // would shuffle corpus-length × word-length rows instead.
+    "t12_bpe_pairs" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      words
+        .select(col("w"), col("f"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w"), col("f"), expr("substring(w, i, 2)").as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("weight"),
+          countDistinct(col("w")).as("n_words"))
+        // (weight desc, pair) is a total order, so the LIMIT is the
+        // same set in both engines
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(40)
+    }),
+
+    // ── t13: ITERATED BPE TRAINER — t12 counts one merge round; real
+    // tokenizer training LOOPS pick-best-pair → re-segment toward a
+    // vocabulary-size target. BpeRounds (8) merge rounds here, d06's
+    // iteration discipline: the corpus is touched
+    // exactly ONCE (the word-frequency aggregate); every round after
+    // that runs over the VOCABULARY (distinct words), localCheckpoint
+    // per round so round k's plan doesn't re-derive rounds 1..k-1.
+    // The chosen pair re-enters the plan as a broadcast 1-row
+    // crossJoin (d08's cutoff pattern — no driver-side value).
+    //
+    // Segmentations are strings of '|'-wrapped symbols ("|t||h||e|"):
+    // merging pair (a,b) is then `replace(seg, '|a||b|', '|ab|')`,
+    // and because replace scans left-to-right non-overlapping, it IS
+    // the greedy BPE merge ("|b||b||b|" → "|bb||b|") — one engine-
+    // portable primitive instead of a fold, so DuckDB replays the
+    // whole training loop exactly. Symbols are identified by string
+    // content (concat on merge) — the standard BPE vocabulary model.
+    //
+    // Output: steps 1–BpeRounds = the merge sequence (pair, weight,
+    // and how many distinct words contained it, at selection time);
+    // step BpeRounds+1 = the top-20 pair counts AFTER the merges.
+    // (weight desc, pa, pb) is a total order, so both LIMITs select
+    // identical sets.
+    "t13_bpe_train" -> ((s, d) => {
+      val (vocab, rounds) = bpeTrain(s, d)
+      val finalPairs = bpePairCounts(vocab)
+        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(20)
+        .withColumn("step", lit(BpeRounds + 1))
+      rounds.reduce(_ union _).union(finalPairs)
+        .select(col("step").cast("int").as("step"), col("pa"), col("pb"),
+          col("weight"), col("n_words"))
+        .orderBy(col("step"), col("weight").desc, col("pa"), col("pb"))
+    }),
+
+    // ── t14: BPE ENCODE — the APPLY half of the t13 trainer (the
+    // train→encode pair every tokenizer ships): the trained
+    // segmentation is already the encoding of each word, so token
+    // counts per word come straight off the final vocab state — no
+    // corpus re-scan, no per-token explosion. Reported for the top-20
+    // words by the (f desc, w) total order: frequency, char length,
+    // and post-merge token count — the compression the BpeRounds
+    // merges actually bought, hash-checked against the oracle's
+    // replay of the same loop.
+    "t14_bpe_encode" -> ((s, d) => {
+      val (vocab, _) = bpeTrain(s, d)
+      vocab.select(col("w"), col("f"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|"))
+          .cast("long").as("n_tok"))
+        .orderBy(col("f").desc, col("w")).limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // the same vocabulary-first restructuring: word frequencies, then
+    // position-exploded pairs over the vocabulary only
+    "t12_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT w, f, substr(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS weight,
+        |  COUNT(DISTINCT w) AS n_words
+        |FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 40""".stripMargin,
+
+    // the training loop unrolled as CTE levels: pK = pair counts over
+    // state vK-1, bK = the (weight desc, pa, pb) argmax, vK = the
+    // replace-merged next state — replace's left-to-right
+    // non-overlapping scan is the same greedy merge the engine runs
+    "t13_bpe_train" ->
+      s"""$bpeOracleCtes,
+         |${bpePairsCte(BpeRounds + 1, s"v$BpeRounds")}
+         |${(1 to BpeRounds).map(k =>
+              s"SELECT $k AS step, pa, pb, weight, n_words FROM b$k")
+             .mkString("\nUNION ALL ")}
+         |UNION ALL SELECT ${BpeRounds + 1}, pa, pb, weight, n_words FROM
+         |  (SELECT * FROM p${BpeRounds + 1}
+         |   ORDER BY weight DESC, pa, pb LIMIT 20)
+         |ORDER BY step, weight DESC, pa, pb""".stripMargin,
+
+    // the same replayed loop's FINAL state, read as an encoding: token
+    // count per word = the trained segmentation's symbol count
+    "t14_bpe_encode" ->
+      s"""$bpeOracleCtes
+         |SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
+         |    AS BIGINT) AS n_tok
+         |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin
+  )
+
+  /** One pair-count CTE level of the BPE oracle replay. */
+  private def bpePairsCte(k: Int, v: String): String =
+    s"""p$k AS (
+       |  SELECT syms[i] AS pa, syms[i+1] AS pb,
+       |    CAST(SUM(f) AS BIGINT) AS weight,
+       |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_words
+       |  FROM (SELECT seg, f,
+       |          string_split(substring(seg, 2, length(seg)-2), '||') AS syms
+       |        FROM $v),
+       |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared WITH-chain replaying t13's BpeRounds training rounds
+    * (word frequencies → v0 char segmentation → pK/bK/vK per round);
+    * vK carries `w` so the encode oracle can read final segmentations
+    * per word. */
+  private def bpeOracleCtes: String = {
+    def roundCtes(k: Int): String =
+      bpePairsCte(k, s"v${k - 1}") + ",\n" +
+        s"""b$k AS (SELECT * FROM p$k ORDER BY weight DESC, pa, pb LIMIT 1),
+           |v$k AS (SELECT w, replace(seg,
+           |    '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS seg, f
+           |  FROM v${k - 1}, b$k)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |v0 AS (SELECT w,
+       |         '|' || array_to_string(string_split(w, ''), '||') || '|'
+       |         AS seg, f FROM words),
+       |${(1 to BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+}

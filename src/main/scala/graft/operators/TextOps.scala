@@ -19,11 +19,11 @@ import graft.Tables
   */
 object TextOps {
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private[operators] def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
   /** (doc_id, n_tok) — whitespace token counts, shared by p03/p08. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
+  private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
 
@@ -32,7 +32,7 @@ object TextOps {
     * subtotals → tiny bucket-level window → broadcast offsets →
     * partitioned intra-bucket window. Bit-exact vs a single global
     * running total, with no one-task global window anywhere. */
-  private def withCumBefore(toks: DataFrame): DataFrame = {
+  private[operators] def withCumBefore(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withBkt = toks.withColumn("bkt", expr("doc_id div 64"))
     val wBkt = Window.orderBy(col("bkt"))
@@ -49,19 +49,19 @@ object TextOps {
 
   /** stopword LIKE-hit score for one language (0..n). SQL text is shared
     * verbatim with the DuckDB oracle. */
-  private def stopScore(words: Seq[String]): String =
+  private[operators] def stopScore(words: Seq[String]): String =
     words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
       .mkString(" + ")
 
-  private val EN = Seq("the", "and", "of", "to", "in")
-  private val ES = Seq("el", "la", "de", "que", "los")
-  private val DE = Seq("der", "und", "das", "die", "ist")
-  private val FR = Seq("le", "les", "et", "des", "une")
+  private[operators] val EN = Seq("the", "and", "of", "to", "in")
+  private[operators] val ES = Seq("el", "la", "de", "que", "los")
+  private[operators] val DE = Seq("der", "und", "das", "die", "ist")
+  private[operators] val FR = Seq("le", "les", "et", "des", "une")
 
   /** Language-ID stage: argmax of per-language stopword hits with fixed
     * precedence (en > es > de > fr), 'und' when nothing hits. Shared by
     * t01 and the p01 selection pipeline. */
-  private def withLangPred(df: DataFrame): DataFrame =
+  private[operators] def withLangPred(df: DataFrame): DataFrame =
     df.withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("sc_en", expr(stopScore(EN)))
       .withColumn("sc_es", expr(stopScore(ES)))
@@ -78,7 +78,7 @@ object TextOps {
 
   /** Quality stage: length/punctuation/stopword ratios combined into
     * one [0,1] score. Shared by t02 and p01. */
-  private def withQualityCols(df: DataFrame): DataFrame =
+  private[operators] def withQualityCols(df: DataFrame): DataFrame =
     df.withColumn("n_chars_calc", length(col("text")).cast(IntegerType))
       .withColumn("n_words",
         size(split(trim(col("text")), "\\s+")).cast(IntegerType))
@@ -100,7 +100,7 @@ object TextOps {
           + lit(0.3) * (lit(1.0) - col("punct_raw"))
           + lit(0.3) * least(lit(1.0), col("stop_raw") * 5.0), 6))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[operators] val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── t01: n-gram/stopword language ID.
     "t01_lang_id" -> ((s, d) => {
@@ -118,332 +118,6 @@ object TextOps {
           round(col("digit_raw"), 6).as("digit_ratio"),
           round(col("stop_raw"), 6).as("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))
-    }),
-
-    // ── p01: the CORPUS-SELECTION PIPELINE — what the operator family
-    // exists for, composed as ONE declarative plan: language gate →
-    // quality gate → exact dedup (canonical min doc_id per text, keyed
-    // on the narrow (length, xxhash64) digest as in d01) → token
-    // stats for the survivors. Catalyst fuses the scalar stages into a
-    // single codegen'd pass; the only shuffle is the dedup window on
-    // the 12-byte digest over the ALREADY-FILTERED rows — gate early,
-    // shuffle late, which is the 100 TB ordering.
-    "p01_corpus_select" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val gated = withQualityCols(withLangPred(docs(s, d)))
-        .filter(col("pred_lang") === "en" && col("quality") >= 0.7)
-      val w = Window.partitionBy(length(col("text")), xxhash64(col("text")))
-      gated
-        .withColumn("canon_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("canon_id"))
-        .select(col("doc_id"), col("quality"), col("n_words"),
-          size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast(IntegerType)
-            .as("bpe_tokens"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── p02: deterministic stratified sampling + train/val/test split.
-    // A training-data pipeline's sampling must be REPRODUCIBLE — across
-    // reruns, engines, and repartitions — so membership is a pure
-    // function of the row key, not of an RNG whose stream depends on
-    // partition layout (Spark's `sample()` does, and is irreproducible
-    // after a repartition). Two independent portable-hash buckets:
-    // `samp` gates per-language keep-rates (downsample over-represented
-    // en, lightly trim zh), `split` assigns 80/10/10 train/val/test.
-    // Both are narrow codegen'd scalar passes; the only shuffle is the
-    // final tiny (lang, split) rollup with map-side partial agg — at
-    // 100 TB this is one corpus scan. Domain-prefixed keys ("samp:",
-    // "split:") decorrelate the two decisions; the portable 31-poly
-    // hash lets DuckDB replay membership bit-identically.
-    "p02_sample_split" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      import graft.functions.PortableHashFunctions.{splitBucket, splitLabel}
-      val keepRate = when(col("lang") === "en", 50)
-        .when(col("lang") === "zh", 80).otherwise(100)
-      docs(s, d)
-        .withColumn("samp_b", splitBucket("samp:", col("doc_id")))
-        .filter(col("samp_b") < keepRate)
-        .withColumn("split_b", splitBucket("split:", col("doc_id")))
-        .withColumn("split", splitLabel(col("split_b")))
-        .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-        .orderBy(col("lang"), col("split"))
-    }),
-
-    // ── p03: TOKEN-BUDGET SHARD PACKING — assign documents (in stable
-    // doc_id order) to contiguous training shards of ~5000 tokens via a
-    // running token total. The naive formulation is a GLOBAL cumulative
-    // window — ONE task owns the whole corpus, a scale-killer — so the
-    // prefix sum is decomposed the textbook way: docs bucket by id
-    // range; per-bucket subtotals roll up in a bucket-level window
-    // (corpus/64 rows, and the same two-level trick recurses if even
-    // that is large); offsets broadcast back; the intra-bucket
-    // cumulative window runs PARTITIONED by bucket, fully parallel.
-    // The oracle states the same contract as one SUM() OVER (ORDER BY
-    // doc_id) — the decomposition must be bit-exact against it.
-    "p03_token_shards" -> ((s, d) => {
-      withCumBefore(docTokens(s, d))
-        .withColumn("shard_id", expr("cum_before div 5000"))
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
-          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-        .orderBy(col("shard_id"))
-    }),
-
-    // ── p08: SEQUENCE PACKING — the step between p03's shard budgeting
-    // and the trainer: every document's token interval
-    // [cum_before, cum_before + n_tok) is mapped onto fixed 512-token
-    // TRAINING WINDOWS, with documents split across window boundaries
-    // accounted exactly (each doc emits one row per window it
-    // overlaps; its contribution is the interval intersection). Output
-    // row count is ≈ total_tokens/512 + n_docs — linear, no
-    // per-token explosion — and every window's contributions sum to
-    // exactly 512 except the final partial one, an invariant the
-    // oracle's identical restatement enforces. Built on the SAME
-    // decomposed prefix sum as p03 (one definition, [[withCumBefore]]),
-    // so the two contracts cannot drift.
-    "p08_sequence_pack" -> ((s, d) => {
-      withCumBefore(docTokens(s, d))
-        .withColumn("seq_id", explode(sequence(
-          expr("cum_before div 512"),
-          expr("(cum_before + n_tok - 1) div 512"))))
-        .withColumn("contrib",
-          least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * 512L) -
-            greatest(col("cum_before"), col("seq_id") * 512L))
-        .groupBy(col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("sum_tok"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("seq_id"))
-    }),
-
-    // ── p07: DETERMINISTIC EPOCH SHUFFLE — every document gets a unique
-    // global TRAINING POSITION in a pseudo-random order, reproducible
-    // across engines, repartitionings, and reruns (no RNG stream — the
-    // order is the portable hash of the doc id, doc_id tie-broken). The
-    // naive formulation is ROW_NUMBER over a GLOBAL sort — one task
-    // owns the corpus — so the rank is decomposed exactly like p03's
-    // prefix sum, but on the HASH-ordered axis: bucket = leading hash
-    // range, bucket COUNTS roll up through a tiny bucket-level window,
-    // offsets broadcast back, intra-bucket rank runs partitioned. The
-    // contract trainers care about — shuffle quality with bit-exact
-    // reproducibility — is pinned by the oracle's single global
-    // ROW_NUMBER restatement.
-    "p07_train_order" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val h = docs(s, d).select(col("doc_id"))
-        .withColumn("shuf", graft.functions.PortableHashFunctions.polyHash(
-          concat(lit("order:"), col("doc_id").cast("string"))))
-        // ~15k buckets of width 2^16 over the 1e9+7 hash space: the
-        // bucket-level window stays tiny while the intra-bucket windows
-        // scale out (a 2^24 width would cap the rank at ~60 tasks)
-        .withColumn("bkt", expr("shuf div 65536"))
-      val wBkt = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = h.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(sum(col("n")).over(wBkt), lit(0L)))
-        .select(col("bkt"), col("offset"))
-      val wIn = Window.partitionBy(col("bkt"))
-        .orderBy(col("shuf").asc, col("doc_id").asc)
-      h.join(broadcast(offsets), "bkt")
-        .withColumn("pos", col("offset") + row_number().over(wIn))
-        .select(col("doc_id"), col("shuf"), col("pos"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── p04: MIXTURE BALANCING — hit a target source mixture (web-heavy
-    // / code-medium / wiki-light, here keyed off the source index mod 3
-    // with weights 5/3/2) with a DETERMINISTIC downsample. The corpus
-    // size is bounded by the scarcest source relative to its weight:
-    // T = min_s floor(n_s·W/w_s); each source then keeps
-    // k_s = floor(T·w_s/W) docs via a portable-hash Bernoulli gate at
-    // rate_ppm = floor(k_s·10⁶/n_s). ALL integer arithmetic — the
-    // oracle replays membership bit-identically — and the gate is
-    // rate-based, NOT a per-source row_number window: no global
-    // per-source ordering exists anywhere, so a 100 TB corpus pays one
-    // narrow pass plus a broadcast of the per-source rate dim (the
-    // per-source counts come from a column-pruned aggregate here;
-    // table stats at real scale).
-    "p04_mixture_balance" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      val weight = when(
-        pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType),
-          lit(3L)) === 0, 5L)
-        .when(pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType),
-          lit(3L)) === 1, 3L)
-        .otherwise(2L)
-      val dw = docs(s, d).withColumn("w", weight)
-      // materialize the tiny per-source count table once: it feeds
-      // three downstream aggregates (ΣW, min capacity, rates), and
-      // without the checkpoint each replanned subtree re-scans the
-      // corpus — exchange reuse would usually dedupe them at runtime,
-      // but that is an AQE behavior, not a plan guarantee (q55 pins it
-      // where it is load-bearing; here one eager 20-row materialization
-      // removes the dependence entirely)
-      val counts = dw.groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
-      val totalW = counts.agg(sum(col("w")).as("bigw"))
-      val cap = counts.crossJoin(broadcast(totalW))
-        .agg(min(expr("n_docs * bigw div w")).as("t"))
-      val rates = counts.crossJoin(broadcast(totalW)).crossJoin(broadcast(cap))
-        .withColumn("rate_ppm", expr("(t * w div bigw) * 1000000 div n_docs"))
-        .select(col("source"), col("w"), col("n_docs"), col("rate_ppm"))
-      dw.select(col("doc_id"), col("source"))
-        .join(broadcast(rates), "source")
-        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
-          concat(lit("mix:"), col("doc_id").cast(StringType))),
-          lit(1000000L)) < col("rate_ppm"))
-        .groupBy(col("source"), col("w"), col("n_docs"), col("rate_ppm"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
-        .orderBy(col("source"))
-    }),
-
-    // ── p09: TEMPERATURE-SCALED mixture sampling — the multilingual
-    // sampling standard (mT5/XLM-R, τ = 1/2): per-language keep
-    // quotas proportional to n^τ instead of n, so rare languages
-    // upsample relative to proportional draw and the head language
-    // shrinks. p04 balances toward EXTERNALLY-GIVEN weights; here the
-    // weights are DERIVED from the counts themselves (w = ⌊√n⌋ —
-    // IEEE sqrt is correctly rounded, so floor is engine-portable),
-    // quota = (N/2)·w div Σw capped at the language's own size, and
-    // membership is the same portable-hash ppm gate (no RNG stream,
-    // one narrow pass, broadcast rate dim) that makes p02/p04
-    // replayable bit-for-bit. Zero-kept languages survive via the
-    // left join, so the output is one row per language regardless.
-    "p09_temperature_sample" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      val counts = docs(s, d).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w",
-          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
-        .localCheckpoint() // feeds totals, rates, and the join dim
-      val totals = counts.agg(sum(col("w")).as("sw"),
-        sum(col("n_docs")).as("n"))
-      val rates = counts.crossJoin(broadcast(totals))
-        .withColumn("quota", expr("least(n_docs, (n div 2) * w div sw)"))
-        .withColumn("rate_ppm", expr("quota * 1000000 div n_docs"))
-        .select(col("lang"), col("n_docs"), col("w"), col("quota"),
-          col("rate_ppm"))
-      val kept = docs(s, d).select(col("doc_id"), col("lang"))
-        .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), "lang")
-        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
-          concat(lit("temp:"), col("doc_id").cast(StringType))),
-          lit(1000000L)) < col("rate_ppm"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
-      rates.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("n_docs"), col("w"), col("quota"),
-          col("rate_ppm"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
-        .orderBy(col("lang"))
-    }),
-
-    // ── p10: QUALITY-WEIGHTED sampling — keep-probability ∝ quality²
-    // (the DCLM/FineWeb-style soft filter: instead of a hard quality
-    // cutoff, low-quality text survives at a quadratically reduced
-    // rate, preserving distributional coverage). p02/p04/p09 gate on
-    // STATIC or count-derived per-group rates; here the rate is a
-    // PER-ROW function of the document's own t02 quality score, so
-    // the gate composes the two families: rate_ppm = ⌊quality²·10⁶⌋
-    // (quality is already round(·,6) — identical doubles in both
-    // engines; floor, never round) against the same portable-hash ppm
-    // draw. One narrow codegen'd pass, no RNG stream, no shuffle
-    // before the per-language rollup — reproducible at any
-    // parallelism, which is the property that matters at 100 TB.
-    "p10_quality_sample" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      withQualityCols(docs(s, d))
-        .withColumn("rate_ppm",
-          expr("CAST(floor(quality * quality * 1000000) AS BIGINT)"))
-        .filter(pmod(graft.functions.PortableHashFunctions.polyHash(
-          concat(lit("qsamp:"), col("doc_id").cast(StringType))),
-          lit(1000000L)) < col("rate_ppm"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
-          sum(col("rate_ppm")).as("sum_rate_ppm"))
-        .orderBy(col("lang"))
-    }),
-
-    // ── p11: CORPUS DATA CARD — the per-(lang, source) release report
-    // every dataset ships with (docs, tokens, mean quality, exact-dup
-    // rate): one grouped aggregate over the same quality/token/digest
-    // signals t02/t03/d01 compute per row, so the card is consistent
-    // with the operators it summarizes by construction. Integer-ppm
-    // mean (sum div count) keeps the row hash-exact; duplicates are
-    // counted via the (length, xxhash64) digest pair (d01's narrow-key
-    // discipline — text never becomes a shuffle key; the oracle counts
-    // distinct text itself, equal absent digest collisions, which is
-    // d01's standing premise). One corpus scan, one tiny shuffle.
-    "p11_data_card" -> ((s, d) => {
-      withQualityCols(docs(s, d))
-        .withColumn("q_ppm",
-          expr("CAST(floor(quality * 1000000) AS BIGINT)"))
-        .withColumn("n_tok",
-          size(split(trim(col("text")), "\\s+")).cast(LongType))
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          expr("CAST(sum(q_ppm) div count(1) AS BIGINT)")
-            .as("mean_q_ppm"),
-          expr("CAST(count(1) - count(DISTINCT length(text), " +
-            "xxhash64(text)) AS BIGINT)").as("n_dup_docs"))
-        .orderBy(col("lang"), col("source"))
-    }),
-
-    // ── p12: OVERLAPPING TOKEN-WINDOW CHUNKING — the RAG/long-context
-    // chunker every retrieval and pretraining pipeline runs: each
-    // document splits into 60-token windows at stride 45 (25%
-    // overlap, so no boundary sentence is ever lost to a chunk edge),
-    // emitting (chunk_idx, start, length, text) rows keyed for later
-    // embedding/indexing. One narrow pass — the explode is the only
-    // row expansion and the output order is (doc, chunk), so the
-    // chunk table partitions exactly like its parent corpus. The
-    // stride arithmetic is pure integer (chunk_idx = start/stride),
-    // hash-exact against the oracle's stepped generate_series.
-    "p12_chunk_windows" -> ((s, d) => {
-      Dedup.spreadSmall(docs(s, d))
-        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-        .withColumn("n_toks", size(col("toks")).cast(LongType))
-        .select(col("doc_id"), col("toks"), col("n_toks"),
-          posexplode(expr("sequence(0, size(toks) - 1, 45)"))
-            .as(Seq("chunk_idx", "start_tok")))
-        .select(col("doc_id"),
-          col("chunk_idx").cast(LongType).as("chunk_idx"),
-          col("start_tok").cast(LongType).as("start_tok"),
-          least(lit(60L), col("n_toks") - col("start_tok"))
-            .as("n_chunk_toks"),
-          expr("concat_ws(' ', slice(toks, start_tok + 1, 60))")
-            .as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }),
-
-    // ── p05: PER-GROUP deterministic k-sample — a balanced evaluation
-    // subset (k docs per language), reproducible across reruns,
-    // engines, and repartitions. Ranking by the portable hash gives a
-    // uniform, seedless draw; computing it with the bounded
-    // TopKByAggregate (hash negated: the heap keeps ord-DESC-best)
-    // instead of a row_number window means NO per-group sort exists in
-    // the plan — each map task forwards at most k candidates per group
-    // and merge is O(k), which is what survives a group with 10⁹ rows.
-    // The hash (≤ 10⁹+6) is exact in the aggregate's double ord slot.
-    "p05_group_sample" -> ((s, d) => {
-      graft.functions.PortableHashFunctions.register(s)
-      graft.functions.TopKFunctions.register(s)
-      val h = graft.functions.PortableHashFunctions.polyHash(
-        concat(lit("gsamp:"), col("doc_id").cast(StringType)))
-      docs(s, d)
-        .groupBy(col("lang"))
-        .agg(graft.functions.TopKFunctions.topkBy(
-          (h * lit(-1L)).cast(DoubleType), col("doc_id"), 10).as("top"))
-        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
-        .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rank"),
-          col("entry.payload").as("doc_id"),
-          (col("entry.ord") * lit(-1.0)).cast(LongType).as("samp_hash"))
-        .orderBy(col("lang"), col("rank"))
     }),
 
     // ── t03: token counting — whitespace tokens + a BPE-ish regex
@@ -692,87 +366,6 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // ── t12: BPE MERGE-PAIR COUNTING — the first iteration of
-    // byte-pair-encoding tokenizer training: the corpus-weighted
-    // frequency of every adjacent character pair inside words, ranked
-    // to pick the next merge. The scale shape is the whole point: the
-    // only corpus-scale work is ONE scan + one shuffle building the
-    // word-frequency table; the quadratic-looking pair expansion then
-    // runs over the VOCABULARY aggregate (≪ corpus, bounded by distinct
-    // words × word length) — exactly how production BPE trainers
-    // restructure the count. A naive per-document char-pair explode
-    // would shuffle corpus-length × word-length rows instead.
-    "t12_bpe_pairs" -> ((s, d) => {
-      val words = docs(s, d)
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      words
-        .select(col("w"), col("f"),
-          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
-        .select(col("w"), col("f"), expr("substring(w, i, 2)").as("pair"))
-        .groupBy(col("pair"))
-        .agg(sum(col("f")).as("weight"),
-          countDistinct(col("w")).as("n_words"))
-        // (weight desc, pair) is a total order, so the LIMIT is the
-        // same set in both engines
-        .orderBy(col("weight").desc, col("pair"))
-        .limit(40)
-    }),
-
-    // ── t13: ITERATED BPE TRAINER — t12 counts one merge round; real
-    // tokenizer training LOOPS pick-best-pair → re-segment toward a
-    // vocabulary-size target. BpeRounds (8) merge rounds here, d06's
-    // iteration discipline: the corpus is touched
-    // exactly ONCE (the word-frequency aggregate); every round after
-    // that runs over the VOCABULARY (distinct words), localCheckpoint
-    // per round so round k's plan doesn't re-derive rounds 1..k-1.
-    // The chosen pair re-enters the plan as a broadcast 1-row
-    // crossJoin (d08's cutoff pattern — no driver-side value).
-    //
-    // Segmentations are strings of '|'-wrapped symbols ("|t||h||e|"):
-    // merging pair (a,b) is then `replace(seg, '|a||b|', '|ab|')`,
-    // and because replace scans left-to-right non-overlapping, it IS
-    // the greedy BPE merge ("|b||b||b|" → "|bb||b|") — one engine-
-    // portable primitive instead of a fold, so DuckDB replays the
-    // whole training loop exactly. Symbols are identified by string
-    // content (concat on merge) — the standard BPE vocabulary model.
-    //
-    // Output: steps 1–BpeRounds = the merge sequence (pair, weight,
-    // and how many distinct words contained it, at selection time);
-    // step BpeRounds+1 = the top-20 pair counts AFTER the merges.
-    // (weight desc, pa, pb) is a total order, so both LIMITs select
-    // identical sets.
-    "t13_bpe_train" -> ((s, d) => {
-      val (vocab, rounds) = bpeTrain(s, d)
-      val finalPairs = bpePairCounts(vocab)
-        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(20)
-        .withColumn("step", lit(BpeRounds + 1))
-      rounds.reduce(_ union _).union(finalPairs)
-        .select(col("step").cast("int").as("step"), col("pa"), col("pb"),
-          col("weight"), col("n_words"))
-        .orderBy(col("step"), col("weight").desc, col("pa"), col("pb"))
-    }),
-
-    // ── t14: BPE ENCODE — the APPLY half of the t13 trainer (the
-    // train→encode pair every tokenizer ships): the trained
-    // segmentation is already the encoding of each word, so token
-    // counts per word come straight off the final vocab state — no
-    // corpus re-scan, no per-token explosion. Reported for the top-20
-    // words by the (f desc, w) total order: frequency, char length,
-    // and post-merge token count — the compression the BpeRounds
-    // merges actually bought, hash-checked against the oracle's
-    // replay of the same loop.
-    "t14_bpe_encode" -> ((s, d) => {
-      val (vocab, _) = bpeTrain(s, d)
-      vocab.select(col("w"), col("f"),
-        length(col("w")).cast("long").as("n_chars"),
-        size(split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|"))
-          .cast("long").as("n_tok"))
-        .orderBy(col("f").desc, col("w")).limit(20)
-    }),
-
     // ── t15: BIGRAM-LM FLUENCY SCORE — the CCNet/KenLM-shaped quality
     // signal the ratio heuristics (t02) and repetition stats (t09)
     // miss: how PREDICTABLE a document's word transitions are under a
@@ -975,61 +568,7 @@ object TextOps {
     })
   )
 
-  /** Adjacent-position pair counts over a BPE vocab state; the
-    * ≥2-symbol guard matters from round 1 on (a fully-merged 2-char
-    * word is a single symbol; Spark's sequence(1,0) would walk
-    * BACKWARD). */
-  private def bpePairCounts(v: DataFrame): DataFrame =
-    v.select(col("seg"), col("f"),
-      split(expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").as("syms"))
-      .filter(size(col("syms")) >= 2)
-      .select(col("seg"), col("f"), col("syms"),
-        explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
-      .select(col("seg"), col("f"),
-        expr("syms[i-1]").as("pa"), expr("syms[i]").as("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(sum(col("f")).as("weight"),
-        countDistinct(col("seg")).as("n_words"))
-
-  /** Merge-round count for the t13/t14 trainer. Production trainers
-    * run until a vocabulary-size target is hit; the round count is the
-    * knob that expresses that target here (merges = rounds), and the
-    * loop stays vocabulary-sized per round no matter how high it is
-    * set — only round 0 touches the corpus. */
-  private[graft] val BpeRounds = 8
-
-  /** The t13 training loop (BpeRounds rounds of pick-best-pair →
-    * re-segment), shared with t14's encode: returns the final vocab
-    * state (w, seg, f) and the per-round chosen merges tagged with
-    * their step. Corpus touched once; vocabulary-sized with
-    * localCheckpoint per round; the chosen pair re-enters as a
-    * broadcast 1-row crossJoin (d08's cutoff pattern — no driver-side
-    * value). */
-  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val words = docs(s, d)
-      .select(explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+"), lit(0))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    var vocab = words.select(col("w"),
-      concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
-        .as("seg"),
-      col("f")).localCheckpoint()
-    val rounds = (1 to BpeRounds).map { r =>
-      val b = bpePairCounts(vocab)
-        .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
-        .localCheckpoint()
-      vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
-        .select(col("w"),
-          expr("replace(seg, '|' || pa || '||' || pb || '|', " +
-            "'|' || pa || pb || '|')").as("seg"), col("f"))
-        .localCheckpoint()
-      b.withColumn("step", lit(r))
-    }
-    (vocab, rounds)
-  }
-
-  val oracles: Map[String, String] = Map(
+  private[operators] val coreOracles: Map[String, String] = Map(
     "t01_lang_id" -> {
       def sc(words: Seq[String]): String =
         words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
@@ -1073,102 +612,6 @@ object TextOps {
         |    + 0.3 * least(1.0, stop_raw * 5.0), 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
 
-    // the decomposed prefix sum must equal the single global running
-    // total (ROWS ... 1 PRECEDING = "tokens before this doc")
-    "p03_token_shards" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tok,
-        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before
-        |  FROM t)
-        |SELECT cum_before // 5000 AS shard_id, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
-        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the same cum_before prefix sum, fanned out over the window range
-    // each doc overlaps; contributions are interval intersections
-    "p08_sequence_pack" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tok,
-        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before
-        |  FROM t),
-        |e AS (SELECT doc_id, n_tok, cum_before,
-        |    UNNEST(generate_series(cum_before // 512,
-        |      (cum_before + n_tok - 1) // 512)) AS seq_id
-        |  FROM c)
-        |SELECT seq_id, COUNT(*) AS n_docs,
-        |  CAST(SUM(least(cum_before + n_tok, (seq_id + 1) * 512)
-        |    - greatest(cum_before, seq_id * 512)) AS BIGINT) AS sum_tok,
-        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the distributed rank must equal ONE global ROW_NUMBER over the
-    // hash order — the decomposition is allowed to cost nothing
-    "p07_train_order" -> {
-      val hashExpr = graft.functions.PortableHashFunctions
-        .polyHashSql("'order:' || CAST(doc_id AS VARCHAR)")
-      s"""WITH h AS (SELECT doc_id, $hashExpr AS shuf FROM documents)
-         |SELECT doc_id, CAST(shuf AS BIGINT) AS shuf,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY shuf ASC, doc_id ASC) AS BIGINT) AS pos
-         |FROM h ORDER BY doc_id""".stripMargin
-    },
-
-    // the same integer mixture arithmetic + portable-hash gate; the
-    // HUGEINT sums cast back to BIGINT
-    "p04_mixture_balance" ->
-      """WITH dw AS (SELECT doc_id, source,
-        |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
-        |      WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END AS w
-        |  FROM documents),
-        |c AS (SELECT source, w, COUNT(*) AS n_docs FROM dw GROUP BY 1, 2),
-        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS bigw FROM c),
-        |cap AS (SELECT MIN(n_docs * bigw // w) AS t FROM c, tw),
-        |r AS (SELECT source, w, n_docs,
-        |    (t * w // bigw) * 1000000 // n_docs AS rate_ppm FROM c, tw, cap),
-        |k AS (SELECT dw.doc_id, dw.source, r.w, r.n_docs, r.rate_ppm
-        |  FROM dw JOIN r USING (source)
-        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split('mix:' || CAST(doc_id AS VARCHAR), ''),
-        |        ch -> ord(ch))),
-        |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 < rate_ppm)
-        |SELECT source, CAST(w AS BIGINT) AS w, n_docs,
-        |  CAST(rate_ppm AS BIGINT) AS rate_ppm, COUNT(*) AS n_kept,
-        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
-        |FROM k GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
-
-    // same integer pipeline: isqrt weights, capped quota, ppm gate
-    "p09_temperature_sample" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
-        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
-        |  FROM documents GROUP BY lang),
-        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
-        |    CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
-        |r AS (SELECT lang, n_docs, w,
-        |    LEAST(n_docs, (n // 2) * w // sw) AS quota,
-        |    LEAST(n_docs, (n // 2) * w // sw) * 1000000 // n_docs AS rate_ppm
-        |  FROM c, tot),
-        |k AS (SELECT d.lang, d.doc_id
-        |  FROM documents d JOIN r USING (lang)
-        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split('temp:' || CAST(doc_id AS VARCHAR), ''),
-        |        ch -> ord(ch))),
-        |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 < rate_ppm)
-        |SELECT r.lang, r.n_docs, r.w,
-        |  CAST(r.quota AS BIGINT) AS quota,
-        |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
-        |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
-        |  CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
-        |FROM r LEFT JOIN k USING (lang)
-        |GROUP BY 1, 2, 3, 4, 5 ORDER BY r.lang""".stripMargin,
-
     "t03_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
@@ -1177,36 +620,6 @@ object TextOps {
         |  round(CAST(length(text) AS DOUBLE)
         |    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // the whole selection pipeline restated declaratively; QUALIFY
-    // keeps the canonical (min doc_id) row per surviving text
-    "p01_corpus_select" -> {
-      def psc(words: Seq[String]): String =
-        words.map(w => s"(case when padded like '% $w %' then 1 else 0 end)")
-          .mkString(" + ")
-      s"""WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
-         |sc AS (SELECT doc_id, text, ${psc(EN)} AS sc_en, ${psc(ES)} AS sc_es,
-         |         ${psc(DE)} AS sc_de, ${psc(FR)} AS sc_fr FROM p),
-         |l AS (SELECT doc_id, text,
-         |  CASE WHEN greatest(sc_en, sc_es, sc_de, sc_fr) = 0 THEN 'und'
-         |       WHEN sc_en = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'en'
-         |       WHEN sc_es = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'es'
-         |       WHEN sc_de = greatest(sc_en, sc_es, sc_de, sc_fr) THEN 'de'
-         |       ELSE 'fr' END AS pred_lang FROM sc),
-         |q AS (SELECT doc_id, text, pred_lang,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
-         |  round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0)
-         |    + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
-         |    + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |        t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
-         |      / len(string_split_regex(trim(text), '\\s+')) * 5.0), 6) AS quality
-         | FROM l)
-         |SELECT doc_id, quality, n_words,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
-         |FROM q WHERE pred_lang = 'en' AND quality >= 0.7
-         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
-         |ORDER BY doc_id""".stripMargin
-    },
 
     // membership replayed bit-identically: 31-poly mod 1e9+7 over the
     // ASCII codes of the domain-prefixed doc_id string
@@ -1219,23 +632,6 @@ object TextOps {
         |  unnest(list_transform(generate_series(1, len(toks) - 2),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
         |FROM t ORDER BY doc_id, pos""".stripMargin,
-
-    "p02_sample_split" -> {
-      def bucket(prefix: String): String = graft.functions.PortableHashFunctions
-        .splitBucketSql(prefix, "CAST(doc_id AS VARCHAR)")
-      s"""WITH h AS (SELECT lang, n_chars, doc_id,
-         |    ${bucket("samp:")} AS samp_b,
-         |    ${bucket("split:")} AS split_b
-         |  FROM documents)
-         |SELECT lang,
-         |  ${graft.functions.PortableHashFunctions.splitLabelSql("split_b")} AS split,
-         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-         |FROM h
-         |WHERE samp_b < CASE WHEN lang = 'en' THEN 50
-         |                    WHEN lang = 'zh' THEN 80 ELSE 100 END
-         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
-    },
 
     "t05_normalize" ->
       """WITH n AS (SELECT doc_id, length(text) AS orig_len,
@@ -1307,21 +703,6 @@ object TextOps {
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) > 0.1 AS repetitive
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // the bounded-heap sample restated as the hash-ranking window it
-    // must equal exactly
-    "p05_group_sample" ->
-      """WITH h AS (SELECT lang, doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split('gsamp:' || CAST(doc_id AS VARCHAR), ''),
-        |          ch -> ord(ch))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS samp_hash
-        |  FROM documents)
-        |SELECT lang, rank, doc_id, samp_hash FROM (
-        |  SELECT lang, doc_id, samp_hash,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY samp_hash ASC, doc_id ASC) AS INTEGER) AS rank
-        |  FROM h) WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
-
     // the same integer score (a float log would flip ranks at ulp
     // level); tf rows are already distinct (doc, term), so df is a
     // plain count over them
@@ -1379,99 +760,6 @@ object TextOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS full_hash
         |FROM w ORDER BY doc_id""".stripMargin,
 
-    // the same vocabulary-first restructuring: word frequencies, then
-    // position-exploded pairs over the vocabulary only
-    "t12_bpe_pairs" ->
-      """WITH words AS (
-        |  SELECT w, COUNT(*) AS f FROM (
-        |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |    FROM documents)
-        |  WHERE length(w) >= 2 GROUP BY w),
-        |p AS (
-        |  SELECT w, f, substr(w, CAST(i AS INTEGER), 2) AS pair
-        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
-        |SELECT pair, CAST(SUM(f) AS BIGINT) AS weight,
-        |  COUNT(DISTINCT w) AS n_words
-        |FROM p GROUP BY pair
-        |ORDER BY weight DESC, pair LIMIT 40""".stripMargin,
-
-    // the training loop unrolled as CTE levels: pK = pair counts over
-    // state vK-1, bK = the (weight desc, pa, pb) argmax, vK = the
-    // replace-merged next state — replace's left-to-right
-    // non-overlapping scan is the same greedy merge the engine runs
-    "t13_bpe_train" ->
-      s"""$bpeOracleCtes,
-         |${bpePairsCte(BpeRounds + 1, s"v$BpeRounds")}
-         |${(1 to BpeRounds).map(k =>
-              s"SELECT $k AS step, pa, pb, weight, n_words FROM b$k")
-             .mkString("\nUNION ALL ")}
-         |UNION ALL SELECT ${BpeRounds + 1}, pa, pb, weight, n_words FROM
-         |  (SELECT * FROM p${BpeRounds + 1}
-         |   ORDER BY weight DESC, pa, pb LIMIT 20)
-         |ORDER BY step, weight DESC, pa, pb""".stripMargin,
-
-    // the same replayed loop's FINAL state, read as an encoding: token
-    // count per word = the trained segmentation's symbol count
-    "t14_bpe_encode" ->
-      s"""$bpeOracleCtes
-         |SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split(substring(seg, 2, length(seg)-2), '||'))
-         |    AS BIGINT) AS n_tok
-         |FROM v$BpeRounds ORDER BY f DESC, w LIMIT 20""".stripMargin,
-
-    // the t02 quality formula replayed (rounded BEFORE squaring, as
-    // the engine's quality column is), the same ppm hash gate
-    "p10_quality_sample" -> {
-      val hash = graft.functions.PortableHashFunctions
-        .polyHashSql("'qsamp:' || CAST(doc_id AS VARCHAR)")
-      s"""WITH q AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
-        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS punct_raw,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-        |      t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\\s+')) AS stop_raw
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    CAST(floor(
-        |      round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
-        |        + 0.3 * (1.0 - punct_raw)
-        |        + 0.3 * least(1.0, stop_raw * 5.0), 6)
-        |      * round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
-        |        + 0.3 * (1.0 - punct_raw)
-        |        + 0.3 * least(1.0, stop_raw * 5.0), 6)
-        |      * 1000000) AS BIGINT) AS rate_ppm
-        |  FROM q)
-        |SELECT lang, COUNT(*) AS n_kept,
-        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
-        |  CAST(SUM(rate_ppm) AS BIGINT) AS sum_rate_ppm
-        |FROM r WHERE $hash % 1000000 < rate_ppm
-        |GROUP BY lang ORDER BY lang""".stripMargin
-    },
-
-    // the card restated: same quality formula as t02 (round-6 is
-    // bit-identical IEEE in both engines, so floor·1e6 agrees), dup
-    // count via distinct text (== the digest count absent collisions)
-    "p11_data_card" ->
-      """WITH q AS (
-        |  SELECT lang, source, text,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
-        |    CAST(floor(round(
-        |      0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0)
-        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
-        |      + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |          t -> t in ('the','and','of','a','to','in','is'))) AS DOUBLE)
-        |        / len(string_split_regex(trim(text), '\s+')) * 5.0), 6)
-        |      * 1000000) AS BIGINT) AS q_ppm
-        |  FROM documents)
-        |SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_ppm,
-        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs
-        |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-
     // the same integer-ppm conditional model replayed: corpus bigram
     // counts → prefix totals → count·10⁶ // prefix per transition,
     // summed per doc (all int64; `//` is DuckDB's div)
@@ -1494,17 +782,6 @@ object TextOps {
 
     // the shared-gram census replayed over the IDENTICAL portable
     // hash, so collision behavior matches by construction
-    // the same stepped windows via stride-stepped generate_series
-    "p12_chunk_windows" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents)
-        |SELECT doc_id, CAST(u.i // 45 AS BIGINT) AS chunk_idx,
-        |  CAST(u.i AS BIGINT) AS start_tok,
-        |  CAST(LEAST(60, len(toks) - u.i) AS BIGINT) AS n_chunk_toks,
-        |  array_to_string(toks[u.i + 1 : u.i + 60], ' ') AS chunk_text
-        |FROM t, UNNEST(generate_series(0, len(toks) - 1, 45)) AS u(i)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the same integer-exact rule arithmetic over DuckDB list ops
     "t17_gopher_rules" ->
@@ -1598,37 +875,13 @@ object TextOps {
         |FROM raw ORDER BY doc_id""".stripMargin
   )
 
-  /** One pair-count CTE level of the BPE oracle replay. */
-  private def bpePairsCte(k: Int, v: String): String =
-    s"""p$k AS (
-       |  SELECT syms[i] AS pa, syms[i+1] AS pb,
-       |    CAST(SUM(f) AS BIGINT) AS weight,
-       |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_words
-       |  FROM (SELECT seg, f,
-       |          string_split(substring(seg, 2, length(seg)-2), '||') AS syms
-       |        FROM $v),
-       |    UNNEST(generate_series(1, len(syms)-1)) AS t(i)
-       |  GROUP BY 1, 2)""".stripMargin
+  /** Full text-ops registry: the per-document text-analysis core above
+    * plus the split-out pipeline ([[TextPipeline]]) and BPE tokenizer
+    * ([[TextBpe]]) families — one map for SparkEntry, three files
+    * under the repo's 1,500-line discipline. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ TextPipeline.queries ++ TextBpe.queries
 
-  /** The shared WITH-chain replaying t13's BpeRounds training rounds
-    * (word frequencies → v0 char segmentation → pK/bK/vK per round);
-    * vK carries `w` so the encode oracle can read final segmentations
-    * per word. */
-  private def bpeOracleCtes: String = {
-    def roundCtes(k: Int): String =
-      bpePairsCte(k, s"v${k - 1}") + ",\n" +
-        s"""b$k AS (SELECT * FROM p$k ORDER BY weight DESC, pa, pb LIMIT 1),
-           |v$k AS (SELECT w, replace(seg,
-           |    '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS seg, f
-           |  FROM v${k - 1}, b$k)""".stripMargin
-    s"""WITH words AS (
-       |  SELECT w, COUNT(*) AS f FROM (
-       |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-       |    FROM documents)
-       |  WHERE length(w) >= 2 GROUP BY w),
-       |v0 AS (SELECT w,
-       |         '|' || array_to_string(string_split(w, ''), '||') || '|'
-       |         AS seg, f FROM words),
-       |${(1 to BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
-  }
+  val oracles: Map[String, String] =
+    coreOracles ++ TextPipeline.oracles ++ TextBpe.oracles
 }
