@@ -41,7 +41,10 @@ class ChangesTable(baseKey: String, meta: RowStore.Meta)
     val from = Option(options.get("from")).map(_.toInt).getOrElse(0)
     val to = Option(options.get("to")).map(_.toInt)
       .getOrElse(RowStore.currentVersion(baseKey))
-    () => new ChangesScan(baseKey, meta, schema(), from, to)
+    // mode=cdc: pair each key's single delete+insert into Delta-style
+    // update_preimage/update_postimage rows (see createReaderFactory)
+    val cdc = Option(options.get("mode")).contains("cdc")
+    () => new ChangesScan(baseKey, meta, schema(), from, to, cdc)
   }
 }
 
@@ -90,7 +93,7 @@ object ChangesPlanning {
 }
 
 class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
-    from: Int, to: Int) extends Scan with Batch {
+    from: Int, to: Int, cdc: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
 
@@ -117,6 +120,7 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     // full-schema projection always includes the key — equality-delete
     // replay inside resolve compares against this index
     val keyPos = meta.schema.fieldNames.indexOf(meta.keyCol)
+    val cdcMode = cdc
     new PartitionReaderFactory {
       private val dataFields = storageFields
       private val keyIdx = keyPos
@@ -130,8 +134,32 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
         RowResolve.resolveOrdered(c.group, c.fromItems, dataFields, keyIdx)
           .foreach { case (_, v) =>
             counts.merge(v.toSeq, -1, (a, b) => a + b) }
+        // mode=cdc: a key whose diff is EXACTLY one deleted row and one
+        // inserted row is an UPDATE — surface it as Delta CDF's
+        // update_preimage/update_postimage pair instead of
+        // delete+insert, which is what downstream CDC consumers key on
+        // to distinguish moves from churn. Ambiguous keys (several
+        // deletes/inserts — no sound pairing exists in value-based CDF)
+        // keep the plain tags. Key-local and deterministic: the diff
+        // map is unchanged, only the tag per row differs.
+        val paired: Seq[Any] => Boolean =
+          if (!cdcMode) _ => false
+          else {
+            val byKey = new java.util.HashMap[Any, (Int, Int)]()
+            counts.asScala.foreach { case (v, n) =>
+              val k = v(keyIdx)
+              val (del, ins) = byKey.getOrDefault(k, (0, 0))
+              byKey.put(k,
+                if (n > 0) (del, ins + n) else (del - n, ins))
+            }
+            v => byKey.get(v(keyIdx)) == (1, 1)
+          }
         val rows = counts.asScala.iterator.flatMap { case (v, n) =>
-          val tag = if (n > 0) "insert" else "delete"
+          val tag =
+            if (paired(v))
+              (if (n > 0) "update_postimage" else "update_preimage")
+            else if (n > 0) "insert"
+            else "delete"
           Iterator.fill(math.abs(n))((v, tag))
         }
         new PartitionReader[InternalRow] {
@@ -305,6 +333,21 @@ object RowStoreOps {
         vs.splitAt(math.max(0, vs.size - keepLast))
       val (keptByTag, expired) = window.partition(tagged)
       val retained = (keptByTag ++ retainedWindow).sorted
+      // CHAIN CUT: a retained incremental manifest may resolve through
+      // an EXPIRED ancestor — materialize every retained manifest
+      // whose parent is leaving the retained set BEFORE any deletion,
+      // so no retained snapshot ever dangles into a deleted manifest.
+      // (Walking ascending means a still-retained parent is already
+      // chain-safe by the time its children are considered.)
+      val retainedSet = retained.toSet
+      retained.foreach { v =>
+        val lines = Files.readAllLines(
+          Paths.get(RowStore.tableDir(table), s"v$v.manifest")).asScala
+        lines.collectFirst { case l if l.startsWith("#parent\t") =>
+          l.stripPrefix("#parent\t").toInt }
+          .filterNot(retainedSet)
+          .foreach(_ => RowStore.materializeManifest(table, v))
+      }
       // staged branch manifests keep their files alive too — VACUUM
       // must not strand an un-published WAP branch
       val branchKeep = RowStore.listBranches(table)
@@ -329,6 +372,57 @@ object RowStoreOps {
         Files.deleteIfExists(dir.resolve(s".$n.crc")); ()
       }
       (retained, dead.size)
+    }
+
+  /** MANIFEST COMPACTION (Iceberg's `rewrite_manifests`): collapse the
+    * current snapshot's incremental manifest chain into ONE
+    * self-contained manifest file. Commits write O(change) incremental
+    * manifests ([[RowStore.writeManifest]]); each chain hop is a
+    * manifest-file read at plan time, so at a 100-TB commit cadence
+    * this keeps the planner's per-snapshot metadata read O(1) instead
+    * of O(commits-since-checkpoint). Pure metadata — every snapshot's
+    * resolved entry list (and therefore every read, time travel, tag,
+    * and branch) is observationally unchanged; older versions keep
+    * their own chains until VACUUM expires them. Returns the chain
+    * length before and after (after is always 1). */
+  def rewriteManifests(table: String): (Int, Int) =
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(table)
+      val before = RowStore.manifestChainLength(table, cur)
+      RowStore.materializeManifest(table, cur)
+      (before, RowStore.manifestChainLength(table, cur))
+    }
+
+  /** ORPHAN-FILE CLEANUP (Iceberg's `remove_orphan_files`): delete
+    * data files referenced by NO retained manifest, branch manifest —
+    * the debris a crashed writer leaves (its task files landed, its
+    * commit never did). VACUUM can't reach these: it deletes files
+    * that LOST their last reference, not files that never had one.
+    * Metadata-planned on the driver (one directory listing against
+    * the union of retained reference sets) under the commit lock, so
+    * no commit can race a reference into existence mid-sweep; a
+    * WRITER running concurrently is the caller's exclusion to manage,
+    * exactly Iceberg's documented contract (its guard is an
+    * older-than horizon; ours is the lock plus the single-JVM
+    * harness). Returns (orphans deleted, files retained). */
+  def removeOrphanFiles(table: String): (Int, Int) =
+    RowStore.commitLock.synchronized {
+      val keep = RowStore.versions(table)
+        .flatMap(v => RowStore.readManifest(table, v)).map(_.name).toSet ++
+        RowStore.listBranches(table)
+          .flatMap(b => RowStore.readBranchManifest(table, b)._2)
+          .map(_.name)
+      val dir = Paths.get(RowStore.dataDir(table))
+      val stream = Files.list(dir)
+      val all = try stream.iterator().asScala
+        .map(_.getFileName.toString).filter(!_.startsWith(".")).toSeq
+      finally stream.close()
+      val orphans = all.filterNot(keep)
+      orphans.foreach { n =>
+        Files.deleteIfExists(dir.resolve(n))
+        Files.deleteIfExists(dir.resolve(s".$n.crc")); ()
+      }
+      (orphans.size, all.size - orphans.size)
     }
 
   /** ROLLBACK to an earlier snapshot (Iceberg's

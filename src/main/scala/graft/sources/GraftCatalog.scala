@@ -106,6 +106,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(dirty.size, before, after)
       }
     },
+    new Proc("rewrite_manifests",
+      "collapse the current snapshot's incremental manifest chain " +
+        "into one self-contained manifest",
+      Seq(("table", StringType)),
+      Seq(("manifests_before", IntegerType), ("manifests_after", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (before, after) =
+          RowStoreOps.rewriteManifests(tkey(a.getUTF8String(0)))
+        Array(before, after)
+      }
+    },
+    new Proc("remove_orphan_files",
+      "delete data files referenced by no retained manifest or branch",
+      Seq(("table", StringType)),
+      Seq(("deleted_files", IntegerType), ("retained_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (deleted, retained) =
+          RowStoreOps.removeOrphanFiles(tkey(a.getUTF8String(0)))
+        Array(deleted, retained)
+      }
+    },
     new Proc("publish_branch",
       "fast-forward a staged WAP branch into the next committed version",
       Seq(("table", StringType), ("branch", StringType)),
@@ -203,6 +224,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       val ns = ident.namespace()
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base)) new RefsTable(base)
+      else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "snapshots" && ident.namespace().nonEmpty) {
+      // `<table>.snapshots` — per-version lineage with the diff-derived
+      // operation classification
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new SnapshotsTable(base)
       else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }

@@ -252,3 +252,88 @@ class RefsTable(baseKey: String) extends Table with SupportsRead {
 
 case class RefRow(refName: String, refType: String, version: Int)
 case class RefsPartition(rows: Seq[RefRow]) extends InputPartition
+
+/** `<table>.snapshots` — Iceberg's snapshots metadata table: one row
+  * per retained version with its parent, a DIFF-DERIVED operation
+  * classification (append = only added files, delete = only removed,
+  * overwrite = both, create = version 0, noop = identical entry list
+  * — e.g. a rollback to the current state), manifest-derived file/row
+  * counts, and the current-pointer flag. Pure manifest metadata —
+  * ZERO data files opened (pinned in RowCatalogSpec); the lineage
+  * surface `.history` summarizes, with the operation column CDC/audit
+  * consumers key on. */
+class SnapshotsTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.snapshots"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("parent_version", IntegerType, nullable = true),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("is_current", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = SnapshotsTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val vs = RowStore.versions(baseKey)
+        val cur = vs.max
+        val vsSet = vs.toSet
+        val rows = vs.map { v =>
+          val es = RowStore.readManifest(baseKey, v)
+          val base = es.filter(_.kind == "base")
+          val nRows: Option[Long] =
+            if (es.exists(_.kind == "delta") || base.exists(_.rows.isEmpty))
+              None
+            else Some(base.map(_.rows.get).sum)
+          // parent = the previous RETAINED version (VACUUM may have
+          // expired intermediate ones); None for the chain's first
+          val parent = vs.filter(_ < v).lastOption
+          val op = parent match {
+            case None => "create"
+            case Some(p) =>
+              val prev = RowStore.readManifest(baseKey, p)
+                .map(_.name).toSet
+              val now = es.map(_.name).toSet
+              val added = now.diff(prev).nonEmpty
+              val removed = prev.diff(now).nonEmpty
+              (added, removed) match {
+                case (true, true)   => "overwrite"
+                case (true, false)  => "append"
+                case (false, true)  => "delete"
+                case (false, false) => "noop"
+              }
+          }
+          SnapshotRow(v, parent, op, es.size.toLong, nRows, v == cur)
+        }
+        Array(SnapshotsPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[SnapshotsPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: SnapshotRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.version,
+                  cur.parent.map(Int.box).orNull,
+                  UTF8String.fromString(cur.operation), cur.nFiles,
+                  cur.nRows.map(Long.box).orNull, cur.isCurrent))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class SnapshotRow(version: Int, parent: Option[Int],
+    operation: String, nFiles: Long, nRows: Option[Long],
+    isCurrent: Boolean)
+case class SnapshotsPartition(rows: Seq[SnapshotRow])
+    extends InputPartition

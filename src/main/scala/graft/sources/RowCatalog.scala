@@ -1138,6 +1138,155 @@ object RowCatalogQueries {
       s.table("graft_dml.ns.subq").orderBy(col("k"))
     }),
 
+    // ── q149: MANIFEST COMPACTION (`rewrite_manifests`) — commits
+    // write O(change) INCREMENTAL manifests (#parent + removals +
+    // added entries, the Delta-log model), so each snapshot read walks
+    // a manifest CHAIN; four appends here build a 5-deep chain, and
+    // `CALL graft_dml.system.rewrite_manifests` collapses the head to
+    // ONE self-contained file — the maintenance call that keeps
+    // planner metadata reads O(1) at a 100-TB commit cadence (the
+    // auto-checkpoint at CheckpointEvery bounds the worst case;
+    // RowCatalogSpec pins both). In-plan pins: `chain_collapsed`
+    // (the chain really was deeper and is now 1) and `tt_ok` (time
+    // travel THROUGH the compacted head's history still resolves the
+    // v2 snapshot exactly); the content read-back must be unchanged —
+    // the oracle restates all four slices.
+    "q149_dml_rewrite_manifests" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q149_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.manif")
+      s.sql("CREATE TABLE graft_dml.ns.manif (k BIGINT, cents BIGINT)")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.manif
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q149_orders WHERE o_orderkey % 8 = $r"""); () }
+      for (r <- 0 until 4) ins(r) // v1..v4: incremental manifests
+      val t = "graft_dml.ns.manif"
+      val before = RowStore.manifestChainLength(t, RowStore.currentVersion(t))
+      s.sql("CALL graft_dml.system.rewrite_manifests('ns.manif')").collect()
+      val after = RowStore.manifestChainLength(t, RowStore.currentVersion(t))
+      val v2n = s.sql("SELECT COUNT(*) FROM graft_dml.ns.manif " +
+        "VERSION AS OF 2").head().getLong(0)
+      val want2 = s.sql("SELECT COUNT(*) FROM q149_orders " +
+        "WHERE o_orderkey % 8 IN (0, 1)").head().getLong(0)
+      s.table(t)
+        .withColumn("chain_collapsed", lit(before > after && after == 1))
+        .withColumn("tt_ok", lit(v2n == want2))
+        .orderBy(col("k"))
+    }),
+
+    // ── q150: `.snapshots` METADATA TABLE — Iceberg's snapshots
+    // surface: one row per version with its parent and a DIFF-DERIVED
+    // operation classification (append = files only added, delete =
+    // only removed, overwrite = both, create = v0). The lifecycle here
+    // exercises all four kinds deterministically on a bucket(4, k)
+    // layout: two appends, then `DELETE WHERE k % 2 = 0` — which
+    // EMPTIES groups 0 and 2 wholesale (every key there is even), so
+    // the commit is removals-only — then an UPDATE confined to group 1
+    // (k % 4 = 1), a classic rewrite. Each snapshot row joins the row
+    // count VISIBLE at that version through VERSION AS OF (the q146
+    // per-ref-visibility discipline), so version, parent, operation,
+    // manifest row counts AND read-back visibility are all restated
+    // relationally by the oracle. RowCatalogSpec pins zero data-file
+    // opens for the `.snapshots` scan itself.
+    "q150_dml_snapshots_table" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q150_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.snap")
+      s.sql("CREATE TABLE graft_dml.ns.snap (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.snap
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q150_orders WHERE o_orderkey % 3 = $r"""); () }
+      ins(0); ins(1)                                              // v1, v2
+      s.sql("DELETE FROM graft_dml.ns.snap WHERE k % 2 = 0")      // v3
+      s.sql("UPDATE graft_dml.ns.snap SET cents = cents + 7 " +
+        "WHERE k % 4 = 1")                                        // v4
+      import s.implicits._
+      val visible = (0 to 4).map(v => (v,
+        s.sql(s"SELECT COUNT(*) FROM graft_dml.ns.snap VERSION AS OF $v")
+          .head().getLong(0))).toDF("version", "n_visible")
+      s.table("graft_dml.ns.snap.snapshots")
+        .join(visible, "version")
+        .select(col("version"), col("parent_version"), col("operation"),
+          col("n_rows"), col("is_current"), col("n_visible"))
+        .orderBy(col("version"))
+    }),
+
+    // ── q151: ORPHAN-FILE CLEANUP (`remove_orphan_files`) — the
+    // maintenance leg VACUUM cannot reach: a crashed writer's task
+    // files land in the table directory but its commit never does, so
+    // no manifest ever references them and no retention window ever
+    // deletes them. The fixture plants exactly that debris (a copied
+    // data file under a fresh name), the procedure sweeps the
+    // directory against the union of every retained manifest's and
+    // branch's reference set, and the in-plan pin `orphan_removed`
+    // asserts the planted file (and only it) was deleted while the
+    // read-back — restated from raw orders by the oracle — is
+    // untouched. RowCatalogSpec pins the referenced-files-retained
+    // accounting.
+    "q151_dml_orphan_cleanup" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q151_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.orph")
+      s.sql("CREATE TABLE graft_dml.ns.orph (k BIGINT, cents BIGINT)")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.orph
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q151_orders WHERE o_orderkey % 9 = $r"""); () }
+      ins(0); ins(4)
+      val t = "graft_dml.ns.orph"
+      val dir = java.nio.file.Paths.get(RowStore.dataDir(t))
+      val ref = RowStore.readManifest(t, RowStore.currentVersion(t)).head.name
+      val orphan = "g0-crashed-writer-task.parquet"
+      java.nio.file.Files.copy(dir.resolve(ref), dir.resolve(orphan))
+      val res = s.sql("CALL graft_dml.system.remove_orphan_files('ns.orph')")
+        .head()
+      val gone = !java.nio.file.Files.exists(dir.resolve(orphan))
+      s.table(t)
+        .withColumn("orphan_removed", lit(res.getInt(0) == 1 && gone))
+        .orderBy(col("k"))
+    }),
+
+    // ── q152: CHANGE-FEED UPDATE PAIRS — Delta CDF's
+    // update_preimage/update_postimage rows for MERGE-driven updates:
+    // the value-based diff (q109) reports an update as delete+insert,
+    // which a downstream CDC consumer cannot distinguish from genuine
+    // churn; under `mode=cdc` a key whose diff is EXACTLY one deleted
+    // and one inserted row is re-tagged as the pre/post pair
+    // (ambiguous keys keep plain tags — no sound pairing exists).
+    // The q106-shaped MERGE here produces all three row classes in one
+    // feed read over versions 1→2: matched 'F' keys update (pair),
+    // matched non-'F' keys delete, source-only keys insert — all
+    // restated relationally by the oracle, with ordered replay pinned
+    // against the q109 rule in RowCatalogSpec.
+    "q152_dml_cdf_updates" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q152_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cdfu")
+      s.sql("CREATE TABLE graft_dml.ns.cdfu " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      s.sql("""INSERT INTO graft_dml.ns.cdfu
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               o_orderstatus
+        FROM q152_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""MERGE INTO graft_dml.ns.cdfu t
+        USING (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM q152_orders WHERE o_orderkey % 5 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.status = 'F' THEN
+          UPDATE SET cents = t.cents + s.cents
+        WHEN MATCHED AND t.status <> 'F' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, cents, status)
+          VALUES (s.k, s.cents, s.status)""")
+      s.read.option("from", "1").option("to", "2").option("mode", "cdc")
+        .table("graft_dml.ns.cdfu.changes")
+        .orderBy(col("k"), col("_change"))
+    }),
+
     // ── q120: METADATA COLUMNS as a USER surface — Iceberg's
     // `_file`/`_pos` pattern: the `_group` metadata column the DML
     // machinery reads internally (requiredMetadataAttributes) is also
@@ -1155,6 +1304,72 @@ object RowCatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // all four slices restated — manifest compaction must be
+    // observationally invisible; the pins are TRUE by its contract
+    "q149_dml_rewrite_manifests" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS chain_collapsed, TRUE AS tt_ok
+        |FROM orders WHERE o_orderkey % 8 IN (0, 1, 2, 3)
+        |ORDER BY k""".stripMargin,
+
+    // the snapshot lineage restated: two appends, the group-emptying
+    // delete (removals only), the group-1 rewrite (overwrite); row
+    // counts and per-version visibility from the same slices
+    "q150_dml_snapshots_table" ->
+      """WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |           WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |      WHERE o_orderkey % 3 = 1),
+        |u AS (SELECT k FROM a UNION ALL SELECT k FROM b),
+        |o AS (SELECT k FROM u WHERE k % 2 <> 0)
+        |SELECT CAST(0 AS INTEGER) AS version,
+        |  CAST(NULL AS INTEGER) AS parent_version, 'create' AS operation,
+        |  CAST(0 AS BIGINT) AS n_rows, FALSE AS is_current,
+        |  CAST(0 AS BIGINT) AS n_visible
+        |UNION ALL SELECT 1, 0, 'append', (SELECT COUNT(*) FROM a), FALSE,
+        |  (SELECT COUNT(*) FROM a)
+        |UNION ALL SELECT 2, 1, 'append', (SELECT COUNT(*) FROM u), FALSE,
+        |  (SELECT COUNT(*) FROM u)
+        |UNION ALL SELECT 3, 2, 'delete', (SELECT COUNT(*) FROM o), FALSE,
+        |  (SELECT COUNT(*) FROM o)
+        |UNION ALL SELECT 4, 3, 'overwrite', (SELECT COUNT(*) FROM o), TRUE,
+        |  (SELECT COUNT(*) FROM o)
+        |ORDER BY version""".stripMargin,
+
+    // both slices restated — orphan cleanup must never touch a
+    // referenced file; the pin is TRUE by its contract
+    "q151_dml_orphan_cleanup" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS orphan_removed
+        |FROM orders WHERE o_orderkey % 9 IN (0, 4)
+        |ORDER BY k""".stripMargin,
+
+    // the three CDC row classes restated: matched 'F' keys surface as
+    // pre/post pairs (cents doubled by the self-merge), matched
+    // non-'F' keys as deletes, source-only keys as inserts
+    "q152_dml_cdf_updates" ->
+      """WITH t0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT k, cents, status, 'update_preimage' AS _change FROM t0
+        |  WHERE k % 5 = 0 AND status = 'F'
+        |UNION ALL
+        |SELECT k, cents * 2, status, 'update_postimage' FROM t0
+        |  WHERE k % 5 = 0 AND status = 'F'
+        |UNION ALL
+        |SELECT k, cents, status, 'delete' FROM t0
+        |  WHERE k % 5 = 0 AND status <> 'F'
+        |UNION ALL
+        |SELECT k, cents, status, 'insert' FROM src WHERE k % 7 <> 0
+        |ORDER BY k, _change""".stripMargin,
+
     "q106_merge_into" ->
       s"""$lifecycleCtes
         |SELECT k, cents, status FROM merged

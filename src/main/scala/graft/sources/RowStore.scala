@@ -294,7 +294,7 @@ object RowStore {
     graft.Scratch.dir(SparkSession.active, "graft_rowcat", "tables")
 
   private[sources] def tableDir(key: String): String = s"${root()}/$key"
-  private[sources] def dataDir(key: String): String = {
+  private[graft] def dataDir(key: String): String = {
     val d = s"${tableDir(key)}/data"
     Files.createDirectories(Paths.get(d))
     d
@@ -376,9 +376,67 @@ object RowStore {
   def currentVersion(key: String): Int = versions(key).lastOption.getOrElse(
     sys.error(s"no committed version for $key"))
 
-  def readManifest(key: String, v: Int): Seq[FileEntry] =
-    parseEntries(Files.readAllLines(
-      Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq)
+  /** Manifest CHAIN checkpoint cadence: a commit writes an INCREMENTAL
+    * manifest (`#parent` + `#rm` removals + added entries — O(change),
+    * the Delta-log commit model) unless its chain would exceed this
+    * depth, where it writes a FULL (self-contained) manifest instead —
+    * Delta's checkpoint-every-10 rule. Bounds planner read cost to
+    * CheckpointEvery manifest files per snapshot even if nobody ever
+    * calls rewrite_manifests; at a 100-TB commit cadence this is what
+    * keeps commit cost O(delta) without letting read cost grow
+    * O(history). */
+  val CheckpointEvery = 16
+
+  /** Number of manifest FILES walked to resolve version `v` — 1 for a
+    * full (checkpointed) manifest, parent chain + 1 for incrementals.
+    * The `rewrite_manifests` procedure reports and collapses this. */
+  def manifestChainLength(key: String, v: Int): Int = {
+    val lines = Files.readAllLines(
+      Paths.get(tableDir(key), s"v$v.manifest")).asScala
+    lines.collectFirst { case l if l.startsWith("#parent\t") =>
+      l.stripPrefix("#parent\t").toInt } match {
+      case Some(p) => 1 + manifestChainLength(key, p)
+      case None    => 1
+    }
+  }
+
+  def readManifest(key: String, v: Int): Seq[FileEntry] = {
+    val lines = Files.readAllLines(
+      Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq
+    lines.collectFirst { case l if l.startsWith("#parent\t") =>
+      l.stripPrefix("#parent\t").toInt } match {
+      case None => parseEntries(lines)
+      case Some(p) =>
+        // incremental: parent's resolved entries minus this commit's
+        // removals (relative order preserved), plus its additions
+        // appended — exactly the sequence the commit validated at
+        // write time, so manifest order (= commit order, what MOR
+        // replay keys on) survives the chain encoding
+        val removed = lines.collect {
+          case l if l.startsWith("#rm\t") => l.stripPrefix("#rm\t") }.toSet
+        readManifest(key, p).filterNot(e => removed(e.name)) ++
+          parseEntries(lines)
+    }
+  }
+
+  /** Rewrite version `v`'s manifest as FULL (self-contained): same
+    * resolved entries, same headers, chain length 1 — the
+    * `rewrite_manifests` compaction and VACUUM's chain-cut. Byte
+    * content of every snapshot is observationally unchanged (reads
+    * resolve the identical entry sequence). Caller holds
+    * [[commitLock]]. */
+  private[sources] def materializeManifest(key: String, v: Int): Unit = {
+    val p = Paths.get(tableDir(key), s"v$v.manifest")
+    val lines = Files.readAllLines(p).asScala.toSeq
+    if (lines.exists(_.startsWith("#parent\t"))) {
+      val resolved = readManifest(key, v)
+      val headers = lines.filter(l => l.startsWith("#") &&
+        !l.startsWith("#parent\t") && !l.startsWith("#rm\t"))
+      Files.writeString(p,
+        headers.map(_ + "\n").mkString + renderEntries(resolved))
+      ()
+    }
+  }
 
   private def parseEntries(all: Seq[String]): Seq[FileEntry] =
     all.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
@@ -579,9 +637,40 @@ object RowStore {
             Seq(s"#renames\t${renderRenames(m.renames)}")
           else Seq.empty)
       } else Seq.empty
+    // INCREMENTAL encoding (the Delta-log commit model): when the new
+    // entry list is the parent's with some names removed and new
+    // entries appended — which every append/rewrite/compact commit is —
+    // the manifest records only `#parent`, the `#rm` removals, and the
+    // added entries: commit cost O(change), not O(table). The encoding
+    // is taken ONLY when the reconstruction reproduces the entry
+    // SEQUENCE exactly (order is commit order — MOR replay depends on
+    // it), and the chain is capped at [[CheckpointEvery]] by writing a
+    // full manifest past that depth, so snapshot reads stay bounded.
+    val body = {
+      val pv = v - 1
+      val parentPath = Paths.get(tableDir(key), s"v$pv.manifest")
+      if (v <= 0 || !Files.exists(parentPath)) renderEntries(entries)
+      else if (manifestChainLength(key, pv) >= CheckpointEvery)
+        renderEntries(entries)
+      else {
+        val parent = readManifest(key, pv)
+        val newNames = entries.map(_.name).toSet
+        val removedNames = parent.collect {
+          case e if !newNames(e.name) => e.name }
+        val rmSet = removedNames.toSet
+        val parentNames = parent.map(_.name).toSet
+        val added = entries.filterNot(e => parentNames(e.name))
+        val reconstructed = parent.filterNot(e => rmSet(e.name)) ++ added
+        if (reconstructed == entries)
+          s"#parent\t$pv\n" +
+            removedNames.map(n => s"#rm\t$n\n").mkString +
+            renderEntries(added)
+        else renderEntries(entries)
+      }
+    }
     Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
       s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
-        renderEntries(entries))
+        body)
   }
 
   // ── BRANCHES (Iceberg's write-audit-publish surface): a branch

@@ -1549,6 +1549,150 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.mixc")
   }
 
+  test("manifest chain: incremental commits, checkpoint cap, rewrite_manifests") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.chain")
+    s.sql("CREATE TABLE graft_dml.spec.chain (k BIGINT, v BIGINT)")
+    val t = "graft_dml.spec.chain"
+    for (i <- 1 to 4) s.sql(s"INSERT INTO $t VALUES ($i, ${i * 10})")
+    // four appends on top of the v0 full manifest = a 5-deep chain
+    assert(RowStore.manifestChainLength(t, 4) == 5)
+    RowStoreOps.createTag(t, "prewrite")
+    val contentBefore = s.table(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val v2Before = s.sql(s"SELECT k, v FROM $t VERSION AS OF 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val (before, after) = RowStoreOps.rewriteManifests(t)
+    assert(before == 5 && after == 1, s"chain $before -> $after")
+    // every read surface is observationally unchanged: head content,
+    // time travel THROUGH the compacted head's history, tag reads
+    assert(s.table(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq.sorted == contentBefore)
+    assert(s.sql(s"SELECT k, v FROM $t VERSION AS OF 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == v2Before)
+    assert(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'prewrite'")
+      .head().getLong(0) == 4L)
+    // further commits chain off the fresh checkpoint
+    s.sql(s"INSERT INTO $t VALUES (5, 50)")
+    assert(RowStore.manifestChainLength(t, 5) == 2)
+    // AUTO-CHECKPOINT: the chain never exceeds CheckpointEvery even
+    // without a manual rewrite — commit depth is bounded by design
+    for (i <- 6 to 30) s.sql(s"INSERT INTO $t VALUES ($i, ${i * 10})")
+    val depths = (5 to 30).map(v => RowStore.manifestChainLength(t, v))
+    assert(depths.max <= RowStore.CheckpointEvery,
+      s"chain depth must stay capped, got $depths")
+    assert(depths.min == 1, "a checkpoint manifest must have been written")
+    assert(s.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 30L)
+    s.sql("DROP TABLE graft_dml.spec.chain")
+  }
+
+  test("vacuum cuts retained manifest chains before expiring ancestors") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.vchain")
+    val t = "graft_dml.spec.vchain"
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    for (i <- 1 to 5) s.sql(s"INSERT INTO $t VALUES ($i, ${i * 10})")
+    // v4/v5 resolve through expired ancestors (v0..v3) — vacuum must
+    // materialize them or retained reads would dangle into deleted
+    // manifest files
+    val (retained, _) = RowStoreOps.vacuum(t, keepLast = 2)
+    assert(retained == Seq(4, 5))
+    assert(RowStore.manifestChainLength(t, 4) == 1)
+    assert(s.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 5L)
+    assert(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 4")
+      .head().getLong(0) == 4L)
+    s.sql("DROP TABLE graft_dml.spec.vchain")
+  }
+
+  test("remove_orphan_files deletes debris, retains every referenced file") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.orph")
+    val t = "graft_dml.spec.orph"
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    s.sql(s"INSERT INTO $t VALUES (3, 30)")
+    val dir = java.nio.file.Paths.get(RowStore.dataDir(t))
+    val referenced = RowStore.readManifest(t, RowStore.currentVersion(t))
+      .map(_.name)
+    // plant two orphans: a crashed writer's task file (copied data) and
+    // a zero-byte temp
+    java.nio.file.Files.copy(dir.resolve(referenced.head),
+      dir.resolve("g0-orphan-a.parquet"))
+    java.nio.file.Files.write(dir.resolve("g1-orphan-b.parquet"),
+      Array.empty[Byte])
+    val (deleted, kept) = RowStoreOps.removeOrphanFiles(t)
+    assert(deleted == 2, s"expected 2 orphans deleted, got $deleted")
+    assert(kept == referenced.size)
+    referenced.foreach(n => assert(
+      java.nio.file.Files.exists(dir.resolve(n)), s"referenced $n deleted"))
+    assert(!java.nio.file.Files.exists(dir.resolve("g0-orphan-a.parquet")))
+    // content and time travel unchanged
+    assert(s.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 3L)
+    assert(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    s.sql("DROP TABLE graft_dml.spec.orph")
+  }
+
+  test(".snapshots classifies operations with zero data-file opens") {
+    val s = spark
+    import graft.sources.RowFiles
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.snap")
+    val t = "graft_dml.spec.snap"
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    s.sql(s"INSERT INTO $t VALUES (0, 1), (1, 2), (2, 3), (3, 4)") // v1
+    s.sql(s"DELETE FROM $t WHERE k % 2 = 0")  // v2: empties group 0
+    s.sql(s"UPDATE $t SET v = v + 1 WHERE k % 2 = 1") // v3: rewrites g1
+    RowFiles.filesOpened.set(0L)
+    val rows = s.table(s"$t.snapshots").orderBy("version").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(RowFiles.filesOpened.get == 0L,
+      s".snapshots must open no data files, opened ${RowFiles.filesOpened.get}")
+    assert(rows.toSeq == Seq(
+      (0, -1, "create", 0L, 0L, false),
+      (1, 0, "append", 2L, 4L, false),   // one file per non-empty group
+      (2, 1, "delete", 1L, 2L, false),   // group 0 emptied wholesale
+      (3, 2, "overwrite", 1L, 2L, true)), rows.mkString("; "))
+    s.sql("DROP TABLE graft_dml.spec.snap")
+  }
+
+  test("cdc change feed pairs single-delete+insert keys, q109 rule otherwise") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cdc")
+    val t = "graft_dml.spec.cdc"
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)") // v1
+    // v2: update k=1 (pair), delete k=2 (plain), insert k=4 (plain)
+    s.sql(s"UPDATE $t SET v = 11 WHERE k = 1")
+    s.sql(s"DELETE FROM $t WHERE k = 2")
+    s.sql(s"INSERT INTO $t VALUES (4, 40)")
+    def feed(mode: Option[String]) = {
+      val r = s.read.option("from", "1")
+        .option("to", s"${graft.sources.RowStore.currentVersion(t)}")
+      mode.foreach(m => r.option("mode", m))
+      r.table(s"$t.changes").orderBy("k", "_change").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    }
+    // plain mode: the q109 value-based rule, updates = delete+insert
+    assert(feed(None) == Seq((1L, 10L, "delete"), (1L, 11L, "insert"),
+      (2L, 20L, "delete"), (4L, 40L, "insert")))
+    // cdc mode: the single-pair key re-tags; plain rows unchanged
+    assert(feed(Some("cdc")) == Seq(
+      (1L, 11L, "update_postimage"), (1L, 10L, "update_preimage"),
+      (2L, 20L, "delete"), (4L, 40L, "insert")))
+    s.sql("DROP TABLE graft_dml.spec.cdc")
+  }
+
   test(".refs lists main, tags, and staged branches with zero data-file opens") {
     val s = spark
     import graft.sources.{RowFiles, RowStore, RowStoreOps}
