@@ -167,9 +167,17 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
           override def next(): Boolean =
             { val h = rows.hasNext; if (h) cur = rows.next(); h }
           override def get(): InternalRow = new GenericInternalRow(
-            (cur._1.map {
-              case s: String => UTF8String.fromString(s)
-              case v         => v
+            (cur._1.zip(dataFields).map {
+              case (s: String, _) => UTF8String.fromString(s)
+              // decimals ride the files as unscaled longs
+              case (l: java.lang.Long, f)
+                if f.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+                val d = f.dataType
+                  .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+                org.apache.spark.sql.types.Decimal(
+                  l.longValue, d.precision, d.scale)
+              case (v, _) => v
             } :+ UTF8String.fromString(cur._2)).toArray[Any])
           override def close(): Unit = ()
         }

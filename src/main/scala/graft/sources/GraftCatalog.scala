@@ -382,16 +382,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         "be planned ahead)")
     // opt-in per-column bloom filters for equality-predicate file
     // skipping: TBLPROPERTIES('bloom'='col,...') — Delta's per-column
-    // bloom index surface. Long/int/timestamp/string columns only
-    // (what [[RowStore.Bloom.hashOf]] tracks).
+    // bloom index surface. Long/int/timestamp/date/decimal(≤18)/string
+    // columns (every type with a canonical long or string form that
+    // [[RowStore.Bloom.hashOf]] tracks and the scan's pushed-literal
+    // canonicalization reproduces).
     val bloomCols = Option(properties.get("bloom"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     bloomCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"bloom column $c is not in the table schema"))
-      require(Set[DataType](LongType, IntegerType, TimestampType,
-        StringType)(f.dataType),
+      val trackable = f.dataType match {
+        case LongType | IntegerType | TimestampType | StringType |
+          org.apache.spark.sql.types.DateType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+        case _ => false
+      }
+      require(trackable,
         s"bloom column $c has untrackable type ${f.dataType}")
     }
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,

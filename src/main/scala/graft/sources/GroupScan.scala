@@ -244,6 +244,42 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     case _ => None
   }
 
+  /** Column-aware literal canonicalization: DATE literals (java.sql /
+    * java.time, per the session's java8API setting) fold to their
+    * epoch-day long, DECIMAL literals to the unscaled long AT THE
+    * COLUMN'S DECLARED SCALE — the identical canonical forms the
+    * writer's zone maps and blooms recorded, which is what lets point
+    * lookups on decimal-cents and date columns skip files. A literal
+    * whose scale can't be matched exactly (or overflows long) simply
+    * declines — no pruning, never a wrong prune. */
+  private def litLong(c: String, v: Any): Option[Long] =
+    num(v).orElse {
+      meta.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.DateType => v match {
+          case d: java.sql.Date => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaDate(d).toLong)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _ => None
+        }
+        case d: org.apache.spark.sql.types.DecimalType => v match {
+          case b: java.math.BigDecimal =>
+            try Some(b.setScale(d.scale).unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => None }
+          case b: BigDecimal =>
+            try Some(b.underlying().setScale(d.scale)
+              .unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => None }
+          case x: org.apache.spark.sql.types.Decimal =>
+            try Some(x.toJavaBigDecimal.setScale(d.scale)
+              .unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => None }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     val k = meta.keyCol
     // a filter on ANY schema column narrows that column's window
@@ -259,28 +295,33 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       known(n).exists { st =>
         narrowColS(st, lo, hi); if (n == k) narrowS(lo, hi); true }
     // a pushed literal's bloom hash — the same externalized form the
-    // writer hashed (timestamps via their micros long)
-    def bloomH(v: Any): Option[Long] =
-      num(v).flatMap(x => RowStore.Bloom.hashOf(Long.box(x)))
+    // writer hashed (timestamps via micros, dates via epoch days,
+    // decimals via the unscaled long — all through the mix(long) path)
+    def bloomH(c: String, v: Any): Option[Long] =
+      litLong(c, v).flatMap(x => RowStore.Bloom.hashOf(Long.box(x)))
         .orElse(str(v).flatMap(RowStore.Bloom.hashOf))
     def eqCons(n: String, hs: Seq[Long]): Unit =
       known(n).foreach(st => colEqCons += ((st, hs)))
     accepted = filters.filter {
       case SEq(c, v) =>
-        val ok = num(v).exists(x => handleN(c, x, x)) ||
+        val ok = litLong(c, v).exists(x => handleN(c, x, x)) ||
           str(v).exists(x => handleS(c, Some(x), Some(x)))
-        if (ok) bloomH(v).foreach(h => eqCons(c, Seq(h)))
+        if (ok) bloomH(c, v).foreach(h => eqCons(c, Seq(h)))
         ok
-      case SGt(c, v) => num(v).exists(x => handleN(c, x + 1, Long.MaxValue)) ||
+      case SGt(c, v) =>
+        litLong(c, v).exists(x => handleN(c, x + 1, Long.MaxValue)) ||
         str(v).exists(x => handleS(c, Some(x), None))
-      case SGe(c, v) => num(v).exists(x => handleN(c, x, Long.MaxValue)) ||
+      case SGe(c, v) =>
+        litLong(c, v).exists(x => handleN(c, x, Long.MaxValue)) ||
         str(v).exists(x => handleS(c, Some(x), None))
-      case SLt(c, v) => num(v).exists(x => handleN(c, Long.MinValue, x - 1)) ||
+      case SLt(c, v) =>
+        litLong(c, v).exists(x => handleN(c, Long.MinValue, x - 1)) ||
         str(v).exists(x => handleS(c, None, Some(x)))
-      case SLe(c, v) => num(v).exists(x => handleN(c, Long.MinValue, x)) ||
+      case SLe(c, v) =>
+        litLong(c, v).exists(x => handleN(c, Long.MinValue, x)) ||
         str(v).exists(x => handleS(c, None, Some(x)))
-      case SIn(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
-        val xs = vs.flatMap(num)
+      case SIn(c, vs) if vs.nonEmpty && vs.forall(litLong(c, _).isDefined) =>
+        val xs = vs.flatMap(litLong(c, _))
         val ok = handleN(c, xs.min, xs.max)
         if (ok) eqCons(c, xs.toSeq.flatMap(x =>
           RowStore.Bloom.hashOf(Long.box(x))))
@@ -694,6 +735,15 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
             case "_rid"   => UTF8String.fromString(cur._1)
             case n => cur._2(wantedIdx(n)) match {
               case s: String => UTF8String.fromString(s)
+              // decimals ride the files as unscaled longs — rebuild
+              // the internal Decimal at the column's declared scale
+              case l: java.lang.Long
+                if f.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+                val d = f.dataType
+                  .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+                org.apache.spark.sql.types.Decimal(
+                  l.longValue, d.precision, d.scale)
               case v         => v
             }
           }

@@ -348,6 +348,14 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             case LongType      => Long.box(row.getLong(i))
             case TimestampType => Long.box(row.getLong(i))
             case IntegerType   => Int.box(row.getInt(i))
+            // canonical long forms (what zone maps and blooms hash):
+            // date = epoch-day int, decimal = unscaled long at the
+            // column's declared scale
+            case org.apache.spark.sql.types.DateType =>
+              Int.box(row.getInt(i))
+            case d: org.apache.spark.sql.types.DecimalType =>
+              Long.box(row.getDecimal(i, d.precision, d.scale)
+                .toUnscaledLong)
             case StringType    => row.getUTF8String(i).toString
             case other       => sys.error(s"unsupported type $other")
           }
@@ -506,6 +514,11 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
             case LongType      => Long.box(row.getLong(i))
             case TimestampType => Long.box(row.getLong(i))
             case IntegerType   => Int.box(row.getInt(i))
+            case org.apache.spark.sql.types.DateType =>
+              Int.box(row.getInt(i))
+            case d: org.apache.spark.sql.types.DecimalType =>
+              Long.box(row.getDecimal(i, d.precision, d.scale)
+                .toUnscaledLong)
             case StringType    => row.getUTF8String(i).toString
             case other       => sys.error(s"unsupported type $other")
           }

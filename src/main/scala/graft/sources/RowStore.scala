@@ -907,6 +907,17 @@ object RowFiles {
           b.addField(Types.optional(PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.timestampType(true,
               LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case org.apache.spark.sql.types.DateType =>
+          // epoch days (Spark's internal form) as annotated INT32
+          b.addField(Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+          // unscaled long at the declared scale — the canonical long
+          // form the zone maps and blooms hash/compare (parquet's
+          // standard INT64 decimal encoding)
+          b.addField(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
         case StringType =>
           b.addField(Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(f.name))
@@ -995,6 +1006,12 @@ object RowFiles {
               case LongType      => Long.box(g.getLong(f.name, 0))
               case TimestampType => Long.box(g.getLong(f.name, 0))
               case IntegerType   => Int.box(g.getInteger(f.name, 0))
+              // externalized forms match the writer's: date = epoch-day
+              // int, decimal = unscaled long at the declared scale
+              case org.apache.spark.sql.types.DateType =>
+                Int.box(g.getInteger(f.name, 0))
+              case _: org.apache.spark.sql.types.DecimalType =>
+                Long.box(g.getLong(f.name, 0))
               case StringType    => g.getString(f.name, 0)
               case other => sys.error(s"unsupported $other")
             }

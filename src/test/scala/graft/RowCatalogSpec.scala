@@ -1234,6 +1234,59 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in the table schema"), e.getMessage)
   }
 
+  test("bloom filters skip on DECIMAL and DATE columns via canonical longs") {
+    // decimal-cents and date columns are the two commonest point-lookup
+    // types after keys; their bloom participation hashes the CANONICAL
+    // LONG form (unscaled decimal at the declared scale, epoch day) so
+    // the writer's recorded filter and the pushed literal agree exactly.
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.bld")
+    s.sql("CREATE TABLE graft_dml.spec.bld " +
+      "(k BIGINT, amt DECIMAL(12,2), d DATE) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('bloom'='amt,d')")
+    // two commits with INTERLEAVED ranges (file 1 even amounts/days,
+    // file 2 odd): every file's [min, max] straddles every probe, so
+    // zone maps provably cannot skip — only the blooms can
+    s.sql("""INSERT INTO graft_dml.spec.bld
+      SELECT id, CAST(100 + 2 * id AS DECIMAL(12,2)),
+             date_add(DATE '2024-01-01', CAST(2 * id AS INT))
+      FROM range(0, 50)""")
+    s.sql("""INSERT INTO graft_dml.spec.bld
+      SELECT 100 + id, CAST(101 + 2 * id AS DECIMAL(12,2)),
+             date_add(DATE '2024-01-01', CAST(2 * id + 1 AS INT))
+      FROM range(0, 50)""")
+    // DECIMAL point lookup: 150.00 lives only in the even file
+    assert(s.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft_dml.spec.bld " +
+      "WHERE amt = CAST(150 AS DECIMAL(12,2))").head().getLong(0) == 25L)
+    assert(RowStore.lastPlannedBaseFiles.get == 1 &&
+      RowStore.lastSkippedBaseFiles.get == 1,
+      s"decimal bloom must skip the odd file, got " +
+        s"${RowStore.lastPlannedBaseFiles.get} planned / " +
+        s"${RowStore.lastSkippedBaseFiles.get} skipped")
+    // DATE point lookup: 2024-01-15 (offset 14, even) — odd file skips
+    assert(s.sql("SELECT CAST(SUM(k) AS BIGINT) FROM graft_dml.spec.bld " +
+      "WHERE d = DATE '2024-01-15'").head().getLong(0) == 7L)
+    assert(RowStore.lastPlannedBaseFiles.get == 1 &&
+      RowStore.lastSkippedBaseFiles.get == 1,
+      s"date bloom must skip the even file, got " +
+        s"${RowStore.lastPlannedBaseFiles.get} planned / " +
+        s"${RowStore.lastSkippedBaseFiles.get} skipped")
+    // an absent value skips BOTH files (definitely-absent everywhere)
+    assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.bld " +
+      "WHERE amt = CAST(977 AS DECIMAL(12,2))").head().getLong(0) == 0L)
+    assert(RowStore.lastSkippedBaseFiles.get == 2,
+      "an absent decimal must skip every file")
+    // correctness backstop: full-table aggregates over both types
+    val r = s.sql("SELECT CAST(SUM(amt) AS DECIMAL(18,2)), MIN(d), MAX(d) " +
+      "FROM graft_dml.spec.bld").head()
+    assert(r.getDecimal(0) == new java.math.BigDecimal("14950.00"))
+    assert(r.getDate(1).toString == "2024-01-01")
+    assert(r.getDate(2).toString == "2024-04-09")
+    s.sql("DROP TABLE graft_dml.spec.bld")
+  }
+
   test("string-key zone maps skip files via truncated bounds") {
     val s = spark
     import graft.sources.RowStore
