@@ -44,7 +44,10 @@ object Explain {
         "s15_ann_filtered_ivf", "q141_dml_procedures",
         "q142_dml_column_skip", "q143_dml_type_widening",
         "q144_dml_merge_evolution", "q145_dml_equality_delete",
-        "q146_dml_refs_table")
+        "q146_dml_refs_table", "q147_dml_column_minmax",
+        "q148_dml_bloom_skip", "d20_decontaminate", "t19_pii_scrub",
+        "q149_dml_rewrite_manifests", "q150_dml_snapshots_table",
+        "q151_dml_orphan_cleanup", "q152_dml_cdf_updates")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
