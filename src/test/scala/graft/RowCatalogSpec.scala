@@ -1641,6 +1641,36 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.chain")
   }
 
+  test("incremental manifest size is O(commit), not O(table)") {
+    // the scale claim itself: a commit's manifest records ONLY its own
+    // additions/removals — at a 100-TB commit cadence the write cost
+    // per commit must not grow with the table's accumulated file count
+    val s = spark
+    import graft.sources.RowStore
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.osz")
+    val t = "graft_dml.spec.osz"
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    for (c <- 0 until 10)
+      s.sql(s"INSERT INTO $t SELECT id + ${c * 10}, id FROM range(0, 10)")
+    val resolved = RowStore.readManifest(t, 10)
+    assert(resolved.size >= 30, s"expected ~40 accumulated files")
+    import scala.jdk.CollectionConverters._
+    val rawLines = java.nio.file.Files.readAllLines(java.nio.file.Paths
+      .get(graft.sources.RowStore.dataDir(t)).getParent
+      .resolve("v10.manifest")).asScala.toSeq
+    val entryLines = rawLines.count(l =>
+      l.nonEmpty && !l.startsWith("#"))
+    assert(rawLines.exists(_.startsWith("#parent\t")),
+      "the 10th commit must be incremental")
+    assert(entryLines <= 4,
+      s"an append commit's manifest must list only ITS files " +
+        s"(<=4 groups), got $entryLines entry lines for " +
+        s"${resolved.size} accumulated")
+    s.sql("DROP TABLE graft_dml.spec.osz")
+  }
+
   test("vacuum cuts retained manifest chains before expiring ancestors") {
     val s = spark
     import graft.sources.{RowStore, RowStoreOps}
