@@ -780,9 +780,6 @@ object TextOps {
         |FROM gg JOIN d USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // the shared-gram census replayed over the IDENTICAL portable
-    // hash, so collision behavior matches by construction
-
     // the same integer-exact rule arithmetic over DuckDB list ops
     "t17_gopher_rules" ->
       """WITH t AS (SELECT doc_id,
@@ -814,6 +811,8 @@ object TextOps {
         |    AND (stop_hits >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // the shared-gram census replayed over the IDENTICAL portable
+    // hash, so collision behavior matches by construction
     "t16_shared_grams" -> {
       val h = graft.functions.PortableHashFunctions
         .polyHashSql("array_to_string(toks[i+1:i+8], ' ')")

@@ -408,12 +408,16 @@ object RowStoreOps {
     * that LOST their last reference, not files that never had one.
     * Metadata-planned on the driver (one directory listing against
     * the union of retained reference sets) under the commit lock, so
-    * no commit can race a reference into existence mid-sweep; a
-    * WRITER running concurrently is the caller's exclusion to manage,
-    * exactly Iceberg's documented contract (its guard is an
-    * older-than horizon; ours is the lock plus the single-JVM
-    * harness). Returns (orphans deleted, files retained). */
-  def removeOrphanFiles(table: String): (Int, Int) =
+    * no commit can race a reference into existence mid-sweep. The
+    * race that lock CANNOT close is an IN-FLIGHT write whose task
+    * files have landed but whose commit hasn't taken the lock yet —
+    * Iceberg's guard is an age horizon (default 3 days), and so is
+    * ours: only files whose mtime is older than `olderThanMs` are
+    * swept (default 1 h — far past any commit latency); callers who
+    * have externally quiesced writers pass 0 to sweep everything.
+    * Returns (orphans deleted, files retained). */
+  def removeOrphanFiles(table: String,
+      olderThanMs: Long = 3600000L): (Int, Int) =
     RowStore.commitLock.synchronized {
       val keep = RowStore.versions(table)
         .flatMap(v => RowStore.readManifest(table, v)).map(_.name).toSet ++
@@ -421,16 +425,18 @@ object RowStoreOps {
           .flatMap(b => RowStore.readBranchManifest(table, b)._2)
           .map(_.name)
       val dir = Paths.get(RowStore.dataDir(table))
+      val horizon = System.currentTimeMillis() - olderThanMs
       val stream = Files.list(dir)
       val all = try stream.iterator().asScala
         .map(_.getFileName.toString).filter(!_.startsWith(".")).toSeq
       finally stream.close()
-      val orphans = all.filterNot(keep)
+      val orphans = all.filterNot(keep).filter { n =>
+        Files.getLastModifiedTime(dir.resolve(n)).toMillis <= horizon }
       orphans.foreach { n =>
         Files.deleteIfExists(dir.resolve(n))
         Files.deleteIfExists(dir.resolve(s".$n.crc")); ()
       }
-      (orphans.size, all.size - orphans.size)
+      (orphans.size, all.filterNot(orphans.contains).size)
     }
 
   /** ROLLBACK to an earlier snapshot (Iceberg's
@@ -504,17 +510,39 @@ object RowStoreOps {
       meta.schema.fieldNames.indexOf(meta.keyCol)
     val width = fileFields.length
     val eqOp = RowResolve.EqDeleteOp
+    // canonical key externalization (the GroupWriterFactory form):
+    // DATE keys arrive as java.sql.Date/LocalDate and DECIMAL keys as
+    // BigDecimal — grouping on those raw objects would bucket by
+    // Object.hashCode (disagreeing with the write path) and crash the
+    // parquet writer; fold them to the epoch-day int / unscaled long
+    // the files and group function actually use
+    val keyType = keyField.dataType
+    def canonKey(v: Any): Any = (keyType, v) match {
+      case (org.apache.spark.sql.types.DateType, d: java.sql.Date) =>
+        Int.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(d))
+      case (org.apache.spark.sql.types.DateType, d: java.time.LocalDate) =>
+        Int.box(d.toEpochDay.toInt)
+      case (dt: org.apache.spark.sql.types.DecimalType,
+          b: java.math.BigDecimal) =>
+        Long.box(b.setScale(dt.scale).unscaledValue().longValueExact())
+      case (dt: org.apache.spark.sql.types.DecimalType, b: BigDecimal) =>
+        Long.box(b.underlying().setScale(dt.scale)
+          .unscaledValue().longValueExact())
+      case _ => v
+    }
     val files = keys.toDF("kv")
       .select(col("kv").cast(keyField.dataType)).distinct()
       .rdd.mapPartitions { it =>
         val writers = scala.collection.mutable
           .Map.empty[Int, (String, RowFiles.FileWriter)]
         it.foreach { r =>
-          val v = r.get(0)
+          val raw = r.get(0)
           // a NULL eq-delete key would delete every null-key row in
           // group 0 — a mistake, not a request; fail loudly instead
-          require(v != null,
+          require(raw != null,
             "equality-delete keys frame contains a NULL key")
+          val v = canonKey(raw)
           val g = RowStore.groupOf(v, n)
           val (_, w) = writers.getOrElseUpdate(g, {
             val name = s"e$g-${java.util.UUID.randomUUID()}.parquet"

@@ -118,12 +118,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       }
     },
     new Proc("remove_orphan_files",
-      "delete data files referenced by no retained manifest or branch",
-      Seq(("table", StringType)),
+      "delete data files referenced by no retained manifest or branch " +
+        "and older than older_than_ms (age horizon: an in-flight " +
+        "write's landed-but-uncommitted task files must never sweep)",
+      Seq(("table", StringType), ("older_than_ms", LongType)),
       Seq(("deleted_files", IntegerType), ("retained_files", IntegerType))) {
       override def run(a: InternalRow): Array[Any] = {
-        val (deleted, retained) =
-          RowStoreOps.removeOrphanFiles(tkey(a.getUTF8String(0)))
+        val (deleted, retained) = RowStoreOps.removeOrphanFiles(
+          tkey(a.getUTF8String(0)), a.getLong(1))
         Array(deleted, retained)
       }
     },

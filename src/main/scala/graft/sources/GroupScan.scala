@@ -253,31 +253,34 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     * whose scale can't be matched exactly (or overflows long) simply
     * declines — no pruning, never a wrong prune. */
   private def litLong(c: String, v: Any): Option[Long] =
-    num(v).orElse {
-      meta.schema.fields.find(_.name == c).map(_.dataType).flatMap {
-        case org.apache.spark.sql.types.DateType => v match {
-          case d: java.sql.Date => Some(
-            org.apache.spark.sql.catalyst.util.DateTimeUtils
-              .fromJavaDate(d).toLong)
-          case d: java.time.LocalDate => Some(d.toEpochDay)
-          case _ => None
-        }
-        case d: org.apache.spark.sql.types.DecimalType => v match {
-          case b: java.math.BigDecimal =>
-            try Some(b.setScale(d.scale).unscaledValue().longValueExact())
-            catch { case _: ArithmeticException => None }
-          case b: BigDecimal =>
-            try Some(b.underlying().setScale(d.scale)
-              .unscaledValue().longValueExact())
-            catch { case _: ArithmeticException => None }
-          case x: org.apache.spark.sql.types.Decimal =>
-            try Some(x.toJavaBigDecimal.setScale(d.scale)
-              .unscaledValue().longValueExact())
-            catch { case _: ArithmeticException => None }
-          case _ => None
-        }
+    // the COLUMN's declared type decides the canonical form FIRST: a
+    // raw Integer/Long literal against a DATE/DECIMAL column must
+    // DECLINE (not be taken verbatim as epoch-day/unscaled — a wrong
+    // canonical form would prune the wrong files), and only the
+    // plain long-shaped types fall through to the generic matcher
+    meta.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType) => v match {
+        case d: java.sql.Date => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
         case _ => None
       }
+      case Some(d: org.apache.spark.sql.types.DecimalType) => v match {
+        case b: java.math.BigDecimal =>
+          try Some(b.setScale(d.scale).unscaledValue().longValueExact())
+          catch { case _: ArithmeticException => None }
+        case b: BigDecimal =>
+          try Some(b.underlying().setScale(d.scale)
+            .unscaledValue().longValueExact())
+          catch { case _: ArithmeticException => None }
+        case x: org.apache.spark.sql.types.Decimal =>
+          try Some(x.toJavaBigDecimal.setScale(d.scale)
+            .unscaledValue().longValueExact())
+          catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+      case _ => num(v)
     }
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {

@@ -290,12 +290,18 @@ class SnapshotsTable(baseKey: String) extends Table with SupportsRead {
               None
             else Some(base.map(_.rows.get).sum)
           // parent = the previous RETAINED version (VACUUM may have
-          // expired intermediate ones); None for the chain's first
+          // expired intermediate ones); None for the chain's first.
+          // The diff CLASSIFIES only against the version's TRUE
+          // predecessor (v-1): diffing across a vacuum gap would
+          // misattribute several commits' changes to one operation —
+          // and the oldest retained post-vacuum version is NOT a
+          // 'create' (only v0 ever is), it's 'unknown'.
           val parent = vs.filter(_ < v).lastOption
-          val op = parent match {
-            case None => "create"
-            case Some(p) =>
-              val prev = RowStore.readManifest(baseKey, p)
+          val op =
+            if (v == 0) "create"
+            else if (!parent.contains(v - 1)) "unknown"
+            else {
+              val prev = RowStore.readManifest(baseKey, v - 1)
                 .map(_.name).toSet
               val now = es.map(_.name).toSet
               val added = now.diff(prev).nonEmpty
@@ -306,7 +312,7 @@ class SnapshotsTable(baseKey: String) extends Table with SupportsRead {
                 case (false, true)  => "delete"
                 case (false, false) => "noop"
               }
-          }
+            }
           SnapshotRow(v, parent, op, es.size.toLong, nRows, v == cur)
         }
         Array(SnapshotsPartition(rows))

@@ -1241,8 +1241,12 @@ object RowCatalogQueries {
       val ref = RowStore.readManifest(t, RowStore.currentVersion(t)).head.name
       val orphan = "g0-crashed-writer-task.parquet"
       java.nio.file.Files.copy(dir.resolve(ref), dir.resolve(orphan))
-      val res = s.sql("CALL graft_dml.system.remove_orphan_files('ns.orph')")
-        .head()
+      // older_than_ms = 0: the fixture just planted the orphan, and no
+      // writer is in flight here — a production call keeps the default
+      // horizon so a concurrent writer's landed-but-uncommitted task
+      // files never sweep
+      val res = s.sql(
+        "CALL graft_dml.system.remove_orphan_files('ns.orph', 0L)").head()
       val gone = !java.nio.file.Files.exists(dir.resolve(orphan))
       s.table(t)
         .withColumn("orphan_removed", lit(res.getInt(0) == 1 && gone))

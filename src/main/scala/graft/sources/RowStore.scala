@@ -432,8 +432,17 @@ object RowStore {
       val resolved = readManifest(key, v)
       val headers = lines.filter(l => l.startsWith("#") &&
         !l.startsWith("#parent\t") && !l.startsWith("#rm\t"))
-      Files.writeString(p,
+      // write-to-temp + ATOMIC_MOVE: this is the ONE path that rewrites
+      // a committed, reader-visible manifest, and readers (scan
+      // planning) read manifests without the commit lock — an in-place
+      // truncate-and-write would open a torn-read window where a
+      // concurrent reader sees an empty or half-written file
+      val tmp = Paths.get(tableDir(key), s".v$v.manifest.tmp")
+      Files.writeString(tmp,
         headers.map(_ + "\n").mkString + renderEntries(resolved))
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
   }

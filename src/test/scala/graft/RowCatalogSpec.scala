@@ -1709,7 +1709,14 @@ class RowCatalogSpec extends AnyFunSuite {
       dir.resolve("g0-orphan-a.parquet"))
     java.nio.file.Files.write(dir.resolve("g1-orphan-b.parquet"),
       Array.empty[Byte])
-    val (deleted, kept) = RowStoreOps.removeOrphanFiles(t)
+    // AGE HORIZON first: both orphans are brand new, so the default
+    // horizon must refuse to sweep them — this is the guard that keeps
+    // an in-flight write's landed-but-uncommitted task files safe
+    val (freshDeleted, _) = RowStoreOps.removeOrphanFiles(t)
+    assert(freshDeleted == 0,
+      s"fresh files must survive the default horizon, got $freshDeleted")
+    assert(java.nio.file.Files.exists(dir.resolve("g0-orphan-a.parquet")))
+    val (deleted, kept) = RowStoreOps.removeOrphanFiles(t, olderThanMs = 0L)
     assert(deleted == 2, s"expected 2 orphans deleted, got $deleted")
     assert(kept == referenced.size)
     referenced.foreach(n => assert(
@@ -1745,6 +1752,15 @@ class RowCatalogSpec extends AnyFunSuite {
       (1, 0, "append", 2L, 4L, false),   // one file per non-empty group
       (2, 1, "delete", 1L, 2L, false),   // group 0 emptied wholesale
       (3, 2, "overwrite", 1L, 2L, true)), rows.mkString("; "))
+    // post-VACUUM: the oldest retained version's true predecessor is
+    // gone — it must classify as 'unknown', never as a phantom
+    // 'create' (only v0 is a create) or a mis-diffed multi-commit op
+    graft.sources.RowStoreOps.vacuum(t, keepLast = 2)
+    val afterVac = s.table(s"$t.snapshots").orderBy("version").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+    assert(afterVac.toSeq == Seq((2, -1, "unknown"), (3, 2, "overwrite")),
+      afterVac.mkString("; "))
     s.sql("DROP TABLE graft_dml.spec.snap")
   }
 
