@@ -47,7 +47,8 @@ object Explain {
         "q146_dml_refs_table", "q147_dml_column_minmax",
         "q148_dml_bloom_skip", "d20_decontaminate", "t19_pii_scrub",
         "q149_dml_rewrite_manifests", "q150_dml_snapshots_table",
-        "q151_dml_orphan_cleanup", "q152_dml_cdf_updates")
+        "q151_dml_orphan_cleanup", "q152_dml_cdf_updates",
+        "q153_dml_manifests_table")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -227,6 +227,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       val base = key(Identifier.of(ns.dropRight(1), ns.last))
       if (RowStore.exists(base)) new RefsTable(base)
       else throw new NoSuchTableException(ident)
+    } else if (ident.name() == "manifests" && ident.namespace().nonEmpty) {
+      // `<table>.manifests` — per-version manifest-file shape (chain
+      // role, own entry count, removals)
+      val ns = ident.namespace()
+      val base = key(Identifier.of(ns.dropRight(1), ns.last))
+      if (RowStore.exists(base)) new ManifestsTable(base)
+      else throw new NoSuchTableException(ident)
     } else if (ident.name() == "snapshots" && ident.namespace().nonEmpty) {
       // `<table>.snapshots` — per-version lineage with the diff-derived
       // operation classification

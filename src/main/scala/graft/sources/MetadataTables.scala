@@ -343,3 +343,58 @@ case class SnapshotRow(version: Int, parent: Option[Int],
     isCurrent: Boolean)
 case class SnapshotsPartition(rows: Seq[SnapshotRow])
     extends InputPartition
+
+/** `<table>.manifests` — Iceberg's manifests metadata table, re-shaped
+  * for the incremental-manifest chain: one row per retained version's
+  * manifest FILE with its chain role (checkpoint = self-contained,
+  * else the parent it chains off), its OWN entry-line count (the
+  * commit's write cost — O(change), which q149's spec pins), and its
+  * removal count. The observability surface for "is my chain deep, do
+  * I need rewrite_manifests?". Pure manifest-header reads — ZERO data
+  * files opened. */
+class ManifestsTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.manifests"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("is_checkpoint", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("parent_version", IntegerType, nullable = true),
+    StructField("n_entries", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = ManifestsTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(ManifestsPartition(RowStore.versions(baseKey).map { v =>
+          val (parent, entries, removed) =
+            RowStore.manifestFileStats(baseKey, v)
+          ManifestRow(v, parent.isEmpty, parent, entries.toLong,
+            removed.toLong)
+        }))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[ManifestsPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: ManifestRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](cur.version, cur.isCheckpoint,
+                  cur.parent.map(Int.box).orNull, cur.nEntries,
+                  cur.nRemoved))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class ManifestRow(version: Int, isCheckpoint: Boolean,
+    parent: Option[Int], nEntries: Long, nRemoved: Long)
+case class ManifestsPartition(rows: Seq[ManifestRow])
+    extends InputPartition

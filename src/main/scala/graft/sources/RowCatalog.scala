@@ -1253,6 +1253,33 @@ object RowCatalogQueries {
         .orderBy(col("k"))
     }),
 
+    // ── q153: `.manifests` METADATA TABLE — Iceberg's manifests
+    // surface re-shaped for the incremental chain: one row per
+    // version's manifest FILE with its chain role (checkpoint vs the
+    // parent it chains off), its OWN entry count (= the commit's
+    // write cost, the O(change) claim made inspectable), and its
+    // removals. The lifecycle: two appends chain incrementally off
+    // the v0 checkpoint, then rewrite_manifests collapses the head —
+    // whose row flips to a checkpoint carrying BOTH slices' files
+    // while v1 keeps its incremental shape. Every count restates from
+    // the one-file-per-touched-group write discipline (distinct k%4
+    // groups per slice), so the oracle derives the full table
+    // relationally. RowCatalogSpec pins zero data-file opens.
+    "q153_dml_manifests_table" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q153_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.mtab")
+      s.sql("CREATE TABLE graft_dml.ns.mtab (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.mtab
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q153_orders WHERE o_orderkey % 3 = $r"""); () }
+      ins(0); ins(1)
+      s.sql("CALL graft_dml.system.rewrite_manifests('ns.mtab')").collect()
+      s.table("graft_dml.ns.mtab.manifests").orderBy(col("version"))
+    }),
+
     // ── q152: CHANGE-FEED UPDATE PAIRS — Delta CDF's
     // update_preimage/update_postimage rows for MERGE-driven updates:
     // the value-based diff (q109) reports an update as delete+insert,
@@ -1349,6 +1376,25 @@ object RowCatalogQueries {
         |  TRUE AS orphan_removed
         |FROM orders WHERE o_orderkey % 9 IN (0, 4)
         |ORDER BY k""".stripMargin,
+
+    // the manifest-file shapes restated from the write discipline:
+    // one file per touched group per commit, so an incremental
+    // manifest's entry count is its slice's distinct group count and
+    // the rewritten head checkpoint carries both slices' files
+    "q153_dml_manifests_table" ->
+      """WITH a AS (SELECT COUNT(DISTINCT o_orderkey % 4) AS g FROM orders
+        |           WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT COUNT(DISTINCT o_orderkey % 4) AS g FROM orders
+        |      WHERE o_orderkey % 3 = 1)
+        |SELECT CAST(0 AS INTEGER) AS version, TRUE AS is_checkpoint,
+        |  CAST(NULL AS INTEGER) AS parent_version,
+        |  CAST(0 AS BIGINT) AS n_entries, CAST(0 AS BIGINT) AS n_removed
+        |UNION ALL
+        |SELECT 1, FALSE, 0, (SELECT g FROM a), 0
+        |UNION ALL
+        |SELECT 2, TRUE, NULL,
+        |  (SELECT g FROM a) + (SELECT g FROM b), 0
+        |ORDER BY version""".stripMargin,
 
     // the three CDC row classes restated: matched 'F' keys surface as
     // pre/post pairs (cents doubled by the self-merge), matched

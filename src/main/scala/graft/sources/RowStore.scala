@@ -400,6 +400,19 @@ object RowStore {
     }
   }
 
+  /** One version's manifest FILE shape (not its resolved snapshot):
+    * (parent version if incremental, own entry-line count, removal
+    * count) — what the `.manifests` metadata table surfaces so an
+    * operator can see chain structure and per-commit write cost. */
+  def manifestFileStats(key: String, v: Int): (Option[Int], Int, Int) = {
+    val lines = Files.readAllLines(
+      Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq
+    val parent = lines.collectFirst { case l if l.startsWith("#parent\t") =>
+      l.stripPrefix("#parent\t").toInt }
+    (parent, parseEntries(lines).size,
+      lines.count(_.startsWith("#rm\t")))
+  }
+
   def readManifest(key: String, v: Int): Seq[FileEntry] = {
     val lines = Files.readAllLines(
       Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq

@@ -1627,6 +1627,17 @@ class RowCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == v2Before)
     assert(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'prewrite'")
       .head().getLong(0) == 4L)
+    // the `.manifests` metadata table reports the chain shape (head is
+    // now a checkpoint, v1..v3 still incremental off their parents)
+    // with zero data files opened
+    graft.sources.RowFiles.filesOpened.set(0L)
+    val mrows = s.table(s"$t.manifests").orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(graft.sources.RowFiles.filesOpened.get == 0L,
+      ".manifests must open no data files")
+    assert(mrows.toSeq == Seq((0, true, -1), (1, false, 0), (2, false, 1),
+      (3, false, 2), (4, true, -1)), mrows.mkString("; "))
     // further commits chain off the fresh checkpoint
     s.sql(s"INSERT INTO $t VALUES (5, 50)")
     assert(RowStore.manifestChainLength(t, 5) == 2)
