@@ -103,7 +103,15 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     * type (timestamps fold as their internal micros). */
   private def colMinMax(colName: String): Option[((Long, Long), DataType)] = {
     val dt = meta.schema.fields.find(_.name == colName).map(_.dataType)
-    if (!dt.contains(LongType) && !dt.contains(TimestampType)) None
+    val eligible = dt.exists {
+      case LongType | TimestampType |
+        org.apache.spark.sql.types.DateType => true
+      // decimal bounds are the unscaled long at the declared scale —
+      // exact, and the emit path rebuilds the Decimal (≤18 digits)
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _ => false
+    }
+    if (!eligible) None
     else {
       val es = manifestEntries
       val base = es.filter(_.kind == "base")
@@ -685,14 +693,21 @@ class ManifestAggScan(values: Seq[(Long, DataType)]) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] =
     Array(GroupFilesPartition(0, Seq.empty, Seq.empty))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val vs = values.map(_._1).toArray
+    // box each folded long in ITS output type's internal form: dates
+    // are Int epoch days, decimals rebuild from the unscaled long at
+    // the declared scale, counts/longs/timestamps stay Long
+    val boxed: Array[Any] = values.map {
+      case (v, org.apache.spark.sql.types.DateType) => Int.box(v.toInt)
+      case (v, d: org.apache.spark.sql.types.DecimalType) =>
+        org.apache.spark.sql.types.Decimal(v, d.precision, d.scale)
+      case (v, _) => Long.box(v)
+    }.toArray
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
-          override def get(): InternalRow =
-            new GenericInternalRow(vs.map(Long.box).toArray[Any])
+          override def get(): InternalRow = new GenericInternalRow(boxed)
           override def close(): Unit = ()
         }
     }

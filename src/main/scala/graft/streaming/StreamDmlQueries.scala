@@ -112,6 +112,65 @@ private[streaming] object StreamDmlQueries {
         .orderBy(col("version"), col("k"), col("_change"))
     }),
 
+    // ── st38: STREAMING CDC CHANGE FEED — st33's per-commit stream
+    // under `mode=cdc` (q152's update-pair re-tagging): a downstream
+    // CDC consumer subscribes to the table's history and receives each
+    // commit's diff with MERGE-driven updates surfaced as
+    // update_preimage/update_postimage pairs instead of delete+insert.
+    // The private lifecycle commits v1 (seed), v2 (the q152-shaped
+    // MERGE — pairs + deletes + inserts in ONE batch), v3 (a DELETE —
+    // single-sided rows keep the plain tag even in cdc mode); reading
+    // from version 1 yields exactly two batches, version-tagged, each
+    // restated from raw orders by the oracle. multi_batch pins the
+    // per-version stepping really happened.
+    "st38_stream_cdc" -> ((s, d) => withStatePartitions(s, StateParts) {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("st38_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.scdc")
+      s.sql("CREATE TABLE graft_dml.ns.scdc " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      s.sql("""INSERT INTO graft_dml.ns.scdc
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               o_orderstatus
+        FROM st38_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""MERGE INTO graft_dml.ns.scdc t
+        USING (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM st38_orders WHERE o_orderkey % 5 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.status = 'F' THEN
+          UPDATE SET cents = t.cents + s.cents
+        WHEN MATCHED AND t.status <> 'F' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, cents, status)
+          VALUES (s.k, s.cents, s.status)""")
+      s.sql("DELETE FROM graft_dml.ns.scdc WHERE k % 97 = 0")
+      val preV = graft.sources.RowStore.currentVersion("graft_dml.ns.scdc")
+      require(preV == 3, s"st38 expects the lifecycle at version 3, " +
+        s"found $preV — a statement's write was elided at this scale")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = graft.Scratch.dir(s, "graft_st38_out", tag)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.option("from", "1").option("mode", "cdc")
+        .table("graft_dml.ns.scdc.changes")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.incrementAndGet()
+          // batch k = the single cdc diff v{k+1} → v{k+2}
+          batch.withColumn("version", lit(batchId.toInt + 2))
+            .write.mode(if (batchId == 0L) "overwrite" else "append")
+            .parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .withColumn("multi_batch", lit(nBatches.get >= 2))
+        .orderBy(col("version"), col("k"), col("_change"))
+    }),
+
     // ── st34: STREAMING TABLE READ (append-only) — the other half of
     // the streaming×DML matrix next to st33's change feed: Delta's
     // `readStream.table(t)` contract, where each commit's APPENDED
@@ -471,6 +530,37 @@ private[streaming] object StreamDmlQueries {
         |UNION ALL SELECT 2, k, cents, status, 'insert', TRUE FROM v2i
         |UNION ALL SELECT 2, k, cents, status, 'delete', TRUE FROM v2d
         |UNION ALL SELECT 3, k, cents, status, 'delete', TRUE
+        |  FROM merged WHERE k % 97 = 0
+        |ORDER BY version, k, _change""".stripMargin,
+
+    // the two cdc batches restated from raw orders: the MERGE's diff
+    // (matched 'F' keys as pre/post pairs, matched non-'F' as deletes,
+    // source-only as inserts) tagged version 2, the DELETE's removals
+    // of the post-merge state tagged version 3
+    "st38_stream_cdc" ->
+      """WITH t0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT k, cents * 2 AS cents, status FROM t0
+        |    WHERE k % 5 = 0 AND status = 'F'
+        |  UNION ALL SELECT k, cents, status FROM t0 WHERE k % 5 <> 0
+        |  UNION ALL SELECT k, cents, status FROM src WHERE k % 7 <> 0)
+        |SELECT k, cents, status, 'update_preimage' AS _change,
+        |       2 AS version, TRUE AS multi_batch
+        |  FROM t0 WHERE k % 5 = 0 AND status = 'F'
+        |UNION ALL SELECT k, cents * 2, status, 'update_postimage', 2, TRUE
+        |  FROM t0 WHERE k % 5 = 0 AND status = 'F'
+        |UNION ALL SELECT k, cents, status, 'delete', 2, TRUE
+        |  FROM t0 WHERE k % 5 = 0 AND status <> 'F'
+        |UNION ALL SELECT k, cents, status, 'insert', 2, TRUE
+        |  FROM src WHERE k % 7 <> 0
+        |UNION ALL SELECT k, cents, status, 'delete', 3, TRUE
         |  FROM merged WHERE k % 97 = 0
         |ORDER BY version, k, _change""".stripMargin,
 
