@@ -539,13 +539,29 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           val name = upd.fieldNames()(0)
           val f = sch.fields.find(_.name == name).getOrElse(
             sys.error(s"cannot alter type of missing column $name"))
-          require(f.dataType == IntegerType &&
-            upd.newDataType() == LongType,
+          val widens = (f.dataType, upd.newDataType()) match {
+            case (IntegerType, LongType) => true
+            // DECIMAL PRECISION widening (Iceberg's decimal promotion:
+            // same scale, more digits, within the INT64-unscaled
+            // ceiling) — metadata-only like int→bigint: files store
+            // the unscaled long at the UNCHANGED scale, so old and new
+            // files read back identically under the wider declared
+            // type, and zone maps/blooms (keyed on the unscaled form)
+            // stay valid across the boundary
+            case (a: org.apache.spark.sql.types.DecimalType,
+                b: org.apache.spark.sql.types.DecimalType) =>
+              b.scale == a.scale && b.precision > a.precision &&
+                b.precision <= 18
+            case _ => false
+          }
+          require(widens,
             s"unsupported type change ${f.dataType.simpleString} -> " +
               s"${upd.newDataType().simpleString} for column $name: " +
-              "only the widening INT -> BIGINT promotion is supported")
+              "only the widening INT -> BIGINT and same-scale DECIMAL " +
+              "precision promotions are supported")
           StructType(sch.fields.map(x =>
-            if (x.name == name) x.copy(dataType = LongType) else x))
+            if (x.name == name) x.copy(dataType = upd.newDataType())
+            else x))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

@@ -1287,6 +1287,40 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.bld")
   }
 
+  test("MIN/MAX of DECIMAL and DATE columns answer from zone maps, zero opens") {
+    // q147's metadata-aggregate shortcut extended to the new column
+    // types: their per-column bounds are canonical longs, so the
+    // manifest fold answers exactly — the emit path must rebuild the
+    // internal Decimal / epoch-day Int, not hand Spark a raw Long
+    val s = spark
+    import graft.sources.RowFiles
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ddmm")
+    val t = "graft_dml.spec.ddmm"
+    s.sql(s"CREATE TABLE $t (k BIGINT, amt DECIMAL(12,2), d DATE) " +
+      "PARTITIONED BY (bucket(2, k))")
+    s.sql(s"""INSERT INTO $t
+      SELECT id, CAST(100 + id AS DECIMAL(12,2)) / 4,
+             date_add(DATE '2024-01-01', CAST(id AS INT))
+      FROM range(0, 20)""")
+    s.sql(s"""INSERT INTO $t
+      SELECT 100 + id, CAST(300 + id AS DECIMAL(12,2)) / 4,
+             date_add(DATE '2024-06-01', CAST(id AS INT))
+      FROM range(0, 20)""")
+    RowFiles.filesOpened.set(0L)
+    val r = s.sql(s"SELECT MIN(amt), MAX(amt), MIN(d), MAX(d), COUNT(*) " +
+      s"FROM $t").head()
+    assert(RowFiles.filesOpened.get == 0L,
+      s"metadata MIN/MAX must open no data files, opened " +
+        s"${RowFiles.filesOpened.get}")
+    assert(r.getDecimal(0) == new java.math.BigDecimal("25.00"))
+    assert(r.getDecimal(1) == new java.math.BigDecimal("79.75"))
+    assert(r.getDate(2).toString == "2024-01-01")
+    assert(r.getDate(3).toString == "2024-06-20")
+    assert(r.getLong(4) == 40L)
+    s.sql("DROP TABLE graft_dml.spec.ddmm")
+  }
+
   test("string-key zone maps skip files via truncated bounds") {
     val s = spark
     import graft.sources.RowStore
@@ -1451,6 +1485,36 @@ class RowCatalogSpec extends AnyFunSuite {
       e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
       s"bigint->string must refuse, got: ${e2.getMessage}")
     s.sql("DROP TABLE graft_dml.spec.wid")
+
+    // DECIMAL PRECISION widening: same-scale promotion is
+    // metadata-only (files keep the unscaled long at the unchanged
+    // scale); post-widening values need the extra digits, both eras
+    // read in one scan, and scale changes refuse
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.widd")
+    s.sql("CREATE TABLE graft_dml.spec.widd (k BIGINT, amt DECIMAL(8,2))")
+    s.sql("INSERT INTO graft_dml.spec.widd VALUES (1, 12.25)") // v1
+    val dFiles = graft.sources.RowStore
+      .readManifest("graft_dml.spec.widd", 1).map(_.name).toSet
+    s.sql("ALTER TABLE graft_dml.spec.widd " +
+      "ALTER COLUMN amt TYPE DECIMAL(14,2)")                   // v2
+    assert(graft.sources.RowStore.readManifest("graft_dml.spec.widd", 2)
+      .map(_.name).toSet == dFiles, "decimal widening must move no file")
+    s.sql("INSERT INTO graft_dml.spec.widd " +
+      "VALUES (2, 123456789012.50)")                           // v3
+    val drows = s.table("graft_dml.spec.widd").orderBy("k").collect()
+    assert(drows.map(_.getDecimal(1).toPlainString).toSeq ==
+      Seq("12.25", "123456789012.50"))
+    // snapshot-time type through the pinned #schema
+    assert(s.sql("SELECT * FROM graft_dml.spec.widd VERSION AS OF 1")
+      .schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(8, 2))
+    val e3 = intercept[Exception] {
+      s.sql("ALTER TABLE graft_dml.spec.widd " +
+        "ALTER COLUMN amt TYPE DECIMAL(16,4)") }
+    assert(e3.getMessage.contains("only the widening") ||
+      e3.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"scale change must refuse, got: ${e3.getMessage}")
+    s.sql("DROP TABLE graft_dml.spec.widd")
   }
 
   test("merge schema evolution auto-adds source-only columns; MOR refuses") {
