@@ -191,57 +191,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .map(Identifier.of(ns, _))
   }
 
+  /** The `<table>.<name>` METADATA-TABLE family (Iceberg's pattern),
+    * one registry so every surface shares the identical
+    * base-resolution and existence discipline: `.changes` (version
+    * diffs, options from/to/mode), `.history` (snapshot lineage),
+    * `.files` (current-snapshot file metadata), `.partitions`
+    * (per-(spec, group) rollups), `.refs` (main/tags/branches),
+    * `.manifests` (per-version manifest-file shape), `.snapshots`
+    * (per-version lineage + diff-derived operation). */
+  private val metadataTables: Map[String, String => Table] = Map(
+    "changes" -> (b => new ChangesTable(b, RowStore.readMeta(b))),
+    "history" -> (b => new HistoryTable(b)),
+    "files" -> (b => new FilesTable(b)),
+    "partitions" -> (b => new PartitionsTable(b)),
+    "refs" -> (b => new RefsTable(b)),
+    "manifests" -> (b => new ManifestsTable(b)),
+    "snapshots" -> (b => new SnapshotsTable(b)))
+
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
     if (RowStore.exists(k))
       new RowTable(k, RowStore.readMeta(k), RowStore.currentVersion(k))
-    else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
-      // Iceberg-style metadata table: `<table>.changes` reads the diff
-      // between two versions (options from/to on the scan)
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base))
-        new ChangesTable(base, RowStore.readMeta(base))
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "history" && ident.namespace().nonEmpty) {
-      // `<table>.history` — snapshot lineage from the manifest chain
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new HistoryTable(base)
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "files" && ident.namespace().nonEmpty) {
-      // `<table>.files` — the current snapshot's file-level metadata
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new FilesTable(base)
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "partitions" && ident.namespace().nonEmpty) {
-      // `<table>.partitions` — per-(spec, group) operational metadata
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new PartitionsTable(base)
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "refs" && ident.namespace().nonEmpty) {
-      // `<table>.refs` — named references: main, tags, staged branches
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new RefsTable(base)
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "manifests" && ident.namespace().nonEmpty) {
-      // `<table>.manifests` — per-version manifest-file shape (chain
-      // role, own entry count, removals)
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new ManifestsTable(base)
-      else throw new NoSuchTableException(ident)
-    } else if (ident.name() == "snapshots" && ident.namespace().nonEmpty) {
-      // `<table>.snapshots` — per-version lineage with the diff-derived
-      // operation classification
-      val ns = ident.namespace()
-      val base = key(Identifier.of(ns.dropRight(1), ns.last))
-      if (RowStore.exists(base)) new SnapshotsTable(base)
-      else throw new NoSuchTableException(ident)
-    } else throw new NoSuchTableException(ident)
+    else {
+      // a real table always wins the name; only then does `t.<meta>`
+      // resolve as a metadata table of `t`
+      val meta = if (ident.namespace().isEmpty) None
+        else metadataTables.get(ident.name())
+      meta match {
+        case Some(mk) =>
+          val ns = ident.namespace()
+          val base = key(Identifier.of(ns.dropRight(1), ns.last))
+          if (RowStore.exists(base)) mk(base)
+          else throw new NoSuchTableException(ident)
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
   }
 
   /** `VERSION AS OF v` — SQL time travel: a read-only table pinned to

@@ -678,13 +678,12 @@ case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
 }
 
 /** One-row scan answering completely-pushed manifest-metadata
-  * aggregates (COUNT(*) / MIN(key) / MAX(key)) — no data file is ever
-  * opened. One LONG column per pushed aggregate, in pushdown order. */
-/** Each pushed slot carries its OUTPUT type alongside the folded
-  * value: LongType slots are counts/BIGINT extrema, TimestampType
-  * slots are micros (a timestamp's internal representation IS the
-  * long, so the emit path is type-agnostic — only the declared
-  * schema differs). */
+  * aggregates (COUNT(*) and MIN/MAX of any zone-map-eligible column)
+  * — no data file is ever opened. Each pushed slot carries its OUTPUT
+  * type alongside the folded long: counts/BIGINT extrema emit as
+  * Long, timestamps as their micros long, dates re-box as the
+  * epoch-day Int, and decimals rebuild from the unscaled long at the
+  * column's declared scale (see createReaderFactory). */
 class ManifestAggScan(values: Seq[(Long, DataType)]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     values.zipWithIndex.map { case ((_, dt), i) =>

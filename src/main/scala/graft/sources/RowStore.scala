@@ -409,7 +409,9 @@ object RowStore {
       Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq
     val parent = lines.collectFirst { case l if l.startsWith("#parent\t") =>
       l.stripPrefix("#parent\t").toInt }
-    (parent, parseEntries(lines).size,
+    // count entry LINES (parseEntries' own keep-predicate) rather than
+    // fully parsing per-column bounds and bloom blobs just for a size
+    (parent, lines.count(l => l.nonEmpty && !l.startsWith("#")),
       lines.count(_.startsWith("#rm\t")))
   }
 
