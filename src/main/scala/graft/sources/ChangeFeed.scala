@@ -329,18 +329,38 @@ object RowStoreOps {
     * immutable and still referenced); an expired version fails at
     * ANALYSIS (the manifest is gone), never with a dangling file read.
     * Returns (retained versions, files physically deleted). */
-  def vacuum(table: String, keepLast: Int): (Seq[Int], Int) =
+  def vacuum(table: String, keepLast: Int): (Seq[Int], Int) = {
+    require(keepLast >= 1, "must retain at least the current version")
+    vacuumCore(table, vs => vs.takeRight(keepLast).toSet)
+  }
+
+  /** AGE-BASED snapshot expiry — Iceberg's actual `expire_snapshots`
+    * contract (`older_than`): every version committed within the
+    * window is retained, the current version always survives, and
+    * tags/branches keep their files exactly as in the count-based
+    * form. Commit times are the manifests' recorded strictly-monotonic
+    * stamps, so the cut is total and testable under the injectable
+    * clock. */
+  def vacuumOlderThan(table: String, olderThanMs: Long): (Seq[Int], Int) = {
+    require(olderThanMs >= 0, "older_than_ms must be non-negative")
+    vacuumCore(table, vs => {
+      val horizon = RowStore.clock() - olderThanMs
+      vs.filter(v => RowStore.commitTimeMs(table, v) >= horizon)
+        .toSet + vs.last
+    })
+  }
+
+  private def vacuumCore(table: String,
+      retainF: Seq[Int] => Set[Int]): (Seq[Int], Int) =
     RowStore.commitLock.synchronized {
-      require(keepLast >= 1, "must retain at least the current version")
       val vs = RowStore.versions(table)
-      // TAGGED versions are retained regardless of the keepLast window
+      // TAGGED versions are retained regardless of the retention window
       // — a tag is a promise the snapshot stays reproducible (Iceberg's
       // tag retention); its manifest survives and so do its files
       val tagged = RowStore.listTags(table).map(_._2).toSet
-      val (window, retainedWindow) =
-        vs.splitAt(math.max(0, vs.size - keepLast))
-      val (keptByTag, expired) = window.partition(tagged)
-      val retained = (keptByTag ++ retainedWindow).sorted
+      val keepSet = retainF(vs) ++ tagged
+      val expired = vs.filterNot(keepSet)
+      val retained = vs.filter(keepSet)
       // CHAIN CUT: a retained incremental manifest may resolve through
       // an EXPIRED ancestor — materialize every retained manifest
       // whose parent is leaving the retained set BEFORE any deletion,

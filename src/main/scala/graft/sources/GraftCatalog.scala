@@ -106,6 +106,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(dirty.size, before, after)
       }
     },
+    new Proc("expire_snapshots_older_than",
+      "retain versions committed within the window (+ the current and " +
+        "tagged ones); delete expired manifests and orphaned files",
+      Seq(("table", StringType), ("older_than_ms", LongType)),
+      Seq(("retained_versions", IntegerType), ("deleted_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (retained, deleted) = RowStoreOps.vacuumOlderThan(
+          tkey(a.getUTF8String(0)), a.getLong(1))
+        Array(retained.size, deleted)
+      }
+    },
     new Proc("rewrite_manifests",
       "collapse the current snapshot's incremental manifest chain " +
         "into one self-contained manifest",

@@ -424,11 +424,20 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     val dir = RowStore.dataDir(tableKey)
     val bytes = versionEntries
       .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+    // exact row count rides along when the snapshot is clean (no
+    // deltas mutating rows at read time) and every base entry recorded
+    // one — the CBO signal join reordering and AQE sizing feed on;
+    // unknown (empty) otherwise, never a guess
+    val rows: Option[Long] =
+      if (versionEntries.exists(_.kind == "delta") ||
+        versionEntries.exists(_.rows.isEmpty)) None
+      else Some(versionEntries.map(_.rows.get).sum)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
   override def estimateStatistics(): Statistics = cachedStats

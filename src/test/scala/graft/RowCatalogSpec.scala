@@ -399,6 +399,48 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("age-based snapshot expiry retains the window, current, and tags") {
+    // Iceberg's actual expire_snapshots contract (older_than): a
+    // controlled clock commits versions 60 s apart; expiring older
+    // than 150 s keeps the last ~2 commits' window plus the current
+    // version and the tagged seed — and expired reads fail at
+    // analysis, never with a dangling file read
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t0 = 1755100000000L
+    val tick = new java.util.concurrent.atomic.AtomicLong(t0)
+    RowStore.clock = () => tick.getAndAdd(60000L)
+    try {
+      s.sql("DROP TABLE IF EXISTS graft_dml.spec.agev")
+      val t = "graft_dml.spec.agev"
+      s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")            // v0
+      s.sql(s"INSERT INTO $t VALUES (1, 10)")                   // v1
+      RowStoreOps.createTag(t, "seed")
+      s.sql(s"INSERT INTO $t VALUES (2, 20)")                   // v2
+      // v3's COW delete replaces k=2's group file — once v2 expires,
+      // that file is referenced by NO retained manifest and reclaims
+      s.sql(s"DELETE FROM $t WHERE k = 2")                      // v3
+      s.sql(s"INSERT INTO $t VALUES (4, 40)")                   // v4
+      s.sql(s"INSERT INTO $t VALUES (5, 50)")                   // v5
+      // clock now reads t0 + 6*60s; freeze it for a deterministic cut
+      val now = tick.get()
+      RowStore.clock = () => now
+      // horizon = now - 150s keeps versions committed in the last
+      // 150 s: v4 (now-120s) and v5 (now-60s) — plus tagged v1
+      val (retained, deleted) = RowStoreOps.vacuumOlderThan(t, 150000L)
+      assert(retained == Seq(1, 4, 5), s"retained $retained")
+      assert(deleted > 0, "the expired rewrite's orphaned file reclaims")
+      assert(s.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 3L)
+      assert(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'seed'")
+        .head().getLong(0) == 1L)
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM $t VERSION AS OF 2").collect() }
+      assert(e.getMessage.contains("no version"), e.getMessage)
+      s.sql(s"DROP TABLE $t")
+    } finally RowStore.clock = () => System.currentTimeMillis()
+  }
+
   test("a re-delivered streaming epoch commit is a manifest no-op") {
     val s = spark
     import graft.sources.{FilesMessage, GroupWrite, RowStore}
