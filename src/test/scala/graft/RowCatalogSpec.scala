@@ -441,6 +441,73 @@ class RowCatalogSpec extends AnyFunSuite {
     } finally RowStore.clock = () => System.currentTimeMillis()
   }
 
+  test("nightly maintenance chain: compact, rewrite, expire, sweep compose") {
+    // the job a 100-TB table actually runs every night, end to end
+    // through the SQL procedure surface: OPTIMIZE folds MOR deltas,
+    // rewrite_manifests collapses the chain, age-based expiry drops
+    // old snapshots (tag retained), and the orphan sweep closes the
+    // loop — after which the table DIRECTORY equals exactly the union
+    // of retained references (nothing dangling, nothing leaked), and
+    // every read surface still answers.
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t0 = 1755200000000L
+    val tick = new java.util.concurrent.atomic.AtomicLong(t0)
+    RowStore.clock = () => tick.getAndAdd(60000L)
+    try {
+      s.sql("DROP TABLE IF EXISTS graft_dml.spec.night")
+      val t = "graft_dml.spec.night"
+      s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(2, k)) " +
+        "TBLPROPERTIES ('format'='mor')")                       // v0
+      s.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 8)") // v1
+      s.sql(s"DELETE FROM $t WHERE k IN (2, 5)")                // v2 (delta)
+      s.sql(s"INSERT INTO $t VALUES (8, 80), (9, 90)")          // v3
+      RowStoreOps.createTag(t, "audit") // pins v3 through everything
+      val want = s.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      s.sql("CALL graft_dml.system.rewrite_data_files(" +
+        "table => 'spec.night')").collect()                       // v4
+      s.sql("CALL graft_dml.system.rewrite_manifests('spec.night')")
+        .collect()
+      assert(RowStore.manifestChainLength(t,
+        RowStore.currentVersion(t)) == 1)
+      s.sql(s"INSERT INTO $t VALUES (10, 100)")                 // v5
+      // plant crashed-writer debris, then expire + sweep
+      val dir = java.nio.file.Paths.get(RowStore.dataDir(t))
+      java.nio.file.Files.write(dir.resolve("g0-crashed.parquet"),
+        Array[Byte](1, 2, 3))
+      val now = tick.get()
+      RowStore.clock = () => now
+      // keep only versions committed in the last 150 s (v4, v5) + tag
+      s.sql("CALL graft_dml.system.expire_snapshots_older_than(" +
+        "'spec.night', 150000L)").collect()
+      s.sql("CALL graft_dml.system.remove_orphan_files('spec.night', 0L)")
+        .collect()
+      // closure: directory == union of retained manifest references
+      val referenced = RowStore.versions(t)
+        .flatMap(v => RowStore.readManifest(t, v)).map(_.name).toSet
+      val stream = java.nio.file.Files.list(dir)
+      val onDisk = try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(!_.startsWith(".")).toSet
+      } finally stream.close()
+      assert(onDisk == referenced,
+        s"directory must equal retained references; extra=" +
+          s"${onDisk -- referenced} missing=${referenced -- onDisk}")
+      // every read surface still answers
+      assert(s.table(t).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+        (want :+ (10L, 100L)).sorted)
+      assert(s.sql(s"SELECT k, v FROM $t VERSION AS OF 'audit'")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        == want)
+      s.sql(s"DROP TABLE $t")
+    } finally RowStore.clock = () => System.currentTimeMillis()
+  }
+
   test("a re-delivered streaming epoch commit is a manifest no-op") {
     val s = spark
     import graft.sources.{FilesMessage, GroupWrite, RowStore}
