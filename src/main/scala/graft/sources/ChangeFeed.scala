@@ -354,6 +354,9 @@ object RowStoreOps {
       retainF: Seq[Int] => Set[Int]): (Seq[Int], Int) =
     RowStore.commitLock.synchronized {
       val vs = RowStore.versions(table)
+      // fail loudly with table context (the retention closures index
+      // vs.last) rather than an anonymous empty-list error
+      require(vs.nonEmpty, s"no committed version for $table")
       // TAGGED versions are retained regardless of the retention window
       // — a tag is a promise the snapshot stays reproducible (Iceberg's
       // tag retention); its manifest survives and so do its files

@@ -52,11 +52,8 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
   private lazy val manifestEntries: Seq[RowStore.FileEntry] =
     RowStore.readManifest(tableKey, version)
 
-  private lazy val manifestCount: Option[Long] = {
-    val es = manifestEntries
-    if (es.exists(_.kind == "delta") || es.exists(_.rows.isEmpty)) None
-    else Some(es.map(_.rows.get).sum)
-  }
+  private lazy val manifestCount: Option[Long] =
+    RowStore.exactRowCount(manifestEntries)
 
   /** Key extrema from per-file zone maps — defined only when every
     * base file carries stats on the ACTIVE spec's (LONG) key column
@@ -422,16 +419,27 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     * correctness. */
   private lazy val cachedStats: Statistics = {
     val dir = RowStore.dataDir(tableKey)
-    val bytes = versionEntries
+    // stats must describe what THIS scan reads (the DSv2 contract is
+    // post-pushdown): a branch read's bytes come from the STAGED
+    // manifest, not the committed one — otherwise a huge staged
+    // snapshot would report the tiny committed size as authoritative
+    // and Catalyst would auto-broadcast the audit side
+    val statEntries = branch match {
+      case Some(b) => RowStore.readBranchManifest(tableKey, b)._2
+      case None    => versionEntries
+    }
+    val bytes = statEntries
       .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
-    // exact row count rides along when the snapshot is clean (no
-    // deltas mutating rows at read time) and every base entry recorded
-    // one — the CBO signal join reordering and AQE sizing feed on;
-    // unknown (empty) otherwise, never a guess
+    // exact row count rides along ONLY for the plain unfiltered whole-
+    // table read of a clean snapshot (the shared exactRowCount rule):
+    // a pushed range, compact restriction, or row-level-op scan reads
+    // a SUBSET, and claiming the full count as exact would mislead the
+    // CBO in exactly the direction that breaks joins
+    val plainRead = op.isEmpty && staticGroups.isEmpty &&
+      keyRange.isEmpty && strRange == ((None, None)) &&
+      colWinN.isEmpty && colWinS.isEmpty && colEq.isEmpty
     val rows: Option[Long] =
-      if (versionEntries.exists(_.kind == "delta") ||
-        versionEntries.exists(_.rows.isEmpty)) None
-      else Some(versionEntries.map(_.rows.get).sum)
+      if (plainRead) RowStore.exactRowCount(statEntries) else None
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))

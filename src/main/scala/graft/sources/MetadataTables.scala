@@ -46,14 +46,11 @@ class HistoryTable(baseKey: String) extends Table with SupportsRead {
         val cur = vs.max
         val rows = vs.map { v =>
           val es = RowStore.readManifest(baseKey, v)
-          val base = es.filter(_.kind == "base")
-          // exact only when every base entry carries a count and no
-          // deltas mutate rows at read time — else unknown (NULL)
-          val nRows: Option[Long] =
-            if (es.exists(_.kind == "delta") || base.exists(_.rows.isEmpty))
-              None
-            else Some(base.map(_.rows.get).sum)
-          HistoryRow(v, es.size.toLong, nRows, v == cur)
+          // exact only when every entry carries a count and no deltas
+          // mutate rows at read time — else unknown (NULL); one shared
+          // rule (RowStore.exactRowCount) with the COUNT(*) pushdown
+          HistoryRow(v, es.size.toLong, RowStore.exactRowCount(es),
+            v == cur)
         }
         Array(HistoryPartition(rows))
       }
@@ -284,11 +281,7 @@ class SnapshotsTable(baseKey: String) extends Table with SupportsRead {
         val vsSet = vs.toSet
         val rows = vs.map { v =>
           val es = RowStore.readManifest(baseKey, v)
-          val base = es.filter(_.kind == "base")
-          val nRows: Option[Long] =
-            if (es.exists(_.kind == "delta") || base.exists(_.rows.isEmpty))
-              None
-            else Some(base.map(_.rows.get).sum)
+          val nRows: Option[Long] = RowStore.exactRowCount(es)
           // parent = the previous RETAINED version (VACUUM may have
           // expired intermediate ones); None for the chain's first.
           // The diff CLASSIFIES only against the version's TRUE

@@ -108,30 +108,6 @@ object RowCatalogQueries {
     table
   }
 
-  /** The lifecycle's four statements folded into one relational
-    * restatement over the raw table (shared by q106/q108/q109). */
-  private[graft] val lifecycleCtes =
-    """WITH t0 AS (
-      |  SELECT o_orderkey AS k,
-      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-      |    o_orderstatus AS status
-      |  FROM orders WHERE o_orderkey % 7 = 0),
-      |src AS (
-      |  SELECT o_orderkey AS k,
-      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-      |    o_orderstatus AS status
-      |  FROM orders WHERE o_orderkey % 5 = 0),
-      |merged AS (
-      |  SELECT t.k,
-      |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
-      |         THEN t.cents + s.cents ELSE t.cents END AS cents,
-      |    t.status
-      |  FROM t0 t LEFT JOIN src s ON t.k = s.k
-      |  WHERE s.k IS NULL OR t.status = 'F'
-      |  UNION ALL
-      |  SELECT s.k, s.cents, s.status
-      |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── q106: SQL MERGE INTO + DELETE FROM against the DSv2 catalog —
     // the full DML lifecycle over COPY-ON-WRITE file groups. All four

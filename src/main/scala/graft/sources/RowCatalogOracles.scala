@@ -1,11 +1,34 @@
 package graft.sources
 
-import RowCatalogQueries.lifecycleCtes
-
 /** DuckDB oracle SQL for the DML-catalog query registry
   * ([[RowCatalogQueries]]) — split out under the repo's 1,500-line
   * discipline; every string is byte-identical to its pre-split form. */
 object RowCatalogOracles {
+
+  /** The lifecycle's four statements folded into one relational
+    * restatement over the raw table (shared by q106/q108/q109). */
+  private[graft] val lifecycleCtes =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |src AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |merged AS (
+      |  SELECT t.k,
+      |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
+      |         THEN t.cents + s.cents ELSE t.cents END AS cents,
+      |    t.status
+      |  FROM t0 t LEFT JOIN src s ON t.k = s.k
+      |  WHERE s.k IS NULL OR t.status = 'F'
+      |  UNION ALL
+      |  SELECT s.k, s.cents, s.status
+      |  FROM src s LEFT JOIN t0 t ON t.k = s.k WHERE t.k IS NULL)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // all four slices restated — manifest compaction must be
     // observationally invisible; the pins are TRUE by its contract

@@ -400,6 +400,16 @@ object RowStore {
     }
   }
 
+  /** EXACT row count of an entry list, defined only when provably so:
+    * no delta files (they add/remove/move rows at read time) and every
+    * entry recorded a count — the one "clean snapshot" rule the
+    * COUNT(*) pushdown and the reported CBO statistics both apply, so
+    * the two can never silently diverge. */
+  def exactRowCount(entries: Seq[FileEntry]): Option[Long] =
+    if (entries.exists(_.kind == "delta") ||
+      entries.exists(_.rows.isEmpty)) None
+    else Some(entries.map(_.rows.get).sum)
+
   /** One version's manifest FILE shape (not its resolved snapshot):
     * (parent version if incremental, own entry-line count, removal
     * count) — what the `.manifests` metadata table surfaces so an

@@ -520,7 +520,7 @@ private[streaming] object StreamDmlQueries {
     // with its version: v1 = the seed (all inserts), v2 = the MERGE's
     // value diff, v3 = the DELETE's removals
     "st33_stream_changes" ->
-      s"""${graft.sources.RowCatalogQueries.lifecycleCtes},
+      s"""${graft.sources.RowCatalogOracles.lifecycleCtes},
         |v2i AS (SELECT k, cents, status FROM merged
         |        EXCEPT ALL SELECT k, cents, status FROM t0),
         |v2d AS (SELECT k, cents, status FROM t0
