@@ -69,8 +69,10 @@ object ChangesPlanning {
       es.collect {
         case e if e.kind == "base" && e.group == g =>
           ("base", s"$dir/${e.name}")
-        case e if e.kind == "delta" && (e.group == g || e.group < 0) =>
-          ("delta", s"$dir/${e.name}")
+        // kind-preserving for the replay: positional/equality delta
+        // parquet AND deletion-vector blobs both mutate the group
+        case e if e.kind != "base" && (e.group == g || e.group < 0) =>
+          (e.kind, s"$dir/${e.name}")
       }
     val fEs = side(from)
     val tEs = side(to)
@@ -80,7 +82,7 @@ object ChangesPlanning {
     // spec evolution to an unbounded transform
     (fEs.filter(_.kind == "base").map(_.group) ++
       tEs.filter(_.kind == "base").map(_.group) ++
-      (fEs ++ tEs).filter(e => e.kind == "delta" && e.group >= 0)
+      (fEs ++ tEs).filter(e => e.kind != "base" && e.group >= 0)
         .map(_.group))
       .distinct.sorted.filter { g =>
       // unchanged replay sequence ⇒ unchanged group ⇒ skip entirely
@@ -311,7 +313,7 @@ object RowStoreOps {
     val base = RowStore.currentVersion(table)
     val man = RowStore.readManifest(table, base)
     val dirty = man.groupBy(_.group).collect {
-      case (g, es) if g >= 0 && (es.exists(_.kind == "delta") ||
+      case (g, es) if g >= 0 && (es.exists(_.kind != "base") ||
         es.count(_.kind == "base") > 1) => g
     }.toSet
     if (dirty.nonEmpty) {
@@ -388,7 +390,10 @@ object RowStoreOps {
         .map(_.name).toSet ++ branchKeep
       expired.foreach { v =>
         Files.deleteIfExists(
-          Paths.get(RowStore.tableDir(table), s"v$v.manifest")); ()
+          Paths.get(RowStore.tableDir(table), s"v$v.manifest"))
+        // an expired version's cached resolution must die with its
+        // manifest, or VERSION AS OF it would silently keep working
+        RowStore.purgeManifestCache(table, v)
       }
       val dir = Paths.get(RowStore.dataDir(table))
       val stream = Files.list(dir)

@@ -405,11 +405,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       require(trackable,
         s"bloom column $c has untrackable type ${f.dataType}")
     }
+    // deletion vectors (TBLPROPERTIES('deletes'='dv')): MOR-only —
+    // COW rewrites whole groups, there is nothing for a vector to
+    // mask; any other value is a loud error, not a silent default
+    val delProp = Option(properties.get("deletes"))
+    require(delProp.forall(_ == "dv"),
+      s"unknown 'deletes' property value ${delProp.get} (only 'dv')")
+    val dv = delProp.contains("dv")
+    require(!dv || mor, "deletion vectors ('deletes'='dv') are a " +
+      "merge-on-read construct — create the table with 'format'='mor'")
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
       tparam = spec.map(_._2).getOrElse(0L),
-      bloomCols = bloomCols))
+      bloomCols = bloomCols, dv = dv))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }

@@ -64,7 +64,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     val base = es.filter(_.kind == "base")
     val keyIsLong =
       meta.schema.fields.find(_.name == meta.keyCol).exists(_.dataType == LongType)
-    if (es.exists(_.kind == "delta") || base.isEmpty || !keyIsLong ||
+    if (es.exists(_.kind != "base") || base.isEmpty || !keyIsLong ||
       base.exists(e => e.minK.isEmpty || e.spec != meta.specId)) None
     else Some((base.flatMap(_.minK).min, base.flatMap(_.maxK).max))
   }
@@ -113,7 +113,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
       val es = manifestEntries
       val base = es.filter(_.kind == "base")
       val storage = meta.storageOf(colName)
-      if (es.exists(_.kind == "delta") || base.isEmpty ||
+      if (es.exists(_.kind != "base") || base.isEmpty ||
         base.exists(e => !e.colsN.contains(storage))) None
       else {
         val bs = base.map(_.colsN(storage))
@@ -520,7 +520,10 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       case None    => versionEntries
     }
     val baseEntries = entries.filter(_.kind == "base")
-    val deltas = entries.filter(_.kind == "delta")
+    // "deltas" = every read-time mutation entry: positional/equality
+    // delta records AND deletion-vector blobs (kind "dv") — both replay
+    // against base rows, both make a group dirty
+    val deltas = entries.filter(_.kind != "base")
     val dir = RowStore.dataDir(tableKey)
     // SPEC EVOLUTION boundary: files written under a retired partition
     // spec keep their original group layout; a plain read plans across
@@ -662,8 +665,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       val ordered = entries.collect {
         case e if e.kind == "base" && e.spec == sp && e.group == g &&
           visibleNames(e.name) => ("base", s"$dir/${e.name}")
-        case e if e.kind == "delta" && (e.group == g || e.group < 0) =>
-          ("delta", s"$dir/${e.name}")
+        case e if e.kind != "base" && (e.group == g || e.group < 0) =>
+          (e.kind, s"$dir/${e.name}")
       }
       GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),
         // group-tagged delta files: only this group's records can be

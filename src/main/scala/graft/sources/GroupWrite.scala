@@ -209,7 +209,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           // every delta entry is group-tagged (ours always are; an
           // untagged table-wide delta would re-apply onto the freshly
           // resolved base rows)
-          require(old.forall(e => e.kind != "delta" || e.group >= 0),
+          require(old.forall(e => e.kind == "base" || e.group >= 0),
             s"$tableKey has untagged delta files — cannot compact")
           old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++ added
       }
@@ -225,7 +225,12 @@ case class FileMeta(group: Int, name: String, minK: Option[Long],
     colsN: Map[String, (Long, Long)] = Map.empty,
     colsS: Map[String, (String, String)] = Map.empty,
     blooms: Map[String, String] = Map.empty)
-case class FilesMessage(files: Seq[FileMeta]) extends WriterCommitMessage
+/** One task's deleted positions against ONE target file (dv mode):
+  * a word bitmap, commit-message-sized by construction (rows/8 bytes
+  * per touched file — metadata, never rows). */
+case class DvDelete(group: Int, target: String, words: Array[Long])
+case class FilesMessage(files: Seq[FileMeta],
+    dvs: Seq[DvDelete] = Seq.empty) extends WriterCommitMessage
 
 class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int,
@@ -470,11 +475,27 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
-      meta.keyCol, meta.numGroups)
+      meta.keyCol, meta.numGroups, meta.dv)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
+    val msgs = messages.map(_.asInstanceOf[FilesMessage])
+    val added = msgs.flatMap(_.files)
       .map(f => RowStore.FileEntry("delta", f.group, f.name,
         spec = meta.specId)).toSeq
+    // DV MODE: union this commit's deleted positions per TARGET file
+    // (tasks may split one file's deletes), then fold each target's
+    // bitmap with its EXISTING vector — the Delta/Iceberg-v3
+    // invariant: AT MOST ONE deletion vector per data file, however
+    // many delete commits touched it, so replay cost tracks
+    // touched-file count, never deleted-row count. Sound because
+    // rid-deletes are terminal (see [[RowStore.Dv]]): carrying merged
+    // earlier deletions at this commit's manifest position cannot
+    // change any snapshot's resolution. Driver-side work is
+    // bitmap-metadata only (Delta merges DVs inside its transaction
+    // the same way); the blobs are file-level metadata, never rows.
+    val newDels: Map[(Int, String), Array[Long]] = msgs.flatMap(_.dvs)
+      .groupBy(d => (d.group, d.target)).view
+      .mapValues(_.map(_.words).reduce(RowStore.Dv.union)).toMap
+    RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
@@ -482,15 +503,36 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
           s"$tableKey: delta operation read version $v but the table " +
             s"is now at $cur — its _rids may no longer resolve; retry")
       }
+      val man = RowStore.readManifest(tableKey, cur)
+      val dir = RowStore.dataDir(tableKey)
+      // existing vector per target (each blob names its one target)
+      val existing: Map[String, (RowStore.FileEntry, Array[Long])] =
+        if (newDels.isEmpty) Map.empty
+        else man.filter(_.kind == "dv").map { e =>
+          val (t, w) = RowStore.Dv.read(s"$dir/${e.name}")
+          t -> ((e, w))
+        }.toMap
+      val dvAdded = newDels.toSeq.sortBy(_._1._2).map {
+        case ((g, target), w) =>
+          val merged = existing.get(target)
+            .map(p => RowStore.Dv.union(p._2, w)).getOrElse(w)
+          val name = s"dv$g-${UUID.randomUUID()}.bin"
+          RowStore.Dv.write(s"$dir/$name", target, merged)
+          RowStore.FileEntry("dv", g, name, spec = meta.specId)
+      }
+      val replacedDv = newDels.keySet.map(_._2)
+        .flatMap(t => existing.get(t).map(_._1.name))
       RowStore.writeManifest(tableKey, cur + 1,
-        RowStore.readManifest(tableKey, cur) ++ added)
+        man.filterNot(e => e.kind == "dv" && replacedDv(e.name)) ++
+          added ++ dvAdded)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
-    bucketCol: String, numGroups: Int) extends DeltaWriterFactory {
+    bucketCol: String, numGroups: Int,
+    dvMode: Boolean = false) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val fields = rowSchema.fields.toSeq
@@ -501,6 +543,11 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       // group they're resolving
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
+      // dv mode: deletes accumulate as per-target position bitmaps
+      // instead of positional records — updates/inserts keep the
+      // record path (Delta's split: DVs carry deletes only)
+      private val dvBits = scala.collection.mutable
+        .Map.empty[(Int, String), scala.collection.mutable.BitSet]
       private def writer(g: Int): RowFiles.FileWriter =
         writers.getOrElseUpdate(g, {
           val name = s"d$g-${UUID.randomUUID()}.parquet"
@@ -531,9 +578,21 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       /** metadata = [_group] (the row's RESIDENT group — where the rid
         * lives, not where the new values would hash; MOR never
         * relocates rows, compaction does). id = [_rid]. */
-      override def delete(metadata: InternalRow, id: InternalRow): Unit =
-        rec(RowResolve.DeleteOp, id.getUTF8String(0).toString,
-          metadata.getInt(0), null)
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        val rid = id.getUTF8String(0).toString
+        if (dvMode) {
+          // rid = "<file leaf>#<pos>": fold the position into the
+          // target's bitmap; any file kind's rids qualify (a delta
+          // insert's rid deletes the same way a base rid does)
+          val cut = rid.lastIndexOf('#')
+          require(cut > 0, s"malformed row id '$rid'")
+          val set = dvBits.getOrElseUpdate(
+            (metadata.getInt(0), rid.substring(0, cut)),
+            scala.collection.mutable.BitSet.empty)
+          set += rid.substring(cut + 1).toInt
+          ()
+        } else rec(RowResolve.DeleteOp, rid, metadata.getInt(0), null)
+      }
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit =
         rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
@@ -549,7 +608,9 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
         FilesMessage(writers.map { case (g, (n, _)) =>
-          FileMeta(g, n, None, None) }.toSeq)
+          FileMeta(g, n, None, None) }.toSeq,
+          dvBits.map { case ((g, target), bits) =>
+            DvDelete(g, target, bits.toBitMask) }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())
       override def close(): Unit = ()

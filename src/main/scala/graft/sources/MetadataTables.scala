@@ -152,12 +152,12 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
         val dir = RowStore.dataDir(baseKey)
         // any table-wide delta file (group < 0) can hold records of
         // EVERY group, so no group's row count is exact under one
-        val tableWideDelta = es.exists(e => e.kind == "delta" && e.group < 0)
+        val tableWideDelta = es.exists(e => e.kind != "base" && e.group < 0)
         val rows = es.groupBy(e => (e.spec, e.group)).toSeq
           .sortBy { case ((sp, g), _) => (sp, g) }
           .map { case ((sp, g), fs) =>
             val base = fs.filter(_.kind == "base")
-            val nDelta = fs.count(_.kind == "delta")
+            val nDelta = fs.count(_.kind != "base")
             val nRows: Option[Long] =
               if (nDelta > 0 || tableWideDelta || base.exists(_.rows.isEmpty))
                 None

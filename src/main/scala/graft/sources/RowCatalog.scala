@@ -155,6 +155,26 @@ object RowCatalogQueries {
       s.table(t).orderBy(col("k"))
     }),
 
+    // ── q154: DELETION VECTORS — q108's MOR lifecycle with
+    // 'deletes'='dv': every delete commits ONE position-bitmap blob
+    // per touched data file (Delta's DVs / Iceberg v3's delete
+    // vectors) instead of row-granularity delete records, and a
+    // second delete against the same file REPLACES its vector with
+    // the union — so a file carries at most one vector however many
+    // delete commits touched it, which is what keeps high-churn MOR
+    // readable at 100 TB (replay cost tracks touched files, never
+    // deleted rows). The MERGE's DELETE clause and the DELETE FROM
+    // both route through the vector path; updates/inserts keep the
+    // positional record path. Observationally identical to q108 —
+    // the oracle is the q106/q108 restatement verbatim, and
+    // DeletionVectorSpec pins the one-vector-per-file accounting,
+    // the union-merge, CDF equivalence, and the eq-delete interleave.
+    "q154_dml_deletion_vectors" -> ((s, d) => {
+      dmlLifecycle(s, d, "graft_dml.ns.accounts_dv", "q154",
+        " TBLPROPERTIES ('format'='mor','deletes'='dv')")
+      s.table("graft_dml.ns.accounts_dv").orderBy(col("k"))
+    }),
+
     // ── q109: CHANGE-DATA-FEED read — `<table>.changes` with
     // from/to options restates the inserts and deletes between two
     // retained versions (an update = delete+insert, the value-based

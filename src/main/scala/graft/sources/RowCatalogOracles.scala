@@ -140,6 +140,13 @@ object RowCatalogOracles {
         |SELECT k, cents, status FROM merged
         |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
 
+    // deletion vectors must be observationally identical to the
+    // record-based MOR path — the q106/q108 restatement verbatim
+    "q154_dml_deletion_vectors" ->
+      s"""$lifecycleCtes
+        |SELECT k, cents, status FROM merged
+        |WHERE k % 97 <> 0 ORDER BY k""".stripMargin,
+
     "q109_change_feed" ->
       s"""$lifecycleCtes,
         |fin AS (SELECT k, cents, status FROM merged WHERE k % 97 <> 0),

@@ -119,11 +119,18 @@ object RowStore {
     * display→storage at the parquet boundary and writers keep writing
     * the storage name, so old and new files stay mutually readable —
     * the name-mapping half of Iceberg's field-id indirection. */
+  /** `dv` (TBLPROPERTIES('deletes'='dv'), MOR only): row deletions
+    * commit as one DELETION-VECTOR bitmap per touched data file
+    * instead of row-granularity position-delete records — Delta's DVs
+    * / Iceberg v3's puffin delete vectors. The invariant that makes
+    * high-churn MOR readable at 100 TB: a file has AT MOST ONE vector
+    * regardless of how many delete commits touched it, so replay cost
+    * tracks touched-file count, never deleted-row count. */
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
       bucketCol: String = "", dropped: Seq[String] = Seq.empty,
       transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
       renames: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Seq.empty) {
+      bloomCols: Seq[String] = Seq.empty, dv: Boolean = false) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -287,6 +294,60 @@ object RowStore {
     }
   }
 
+  /** DELETION-VECTOR blob codec (Delta's DV files / Iceberg v3's
+    * puffin delete vectors, minus the roaring compression a production
+    * format adds): one blob per TARGET data file — line 1 the target's
+    * leaf name, line 2 a base64 word bitmap of its deleted positions.
+    * Position bits address the target's rids (`<leaf>#<pos>`), so a
+    * vector is confluent: rid-deletes are terminal (no later record
+    * can resurrect a rid — inserts mint NEW rids, updates no-op on
+    * absent ones), which is what makes union-merging vectors across
+    * commits and carrying the merged blob at the LATEST commit's
+    * manifest position observationally identical to per-commit delete
+    * records. Blob size is rows-per-file/8 bytes — file-level
+    * metadata, never data. */
+  object Dv {
+    def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.max(a.length, b.length))
+      a.copyToArray(out)
+      var i = 0
+      while (i < b.length) { out(i) |= b(i); i += 1 }
+      out
+    }
+    def cardinality(words: Array[Long]): Int =
+      words.map(java.lang.Long.bitCount).sum
+    def foreachSet(words: Array[Long])(f: Int => Unit): Unit = {
+      var w = 0
+      while (w < words.length) {
+        var bits = words(w)
+        while (bits != 0L) {
+          val bit = java.lang.Long.numberOfTrailingZeros(bits)
+          f(w * 64 + bit)
+          bits &= bits - 1
+        }
+        w += 1
+      }
+    }
+    def write(path: String, target: String, words: Array[Long]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      words.foreach(bb.putLong)
+      Files.writeString(Paths.get(path), target + "\n" +
+        java.util.Base64.getEncoder.withoutPadding
+          .encodeToString(bb.array) + "\n")
+      ()
+    }
+    /** (target leaf name, position bitmap words). */
+    def read(path: String): (String, Array[Long]) = {
+      val lines = Files.readAllLines(Paths.get(path)).asScala
+      val bytes = java.util.Base64.getDecoder.decode(lines(1))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < words.length) { words(i) = bb.getLong; i += 1 }
+      (lines(0), words)
+    }
+  }
+
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
     * executors only ever see absolute file paths. */
@@ -331,7 +392,8 @@ object RowStore {
         s"ptf=${m.transform}\nparg=${m.tparam}\nspec=${m.specId}\n" +
         s"dropped=${m.dropped.mkString(",")}\n" +
         s"renames=${renderRenames(m.renames)}\n" +
-        s"bloom=${m.bloomCols.mkString(",")}\nschema=${m.schema.json}\n")
+        s"bloom=${m.bloomCols.mkString(",")}\ndv=${m.dv}\n" +
+        s"schema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -346,7 +408,8 @@ object RowStore {
       kv.getOrElse("parg", "0").toLong,
       kv.getOrElse("spec", "0").toInt,
       parseRenames(kv.getOrElse("renames", "")),
-      kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq)
+      kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq,
+      kv.getOrElse("dv", "false").toBoolean)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -401,12 +464,12 @@ object RowStore {
   }
 
   /** EXACT row count of an entry list, defined only when provably so:
-    * no delta files (they add/remove/move rows at read time) and every
-    * entry recorded a count — the one "clean snapshot" rule the
-    * COUNT(*) pushdown and the reported CBO statistics both apply, so
-    * the two can never silently diverge. */
+    * no delta/deletion-vector files (they add/remove/move rows at read
+    * time) and every entry recorded a count — the one "clean snapshot"
+    * rule the COUNT(*) pushdown and the reported CBO statistics both
+    * apply, so the two can never silently diverge. */
   def exactRowCount(entries: Seq[FileEntry]): Option[Long] =
-    if (entries.exists(_.kind == "delta") ||
+    if (entries.exists(_.kind != "base") ||
       entries.exists(_.rows.isEmpty)) None
     else Some(entries.map(_.rows.get).sum)
 
@@ -425,22 +488,59 @@ object RowStore {
       lines.count(_.startsWith("#rm\t")))
   }
 
+  /** Resolved-entry cache for [[readManifest]]: a committed version's
+    * RESOLVED entry sequence is immutable (files never change meaning;
+    * even [[materializeManifest]] rewrites only the FILE SHAPE — same
+    * resolved entries by contract), so one (key, version) resolution
+    * can be reused for the table's lifetime. Without it, every commit
+    * on a deep incremental chain re-walks the chain's manifest FILES
+    * (st31's per-micro-batch MERGE read the whole chain per epoch —
+    * O(chain) file IO per commit, the round-11 regression), and every
+    * scan build re-reads at least one file. LRU-bounded; purged per
+    * table on [[drop]] and per version when VACUUM deletes a manifest
+    * (a cached entry surviving expiry would let `VERSION AS OF` an
+    * expired snapshot silently succeed — q111 pins that it fails). */
+  private val ManifestCacheCap = 512
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), Seq[FileEntry]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Seq[FileEntry]]) =
+        size > ManifestCacheCap
+    })
+
+  private[sources] def purgeManifestCache(key: String, v: Int): Unit = {
+    manifestCache.remove((key, v)); ()
+  }
+  private def purgeManifestCacheTable(key: String): Unit =
+    manifestCache.synchronized {
+      manifestCache.keySet.asScala.filter(_._1 == key).toList
+        .foreach(manifestCache.remove)
+    }
+
   def readManifest(key: String, v: Int): Seq[FileEntry] = {
-    val lines = Files.readAllLines(
-      Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq
-    lines.collectFirst { case l if l.startsWith("#parent\t") =>
-      l.stripPrefix("#parent\t").toInt } match {
-      case None => parseEntries(lines)
-      case Some(p) =>
-        // incremental: parent's resolved entries minus this commit's
-        // removals (relative order preserved), plus its additions
-        // appended — exactly the sequence the commit validated at
-        // write time, so manifest order (= commit order, what MOR
-        // replay keys on) survives the chain encoding
-        val removed = lines.collect {
-          case l if l.startsWith("#rm\t") => l.stripPrefix("#rm\t") }.toSet
-        readManifest(key, p).filterNot(e => removed(e.name)) ++
-          parseEntries(lines)
+    val ck = (key, v)
+    val cached = manifestCache.get(ck)
+    if (cached != null) cached
+    else {
+      val lines = Files.readAllLines(
+        Paths.get(tableDir(key), s"v$v.manifest")).asScala.toSeq
+      val resolved = lines.collectFirst { case l if l.startsWith("#parent\t") =>
+        l.stripPrefix("#parent\t").toInt } match {
+        case None => parseEntries(lines)
+        case Some(p) =>
+          // incremental: parent's resolved entries minus this commit's
+          // removals (relative order preserved), plus its additions
+          // appended — exactly the sequence the commit validated at
+          // write time, so manifest order (= commit order, what MOR
+          // replay keys on) survives the chain encoding
+          val removed = lines.collect {
+            case l if l.startsWith("#rm\t") => l.stripPrefix("#rm\t") }.toSet
+          readManifest(key, p).filterNot(e => removed(e.name)) ++
+            parseEntries(lines)
+      }
+      manifestCache.put(ck, resolved)
+      resolved
     }
   }
 
@@ -814,6 +914,9 @@ object RowStore {
       epochCache.keySet.asScala.filter(_._1 == key).toList
         .foreach(epochCache.remove)
     }
+    // the resolved-manifest cache follows the table for the same
+    // reason: a re-created table starts a fresh manifest chain
+    purgeManifestCacheTable(key)
     val d = Paths.get(tableDir(key))
     if (!Files.exists(d)) false
     else {
@@ -1119,6 +1222,17 @@ object RowResolve {
           val n = leaf(f)
           RowFiles.readRows(f, wanted).iterator.zipWithIndex
             .foreach { case (v, i) => m.put(s"$n#$i", v) }
+        // DELETION VECTOR: one bitmap of deleted positions for ONE
+        // target file — remove exactly those rids. Equivalent to a run
+        // of positional DeleteOp records at this commit point (and,
+        // because rid-deletes are terminal, to the same deletes at any
+        // EARLIER point — the confluence the commit-time union-merge
+        // relies on). No eq-delete state can be pending here: vectors
+        // are whole files, and the per-file eq batch flushes at file
+        // end.
+        case ("dv", f) =>
+          val (target, words) = RowStore.Dv.read(f)
+          RowStore.Dv.foreachSet(words)(pos => { m.remove(s"$target#$pos"); () })
         case (_, f) =>
           val n = leaf(f)
           // CONSECUTIVE eq-delete records batch into one key set and
