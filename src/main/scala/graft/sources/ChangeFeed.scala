@@ -68,11 +68,11 @@ object ChangesPlanning {
     def itemsFor(es: Seq[RowStore.FileEntry], g: Int): Seq[(String, String)] =
       es.collect {
         case e if e.kind == "base" && e.group == g =>
-          ("base", s"$dir/${e.name}")
+          ("base", RowStore.entryPath(dir, e.name))
         // kind-preserving for the replay: positional/equality delta
         // parquet AND deletion-vector blobs both mutate the group
         case e if e.kind != "base" && (e.group == g || e.group < 0) =>
-          (e.kind, s"$dir/${e.name}")
+          (e.kind, RowStore.entryPath(dir, e.name))
       }
     val fEs = side(from)
     val tEs = side(to)
@@ -242,7 +242,7 @@ class AppendTableStream(tableKey: String, meta: RowStore.Meta,
         "stream is append-only; use the .changes feed")
     val dir = RowStore.dataDir(tableKey)
     added.groupBy(_.group).map { case (g, fs) =>
-      GroupFilesPartition(g, fs.map(x => s"$dir/${x.name}"),
+      GroupFilesPartition(g, fs.map(x => RowStore.entryPath(dir, x.name)),
         Seq.empty): InputPartition
     }.toArray
   }
@@ -597,6 +597,89 @@ object RowStoreOps {
             RowStore.FileEntry("delta", g, name, spec = meta.specId) })
     }
     files.length
+  }
+
+  /** `add_files` MIGRATION (Iceberg's add_files procedure): register
+    * parquet files that ALREADY EXIST on disk as a new table version
+    * — zero data copies, file identity preserved (the manifest
+    * records the files' own absolute paths; see
+    * [[RowStore.entryPath]]). The reference's entire pattern is
+    * "parquet snapshots already written, registered in a catalog"
+    * (spark_ingest_script.py:85-105) — this is that registration
+    * against the DML catalog, after which the snapshot gains
+    * time travel, metadata-answered COUNT(*), CDF, and (via the
+    * cross-spec row-level path) even MERGE/UPDATE/DELETE.
+    *
+    * Imported files land under a fresh NEGATIVE partition-spec id
+    * (never colliding with the evolution counter's positive ids),
+    * one file per group — group semantics within a spec only require
+    * a consistent assignment, and per-file groups keep every planner
+    * invariant (runtime filtering, COW replacement, change-feed
+    * diffing) sound without knowing the files' internal layout. Row
+    * counts come from an O(files) footer walk (no data pages), so
+    * the registered snapshot still answers COUNT(*) from metadata.
+    * COW tables only: MOR delta replay keys on the bucket layout,
+    * which imported files don't follow. Returns
+    * (files registered, rows registered). */
+  def addFiles(table: String, sourceDir: String): (Int, Long) = {
+    import org.apache.spark.sql.types.{DateType, DecimalType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val meta = RowStore.readMeta(table)
+    require(!meta.mor, s"$table: add_files registers into copy-on-write " +
+      "tables only (MOR delta replay keys on the bucket layout, which " +
+      "imported files don't follow)")
+    val root = Paths.get(sourceDir)
+    require(Files.isDirectory(root),
+      s"add_files: $sourceDir is not a directory")
+    val walk = Files.walk(root)
+    val files = try walk.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    finally walk.close()
+    require(files.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    // validate every footer against the table schema UP FRONT: a file
+    // whose physical type the reader can't decode must refuse at
+    // registration, not crash the first scan
+    var totalRows = 0L
+    val counted = files.map { f =>
+      val (rows, msg) = RowFiles.footerMeta(f)
+      meta.schema.fields.foreach { fld =>
+        val storage = meta.storageOf(fld.name)
+        if (msg.containsField(storage)) {
+          val prim = msg.getType(Seq(storage): _*)
+            .asPrimitiveType().getPrimitiveTypeName
+          val ok = fld.dataType match {
+            // INT32 under a LONG column is the reader's widening path
+            case LongType => prim == PrimitiveTypeName.INT64 ||
+              prim == PrimitiveTypeName.INT32
+            case TimestampType => prim == PrimitiveTypeName.INT64
+            case d: DecimalType if d.precision <= 18 =>
+              prim == PrimitiveTypeName.INT64
+            case IntegerType | DateType => prim == PrimitiveTypeName.INT32
+            case StringType => prim == PrimitiveTypeName.BINARY
+            case _ => false
+          }
+          require(ok, s"add_files: $f stores column ${fld.name} as " +
+            s"$prim, incompatible with declared type ${fld.dataType}")
+        }
+      }
+      totalRows += rows
+      (f, rows)
+    }
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(table)
+      val man = RowStore.readManifest(table, cur)
+      // one fresh negative spec per call — a second import never
+      // collides group numbers with the first
+      val importSpec = (man.map(_.spec) :+ 0).min - 1
+      val entries = counted.zipWithIndex.map { case ((f, rows), i) =>
+        RowStore.FileEntry("base", i, f, rows = Some(rows),
+          spec = importSpec) }
+      RowStore.writeManifest(table, cur + 1, man ++ entries)
+    }
+    (files.size, totalRows)
   }
 
   /** MERGE WITH SCHEMA EVOLUTION — Delta's `mergeSchema` behavior:

@@ -140,6 +140,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(deleted, retained)
       }
     },
+    new Proc("add_files",
+      "register existing parquet files under source_dir as a new " +
+        "table version — zero copies, file identity preserved in the " +
+        "manifest (Iceberg's add_files migration)",
+      Seq(("table", StringType), ("source_dir", StringType)),
+      Seq(("added_files", IntegerType), ("added_rows", LongType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (n, rows) = RowStoreOps.addFiles(tkey(a.getUTF8String(0)),
+          a.getUTF8String(1).toString)
+        Array(n, Long.box(rows))
+      }
+    },
     new Proc("publish_branch",
       "fast-forward a staged WAP branch into the next committed version",
       Seq(("table", StringType), ("branch", StringType)),
@@ -777,9 +789,15 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
   * uses. */
 class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
-  /** Groups the operation's (possibly runtime-pruned) scan planned;
-    * None = scan never planned (plan dropped) → replace nothing. */
-  @volatile private[sources] var scannedGroups: Option[Set[Int]] = None
+  /** (spec, group) pairs the operation's (possibly runtime-pruned)
+    * scan planned; None = scan never planned (plan dropped) → replace
+    * nothing. SPEC-QUALIFIED because group numbers are only unique
+    * within a partition spec: after an evolution, bucket 3 and
+    * truncate-range 3 are different row sets, and Iceberg plans
+    * row-level ops per-spec for exactly this reason — the rewrite
+    * replaces old-spec groups it read and lands its output under the
+    * ACTIVE spec (migration-by-touch, no table rewrite needed). */
+  @volatile private[sources] var scannedGroups: Option[Set[(Int, Int)]] = None
   /** Version the operation's scan read — the optimistic-concurrency
     * base: commit refuses if another commit advanced the table past
     * it (the rewrite would silently drop that commit's changes). */

@@ -429,7 +429,7 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       case None    => versionEntries
     }
     val bytes = statEntries
-      .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+      .map(e => new java.io.File(RowStore.entryPath(dir, e.name)).length()).sum
     // exact row count rides along ONLY for the plain unfiltered whole-
     // table read of a clean snapshot (the shared exactRowCount rule):
     // a pushed range, compact restriction, or row-level-op scan reads
@@ -534,10 +534,13 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     // the active spec).
     val multiSpec = entries.exists(_.spec != meta.specId)
     if (multiSpec) {
-      require(op.isEmpty,
-        s"$tableKey: row-level operations on a table whose files span " +
-          "partition specs are not supported — migrate with INSERT " +
-          "OVERWRITE onto the active spec first")
+      // row-level operations DO span specs (Iceberg's per-spec
+      // planning): the scan records (spec, group) pairs and the COW
+      // commit replaces exactly those, with the rewrite's output
+      // landing under the ACTIVE spec — touched old-spec groups
+      // migrate as a side effect, untouched ones keep their layout.
+      // The compaction handshake and MOR deltas stay single-spec
+      // (group-number ambiguity has no qualified channel there).
       require(staticGroups.isEmpty,
         s"$tableKey: OPTIMIZE across partition specs is not supported")
       require(deltas.isEmpty,
@@ -583,8 +586,9 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
         staticGroups.forall(_.contains(g)) &&
         groupRange.forall { case (glo, ghi) =>
           sp != meta.specId || (g >= glo && g <= ghi) } }
-    // the COW write replaces exactly what this plan read
-    op.foreach(_.scannedGroups = Some(kept.map(_._2).toSet))
+    // the COW write replaces exactly what this plan read — qualified
+    // by spec, since a group NUMBER means different rows per spec
+    op.foreach(_.scannedGroups = Some(kept.toSet))
     var planned, skipped = 0
     val parts = kept.map { case (sp, g) =>
       val groupDeltas = deltas.filter(e => e.group == g || e.group < 0)
@@ -664,14 +668,14 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       val visibleNames = visible.map(_.name).toSet
       val ordered = entries.collect {
         case e if e.kind == "base" && e.spec == sp && e.group == g &&
-          visibleNames(e.name) => ("base", s"$dir/${e.name}")
+          visibleNames(e.name) => ("base", RowStore.entryPath(dir, e.name))
         case e if e.kind != "base" && (e.group == g || e.group < 0) =>
-          (e.kind, s"$dir/${e.name}")
+          (e.kind, RowStore.entryPath(dir, e.name))
       }
-      GroupFilesPartition(g, visible.map(e => s"$dir/${e.name}"),
+      GroupFilesPartition(g, visible.map(e => RowStore.entryPath(dir, e.name)),
         // group-tagged delta files: only this group's records can be
         // inside (records re-check, so an untagged file stays sound)
-        groupDeltas.map(e => s"$dir/${e.name}"), ordered): InputPartition
+        groupDeltas.map(e => RowStore.entryPath(dir, e.name)), ordered): InputPartition
     }.toArray
     RowStore.lastPlannedBaseFiles.set(planned)
     RowStore.lastSkippedBaseFiles.set(skipped)

@@ -163,8 +163,11 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
               "planned scan — refusing to append rewrite output over " +
               "intact groups")
           val base = op.baseVersion.get
-          // replace exactly the groups the operation's scan read; a
-          // group the runtime filter pruned keeps its files verbatim
+          // replace exactly the (spec, group) pairs the operation's
+          // scan read; a group the runtime filter pruned keeps its
+          // files verbatim, and after a spec evolution an untouched
+          // OLD-spec group is never replaced by a rewrite of the
+          // same NUMBER under the active spec
           val replaced = op.scannedGroups.get
           // optimistic concurrency, Iceberg's validate-then-swap: the
           // rewrite was computed against `base`'s snapshot. Appends
@@ -184,22 +187,24 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
                     "whose manifest is no longer retained — cannot " +
                     "validate the rewrite; retry the statement")
               }
-            def sig(man: Seq[RowStore.FileEntry], g: Int) =
-              man.filter(e => e.group == g ||
-                (e.kind == "delta" && e.group < 0)).toSet
-            val conflicting = replaced.filter(g => sig(baseMan, g) != sig(old, g))
+            def sig(man: Seq[RowStore.FileEntry], sg: (Int, Int)) =
+              man.filter(e => (e.spec == sg._1 && e.group == sg._2) ||
+                (e.kind != "base" && e.group < 0)).toSet
+            val conflicting = replaced.filter(sg =>
+              sig(baseMan, sg) != sig(old, sg))
             if (conflicting.nonEmpty)
               throw new java.util.ConcurrentModificationException(
                 s"$tableKey: row-level operation read version $base but " +
-                  s"groups ${conflicting.toSeq.sorted.mkString(",")} " +
-                  s"changed by version $cur — retry the statement")
+                  s"(spec, group) pairs ${conflicting.toSeq.sorted
+                    .mkString(",")} changed by version $cur — retry " +
+                  "the statement")
           }
-          // spec-qualified: group ids are only unique WITHIN a spec
-          // (the scan refuses row-level ops on multi-spec tables, so
-          // in practice every entry is on the active spec — the
-          // qualifier keeps the swap sound if that ever changes)
-          old.filterNot(e => e.kind == "base" && e.spec == meta.specId &&
-            replaced(e.group)) ++ added
+          // spec-qualified swap: replace exactly the (spec, group)
+          // pairs the scan read; the rewrite's own files (in `added`)
+          // all carry the ACTIVE spec, so a cross-spec MERGE migrates
+          // the groups it touched and leaves the rest in place
+          old.filterNot(e => e.kind == "base" &&
+            replaced((e.spec, e.group))) ++ added
         case GroupWrite.Compact(base, gs) =>
           if (base != cur)
             throw new java.util.ConcurrentModificationException(

@@ -163,7 +163,7 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
                 None
               else Some(base.map(_.rows.get).sum)
             val bytes = fs
-              .map(e => new java.io.File(s"$dir/${e.name}").length()).sum
+              .map(e => new java.io.File(RowStore.entryPath(dir, e.name)).length()).sum
             PartitionRow(sp, g, base.size.toLong, nDelta.toLong, nRows,
               bytes)
           }

@@ -752,6 +752,107 @@ object RowCatalogQueries {
         FROM graft_dml.ns.evo GROUP BY 1 ORDER BY band""")
     }),
 
+    // ── q156: `add_files` MIGRATION — the reference's whole pattern
+    // is "parquet snapshots already on disk, registered in a catalog"
+    // (spark_ingest_script.py:85-105); Iceberg's add_files registers
+    // exactly that WITHOUT rewriting a byte. The fixture writes a
+    // writeSnapshot-shaped partition tree (y=1995/m=3/d=7, non-padded)
+    // with Spark's own parquet writer, seeds the DML table with a
+    // native slice, then `CALL graft_dml.system.add_files(...)`
+    // commits one version whose new entries ARE the external files —
+    // absolute paths in the manifest (file identity preserved, zero
+    // copies), row counts from an O(files) footer walk, a fresh
+    // negative spec id so group numbers never collide. Pins in-plan:
+    // `tt_ok` (the pre-import snapshot still reads only the native
+    // slice) and `zero_copy` (every imported entry references the
+    // source tree verbatim and the blobs still exist there).
+    // AddFilesSpec pins the metadata COUNT(*), vacuum non-ownership,
+    // and cross-spec DML on imported files. The oracle restates both
+    // slices from raw orders.
+    "q156_dml_add_files" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q156_orders")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ext = graft.Scratch.dir(s, "graft_q156_ext", tag)
+      graft.Scratch.materializeOnce(ext) {
+        s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            o_orderstatus AS status,
+            year(o_orderdate) AS y, month(o_orderdate) AS m,
+            day(o_orderdate) AS d
+          FROM q156_orders WHERE o_orderkey % 9 = 4""")
+          .write.partitionBy("y", "m", "d").mode("overwrite").parquet(ext)
+      }
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.imp")
+      s.sql("CREATE TABLE graft_dml.ns.imp " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.imp
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q156_orders WHERE o_orderkey % 9 = 1""")
+      val preImport = RowStore.currentVersion("graft_dml.ns.imp")
+      val nativeN = s.table("graft_dml.ns.imp").count()
+      s.sql(s"CALL graft_dml.system.add_files('ns.imp', '$ext')").collect()
+      val imported = RowStore.readManifest("graft_dml.ns.imp",
+        RowStore.currentVersion("graft_dml.ns.imp")).filter(_.spec < 0)
+      val zeroCopy = imported.nonEmpty && imported.forall(e =>
+        e.name.startsWith(ext + "/") &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(e.name)))
+      val ttN = s.sql("SELECT COUNT(*) FROM graft_dml.ns.imp " +
+        s"VERSION AS OF $preImport").head().getLong(0)
+      s.table("graft_dml.ns.imp")
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("tt_ok", lit(ttN == nativeN))
+        .orderBy(col("k"))
+    }),
+
+    // ── q157: ROW-LEVEL DML ACROSS PARTITION SPECS — Iceberg plans
+    // MERGE/UPDATE/DELETE per-spec precisely so spec evolution never
+    // forces a table rewrite; until this round the scan refused
+    // multi-spec tables ("migrate with INSERT OVERWRITE first" — at
+    // 100 TB exactly the rewrite evolution exists to avoid). Here the
+    // table seeds under bucket(4, k), evolves to truncate(100000, k),
+    // appends a second slice under the new layout, and then a MERGE
+    // with NO migration updates keys living in OLD-spec groups while
+    // inserting brand-new keys: the scan records (spec, group) pairs,
+    // the commit swaps exactly those, and the rewrite's output lands
+    // under the ACTIVE spec — touched old groups migrate as a side
+    // effect, untouched ones keep their bucket layout verbatim
+    // (RowCatalogSpec pins the per-(spec, group) file accounting).
+    // The final read plans across both specs; the oracle restates the
+    // whole state from raw orders.
+    "q157_dml_cross_spec_merge" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q157_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.xspec")
+      s.sql("CREATE TABLE graft_dml.ns.xspec (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.xspec
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q157_orders WHERE o_orderkey % 13 = 0""")
+      s.sql("ALTER TABLE graft_dml.ns.xspec " +
+        "SET TBLPROPERTIES('partition'='truncate(100000, k)')")
+      s.sql("""INSERT INTO graft_dml.ns.xspec
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q157_orders WHERE o_orderkey % 13 = 5""")
+      // matched keys (% 26 = 0) all live in the OLD bucket-spec slice;
+      // not-matched keys (% 13 = 7) insert under the ACTIVE spec
+      s.sql("""MERGE INTO graft_dml.ns.xspec t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM q157_orders
+               WHERE o_orderkey % 26 = 0 OR o_orderkey % 13 = 7) src
+        ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents
+        WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (src.k, src.cents)""")
+      s.sql("""SELECT CAST(k % 8 AS BIGINT) AS band, COUNT(*) AS n,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.xspec GROUP BY 1 ORDER BY band""")
+    }),
+
     // ── q126: `days(ts)` TEMPORAL PARTITION TRANSFORM — the other
     // half of the Iceberg transform family: a TIMESTAMP column routes
     // each row to its UTC epoch-day group (RowCatalogSpec pins the

@@ -418,6 +418,28 @@ object RowCatalogOracles {
         |FROM orders WHERE o_orderkey % 13 IN (0, 5)
         |GROUP BY 1 ORDER BY band""".stripMargin,
 
+    // native + imported slices restated; the pins are TRUE by the
+    // add_files contract (zero copies, pre-import snapshot intact)
+    "q156_dml_add_files" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderstatus AS status, TRUE AS zero_copy, TRUE AS tt_ok
+        |FROM orders WHERE o_orderkey % 9 IN (1, 4)
+        |ORDER BY k""".stripMargin,
+
+    // both slices + the cross-spec MERGE restated: matched keys
+    // (% 26 = 0, all in the old-spec slice) doubled, new keys
+    // (% 13 = 7) inserted — layout-invariant across the spec boundary
+    "q157_dml_cross_spec_merge" ->
+      """WITH st AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |      * (CASE WHEN o_orderkey % 26 = 0 THEN 2 ELSE 1 END) AS cents
+        |  FROM orders WHERE o_orderkey % 13 IN (0, 5, 7))
+        |SELECT CAST(k % 8 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM st GROUP BY 1 ORDER BY band""".stripMargin,
+
     // the daily rollup restated over raw events
     "q126_dml_days_transform" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,

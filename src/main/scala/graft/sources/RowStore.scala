@@ -365,6 +365,15 @@ object RowStore {
 
   def exists(key: String): Boolean = Files.exists(metaPath(key))
 
+  /** A manifest entry's on-disk path. Entry names are normally leaf
+    * file names under the table's data dir; `add_files`-registered
+    * entries carry ABSOLUTE paths (file identity preserved — zero
+    * copies, the Iceberg add_files contract), marked by the leading
+    * '/'. External files are referenced, never owned: VACUUM and
+    * orphan cleanup sweep only the data dir's own listing. */
+  def entryPath(dir: String, name: String): String =
+    if (name.startsWith("/")) name else s"$dir/$name"
+
   /** Meta serialization is line-oriented `k=v` with the dropped list
     * comma-joined, so a column name containing ',', '=', or layout
     * whitespace would corrupt the file (and silently split the dropped
@@ -593,7 +602,8 @@ object RowStore {
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
           else if (t.startsWith("s") && t.tail.nonEmpty &&
-            t.tail.forall(_.isDigit)) spec = t.tail.toInt
+            // import specs are NEGATIVE ids ("s-1") — see addFiles
+            t.tail.forall(c => c.isDigit || c == '-')) spec = t.tail.toInt
           // `L<enc>`/`U<enc>` = URL-encoded truncated STRING bounds
           // (encoding keeps a bound containing tab/newline from
           // corrupting the line-oriented layout)
@@ -1100,6 +1110,20 @@ object RowFiles {
     * SeqSource.rowsEmitted discipline: proves the manifest-count path
     * opened NOTHING, not merely that the answer matched). */
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Footer-only metadata of one parquet file: (row count, file
+    * schema). The add_files registration pass — O(files) metadata
+    * reads, no data pages (Iceberg's add_files does the same footer
+    * walk to fill its manifest). Not counted in [[filesOpened]]:
+    * that counter proves QUERY paths opened nothing; registration is
+    * a one-time import cost by contract. */
+  def footerMeta(file: String): (Long, MessageType) = {
+    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+    val footer = ParquetFileReader.open(in)
+    try (footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
+      footer.getFooter.getFileMetaData.getSchema)
+    finally footer.close()
+  }
 
   def readRows(file: String, wanted: Seq[StructField]): Array[Array[Any]] = {
     filesOpened.incrementAndGet()

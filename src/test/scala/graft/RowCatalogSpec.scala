@@ -1017,14 +1017,32 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(s.sql("SELECT COUNT(*) FROM graft_dml.spec.ev VERSION AS OF 1")
       .head().getLong(0) == 16)
 
-    // row-level ops refuse while files span specs — migration first
-    val e = intercept[Exception](
-      s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 3"))
-    assert(e.getMessage != null && (e.getMessage.contains("span") ||
-      e.getMessage.contains("partition specs") ||
-      Option(e.getCause).exists(_.getMessage.contains("partition specs"))),
-      s"expected a spec-boundary refusal, got: ${e.getMessage}")
-    // INSERT OVERWRITE migrates everything onto the active spec...
+    // row-level ops WORK across specs with NO migration (round 12 —
+    // Iceberg's per-spec planning): DELETE k = 3 touches exactly the
+    // (spec 0, bucket 3) pair. The commit must replace that pair
+    // only — every other old-spec group keeps its file verbatim, the
+    // new-spec file is untouched, and the touched group's SURVIVING
+    // rows are rewritten under the ACTIVE spec (migration-by-touch).
+    val preDel = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base")
+    s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 3")
+    val postDel = RowStore.readManifest(key, RowStore.currentVersion(key))
+      .filter(_.kind == "base")
+    val untouched = preDel.filterNot(e => e.spec == 0 && e.group == 3)
+    assert(untouched.map(e => (e.spec, e.group, e.name)).toSet
+      .subsetOf(postDel.map(e => (e.spec, e.group, e.name)).toSet),
+      "untouched (spec, group) pairs must keep their files verbatim")
+    assert(!postDel.exists(e => e.spec == 0 && e.group == 3),
+      "the touched old-spec group must shed its base entries")
+    val untouchedNames = untouched.map(_.name).toSet
+    assert(postDel.filterNot(e => untouchedNames(e.name))
+      .forall(_.spec == 1),
+      "the rewrite's output must land under the ACTIVE spec")
+    assert(s.table("graft_dml.spec.ev").count() == 17)
+    assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.ev")
+      .head().getLong(0) == (0 until 16).map(_ * 10L).sum + 330L - 30L)
+
+    // INSERT OVERWRITE still migrates everything onto the active spec
     s.sql("INSERT OVERWRITE graft_dml.spec.ev " +
       "SELECT k, v FROM graft_dml.spec.ev VERSION AS OF " +
       RowStore.currentVersion(key))
@@ -1032,10 +1050,9 @@ class RowCatalogSpec extends AnyFunSuite {
       .filter(_.kind == "base")
     assert(migrated.forall(_.spec == 1), s"migration left $migrated")
     assert(migrated.map(_.group).distinct.sorted == Seq(0, 1, 2),
-      "18 keys in [0,18) under truncate(8) span groups 0..2")
-    // ...after which DML works again
-    s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 3")
-    assert(s.table("graft_dml.spec.ev").count() == 17)
+      "17 keys in [0,18) under truncate(8) span groups 0..2")
+    s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 5")
+    assert(s.table("graft_dml.spec.ev").count() == 16)
     s.sql("DROP TABLE graft_dml.spec.ev")
   }
 
