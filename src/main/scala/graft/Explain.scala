@@ -48,7 +48,9 @@ object Explain {
         "q148_dml_bloom_skip", "d20_decontaminate", "t19_pii_scrub",
         "q149_dml_rewrite_manifests", "q150_dml_snapshots_table",
         "q151_dml_orphan_cleanup", "q152_dml_cdf_updates",
-        "q153_dml_manifests_table")
+        "q153_dml_manifests_table", "q154_dml_deletion_vectors",
+        "q155_dml_ndv_stats", "q156_dml_add_files",
+        "q157_dml_cross_spec_merge", "s16_ann_segment_compact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

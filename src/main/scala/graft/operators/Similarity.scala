@@ -60,10 +60,14 @@ object Similarity {
       source: => DataFrame): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s, cacheKey)(ivfFit(s, source))
 
+  /** Coarse-quantizer cell count — shared by the fit and the segment
+    * compactor's one-task-per-cell repartition. */
+  private[graft] val NCells = 16
+
   private def ivfFit(s: SparkSession, source: DataFrame): (DataFrame, DataFrame) = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val nCells = 16
+      val nCells = NCells
       // sized BEFORE the repartition/vectorize lineage: on a parquet
       // source this count folds to footer metadata, no data pages
       val corpusRows = source.count()
@@ -86,6 +90,37 @@ object Similarity {
         (i, c.toArray.map(_.toFloat))
       }.toSeq
       (assigned, s.createDataFrame(cents).toDF("cell", "centroid"))
+  }
+
+  /** SEGMENT COMPACTION — OPTIMIZE's mirror for the persisted ANN
+    * index (the st35 maintenance gap): union base + streamed segments
+    * and rewrite as EXACTLY ONE file per cell. Hash-repartitioning on
+    * the cell id puts each cell's rows in one task, and partitionBy
+    * then writes one file per (task, cell) — so the invariant holds
+    * at any parallelism, the same one-file-per-group discipline the
+    * DML writer's clustered distribution gives OPTIMIZE. Row set is
+    * untouched: serving from the compacted layout is IDENTICAL, not
+    * merely recall-equivalent (s16 pins that). */
+  private[graft] def compactSegments(s: SparkSession, dirs: Seq[String],
+      outDir: String): Unit = {
+    dirs.map(dir => s.read.parquet(dir)
+        .select(col("vec_id"), col("embedding"), col("cell")))
+      .reduce(_ unionByName _)
+      .repartition(NCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
+  /** Parquet leaf-file count under one segment directory (the s16 /
+    * SegmentCompactSpec accounting). */
+  private[graft] def segmentFileCount(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) 0
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.filter(f =>
+        f.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally walk.close()
+    }
   }
 
   /** Cell routing: rank cells per query by centroid cosine, keep the
@@ -314,12 +349,25 @@ object Similarity {
       // the encode pass below.
       val train = trainSample(e, corpusRows).select(col("nv"))
         .localCheckpoint()
-      val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { m =>
-        val sub = train.withColumn("fv", array_to_vector(
-          expr(s"slice(nv, ${m * PqSub + 1}, $PqSub)")))
-        new KMeans().setK(PqCodes).setSeed(42L + m).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
-          .clusterCenters.map(_.toArray.toSeq).toSeq
+      // the 16 subspace fits are INDEPENDENT (disjoint slices of the
+      // same materialized sample) — run them concurrently. Each fit
+      // is a handful of tiny jobs whose wall clock is dominated by
+      // job-scheduling overhead, so sequential fits paid 16× that
+      // overhead: the dominant bench fixture (34 s of r11's 79 s
+      // fixture total). Spark supports concurrent job submission from
+      // one session; the checkpointed sample makes the shared input
+      // race-free. Seeds stay per-subspace, so the codebook is
+      // unchanged — only the wall clock.
+      val cb: Seq[Seq[Seq[Double]]] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence((0 until PqM).map { m => Future {
+          val sub = train.withColumn("fv", array_to_vector(
+            expr(s"slice(nv, ${m * PqSub + 1}, $PqSub)")))
+          new KMeans().setK(PqCodes).setSeed(42L + m).setMaxIter(5)
+            .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+            .clusterCenters.map(_.toArray.toSeq).toSeq
+        }}.toSeq), scala.concurrent.duration.Duration(20, "min"))
       }
       // codes ONLY — materializing the float vectors alongside would
       // forfeit the compression the index exists for; rescore reads
@@ -871,6 +919,71 @@ object Similarity {
         .crossJoin(rejected)
     }),
 
+    // ── s16: STREAMED-SEGMENT COMPACTION — the maintenance half st35
+    // stops short of: every micro-batch appends one cell-partitioned
+    // segment file per touched cell, so at a continuous cadence the
+    // per-cell file count (and with it probe cost) grows without
+    // bound. The compactor is OPTIMIZE's mirror for the ANN index:
+    // read base + streamed segments once, rewrite as EXACTLY ONE file
+    // per cell (hash-repartition on the cell id — each cell lands in
+    // one task, one file), recall-invariant by construction since the
+    // row set is untouched. The fixture mirrors st35's layout (80%
+    // base fit, four appended segments over the rest); pins in-plan:
+    // `served_identical` (the compacted index serves the IDENTICAL
+    // neighbor set — stronger than a recall bound), the s06-shaped
+    // recall gate on the compacted layout against the exact top-K
+    // over the FULL corpus, and `segments_compacted` (total file
+    // count strictly shrank). SegmentCompactSpec pins the 1-file-per-
+    // cell accounting and the probed-file shrinkage.
+    "s16_ann_segment_compact" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = graft.Scratch.dir(s, "graft_s16_idx", tag)
+      val e = Tables(s, d, "embeddings")
+      val cut = e.agg(expr("(max(vec_id) + 1) * 4 div 5")).head().getLong(0)
+      graft.Scratch.materializeOnce(s"$idxDir/base") {
+        // same fit (and session cache key) as st35's base index —
+        // identical source slice, so the KMeans cost is paid once
+        val (assigned, cents) = ivfIndexFor(s, s"$d#st35",
+          e.filter(col("vec_id") < cut))
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idxDir/base/assigned")
+        cents.write.mode("overwrite").parquet(s"$idxDir/base/cents")
+      }
+      val cents = s.read.parquet(s"$idxDir/base/cents")
+      graft.Scratch.materializeOnce(s"$idxDir/streamed") {
+        // four batch appends stand in for st35's micro-batches: the
+        // compactor doesn't care how segments arrived, only that the
+        // per-cell file count grew
+        for (c <- 0 to 3)
+          assignToCells(e.filter(col("vec_id") >= cut &&
+              pmod(col("vec_id"), lit(4)) === c), cents)
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$idxDir/streamed/seg")
+      }
+      val segDirs = Seq(s"$idxDir/base/assigned", s"$idxDir/streamed/seg")
+      graft.Scratch.materializeOnce(s"$idxDir/compacted") {
+        compactSegments(s, segDirs, s"$idxDir/compacted/seg")
+      }
+      def nFiles(dirs: Seq[String]): Int = dirs.map(segmentFileCount).sum
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val before = probePersistedDirs(s, cents, q, segDirs,
+        nProbe = 5, euclidRouter = true)
+      val after = probePersistedDirs(s, cents, q,
+        Seq(s"$idxDir/compacted/seg"), nProbe = 5, euclidRouter = true)
+      // compaction must serve the IDENTICAL neighbor set (pair-count-
+      // sized driver checks, the q128 pin discipline)
+      val bp = before.select(col("q_id"), col("n_id"))
+      val ap = after.select(col("q_id"), col("n_id"))
+      val identical = bp.exceptAll(ap).isEmpty && ap.exceptAll(bp).isEmpty
+      val exact = exactTopK(e.select(col("vec_id"), col("embedding")))
+      recallGate(exact, after, 0.3, "compact_recall_ok")
+        .withColumn("served_identical", lit(identical))
+        .withColumn("segments_compacted",
+          lit(nFiles(Seq(s"$idxDir/compacted/seg")) < nFiles(segDirs)))
+    }),
+
     "s12_hard_negatives" -> ((s, d) => {
       VectorFunctions.register(s)
       val e = Tables(s, d, "embeddings")
@@ -1041,6 +1154,27 @@ object Similarity {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // compaction must be invisible to serving: the pair census over
+    // the FULL corpus plus the identity/accounting pins, TRUE by the
+    // compactor's contract
+    "s16_ann_segment_compact" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 3)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS compact_recall_ok,
+        |  TRUE AS served_identical, TRUE AS segments_compacted
+        |FROM topk""".stripMargin,
 
     // persistence must not cost recall: same contract shape as s04
     "s06_ann_persisted" ->

@@ -599,6 +599,22 @@ object RowStoreOps {
     files.length
   }
 
+  /** Table-level NDV of one column, folded from the current
+    * snapshot's per-file KMV sketches — the same fold the scan's
+    * reported column statistics use (q155's in-plan accuracy pin
+    * reads it). None when the snapshot can't answer exactly the way
+    * the scan refuses: dirty (non-base entries) or any file without
+    * a sketch for the column. */
+  def columnNdv(table: String, col: String): Option[Long] = {
+    val meta = RowStore.readMeta(table)
+    val es = RowStore.readManifest(table, RowStore.currentVersion(table))
+    val storage = meta.storageOf(col)
+    if (es.isEmpty || es.exists(_.kind != "base") ||
+      es.exists(e => !e.ndv.contains(storage))) None
+    else Some(RowStore.Kmv.estimate(
+      es.map(_.ndv(storage)._2).reduce(RowStore.Kmv.merge)))
+  }
+
   /** `add_files` MIGRATION (Iceberg's add_files procedure): register
     * parquet files that ALREADY EXIST on disk as a new table version
     * — zero data copies, file identity preserved (the manifest

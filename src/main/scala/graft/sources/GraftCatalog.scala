@@ -417,6 +417,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       require(trackable,
         s"bloom column $c has untrackable type ${f.dataType}")
     }
+    // opt-in per-column NDV sketches (TBLPROPERTIES('ndv'='col,...')):
+    // KMV distinct-count sketches recorded per (file, column) at
+    // write time, folded at plan time into the scan's reported
+    // column statistics — what CBO join-cardinality estimation needs
+    // (Iceberg's puffin theta-sketch NDVs). Same trackable types as
+    // the bloom filter (the same canonical hash feeds both).
+    val ndvCols = Option(properties.get("ndv"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    ndvCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"ndv column $c is not in the table schema"))
+      val trackable = f.dataType match {
+        case LongType | IntegerType | TimestampType | StringType |
+          org.apache.spark.sql.types.DateType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+        case _ => false
+      }
+      require(trackable, s"ndv column $c has untrackable type ${f.dataType}")
+    }
     // deletion vectors (TBLPROPERTIES('deletes'='dv')): MOR-only —
     // COW rewrites whole groups, there is nothing for a vector to
     // mask; any other value is a loud error, not a silent default
@@ -430,7 +450,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
       tparam = spec.map(_._2).getOrElse(0L),
-      bloomCols = bloomCols, dv = dv))
+      bloomCols = bloomCols, dv = dv, ndvCols = ndvCols))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }

@@ -440,12 +440,73 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
       colWinN.isEmpty && colWinS.isEmpty && colEq.isEmpty
     val rows: Option[Long] =
       if (plainRead) RowStore.exactRowCount(statEntries) else None
+    // PER-COLUMN statistics for CBO (SPARK-41378's DSv2 channel,
+    // Iceberg's puffin-NDV shape): distinct counts folded from the
+    // opt-in per-file KMV sketches, plus exact min/max from the
+    // per-column zone maps for plain integer columns. Reported only
+    // for the same clean plain read the exact row count qualifies
+    // for — a pushed range reads a SUBSET, and full-table NDVs
+    // against a subset would mislead join estimation in exactly the
+    // direction that breaks plans. Unknown is never guessed: a
+    // statless/legacy/delta-bearing snapshot reports nothing.
+    val colStats: Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!plainRead || branch.nonEmpty ||
+        statEntries.exists(_.kind != "base")) Map.empty
+      else {
+        val base = statEntries
+        meta.ndvCols.flatMap { c =>
+          val storage = meta.storageOf(c)
+          if (base.isEmpty || base.exists(e => !e.ndv.contains(storage)))
+            None
+          else {
+            val merged = base.map(_.ndv(storage)._2)
+              .reduce(RowStore.Kmv.merge)
+            val est = RowStore.Kmv.estimate(merged)
+            val nulls = base.map(_.ndv(storage)._1).sum
+            // exact bounds ride along for plain integer columns (the
+            // colsN fold) — internal forms ARE the boxed values there
+            val bounds: Option[(Any, Any)] =
+              meta.schema.fields.find(_.name == c).map(_.dataType) match {
+                case Some(LongType)
+                  if base.forall(_.colsN.contains(storage)) =>
+                  val bs = base.map(_.colsN(storage))
+                  Some((Long.box(bs.map(_._1).min),
+                    Long.box(bs.map(_._2).max)))
+                case Some(IntegerType)
+                  if base.forall(_.colsN.contains(storage)) =>
+                  val bs = base.map(_.colsN(storage))
+                  Some((Int.box(bs.map(_._1).min.toInt),
+                    Int.box(bs.map(_._2).max.toInt)))
+                case _ => None
+              }
+            Some(Expressions.column(c) -> (new org.apache.spark.sql
+              .connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(est)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            }))
+          }
+        }.toMap
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats.asJava
     }
   }
   override def estimateStatistics(): Statistics = cachedStats

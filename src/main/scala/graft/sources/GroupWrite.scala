@@ -79,7 +79,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
       meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
-      meta.renames, meta.bloomCols)
+      meta.renames, meta.bloomCols, meta.ndvCols)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -98,7 +98,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
             meta.numGroups, meta.transform, meta.tparam, meta.renames,
-            meta.bloomCols)
+            meta.bloomCols, meta.ndvCols)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -112,7 +112,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
             val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
               .map(f => RowStore.FileEntry("base", f.group, f.name,
                 f.minK, f.maxK, f.rows, meta.specId, f.minS, f.maxS,
-                f.colsN, f.colsS, f.blooms)).toSeq
+                f.colsN, f.colsS, f.blooms, f.ndv)).toSeq
             val cur = RowStore.currentVersion(tableKey)
             RowStore.writeManifest(tableKey, cur + 1,
               RowStore.readManifest(tableKey, cur) ++ added,
@@ -128,7 +128,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap(_.asInstanceOf[FilesMessage].files)
       .map(f => RowStore.FileEntry("base", f.group, f.name, f.minK, f.maxK,
-        f.rows, meta.specId, f.minS, f.maxS, f.colsN, f.colsS, f.blooms))
+        f.rows, meta.specId, f.minS, f.maxS, f.colsN, f.colsS, f.blooms,
+        f.ndv))
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
@@ -229,7 +230,8 @@ case class FileMeta(group: Int, name: String, minK: Option[Long],
     minS: Option[String] = None, maxS: Option[String] = None,
     colsN: Map[String, (Long, Long)] = Map.empty,
     colsS: Map[String, (String, String)] = Map.empty,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    ndv: Map[String, (Long, Seq[Long])] = Map.empty)
 /** One task's deleted positions against ONE target file (dv mode):
   * a word bitmap, commit-message-sized by construction (rows/8 bytes
   * per touched file — metadata, never rows). */
@@ -241,7 +243,8 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int,
     transform: String = "bucket", tparam: Long = 0L,
     renames: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -284,6 +287,32 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private val bloomVals = scala.collection.mutable
         .Map.empty[(Int, Int), scala.collection.mutable.Set[Long]]
       private val bloomOver = scala.collection.mutable.Set.empty[(Int, Int)]
+      // opt-in per-column KMV distinct-count sketches: the K smallest
+      // distinct hashes per (group, column) — bounded writer state
+      // (K longs per slot) at ANY cardinality, unlike the bloom's
+      // distinct-set which must cap and drop out
+      private val ndvIdx = ndvCols
+        .map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0)
+      private val ndvSk = scala.collection.mutable
+        .Map.empty[(Int, Int), java.util.TreeSet[java.lang.Long]]
+      // per-(group, column) NULL counts ride with the sketch:
+      // catalyst's ColumnStat.hasCountStats gates join estimation on
+      // BOTH distinctCount and nullCount being known
+      private val ndvNulls = scala.collection.mutable
+        .Map.empty[(Int, Int), Long]
+      private def trackNdv(g: Int, vals: Array[Any]): Unit =
+        ndvIdx.foreach { i =>
+          if (vals(i) == null)
+            ndvNulls((g, i)) = ndvNulls.getOrElse((g, i), 0L) + 1L
+          else RowStore.Bloom.hashOf(vals(i)).foreach { h =>
+            val set = ndvSk.getOrElseUpdate((g, i),
+              new java.util.TreeSet[java.lang.Long](
+                (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.compareUnsigned(a, b)))
+            set.add(h)
+            if (set.size > RowStore.Kmv.K) { set.pollLast(); () }
+          }
+        }
       private def trackBlooms(g: Int, vals: Array[Any]): Unit =
         bloomIdx.foreach { i =>
           if (!bloomOver((g, i))) RowStore.Bloom.hashOf(vals(i)).foreach { h =>
@@ -399,6 +428,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
         trackColStats(g, vals)
         trackBlooms(g, vals)
+        trackNdv(g, vals)
         w.write(vals)
       }
 
@@ -438,8 +468,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
                 RowStore.Bloom.enc(m, RowStore.Bloom.build(hs, m))
             }
           }.toMap
+          // ndv sketches keyed by STORAGE name like every other
+          // per-column stat
+          val nd = ndvIdx.flatMap { i =>
+            ndvSk.get((g, i)).map { set =>
+              import scala.jdk.CollectionConverters._
+              fileFields(i).name -> ((ndvNulls.getOrElse((g, i), 0L),
+                set.iterator().asScala.map(_.longValue).toSeq))
+            }
+          }.toMap
           FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong),
-            sst.map(_._1), sst.map(_._2), cn, cs, bl)
+            sst.map(_._1), sst.map(_._2), cn, cs, bl, nd)
         }.toSeq)
       }
       override def abort(): Unit = writers.values.foreach(_._2.close())

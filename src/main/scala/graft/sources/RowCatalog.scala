@@ -752,6 +752,45 @@ object RowCatalogQueries {
         FROM graft_dml.ns.evo GROUP BY 1 ORDER BY band""")
     }),
 
+    // ── q155: NDV STATISTICS FEEDING CBO — q122 gave the optimizer
+    // size and (round 11) exact row counts; without per-column
+    // DISTINCT counts, join selectivity estimation still guesses.
+    // TBLPROPERTIES('ndv'='k,status') records a KMV sketch per
+    // (file, column) at write time (Iceberg's puffin theta-sketch
+    // shape); the scan folds them into reported ColumnStatistics
+    // (SPARK-41378's DSv2 channel), which NdvStatsSpec pins end to
+    // end: attributeStats populated under CBO, join-output cardinality
+    // estimated from the NDV, and the downstream broadcast decision
+    // flipping with it. This row pins the SKETCH itself in-plan:
+    // `ndv_status_exact` (3 distinct statuses — under K, the sketch
+    // is exact) and `ndv_k_close` (high-cardinality estimate within
+    // 10% of COUNT(DISTINCT), the published KMV error at K=256 is
+    // ~6%), over two commits so the fold genuinely merges per-file
+    // sketches. The aggregate restates relationally.
+    "q155_dml_ndv_stats" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q155_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ndvt")
+      s.sql("CREATE TABLE graft_dml.ns.ndvt " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('ndv'='k,status')")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.ndvt
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q155_orders WHERE o_orderkey % 4 = $r"""); () }
+      ins(0); ins(1)
+      val exactK = s.sql("SELECT COUNT(DISTINCT k) FROM graft_dml.ns.ndvt")
+        .head().getLong(0)
+      val ndvK = RowStoreOps.columnNdv("graft_dml.ns.ndvt", "k").get
+      val ndvStatus = RowStoreOps.columnNdv("graft_dml.ns.ndvt", "status").get
+      s.sql("""SELECT status, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.ndvt GROUP BY status ORDER BY status""")
+        .withColumn("ndv_status_exact", lit(ndvStatus == 3L))
+        .withColumn("ndv_k_close",
+          lit(math.abs(ndvK - exactK) <= exactK / 10))
+    }),
+
     // ── q156: `add_files` MIGRATION — the reference's whole pattern
     // is "parquet snapshots already on disk, registered in a catalog"
     // (spark_ingest_script.py:85-105); Iceberg's add_files registers

@@ -418,6 +418,16 @@ object RowCatalogOracles {
         |FROM orders WHERE o_orderkey % 13 IN (0, 5)
         |GROUP BY 1 ORDER BY band""".stripMargin,
 
+    // the rollup restated; the sketch pins are TRUE by the KMV
+    // contract (exact under K distinct, ±10% at high cardinality)
+    "q155_dml_ndv_stats" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS ndv_status_exact, TRUE AS ndv_k_close
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
     // native + imported slices restated; the pins are TRUE by the
     // add_files contract (zero copies, pre-import snapshot intact)
     "q156_dml_add_files" ->

@@ -130,7 +130,8 @@ object RowStore {
       bucketCol: String = "", dropped: Seq[String] = Seq.empty,
       transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
       renames: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Seq.empty, dv: Boolean = false) {
+      bloomCols: Seq[String] = Seq.empty, dv: Boolean = false,
+      ndvCols: Seq[String] = Seq.empty) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -154,13 +155,22 @@ object RowStore {
     * NON-NULL values — sound for the pushed comparison shapes, which
     * no NULL satisfies. A column absent from the map (all-NULL file,
     * unsound truncation, pre-stats manifest) never skips. */
+  /** `ndv` (opt-in via TBLPROPERTIES('ndv'='col,...')): per-column
+    * KMV DISTINCT-COUNT sketches — the K smallest distinct value
+    * hashes, unsigned-sorted. Mergeable across files by construction
+    * (union, keep K smallest), which is the whole point: Iceberg
+    * ships theta-sketch NDVs in puffin blobs for the same reason —
+    * per-file sketches fold to a table-level distinct count at plan
+    * time, feeding CBO join-cardinality estimation, without any
+    * full-column scan. ≤ K longs per (file, column). */
   case class FileEntry(kind: String, group: Int, name: String,
       minK: Option[Long] = None, maxK: Option[Long] = None,
       rows: Option[Long] = None, spec: Int = 0,
       minS: Option[String] = None, maxS: Option[String] = None,
       colsN: Map[String, (Long, Long)] = Map.empty,
       colsS: Map[String, (String, String)] = Map.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      ndv: Map[String, (Long, Seq[Long])] = Map.empty)
 
   /** TRUNCATED string bounds — Iceberg's string zone-map model
     * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
@@ -294,6 +304,52 @@ object RowStore {
     }
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch: keep the K
+    * smallest DISTINCT hashes of a column's values in unsigned order.
+    * Union-mergeable (union, keep K smallest) — the property that
+    * lets per-file sketches recorded at write time fold into a
+    * table-level NDV at plan time, the same economics as Iceberg's
+    * puffin theta sketches. Estimator: exact when fewer than K
+    * distinct hashes were ever seen; otherwise the classic
+    * (K−1)/R with R = the Kth smallest hash as a fraction of the
+    * hash space (Bar-Yossef et al.), ±~8% at K = 256. Hashes come
+    * from [[Bloom.hashOf]]'s canonical externalized forms, so DATE/
+    * DECIMAL columns sketch the same values the files store. */
+  object Kmv {
+    val K = 256
+    private def uDouble(x: Long): Double =
+      if (x >= 0L) x.toDouble else (x >>> 1).toDouble * 2.0 + (x & 1L)
+    /** Merge two unsigned-sorted distinct sketches → K smallest. */
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Long](K)
+      var i = 0
+      var j = 0
+      while (out.length < K && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length &&
+          java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (out.isEmpty || out.last != v) out += v
+      }
+      out.toSeq
+    }
+    /** Estimated distinct count from a (possibly merged) sketch. */
+    def estimate(sk: Seq[Long]): Long =
+      if (sk.size < K) sk.size.toLong
+      else math.max(K.toLong, math.round(
+        (K - 1).toDouble * 1.8446744073709552e19 / uDouble(sk.last)))
+    def enc(sk: Seq[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(sk.length * 8)
+      sk.foreach(bb.putLong)
+      java.util.Base64.getEncoder.withoutPadding.encodeToString(bb.array)
+    }
+    def dec(s: String): Seq[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(s)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      (0 until bytes.length / 8).map(_ => bb.getLong)
+    }
+  }
+
   /** DELETION-VECTOR blob codec (Delta's DV files / Iceberg v3's
     * puffin delete vectors, minus the roaring compression a production
     * format adds): one blob per TARGET data file — line 1 the target's
@@ -402,7 +458,7 @@ object RowStore {
         s"dropped=${m.dropped.mkString(",")}\n" +
         s"renames=${renderRenames(m.renames)}\n" +
         s"bloom=${m.bloomCols.mkString(",")}\ndv=${m.dv}\n" +
-        s"schema=${m.schema.json}\n")
+        s"ndv=${m.ndvCols.mkString(",")}\nschema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -418,7 +474,8 @@ object RowStore {
       kv.getOrElse("spec", "0").toInt,
       parseRenames(kv.getOrElse("renames", "")),
       kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq,
-      kv.getOrElse("dv", "false").toBoolean)
+      kv.getOrElse("dv", "false").toBoolean,
+      kv.getOrElse("ndv", "").split(",").filter(_.nonEmpty).toSeq)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -598,6 +655,7 @@ object RowStore {
         var colsN = Map.empty[String, (Long, Long)]
         var colsS = Map.empty[String, (String, String)]
         var blooms = Map.empty[String, String]
+        var ndv = Map.empty[String, (Long, Seq[Long])]
         toks.drop(3).foreach { t =>
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
@@ -626,6 +684,14 @@ object RowStore {
             val Array(n, b) = t.tail.split("~", 2)
             blooms += StrBounds.dec(n) -> b
           }
+          // `N<enc(col)>~<nulls>~<b64longs>` = opt-in per-column KMV
+          // distinct-count sketch with the column's null count
+          // ([[Kmv]]; catalyst's join estimation requires BOTH —
+          // ColumnStat.hasCountStats gates on distinct AND null counts)
+          else if (t.startsWith("N")) {
+            val Array(n, nu, b) = t.tail.split("~", 3)
+            ndv += StrBounds.dec(n) -> ((nu.toLong, Kmv.dec(b)))
+          }
           else if (minK.isEmpty) minK = Some(t.toLong)
           else if (maxK.isEmpty) maxK = Some(t.toLong)
           else sys.error(s"corrupt manifest line: $l")
@@ -635,7 +701,7 @@ object RowStore {
         require(minS.isDefined == maxS.isDefined,
           s"corrupt manifest line (unpaired string stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
-          minS, maxS, colsN, colsS, blooms)
+          minS, maxS, colsN, colsS, blooms, ndv)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -658,7 +724,9 @@ object RowStore {
       }.mkString
       val bl = e.blooms.toSeq.sortBy(_._1).map { case (n, b) =>
         s"\tF${StrBounds.enc(n)}~$b" }.mkString
-      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl"
+      val nd = e.ndv.toSeq.sortBy(_._1).map { case (n, (nu, sk)) =>
+        s"\tN${StrBounds.enc(n)}~$nu~${Kmv.enc(sk)}" }.mkString
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl$nd"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NDV statistics (q155) end to end: the KMV sketch's accuracy
+  * contract, the DSv2 ColumnStatistics channel populating catalyst's
+  * attributeStats under CBO, join-output cardinality estimated FROM
+  * the reported NDV, and the concrete planning consequence — the
+  * downstream broadcast decision flips with the stats present
+  * (q99/q122's contrast-arm discipline). */
+class NdvStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import graft.sources.{RowStore, RowStoreOps}
+
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val s = spark
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  test("KMV sketch: exact under K distinct, ~±10% above, file-mergeable") {
+    import RowStore.Kmv
+    // direct estimator checks on synthetic hash populations
+    val rnd = new scala.util.Random(7)
+    def sketchOf(n: Int): Seq[Long] = {
+      val hashes = (0 until n).map(_ => rnd.nextLong()).distinct
+      hashes.sorted(Ordering.fromLessThan[Long](
+        java.lang.Long.compareUnsigned(_, _) < 0)).take(Kmv.K)
+    }
+    assert(Kmv.estimate(sketchOf(100)) == 100L)
+    val est = Kmv.estimate(sketchOf(50000))
+    assert(math.abs(est - 50000L) < 7500L, s"KMV estimate off: $est")
+    // merge == sketch-of-union (the property per-file folding needs)
+    val a = sketchOf(10000)
+    val b = sketchOf(10000)
+    val merged = Kmv.merge(a, b)
+    assert(merged.size == Kmv.K &&
+      merged == merged.sorted(Ordering.fromLessThan[Long](
+        java.lang.Long.compareUnsigned(_, _) < 0)))
+  }
+
+  test("reported NDV reaches attributeStats and join cardinality under CBO") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ndva")
+    s.sql("CREATE TABLE graft_dml.spec.ndva (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('ndv'='k')")
+    s.range(0, 400).selectExpr("id AS k", "id * 10 AS v")
+      .writeTo("graft_dml.spec.ndva").append()
+    // two commits so the plan-time fold genuinely merges sketches
+    s.range(400, 800).selectExpr("id AS k", "id * 10 AS v")
+      .writeTo("graft_dml.spec.ndva").append()
+    assert(RowStoreOps.columnNdv("graft_dml.spec.ndva", "k")
+      .exists(n => math.abs(n - 800L) <= 80L))
+
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val df = s.table("graft_dml.spec.ndva")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(800)))
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.distinctCount.exists(n =>
+        (n - 800).abs <= 80)),
+        s"attributeStats missing/wrong NDV for k: $kStat")
+      assert(kStat.exists(_.min.contains(0L)) &&
+        kStat.exists(_.max.contains(799L)),
+        "zone-map min/max must ride along for plain long columns")
+
+      // join-output cardinality estimated from the NDV: 800 × 800 /
+      // max(800, 800) = 800 — without colstats this is None
+      s.sql("DROP TABLE IF EXISTS graft_dml.spec.ndvb")
+      s.sql("CREATE TABLE graft_dml.spec.ndvb (k BIGINT, w BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('ndv'='k')")
+      s.range(0, 800).selectExpr("id AS k", "id + 5 AS w")
+        .writeTo("graft_dml.spec.ndvb").append()
+      val joined = df.join(s.table("graft_dml.spec.ndvb"), "k")
+      val jr = joined.queryExecution.optimizedPlan.stats.rowCount
+      assert(jr.exists(n => n >= 700 && n <= 900),
+        s"NDV-driven join estimate expected ~800 rows, got $jr")
+    }
+  }
+
+  test("the downstream broadcast decision flips under reported NDV") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // A and B are small enough to broadcast from their exact row
+    // counts in BOTH arms (join #1 is always a BHJ — the control);
+    // the probe side C is row-heavy, far past the threshold. The
+    // DIFFERENTIATOR is join #2's build side = the OUTPUT of A⋈B:
+    // with reported NDV the estimator knows A⋈B ≈ 2000 rows (tiny,
+    // broadcast into C); without column stats the join's size falls
+    // back to the input-size product (huge, sort-merge). Only the
+    // NDV makes the intermediate result's smallness knowable.
+    def mk(name: String, props: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.$name")
+      s.sql(s"CREATE TABLE graft_dml.spec.$name (k BIGINT, v BIGINT) " +
+        props)
+      s.range(0, 2000).selectExpr("id AS k", "id * 3 AS v")
+        .writeTo(s"graft_dml.spec.$name").append()
+    }
+    mk("fa", "TBLPROPERTIES ('ndv'='k')")
+    mk("fb", "TBLPROPERTIES ('ndv'='k')")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.fc")
+    s.sql("CREATE TABLE graft_dml.spec.fc (k BIGINT)")
+    s.range(0, 200000).selectExpr("id % 2000 AS k")
+      .writeTo("graft_dml.spec.fc").append()
+    def nBhj(): Int = withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (200 * 1024).toString) {
+      val a = s.table("graft_dml.spec.fa")
+      val b = s.table("graft_dml.spec.fb").selectExpr("k", "v AS w")
+      val c = s.table("graft_dml.spec.fc")
+      val q = a.join(b, "k").join(c, "k")
+      q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => j
+      }.size
+    }
+    val withNdv = nBhj()
+    // contrast arm: identical data, row counts, and sizes — only the
+    // ndv property differs
+    mk("fa", "")
+    mk("fb", "")
+    val withoutNdv = nBhj()
+    assert(withNdv == 2 && withoutNdv == 1,
+      s"expected the NDV arm to broadcast the A-join-B intermediate " +
+        s"into C where the statless arm cannot size it (got " +
+        s"$withNdv vs $withoutNdv BroadcastHashJoins)")
+    Seq("fa", "fb", "fc", "ndva", "ndvb").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.$t"))
+  }
+}
