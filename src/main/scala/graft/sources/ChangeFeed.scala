@@ -615,6 +615,85 @@ object RowStoreOps {
       es.map(_.ndv(storage)._2).reduce(RowStore.Kmv.merge)))
   }
 
+  /** COMPUTE TABLE STATISTICS (Iceberg's `compute_table_stats`): build
+    * per-file KMV NDV sketches for existing data — the ANALYZE path
+    * for tables created WITHOUT the 'ndv' property (write-time
+    * tracking only covers rows written after CREATE). One distributed
+    * pass: executors each read a file's named columns and reduce them
+    * to a ≤K-long sketch + null count; the driver collects ONLY the
+    * sketches (file-count × K longs — metadata, never rows) and
+    * commits a new version whose entries carry them, adding `cols` to
+    * the table's tracked set so subsequent writes keep the stats
+    * current. Clean snapshots only (delta/dv entries mutate rows at
+    * read time — OPTIMIZE first), matching the scan's own refusal
+    * rule. Returns (files sketched, columns). */
+  def computeTableStats(s: SparkSession, table: String,
+      cols: Seq[String]): (Int, Int) = {
+    val meta = RowStore.readMeta(table)
+    require(cols.nonEmpty, "compute_table_stats: no columns named")
+    val fields = cols.map { c =>
+      meta.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"$table: ndv column $c is not in the table schema"))
+    }
+    fields.foreach { f =>
+      val trackable = f.dataType match {
+        case LongType | IntegerType | TimestampType | StringType |
+          org.apache.spark.sql.types.DateType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+        case _ => false
+      }
+      require(trackable,
+        s"$table: ndv column ${f.name} has untrackable type ${f.dataType}")
+    }
+    val dir = RowStore.dataDir(table)
+    val baseV = RowStore.currentVersion(table)
+    val man = RowStore.readManifest(table, baseV)
+    require(man.forall(_.kind == "base"),
+      s"$table: compute_table_stats needs a clean snapshot — run " +
+        "OPTIMIZE to fold delta/deletion-vector entries first")
+    // executors read the named columns under their STORAGE names and
+    // reduce to sketches; the collect is sketch-sized metadata
+    val storageFields = fields.map(f =>
+      f.copy(name = meta.storageOf(f.name)))
+    val k = RowStore.Kmv.K
+    val paths = man.map(e => (e.name, RowStore.entryPath(dir, e.name)))
+    val sketched: Map[String, Map[String, (Long, Seq[Long])]] =
+      s.sparkContext.parallelize(paths, math.max(1, math.min(64, paths.size)))
+        .map { case (name, path) =>
+          val rows = RowFiles.readRows(path, storageFields)
+          val per = storageFields.zipWithIndex.map { case (f, i) =>
+            var nulls = 0L
+            val set = new java.util.TreeSet[java.lang.Long](
+              (a: java.lang.Long, b: java.lang.Long) =>
+                java.lang.Long.compareUnsigned(a, b))
+            rows.foreach { r =>
+              if (r(i) == null) nulls += 1L
+              else RowStore.Bloom.hashOf(r(i)).foreach { h =>
+                set.add(h)
+                if (set.size > k) { set.pollLast(); () }
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            f.name -> ((nulls,
+              set.iterator().asScala.map(_.longValue).toSeq))
+          }.toMap
+          (name, per)
+        }.collect().toMap
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(table)
+      if (cur != baseV)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: analyzed version $baseV but the table is now at " +
+            s"$cur — retry")
+      val updated = man.map(e => e.copy(ndv = e.ndv ++ sketched(e.name)))
+      val m2 = RowStore.readMeta(table)
+      RowStore.writeMeta(table,
+        m2.copy(ndvCols = (m2.ndvCols ++ cols).distinct))
+      RowStore.writeManifest(table, cur + 1, updated)
+    }
+    (paths.size, cols.size)
+  }
+
   /** `add_files` MIGRATION (Iceberg's add_files procedure): register
     * parquet files that ALREADY EXIST on disk as a new table version
     * — zero data copies, file identity preserved (the manifest
@@ -708,11 +787,19 @@ object RowStoreOps {
     * RENAME there. Returns the added column names (empty = the plain
     * MERGE path, byte-identical to not calling this).
     *
-    * NOT ATOMIC across schema + data: each auto-added column commits
-    * its own ALTER version before the MERGE runs, so a MERGE that then
-    * fails leaves the schema evolved (added columns all-NULL) — unlike
-    * Delta's mergeSchema, which evolves atomically with the merge.
-    * Safe to re-run: the re-issued call finds the columns present and
+    * Each auto-added column commits its own ALTER version before the
+    * MERGE runs; a MERGE that then FAILS triggers a schema ROLLBACK —
+    * the added columns are removed again (a new version with the
+    * pre-merge schema), so the statement is atomic-in-effect like
+    * Delta's mergeSchema. The rollback is sound precisely because the
+    * failed MERGE committed nothing (the COW commit is all-or-
+    * nothing): no retained file stores values under the added names,
+    * so restoring the schema needs none of user-DROP's name
+    * blacklisting and the same evolution can be retried. If another
+    * writer managed to commit between the ALTERs and the failure, the
+    * rollback declines (the columns may now carry data) and the
+    * documented evolved-but-unmerged state remains — safe to re-run
+    * either way: a re-issued call finds the columns present and
     * degenerates to the plain MERGE. */
   def mergeEvolving(s: SparkSession, table: String, sourceView: String,
       mergeSql: String): Seq[String] = {
@@ -736,7 +823,27 @@ object RowStoreOps {
         s.sql(s"ALTER TABLE $table ADD COLUMNS (`${f.name}` $ddl)")
         f.name
       }
-    s.sql(mergeSql)
+    val preMergeV =
+      if (added.isEmpty) -1 else RowStore.currentVersion(table)
+    try { s.sql(mergeSql); () }
+    catch { case e: Throwable =>
+      if (added.nonEmpty) RowStore.commitLock.synchronized {
+        // roll back only while provably safe: the table must still
+        // sit at the pre-merge version (nothing committed data under
+        // the new columns)
+        if (RowStore.currentVersion(table) == preMergeV) {
+          val m = RowStore.readMeta(table)
+          RowStore.writeMeta(table, m.copy(schema = StructType(
+            m.schema.fields.filterNot(f => added.contains(f.name)))))
+          // the rollback commits its own version (same entries, the
+          // restored `#schema` header) — time travel sees evolve and
+          // un-evolve as two honest commits
+          RowStore.writeManifest(table, preMergeV + 1,
+            RowStore.readManifest(table, preMergeV))
+        }
+      }
+      throw e
+    }
     added
   }
 

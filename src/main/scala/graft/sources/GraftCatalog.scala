@@ -140,6 +140,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(deleted, retained)
       }
     },
+    new Proc("compute_table_stats",
+      "build per-file NDV sketches for the named columns of an " +
+        "existing table's current snapshot (one distributed pass) " +
+        "and keep them current on subsequent writes",
+      Seq(("table", StringType), ("columns", StringType)),
+      Seq(("sketched_files", IntegerType), ("sketched_columns", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (nf, nc) = RowStoreOps.computeTableStats(SparkSession.active,
+          tkey(a.getUTF8String(0)),
+          a.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+        Array(nf, nc)
+      }
+    },
     new Proc("add_files",
       "register existing parquet files under source_dir as a new " +
         "table version — zero copies, file identity preserved in the " +

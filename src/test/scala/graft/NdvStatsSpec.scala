@@ -84,6 +84,53 @@ class NdvStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("compute_table_stats retro-fits sketches onto an existing table") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // created WITHOUT the ndv property — write-time tracking never ran
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.anlz")
+    s.sql("CREATE TABLE graft_dml.spec.anlz " +
+      "(k BIGINT, tag STRING) PARTITIONED BY (bucket(4, k))")
+    s.range(0, 600).selectExpr("id AS k",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('t', id % 7) END AS tag")
+      .writeTo("graft_dml.spec.anlz").append()
+    assert(RowStoreOps.columnNdv("graft_dml.spec.anlz", "k").isEmpty,
+      "no sketches before ANALYZE")
+    val res = s.sql("CALL graft_dml.system.compute_table_stats(" +
+      "'spec.anlz', 'k,tag')").head()
+    assert(res.getInt(0) == 4 && res.getInt(1) == 2)
+    assert(RowStoreOps.columnNdv("graft_dml.spec.anlz", "k")
+      .exists(n => (n - 600L).abs <= 60L))
+    assert(RowStoreOps.columnNdv("graft_dml.spec.anlz", "tag")
+      .contains(7L), "under-K cardinality must be exact; NULLs excluded")
+    // the property sticks: subsequent writes keep the stats current
+    s.range(600, 700).selectExpr("id AS k", "'fresh' AS tag")
+      .writeTo("graft_dml.spec.anlz").append()
+    assert(RowStoreOps.columnNdv("graft_dml.spec.anlz", "tag")
+      .contains(8L), "post-ANALYZE writes must extend the sketches")
+    // and the fold reaches CBO like write-time sketches do
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = s.table("graft_dml.spec.anlz")
+        .queryExecution.optimizedPlan.stats
+      val kStat = st.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.distinctCount.exists(n => (n - 700).abs <= 70)))
+      val tagStat = st.attributeStats.find(_._1.name == "tag").map(_._2)
+      assert(tagStat.exists(_.nullCount.exists(_ == 200)),
+        s"null count must fold (200 of the first 600 rows): $tagStat")
+    }
+    // dirty snapshots refuse (the scan's own rule)
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.anlzm")
+    s.sql("CREATE TABLE graft_dml.spec.anlzm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor')")
+    s.sql("INSERT INTO graft_dml.spec.anlzm VALUES (1, 10), (2, 20)")
+    s.sql("DELETE FROM graft_dml.spec.anlzm WHERE k = 1")
+    val e = intercept[Exception](RowStoreOps.computeTableStats(
+      s, "graft_dml.spec.anlzm", Seq("k")))
+    assert(e.getMessage.contains("clean snapshot"))
+    s.sql("DROP TABLE graft_dml.spec.anlz")
+    s.sql("DROP TABLE graft_dml.spec.anlzm")
+  }
+
   test("the downstream broadcast decision flips under reported NDV") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")

@@ -1686,6 +1686,45 @@ class RowCatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_dml.spec.mevm")
   }
 
+  test("a FAILED evolving merge rolls the schema back (atomic-in-effect)") {
+    val s = spark
+    import graft.sources.{RowStore, RowStoreOps}
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.mevr")
+    s.sql("CREATE TABLE graft_dml.spec.mevr (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_dml.spec.mevr VALUES (1, 10), (2, 20)") // v1
+    // duplicate source keys make the MERGE itself fail AFTER the
+    // auto-ADD (cardinality violation) — the crash window the
+    // round-11 verdict documented as non-atomic
+    s.sql("SELECT * FROM VALUES (2L, 5L, 'x'), (2L, 6L, 'y') " +
+      "AS t(k, v, tag)").createOrReplaceTempView("mevr_dup")
+    val preSchema = s.table("graft_dml.spec.mevr").schema.fieldNames.toSeq
+    intercept[Exception] {
+      RowStoreOps.mergeEvolving(s, "graft_dml.spec.mevr", "mevr_dup",
+        """MERGE INTO graft_dml.spec.mevr t USING mevr_dup s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag""")
+    }
+    // schema restored, content untouched
+    assert(s.table("graft_dml.spec.mevr").schema.fieldNames.toSeq
+      == preSchema, "failed merge must roll the auto-ADD back")
+    assert(s.table("graft_dml.spec.mevr").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // the rollback is NOT a user DROP: the same evolution retries
+    // cleanly (no blacklisted name)
+    s.sql("SELECT * FROM VALUES (2L, 5L, 'x') AS t(k, v, tag)")
+      .createOrReplaceTempView("mevr_ok")
+    assert(RowStoreOps.mergeEvolving(s, "graft_dml.spec.mevr", "mevr_ok",
+      """MERGE INTO graft_dml.spec.mevr t USING mevr_ok s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = s.tag""")
+      == Seq("tag"))
+    assert(s.table("graft_dml.spec.mevr").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq((1L, 10L, null), (2L, 25L, "x")))
+    s.sql("DROP TABLE graft_dml.spec.mevr")
+  }
+
   test("equality deletes: key-value deltas, no base rewrite, OPTIMIZE folds") {
     val s = spark
     import graft.sources.{RowFiles, RowStore, RowStoreOps}
