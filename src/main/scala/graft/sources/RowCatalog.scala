@@ -813,13 +813,21 @@ object RowCatalogQueries {
       graft.Tables(s, d, "orders").createOrReplaceTempView("q156_orders")
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val ext = graft.Scratch.dir(s, "graft_q156_ext", tag)
+      // ONE QUARTER'S snapshot tree: the reference writes one
+      // y=/m=/d= dir per daily DAG run, so a realistic import is a
+      // bounded window of days — orders span 80 calendar months, and
+      // an unwindowed slice would shatter into ~2,400 one-row
+      // partition dirs at sf0.1 (a 2,400-file footer walk and a
+      // 2,400-group scan measuring directory churn, not the op)
       graft.Scratch.materializeOnce(ext) {
         s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
             o_orderstatus AS status,
             year(o_orderdate) AS y, month(o_orderdate) AS m,
             day(o_orderdate) AS d
-          FROM q156_orders WHERE o_orderkey % 9 = 4""")
+          FROM q156_orders WHERE o_orderkey % 9 = 4
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-04-01'""")
           .write.partitionBy("y", "m", "d").mode("overwrite").parquet(ext)
       }
       s.sql("DROP TABLE IF EXISTS graft_dml.ns.imp")

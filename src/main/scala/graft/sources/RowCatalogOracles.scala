@@ -434,7 +434,10 @@ object RowCatalogOracles {
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  o_orderstatus AS status, TRUE AS zero_copy, TRUE AS tt_ok
-        |FROM orders WHERE o_orderkey % 9 IN (1, 4)
+        |FROM orders WHERE o_orderkey % 9 = 1
+        |   OR (o_orderkey % 9 = 4
+        |       AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |       AND o_orderdate < TIMESTAMP '1995-04-01')
         |ORDER BY k""".stripMargin,
 
     // both slices + the cross-spec MERGE restated: matched keys
