@@ -312,11 +312,21 @@ object RowStoreOps {
   def compact(s: SparkSession, table: String): (Set[Int], Int, Int) = {
     val base = RowStore.currentVersion(table)
     val man = RowStore.readManifest(table, base)
-    val dirty = man.groupBy(_.group).collect {
-      case (g, es) if g >= 0 && (es.exists(_.kind != "base") ||
+    // dirtiness is a per-(spec, group) property: after a spec
+    // evolution or add_files, two healthy one-file groups that merely
+    // SHARE a group number across specs are not fragmentation — a
+    // number-only grouping would flag them and crash the handshake
+    val dirty = man.groupBy(e => (e.spec, e.group)).collect {
+      case ((_, g), es) if g >= 0 && (es.exists(_.kind != "base") ||
         es.count(_.kind == "base") > 1) => g
     }.toSet
     if (dirty.nonEmpty) {
+      // the group-number handshake can't express spec-qualified
+      // restriction — refuse loudly on a genuinely-dirty multi-spec
+      // table (migrate first) instead of crashing inside the scan
+      require(man.forall(_.spec == RowStore.readMeta(table).specId),
+        s"$table: OPTIMIZE across partition specs is not supported — " +
+          "migrate with INSERT OVERWRITE onto the active spec first")
       val hs = s"$base:" + dirty.toSeq.sorted.mkString(",")
       s.read.option("compact", hs).table(table)
         .writeTo(table).option("compact", hs).append()
@@ -635,16 +645,8 @@ object RowStoreOps {
       meta.schema.fields.find(_.name == c).getOrElse(
         sys.error(s"$table: ndv column $c is not in the table schema"))
     }
-    fields.foreach { f =>
-      val trackable = f.dataType match {
-        case LongType | IntegerType | TimestampType | StringType |
-          org.apache.spark.sql.types.DateType => true
-        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
-        case _ => false
-      }
-      require(trackable,
-        s"$table: ndv column ${f.name} has untrackable type ${f.dataType}")
-    }
+    fields.foreach(f => require(RowStore.Bloom.trackable(f.dataType),
+      s"$table: ndv column ${f.name} has untrackable type ${f.dataType}"))
     val dir = RowStore.dataDir(table)
     val baseV = RowStore.currentVersion(table)
     val man = RowStore.readManifest(table, baseV)
@@ -655,7 +657,6 @@ object RowStoreOps {
     // reduce to sketches; the collect is sketch-sized metadata
     val storageFields = fields.map(f =>
       f.copy(name = meta.storageOf(f.name)))
-    val k = RowStore.Kmv.K
     val paths = man.map(e => (e.name, RowStore.entryPath(dir, e.name)))
     val sketched: Map[String, Map[String, (Long, Seq[Long])]] =
       s.sparkContext.parallelize(paths, math.max(1, math.min(64, paths.size)))
@@ -663,19 +664,13 @@ object RowStoreOps {
           val rows = RowFiles.readRows(path, storageFields)
           val per = storageFields.zipWithIndex.map { case (f, i) =>
             var nulls = 0L
-            val set = new java.util.TreeSet[java.lang.Long](
-              (a: java.lang.Long, b: java.lang.Long) =>
-                java.lang.Long.compareUnsigned(a, b))
+            val set = RowStore.Kmv.newSet()
             rows.foreach { r =>
               if (r(i) == null) nulls += 1L
-              else RowStore.Bloom.hashOf(r(i)).foreach { h =>
-                set.add(h)
-                if (set.size > k) { set.pollLast(); () }
-              }
+              else RowStore.Bloom.hashOf(r(i))
+                .foreach(RowStore.Kmv.add(set, _))
             }
-            import scala.jdk.CollectionConverters._
-            f.name -> ((nulls,
-              set.iterator().asScala.map(_.longValue).toSeq))
+            f.name -> ((nulls, RowStore.Kmv.toSeq(set)))
           }.toMap
           (name, per)
         }.collect().toMap
@@ -742,23 +737,29 @@ object RowStoreOps {
       val (rows, msg) = RowFiles.footerMeta(f)
       meta.schema.fields.foreach { fld =>
         val storage = meta.storageOf(fld.name)
-        if (msg.containsField(storage)) {
-          val prim = msg.getType(Seq(storage): _*)
-            .asPrimitiveType().getPrimitiveTypeName
-          val ok = fld.dataType match {
-            // INT32 under a LONG column is the reader's widening path
-            case LongType => prim == PrimitiveTypeName.INT64 ||
-              prim == PrimitiveTypeName.INT32
-            case TimestampType => prim == PrimitiveTypeName.INT64
-            case d: DecimalType if d.precision <= 18 =>
-              prim == PrimitiveTypeName.INT64
-            case IntegerType | DateType => prim == PrimitiveTypeName.INT32
-            case StringType => prim == PrimitiveTypeName.BINARY
-            case _ => false
-          }
-          require(ok, s"add_files: $f stores column ${fld.name} as " +
-            s"$prim, incompatible with declared type ${fld.dataType}")
+        // STRICT presence: native files may legitimately predate an
+        // ADD COLUMN (read-time NULL padding), but an import missing a
+        // column under its storage name would read back all-NULL
+        // forever — silent data loss dressed as a migration. Refuse.
+        require(msg.containsField(storage),
+          s"add_files: $f does not store column ${fld.name}" +
+            (if (storage != fld.name) s" (storage name $storage)" else "") +
+            " — imported files must carry the full table schema")
+        val prim = msg.getType(Seq(storage): _*)
+          .asPrimitiveType().getPrimitiveTypeName
+        val ok = fld.dataType match {
+          // INT32 under a LONG column is the reader's widening path
+          case LongType => prim == PrimitiveTypeName.INT64 ||
+            prim == PrimitiveTypeName.INT32
+          case TimestampType => prim == PrimitiveTypeName.INT64
+          case d: DecimalType if d.precision <= 18 =>
+            prim == PrimitiveTypeName.INT64
+          case IntegerType | DateType => prim == PrimitiveTypeName.INT32
+          case StringType => prim == PrimitiveTypeName.BINARY
+          case _ => false
         }
+        require(ok, s"add_files: $f stores column ${fld.name} as " +
+          s"$prim, incompatible with declared type ${fld.dataType}")
       }
       totalRows += rows
       (f, rows)
@@ -827,21 +828,26 @@ object RowStoreOps {
       if (added.isEmpty) -1 else RowStore.currentVersion(table)
     try { s.sql(mergeSql); () }
     catch { case e: Throwable =>
-      if (added.nonEmpty) RowStore.commitLock.synchronized {
-        // roll back only while provably safe: the table must still
-        // sit at the pre-merge version (nothing committed data under
-        // the new columns)
-        if (RowStore.currentVersion(table) == preMergeV) {
-          val m = RowStore.readMeta(table)
-          RowStore.writeMeta(table, m.copy(schema = StructType(
-            m.schema.fields.filterNot(f => added.contains(f.name)))))
-          // the rollback commits its own version (same entries, the
-          // restored `#schema` header) — time travel sees evolve and
-          // un-evolve as two honest commits
-          RowStore.writeManifest(table, preMergeV + 1,
-            RowStore.readManifest(table, preMergeV))
+      // best-effort rollback: a failure INSIDE the rollback (IO) must
+      // never mask the MERGE's own error — suppress it onto `e` and
+      // let the documented evolved-but-unmerged state stand
+      try {
+        if (added.nonEmpty) RowStore.commitLock.synchronized {
+          // roll back only while provably safe: the table must still
+          // sit at the pre-merge version (nothing committed data
+          // under the new columns)
+          if (RowStore.currentVersion(table) == preMergeV) {
+            val m = RowStore.readMeta(table)
+            RowStore.writeMeta(table, m.copy(schema = StructType(
+              m.schema.fields.filterNot(f => added.contains(f.name)))))
+            // the rollback commits its own version (same entries, the
+            // restored `#schema` header) — time travel sees evolve
+            // and un-evolve as two honest commits
+            RowStore.writeManifest(table, preMergeV + 1,
+              RowStore.readManifest(table, preMergeV))
+          }
         }
-      }
+      } catch { case rb: Throwable => e.addSuppressed(rb) }
       throw e
     }
     added

@@ -422,13 +422,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     bloomCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"bloom column $c is not in the table schema"))
-      val trackable = f.dataType match {
-        case LongType | IntegerType | TimestampType | StringType |
-          org.apache.spark.sql.types.DateType => true
-        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
-        case _ => false
-      }
-      require(trackable,
+      require(RowStore.Bloom.trackable(f.dataType),
         s"bloom column $c has untrackable type ${f.dataType}")
     }
     // opt-in per-column NDV sketches (TBLPROPERTIES('ndv'='col,...')):
@@ -443,13 +437,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     ndvCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"ndv column $c is not in the table schema"))
-      val trackable = f.dataType match {
-        case LongType | IntegerType | TimestampType | StringType |
-          org.apache.spark.sql.types.DateType => true
-        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
-        case _ => false
-      }
-      require(trackable, s"ndv column $c has untrackable type ${f.dataType}")
+      require(RowStore.Bloom.trackable(f.dataType),
+        s"ndv column $c has untrackable type ${f.dataType}")
     }
     // deletion vectors (TBLPROPERTIES('deletes'='dv')): MOR-only —
     // COW rewrites whole groups, there is nothing for a vector to

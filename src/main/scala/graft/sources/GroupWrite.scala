@@ -304,14 +304,9 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         ndvIdx.foreach { i =>
           if (vals(i) == null)
             ndvNulls((g, i)) = ndvNulls.getOrElse((g, i), 0L) + 1L
-          else RowStore.Bloom.hashOf(vals(i)).foreach { h =>
-            val set = ndvSk.getOrElseUpdate((g, i),
-              new java.util.TreeSet[java.lang.Long](
-                (a: java.lang.Long, b: java.lang.Long) =>
-                  java.lang.Long.compareUnsigned(a, b)))
-            set.add(h)
-            if (set.size > RowStore.Kmv.K) { set.pollLast(); () }
-          }
+          else RowStore.Bloom.hashOf(vals(i)).foreach(h =>
+            RowStore.Kmv.add(ndvSk.getOrElseUpdate((g, i),
+              RowStore.Kmv.newSet()), h))
         }
       private def trackBlooms(g: Int, vals: Array[Any]): Unit =
         bloomIdx.foreach { i =>
@@ -469,13 +464,15 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             }
           }.toMap
           // ndv sketches keyed by STORAGE name like every other
-          // per-column stat
-          val nd = ndvIdx.flatMap { i =>
-            ndvSk.get((g, i)).map { set =>
-              import scala.jdk.CollectionConverters._
-              fileFields(i).name -> ((ndvNulls.getOrElse((g, i), 0L),
-                set.iterator().asScala.map(_.longValue).toSeq))
-            }
+          // per-column stat. ALWAYS emitted for a tracked column —
+          // an all-NULL file records (nulls, empty sketch), which is
+          // a VALID exact observation (0 distinct non-null values);
+          // omitting it would make the plan-time fold refuse NDV for
+          // the whole table over one legitimate file
+          val nd = ndvIdx.map { i =>
+            fileFields(i).name -> ((ndvNulls.getOrElse((g, i), 0L),
+              ndvSk.get((g, i)).map(RowStore.Kmv.toSeq)
+                .getOrElse(Seq.empty[Long])))
           }.toMap
           FileMeta(g, n, st.map(_._1), st.map(_._2), Some(w.rows.toLong),
             sst.map(_._1), sst.map(_._2), cn, cs, bl, nd)
@@ -549,10 +546,15 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
       }
       val man = RowStore.readManifest(tableKey, cur)
       val dir = RowStore.dataDir(tableKey)
-      // existing vector per target (each blob names its one target)
+      // existing vector per TOUCHED target only: the target rides the
+      // manifest entry (`dvTarget`), so commit IO is proportional to
+      // this commit's touched files — never to the table's total
+      // vector count (the economics the feature exists for)
+      val touched = newDels.keySet.map(_._2)
       val existing: Map[String, (RowStore.FileEntry, Array[Long])] =
         if (newDels.isEmpty) Map.empty
-        else man.filter(_.kind == "dv").map { e =>
+        else man.filter(e => e.kind == "dv" &&
+            e.dvTarget.exists(touched)).map { e =>
           val (t, w) = RowStore.Dv.read(s"$dir/${e.name}")
           t -> ((e, w))
         }.toMap
@@ -562,9 +564,10 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
             .map(p => RowStore.Dv.union(p._2, w)).getOrElse(w)
           val name = s"dv$g-${UUID.randomUUID()}.bin"
           RowStore.Dv.write(s"$dir/$name", target, merged)
-          RowStore.FileEntry("dv", g, name, spec = meta.specId)
+          RowStore.FileEntry("dv", g, name, spec = meta.specId,
+            dvTarget = Some(target))
       }
-      val replacedDv = newDels.keySet.map(_._2)
+      val replacedDv = touched
         .flatMap(t => existing.get(t).map(_._1.name))
       RowStore.writeManifest(tableKey, cur + 1,
         man.filterNot(e => e.kind == "dv" && replacedDv(e.name)) ++

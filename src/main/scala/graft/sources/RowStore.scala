@@ -170,7 +170,8 @@ object RowStore {
       colsN: Map[String, (Long, Long)] = Map.empty,
       colsS: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      ndv: Map[String, (Long, Seq[Long])] = Map.empty)
+      ndv: Map[String, (Long, Seq[Long])] = Map.empty,
+      dvTarget: Option[String] = None)
 
   /** TRUNCATED string bounds — Iceberg's string zone-map model
     * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
@@ -247,6 +248,17 @@ object RowStore {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
+    /** The column types whose canonical externalized form [[hashOf]]
+      * tracks — ONE definition for the bloom and ndv property checks
+      * at CREATE and the compute_table_stats validation (divergence
+      * between them would let ANALYZE accept what CREATE refuses). */
+    def trackable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | TimestampType | StringType |
+        org.apache.spark.sql.types.DateType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _ => false
+    }
+
     /** Hash of a stored value's EXTERNALIZED form (what the writer
       * sees): longs/ints/timestamp-micros via the long form, strings
       * via FNV-1a. None = untracked type, no bloom participation. */
@@ -338,6 +350,23 @@ object RowStore {
       if (sk.size < K) sk.size.toLong
       else math.max(K.toLong, math.round(
         (K - 1).toDouble * 1.8446744073709552e19 / uDouble(sk.last)))
+    /** A fresh bounded sketch accumulator (unsigned-ordered). */
+    def newSet(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long](
+        (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.compareUnsigned(a, b))
+    /** Fold one hash into a bounded accumulator (keep K smallest). */
+    def add(set: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+      set.add(h)
+      if (set.size > K) { set.pollLast(); () }
+    }
+    def toSeq(set: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val it = set.iterator()
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](set.size)
+      while (it.hasNext) buf += it.next().longValue
+      buf.toSeq
+    }
+
     def enc(sk: Seq[Long]): String = {
       val bb = java.nio.ByteBuffer.allocate(sk.length * 8)
       sk.foreach(bb.putLong)
@@ -576,16 +605,19 @@ object RowStore {
     })
 
   private[sources] def purgeManifestCache(key: String, v: Int): Unit = {
-    manifestCache.remove((key, v)); ()
+    manifestCache.remove((tableDir(key), v)); ()
   }
   private def purgeManifestCacheTable(key: String): Unit =
     manifestCache.synchronized {
-      manifestCache.keySet.asScala.filter(_._1 == key).toList
+      manifestCache.keySet.asScala.filter(_._1 == tableDir(key)).toList
         .foreach(manifestCache.remove)
     }
 
   def readManifest(key: String, v: Int): Seq[FileEntry] = {
-    val ck = (key, v)
+    // keyed by the PER-APPLICATION table dir (see epochCache): a
+    // re-created same-named table under a new SparkSession's root
+    // must never resolve through the old application's cache
+    val ck = (tableDir(key), v)
     val cached = manifestCache.get(ck)
     if (cached != null) cached
     else {
@@ -656,6 +688,7 @@ object RowStore {
         var colsS = Map.empty[String, (String, String)]
         var blooms = Map.empty[String, String]
         var ndv = Map.empty[String, (Long, Seq[Long])]
+        var dvTarget: Option[String] = None
         toks.drop(3).foreach { t =>
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
@@ -684,6 +717,11 @@ object RowStore {
             val Array(n, b) = t.tail.split("~", 2)
             blooms += StrBounds.dec(n) -> b
           }
+          // `D<enc(target)>` = a deletion-vector entry's target data
+          // file, manifest-resident so a delete commit can find (and
+          // replace) the touched files' vectors WITHOUT opening every
+          // blob — keeping commit IO proportional to touched files
+          else if (t.startsWith("D")) dvTarget = Some(StrBounds.dec(t.tail))
           // `N<enc(col)>~<nulls>~<b64longs>` = opt-in per-column KMV
           // distinct-count sketch with the column's null count
           // ([[Kmv]]; catalyst's join estimation requires BOTH —
@@ -701,7 +739,7 @@ object RowStore {
         require(minS.isDefined == maxS.isDefined,
           s"corrupt manifest line (unpaired string stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
-          minS, maxS, colsN, colsS, blooms, ndv)
+          minS, maxS, colsN, colsS, blooms, ndv, dvTarget)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -726,7 +764,8 @@ object RowStore {
         s"\tF${StrBounds.enc(n)}~$b" }.mkString
       val nd = e.ndv.toSeq.sortBy(_._1).map { case (n, (nu, sk)) =>
         s"\tN${StrBounds.enc(n)}~$nu~${Kmv.enc(sk)}" }.mkString
-      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl$nd"
+      val dvt = e.dvTarget.map(t => s"\tD${StrBounds.enc(t)}").getOrElse("")
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl$nd$dvt"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the
@@ -761,7 +800,10 @@ object RowStore {
     })
 
   def lastStreamEpoch(key: String, queryId: String): Long = {
-    val ck = (key, queryId)
+    // keyed by the PER-APPLICATION table dir, not the bare name: a
+    // second SparkSession in this JVM gets a fresh scratch root, and
+    // a stale mark for a same-named table must not leak across
+    val ck = (tableDir(key), queryId)
     val cached = epochCache.get(ck)
     if (cached != null) cached.longValue
     else {
@@ -780,7 +822,7 @@ object RowStore {
     * after the manifest carrying its `#ep` header is written). */
   private[sources] def recordStreamEpoch(key: String, queryId: String,
       epoch: Long): Unit =
-    epochCache.put((key, queryId), java.lang.Long.valueOf(epoch))
+    epochCache.put((tableDir(key), queryId), java.lang.Long.valueOf(epoch))
 
   /** Test seam for commit wall-clock (TIMESTAMP AS OF resolution). */
   @volatile private[graft] var clock: () => Long =
@@ -989,7 +1031,7 @@ object RowStore {
     // must not survive the drop (iteration under the map's own monitor
     // — synchronizedMap views aren't safe to traverse unsynchronized)
     epochCache.synchronized {
-      epochCache.keySet.asScala.filter(_._1 == key).toList
+      epochCache.keySet.asScala.filter(_._1 == tableDir(key)).toList
         .foreach(epochCache.remove)
     }
     // the resolved-manifest cache follows the table for the same

@@ -84,6 +84,30 @@ class NdvStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-NULL file records a valid empty sketch, not a gap") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.ndvn")
+    s.sql("CREATE TABLE graft_dml.spec.ndvn (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('ndv'='tag')")
+    s.range(0, 50).selectExpr("id AS k", "concat('t', id % 5) AS tag")
+      .writeTo("graft_dml.spec.ndvn").append()
+    // second commit: tag entirely NULL — its file must still carry a
+    // sketch entry (0 distinct, 50 nulls) or the table-wide fold
+    // would refuse and q155-style consumers would crash
+    s.range(50, 100).selectExpr("id AS k", "CAST(NULL AS STRING) AS tag")
+      .writeTo("graft_dml.spec.ndvn").append()
+    assert(RowStoreOps.columnNdv("graft_dml.spec.ndvn", "tag")
+      .contains(5L))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = s.table("graft_dml.spec.ndvn")
+        .queryExecution.optimizedPlan.stats
+      val tagStat = st.attributeStats.find(_._1.name == "tag").map(_._2)
+      assert(tagStat.exists(_.nullCount.exists(_ == 50)), s"$tagStat")
+    }
+    s.sql("DROP TABLE graft_dml.spec.ndvn")
+  }
+
   test("compute_table_stats retro-fits sketches onto an existing table") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")

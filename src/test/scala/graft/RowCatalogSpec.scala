@@ -1042,6 +1042,21 @@ class RowCatalogSpec extends AnyFunSuite {
     assert(s.sql("SELECT CAST(SUM(v) AS BIGINT) FROM graft_dml.spec.ev")
       .head().getLong(0) == (0 until 16).map(_ * 10L).sum + 330L - 30L)
 
+    // OPTIMIZE on a healthy multi-spec table: groups that merely
+    // share a NUMBER across specs are not fragmentation — compact
+    // must no-op cleanly (it used to flag them dirty and crash in
+    // the handshake scan); a genuinely fragmented multi-spec table
+    // refuses loudly instead
+    val (dirtyPairs, _, _) =
+      graft.sources.RowStoreOps.compact(s, key)
+    assert(dirtyPairs.isEmpty,
+      s"healthy multi-spec table flagged dirty: $dirtyPairs")
+    s.sql("INSERT INTO graft_dml.spec.ev VALUES (18, 180)") // fragments g2
+    val e2 = intercept[Exception](
+      graft.sources.RowStoreOps.compact(s, key))
+    assert(e2.getMessage.contains("partition specs"),
+      s"dirty multi-spec compact must refuse loudly: ${e2.getMessage}")
+
     // INSERT OVERWRITE still migrates everything onto the active spec
     s.sql("INSERT OVERWRITE graft_dml.spec.ev " +
       "SELECT k, v FROM graft_dml.spec.ev VERSION AS OF " +
@@ -1050,9 +1065,9 @@ class RowCatalogSpec extends AnyFunSuite {
       .filter(_.kind == "base")
     assert(migrated.forall(_.spec == 1), s"migration left $migrated")
     assert(migrated.map(_.group).distinct.sorted == Seq(0, 1, 2),
-      "17 keys in [0,18) under truncate(8) span groups 0..2")
+      "18 keys in [0,19) under truncate(8) span groups 0..2")
     s.sql("DELETE FROM graft_dml.spec.ev WHERE k = 5")
-    assert(s.table("graft_dml.spec.ev").count() == 16)
+    assert(s.table("graft_dml.spec.ev").count() == 17)
     s.sql("DROP TABLE graft_dml.spec.ev")
   }
 
