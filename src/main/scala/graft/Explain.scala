@@ -50,7 +50,8 @@ object Explain {
         "q151_dml_orphan_cleanup", "q152_dml_cdf_updates",
         "q153_dml_manifests_table", "q154_dml_deletion_vectors",
         "q155_dml_ndv_stats", "q156_dml_add_files",
-        "q157_dml_cross_spec_merge", "s16_ann_segment_compact")
+        "q157_dml_cross_spec_merge", "s16_ann_segment_compact",
+        "q158_dml_column_stats_table")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

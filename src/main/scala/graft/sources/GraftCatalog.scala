@@ -235,7 +235,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * `.files` (current-snapshot file metadata), `.partitions`
     * (per-(spec, group) rollups), `.refs` (main/tags/branches),
     * `.manifests` (per-version manifest-file shape), `.snapshots`
-    * (per-version lineage + diff-derived operation). */
+    * (per-version lineage + diff-derived operation), `.column_stats`
+    * (per-tracked-column NDV + null counts — what the CBO sees). */
   private val metadataTables: Map[String, String => Table] = Map(
     "changes" -> (b => new ChangesTable(b, RowStore.readMeta(b))),
     "history" -> (b => new HistoryTable(b)),
@@ -243,7 +244,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     "partitions" -> (b => new PartitionsTable(b)),
     "refs" -> (b => new RefsTable(b)),
     "manifests" -> (b => new ManifestsTable(b)),
-    "snapshots" -> (b => new SnapshotsTable(b)))
+    "snapshots" -> (b => new SnapshotsTable(b)),
+    "column_stats" -> (b => new ColumnStatsTable(b)))
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)

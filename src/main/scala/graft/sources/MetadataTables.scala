@@ -337,6 +337,69 @@ case class SnapshotRow(version: Int, parent: Option[Int],
 case class SnapshotsPartition(rows: Seq[SnapshotRow])
     extends InputPartition
 
+/** `<table>.column_stats` — the NDV observability surface (Iceberg
+  * exposes puffin stats through its table metadata the same way): one
+  * row per TRACKED column of the current snapshot with the folded
+  * distinct-count estimate and null count, NULL when the snapshot
+  * can't answer (dirty, or a file without a sketch — same refusal
+  * rule as the scan's reported statistics, so what this table shows
+  * IS what the CBO sees). Pure manifest metadata — zero data files
+  * opened. Distinct counts are EXACT whenever the true cardinality
+  * sits under the sketch's K (the q158 fixture pins that case
+  * hash-green; high-cardinality columns surface the ±~8% estimate). */
+class ColumnStatsTable(baseKey: String) extends Table with SupportsRead {
+  override def name(): String = s"$baseKey.column_stats"
+  override def schema(): StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = true),
+    StructField("n_nulls", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = ColumnStatsTable.this.schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val meta = RowStore.readMeta(baseKey)
+        val es = RowStore.readManifest(baseKey,
+          RowStore.currentVersion(baseKey))
+        val clean = es.nonEmpty && es.forall(_.kind == "base")
+        val rows = meta.ndvCols.sorted.map { c =>
+          val storage = meta.storageOf(c)
+          if (!clean || es.exists(e => !e.ndv.contains(storage)))
+            ColumnStatsRow(c, None, None)
+          else ColumnStatsRow(c,
+            Some(RowStore.Kmv.estimate(
+              es.map(_.ndv(storage)._2).reduce(RowStore.Kmv.merge))),
+            Some(es.map(_.ndv(storage)._1).sum))
+        }
+        Array(ColumnStatsPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[ColumnStatsPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: ColumnStatsRow = _
+              override def next(): Boolean =
+                { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                Array[Any](UTF8String.fromString(cur.column),
+                  cur.ndv.map(Long.box).orNull,
+                  cur.nNulls.map(Long.box).orNull))
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class ColumnStatsRow(column: String, ndv: Option[Long],
+    nNulls: Option[Long])
+case class ColumnStatsPartition(rows: Seq[ColumnStatsRow])
+    extends InputPartition
+
 /** `<table>.manifests` — Iceberg's manifests metadata table, re-shaped
   * for the incremental-manifest chain: one row per retained version's
   * manifest FILE with its chain role (checkpoint = self-contained,

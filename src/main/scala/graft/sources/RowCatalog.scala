@@ -108,7 +108,8 @@ object RowCatalogQueries {
     table
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val coreQueries:
+      Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── q106: SQL MERGE INTO + DELETE FROM against the DSv2 catalog —
     // the full DML lifecycle over COPY-ON-WRITE file groups. All four
     // statements are Spark's own SQL planning over the connector's
@@ -1478,7 +1479,13 @@ object RowCatalogQueries {
     })
   )
 
+  /** Family aggregation (the 1,500-line split discipline): SparkEntry
+    * and every spec key see ONE registry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ RowCatalogStatsQueries.queries
+
   /** DuckDB oracle registry, split out to [[RowCatalogOracles]] under
     * the repo's 1,500-line discipline (byte-identical SQL). */
-  val oracles: Map[String, String] = RowCatalogOracles.oracles
+  val oracles: Map[String, String] =
+    RowCatalogOracles.oracles ++ RowCatalogStatsQueries.oracles
 }

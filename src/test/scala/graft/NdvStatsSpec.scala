@@ -84,6 +84,33 @@ class NdvStatsSpec extends AnyFunSuite {
     }
   }
 
+  test(".column_stats answers from manifests alone (zero file opens)") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cst")
+    s.sql("CREATE TABLE graft_dml.spec.cst (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('ndv'='tag')")
+    s.range(0, 40).selectExpr("id AS k", "concat('t', id % 4) AS tag")
+      .writeTo("graft_dml.spec.cst").append()
+    val pre = graft.sources.RowFiles.filesOpened.get()
+    val rows = s.table("graft_dml.spec.cst.column_stats").collect()
+    assert(graft.sources.RowFiles.filesOpened.get() == pre,
+      ".column_stats must be pure manifest metadata")
+    assert(rows.length == 1 && rows.head.getString(0) == "tag" &&
+      rows.head.getLong(1) == 4L && rows.head.getLong(2) == 0L)
+    // a dirty snapshot surfaces NULL, mirroring the scan's refusal
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.cstm")
+    s.sql("CREATE TABLE graft_dml.spec.cstm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor','ndv'='v')")
+    s.sql("INSERT INTO graft_dml.spec.cstm VALUES (1, 10), (2, 20)")
+    s.sql("DELETE FROM graft_dml.spec.cstm WHERE k = 1")
+    val dirty = s.table("graft_dml.spec.cstm.column_stats").collect()
+    assert(dirty.length == 1 && dirty.head.isNullAt(1) &&
+      dirty.head.isNullAt(2))
+    s.sql("DROP TABLE graft_dml.spec.cst")
+    s.sql("DROP TABLE graft_dml.spec.cstm")
+  }
+
   test("an all-NULL file records a valid empty sketch, not a gap") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
