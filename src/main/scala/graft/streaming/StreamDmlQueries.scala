@@ -64,6 +64,94 @@ private[streaming] object StreamDmlQueries {
       s.table("graft_dml.ns.user_state").orderBy(col("user_id"))
     }),
 
+    // ── st39: STREAMING CDC APPLY UNDER DELETION VECTORS — the
+    // high-churn cadence q154's feature exists for, driven for real:
+    // a MOR table with 'deletes'='dv' receives one CDC micro-batch
+    // per trigger (upserts + deletes via a tri-clause MERGE), and the
+    // delete halves of SUCCESSIVE batches hit the SAME base files —
+    // the fixture routes deletes k ≡ 0 (mod 12) into batch 1 and
+    // k ≡ 6 (mod 12) into batch 2, both even keys, both bucket 0, so
+    // the second batch must UNION-REPLACE the first batch's vector
+    // rather than stack a second entry. In-plan pins: `multi_batch`
+    // (the churn really was incremental) and `dv_bounded` (after the
+    // drain, every data file carries AT MOST ONE vector — the
+    // replay-cost invariant; entry count tracks touched files, never
+    // batches × deletes). The final state is a pure relational fold
+    // the oracle restates from raw orders.
+    "st39_stream_merge_dv" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import graft.sources.RowStore
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.Scratch.dir(s, "graft_st39_src", tag)
+      graft.Scratch.materializeOnce(src) {
+        // the CDC stream: every seeded key (k%6=0) plus new keys
+        // (k%6=3); op D for k%12 in (0,6) — one batch's worth each
+        val slice = graft.Tables(s, d, "orders")
+          .filter(expr("o_orderkey % 6 IN (0, 3)"))
+          .selectExpr("CAST(o_orderkey AS BIGINT) AS k",
+            "CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents",
+            "CASE WHEN o_orderkey % 12 IN (0, 6) THEN 'D' ELSE 'U' END " +
+              "AS op")
+        val t0 = System.currentTimeMillis() - 3600000L
+        for (c <- 0 to 3) {
+          val dir = s"$src/c$c"
+          slice.filter(pmod(col("k"), lit(4)) === c)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          new java.io.File(dir).listFiles().foreach { f =>
+            require(f.setLastModified(t0 + c * 60000L),
+              s"setLastModified failed for $f: this filesystem cannot " +
+                "set mtimes, so st39's deterministic file->batch " +
+                "mapping does not hold")
+          }
+        }
+      }
+      graft.Tables(s, d, "orders").createOrReplaceTempView("st39_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cdcdv")
+      s.sql("CREATE TABLE graft_dml.ns.cdcdv (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(2, k)) " +
+        "TBLPROPERTIES ('format'='mor','deletes'='dv')")
+      s.sql("""INSERT INTO graft_dml.ns.cdcdv
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM st39_orders WHERE o_orderkey % 6 = 0""")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType)))
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$src/c*")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          batch.createOrReplaceTempView("st39_delta")
+          batch.sparkSession.sql("""MERGE INTO graft_dml.ns.cdcdv t
+            USING st39_delta s ON t.k = s.k
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET cents = s.cents
+            WHEN NOT MATCHED AND s.op <> 'D' THEN
+              INSERT (k, cents) VALUES (s.k, s.cents)""")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val key = "graft_dml.ns.cdcdv"
+      val es = RowStore.readManifest(key, RowStore.currentVersion(key))
+      val dvEntries = es.filter(_.kind == "dv")
+      val dvBounded = dvEntries.nonEmpty &&
+        dvEntries.flatMap(_.dvTarget).distinct.size == dvEntries.size
+      s.table(key)
+        .withColumn("multi_batch", lit(nBatches.get >= 2))
+        .withColumn("dv_bounded", lit(dvBounded))
+        .orderBy(col("k"))
+    }),
+
     // ── st33: STREAMING CHANGE-FEED READ — `readStream.table(
     // "<t>.changes")` follows the DML table's commit history, ONE
     // VERSION PER MICRO-BATCH (the connector's admission control pins
@@ -506,6 +594,19 @@ private[streaming] object StreamDmlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the CDC fold restated: seeded keys (k%6=0) survive unless their
+    // delete batch hit them (k%12 in (0,6)), matched survivors carry
+    // the stream's +7 cents, new keys (k%6=3) insert with +7 — the
+    // dv pins are TRUE by the one-vector-per-file contract
+    "st39_stream_merge_dv" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents,
+        |  TRUE AS multi_batch, TRUE AS dv_bounded
+        |FROM orders
+        |WHERE (o_orderkey % 6 = 0 AND o_orderkey % 12 NOT IN (0, 6))
+        |   OR o_orderkey % 6 = 3
+        |ORDER BY k""".stripMargin,
+
     // st25's exact contract: the streaming MERGE must converge to the
     // same batch-split-independent fold
     "st31_stream_merge" ->
