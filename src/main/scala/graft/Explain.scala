@@ -51,7 +51,7 @@ object Explain {
         "q153_dml_manifests_table", "q154_dml_deletion_vectors",
         "q155_dml_ndv_stats", "q156_dml_add_files",
         "q157_dml_cross_spec_merge", "s16_ann_segment_compact",
-        "q158_dml_column_stats_table")
+        "q158_dml_column_stats_table", "q159_dml_compute_stats")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

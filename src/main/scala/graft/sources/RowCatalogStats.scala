@@ -39,6 +39,38 @@ object RowCatalogStatsQueries {
         FROM q158_orders WHERE o_orderkey % 4 = $r"""); () }
       ins(0); ins(1)
       s.table("graft_dml.ns.cstats.column_stats").orderBy(col("column"))
+    }),
+
+    // ── q159: `compute_table_stats` END TO END — the ANALYZE path
+    // (Iceberg's compute_table_stats): the table is created WITHOUT
+    // the ndv property, so write-time tracking never ran; the CALL
+    // then retro-fits per-file sketches in one distributed pass
+    // (executors sketch the named columns, the driver collects only
+    // K-long sketches) and adds the columns to the tracked set, after
+    // which `.column_stats` answers from manifests alone. A THIRD
+    // commit lands AFTER the CALL, proving the property sticks
+    // (post-ANALYZE writes record sketches at write time and the fold
+    // merges eras). Cardinalities sit under the sketch's K, so both
+    // the analyzed and the write-time sketches are exact and the row
+    // hash-matches DuckDB's restatement.
+    "q159_dml_compute_stats" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q159_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.anlq")
+      s.sql("CREATE TABLE graft_dml.ns.anlq " +
+        "(k BIGINT, band BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      def ins(r: Int): Unit = { s.sql(s"""INSERT INTO graft_dml.ns.anlq
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(o_orderkey % 61 AS BIGINT),
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderstatus END
+        FROM q159_orders WHERE o_orderkey % 4 = $r"""); () }
+      ins(0); ins(1)
+      s.sql("CALL graft_dml.system.compute_table_stats(" +
+        "'ns.anlq', 'band,status')").collect()
+      ins(2) // post-ANALYZE commit: write-time sketches must extend
+      s.table("graft_dml.ns.anlq.column_stats").orderBy(col("column"))
     })
   )
 
@@ -51,6 +83,24 @@ object RowCatalogStatsQueries {
         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
         |         ELSE o_orderstatus END AS status
         |  FROM orders WHERE o_orderkey % 4 IN (0, 1))
+        |SELECT 'band' AS "column",
+        |  CAST(COUNT(DISTINCT band) AS BIGINT) AS ndv,
+        |  CAST(0 AS BIGINT) AS n_nulls
+        |FROM t
+        |UNION ALL
+        |SELECT 'status', CAST(COUNT(DISTINCT status) AS BIGINT),
+        |  CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM t
+        |ORDER BY "column"""".stripMargin,
+
+    // all three slices' distinct and null counts restated — the
+    // analyzed eras and the post-ANALYZE write-time era must fold to
+    // one exact answer
+    "q159_dml_compute_stats" ->
+      """WITH t AS (SELECT CAST(o_orderkey % 61 AS BIGINT) AS band,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 1, 2))
         |SELECT 'band' AS "column",
         |  CAST(COUNT(DISTINCT band) AS BIGINT) AS ndv,
         |  CAST(0 AS BIGINT) AS n_nulls
