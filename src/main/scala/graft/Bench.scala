@@ -97,7 +97,7 @@ object Bench {
     // reattributes position-dependent costs (remaining first-touch
     // fixtures, JVM load accumulation) to different queries every
     // round and made r5→r6 per-query deltas noisy in files no commit
-    // touched. Sorted order keeps round-over-round per-query numbers
+    // touched. A frozen order keeps round-over-round per-query numbers
     // comparable. Measured effect (r7 vs r6, sf0.1): every r6
     // "regression" in untouched files reverted to its r5 level once
     // order froze and fixtures pre-warmed (q56 2.02→0.38 s,
@@ -105,9 +105,36 @@ object Bench {
     // suite total dropped 145.3 s/209 → 133.6 s/216 queries with the
     // shared-lifecycle cache (q109 4.7→0.14 s, q107 0.12 s,
     // st33 0.99 s).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    //
+    // INTERLEAVED, not alphabetical (round-12 postmortem): plain name
+    // order keeps each query FAMILY contiguous, so a transient
+    // ambient-load band on a shared box lands on one whole family and
+    // reads as a family-wide code regression — r12's t01–t19 block ran
+    // last and read 1.3–2.6× over r11 with zero commits touching them;
+    // an isolated r13 rerun scattered differently (t07 1.15 s vs the
+    // in-suite 1.51, t13 2.66 vs 1.26) while /proc/loadavg climbed
+    // 3.3→7.7 under a single benchmark JVM — ambient, not code.
+    // Sorting by a hash of the name keeps the order deterministic and
+    // round-stable for existing entries (a new entry inserts at its
+    // hash position without reshuffling the rest) while spreading each
+    // family across the whole run, so a load band now dents a random
+    // cross-family slice instead of impersonating one family's
+    // regression. Per-query `load` snapshots (below) are the direct
+    // fingerprint.
+    def orderKey(name: String): (Long, String) = {
+      var acc = 0L
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => acc = (acc * 31 + (b & 0xffL)) % 1000000007L)
+      (acc, name)
+    }
+    val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(p => orderKey(p._1))
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
+        // 1-min loadavg sampled at this query's start: with run pairs
+        // and the interleaved order this pins WHICH queries a
+        // contention band covered, from the artifact alone.
+        perQueryLoad(name) = loadavg().split(" ").head
         // A query that throws must not masquerade as a fast query: report
         // the failure on stderr and time it as the -1 sentinel (min() then
         // keeps the sentinel, so one failed run marks the whole entry).
@@ -151,9 +178,14 @@ object Bench {
       s"\"" + k + "\"" }.mkString("[", ",", "]")
     val fxs = fixtures.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query 1-min loadavg at query start, in RUN order — the
+    // contention map a reader overlays on `runs` to separate ambient
+    // bands from code regressions without re-running anything
+    val loads = perQueryLoad.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_start":"$loadStart","load_end":"$loadEnd","fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_start":"$loadStart","load_end":"$loadEnd","load":$loads,"fixtures_total":$fixturesSec,"fixtures":$fxs,"sf":"$sfDir"}"""
     // The driver captures a tail of stdout; a noisy shutdown once pushed
     // the JSON line past the capture window and BENCH_r03 recorded
     // "parsed": null with ~21 of 83 entries lost. Belt and braces:

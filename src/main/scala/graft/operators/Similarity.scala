@@ -100,12 +100,26 @@ object Similarity {
     * at any parallelism, the same one-file-per-group discipline the
     * DML writer's clustered distribution gives OPTIMIZE. Row set is
     * untouched: serving from the compacted layout is IDENTICAL, not
-    * merely recall-equivalent (s16 pins that). */
+    * merely recall-equivalent (s16 pins that).
+    *
+    * Micro-batch appends land as FILES under a shared segment root, so
+    * `dirs` stays root-count-sized (base + streamed) — but a caller
+    * compacting many independent roots must not pay a LEFT-DEEP union
+    * (plan depth = #roots; the analyzer recursion gets slower than the
+    * IO). Spark refuses one multi-path scan over partitioned roots with
+    * different parents (CONFLICTING_DIRECTORY_STRUCTURES — "load them
+    * separately and then union"), so the flat form is a BALANCED
+    * pairwise union: depth log₂(#roots), same rows. */
   private[graft] def compactSegments(s: SparkSession, dirs: Seq[String],
       outDir: String): Unit = {
-    dirs.map(dir => s.read.parquet(dir)
-        .select(col("vec_id"), col("embedding"), col("cell")))
-      .reduce(_ unionByName _)
+    def treeUnion(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.size == 1) dfs.head
+      else treeUnion(dfs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a)    => a
+      }.toSeq)
+    treeUnion(dirs.map(dir => s.read.parquet(dir)
+        .select(col("vec_id"), col("embedding"), col("cell"))))
       .repartition(NCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
