@@ -65,9 +65,21 @@ object ChangesPlanning {
     // are planned like any other
     def side(v: Int): Seq[RowStore.FileEntry] =
       RowStore.readManifest(baseKey, v)
-    def itemsFor(es: Seq[RowStore.FileEntry], g: Int): Seq[(String, String)] =
+    // partition identity is (spec, group), like GroupScan's planner: a
+    // group NUMBER means different rows per spec, and with cross-spec
+    // states routine (q157, add_files) a number-only grouping would
+    // replay two specs' same-numbered groups as ONE group — the diff
+    // then rests on table-wide file-name uniqueness. BASE entries are
+    // spec-exact; DELTA selection mirrors GroupScan's number-only rule
+    // (plus the table-wide `group < 0` sentinel): delta records
+    // re-check during replay (positional ops key on file NAME, which
+    // no-ops against a partition that doesn't hold the named base;
+    // equality deletes are key-scoped and delete the key wherever it
+    // lives), so over-inclusion across specs is sound, never corrupt.
+    def itemsFor(es: Seq[RowStore.FileEntry], sp: Int,
+        g: Int): Seq[(String, String)] =
       es.collect {
-        case e if e.kind == "base" && e.group == g =>
+        case e if e.kind == "base" && e.spec == sp && e.group == g =>
           ("base", RowStore.entryPath(dir, e.name))
         // kind-preserving for the replay: positional/equality delta
         // parquet AND deletion-vector blobs both mutate the group
@@ -76,19 +88,19 @@ object ChangesPlanning {
       }
     val fEs = side(from)
     val tEs = side(to)
-    // plan the groups OBSERVED in either manifest (a group with no
-    // files on both sides has no diff) — not 0 until numGroups, which
-    // would miss groups outside the bucket range after a partition-
-    // spec evolution to an unbounded transform
-    (fEs.filter(_.kind == "base").map(_.group) ++
-      tEs.filter(_.kind == "base").map(_.group) ++
+    // plan the (spec, group) pairs OBSERVED in either manifest (a pair
+    // with no files on both sides has no diff) — not 0 until
+    // numGroups, which would miss groups outside the bucket range
+    // after a partition-spec evolution to an unbounded transform
+    (fEs.filter(_.kind == "base").map(e => (e.spec, e.group)) ++
+      tEs.filter(_.kind == "base").map(e => (e.spec, e.group)) ++
       (fEs ++ tEs).filter(e => e.kind != "base" && e.group >= 0)
-        .map(_.group))
-      .distinct.sorted.filter { g =>
+        .map(e => (e.spec, e.group)))
+      .distinct.sorted.filter { case (sp, g) =>
       // unchanged replay sequence ⇒ unchanged group ⇒ skip entirely
-      itemsFor(fEs, g) != itemsFor(tEs, g)
-    }.map { g =>
-      ChangesPartition(g, itemsFor(fEs, g), itemsFor(tEs, g))
+      itemsFor(fEs, sp, g) != itemsFor(tEs, sp, g)
+    }.map { case (sp, g) =>
+      ChangesPartition(g, itemsFor(fEs, sp, g), itemsFor(tEs, sp, g))
         : InputPartition
     }.toArray
   }
@@ -324,7 +336,8 @@ object RowStoreOps {
       // the group-number handshake can't express spec-qualified
       // restriction — refuse loudly on a genuinely-dirty multi-spec
       // table (migrate first) instead of crashing inside the scan
-      require(man.forall(_.spec == RowStore.readMeta(table).specId),
+      val activeSpec = RowStore.readMeta(table).specId
+      require(man.forall(_.spec == activeSpec),
         s"$table: OPTIMIZE across partition specs is not supported — " +
           "migrate with INSERT OVERWRITE onto the active spec first")
       val hs = s"$base:" + dirty.toSeq.sorted.mkString(",")
@@ -745,8 +758,14 @@ object RowStoreOps {
           s"add_files: $f does not store column ${fld.name}" +
             (if (storage != fld.name) s" (storage name $storage)" else "") +
             " — imported files must carry the full table schema")
-        val prim = msg.getType(Seq(storage): _*)
-          .asPrimitiveType().getPrimitiveTypeName
+        val ptype = msg.getType(Seq(storage): _*)
+        // a nested/group physical type must route into the same clean
+        // refusal as any other incompatible storage — asPrimitiveType
+        // on a group throws a raw ClassCastException
+        require(ptype.isPrimitive,
+          s"add_files: $f stores column ${fld.name} as nested type " +
+            s"$ptype, incompatible with declared type ${fld.dataType}")
+        val prim = ptype.asPrimitiveType().getPrimitiveTypeName
         val ok = fld.dataType match {
           // INT32 under a LONG column is the reader's widening path
           case LongType => prim == PrimitiveTypeName.INT64 ||
@@ -767,6 +786,17 @@ object RowStoreOps {
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(table)
       val man = RowStore.readManifest(table, cur)
+      // duplicate-registration guard (Iceberg's check_duplicate_files
+      // default): re-importing an already-referenced path would
+      // silently double rows, and a duplicated entry NAME poisons the
+      // name-keyed incremental manifest encoding (#rm removes every
+      // same-named copy) and conflict signatures. Entry names of
+      // imports are absolute paths, so this also keeps names unique
+      // table-wide.
+      val existing = man.map(_.name).toSet
+      files.find(existing).foreach(f => sys.error(
+        s"add_files: $f is already registered in $table — refusing " +
+          "duplicate file registration"))
       // one fresh negative spec per call — a second import never
       // collides group numbers with the first
       val importSpec = (man.map(_.spec) :+ 0).min - 1

@@ -100,5 +100,34 @@ class AddFilesSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       RowStoreOps.addFiles("graft_dml.spec.afd", bad))
     assert(e2.getMessage.contains("incompatible"))
+    // a NESTED physical type must hit the same clean refusal, not a
+    // raw ClassCastException out of asPrimitiveType
+    val nested = graft.Scratch.dir(s, "graft_addfiles_spec", "d")
+    Seq((1L, (2L, 3L))).toDF("k", "v")
+      .write.mode("overwrite").parquet(nested)
+    val e3 = intercept[Exception](
+      RowStoreOps.addFiles("graft_dml.spec.afd", nested))
+    assert(e3.getMessage.contains("incompatible"),
+      s"nested type should refuse cleanly, got: ${e3.getMessage}")
+  }
+
+  test("re-importing an already-registered path refuses loudly") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.afdup")
+    s.sql("CREATE TABLE graft_dml.spec.afdup (k BIGINT, v BIGINT)")
+    val ext = graft.Scratch.dir(s, "graft_addfiles_spec", "e")
+    Seq((1L, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(ext)
+    RowStoreOps.addFiles("graft_dml.spec.afdup", ext)
+    val before = s.table("graft_dml.spec.afdup").count()
+    // Iceberg's check_duplicate_files default: a re-import of the same
+    // directory must refuse instead of silently doubling rows
+    val e = intercept[Exception](
+      RowStoreOps.addFiles("graft_dml.spec.afdup", ext))
+    assert(e.getMessage.contains("already registered"))
+    assert(s.table("graft_dml.spec.afdup").count() == before)
+    s.sql("DROP TABLE graft_dml.spec.afdup")
   }
 }
