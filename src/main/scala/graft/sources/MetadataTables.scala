@@ -81,7 +81,16 @@ case class HistoryPartition(rows: Seq[HistoryRow]) extends InputPartition
   * file in the CURRENT snapshot with its group, kind, spec, recorded
   * row count and key zone map. Pure manifest metadata (zero data files
   * open) — the plan-time debugging surface for layout questions
-  * ("which groups are fragmented / delta-dirty / statless?"). */
+  * ("which groups are fragmented / delta-dirty / statless?").
+  *
+  * Deletion-vector blobs surface as first-class rows (kind='dv') with
+  * their target's leaf name and the vector's POPULATION COUNT
+  * (`dv_deleted_rows`) — the decision input Iceberg's
+  * rewrite_position_deletes reads: "how many vectors, covering how
+  * many rows" answers whether OPTIMIZE is due without opening any
+  * data file. The popcount comes from the blob itself (rows/8 bytes,
+  * file-level metadata like the manifest — the parquet-open counter
+  * RowCatalogSpec pins stays at zero). */
 class FilesTable(baseKey: String) extends Table with SupportsRead {
   override def name(): String = s"$baseKey.files"
   override def schema(): StructType = StructType(Seq(
@@ -90,21 +99,33 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
     StructField("spec", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = true),
     StructField("min_k", LongType, nullable = true),
-    StructField("max_k", LongType, nullable = true)))
+    StructField("max_k", LongType, nullable = true),
+    StructField("dv_target", StringType, nullable = true),
+    StructField("dv_deleted_rows", LongType, nullable = true)))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with Batch {
       override def readSchema(): StructType = FilesTable.this.schema()
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(FilesPartition(RowStore.readManifest(baseKey,
-          RowStore.currentVersion(baseKey))))
+      override def planInputPartitions(): Array[InputPartition] = {
+        val man = RowStore.readManifest(baseKey,
+          RowStore.currentVersion(baseKey))
+        val dir = RowStore.dataDir(baseKey)
+        // vector popcounts read on the driver at plan time: one blob
+        // per vector, each rows-per-file/8 bytes — manifest-scale IO
+        val cards = man.filter(_.kind == "dv").map { e =>
+          e.name -> RowStore.Dv.cardinality(
+            RowStore.Dv.read(RowStore.entryPath(dir, e.name))._2).toLong
+        }.toMap
+        Array(FilesPartition(man, cards))
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
           override def createReader(p: InputPartition)
               : PartitionReader[InternalRow] = {
-            val it = p.asInstanceOf[FilesPartition].entries.iterator
+            val fp = p.asInstanceOf[FilesPartition]
+            val it = fp.entries.iterator
             new PartitionReader[InternalRow] {
               private var cur: RowStore.FileEntry = _
               override def next(): Boolean =
@@ -113,7 +134,9 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
                 Array[Any](cur.group, UTF8String.fromString(cur.kind),
                   cur.spec, cur.rows.map(Long.box).orNull,
                   cur.minK.map(Long.box).orNull,
-                  cur.maxK.map(Long.box).orNull))
+                  cur.maxK.map(Long.box).orNull,
+                  cur.dvTarget.map(UTF8String.fromString).orNull,
+                  fp.dvCards.get(cur.name).map(Long.box).orNull))
               override def close(): Unit = ()
             }
           }
@@ -121,7 +144,8 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
     }
 }
 
-case class FilesPartition(entries: Seq[RowStore.FileEntry])
+case class FilesPartition(entries: Seq[RowStore.FileEntry],
+    dvCards: Map[String, Long] = Map.empty)
     extends InputPartition
 
 /** `<table>.partitions` — Iceberg's partitions metadata table: one row

@@ -1482,10 +1482,12 @@ object RowCatalogQueries {
   /** Family aggregation (the 1,500-line split discipline): SparkEntry
     * and every spec key see ONE registry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ RowCatalogStatsQueries.queries
+    coreQueries ++ RowCatalogStatsQueries.queries ++
+      RowCatalogMaintQueries.queries
 
   /** DuckDB oracle registry, split out to [[RowCatalogOracles]] under
     * the repo's 1,500-line discipline (byte-identical SQL). */
   val oracles: Map[String, String] =
-    RowCatalogOracles.oracles ++ RowCatalogStatsQueries.oracles
+    RowCatalogOracles.oracles ++ RowCatalogStatsQueries.oracles ++
+      RowCatalogMaintQueries.oracles
 }

@@ -130,6 +130,48 @@ class DeletionVectorSpec extends AnyFunSuite {
       Seq(0L, 1L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test(".files surfaces vectors with popcounts; OPTIMIZE clears them") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.dvf")
+    s.sql("CREATE TABLE graft_dml.spec.dvf (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k)) " +
+      "TBLPROPERTIES ('format'='mor','deletes'='dv')")
+    s.sql("INSERT INTO graft_dml.spec.dvf VALUES " +
+      (0 until 12).map(i => s"($i, ${i * 10})").mkString(", "))
+    val t = "graft_dml.spec.dvf"
+    def dvRows() = s.table(s"$t.files").filter("kind = 'dv'")
+      .selectExpr("grp", "dv_target", "dv_deleted_rows")
+      .collect().toSeq
+    assert(dvRows().isEmpty, "no vectors before any delete")
+
+    // k % 3 = 0 → {0,3,6,9}: buckets 0 and 1 each lose 2 rows
+    s.sql(s"DELETE FROM $t WHERE k % 3 = 0")
+    val after = dvRows()
+    assert(after.size == 2, "one .files dv row per touched file")
+    assert(after.forall(r => !r.isNullAt(1) && r.getLong(2) == 2L),
+      s"each vector covers 2 deleted rows with its target: $after")
+    // union-replace keeps ONE row per file, popcount grows: k % 4 = 2
+    // → {2,6,10} even keys, bucket 0 only; 6 already deleted
+    s.sql(s"DELETE FROM $t WHERE k % 4 = 2")
+    val merged = dvRows()
+    assert(merged.size == 2)
+    assert(merged.map(_.getLong(2)).sorted == Seq(2L, 4L),
+      s"bucket 0's vector unions to 4 set bits: $merged")
+    // data-file rows never carry the dv columns
+    assert(s.table(s"$t.files").filter("kind = 'base'")
+      .selectExpr("dv_target", "dv_deleted_rows")
+      .collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
+
+    // OPTIMIZE folds the vectors into rewritten bases — the dv rows
+    // disappear from .files and content is unchanged
+    val pre = s.table(t).orderBy("k").collect().toSeq
+    graft.sources.RowStoreOps.compact(s, t)
+    assert(dvRows().isEmpty, "OPTIMIZE must clear the vectors")
+    assert(s.table(t).orderBy("k").collect().toSeq == pre)
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("refusals: dv without mor, unknown deletes value") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
