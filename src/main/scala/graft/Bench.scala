@@ -71,8 +71,11 @@ object Bench {
     // under a dev filter (profiling one query should include its own
     // marginal fixture cost only when unshared).
     if (only.isEmpty) {
+      // s03 builds the integer-exact IVF cache; s06 builds (and
+      // persists) the ML-KMeans index the s06/s10/s15 family shares
       val prewarm = Seq("d04_dedup_ngram_jaccard", "d09_semantic_clusters",
-        "d10_tfidf_cosine", "s03_ann_ivf", "s09_ann_pq", "s08_ann_selfjoin",
+        "d10_tfidf_cosine", "s03_ann_ivf", "s06_ann_persisted",
+        "s09_ann_pq", "s08_ann_selfjoin",
         "q106_merge_into", "q108_merge_mor")
       prewarm.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
         timedFixture(n) {

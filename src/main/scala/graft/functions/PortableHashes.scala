@@ -173,6 +173,20 @@ object PortableHashFunctions {
        |      list_transform(string_split($strExpr, ''),
        |        ch -> ord(ch))), (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** DuckDB restatement of the independent second hash (37-poly mod
+    * 998244353 — PortableSimHash60's h2). */
+  def polyHash2Sql(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($strExpr, ''),
+       |        ch -> ord(ch))), (a, b) -> (a * 37 + b) % 998244353)""".stripMargin
+
+  /** DuckDB restatement of one LSH hyperplane component —
+    * [[graft.functions.SketchFunctions.hyperplanes]]'s
+    * (h1·h2 mod P1) mod 2001 − 1000 over the "lsh:p:i" key. */
+  def lshPlaneSql(strExpr: String): String =
+    s"""((${polyHashSql(strExpr)}) * (${polyHash2Sql(strExpr)}))
+       |      % 1000000007 % 2001 - 1000""".stripMargin
+
   /** DuckDB restatement of [[splitBucket]] over a SQL key expression —
     * the char-fold polyHash replay, mod 100. */
   def splitBucketSql(prefix: String, keyExpr: String): String =

@@ -95,8 +95,18 @@ case class MinHashSignature(child: Expression, k: Int)
 
 /** Multi-table random-hyperplane LSH buckets: for each of nTables
   * tables, nBits sign bits of plane·vec packed into a long. Input
-  * array<float|double>; output array<long> of length nTables. */
-case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+  * array<float|double>; output array<long> of length nTables.
+  *
+  * INTEGER-EXACT (the s07 discipline, round 13): planes are portable
+  * integer hyperplanes and the vector enters as fixed-point
+  * floor(x·10⁶) int64, so every dot product — and with it every
+  * bucket id and probe margin — is exact int64 arithmetic that DuckDB
+  * replays bit-for-bit. That promotion is what turns s02 from
+  * rows-only into a fully hash-checked row; sign-random-projection
+  * theory only needs a symmetric component distribution, so uniform
+  * integer planes keep the recall the s04/d12 gates pin. Magnitudes:
+  * |w| ≤ 10³, |sv| ≲ 2²², dim 64 → |dot| ≲ 2⁴⁸, no overflow. */
+case class LshBuckets(child: Expression, planes: Array[Array[Long]],
     nTables: Int, nBits: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -112,12 +122,12 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
       var j = 0
       while (j < nBits) {
         val p = planes(t * nBits + j)
-        var dot = 0.0
+        var dot = 0L
         var i = 0
         val d = math.min(dim, p.length)
         while (i < d) {
           val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          dot += p(i) * x
+          dot += p(i) * math.floor(x * 1000000d).toLong
           i += 1
         }
         if (dot > 0) bucket |= (1L << j)
@@ -142,7 +152,7 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
   * probing 8 buckets/table ≈ 8× the table count without re-bucketing
   * the corpus, at the price of a (still query-count-sized) probe
   * list. */
-case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
+case class LshProbeBuckets(child: Expression, planes: Array[Array[Long]],
     nTables: Int, nBits: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -155,18 +165,22 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]],
     var t = 0
     while (t < nTables) {
       var bucket = 0L
-      // three weakest margins: j1 ≤ j2 ≤ j3 by |dot|
+      // three weakest margins: j1 ≤ j2 ≤ j3 by (|dot|, j) — the
+      // strict-< insertions keep the EARLIEST bit on margin ties,
+      // i.e. exactly a sort by (|dot|, j) ascending, which is what
+      // the DuckDB oracle restates. Margins are exact int64 (see
+      // LshBuckets), so tie behavior is cross-engine deterministic.
       var j1 = 0; var j2 = 0; var j3 = 0
-      var m1 = Double.MaxValue; var m2 = Double.MaxValue; var m3 = Double.MaxValue
+      var m1 = Long.MaxValue; var m2 = Long.MaxValue; var m3 = Long.MaxValue
       var j = 0
       while (j < nBits) {
         val p = planes(t * nBits + j)
-        var dot = 0.0
+        var dot = 0L
         var i = 0
         val d = math.min(dim, p.length)
         while (i < d) {
           val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          dot += p(i) * x
+          dot += p(i) * math.floor(x * 1000000d).toLong
           i += 1
         }
         if (dot > 0) bucket |= (1L << j)
@@ -242,11 +256,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 /** Registry + Column API for the sketch expressions. */
 object SketchFunctions {
 
-  /** Deterministic hyperplanes shared by all LSH callers. */
-  def hyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nTables * nBits, dim)(rnd.nextGaussian())
-  }
+  /** Deterministic PORTABLE hyperplanes shared by all LSH callers:
+    * component (p, i) = (h1·h2 mod P1) mod 2001 − 1000 ∈ [−1000,
+    * 1000], where h1/h2 are the two independent portable polynomial
+    * hashes of "lsh:p:i" (31-poly mod 1e9+7 / 37-poly mod 998244353 —
+    * the PortableSimHash60 pair). The PRODUCT is the mixing step a
+    * single poly hash lacks: a polynomial hash is LINEAR in its last
+    * characters, so neighboring (p, i) strings give near-consecutive
+    * values and the "random" planes come out mutually correlated
+    * (measured: the single-hash form collapsed s04's LSH recall below
+    * its 0.8 gate at every SF); multiplying two hashes under
+    * different moduli wraps chaotically and restores independence.
+    * Both hashes are DuckDB char-folds, so the oracle regenerates the
+    * exact plane matrix in SQL — no PRNG to port. */
+  def hyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nTables * nBits, dim) { (p, i) =>
+      val s = UTF8String.fromString(s"lsh:$p:$i")
+      val h1 = PortableHash.poly(s, 31L, PortableHash.P1)
+      val h2 = PortableHash.poly(s, 37L, PortableHash.P2)
+      h1 * h2 % PortableHash.P1 % 2001L - 1000L
+    }
 
   def register(spark: SparkSession): Unit =
     FunctionCatalog.register(spark, "simhash64", "minhash_sig16",

@@ -92,6 +92,90 @@ object Similarity {
       (assigned, s.createDataFrame(cents).toDF("cell", "centroid"))
   }
 
+  /** INTEGER-EXACT IVF fit (s03's quantizer, round-13 promotion from
+    * rows-only): the coarse quantizer re-expressed in portable int64
+    * arithmetic so DuckDB replays the ENTIRE index — seeds, Lloyd
+    * refinements, final assignment — bit-for-bit and s03 graduates to
+    * a fully hash-checked row (the s07 discipline applied to a whole
+    * index build).
+    *
+    *  - vectors enter as fixed-point floor(x·10⁶) int64 (exact from
+    *    float in both engines);
+    *  - the NCells seeds are the vectors with the smallest portable
+    *    hash of "ivf:vec_id" (ties by vec_id) — a deterministic
+    *    pseudo-random spread with no PRNG to port, selected by
+    *    distributed top-k (TakeOrderedAndProject), never a global
+    *    sort;
+    *  - two Lloyd refinements: assignment is argmin of the int64
+    *    squared distance (ties to the lowest cell), centroid
+    *    recomputation is the sign-safe integer floor-mean
+    *    (sum − pmod(sum, n)) div n — every intermediate exact;
+    *  - the ML-KMeans index (ivfFit) stays the build for the
+    *    engine-internal consumers (s06/s10/s15/s16/st35) where only
+    *    the recall CONTRACT is checked.
+    *
+    * Magnitudes: |sv| ≲ 2²², diff² ≲ 2⁴⁴, ×64 dims ≲ 2⁵⁰ — no
+    * overflow. The s04 ivf gate (recall ≥ 0.3 at every SF) pins that
+    * the portable quantizer still indexes well. */
+  private def ivfIntFit(s: SparkSession, source: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.PortableHashFunctions.register(s)
+    val sv = source
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("sv"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val hk = graft.functions.PortableHashFunctions.polyHash(
+      concat(lit("ivf:"), col("vec_id").cast("string")))
+    // top-k then a 16-row window: the cell numbering sort runs on
+    // NCells rows, not the corpus
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    val cents0 = sv.select(col("vec_id"), col("sv"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(NCells)
+      .withColumn("cell", (row_number().over(wSeed) - 1).cast("int"))
+      .select(col("cell"), col("sv").as("cent"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2").asc, col("cell").asc)
+      sv.crossJoin(broadcast(cents))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(sv, cent, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (a, v) -> a + v)"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("sv"), col("cell"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("v")).as("sv_sum"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("(sv_sum - pmod(sv_sum, cnt)) div cnt"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
+          "x -> x.m)").as("cent"))
+    val c1 = recompute(assign(cents0))
+    val c2 = recompute(assign(c1)).localCheckpoint()
+    (assign(c2).localCheckpoint(), c2)
+  }
+
+  private[graft] def ivfIntIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s, s"$d#int")(
+      ivfIntFit(s, Tables(s, d, "embeddings")))
+
+  /** Cell routing in the integer index's own exact metric: rank cells
+    * per query by int64 ‖qsv − cent‖², ties to the lowest cell. */
+  private def probeCellsInt(q: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(qsv, cent, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, v) -> a + v)"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+  }
+
   /** SEGMENT COMPACTION — OPTIMIZE's mirror for the persisted ANN
     * index (the st35 maintenance gap): union base + streamed segments
     * and rewrite as EXACTLY ONE file per cell. Hash-repartitioning on
@@ -619,19 +703,26 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // ── s03: IVF (inverted-file) ANN — coarse k-means quantizer
-    // (seeded, deterministic), vectors assigned to their nearest
-    // centroid cell, queries probe the 2 nearest cells, exact cosine
-    // rescore inside the probed cells. The centroid set is tiny and
-    // broadcast; at 100 TB the cell assignment is one narrow pass and
-    // each query touches ~nProbe/nCells of the corpus. The index
-    // (quantizer fit + cell assignment) is built ONCE per session and
-    // dataset, like any production IVF index — repeat queries, and the
-    // bench's min-of-2, measure the probe path.
+    // ── s03: IVF (inverted-file) ANN — coarse k-means quantizer,
+    // vectors assigned to their nearest centroid cell, queries probe
+    // the 3 nearest cells, exact cosine rescore inside the probed
+    // cells. The centroid set is tiny and broadcast; at 100 TB the
+    // cell assignment is one narrow pass and each query touches
+    // ~nProbe/nCells of the corpus. The index is built ONCE per
+    // session and dataset — repeat queries, and the bench's min-of-2,
+    // measure the probe path. Round 13: the quantizer is the
+    // INTEGER-EXACT portable k-means (ivfIntFit) — seeds, Lloyd
+    // steps, assignment, and routing all exact int64, so the DuckDB
+    // oracle replays the whole index and this row is fully
+    // hash-checked (the last ANN rows-only entry retired with s02's).
     "s03_ann_ivf" -> ((s, d) => {
       VectorFunctions.register(s)
-      val (assigned, centsDf) = ivfIndex(s, d)
-      ivfProbe(assigned, centsDf).orderBy(col("q_id"), col("rank"))
+      val (assigned, cents) = ivfIntIndex(s, d)
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("sv").as("qsv"))
+      rescore(probeCellsInt(q, cents, nProbe = 3), assigned)
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // ── s06: PERSISTED IVF index — the build/save/serve split every
@@ -818,14 +909,14 @@ object Similarity {
     }),
 
     // ── s04: the ANN quality gate — recall@k of the LSH and IVF paths
-    // against the exact baseline, computed in-engine as one plan. The
-    // approximate result sets themselves are engine-specific (hence
-    // s02/s03 stay rows-only), but "recall is at least X" is an
-    // engine-independent CONTRACT, so emitting the thresholded boolean
-    // next to the oracle-checkable pair count turns ANN quality into a
-    // driver-visible green row (the q23 HLL-tolerance trick). A recall
-    // regression in either index now fails CORRECTNESS instead of
-    // hiding in a rows-only entry.
+    // against the exact baseline, computed in-engine as one plan.
+    // "Recall is at least X" is an engine-independent CONTRACT, so
+    // emitting the thresholded boolean next to the oracle-checkable
+    // pair count turns ANN quality into a driver-visible green row
+    // (the q23 HLL-tolerance trick). Since round 13 s02/s03 are ALSO
+    // hash-checked bit-for-bit (integer-exact bucketing/quantizer);
+    // this row remains the QUALITY half of the contract — a recall
+    // regression fails CORRECTNESS here even if both engines agree.
     "s04_ann_recall" -> ((s, d) => {
       val exact = queries("s01_ann_bruteforce")(s, d)
       recallGate(exact, queries("s02_ann_lsh")(s, d), 0.8, "lsh_recall_ok")
@@ -1147,6 +1238,155 @@ object Similarity {
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |    list_cosine_similarity(q.v, c.v) AS cos
         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // the FULL IVF index replayed bit-for-bit (round-13 promotion):
+    // portable-hash seed selection, two integer Lloyd refinements
+    // (argmin by exact int64 dist², floor-mean by the sign-safe
+    // (sum − pmod) // n), final assignment, 3-cell integer routing,
+    // then the s01-shaped double-cosine rescore over the probed
+    // cells' members. The fixed iteration count unrolls to a CTE
+    // chain (the BPE-trainer discipline).
+    "s03_ann_ivf" ->
+      s"""WITH sv AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1
+        |      AS INTEGER) AS cell, sv AS cent
+        |  FROM (SELECT vec_id, sv, ${graft.functions.PortableHashFunctions
+              .polyHashSql("'ivf:' || CAST(vec_id AS VARCHAR)")} AS hk
+        |        FROM sv)
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY hk, vec_id) <= 16),
+        |a1 AS (SELECT vec_id, sv, cell FROM (
+        |  SELECT v.vec_id, v.sv, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        j -> (v.sv[j] - c.cent[j]) * (v.sv[j] - c.cent[j]))),
+        |      c.cell) AS r
+        |  FROM sv v CROSS JOIN c0 c) WHERE r = 1),
+        |c1 AS (SELECT cell, list(m ORDER BY i) AS cent FROM (
+        |  SELECT a.cell, g.range AS i,
+        |    CAST((SUM(a.sv[g.range]) - ((SUM(a.sv[g.range]) % COUNT(*))
+        |      + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT) AS m
+        |  FROM a1 a CROSS JOIN range(1, 65) g
+        |  GROUP BY a.cell, g.range) GROUP BY cell),
+        |a2 AS (SELECT vec_id, sv, cell FROM (
+        |  SELECT v.vec_id, v.sv, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        j -> (v.sv[j] - c.cent[j]) * (v.sv[j] - c.cent[j]))),
+        |      c.cell) AS r
+        |  FROM sv v CROSS JOIN c1 c) WHERE r = 1),
+        |c2 AS (SELECT cell, list(m ORDER BY i) AS cent FROM (
+        |  SELECT a.cell, g.range AS i,
+        |    CAST((SUM(a.sv[g.range]) - ((SUM(a.sv[g.range]) % COUNT(*))
+        |      + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT) AS m
+        |  FROM a2 a CROSS JOIN range(1, 65) g
+        |  GROUP BY a.cell, g.range) GROUP BY cell),
+        |a3 AS (SELECT vec_id, sv, cell FROM (
+        |  SELECT v.vec_id, v.sv, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        j -> (v.sv[j] - c.cent[j]) * (v.sv[j] - c.cent[j]))),
+        |      c.cell) AS r
+        |  FROM sv v CROSS JOIN c2 c) WHERE r = 1),
+        |probes AS (SELECT q_id, cell FROM (
+        |  SELECT v.vec_id AS q_id, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        j -> (v.sv[j] - c.cent[j]) * (v.sv[j] - c.cent[j]))),
+        |      c.cell) AS r
+        |  FROM sv v CROSS JOIN c2 c WHERE v.vec_id < 5) WHERE r <= 3),
+        |cands AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        |  FROM probes p JOIN a3 a USING (cell)
+        |  WHERE a.vec_id <> p.q_id),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM cands cd JOIN e q ON q.vec_id = cd.q_id
+        |    JOIN e c ON c.vec_id = cd.n_id)
+        |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // the FULL LSH pipeline replayed bit-for-bit (the s07 integer-
+    // exact discipline, round-13 promotion from rows-only): plane
+    // matrix regenerated from the portable double-hash product,
+    // fixed-point dots → buckets and weakest-margin multi-probe in
+    // exact int64, then the s01-shaped double-cosine rescore over the
+    // candidate union. 48 planes × 64 dims and |corpus|×48 dots keep
+    // the oracle itself linear in the corpus.
+    "s02_ann_lsh" ->
+      s"""WITH planes AS (
+        |  SELECT pid, i, ${graft.functions.PortableHashFunctions
+              .lshPlaneSql("s")} AS w
+        |  FROM (SELECT t.range AS pid, d.range AS i,
+        |          'lsh:' || CAST(t.range AS VARCHAR) || ':' ||
+        |            CAST(d.range AS VARCHAR) AS s
+        |        FROM range(48) t, range(64) d)),
+        |pl AS (SELECT pid, list(w ORDER BY i) AS wl
+        |       FROM planes GROUP BY pid),
+        |sv AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT v.vec_id, p.pid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> p.wl[j] * v.sv[j])) AS BIGINT) AS dot
+        |  FROM sv v CROSS JOIN pl p),
+        |cbuck AS (
+        |  SELECT vec_id, CAST(pid // 6 AS INTEGER) AS table_id,
+        |    CAST(SUM(CASE WHEN dot > 0
+        |      THEN 1 << CAST(pid % 6 AS INTEGER) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |qd AS (SELECT vec_id AS q_id, CAST(pid // 6 AS INTEGER) AS table_id,
+        |         CAST(pid % 6 AS INTEGER) AS bit, dot
+        |       FROM dots WHERE vec_id < 5),
+        |qbase AS (SELECT q_id, table_id,
+        |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM qd GROUP BY 1, 2),
+        |wk AS (
+        |  SELECT q_id, table_id,
+        |    MAX(CASE WHEN r = 1 THEN bit END) AS j1,
+        |    MAX(CASE WHEN r = 2 THEN bit END) AS j2,
+        |    MAX(CASE WHEN r = 3 THEN bit END) AS j3
+        |  FROM (SELECT q_id, table_id, bit,
+        |          ROW_NUMBER() OVER (PARTITION BY q_id, table_id
+        |            ORDER BY abs(dot), bit) AS r FROM qd)
+        |  WHERE r <= 3 GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT b.q_id, b.table_id,
+        |    xor(xor(xor(b.bucket,
+        |      CASE WHEN (s.range & 1) <> 0
+        |        THEN CAST(1 << w.j1 AS BIGINT) ELSE 0 END),
+        |      CASE WHEN (s.range & 2) <> 0
+        |        THEN CAST(1 << w.j2 AS BIGINT) ELSE 0 END),
+        |      CASE WHEN (s.range & 4) <> 0
+        |        THEN CAST(1 << w.j3 AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM qbase b JOIN wk w USING (q_id, table_id), range(8) s),
+        |cands AS (
+        |  SELECT DISTINCT p.q_id, c.vec_id AS n_id
+        |  FROM probes p JOIN cbuck c USING (table_id, bucket)
+        |  WHERE c.vec_id <> p.q_id),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM cands cd JOIN e q ON q.vec_id = cd.q_id
+        |    JOIN e c ON c.vec_id = cd.n_id)
         |SELECT q_id, n_id, rank, round(cos, 6) + 0.0 AS cos FROM (
         |  SELECT q_id, n_id, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
