@@ -124,16 +124,21 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
       createReaderFactory())
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // project files by STORAGE names (output is positional, so the
-    // display schema's order carries the values out unchanged).
+    // project files by FLATTENED STORAGE names (structs read from
+    // their marker + leaf columns — RowNested; output is positional,
+    // so the display schema's order carries the values out unchanged).
     // Computed OUTSIDE the anonymous factory: a lambda on the inner
     // class would pin a non-serializable $outer (this Scan) into the
     // task closure.
-    val storageFields = meta.schema.fields.toSeq.map(f =>
+    val displayFields = meta.schema.fields.toSeq
+    val storageFields = RowNested.flatLeaves(displayFields).map(f =>
       f.copy(name = meta.storageOf(f.name)))
+    val displayOffsets = displayFields.map(f =>
+      f -> RowNested.offsets(displayFields)(f.name))
     // full-schema projection always includes the key — equality-delete
     // replay inside resolve compares against this index
-    val keyPos = meta.schema.fieldNames.indexOf(meta.keyCol)
+    val keyPos = RowNested.flatLeaves(displayFields)
+      .indexWhere(_.name == meta.keyCol)
     val cdcMode = cdc
     new PartitionReaderFactory {
       private val dataFields = storageFields
@@ -180,19 +185,15 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
           private var cur: (Seq[Any], String) = _
           override def next(): Boolean =
             { val h = rows.hasNext; if (h) cur = rows.next(); h }
-          override def get(): InternalRow = new GenericInternalRow(
-            (cur._1.zip(dataFields).map {
-              case (s: String, _) => UTF8String.fromString(s)
-              // decimals ride the files as unscaled longs
-              case (l: java.lang.Long, f)
-                if f.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.DecimalType] =>
-                val d = f.dataType
-                  .asInstanceOf[org.apache.spark.sql.types.DecimalType]
-                org.apache.spark.sql.types.Decimal(
-                  l.longValue, d.precision, d.scale)
-              case (v, _) => v
-            } :+ UTF8String.fromString(cur._2)).toArray[Any])
+          override def get(): InternalRow = {
+            // reassemble display columns (struct markers + leaves →
+            // nested rows; decimals rebuild from unscaled longs)
+            val flat = cur._1.toArray
+            new GenericInternalRow(
+              (displayOffsets.map { case (f, off) =>
+                RowNested.internalize(f, flat, off)
+              } :+ UTF8String.fromString(cur._2)).toArray[Any])
+          }
           override def close(): Unit = ()
         }
       }
@@ -301,6 +302,11 @@ class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
   override def getLong(i: Int): Long = row.getLong(i + off)
   override def getInt(i: Int): Int = row.getInt(i + off)
   override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + off)
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    row.getDecimal(i + off, precision, scale)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(i + off, numFields)
 }
 
 /** Table-maintenance procedures — the OPTIMIZE / VACUUM half of the
@@ -556,9 +562,11 @@ object RowStoreOps {
     // data schema in storage names): the reader's projection
     // machinery applies unchanged
     val fileFields = RowResolve.DeltaMetaFields ++
-      meta.schema.fields.toSeq.map(f => f.copy(name = meta.storageOf(f.name)))
+      RowNested.flatLeaves(meta.schema.fields.toSeq)
+        .map(f => f.copy(name = meta.storageOf(f.name)))
     val keyPos = RowResolve.DeltaMetaFields.length +
-      meta.schema.fieldNames.indexOf(meta.keyCol)
+      RowNested.flatLeaves(meta.schema.fields.toSeq)
+        .indexWhere(_.name == meta.keyCol)
     val width = fileFields.length
     val eqOp = RowResolve.EqDeleteOp
     // canonical key externalization (the GroupWriterFactory form):
@@ -731,6 +739,13 @@ object RowStoreOps {
     require(!meta.mor, s"$table: add_files registers into copy-on-write " +
       "tables only (MOR delta replay keys on the bucket layout, which " +
       "imported files don't follow)")
+    // struct columns store FLATTENED (RowNested's dotted-leaf layout);
+    // an external file stores real parquet groups — the two layouts
+    // can't mix, so refuse at registration rather than misread later
+    require(!RowNested.hasStruct(meta.schema.fields.toSeq),
+      s"$table: add_files into a table with STRUCT columns is not " +
+        "supported (imported files store nested groups; this catalog " +
+        "stores flattened leaves)")
     val root = Paths.get(sourceDir)
     require(Files.isDirectory(root),
       s"add_files: $sourceDir is not a directory")

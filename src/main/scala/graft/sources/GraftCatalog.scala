@@ -486,85 +486,166 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       var droppedNow = Seq.empty[String]
       var renamesNow = meta.renames
       var pcolNow = meta.bucketCol
+      // navigate to the parent struct of a nested path and rewrite it
+      // in place — the shared walk ADD/RENAME/DROP of "s.f" use
+      def mapStruct(sch: StructType, parents: Seq[String])(
+          op: StructType => StructType): StructType =
+        if (parents.isEmpty) op(sch)
+        else {
+          val h = parents.head
+          val f = sch.fields.find(_.name == h).getOrElse(
+            sys.error(s"no column $h in schema"))
+          val st = f.dataType match {
+            case s: StructType => s
+            case other => sys.error(
+              s"column $h is not a struct (got ${other.simpleString})")
+          }
+          StructType(sch.fields.map(x =>
+            if (x.name == h)
+              x.copy(dataType = mapStruct(st, parents.tail)(op))
+            else x))
+        }
+      // live flattened STORAGE names — what retained files actually
+      // carry values under; every name-introduction guard checks these
+      def liveStorage(sch: StructType): Set[String] =
+        RowNested.flatLeaves(sch.fields.toSeq)
+          .map(l => renamesNow.getOrElse(l.name, l.name)).toSet
       val newSchema = colChanges.foldLeft(meta.schema) {
         case (sch, add: TableChange.AddColumn) =>
-          require(add.fieldNames().length == 1,
-            "nested ADD COLUMN not supported")
-          require(!RowStore.Reserved(add.fieldNames()(0)),
-            s"column name ${add.fieldNames()(0)} is reserved")
-          // no field-id indirection: retained files still CONTAIN a
-          // dropped column's values under its name, and readers
-          // project by name — re-adding the name would resurrect them
-          // (or crash on a type change) instead of NULL-padding
-          require(!meta.dropped.contains(add.fieldNames()(0)) &&
-            !droppedNow.contains(add.fieldNames()(0)),
-            s"cannot re-add previously dropped column " +
-              s"${add.fieldNames()(0)}: retained files still carry its " +
-              "old values under that name")
-          // ditto for a name files store ANOTHER column's values under
-          // (the renamed-away display name of a live column)
-          require(!sch.fieldNames.exists(n =>
-            renamesNow.getOrElse(n, n) == add.fieldNames()(0)),
-            s"cannot add column ${add.fieldNames()(0)}: retained files " +
-              "store another column's values under that name")
+          val path = add.fieldNames().toSeq
+          val leafName = path.last
+          require(!RowStore.Reserved(leafName),
+            s"column name $leafName is reserved")
           // defaults resolve at CREATE time only: the capability makes
           // the analyzer route ADD COLUMN ... DEFAULT here, and storing
           // the field without its CURRENT_DEFAULT metadata would fill
           // NULL where the user asked for the default — refuse loudly
           require(add.defaultValue() == null,
-            s"ADD COLUMN ${add.fieldNames()(0)} DEFAULT is not " +
+            s"ADD COLUMN ${path.mkString(".")} DEFAULT is not " +
               "supported: this catalog resolves DEFAULT at CREATE " +
               "TABLE time only")
-          StructType(sch.fields :+
-            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+          // no field-id indirection: retained files still CONTAIN a
+          // dropped column's values under its name, and readers
+          // project by name — re-adding the name would resurrect them
+          // (or crash on a type change) instead of NULL-padding. The
+          // check runs over every FLATTENED name the addition
+          // introduces (a struct column introduces its marker and all
+          // leaf paths), against both the dropped blacklist and the
+          // names files store ANOTHER column's values under.
+          val prefix =
+            if (path.length == 1) "" else path.init.mkString(".") + "."
+          val newNames = RowNested.flatLeaves(Seq(
+            StructField(leafName, add.dataType(), nullable = true)))
+            .map(prefix + _.name)
+          val live = liveStorage(sch)
+          newNames.foreach { nn =>
+            require(!meta.dropped.contains(nn) && !droppedNow.contains(nn),
+              s"cannot re-add previously dropped column $nn: retained " +
+                "files still carry its old values under that name")
+            require(!live.contains(nn),
+              s"cannot add column $nn: retained files store another " +
+                "column's values under that name")
+          }
+          if (path.length == 1)
+            StructType(sch.fields :+
+              StructField(leafName, add.dataType(), nullable = true))
+          else mapStruct(sch, path.init) { st =>
+            require(!st.fieldNames.contains(leafName),
+              s"cannot add duplicate field ${path.mkString(".")}")
+            StructType(st.fields :+
+              StructField(leafName, add.dataType(), nullable = true))
+          }
         // DROP COLUMN, the other metadata-only evolution: files are
         // untouched (readers project by NAME, so a dropped column's
         // bytes simply stop being read — Iceberg's lazy-delete
         // economics). The group-key column can never drop: grouping,
         // zone maps, and the write distribution all route through it.
         case (sch, del: TableChange.DeleteColumn) =>
-          require(del.fieldNames().length == 1,
-            "nested DROP COLUMN not supported")
-          val name = del.fieldNames()(0)
-          require(sch.fieldNames.contains(name),
-            s"cannot drop missing column $name")
-          require(name != meta.keyCol,
+          val path = del.fieldNames().toSeq
+          val disp = path.mkString(".")
+          require(disp != meta.keyCol,
             s"cannot drop the group-key column ${meta.keyCol}")
-          // blacklist the STORAGE name — that's what retained files
-          // carry the values under (== display name unless renamed)
-          droppedNow = droppedNow :+ renamesNow.getOrElse(name, name)
-          renamesNow = renamesNow - name
-          StructType(sch.fields.filterNot(_.name == name))
+          if (path.length == 1) {
+            val name = path.head
+            require(sch.fieldNames.contains(name),
+              s"cannot drop missing column $name")
+            // blacklist EVERY flattened storage name the column's
+            // values live under — a struct column drops its marker
+            // and all leaf paths (that's what retained files carry
+            // the values under; == display paths unless renamed)
+            val f = sch.fields.find(_.name == name).get
+            val gone = RowNested.flatLeaves(Seq(f)).map(_.name)
+            droppedNow = droppedNow ++
+              gone.map(n => renamesNow.getOrElse(n, n))
+            renamesNow = renamesNow -- gone
+            StructType(sch.fields.filterNot(_.name == name))
+          } else mapStruct(sch, path.init) { st =>
+            val leaf = path.last
+            require(st.fieldNames.contains(leaf),
+              s"cannot drop missing column $disp")
+            require(st.fields.length > 1,
+              s"cannot drop the last field of struct " +
+                s"${path.init.mkString(".")} — drop the struct column")
+            val f = st.fields.find(_.name == leaf).get
+            val gone = RowNested.flatLeaves(Seq(f))
+              .map(l => path.init.mkString(".") + "." + l.name)
+            droppedNow = droppedNow ++
+              gone.map(n => renamesNow.getOrElse(n, n))
+            renamesNow = renamesNow -- gone
+            StructType(st.fields.filterNot(_.name == leaf))
+          }
         // RENAME COLUMN — metadata-only (Iceberg's rename): files keep
         // their written name; the display→storage mapping bridges.
         case (sch, ren: TableChange.RenameColumn) =>
           require(!meta.mor, "RENAME COLUMN is not supported for " +
             "merge-on-read tables (delta records are projected by " +
             "written name)")
-          require(ren.fieldNames().length == 1,
-            "nested RENAME COLUMN not supported")
-          val from = ren.fieldNames()(0)
-          val to = ren.newName()
-          require(sch.fieldNames.contains(from),
+          val path = ren.fieldNames().toSeq
+          val from = path.mkString(".")
+          val toLeaf = ren.newName()
+          val to = (path.init :+ toLeaf).mkString(".")
+          RowStore.validateColName(toLeaf)
+          require(!toLeaf.contains('.'),
+            s"column name $toLeaf may not contain '.'")
+          require(!RowStore.Reserved(toLeaf),
+            s"column name $toLeaf is reserved")
+          // renaming a whole STRUCT column would have to remap every
+          // leaf path in one step — out of scope; its FIELDS rename
+          def fieldAt(p: Seq[String]): Option[StructField] =
+            p.foldLeft(Option(StructType(sch.fields)): Option[DataType]) {
+              case (Some(st: StructType), n) =>
+                st.fields.find(_.name == n).map(_.dataType)
+              case _ => None
+            } match {
+              case Some(dt) => Some(StructField(p.last, dt))
+              case None => None
+            }
+          require(fieldAt(path).isDefined,
             s"cannot rename missing column $from")
-          require(!sch.fieldNames.contains(to),
+          require(!fieldAt(path).get.dataType.isInstanceOf[StructType],
+            s"renaming a struct column ($from) is not supported — " +
+              "rename its fields individually")
+          require(fieldAt(path.init :+ toLeaf).isEmpty,
             s"cannot rename $from to $to: column $to already exists")
-          RowStore.validateColName(to)
-          require(!RowStore.Reserved(to), s"column name $to is reserved")
           require(!meta.dropped.contains(to) && !droppedNow.contains(to),
             s"cannot rename to previously dropped name $to: retained " +
               "files still carry its old values")
           // another live column's storage name is equally off-limits
-          require(!sch.fieldNames.filter(_ != from).exists(n =>
-            renamesNow.getOrElse(n, n) == to),
+          require(!RowNested.flatLeaves(sch.fields.toSeq)
+            .map(_.name).filter(_ != from).exists(n =>
+              renamesNow.getOrElse(n, n) == to),
             s"cannot rename $from to $to: retained files store another " +
               "column's values under that name")
           val storage = renamesNow.getOrElse(from, from)
           renamesNow = renamesNow - from
           if (to != storage) renamesNow = renamesNow + (to -> storage)
           if (pcolNow == from) pcolNow = to
-          StructType(sch.fields.map(f =>
-            if (f.name == from) f.copy(name = to) else f))
+          if (path.length == 1)
+            StructType(sch.fields.map(f =>
+              if (f.name == from) f.copy(name = toLeaf) else f))
+          else mapStruct(sch, path.init)(st =>
+            StructType(st.fields.map(f =>
+              if (f.name == path.last) f.copy(name = toLeaf) else f)))
         // TYPE WIDENING — Iceberg's type-promotion rule (the fourth
         // schema-evolution leg after ADD/DROP/RENAME): ALTER COLUMN
         // int → bigint is metadata-only. Committed files keep the

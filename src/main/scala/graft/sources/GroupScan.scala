@@ -814,11 +814,15 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
         !projected.exists(_.name == keyCol))
         projected ++ dataSchema.fields.find(_.name == keyCol)
       else projected
-    val keyIdx = wanted.indexWhere(_.name == keyCol)
-    val wantedIdx = wanted.map(_.name).zipWithIndex.toMap
-    // files store a renamed column under its STORAGE name — project by
-    // that, emit under the display name (same positions)
-    val wantedStorage = wanted.map(f =>
+    // resolve over the FLATTENED leaf layout (RowNested): structs
+    // read back from their marker + dotted-path leaf columns and
+    // reassemble at emit; files store a renamed leaf under its
+    // STORAGE name — project by that, emit under the display name
+    val wantedFlat = RowNested.flatLeaves(wanted)
+    val keyIdx = wantedFlat.indexWhere(_.name == keyCol)
+    val wantedOff = RowNested.offsets(wanted)
+    val wantedByName = wanted.map(f => f.name -> f).toMap
+    val wantedStorage = wantedFlat.map(f =>
       f.copy(name = renames.getOrElse(f.name, f.name)))
     val items =
       if (part.ordered.nonEmpty) part.ordered
@@ -835,19 +839,12 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
           f.name match {
             case "_group" => Int.box(part.group)
             case "_rid"   => UTF8String.fromString(cur._1)
-            case n => cur._2(wantedIdx(n)) match {
-              case s: String => UTF8String.fromString(s)
-              // decimals ride the files as unscaled longs — rebuild
-              // the internal Decimal at the column's declared scale
-              case l: java.lang.Long
-                if f.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.DecimalType] =>
-                val d = f.dataType
-                  .asInstanceOf[org.apache.spark.sql.types.DecimalType]
-                org.apache.spark.sql.types.Decimal(
-                  l.longValue, d.precision, d.scale)
-              case v         => v
-            }
+            // a PRUNED struct in `required` flows through as-is: its
+            // pruned field list shaped both the flat projection and
+            // these offsets, so only the asked-for leaves were read
+            // and exactly they reassemble
+            case n =>
+              RowNested.internalize(wantedByName(n), cur._2, wantedOff(n))
           }
         }.asInstanceOf[Array[Any]])
       override def close(): Unit = ()

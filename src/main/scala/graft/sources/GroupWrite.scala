@@ -249,11 +249,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fields = writeSchema.fields.toSeq
+      // struct columns store as FLATTENED leaves (RowNested): every
+      // per-column structure below (stats, blooms, sketches, the file
+      // schema itself) is indexed by FLAT position and keyed by flat
+      // display/storage names — nested leaves get zone maps for free
+      private val flatFields = RowNested.flatLeaves(fields)
       // files ALWAYS store a renamed column under its storage name, so
-      // pre- and post-rename files stay mutually readable
-      private val fileFields = fields.map(f =>
+      // pre- and post-rename files stay mutually readable (nested
+      // leaves rename by their dotted display path)
+      private val fileFields = flatFields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name)))
-      private val bucketIdx = writeSchema.fieldNames.indexOf(bucketCol)
+      private val bucketIdx = flatFields.indexWhere(_.name == bucketCol)
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
       // zone-map stats of the bucket column per file: numeric keys
@@ -283,7 +289,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       // records NO bloom (a saturated filter skips nothing), which
       // also bounds writer memory at MaxDistinct longs per slot
       private val bloomIdx = bloomCols
-        .map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0)
+        .map(c => flatFields.indexWhere(_.name == c)).filter(_ >= 0)
       private val bloomVals = scala.collection.mutable
         .Map.empty[(Int, Int), scala.collection.mutable.Set[Long]]
       private val bloomOver = scala.collection.mutable.Set.empty[(Int, Int)]
@@ -292,7 +298,7 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       // (K longs per slot) at ANY cardinality, unlike the bloom's
       // distinct-set which must cap and drop out
       private val ndvIdx = ndvCols
-        .map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0)
+        .map(c => flatFields.indexWhere(_.name == c)).filter(_ >= 0)
       private val ndvSk = scala.collection.mutable
         .Map.empty[(Int, Int), java.util.TreeSet[java.lang.Long]]
       // per-(group, column) NULL counts ride with the sketch:
@@ -342,9 +348,9 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private def trackColStats(g: Int, vals: Array[Any]): Unit = {
         import RowStore.StrBounds.cmp
         val cs = colStats.getOrElseUpdate(g, ColStats(
-          new Array[Long](fields.length), new Array[Long](fields.length),
-          new Array[Boolean](fields.length),
-          new Array[String](fields.length), new Array[String](fields.length)))
+          new Array[Long](flatFields.length), new Array[Long](flatFields.length),
+          new Array[Boolean](flatFields.length),
+          new Array[String](flatFields.length), new Array[String](flatFields.length)))
         var i = 0
         while (i < vals.length) {
           vals(i) match {
@@ -375,25 +381,10 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         }
       }
 
+      // shared flat externalizer (canonical long forms for zone maps
+      // and blooms; structs flatten to marker + leaves)
       private def externalize(row: InternalRow): Array[Any] =
-        fields.zipWithIndex.map { case (f, i) =>
-          if (row.isNullAt(i)) null
-          else f.dataType match {
-            case LongType      => Long.box(row.getLong(i))
-            case TimestampType => Long.box(row.getLong(i))
-            case IntegerType   => Int.box(row.getInt(i))
-            // canonical long forms (what zone maps and blooms hash):
-            // date = epoch-day int, decimal = unscaled long at the
-            // column's declared scale
-            case org.apache.spark.sql.types.DateType =>
-              Int.box(row.getInt(i))
-            case d: org.apache.spark.sql.types.DecimalType =>
-              Long.box(row.getDecimal(i, d.precision, d.scale)
-                .toUnscaledLong)
-            case StringType    => row.getUTF8String(i).toString
-            case other       => sys.error(s"unsupported type $other")
-          }
-        }.toArray
+        RowNested.externalize(fields, row)
 
       override def write(row: InternalRow): Unit = {
         // Defense for the no-metadata ReplaceData layout (op-code int
@@ -444,10 +435,10 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
           // what the scan translates pushed display names to); an
           // unsoundly-truncatable string column just drops its entry
           val (cn, cs) = colStats.get(g).map { c =>
-            val nums = fields.indices.collect {
+            val nums = flatFields.indices.collect {
               case i if c.chas(i) =>
                 fileFields(i).name -> (c.cmins(i), c.cmaxs(i)) }.toMap
-            val strs = fields.indices.flatMap { i =>
+            val strs = flatFields.indices.flatMap { i =>
               Option(c.csmin(i)).flatMap(mn =>
                 RowStore.StrBounds.truncated(mn, c.csmax(i)))
                 .map(fileFields(i).name -> _) }.toMap
@@ -583,8 +574,11 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val fields = rowSchema.fields.toSeq
-      private val bucketIdx = rowSchema.fieldNames.indexOf(bucketCol)
-      private val fileSchema = RowResolve.DeltaMetaFields ++ fields
+      // delta records carry the FLATTENED leaf layout like base files
+      // (RowNested) — the reader's projection machinery is shared
+      private val flatFields = RowNested.flatLeaves(fields)
+      private val bucketIdx = flatFields.indexWhere(_.name == bucketCol)
+      private val fileSchema = RowResolve.DeltaMetaFields ++ flatFields
       // one delta file per (task, touched group): group-tagged in the
       // manifest, so reads replay only the deltas that can affect the
       // group they're resolving
@@ -602,21 +596,7 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
         })._2
 
       private def dataVals(row: InternalRow): Array[Any] =
-        fields.zipWithIndex.map { case (f, i) =>
-          if (row == null || row.isNullAt(i)) null
-          else f.dataType match {
-            case LongType      => Long.box(row.getLong(i))
-            case TimestampType => Long.box(row.getLong(i))
-            case IntegerType   => Int.box(row.getInt(i))
-            case org.apache.spark.sql.types.DateType =>
-              Int.box(row.getInt(i))
-            case d: org.apache.spark.sql.types.DecimalType =>
-              Long.box(row.getDecimal(i, d.precision, d.scale)
-                .toUnscaledLong)
-            case StringType    => row.getUTF8String(i).toString
-            case other       => sys.error(s"unsupported type $other")
-          }
-        }.toArray
+        RowNested.externalize(fields, row)
 
       private def rec(op: Int, rid: String, grp: Int, row: InternalRow): Unit =
         writer(grp).write(

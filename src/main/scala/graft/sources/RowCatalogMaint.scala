@@ -10,6 +10,73 @@ import org.apache.spark.sql.functions.col
 object RowCatalogMaintQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── q160: NESTED (STRUCT) COLUMN TYPES — the schema surface
+    // events-shaped data hits on day one (the reference's `props`
+    // JSON column is the domain hint): a STRUCT column through the
+    // FULL lifecycle — CREATE, INSERT, a MERGE whose UPDATE assigns a
+    // nested field, then FIELD-LEVEL evolution (ADD COLUMN props.flag,
+    // RENAME COLUMN props.cents TO amount — both riding the same
+    // name-mapping machinery as top-level evolution, on dotted leaf
+    // paths), a post-evolution INSERT, and time travel ACROSS the
+    // evolution (stages 1–2 read the pre-ALTER snapshots under their
+    // pinned schema and old field names; stage 3 reads the evolved
+    // head). The oracle restates all three stages relationally.
+    // NestedTypesSpec pins the storage half: leaves store FLATTENED
+    // under dotted STORAGE names, renames are metadata-only (new
+    // files keep writing the old storage name), null structs
+    // round-trip, and a dropped nested field's path is blacklisted.
+    "q160_dml_nested_types" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q160_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.nest")
+      s.sql("CREATE TABLE graft_dml.ns.nest " +
+        "(k BIGINT, props STRUCT<cents: BIGINT, status: STRING>) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.nest
+        SELECT CAST(o_orderkey AS BIGINT),
+               named_struct(
+                 'cents', CAST(round(o_totalprice * 100) AS BIGINT),
+                 'status', o_orderstatus)
+        FROM q160_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""MERGE INTO graft_dml.ns.nest t
+        USING (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM q160_orders WHERE o_orderkey % 5 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.props.status = 'F' THEN
+          UPDATE SET props.cents = t.props.cents + s.cents
+        WHEN MATCHED AND t.props.status <> 'F' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, props)
+          VALUES (s.k, named_struct('cents', s.cents, 'status', s.status))""")
+      s.sql("ALTER TABLE graft_dml.ns.nest ADD COLUMN props.flag BIGINT")
+      s.sql("ALTER TABLE graft_dml.ns.nest " +
+        "RENAME COLUMN props.cents TO amount")
+      s.sql("""INSERT INTO graft_dml.ns.nest
+        SELECT CAST(o_orderkey AS BIGINT),
+               named_struct(
+                 'amount', CAST(round(o_totalprice * 100) AS BIGINT),
+                 'status', o_orderstatus,
+                 'flag', CAST(o_orderkey % 3 AS BIGINT))
+        FROM q160_orders WHERE o_orderkey % 9 = 2""")
+      s.sql("""
+        SELECT 1 AS stage, COUNT(*) AS n,
+               CAST(COALESCE(SUM(props.cents), 0) AS BIGINT) AS amt,
+               CAST(0 AS BIGINT) AS n_flag
+        FROM graft_dml.ns.nest VERSION AS OF 1
+        UNION ALL
+        SELECT 2, COUNT(*),
+               CAST(COALESCE(SUM(props.cents), 0) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM graft_dml.ns.nest VERSION AS OF 2
+        UNION ALL
+        SELECT 3, COUNT(*),
+               CAST(COALESCE(SUM(props.amount), 0) AS BIGINT),
+               COUNT(props.flag)
+        FROM graft_dml.ns.nest
+        ORDER BY stage""")
+    }),
+
     // ── q162: DELETION-VECTOR ACCOUNTING IN `.files` — the health
     // question a MOR+dv table answers before OPTIMIZE (Iceberg's
     // rewrite_position_deletes decision input): how many vectors,
@@ -45,6 +112,44 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the three lifecycle stages restated from raw orders: seed
+    // insert, post-merge state, and the evolved head (merge result
+    // plus the post-evolution insert; flags are non-null exactly on
+    // the inserted slice)
+    "q160_dml_nested_types" ->
+      """WITH seed AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |src AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL AND t.status = 'F'
+        |      THEN t.cents + s.cents ELSE t.cents END AS cents
+        |  FROM seed t LEFT JOIN src s USING (k)
+        |  WHERE NOT (s.k IS NOT NULL AND t.status <> 'F')
+        |  UNION ALL
+        |  SELECT s.k, s.cents FROM src s
+        |  WHERE s.k NOT IN (SELECT k FROM seed)),
+        |ins AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 = 2)
+        |SELECT 1 AS stage, COUNT(*) AS n,
+        |  CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS amt,
+        |  CAST(0 AS BIGINT) AS n_flag FROM seed
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT),
+        |  CAST(0 AS BIGINT) FROM merged
+        |UNION ALL
+        |SELECT 3,
+        |  (SELECT COUNT(*) FROM merged) + (SELECT COUNT(*) FROM ins),
+        |  CAST((SELECT COALESCE(SUM(cents), 0) FROM merged)
+        |    + (SELECT COALESCE(SUM(cents), 0) FROM ins) AS BIGINT),
+        |  (SELECT COUNT(*) FROM ins)
+        |ORDER BY stage""".stripMargin,
+
     // exactly one vector per group; its popcount is the union of both
     // delete predicates over the inserted slice
     "q162_dml_files_dv" ->

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Nested (STRUCT) column support for the DML catalog — the FLATTENED
+  * LEAF encoding: a struct column never reaches the parquet writer as
+  * a group; its leaves become independent top-level primitive columns
+  * named by dotted path ("s.f", recursively "s.t.g"), preceded by an
+  * INT32 PRESENCE marker under the struct's own name ("s" = 1 when
+  * the struct value is non-null) so `NULL` and "struct of all NULLs"
+  * stay distinguishable.
+  *
+  * Why flatten instead of writing real parquet groups: every layer
+  * between the write and read boundaries — positional/equality delta
+  * records, zone maps, blooms, NDV sketches, the change-feed multiset
+  * diff, OPTIMIZE's rewrite — operates on flat primitive
+  * externalized values. Flattening at the two boundaries means all
+  * of that machinery (and its specs) applies to nested data
+  * unchanged, and field-level evolution rides the SAME name-mapping
+  * the top-level columns use: ADD/RENAME/DROP of "s.f" is an entry in
+  * the dropped list / renames map keyed by the dotted display path.
+  * Iceberg reaches the same property through field ids; dotted
+  * storage names are this catalog's id-free equivalent (names may
+  * not contain '.', enforced at writeMeta).
+  *
+  * The dotted names are purely internal: Spark sees real StructType
+  * columns in every schema surface (CREATE, DESCRIBE, time travel's
+  * pinned `#schema` headers round-trip nested JSON as-is). */
+object RowNested {
+
+  /** Flattened leaf fields of a (possibly struct-bearing) field list,
+    * DISPLAY names. Identity for primitive-only schemas. */
+  def flatLeaves(fields: Seq[StructField]): Seq[StructField] =
+    fields.flatMap {
+      case StructField(n, st: StructType, _, _) =>
+        StructField(n, IntegerType, nullable = true) +:
+          flatLeaves(st.fields.toSeq).map(l => l.copy(name = s"$n.${l.name}"))
+      case f => Seq(f)
+    }
+
+  /** Number of flat slots field `f` occupies. */
+  def leafCount(f: StructField): Int = f.dataType match {
+    case st: StructType => 1 + st.fields.map(leafCount).sum
+    case _ => 1
+  }
+
+  private def extPrim(dt: DataType, row: InternalRow, i: Int): Any =
+    dt match {
+      case LongType      => Long.box(row.getLong(i))
+      case TimestampType => Long.box(row.getLong(i))
+      case IntegerType   => Int.box(row.getInt(i))
+      // canonical long forms (what zone maps and blooms hash):
+      // date = epoch-day int, decimal = unscaled long at the
+      // column's declared scale
+      case DateType      => Int.box(row.getInt(i))
+      case d: DecimalType =>
+        Long.box(row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+      case StringType    => row.getUTF8String(i).toString
+      case other         => sys.error(s"unsupported type $other")
+    }
+
+  private def extInto(out: scala.collection.mutable.ArrayBuffer[Any],
+      fields: Seq[StructField], row: InternalRow): Unit =
+    fields.zipWithIndex.foreach { case (f, i) =>
+      f.dataType match {
+        case st: StructType =>
+          if (row == null || row.isNullAt(i)) {
+            out += null
+            (0 until (leafCount(f) - 1)).foreach(_ => out += null)
+          } else {
+            out += Int.box(1) // presence marker
+            extInto(out, st.fields.toSeq, row.getStruct(i, st.fields.length))
+          }
+        case dt =>
+          out += (if (row == null || row.isNullAt(i)) null
+            else extPrim(dt, row, i))
+      }
+    }
+
+  /** Externalize one engine row into the FLAT value array the file
+    * writers take — `fields` are the TOP-LEVEL (display) fields the
+    * row is laid out by; output is aligned to [[flatLeaves]] of them.
+    * `row = null` (a delta DELETE record's payload) yields all-null. */
+  def externalize(fields: Seq[StructField], row: InternalRow): Array[Any] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      fields.map(leafCount).sum)
+    extInto(out, fields, row)
+    out.toArray
+  }
+
+  private def intPrim(dt: DataType, v: Any): Any = v match {
+    case null      => null
+    case s: String => UTF8String.fromString(s)
+    // decimals ride the files as unscaled longs — rebuild the
+    // internal Decimal at the column's declared scale
+    case l: java.lang.Long if dt.isInstanceOf[DecimalType] =>
+      val d = dt.asInstanceOf[DecimalType]
+      Decimal(l.longValue, d.precision, d.scale)
+    case other     => other
+  }
+
+  /** Internalize the flat slots of display field `f` starting at
+    * `off` back into the engine value (nested GenericInternalRow for
+    * structs, converted primitive otherwise). */
+  def internalize(f: StructField, flat: Array[Any], off: Int): Any =
+    f.dataType match {
+      case st: StructType =>
+        // marker null/0 = the struct itself was null (files that
+        // PREDATE an added struct column read all-null too)
+        if (flat(off) == null) null
+        else {
+          var o = off + 1
+          val vals = st.fields.map { sf =>
+            val v = internalize(sf, flat, o)
+            o += leafCount(sf)
+            v
+          }
+          new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        }
+      case dt => intPrim(dt, flat(off))
+    }
+
+  /** (display field → flat offset) for a wanted field list — what the
+    * readers index [[internalize]] with. */
+  def offsets(fields: Seq[StructField]): Map[String, Int] = {
+    var o = 0
+    fields.map { f =>
+      val e = f.name -> o
+      o += leafCount(f)
+      e
+    }.toMap
+  }
+
+  /** True if any field (at any depth) is a struct. */
+  def hasStruct(fields: Seq[StructField]): Boolean =
+    fields.exists(_.dataType.isInstanceOf[StructType])
+}

@@ -477,8 +477,26 @@ object RowStore {
       val Array(d, s) = p.split(">", 2); (d, s)
     }.toMap
 
+  /** Every declared name at any nesting depth must be storable AND
+    * free of '.' — the dot is the flattened-leaf path separator
+    * (RowNested), so a declared name containing one would ambiguate
+    * storage paths. Dropped/rename entries legitimately CARRY dotted
+    * paths and validate via [[validateColName]] only. */
+  private def validateFieldNames(fields: Seq[StructField]): Unit =
+    fields.foreach { f =>
+      validateColName(f.name)
+      require(!f.name.contains('.'),
+        s"column name ${f.name} may not contain '.' (reserved for " +
+          "nested field paths)")
+      f.dataType match {
+        case st: StructType => validateFieldNames(st.fields.toSeq)
+        case _              => ()
+      }
+    }
+
   def writeMeta(key: String, m: Meta): Unit = {
-    (m.schema.fieldNames ++ m.dropped ++
+    validateFieldNames(m.schema.fields.toSeq)
+    (m.dropped ++
       m.renames.keys ++ m.renames.values).foreach(validateColName)
     Files.createDirectories(Paths.get(tableDir(key)))
     Files.writeString(metaPath(key),
