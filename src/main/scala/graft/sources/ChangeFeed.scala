@@ -327,17 +327,33 @@ object RowStoreOps {
     * observationally unchanged — q110's oracle checks that, the spec
     * pins the file accounting. Returns the dirty-group set and the
     * manifest entry count before/after. */
-  def compact(s: SparkSession, table: String): (Set[Int], Int, Int) = {
+  def compact(s: SparkSession, table: String,
+      sortCol: Option[String] = None): (Set[Int], Int, Int) = {
     val base = RowStore.currentVersion(table)
     val man = RowStore.readManifest(table, base)
     // dirtiness is a per-(spec, group) property: after a spec
     // evolution or add_files, two healthy one-file groups that merely
     // SHARE a group number across specs are not fragmentation — a
-    // number-only grouping would flag them and crash the handshake
-    val dirty = man.groupBy(e => (e.spec, e.group)).collect {
-      case ((_, g), es) if g >= 0 && (es.exists(_.kind != "base") ||
-        es.count(_.kind == "base") > 1) => g
-    }.toSet
+    // number-only grouping would flag them and crash the handshake.
+    // A SORT-ORDERED rewrite targets EVERY populated group instead:
+    // it is a clustering operation (restore zone-map selectivity
+    // after churn), not cleanup — a one-file "clean" group whose file
+    // spans the whole key range is exactly what it exists to fix.
+    sortCol.foreach { c =>
+      val f = RowStore.readMeta(table).schema.fields.find(_.name == c)
+        .getOrElse(sys.error(
+          s"$table: sort column $c is not in the table schema"))
+      require(!f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType],
+        s"$table: cannot sort-rewrite by struct column $c")
+    }
+    val dirty =
+      if (sortCol.isDefined)
+        man.collect { case e if e.group >= 0 => e.group }.toSet
+      else man.groupBy(e => (e.spec, e.group)).collect {
+        case ((_, g), es) if g >= 0 && (es.exists(_.kind != "base") ||
+          es.count(_.kind == "base") > 1) => g
+      }.toSet
     if (dirty.nonEmpty) {
       // the group-number handshake can't express spec-qualified
       // restriction — refuse loudly on a genuinely-dirty multi-spec
@@ -346,7 +362,8 @@ object RowStoreOps {
       require(man.forall(_.spec == activeSpec),
         s"$table: OPTIMIZE across partition specs is not supported — " +
           "migrate with INSERT OVERWRITE onto the active spec first")
-      val hs = s"$base:" + dirty.toSeq.sorted.mkString(",")
+      val hs = s"$base:" + dirty.toSeq.sorted.mkString(",") +
+        sortCol.map(c => s":$c").getOrElse("")
       s.read.option("compact", hs).table(table)
         .writeTo(table).option("compact", hs).append()
     }

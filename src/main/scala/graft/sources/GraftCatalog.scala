@@ -106,6 +106,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(dirty.size, before, after)
       }
     },
+    new Proc("rewrite_data_files_sorted",
+      "rewrite EVERY group range-clustered by the sort column " +
+        "(Iceberg's rewrite_data_files with a sort order) — restores " +
+        "zone-map file skipping a churned or bin-packed layout lost",
+      Seq(("table", StringType), ("sort_col", StringType)),
+      Seq(("rewritten_groups", IntegerType), ("entries_before", IntegerType),
+        ("entries_after", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (gs, before, after) = RowStoreOps.compact(
+          SparkSession.active, tkey(a.getUTF8String(0)),
+          Some(a.getUTF8String(1).toString))
+        Array(gs.size, before, after)
+      }
+    },
     new Proc("expire_snapshots_older_than",
       "retain versions committed within the window (+ the current and " +
         "tagged ones); delete expired manifests and orphaned files",
@@ -863,9 +877,9 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     Option(info.options().get("compact"))
       .map(GroupWrite.parseCompact) match {
-      case Some((base, gs)) =>
+      case Some((base, gs, sort)) =>
         new GroupWrite(tableKey, meta, info.schema(),
-          GroupWrite.Compact(base, gs))
+          GroupWrite.Compact(base, gs), sortCol = sort)
       case None =>
         Option(info.options().get("branch")) match {
           // write option `branch=<name>`: the append STAGES into the

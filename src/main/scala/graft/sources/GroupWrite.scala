@@ -40,16 +40,21 @@ object GroupWrite {
     * version the compaction read, for the OCC commit check. */
   case class Compact(base: Int, groups: Set[Int]) extends Mode
 
-  /** Option value codec for the compact handshake: `<ver>:<g1>,<g2>`. */
-  def parseCompact(v: String): (Int, Set[Int]) = {
-    val Array(ver, gs) = v.split(":", 2)
-    (ver.toInt, gs.split(",").map(_.trim.toInt).toSet)
+  /** Option value codec for the compact handshake:
+    * `<ver>:<g1>,<g2>[:<sortCol>]` — the optional third segment asks
+    * for the SORT-ORDERED rewrite (Iceberg's rewrite_data_files with
+    * a sort order). One option value carries the whole handshake
+    * because Spark's V2Writes asserts scan and write options agree. */
+  def parseCompact(v: String): (Int, Set[Int], Option[String]) = {
+    val parts = v.split(":", 3)
+    (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
+      parts.lift(2).filter(_.nonEmpty))
   }
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
     writeSchema: StructType, mode: GroupWrite.Mode,
-    queryId: String = "")
+    queryId: String = "", sortCol: Option[String] = None)
     extends WriteBuilder with Write with BatchWrite with SupportsTruncate
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
@@ -68,13 +73,46 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   // ⊆ equal partition values; Spark resolves identity natively, no V2
   // function needed) — a group may then span tasks, which the
   // one-file-per-(task, group) model already allows.
-  override def requiredDistribution(): Distribution = meta.transform match {
-    case "bucket" => Distributions.clustered(Array[VExpression](
-      Expressions.bucket(meta.numGroups, meta.keyCol)))
-    case _ => Distributions.clustered(Array[VExpression](
-      Expressions.identity(meta.keyCol)))
+  //
+  // SORT-ORDERED REWRITE (Iceberg's rewrite_data_files with a sort
+  // order): ask Spark for an ORDERED distribution on the sort column
+  // instead — the engine RANGE-partitions the rows, so each task
+  // holds one contiguous slice of the sort column across all groups,
+  // and the unchanged one-file-per-(task, group) writer then emits
+  // range-disjoint files whose zone maps are tight on the sort
+  // column. That is exactly what restores file skipping on a churned
+  // table: bin-packed compaction leaves one group-wide file whose
+  // [min, max] spans everything; the sorted rewrite splits it into
+  // slices a pushed range prunes. No writer changes — the clustering
+  // IS the feature, delegated to Spark's range shuffle.
+  override def requiredDistribution(): Distribution = sortCol match {
+    case Some(c) => Distributions.ordered(Array(
+      Expressions.sort(Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+    case None => meta.transform match {
+      case "bucket" => Distributions.clustered(Array[VExpression](
+        Expressions.bucket(meta.numGroups, meta.keyCol)))
+      case _ => Distributions.clustered(Array[VExpression](
+        Expressions.identity(meta.keyCol)))
+    }
   }
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  // within-file order rides along for free on the sorted rewrite —
+  // parquet page stats inside each file then line up with the file's
+  // zone map (the Iceberg sort-rewrite layout)
+  override def requiredOrdering(): Array[SortOrder] = sortCol match {
+    case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    case None => Array.empty
+  }
+  // pin the sorted rewrite's range-partition count to the session's
+  // shuffle parallelism (what a deployment sizes for its data): an
+  // unpinned count lets AQE coalesce a small rewrite to ONE slice,
+  // which silently recreates the group-wide files the rewrite exists
+  // to split
+  override def requiredNumPartitions(): Int =
+    if (sortCol.isDefined)
+      SparkSession.active.sessionState.conf.numShufflePartitions
+    else 0
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,

@@ -108,10 +108,72 @@ object RowCatalogMaintQueries {
         .selectExpr("grp", "kind", "dv_deleted_rows",
           "dv_target IS NOT NULL AS has_target")
         .orderBy(col("grp"))
+    }),
+
+    // ── q161: SORT-ORDERED OPTIMIZE (`rewrite_data_files_sorted`) —
+    // the zone-map-restoration half of compaction Iceberg's
+    // rewrite_data_files takes a sort order for: three full-range
+    // INSERT commits churn the table so every group's files span the
+    // whole key range; plain OPTIMIZE bin-packs to one file per group
+    // but each STILL spans everything, so a banded SELECT skips
+    // nothing (pinned: `plain_skipped_none`). The sorted rewrite
+    // range-partitions by k — each task holds one contiguous slice,
+    // the writer emits range-disjoint files, and the SAME banded
+    // SELECT now plans only the intersecting slice files (pinned:
+    // `sorted_skips`). The band aggregate itself is the content
+    // contract (rewrites must be observationally invisible);
+    // SortedRewriteSpec pins the opened-fraction drop and the
+    // rows-planned bound.
+    "q161_dml_sorted_rewrite" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q161_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.sortr")
+      s.sql("CREATE TABLE graft_dml.ns.sortr " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      for (r <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_dml.ns.sortr
+          SELECT CAST(o_orderkey AS BIGINT),
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q161_orders WHERE o_orderkey % 3 = $r""")
+      // the banded read: middle third of the key range (the 1-row
+      // bounds fetch is planning metadata, the q115 discipline)
+      val mxK = s.sql("SELECT CAST(max(o_orderkey) AS BIGINT) " +
+        "FROM q161_orders").head().getLong(0)
+      val (lo, hi) = (mxK / 3, 2 * mxK / 3)
+      val banded = s"""SELECT status, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.sortr
+        WHERE k >= ${lo}L AND k < ${hi}L
+        GROUP BY status ORDER BY status"""
+      RowStoreOps.compact(s, "graft_dml.ns.sortr") // plain bin-pack
+      s.sql(banded).collect()
+      val plainSkipped = RowStore.lastSkippedBaseFiles.get()
+      s.sql("CALL graft_dml.system.rewrite_data_files_sorted(" +
+        "'ns.sortr', 'k')").collect()
+      s.sql(banded).collect()
+      val sortedSkipped = RowStore.lastSkippedBaseFiles.get()
+      s.sql(banded)
+        .withColumn("plain_skipped_none",
+          org.apache.spark.sql.functions.lit(plainSkipped == 0))
+        .withColumn("sorted_skips",
+          org.apache.spark.sql.functions.lit(sortedSkipped > 0))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the band restated from raw orders; the skip pins are TRUE by
+    // the rewrite contract (plain bin-pack leaves group-wide files —
+    // nothing skippable; the sorted layout must skip)
+    "q161_dml_sorted_rewrite" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS plain_skipped_none, TRUE AS sorted_skips
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 3
+        |  AND o_orderkey < 2 * (SELECT MAX(o_orderkey) FROM orders) // 3
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     // the three lifecycle stages restated from raw orders: seed
     // insert, post-merge state, and the evolved head (merge result
     // plus the post-evolution insert; flags are non-null exactly on

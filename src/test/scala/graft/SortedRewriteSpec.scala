@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sort-ordered OPTIMIZE (q161, `rewrite_data_files_sorted`) — the
+  * file-level contract: after churn, plain bin-packed OPTIMIZE leaves
+  * one group-wide file per group (a banded read skips NOTHING), while
+  * the sorted rewrite's range-clustered files make the same banded
+  * read open a strictly smaller fraction — with the planned file set
+  * agreeing with the manifest's zone maps, content observationally
+  * unchanged, and rows-planned bounded by the band's true row count
+  * plus boundary slack. */
+class SortedRewriteSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import graft.sources.{RowStore, RowStoreOps}
+
+  test("sorted rewrite restores zone-map skipping on a churned table") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.srw"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // three commits, each spanning the FULL key range [0, 300) —
+    // every group's every file then covers everything (churn)
+    for (r <- 0 until 3)
+      s.sql(s"INSERT INTO $t VALUES " +
+        (0 until 300).filter(_ % 3 == r)
+          .map(i => s"($i, ${i * 2})").mkString(", "))
+    val banded = s"SELECT CAST(SUM(v) AS BIGINT) FROM $t " +
+      "WHERE k >= 100 AND k < 200"
+    val want = (100 until 200).map(_ * 2L).sum
+
+    RowStoreOps.compact(s, t) // plain bin-pack: 1 group-wide file each
+    assert(s.sql(banded).head().getLong(0) == want)
+    val plainPlanned = RowStore.lastPlannedBaseFiles.get()
+    val plainSkipped = RowStore.lastSkippedBaseFiles.get()
+    assert(plainPlanned == 4 && plainSkipped == 0,
+      s"bin-packed layout must plan all 4 group files, skip none: " +
+        s"$plainPlanned/$plainSkipped")
+
+    val (gs, _, _) = RowStoreOps.compact(s, t, sortCol = Some("k"))
+    assert(gs == Set(0, 1, 2, 3), "sorted rewrite targets every group")
+    assert(s.sql(banded).head().getLong(0) == want,
+      "the rewrite must be observationally invisible")
+    val planned = RowStore.lastPlannedBaseFiles.get()
+    val skipped = RowStore.lastSkippedBaseFiles.get()
+    assert(skipped > 0, "range-clustered files must skip under the band")
+    val frac = planned.toDouble / (planned + skipped)
+    assert(frac < 1.0 && frac <= 0.7,
+      s"opened fraction must DROP vs plain OPTIMIZE's 1.0: " +
+        s"$planned of ${planned + skipped} ($frac)")
+
+    // the planner's file set agrees with the manifest's zone maps,
+    // and rows planned are band-sized, not table-sized
+    val man = RowStore.readManifest(t, RowStore.currentVersion(t))
+    assert(man.forall(_.kind == "base"))
+    val intersecting = man.filter(e =>
+      e.maxK.exists(_ >= 100L) && e.minK.exists(_ < 200L))
+    assert(planned == intersecting.size,
+      s"planned $planned vs manifest-intersecting ${intersecting.size}")
+    val rowsPlanned = intersecting.flatMap(_.rows).sum
+    assert(rowsPlanned < 300,
+      s"sorted layout must plan a band-sized row subset, got $rowsPlanned")
+
+    // refusal: sorting by a struct column has no zone-map form
+    s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.srwn")
+    s.sql("CREATE TABLE graft_dml.spec.srwn " +
+      "(k BIGINT, p STRUCT<a: BIGINT>)")
+    s.sql("INSERT INTO graft_dml.spec.srwn VALUES (1, named_struct('a', 1L))")
+    val e = intercept[Exception](
+      RowStoreOps.compact(s, "graft_dml.spec.srwn", sortCol = Some("p")))
+    assert(e.getMessage.contains("struct"), e.getMessage)
+    s.sql(s"DROP TABLE $t")
+    s.sql("DROP TABLE graft_dml.spec.srwn")
+  }
+}
