@@ -51,7 +51,9 @@ object Explain {
         "q153_dml_manifests_table", "q154_dml_deletion_vectors",
         "q155_dml_ndv_stats", "q156_dml_add_files",
         "q157_dml_cross_spec_merge", "s16_ann_segment_compact",
-        "q158_dml_column_stats_table", "q159_dml_compute_stats")
+        "q158_dml_column_stats_table", "q159_dml_compute_stats",
+        "q160_dml_nested_types", "q161_dml_sorted_rewrite",
+        "q162_dml_files_dv", "s02_ann_lsh", "s03_ann_ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
