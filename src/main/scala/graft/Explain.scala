@@ -53,7 +53,8 @@ object Explain {
         "q157_dml_cross_spec_merge", "s16_ann_segment_compact",
         "q158_dml_column_stats_table", "q159_dml_compute_stats",
         "q160_dml_nested_types", "q161_dml_sorted_rewrite",
-        "q162_dml_files_dv", "s02_ann_lsh", "s03_ann_ivf")
+        "q162_dml_files_dv", "s02_ann_lsh", "s03_ann_ivf",
+        "q163_dml_json_shred")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

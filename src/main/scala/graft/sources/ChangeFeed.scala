@@ -328,7 +328,7 @@ object RowStoreOps {
     * pins the file accounting. Returns the dirty-group set and the
     * manifest entry count before/after. */
   def compact(s: SparkSession, table: String,
-      sortCol: Option[String] = None): (Set[Int], Int, Int) = {
+      sortCols: Seq[String] = Seq.empty): (Set[Int], Int, Int) = {
     val base = RowStore.currentVersion(table)
     val man = RowStore.readManifest(table, base)
     // dirtiness is a per-(spec, group) property: after a spec
@@ -339,7 +339,7 @@ object RowStoreOps {
     // it is a clustering operation (restore zone-map selectivity
     // after churn), not cleanup — a one-file "clean" group whose file
     // spans the whole key range is exactly what it exists to fix.
-    sortCol.foreach { c =>
+    sortCols.foreach { c =>
       val f = RowStore.readMeta(table).schema.fields.find(_.name == c)
         .getOrElse(sys.error(
           s"$table: sort column $c is not in the table schema"))
@@ -348,7 +348,7 @@ object RowStoreOps {
         s"$table: cannot sort-rewrite by struct column $c")
     }
     val dirty =
-      if (sortCol.isDefined)
+      if (sortCols.nonEmpty)
         man.collect { case e if e.group >= 0 => e.group }.toSet
       else man.groupBy(e => (e.spec, e.group)).collect {
         case ((_, g), es) if g >= 0 && (es.exists(_.kind != "base") ||
@@ -363,7 +363,7 @@ object RowStoreOps {
         s"$table: OPTIMIZE across partition specs is not supported — " +
           "migrate with INSERT OVERWRITE onto the active spec first")
       val hs = s"$base:" + dirty.toSeq.sorted.mkString(",") +
-        sortCol.map(c => s":$c").getOrElse("")
+        (if (sortCols.nonEmpty) ":" + sortCols.mkString(",") else "")
       s.read.option("compact", hs).table(table)
         .writeTo(table).option("compact", hs).append()
     }

@@ -107,16 +107,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       }
     },
     new Proc("rewrite_data_files_sorted",
-      "rewrite EVERY group range-clustered by the sort column " +
-        "(Iceberg's rewrite_data_files with a sort order) — restores " +
-        "zone-map file skipping a churned or bin-packed layout lost",
+      "rewrite EVERY group range-clustered by the sort column(s) " +
+        "(Iceberg's rewrite_data_files with a sort order; " +
+        "comma-separate for a lexicographic multi-column spec) — " +
+        "restores zone-map file skipping a churned or bin-packed " +
+        "layout lost",
       Seq(("table", StringType), ("sort_col", StringType)),
       Seq(("rewritten_groups", IntegerType), ("entries_before", IntegerType),
         ("entries_after", IntegerType))) {
       override def run(a: InternalRow): Array[Any] = {
         val (gs, before, after) = RowStoreOps.compact(
           SparkSession.active, tkey(a.getUTF8String(0)),
-          Some(a.getUTF8String(1).toString))
+          a.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
         Array(gs.size, before, after)
       }
     },
@@ -879,7 +882,7 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
       .map(GroupWrite.parseCompact) match {
       case Some((base, gs, sort)) =>
         new GroupWrite(tableKey, meta, info.schema(),
-          GroupWrite.Compact(base, gs), sortCol = sort)
+          GroupWrite.Compact(base, gs), sortCols = sort)
       case None =>
         Option(info.options().get("branch")) match {
           // write option `branch=<name>`: the append STAGES into the

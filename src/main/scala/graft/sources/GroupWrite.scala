@@ -41,20 +41,23 @@ object GroupWrite {
   case class Compact(base: Int, groups: Set[Int]) extends Mode
 
   /** Option value codec for the compact handshake:
-    * `<ver>:<g1>,<g2>[:<sortCol>]` — the optional third segment asks
-    * for the SORT-ORDERED rewrite (Iceberg's rewrite_data_files with
-    * a sort order). One option value carries the whole handshake
-    * because Spark's V2Writes asserts scan and write options agree. */
-  def parseCompact(v: String): (Int, Set[Int], Option[String]) = {
+    * `<ver>:<g1>,<g2>[:<sortCol>[,<sortCol>…]]` — the optional third
+    * segment asks for the SORT-ORDERED rewrite (Iceberg's
+    * rewrite_data_files with a sort order; several columns = the
+    * lexicographic multi-column sort spec). One option value carries
+    * the whole handshake because Spark's V2Writes asserts scan and
+    * write options agree. */
+  def parseCompact(v: String): (Int, Set[Int], Seq[String]) = {
     val parts = v.split(":", 3)
     (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
-      parts.lift(2).filter(_.nonEmpty))
+      parts.lift(2).toSeq.flatMap(_.split(",")).map(_.trim)
+        .filter(_.nonEmpty))
   }
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
     writeSchema: StructType, mode: GroupWrite.Mode,
-    queryId: String = "", sortCol: Option[String] = None)
+    queryId: String = "", sortCols: Seq[String] = Seq.empty)
     extends WriteBuilder with Write with BatchWrite with SupportsTruncate
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
@@ -85,32 +88,29 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   // [min, max] spans everything; the sorted rewrite splits it into
   // slices a pushed range prunes. No writer changes — the clustering
   // IS the feature, delegated to Spark's range shuffle.
-  override def requiredDistribution(): Distribution = sortCol match {
-    case Some(c) => Distributions.ordered(Array(
+  override def requiredDistribution(): Distribution =
+    if (sortCols.nonEmpty) Distributions.ordered(sortCols.toArray.map(c =>
       Expressions.sort(Expressions.identity(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-    case None => meta.transform match {
+    else meta.transform match {
       case "bucket" => Distributions.clustered(Array[VExpression](
         Expressions.bucket(meta.numGroups, meta.keyCol)))
       case _ => Distributions.clustered(Array[VExpression](
         Expressions.identity(meta.keyCol)))
     }
-  }
   // within-file order rides along for free on the sorted rewrite —
   // parquet page stats inside each file then line up with the file's
   // zone map (the Iceberg sort-rewrite layout)
-  override def requiredOrdering(): Array[SortOrder] = sortCol match {
-    case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+  override def requiredOrdering(): Array[SortOrder] =
+    sortCols.toArray.map(c => Expressions.sort(Expressions.identity(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-    case None => Array.empty
-  }
   // pin the sorted rewrite's range-partition count to the session's
   // shuffle parallelism (what a deployment sizes for its data): an
   // unpinned count lets AQE coalesce a small rewrite to ONE slice,
   // which silently recreates the group-wide files the rewrite exists
   // to split
   override def requiredNumPartitions(): Int =
-    if (sortCol.isDefined)
+    if (sortCols.nonEmpty)
       SparkSession.active.sessionState.conf.numShufflePartitions
     else 0
 

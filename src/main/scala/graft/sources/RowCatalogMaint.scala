@@ -110,6 +110,37 @@ object RowCatalogMaintQueries {
         .orderBy(col("grp"))
     }),
 
+    // ── q163: JSON → STRUCT SHREDDING INGEST — the composition the
+    // reference's events-shaped domain actually runs (its `props`
+    // column is JSON text): parse the JSON payload at ingest into
+    // q160's typed STRUCT column (variant-shredding economics — the
+    // string parses ONCE at write; every later read touches typed
+    // flattened leaves with zone maps instead of re-parsing JSON),
+    // then aggregate over the shredded nested field under a
+    // nested-field predicate. The oracle re-shreds with DuckDB's JSON
+    // operators — a parse drift, a lost leaf, or a wrong nested
+    // filter breaks the hash.
+    "q163_dml_json_shred" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "events").createOrReplaceTempView("q163_events")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.shred")
+      s.sql("CREATE TABLE graft_dml.ns.shred " +
+        "(event_id BIGINT, etype STRING, props STRUCT<k: BIGINT, vc: BIGINT>) " +
+        "PARTITIONED BY (bucket(4, event_id))")
+      s.sql("""INSERT INTO graft_dml.ns.shred
+        SELECT event_id, event_type,
+               named_struct(
+                 'k', CAST(get_json_object(props, '$.k') AS BIGINT),
+                 'vc', CAST(round(value * 100) AS BIGINT))
+        FROM q163_events""")
+      s.sql("""SELECT etype, COUNT(*) AS n,
+               CAST(SUM(props.k) AS BIGINT) AS sum_k,
+               CAST(SUM(props.vc) AS BIGINT) AS sum_vc
+        FROM graft_dml.ns.shred
+        WHERE props.k % 5 = 0
+        GROUP BY etype ORDER BY etype""")
+    }),
+
     // ── q161: SORT-ORDERED OPTIMIZE (`rewrite_data_files_sorted`) —
     // the zone-map-restoration half of compaction Iceberg's
     // rewrite_data_files takes a sort order for: three full-range
@@ -162,6 +193,17 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the shredded aggregate re-shredded with DuckDB's JSON operators
+    // over the raw events table
+    "q163_dml_json_shred" ->
+      """SELECT event_type AS etype, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_vc
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) % 5 = 0
+        |GROUP BY 1 ORDER BY etype""".stripMargin,
+
     // the band restated from raw orders; the skip pins are TRUE by
     // the rewrite contract (plain bin-pack leaves group-wide files —
     // nothing skippable; the sorted layout must skip)

@@ -99,6 +99,37 @@ class NestedTypesSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("native streaming write carries struct rows (writeStream.toTable)") {
+    val s = spark
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.nsts"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, props STRUCT<a: BIGINT, b: STRING>)")
+    val src = graft.Scratch.dir(s, "graft_nsts_src", "a")
+    import s.implicits._
+    (0 until 8).map(i => (i.toLong, i * 10L, s"s$i"))
+      .toDF("k", "a", "b")
+      .selectExpr("k", "named_struct('a', a, 'b', b) AS props")
+      .write.mode("overwrite").parquet(src)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("props", StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType))))))
+    val ckpt = graft.Scratch.dir(s, "graft_nsts_ckpt", "a")
+    graft.Scratch.deleteTree(ckpt)
+    val q = s.readStream.schema(sch).parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    val got = s.sql(s"SELECT k, props.a, props.b FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == (0 until 8).map(i => (i.toLong, i * 10L, s"s$i")).toSeq)
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("MOR delta path carries struct rows; CDF reassembles them") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")

@@ -39,7 +39,7 @@ class SortedRewriteSpec extends AnyFunSuite {
       s"bin-packed layout must plan all 4 group files, skip none: " +
         s"$plainPlanned/$plainSkipped")
 
-    val (gs, _, _) = RowStoreOps.compact(s, t, sortCol = Some("k"))
+    val (gs, _, _) = RowStoreOps.compact(s, t, sortCols = Seq("k"))
     assert(gs == Set(0, 1, 2, 3), "sorted rewrite targets every group")
     assert(s.sql(banded).head().getLong(0) == want,
       "the rewrite must be observationally invisible")
@@ -63,13 +63,35 @@ class SortedRewriteSpec extends AnyFunSuite {
     assert(rowsPlanned < 300,
       s"sorted layout must plan a band-sized row subset, got $rowsPlanned")
 
+    // multi-column lexicographic sort spec: leading-column clustering
+    // makes a range predicate on a STRING column skip via the
+    // truncated string zone maps
+    val t2 = "graft_dml.spec.srw2"
+    s.sql(s"DROP TABLE IF EXISTS $t2")
+    s.sql(s"CREATE TABLE $t2 (k BIGINT, cat STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    s.sql(s"INSERT INTO $t2 VALUES " +
+      (0 until 240).map(i =>
+        s"($i, '${('a' + i % 4).toChar}', ${i * 3})").mkString(", "))
+    val catBand = s"SELECT CAST(SUM(v) AS BIGINT) FROM $t2 " +
+      "WHERE cat >= 'b' AND cat <= 'b'"
+    val want2 = (0 until 240).filter(_ % 4 == 1).map(_ * 3L).sum
+    assert(s.sql(catBand).head().getLong(0) == want2)
+    assert(RowStore.lastSkippedBaseFiles.get() == 0,
+      "interleaved layout has nothing to skip on cat")
+    RowStoreOps.compact(s, t2, sortCols = Seq("cat", "k"))
+    assert(s.sql(catBand).head().getLong(0) == want2)
+    assert(RowStore.lastSkippedBaseFiles.get() > 0,
+      "cat-leading sort must make the cat band skip files")
+    s.sql(s"DROP TABLE $t2")
+
     // refusal: sorting by a struct column has no zone-map form
     s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.srwn")
     s.sql("CREATE TABLE graft_dml.spec.srwn " +
       "(k BIGINT, p STRUCT<a: BIGINT>)")
     s.sql("INSERT INTO graft_dml.spec.srwn VALUES (1, named_struct('a', 1L))")
     val e = intercept[Exception](
-      RowStoreOps.compact(s, "graft_dml.spec.srwn", sortCol = Some("p")))
+      RowStoreOps.compact(s, "graft_dml.spec.srwn", sortCols = Seq("p")))
     assert(e.getMessage.contains("struct"), e.getMessage)
     s.sql(s"DROP TABLE $t")
     s.sql("DROP TABLE graft_dml.spec.srwn")
