@@ -419,10 +419,11 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         }
       }
 
-      // shared flat externalizer (canonical long forms for zone maps
-      // and blooms; structs flatten to marker + leaves)
-      private def externalize(row: InternalRow): Array[Any] =
-        RowNested.externalize(fields, row)
+      // shared flat externalizer, compiled once per writer (canonical
+      // long forms for zone maps and blooms; structs flatten to
+      // marker + leaves)
+      private val externalize: InternalRow => Array[Any] =
+        RowNested.externalizer(fields)
 
       override def write(row: InternalRow): Unit = {
         // Defense for the no-metadata ReplaceData layout (op-code int
@@ -633,8 +634,8 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
           (name, new RowFiles.FileWriter(s"$dir/$name", fileSchema))
         })._2
 
-      private def dataVals(row: InternalRow): Array[Any] =
-        RowNested.externalize(fields, row)
+      private val dataVals: InternalRow => Array[Any] =
+        RowNested.externalizer(fields)
 
       private def rec(op: Int, rid: String, grp: Int, row: InternalRow): Unit =
         writer(grp).write(

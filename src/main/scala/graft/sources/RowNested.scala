@@ -62,34 +62,55 @@ object RowNested {
       case other         => sys.error(s"unsupported type $other")
     }
 
-  private def extInto(out: scala.collection.mutable.ArrayBuffer[Any],
-      fields: Seq[StructField], row: InternalRow): Unit =
-    fields.zipWithIndex.foreach { case (f, i) =>
-      f.dataType match {
-        case st: StructType =>
-          if (row == null || row.isNullAt(i)) {
-            out += null
-            (0 until (leafCount(f) - 1)).foreach(_ => out += null)
-          } else {
-            out += Int.box(1) // presence marker
-            extInto(out, st.fields.toSeq, row.getStruct(i, st.fields.length))
-          }
-        case dt =>
-          out += (if (row == null || row.isNullAt(i)) null
-            else extPrim(dt, row, i))
-      }
-    }
+  private val One = Int.box(1)
 
-  /** Externalize one engine row into the FLAT value array the file
-    * writers take — `fields` are the TOP-LEVEL (display) fields the
-    * row is laid out by; output is aligned to [[flatLeaves]] of them.
-    * `row = null` (a delta DELETE record's payload) yields all-null. */
-  def externalize(fields: Seq[StructField], row: InternalRow): Array[Any] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Any](
-      fields.map(leafCount).sum)
-    extInto(out, fields, row)
-    out.toArray
+  /** Fill `out` from field `i` of `row` starting at flat slot `off`;
+    * returns the next free slot. A null struct (or null `row` — a
+    * delta DELETE record's payload) leaves its slots at the array's
+    * null default. */
+  private def fillField(out: Array[Any], off: Int, f: StructField,
+      i: Int, row: InternalRow): Int = f.dataType match {
+    case st: StructType =>
+      if (row == null || row.isNullAt(i)) off + leafCount(f)
+      else {
+        out(off) = One // presence marker
+        var o = off + 1
+        val sub = row.getStruct(i, st.fields.length)
+        var j = 0
+        while (j < st.fields.length) {
+          o = fillField(out, o, st.fields(j), j, sub)
+          j += 1
+        }
+        o
+      }
+    case dt =>
+      out(off) =
+        if (row == null || row.isNullAt(i)) null else extPrim(dt, row, i)
+      off + 1
   }
+
+  /** Precompiled per-row externalizer: one flat Array[Any] per row,
+    * no intermediate collections — this sits on every DML write's
+    * per-row path, so the hot primitive-only case must cost what the
+    * pre-nested inline loop did. */
+  def externalizer(fields: Seq[StructField]): InternalRow => Array[Any] = {
+    val fieldArr = fields.toArray
+    val total = fields.map(leafCount).sum
+    row => {
+      val out = new Array[Any](total)
+      var off = 0
+      var i = 0
+      while (i < fieldArr.length) {
+        off = fillField(out, off, fieldArr(i), i, row)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** One-shot form of [[externalizer]]. */
+  def externalize(fields: Seq[StructField], row: InternalRow): Array[Any] =
+    externalizer(fields)(row)
 
   private def intPrim(dt: DataType, v: Any): Any = v match {
     case null      => null
