@@ -438,8 +438,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val bloomCols = Option(properties.get("bloom"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val flatFields = RowNested.flatLeaves(schema.fields.toSeq)
     bloomCols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
+      val f = flatFields.find(_.name == c).getOrElse(
         sys.error(s"bloom column $c is not in the table schema"))
       require(RowStore.Bloom.trackable(f.dataType),
         s"bloom column $c has untrackable type ${f.dataType}")
@@ -454,7 +455,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     ndvCols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
+      val f = flatFields.find(_.name == c).getOrElse(
         sys.error(s"ndv column $c is not in the table schema"))
       require(RowStore.Bloom.trackable(f.dataType),
         s"ndv column $c has untrackable type ${f.dataType}")

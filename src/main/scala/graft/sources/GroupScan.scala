@@ -227,6 +227,17 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     val nh = hi.map(h => h0.filter(cmp(_, h) < 0).getOrElse(h)).orElse(h0)
     colWinS(c) = (nl, nh)
   }
+  /** Filterable columns by FLATTENED display name — nested leaves
+    * ("props.k") participate in pushdown, zone maps, and blooms like
+    * any top-level column (Spark's DSv2 V1-filter translation pushes
+    * nested predicates with dot-joined names; declared names never
+    * contain dots, so the path reading is unambiguous). Struct
+    * presence markers ride along harmlessly: no comparison filter is
+    * ever pushed against a struct itself. */
+  private lazy val flatByName: Map[String, org.apache.spark.sql.types.StructField] =
+    RowNested.flatLeaves(meta.schema.fields.toSeq)
+      .map(f => f.name -> f).toMap
+
   /** Pushed-filter literal → the key's internal long form. TIMESTAMP
     * literals arrive as java.sql/java.time values (by the session's
     * java8API setting), never as raw micros — converting them is what
@@ -263,7 +274,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     // DECLINE (not be taken verbatim as epoch-day/unscaled — a wrong
     // canonical form would prune the wrong files), and only the
     // plain long-shaped types fall through to the generic matcher
-    meta.schema.fields.find(_.name == c).map(_.dataType) match {
+    flatByName.get(c).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.DateType) => v match {
         case d: java.sql.Date => Some(
           org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -295,7 +306,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     // narrows the legacy key range (partition pruning, retro skipping
     // of pre-per-column-stats manifests)
     def known(n: String): Option[String] =
-      meta.schema.fields.find(_.name == n).map(_ => meta.storageOf(n))
+      flatByName.get(n).map(_ => meta.storageOf(n))
     def handleN(n: String, lo: Long, hi: Long): Boolean =
       known(n).exists { st =>
         narrowCol(st, lo, hi); if (n == k) narrow(lo, hi); true }

@@ -99,6 +99,43 @@ class NestedTypesSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("nested leaves: pushed predicates skip files; ndv/bloom opt in") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.nstz"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, " +
+      "props STRUCT<band: BIGINT, tag: STRING>) " +
+      "PARTITIONED BY (bucket(2, k)) " +
+      "TBLPROPERTIES ('ndv'='props.band', 'bloom'='props.band')")
+    // three commits with INTERLEAVED keys (key zone maps can't skip)
+    // but DISJOINT nested bands — only nested-leaf stats can prune
+    for (r <- 0 until 3)
+      s.sql(s"INSERT INTO $t VALUES " +
+        (0 until 150).filter(_ % 3 == r).map(i =>
+          s"($i, named_struct('band', ${100 * r + i % 10}L, " +
+            s"'tag', 'g${i % 7}'))").mkString(", "))
+    val got = s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) FROM $t " +
+      "WHERE props.band >= 100 AND props.band < 200").head().getLong(0)
+    assert(got == 50)
+    val planned = RowStore.lastPlannedBaseFiles.get()
+    val skipped = RowStore.lastSkippedBaseFiles.get()
+    assert(planned == 2 && skipped == 4,
+      s"nested-leaf zone maps must prune to one commit's files: " +
+        s"planned $planned skipped $skipped")
+    // bloom point lookup on the nested leaf skips the band-miss files
+    assert(s.sql(s"SELECT COUNT(*) FROM $t WHERE props.band = 205")
+      .head().getLong(0) == 5)
+    assert(RowStore.lastSkippedBaseFiles.get() >= 4)
+    // the ndv surface covers the nested leaf exactly (30 distinct
+    // bands, far under the sketch's K — the fold is exact)
+    val cs = s.table(s"$t.column_stats")
+      .filter("column = 'props.band'").collect()
+    assert(cs.length == 1 && cs.head.getLong(
+      cs.head.fieldIndex("ndv")) == 30, cs.mkString(","))
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("native streaming write carries struct rows (writeStream.toTable)") {
     val s = spark
     import org.apache.spark.sql.streaming.Trigger
