@@ -339,13 +339,22 @@ object RowStoreOps {
     // it is a clustering operation (restore zone-map selectivity
     // after churn), not cleanup — a one-file "clean" group whose file
     // spans the whole key range is exactly what it exists to fix.
+    // sort columns resolve against the FLATTENED leaves, so a NESTED
+    // field ("props.band") is a legal sort key — the ordered
+    // distribution's identity transform reads the dotted name as a
+    // field path, which is exactly the nesting it denotes
     sortCols.foreach { c =>
-      val f = RowStore.readMeta(table).schema.fields.find(_.name == c)
+      val f = RowNested
+        .flatLeaves(RowStore.readMeta(table).schema.fields.toSeq)
+        .find(_.name == c)
         .getOrElse(sys.error(
           s"$table: sort column $c is not in the table schema"))
-      require(!f.dataType.isInstanceOf[
-        org.apache.spark.sql.types.StructType],
-        s"$table: cannot sort-rewrite by struct column $c")
+      val isMarker = RowStore.readMeta(table).schema.fields
+        .exists(x => x.name == c &&
+          x.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      require(!isMarker,
+        s"$table: cannot sort-rewrite by struct column $c — sort by " +
+          "one of its fields")
     }
     val dirty =
       if (sortCols.nonEmpty)

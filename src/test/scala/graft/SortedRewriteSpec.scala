@@ -85,6 +85,27 @@ class SortedRewriteSpec extends AnyFunSuite {
       "cat-leading sort must make the cat band skip files")
     s.sql(s"DROP TABLE $t2")
 
+    // NESTED sort key: the ordered distribution's identity transform
+    // reads the dotted name as a field path, and the nested leaf's
+    // zone maps make the nested band skip after the rewrite
+    val t3 = "graft_dml.spec.srw3"
+    s.sql(s"DROP TABLE IF EXISTS $t3")
+    s.sql(s"CREATE TABLE $t3 (k BIGINT, props STRUCT<band: BIGINT>) " +
+      "PARTITIONED BY (bucket(2, k))")
+    s.sql(s"INSERT INTO $t3 VALUES " +
+      (0 until 200).map(i =>
+        s"($i, named_struct('band', ${i % 50}L))").mkString(", "))
+    val nestedBand = s"SELECT CAST(COUNT(*) AS BIGINT) FROM $t3 " +
+      "WHERE props.band >= 10 AND props.band < 20"
+    assert(s.sql(nestedBand).head().getLong(0) == 40)
+    assert(RowStore.lastSkippedBaseFiles.get() == 0,
+      "interleaved bands: nothing skippable before the rewrite")
+    RowStoreOps.compact(s, t3, sortCols = Seq("props.band"))
+    assert(s.sql(nestedBand).head().getLong(0) == 40)
+    assert(RowStore.lastSkippedBaseFiles.get() > 0,
+      "nested-leaf sort must make the nested band skip files")
+    s.sql(s"DROP TABLE $t3")
+
     // refusal: sorting by a struct column has no zone-map form
     s.sql(s"DROP TABLE IF EXISTS graft_dml.spec.srwn")
     s.sql("CREATE TABLE graft_dml.spec.srwn " +
