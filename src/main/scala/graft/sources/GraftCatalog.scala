@@ -674,11 +674,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         // refuses loudly: committed wide values could not be read
         // back through a narrower type.
         case (sch, upd: TableChange.UpdateColumnType) =>
-          require(upd.fieldNames().length == 1,
-            "nested ALTER COLUMN TYPE not supported")
-          val name = upd.fieldNames()(0)
-          val f = sch.fields.find(_.name == name).getOrElse(
-            sys.error(s"cannot alter type of missing column $name"))
+          val path = upd.fieldNames().toSeq
+          val name = path.mkString(".")
+          // nested leaves promote like top-level columns: the flat
+          // leaf's physical encoding is what widens, and the reader's
+          // parquet-boundary widening projects by the (dotted)
+          // storage name either way
+          val f = RowNested.flatLeaves(sch.fields.toSeq)
+            .find(_.name == name).getOrElse(
+              sys.error(s"cannot alter type of missing column $name"))
           val widens = (f.dataType, upd.newDataType()) match {
             case (IntegerType, LongType) => true
             // DECIMAL PRECISION widening (Iceberg's decimal promotion:
@@ -699,9 +703,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               s"${upd.newDataType().simpleString} for column $name: " +
               "only the widening INT -> BIGINT and same-scale DECIMAL " +
               "precision promotions are supported")
-          StructType(sch.fields.map(x =>
-            if (x.name == name) x.copy(dataType = upd.newDataType())
-            else x))
+          if (path.length == 1)
+            StructType(sch.fields.map(x =>
+              if (x.name == name) x.copy(dataType = upd.newDataType())
+              else x))
+          else mapStruct(sch, path.init)(st =>
+            StructType(st.fields.map(x =>
+              if (x.name == path.last) x.copy(dataType = upd.newDataType())
+              else x)))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

@@ -136,6 +136,27 @@ class NestedTypesSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("nested leaves widen types across committed files") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.nstw"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, props STRUCT<c: INT>)")
+    s.sql(s"INSERT INTO $t VALUES (1, named_struct('c', 7))")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN props.c TYPE BIGINT")
+    s.sql(s"INSERT INTO $t VALUES (2, named_struct('c', 5000000000L))")
+    // one scan across the INT32 and INT64 physical eras
+    assert(s.sql(s"SELECT props.c FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L, 5000000000L))
+    // narrowing refuses (Spark's analyzer catches BIGINT->INT before
+    // the catalog; either refusal is the contract)
+    val e = intercept[Exception](
+      s.sql(s"ALTER TABLE $t ALTER COLUMN props.c TYPE INT"))
+    assert(e.getMessage.contains("unsupported type change") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("native streaming write carries struct rows (writeStream.toTable)") {
     val s = spark
     import org.apache.spark.sql.streaming.Trigger
