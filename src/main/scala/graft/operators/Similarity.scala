@@ -196,6 +196,8 @@ object Similarity {
     * pairwise union: depth log₂(#roots), same rows. */
   private[graft] def compactSegments(s: SparkSession, dirs: Seq[String],
       outDir: String): Unit = {
+    require(dirs.nonEmpty, "compactSegments: no segment directories " +
+      "(an empty list would loop, not fail)")
     def treeUnion(dfs: Seq[DataFrame]): DataFrame =
       if (dfs.size == 1) dfs.head
       else treeUnion(dfs.grouped(2).map {

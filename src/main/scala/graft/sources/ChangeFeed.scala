@@ -133,8 +133,9 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     val displayFields = meta.schema.fields.toSeq
     val storageFields = RowNested.flatLeaves(displayFields).map(f =>
       f.copy(name = meta.storageOf(f.name)))
+    val displayOffsetMap = RowNested.offsets(displayFields)
     val displayOffsets = displayFields.map(f =>
-      f -> RowNested.offsets(displayFields)(f.name))
+      f -> displayOffsetMap(f.name))
     // full-schema projection always includes the key — equality-delete
     // replay inside resolve compares against this index
     val keyPos = RowNested.flatLeaves(displayFields)
@@ -339,20 +340,17 @@ object RowStoreOps {
     // it is a clustering operation (restore zone-map selectivity
     // after churn), not cleanup — a one-file "clean" group whose file
     // spans the whole key range is exactly what it exists to fix.
-    // sort columns resolve against the FLATTENED leaves, so a NESTED
-    // field ("props.band") is a legal sort key — the ordered
-    // distribution's identity transform reads the dotted name as a
-    // field path, which is exactly the nesting it denotes
+    // sort columns resolve against the REAL nested schema (never the
+    // flat list, where a struct's presence marker would pass), so a
+    // NESTED field ("props.band") is a legal sort key — the ordered
+    // distribution's identity transform reads the dotted name as the
+    // field path it denotes — while a struct (at any depth) refuses
+    val tblMeta = RowStore.readMeta(table)
     sortCols.foreach { c =>
-      val f = RowNested
-        .flatLeaves(RowStore.readMeta(table).schema.fields.toSeq)
-        .find(_.name == c)
+      val dt = RowNested.resolve(tblMeta.schema.fields.toSeq, c)
         .getOrElse(sys.error(
           s"$table: sort column $c is not in the table schema"))
-      val isMarker = RowStore.readMeta(table).schema.fields
-        .exists(x => x.name == c &&
-          x.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-      require(!isMarker,
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.StructType],
         s"$table: cannot sort-rewrite by struct column $c — sort by " +
           "one of its fields")
     }
@@ -367,7 +365,7 @@ object RowStoreOps {
       // the group-number handshake can't express spec-qualified
       // restriction — refuse loudly on a genuinely-dirty multi-spec
       // table (migrate first) instead of crashing inside the scan
-      val activeSpec = RowStore.readMeta(table).specId
+      val activeSpec = tblMeta.specId
       require(man.forall(_.spec == activeSpec),
         s"$table: OPTIMIZE across partition specs is not supported — " +
           "migrate with INSERT OVERWRITE onto the active spec first")

@@ -438,12 +438,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val bloomCols = Option(properties.get("bloom"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val flatFields = RowNested.flatLeaves(schema.fields.toSeq)
+    // resolve against the REAL nested schema (a struct's flat-list
+    // presence marker must not masquerade as a trackable INT column)
     bloomCols.foreach { c =>
-      val f = flatFields.find(_.name == c).getOrElse(
+      val dt = RowNested.resolve(schema.fields.toSeq, c).getOrElse(
         sys.error(s"bloom column $c is not in the table schema"))
-      require(RowStore.Bloom.trackable(f.dataType),
-        s"bloom column $c has untrackable type ${f.dataType}")
+      require(RowStore.Bloom.trackable(dt),
+        s"bloom column $c has untrackable type $dt")
     }
     // opt-in per-column NDV sketches (TBLPROPERTIES('ndv'='col,...')):
     // KMV distinct-count sketches recorded per (file, column) at
@@ -455,10 +456,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     ndvCols.foreach { c =>
-      val f = flatFields.find(_.name == c).getOrElse(
+      val dt = RowNested.resolve(schema.fields.toSeq, c).getOrElse(
         sys.error(s"ndv column $c is not in the table schema"))
-      require(RowStore.Bloom.trackable(f.dataType),
-        s"ndv column $c has untrackable type ${f.dataType}")
+      require(RowStore.Bloom.trackable(dt),
+        s"ndv column $c has untrackable type $dt")
     }
     // deletion vectors (TBLPROPERTIES('deletes'='dv')): MOR-only —
     // COW rewrites whole groups, there is nothing for a vector to
@@ -679,11 +680,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           // nested leaves promote like top-level columns: the flat
           // leaf's physical encoding is what widens, and the reader's
           // parquet-boundary widening projects by the (dotted)
-          // storage name either way
-          val f = RowNested.flatLeaves(sch.fields.toSeq)
-            .find(_.name == name).getOrElse(
+          // storage name either way. Resolve against the REAL nested
+          // schema, never the flat list — there a struct column
+          // appears as its INT32 presence marker and would slip
+          // through the widening check as schema corruption.
+          val curType = RowNested.resolve(sch.fields.toSeq, name)
+            .getOrElse(
               sys.error(s"cannot alter type of missing column $name"))
-          val widens = (f.dataType, upd.newDataType()) match {
+          require(!curType.isInstanceOf[StructType],
+            s"cannot alter the type of struct column $name — alter " +
+              "its fields individually")
+          val widens = (curType, upd.newDataType()) match {
             case (IntegerType, LongType) => true
             // DECIMAL PRECISION widening (Iceberg's decimal promotion:
             // same scale, more digits, within the INT64-unscaled
@@ -699,7 +706,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             case _ => false
           }
           require(widens,
-            s"unsupported type change ${f.dataType.simpleString} -> " +
+            s"unsupported type change ${curType.simpleString} -> " +
               s"${upd.newDataType().simpleString} for column $name: " +
               "only the widening INT -> BIGINT and same-scale DECIMAL " +
               "precision promotions are supported")

@@ -108,9 +108,19 @@ object RowNested {
     }
   }
 
-  /** One-shot form of [[externalizer]]. */
-  def externalize(fields: Seq[StructField], row: InternalRow): Array[Any] =
-    externalizer(fields)(row)
+  /** Resolve a dotted display path against the REAL (nested) schema —
+    * the guard-side complement of [[flatLeaves]]: the flat list
+    * contains a struct's presence MARKER under the struct's own name
+    * (typed INT32), so any validation that must distinguish "a
+    * primitive leaf" from "a struct column's marker" resolves here
+    * instead. None = no such path. */
+  def resolve(fields: Seq[StructField], path: String): Option[DataType] =
+    path.split('.').toSeq
+      .foldLeft[Option[DataType]](Some(StructType(fields.toArray))) {
+        case (Some(st: StructType), n) =>
+          st.fields.find(_.name == n).map(_.dataType)
+        case _ => None
+      }
 
   private def intPrim(dt: DataType, v: Any): Any = v match {
     case null      => null

@@ -154,6 +154,25 @@ class NestedTypesSpec extends AnyFunSuite {
       s.sql(s"ALTER TABLE $t ALTER COLUMN props.c TYPE INT"))
     assert(e.getMessage.contains("unsupported type change") ||
       e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    // a STRUCT column's presence marker must never masquerade as an
+    // alterable INT column (catalog-level guard, exercised through
+    // the direct TableChange path the analyzer doesn't pre-check)
+    val cat = new graft.sources.GraftCatalog()
+    cat.initialize("graft_dml",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+    val e2 = intercept[Exception](cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("spec"), "nstw"),
+      org.apache.spark.sql.connector.catalog.TableChange
+        .updateColumnType(Array("props"),
+          org.apache.spark.sql.types.LongType)))
+    assert(e2.getMessage.contains("struct column"), e2.getMessage)
+    // ditto for bloom/ndv opt-ins naming a struct column
+    val e3 = intercept[Exception](
+      s.sql("CREATE TABLE graft_dml.spec.nstwb (k BIGINT, " +
+        "p STRUCT<a: BIGINT>) TBLPROPERTIES ('bloom'='p')"))
+    assert(e3.getMessage.contains("untrackable"), e3.getMessage)
     s.sql(s"DROP TABLE $t")
   }
 
