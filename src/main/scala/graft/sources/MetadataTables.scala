@@ -154,7 +154,14 @@ case class FilesPartition(entries: Seq[RowStore.FileEntry],
   * The operational table lake users query most after `.files` ("which
   * partitions are big / fragmented / delta-dirty?"). Pure manifest
   * metadata + filesystem stat calls — ZERO data files opened (pinned
-  * in RowCatalogSpec via the parquet-open counter). */
+  * in RowCatalogSpec via the parquet-open counter).
+  *
+  * Deletion vectors roll up per group (`n_dv_deleted`, summed vector
+  * popcounts), and because rid-deletes are TERMINAL and a file
+  * carries at most one vector, a group whose only non-base entries
+  * are vectors still reports an EXACT live `n_rows` (base rows minus
+  * popcounts) — record-granularity deltas are what make a count
+  * inexact, not DVs. */
 class PartitionsTable(baseKey: String) extends Table with SupportsRead {
   override def name(): String = s"$baseKey.partitions"
   override def schema(): StructType = StructType(Seq(
@@ -163,7 +170,8 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
     StructField("n_files", LongType, nullable = false),
     StructField("n_delta_files", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true),
-    StructField("bytes", LongType, nullable = false)))
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_dv_deleted", LongType, nullable = false)))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -177,19 +185,28 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
         // any table-wide delta file (group < 0) can hold records of
         // EVERY group, so no group's row count is exact under one
         val tableWideDelta = es.exists(e => e.kind != "base" && e.group < 0)
+        // record-granularity deltas anywhere table-wide poison
+        // exactness; vectors never do (terminal rid-deletes)
+        val tableWideRecords = es.exists(e =>
+          e.kind != "base" && e.kind != "dv" && e.group < 0)
         val rows = es.groupBy(e => (e.spec, e.group)).toSeq
           .sortBy { case ((sp, g), _) => (sp, g) }
           .map { case ((sp, g), fs) =>
             val base = fs.filter(_.kind == "base")
             val nDelta = fs.count(_.kind != "base")
+            val dvDel = fs.filter(_.kind == "dv").map(e =>
+              RowStore.Dv.cardinality(RowStore.Dv.read(
+                RowStore.entryPath(dir, e.name))._2).toLong).sum
+            val recordDeltas = fs.exists(e =>
+              e.kind != "base" && e.kind != "dv")
             val nRows: Option[Long] =
-              if (nDelta > 0 || tableWideDelta || base.exists(_.rows.isEmpty))
-                None
-              else Some(base.map(_.rows.get).sum)
+              if (recordDeltas || tableWideRecords ||
+                base.exists(_.rows.isEmpty)) None
+              else Some(base.map(_.rows.get).sum - dvDel)
             val bytes = fs
               .map(e => new java.io.File(RowStore.entryPath(dir, e.name)).length()).sum
             PartitionRow(sp, g, base.size.toLong, nDelta.toLong, nRows,
-              bytes)
+              bytes, dvDel)
           }
         Array(PartitionsPartition(rows))
       }
@@ -204,7 +221,8 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
                 { val h = it.hasNext; if (h) cur = it.next(); h }
               override def get(): InternalRow = new GenericInternalRow(
                 Array[Any](cur.spec, cur.grp, cur.nFiles, cur.nDelta,
-                  cur.nRows.map(Long.box).orNull, cur.bytes))
+                  cur.nRows.map(Long.box).orNull, cur.bytes,
+                  cur.nDvDeleted))
               override def close(): Unit = ()
             }
           }
@@ -213,7 +231,7 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
 }
 
 case class PartitionRow(spec: Int, grp: Int, nFiles: Long, nDelta: Long,
-    nRows: Option[Long], bytes: Long)
+    nRows: Option[Long], bytes: Long, nDvDeleted: Long = 0L)
 case class PartitionsPartition(rows: Seq[PartitionRow])
     extends InputPartition
 

@@ -163,12 +163,25 @@ class DeletionVectorSpec extends AnyFunSuite {
       .selectExpr("dv_target", "dv_deleted_rows")
       .collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
 
+    // .partitions rolls the vectors up per group — and because
+    // rid-deletes are terminal (one vector per file, positions of
+    // committed rows), a dv-only group still reports an EXACT live
+    // n_rows: base rows minus popcounts. 12 rows − 6 deleted = 6.
+    val pr = s.table(s"$t.partitions")
+      .selectExpr("grp", "n_rows", "n_dv_deleted")
+      .orderBy("grp").collect()
+    assert(pr.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 2L, 4L), (1, 4L, 2L)), pr.mkString("; "))
+
     // OPTIMIZE folds the vectors into rewritten bases — the dv rows
     // disappear from .files and content is unchanged
     val pre = s.table(t).orderBy("k").collect().toSeq
     graft.sources.RowStoreOps.compact(s, t)
     assert(dvRows().isEmpty, "OPTIMIZE must clear the vectors")
     assert(s.table(t).orderBy("k").collect().toSeq == pre)
+    assert(s.table(s"$t.partitions")
+      .selectExpr("CAST(SUM(n_dv_deleted) AS BIGINT)").head().getLong(0) == 0,
+      "post-OPTIMIZE partitions carry no vector debt")
     s.sql(s"DROP TABLE $t")
   }
 
