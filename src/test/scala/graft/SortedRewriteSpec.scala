@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * read open a strictly smaller fraction — with the planned file set
   * agreeing with the manifest's zone maps, content observationally
   * unchanged, and rows-planned bounded by the band's true row count
-  * plus boundary slack. */
+  * plus boundary tolerance. */
 class SortedRewriteSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   import graft.sources.{RowStore, RowStoreOps}
