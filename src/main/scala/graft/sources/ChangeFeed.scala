@@ -141,19 +141,34 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     val keyPos = RowNested.flatLeaves(displayFields)
       .indexWhere(_.name == meta.keyCol)
     val cdcMode = cdc
+    // BINARY/ARRAY columns externalize as Array[Byte], whose equals()
+    // is reference identity — the multiset diff below keys rows by
+    // Seq equality, so byte-valued slots must canonicalize to a
+    // structurally-comparable wrapper on the way IN (and unwrap on the
+    // way out for internalize). Applied only when such a column exists.
+    val hasByteCols = storageFields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.BinaryType ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     new PartitionReaderFactory {
       private val dataFields = storageFields
       private val keyIdx = keyPos
+      private def canon(v: Array[Any]): Seq[Any] =
+        if (!hasByteCols) v.toSeq
+        else v.toSeq.map {
+          case b: Array[Byte] =>
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+          case other => other
+        }
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val c = p.asInstanceOf[ChangesPartition]
         // multiset diff of the two resolved group states
         val counts = new java.util.LinkedHashMap[Seq[Any], Int]()
         RowResolve.resolveOrdered(c.group, c.toItems, dataFields, keyIdx)
           .foreach { case (_, v) =>
-            counts.merge(v.toSeq, 1, (a, b) => a + b) }
+            counts.merge(canon(v), 1, (a, b) => a + b) }
         RowResolve.resolveOrdered(c.group, c.fromItems, dataFields, keyIdx)
           .foreach { case (_, v) =>
-            counts.merge(v.toSeq, -1, (a, b) => a + b) }
+            counts.merge(canon(v), -1, (a, b) => a + b) }
         // mode=cdc: a key whose diff is EXACTLY one deleted row and one
         // inserted row is an UPDATE — surface it as Delta CDF's
         // update_preimage/update_postimage pair instead of
@@ -188,8 +203,15 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
             { val h = rows.hasNext; if (h) cur = rows.next(); h }
           override def get(): InternalRow = {
             // reassemble display columns (struct markers + leaves →
-            // nested rows; decimals rebuild from unscaled longs)
-            val flat = cur._1.toArray
+            // nested rows; decimals rebuild from unscaled longs;
+            // canonicalized byte wrappers unwrap back to Array[Byte])
+            val flat =
+              if (!hasByteCols) cur._1.toArray
+              else cur._1.map {
+                case w: scala.collection.immutable.ArraySeq.ofByte =>
+                  w.unsafeArray
+                case other => other
+              }.toArray
             new GenericInternalRow(
               (displayOffsets.map { case (f, off) =>
                 RowNested.internalize(f, flat, off)
@@ -885,6 +907,13 @@ object RowStoreOps {
           case IntegerType   => "INT"
           case StringType    => "STRING"
           case TimestampType => "TIMESTAMP"
+          // the remaining storable scalars/arrays render via their own
+          // SQL form (DOUBLE, BINARY, ARRAY<FLOAT>, DECIMAL(p,s), …);
+          // structs stay out — auto-adding a nested schema from a
+          // merge source is a design decision, not a convenience
+          case other if RowStore.storable(other) &&
+            !other.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            other.sql
           case other => sys.error(s"$table: cannot auto-add column " +
             s"${f.name} of unsupported type $other")
         }

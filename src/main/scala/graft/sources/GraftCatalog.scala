@@ -421,6 +421,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       s"column name $n is reserved"))
     val spec: Option[(String, Long, String, Int)] = partitions.headOption
       .map(t => parseSpec(t.name(), t.arguments(), schema))
+    // no partition transform → the FIRST column is the implied bucket
+    // key; refuse the statless types there (an Array[Byte]'s hashCode
+    // is identity-based — routing by it would be nondeterministic; a
+    // double key has no zone-map form). Declaring PARTITIONED BY on a
+    // groupable column lifts the restriction.
+    if (spec.isEmpty) schema.headOption.foreach { f =>
+      val bad = f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _ => false
+      }
+      require(!bad, s"first column ${f.name} of type " +
+        s"${f.dataType.simpleString} cannot be the implied bucket key — " +
+        "declare PARTITIONED BY (bucket(n, col)) on a groupable column")
+    }
     val k = key(ident)
     val numGroups = spec.map(_._4).filter(_ > 0)
       .orElse(Option(properties.get("groups")).map(_.toInt)).getOrElse(4)

@@ -59,6 +59,18 @@ object RowNested {
       case d: DecimalType =>
         Long.box(row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
       case StringType    => row.getUTF8String(i).toString
+      // STATLESS types (zone maps / blooms / NDV refuse them at
+      // CREATE; files carrying them are simply never skipped):
+      // doubles/floats ride as their boxed selves (bit-exact through
+      // the parquet DOUBLE/FLOAT physical types), binary verbatim,
+      // and ARRAY columns as ONE length-prefixed binary blob ([[Arr]])
+      // so every layer between the write and read boundaries — delta
+      // records, the change-feed multiset diff, OPTIMIZE's rewrite —
+      // still sees a flat scalar per column
+      case DoubleType    => Double.box(row.getDouble(i))
+      case FloatType     => Float.box(row.getFloat(i))
+      case BinaryType    => row.getBinary(i)
+      case at: ArrayType => Arr.enc(at.elementType, row.getArray(i))
       case other         => sys.error(s"unsupported type $other")
     }
 
@@ -130,6 +142,11 @@ object RowNested {
     case l: java.lang.Long if dt.isInstanceOf[DecimalType] =>
       val d = dt.asInstanceOf[DecimalType]
       Decimal(l.longValue, d.precision, d.scale)
+    // an ARRAY column's blob decodes back to engine ArrayData; a
+    // BinaryType column's bytes pass through verbatim (Spark's
+    // internal binary form IS Array[Byte])
+    case b: Array[Byte] if dt.isInstanceOf[ArrayType] =>
+      Arr.dec(dt.asInstanceOf[ArrayType].elementType, b)
     case other     => other
   }
 
@@ -168,4 +185,106 @@ object RowNested {
   /** True if any field (at any depth) is a struct. */
   def hasStruct(fields: Seq[StructField]): Boolean =
     fields.exists(_.dataType.isInstanceOf[StructType])
+
+  /** ARRAY-column blob codec: an ARRAY<prim> value externalizes to ONE
+    * deterministic byte blob (stored as a parquet BINARY), so the whole
+    * flat-scalar machinery — delta records, COW rewrites, the
+    * change-feed multiset diff — handles array columns without knowing
+    * they exist. Layout (big-endian): element-type tag byte, int32
+    * length, a null bitmap (bit set = non-null), then the non-null
+    * elements in order (fixed width for numerics; int32-length-prefixed
+    * UTF-8 for strings). Deterministic by construction: equal arrays
+    * encode to equal bytes (floats/doubles via raw IEEE bits), which is
+    * what lets the change feed diff array rows by blob equality. */
+  object Arr {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+    private def tag(et: DataType): Byte = et match {
+      case FloatType   => 'F'
+      case DoubleType  => 'D'
+      case LongType    => 'L'
+      case IntegerType => 'I'
+      case StringType  => 'S'
+      case other => sys.error(s"unsupported array element type $other")
+    }
+
+    def supportedElem(et: DataType): Boolean = et match {
+      case FloatType | DoubleType | LongType | IntegerType | StringType =>
+        true
+      case _ => false
+    }
+
+    def enc(et: DataType, a: ArrayData): Array[Byte] = {
+      val n = a.numElements()
+      val bitmapLen = (n + 7) / 8
+      // size the buffer exactly: fixed-width elements are cheap to
+      // pre-measure; strings need one pass for byte lengths
+      val strBytes: Array[Array[Byte]] =
+        if (et == StringType) Array.tabulate(n)(j =>
+          if (a.isNullAt(j)) null else a.getUTF8String(j).getBytes)
+        else null
+      val elemBytes = et match {
+        case FloatType | IntegerType =>
+          (0 until n).count(!a.isNullAt(_)) * 4
+        case DoubleType | LongType =>
+          (0 until n).count(!a.isNullAt(_)) * 8
+        case StringType =>
+          strBytes.iterator.filter(_ != null).map(_.length + 4).sum
+        case other => sys.error(s"unsupported array element type $other")
+      }
+      val bb = java.nio.ByteBuffer.allocate(1 + 4 + bitmapLen + elemBytes)
+      bb.put(tag(et)).putInt(n)
+      val bmPos = bb.position()
+      bb.position(bmPos + bitmapLen)
+      var j = 0
+      while (j < n) {
+        if (!a.isNullAt(j)) {
+          bb.array()(bmPos + (j >> 3)) =
+            (bb.array()(bmPos + (j >> 3)) | (1 << (j & 7))).toByte
+          et match {
+            case FloatType   => bb.putFloat(a.getFloat(j))
+            case DoubleType  => bb.putDouble(a.getDouble(j))
+            case LongType    => bb.putLong(a.getLong(j))
+            case IntegerType => bb.putInt(a.getInt(j))
+            case StringType =>
+              bb.putInt(strBytes(j).length).put(strBytes(j))
+            case other => sys.error(s"unsupported element type $other")
+          }
+          ()
+        }
+        j += 1
+      }
+      bb.array()
+    }
+
+    def dec(et: DataType, bytes: Array[Byte]): ArrayData = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val t = bb.get()
+      require(t == tag(et),
+        s"array blob tag '${t.toChar}' does not match element type $et")
+      val n = bb.getInt()
+      val bitmapLen = (n + 7) / 8
+      val bmPos = bb.position()
+      bb.position(bmPos + bitmapLen)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        if ((bytes(bmPos + (j >> 3)) & (1 << (j & 7))) != 0)
+          out(j) = et match {
+            case FloatType   => Float.box(bb.getFloat())
+            case DoubleType  => Double.box(bb.getDouble())
+            case LongType    => Long.box(bb.getLong())
+            case IntegerType => Int.box(bb.getInt())
+            case StringType =>
+              val len = bb.getInt()
+              val sb = new Array[Byte](len)
+              bb.get(sb)
+              UTF8String.fromBytes(sb)
+            case other => sys.error(s"unsupported element type $other")
+          }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }

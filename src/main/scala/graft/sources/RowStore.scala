@@ -477,6 +477,26 @@ object RowStore {
       val Array(d, s) = p.split(">", 2); (d, s)
     }.toMap
 
+  /** The catalog's storable column types: the trackable set (long/int/
+    * timestamp/date/decimal≤18/string — zone maps, blooms, NDV all
+    * apply), the STATLESS scalars (double/float/binary — stored
+    * natively, never skipped by stats), ARRAY of a primitive element
+    * ([[RowNested.Arr]]'s blob encoding — the `ARRAY<FLOAT>` embedding
+    * column an LLM-pipeline lake table holds on day one), and STRUCT
+    * of storable fields (validated recursively). Checked at CREATE and
+    * ADD COLUMN so an unstorable type fails at DDL time, not at the
+    * first write. */
+  def storable(dt: DataType): Boolean = dt match {
+    case _ if Bloom.trackable(dt) => true
+    case org.apache.spark.sql.types.DoubleType |
+      org.apache.spark.sql.types.FloatType |
+      org.apache.spark.sql.types.BinaryType => true
+    case at: org.apache.spark.sql.types.ArrayType =>
+      graft.sources.RowNested.Arr.supportedElem(at.elementType)
+    case _: StructType => true // fields validated recursively below
+    case _ => false
+  }
+
   /** Every declared name at any nesting depth must be storable AND
     * free of '.' — the dot is the flattened-leaf path separator
     * (RowNested), so a declared name containing one would ambiguate
@@ -488,6 +508,10 @@ object RowStore {
       require(!f.name.contains('.'),
         s"column name ${f.name} may not contain '.' (reserved for " +
           "nested field paths)")
+      require(storable(f.dataType),
+        s"column ${f.name} has unstorable type ${f.dataType.simpleString}" +
+          " — storable: BIGINT/INT/STRING/TIMESTAMP/DATE/DECIMAL(<=18)/" +
+          "DOUBLE/FLOAT/BINARY/ARRAY<primitive>/STRUCT of those")
       f.dataType match {
         case st: StructType => validateFieldNames(st.fields.toSeq)
         case _              => ()
@@ -1196,6 +1220,17 @@ object RowFiles {
         case StringType =>
           b.addField(Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        // statless physical types (no zone maps/blooms/NDV — files
+        // carrying only these columns' predicates are never skipped):
+        // native DOUBLE/FLOAT, raw BINARY, and ARRAY columns as one
+        // binary blob per row ([[RowNested.Arr]]'s codec)
+        case org.apache.spark.sql.types.DoubleType =>
+          b.addField(Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
+        case org.apache.spark.sql.types.FloatType =>
+          b.addField(Types.optional(PrimitiveTypeName.FLOAT).named(f.name))
+        case org.apache.spark.sql.types.BinaryType |
+          _: org.apache.spark.sql.types.ArrayType =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY).named(f.name))
         case other => sys.error(s"RowStore: unsupported column type $other")
       }
     }
@@ -1220,6 +1255,10 @@ object RowFiles {
           case n: java.lang.Integer => g.add(f.name, n.intValue)
           case s: String         => g.add(f.name, s)
           case u: UTF8String     => g.add(f.name, u.toString)
+          case d: java.lang.Double => g.add(f.name, d.doubleValue)
+          case fl: java.lang.Float => g.add(f.name, fl.floatValue)
+          case b: Array[Byte] => g.add(f.name,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
           case other => sys.error(s"RowStore: unsupported value $other")
         }
       }
@@ -1302,6 +1341,15 @@ object RowFiles {
               case _: org.apache.spark.sql.types.DecimalType =>
                 Long.box(g.getLong(f.name, 0))
               case StringType    => g.getString(f.name, 0)
+              case org.apache.spark.sql.types.DoubleType =>
+                Double.box(g.getDouble(f.name, 0))
+              case org.apache.spark.sql.types.FloatType =>
+                Float.box(g.getFloat(f.name, 0))
+              // both read back as the externalized byte form; ARRAY
+              // blobs decode at the internalize boundary (RowNested)
+              case org.apache.spark.sql.types.BinaryType |
+                _: org.apache.spark.sql.types.ArrayType =>
+                g.getBinary(f.name, 0).getBytes
               case other => sys.error(s"unsupported $other")
             }
           }.toArray
