@@ -141,6 +141,55 @@ object RowCatalogMaintQueries {
         GROUP BY etype ORDER BY etype""")
     }),
 
+    // ── q164: EMBEDDING/PAYLOAD COLUMN TYPES IN THE LAKE TABLE — the
+    // round-14 bridge between the repo's two halves: an LLM-pipeline
+    // state table holds ARRAY<FLOAT> embeddings, DOUBLE scores, and
+    // BINARY payloads on day one, and before this row those lived only
+    // in plain parquet OUTSIDE the versioned/CDC-bearing store. Full
+    // lifecycle: CREATE with all three statless types, INSERT the
+    // embeddings fixture, one MERGE wave that rewrites array values
+    // ELEMENT-WISE (float arithmetic — bit-exact in both engines),
+    // bumps doubles, swaps payloads, and deletes a slice; then both
+    // snapshots read back through integer-exact checksums (fixed-point
+    // element sums — no cross-row double accumulation). Stage 1 is a
+    // TIME-TRAVEL read of the pre-MERGE version; the oracle restates
+    // both stages from raw embeddings with the merge applied
+    // relationally. WideTypesSpec pins the storage half (native
+    // DOUBLE/FLOAT physical types, arrays as deterministic blobs,
+    // change-feed blob equality).
+    "q164_dml_embedding_table" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "embeddings").createOrReplaceTempView("q164_emb")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.emb")
+      s.sql("CREATE TABLE graft_dml.ns.emb (vec_id BIGINT, " +
+        "embedding ARRAY<FLOAT>, score DOUBLE, payload BINARY) " +
+        "PARTITIONED BY (bucket(4, vec_id))")
+      s.sql("""INSERT INTO graft_dml.ns.emb
+        SELECT vec_id, embedding, CAST(label AS DOUBLE) / 4.0,
+               CAST(concat('doc-', CAST(vec_id AS STRING)) AS BINARY)
+        FROM q164_emb""")
+      s.sql("""MERGE INTO graft_dml.ns.emb t
+        USING (SELECT vec_id, label FROM q164_emb WHERE vec_id % 3 = 0) m
+        ON t.vec_id = m.vec_id
+        WHEN MATCHED AND m.label % 2 = 0 THEN UPDATE SET
+          embedding = transform(t.embedding, x -> x + CAST(1.0 AS FLOAT)),
+          score = t.score + 10.0,
+          payload = CAST(concat('upd-', CAST(t.vec_id AS STRING)) AS BINARY)
+        WHEN MATCHED THEN DELETE""")
+      val sums = "CAST(SUM(aggregate(transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 0L, " +
+        "(a, v) -> a + v)) AS BIGINT) AS vsum, " +
+        "CAST(SUM(CAST(floor(score * 100) AS BIGINT)) AS BIGINT) AS ssum, " +
+        "CAST(SUM(length(payload)) AS BIGINT) AS psum"
+      s.sql(s"""
+        SELECT 1 AS stage, COUNT(*) AS n, $sums
+        FROM graft_dml.ns.emb VERSION AS OF 1
+        UNION ALL
+        SELECT 2, COUNT(*), $sums
+        FROM graft_dml.ns.emb
+        ORDER BY stage""")
+    }),
+
     // ── q161: SORT-ORDERED OPTIMIZE (`rewrite_data_files_sorted`) —
     // the zone-map-restoration half of compaction Iceberg's
     // rewrite_data_files takes a sort order for: three full-range
@@ -193,6 +242,43 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both lifecycle stages restated from raw embeddings: seed = the
+    // fixture verbatim; merged = the wave applied relationally (the
+    // element-wise float bump replayed in single precision — IEEE
+    // float + float is one rounding in both engines, so the
+    // fixed-point checksums match bit-for-bit)
+    "q164_dml_embedding_table" ->
+      """WITH seed AS (SELECT vec_id, embedding,
+        |    CAST(label AS DOUBLE) / 4.0 AS score,
+        |    'doc-' || CAST(vec_id AS VARCHAR) AS pay, label
+        |  FROM embeddings),
+        |merged AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 3 = 0 AND label % 2 = 0
+        |      THEN list_transform(embedding, x -> x + CAST(1.0 AS FLOAT))
+        |      ELSE embedding END AS embedding,
+        |    CASE WHEN vec_id % 3 = 0 AND label % 2 = 0
+        |      THEN score + 10.0 ELSE score END AS score,
+        |    CASE WHEN vec_id % 3 = 0 AND label % 2 = 0
+        |      THEN 'upd-' || CAST(vec_id AS VARCHAR) ELSE pay END AS pay
+        |  FROM seed
+        |  WHERE NOT (vec_id % 3 = 0 AND label % 2 <> 0))
+        |SELECT 1 AS stage, COUNT(*) AS n,
+        |  CAST(SUM(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))))
+        |    AS BIGINT) AS vsum,
+        |  CAST(SUM(CAST(floor(score * 100) AS BIGINT)) AS BIGINT) AS ssum,
+        |  CAST(SUM(length(pay)) AS BIGINT) AS psum
+        |FROM seed
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))))
+        |    AS BIGINT),
+        |  CAST(SUM(CAST(floor(score * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(SUM(length(pay)) AS BIGINT)
+        |FROM merged
+        |ORDER BY stage""".stripMargin,
+
     // the shredded aggregate re-shredded with DuckDB's JSON operators
     // over the raw events table
     "q163_dml_json_shred" ->
