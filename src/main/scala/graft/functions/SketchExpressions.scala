@@ -115,6 +115,16 @@ case class LshBuckets(child: Expression, planes: Array[Array[Long]],
   override def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val dim = vec.numElements()
+    // fixed-point components once per VECTOR, not per plane: the
+    // float→int64 conversion is invariant across the nTables·nBits
+    // dot products below (measured bench hot spot)
+    val sv = new Array[Long](dim)
+    var k = 0
+    while (k < dim) {
+      val x = if (isFloat) vec.getFloat(k).toDouble else vec.getDouble(k)
+      sv(k) = math.floor(x * 1000000d).toLong
+      k += 1
+    }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -126,8 +136,7 @@ case class LshBuckets(child: Expression, planes: Array[Array[Long]],
         var i = 0
         val d = math.min(dim, p.length)
         while (i < d) {
-          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          dot += p(i) * math.floor(x * 1000000d).toLong
+          dot += p(i) * sv(i)
           i += 1
         }
         if (dot > 0) bucket |= (1L << j)
@@ -161,6 +170,15 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Long]],
   override def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val dim = vec.numElements()
+    // as in LshBuckets: one fixed-point pass per vector, reused by
+    // all nTables·nBits dots
+    val sv = new Array[Long](dim)
+    var k = 0
+    while (k < dim) {
+      val x = if (isFloat) vec.getFloat(k).toDouble else vec.getDouble(k)
+      sv(k) = math.floor(x * 1000000d).toLong
+      k += 1
+    }
     val out = new Array[Long](nTables * 8)
     var t = 0
     while (t < nTables) {
@@ -179,8 +197,7 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Long]],
         var i = 0
         val d = math.min(dim, p.length)
         while (i < d) {
-          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          dot += p(i) * math.floor(x * 1000000d).toLong
+          dot += p(i) * sv(i)
           i += 1
         }
         if (dot > 0) bucket |= (1L << j)

@@ -400,6 +400,155 @@ object RowStoreOps {
     (dirty, man.size, after.size)
   }
 
+  /** REWRITE POSITION DELETES (Iceberg's `rewrite_position_deletes`,
+    * the delete-only maintenance op q162 built the decision input
+    * for): fold record-granularity positional deletes — and any
+    * existing deletion vectors — into EXACTLY ONE terminal deletion
+    * vector per touched data file, WITHOUT touching base parquet
+    * (full OPTIMIZE rewrites base data too; on a 100-TB table whose
+    * churn is delete-shaped that rewrites the table to shed
+    * change-sized records). Base file identity is preserved by
+    * construction — the op never opens a base file.
+    *
+    * SOUNDNESS: rid-deletes are confluent ([[RowStore.Dv]] — no later
+    * record can resurrect a rid: inserts mint NEW rids, updates no-op
+    * on absent ones, and an eq-delete's key sweep removes a row the
+    * moved positional delete would have removed anyway), so carrying
+    * every folded delete at the TERMINAL manifest position resolves
+    * every read identically. Two scoped refusals keep it exact:
+    *  - an INSERT-bearing delta file is left intact (its record
+    *    positions MINT rids — filtering records out would renumber
+    *    them and break later references); its deletes stay as records,
+    *  - eq-delete records are never folded (key-scoped, resurrectable
+    *    — NOT confluent); they survive in the filtered files at their
+    *    original manifest position, which replay order preserves
+    *    because filtered files replace their entries IN PLACE.
+    *
+    * Distribution: one executor pass over the delta files (each
+    * change-sized by construction) filters delete records out and
+    * returns per-target position BITMAPS — file-level metadata, never
+    * rows (rows/8 bytes per touched file, the DV commit path's own
+    * economics); the driver unions them with existing vectors and
+    * commits under the OCC rule. Returns (folded delete records,
+    * deletion vectors at the new head, delta entries dropped). */
+  def rewritePositionDeletes(s: SparkSession, table: String)
+      : (Long, Int, Int) = {
+    val meta = RowStore.readMeta(table)
+    require(meta.mor, s"$table: rewrite_position_deletes applies to " +
+      "merge-on-read tables (COW rewrites carry no delete records)")
+    val base = RowStore.currentVersion(table)
+    val man = RowStore.readManifest(table, base)
+    require(man.forall(e => e.kind == "base" || e.group >= 0),
+      s"$table has untagged delta files — cannot rewrite deletes")
+    val dir = RowStore.dataDir(table)
+    val deltas = man.filter(_.kind == "delta")
+    if (deltas.isEmpty) return (0L, man.count(_.kind == "dv"), 0)
+    // candidate replacement names assigned up front (driver-side), so
+    // the executor pass is one shot: filter + write + report bitmaps
+    val tasks = deltas.map(e => (e.name, RowStore.entryPath(dir, e.name),
+      e.group, s"d${e.group}-pd-${UUID.randomUUID()}.parquet"))
+    // the filtered files carry the CURRENT flat storage layout (what
+    // every other delta writer emits; name-mapped reads handle both)
+    val storageFields = RowNested.flatLeaves(meta.schema.fields.toSeq)
+      .map(f => f.copy(name = meta.storageOf(f.name)))
+    val fileSchema = RowResolve.DeltaMetaFields ++ storageFields
+    /** (entry name, folded deletes, target→positions, replacement:
+      * None=untouched, Some(None)=drop entry, Some(Some(n))=new file). */
+    val results: Array[(String, Long, Map[String, Array[Long]],
+        Option[Option[String]])] =
+      s.sparkContext.parallelize(tasks, math.min(tasks.size, 32)).map {
+        case (name, path, _, newName) =>
+          val ops = RowFiles.readRows(path,
+            RowResolve.DeltaMetaFields.take(2))
+          val hasInsert = ops.exists(
+            _(0).asInstanceOf[java.lang.Integer].intValue ==
+              RowResolve.InsertOp)
+          val delIdx = ops.zipWithIndex.collect {
+            case (r, i) if r(0).asInstanceOf[java.lang.Integer]
+              .intValue == RowResolve.DeleteOp => i
+          }.toSet
+          if (delIdx.isEmpty || hasInsert)
+            // nothing to fold, or rid-minting file — keep intact
+            (name, 0L, Map.empty[String, Array[Long]], None)
+          else {
+            val words = scala.collection.mutable
+              .Map.empty[String, scala.collection.mutable.BitSet]
+            delIdx.toSeq.sorted.foreach { i =>
+              val rid = ops(i)(1).asInstanceOf[String]
+              val cut = rid.lastIndexOf('#')
+              require(cut > 0, s"malformed row id '$rid' in $name")
+              words.getOrElseUpdate(rid.substring(0, cut),
+                scala.collection.mutable.BitSet.empty) +=
+                rid.substring(cut + 1).toInt
+            }
+            val bitmaps = words.map { case (t, b) =>
+              t -> b.toBitMask }.toMap
+            if (delIdx.size == ops.length)
+              (name, delIdx.size.toLong, bitmaps, Some(None)) // all deletes
+            else {
+              // rewrite the survivors (updates / eq-deletes) in order
+              val full = RowFiles.readRows(path, fileSchema)
+              val w = new RowFiles.FileWriter(s"$dir/$newName", fileSchema)
+              try full.zipWithIndex.foreach { case (rec, i) =>
+                if (!delIdx(i)) w.write(rec)
+              } finally w.close()
+              (name, delIdx.size.toLong, bitmaps, Some(Some(newName)))
+            }
+          }
+      }.collect()
+    val folded = results.map(_._2).sum
+    if (folded == 0L) return (0L, man.count(_.kind == "dv"), 0)
+    // union folded bitmaps per target, then fold in each touched
+    // target's EXISTING vector (manifest-resident dvTarget lookup —
+    // commit IO proportional to touched files, as in the DV writer)
+    val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
+    results.foreach(_._3.foreach { case (t, w) =>
+      merged(t) = merged.get(t).map(RowStore.Dv.union(_, w)).getOrElse(w)
+    })
+    val replacedDv = man.filter(e => e.kind == "dv" &&
+      e.dvTarget.exists(merged.contains))
+    replacedDv.foreach { e =>
+      val (t, w) = RowStore.Dv.read(s"$dir/${e.name}")
+      merged(t) = RowStore.Dv.union(merged(t), w)
+    }
+    // target leaf → owning group (rids address leaf names; add_files
+    // entries' absolute paths reduce to their leaf for the lookup)
+    val groupOfLeaf = man.collect { case e if e.kind == "base" ||
+      e.kind == "delta" =>
+      e.name.substring(e.name.lastIndexOf('/') + 1) -> e.group }.toMap
+    val replace: Map[String, Option[String]] = results.collect {
+      case (name, _, _, Some(rep)) => name -> rep }.toMap
+    val dvAdded = merged.toSeq.sortBy(_._1).map { case (t, w) =>
+      val g = groupOfLeaf.getOrElse(t, sys.error(
+        s"$table: deletion target $t is not in the manifest"))
+      val name = s"dv$g-pd-${UUID.randomUUID()}.bin"
+      RowStore.Dv.write(s"$dir/$name", t, w)
+      RowStore.FileEntry("dv", g, name, spec = meta.specId,
+        dvTarget = Some(t))
+    }
+    val replacedDvNames = replacedDv.map(_.name).toSet
+    RowStore.commitLock.synchronized {
+      val cur = RowStore.currentVersion(table)
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: rewrite_position_deletes planned at version $base " +
+            s"but the table is now at $cur — retry")
+      // filtered files replace their entries IN PLACE (replay order =
+      // manifest order, which eq-delete semantics key on); merged
+      // vectors land TERMINAL (sound by rid-delete confluence)
+      val next = man.flatMap {
+        case e if e.kind == "delta" && replace.contains(e.name) =>
+          replace(e.name).map(n => e.copy(name = n))
+        case e if e.kind == "dv" && replacedDvNames(e.name) => None
+        case e => Some(e)
+      } ++ dvAdded
+      RowStore.writeManifest(table, cur + 1, next)
+    }
+    (folded, dvAdded.size +
+      man.count(e => e.kind == "dv" && !replacedDvNames(e.name)),
+      results.count(_._4.contains(None)))
+  }
+
   /** VACUUM: retain the newest `keepLast` versions; delete expired
     * manifests and every data file no retained manifest references.
     * Time travel to a retained version keeps working (files are

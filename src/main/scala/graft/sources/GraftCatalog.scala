@@ -116,11 +116,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       Seq(("rewritten_groups", IntegerType), ("entries_before", IntegerType),
         ("entries_after", IntegerType))) {
       override def run(a: InternalRow): Array[Any] = {
+        val cols = a.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        // an empty spec would silently degrade to the plain dirty-
+        // groups bin-pack, contradicting the "rewrite EVERY group
+        // range-clustered" contract — refuse loudly
+        require(cols.nonEmpty, "rewrite_data_files_sorted: sort_col " +
+          "must name at least one column (use rewrite_data_files for " +
+          "the plain bin-pack)")
         val (gs, before, after) = RowStoreOps.compact(
-          SparkSession.active, tkey(a.getUTF8String(0)),
-          a.getUTF8String(1).toString.split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq)
+          SparkSession.active, tkey(a.getUTF8String(0)), cols)
         Array(gs.size, before, after)
+      }
+    },
+    new Proc("rewrite_position_deletes",
+      "fold positional delete records and existing deletion vectors " +
+        "into one terminal vector per touched data file WITHOUT " +
+        "rewriting base parquet (Iceberg's delete-only maintenance op)",
+      Seq(("table", StringType)),
+      Seq(("folded_deletes", LongType), ("delete_vectors", IntegerType),
+        ("dropped_delta_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (folded, dvs, dropped) = RowStoreOps.rewritePositionDeletes(
+          SparkSession.active, tkey(a.getUTF8String(0)))
+        Array(Long.box(folded), dvs, dropped)
       }
     },
     new Proc("expire_snapshots_older_than",

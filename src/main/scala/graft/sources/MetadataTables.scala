@@ -182,11 +182,9 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
         val es = RowStore.readManifest(baseKey,
           RowStore.currentVersion(baseKey))
         val dir = RowStore.dataDir(baseKey)
-        // any table-wide delta file (group < 0) can hold records of
-        // EVERY group, so no group's row count is exact under one
-        val tableWideDelta = es.exists(e => e.kind != "base" && e.group < 0)
         // record-granularity deltas anywhere table-wide poison
-        // exactness; vectors never do (terminal rid-deletes)
+        // exactness (a group<0 delta can hold records of EVERY
+        // group); vectors never do (terminal rid-deletes)
         val tableWideRecords = es.exists(e =>
           e.kind != "base" && e.kind != "dv" && e.group < 0)
         val rows = es.groupBy(e => (e.spec, e.group)).toSeq

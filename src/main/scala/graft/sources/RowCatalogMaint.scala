@@ -141,6 +141,53 @@ object RowCatalogMaintQueries {
         GROUP BY etype ORDER BY etype""")
     }),
 
+    // ── q165: REWRITE POSITION DELETES — the delete-only maintenance
+    // op (Iceberg's rewrite_position_deletes) q162 built the decision
+    // input for: a record-mode MOR table takes two DELETE commits with
+    // an UPDATE commit BETWEEN them (the ordering hazard: folded
+    // deletes move to the terminal manifest position, sound only by
+    // rid-delete confluence), then CALL folds every positional delete
+    // record into ONE deletion vector per touched base file — base
+    // parquet is NEVER rewritten (full OPTIMIZE would rewrite it too).
+    // Pinned in-plan: base-file identity unchanged, exactly one vector
+    // per target, both delete-only delta files dropped, the update
+    // records SURVIVE as records. The content aggregate is the read
+    // invariant (the q108 discipline); the oracle restates it from raw
+    // orders with the delete/update algebra applied relationally.
+    "q165_dml_rewrite_deletes" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q165_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.rpd")
+      s.sql("CREATE TABLE graft_dml.ns.rpd " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "TBLPROPERTIES ('format'='mor')")
+      s.sql("""INSERT INTO graft_dml.ns.rpd
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q165_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("DELETE FROM graft_dml.ns.rpd WHERE k % 97 = 0")
+      s.sql("UPDATE graft_dml.ns.rpd SET cents = cents + 1 WHERE k % 11 = 0")
+      s.sql("DELETE FROM graft_dml.ns.rpd WHERE k % 5 = 0")
+      val t = "graft_dml.ns.rpd"
+      val preBase = RowStore.readManifest(t, RowStore.currentVersion(t))
+        .filter(_.kind == "base").map(_.name).toSet
+      val r = s.sql(
+        "CALL graft_dml.system.rewrite_position_deletes('ns.rpd')").head()
+      val (folded, dropped) = (r.getLong(0), r.getInt(2))
+      val post = RowStore.readManifest(t, RowStore.currentVersion(t))
+      val postBase = post.filter(_.kind == "base").map(_.name).toSet
+      val dvs = post.filter(_.kind == "dv")
+      import org.apache.spark.sql.functions.lit
+      s.sql("""SELECT status, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.rpd GROUP BY status ORDER BY status""")
+        .withColumn("base_files_unchanged", lit(preBase == postBase))
+        .withColumn("one_dv_per_target", lit(dvs.nonEmpty &&
+          dvs.groupBy(_.dvTarget).forall(_._2.size == 1)))
+        .withColumn("deletes_folded", lit(folded > 0 && dropped >= 2))
+        .withColumn("updates_survive", lit(post.exists(_.kind == "delta")))
+    }),
+
     // ── q164: EMBEDDING/PAYLOAD COLUMN TYPES IN THE LAKE TABLE — the
     // round-14 bridge between the repo's two halves: an LLM-pipeline
     // state table holds ARRAY<FLOAT> embeddings, DOUBLE scores, and
@@ -242,6 +289,22 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // survivors = seed minus both delete slices; the between-deletes
+    // UPDATE bumped exactly the k%11 rows alive at its commit (all
+    // survivors qualify — the %97 slice was already gone, the %5 slice
+    // died after); flags TRUE by the op's contract
+    "q165_dml_rewrite_deletes" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS sum_cents,
+        |  TRUE AS base_files_unchanged, TRUE AS one_dv_per_target,
+        |  TRUE AS deletes_folded, TRUE AS updates_survive
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0
+        |  AND o_orderkey % 5 <> 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
     // both lifecycle stages restated from raw embeddings: seed = the
     // fixture verbatim; merged = the wave applied relationally (the
     // element-wise float bump replayed in single precision — IEEE
