@@ -109,23 +109,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     new Proc("rewrite_data_files_sorted",
       "rewrite EVERY group range-clustered by the sort column(s) " +
         "(Iceberg's rewrite_data_files with a sort order; " +
-        "comma-separate for a lexicographic multi-column spec) — " +
-        "restores zone-map file skipping a churned or bin-packed " +
-        "layout lost",
+        "comma-separate for a lexicographic multi-column spec, or " +
+        "'zorder(a,b)' for a Morton-interleaved spec that bounds " +
+        "every file's extent in EVERY dimension) — restores zone-map " +
+        "file skipping a churned or bin-packed layout lost",
       Seq(("table", StringType), ("sort_col", StringType)),
       Seq(("rewritten_groups", IntegerType), ("entries_before", IntegerType),
         ("entries_after", IntegerType))) {
       override def run(a: InternalRow): Array[Any] = {
-        val cols = a.getUTF8String(1).toString.split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq
+        val spec = a.getUTF8String(1).toString.trim
         // an empty spec would silently degrade to the plain dirty-
         // groups bin-pack, contradicting the "rewrite EVERY group
         // range-clustered" contract — refuse loudly
-        require(cols.nonEmpty, "rewrite_data_files_sorted: sort_col " +
-          "must name at least one column (use rewrite_data_files for " +
-          "the plain bin-pack)")
-        val (gs, before, after) = RowStoreOps.compact(
-          SparkSession.active, tkey(a.getUTF8String(0)), cols)
+        require(spec.nonEmpty && spec != "zorder()",
+          "rewrite_data_files_sorted: sort_col must name at least one " +
+            "column (use rewrite_data_files for the plain bin-pack)")
+        val (gs, before, after) =
+          if (spec.startsWith("zorder(") && spec.endsWith(")"))
+            RowStoreOps.compact(SparkSession.active,
+              tkey(a.getUTF8String(0)), zorderCols =
+                spec.stripPrefix("zorder(").stripSuffix(")").split(",")
+                  .map(_.trim).filter(_.nonEmpty).toSeq)
+          else {
+            val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(cols.nonEmpty, "rewrite_data_files_sorted: sort_col " +
+              "must name at least one column")
+            RowStoreOps.compact(SparkSession.active,
+              tkey(a.getUTF8String(0)), cols)
+          }
         Array(gs.size, before, after)
       }
     },
@@ -933,9 +944,10 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     Option(info.options().get("compact"))
       .map(GroupWrite.parseCompact) match {
-      case Some((base, gs, sort)) =>
+      case Some((base, gs, sort, preserve)) =>
         new GroupWrite(tableKey, meta, info.schema(),
-          GroupWrite.Compact(base, gs), sortCols = sort)
+          GroupWrite.Compact(base, gs), sortCols = sort,
+          preserveLayout = preserve)
       case None =>
         Option(info.options().get("branch")) match {
           // write option `branch=<name>`: the append STAGES into the

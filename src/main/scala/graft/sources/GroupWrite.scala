@@ -44,20 +44,30 @@ object GroupWrite {
     * `<ver>:<g1>,<g2>[:<sortCol>[,<sortCol>…]]` — the optional third
     * segment asks for the SORT-ORDERED rewrite (Iceberg's
     * rewrite_data_files with a sort order; several columns = the
-    * lexicographic multi-column sort spec). One option value carries
-    * the whole handshake because Spark's V2Writes asserts scan and
-    * write options agree. */
-  def parseCompact(v: String): (Int, Set[Int], Seq[String]) = {
+    * lexicographic multi-column sort spec). The literal segment
+    * `zorder` instead asks for LAYOUT-PRESERVING mode: the incoming
+    * partitioning (a Morton-key range shuffle built by
+    * [[RowStoreOps.compact]] upstream) IS the clustering, so the
+    * write must not impose its own distribution. One option value
+    * carries the whole handshake because Spark's V2Writes asserts
+    * scan and write options agree. Returns (base version, groups,
+    * sort columns, preserve-layout). */
+  def parseCompact(v: String): (Int, Set[Int], Seq[String], Boolean) = {
     val parts = v.split(":", 3)
-    (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
-      parts.lift(2).toSeq.flatMap(_.split(",")).map(_.trim)
-        .filter(_.nonEmpty))
+    val seg3 = parts.lift(2).getOrElse("")
+    if (seg3 == "zorder")
+      (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
+        Seq.empty, true)
+    else
+      (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
+        seg3.split(",").map(_.trim).filter(_.nonEmpty).toSeq, false)
   }
 }
 
 class GroupWrite(tableKey: String, meta: RowStore.Meta,
     writeSchema: StructType, mode: GroupWrite.Mode,
-    queryId: String = "", sortCols: Seq[String] = Seq.empty)
+    queryId: String = "", sortCols: Seq[String] = Seq.empty,
+    preserveLayout: Boolean = false)
     extends WriteBuilder with Write with BatchWrite with SupportsTruncate
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
@@ -88,8 +98,16 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   // [min, max] spans everything; the sorted rewrite splits it into
   // slices a pushed range prunes. No writer changes — the clustering
   // IS the feature, delegated to Spark's range shuffle.
+  // Z-ORDER REWRITE (preserveLayout): the clustering was ALREADY built
+  // upstream — RowStoreOps.compact range-shuffled the rows by the
+  // normalized Morton key (a derived column no identity transform can
+  // name), so the write declares NO distribution and the engine keeps
+  // the incoming layout; the unchanged one-file-per-(task, group)
+  // writer then emits files whose per-column zone maps are tight in
+  // EVERY interleaved dimension.
   override def requiredDistribution(): Distribution =
-    if (sortCols.nonEmpty) Distributions.ordered(sortCols.toArray.map(c =>
+    if (preserveLayout) Distributions.unspecified()
+    else if (sortCols.nonEmpty) Distributions.ordered(sortCols.toArray.map(c =>
       Expressions.sort(Expressions.identity(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
     else meta.transform match {

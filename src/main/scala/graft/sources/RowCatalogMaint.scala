@@ -141,6 +141,60 @@ object RowCatalogMaintQueries {
         GROUP BY etype ORDER BY etype""")
     }),
 
+    // ── q166: Z-ORDER REWRITE — the multi-dimension half of q161
+    // (Delta's OPTIMIZE ZORDER BY / Iceberg's zorder rewrite
+    // strategy): the lexicographic rewrite biases skipping toward the
+    // LEADING column — a banded read on the second dimension still
+    // opens everything. `rewrite_data_files_sorted(t, 'zorder(k,p)')`
+    // range-shuffles on the normalized Morton interleave of both
+    // columns (normalization bounds folded from the MANIFEST's
+    // per-column zone maps — plan-time metadata, no data pass), so
+    // every rewritten file's extent is bounded in BOTH dimensions and
+    // banded reads on EITHER column skip files. Pinned in-plan: the
+    // plain bin-pack skips nothing on either dimension; the z layout
+    // skips on both. Content contract: both band aggregates unchanged
+    // (rewrites are observationally invisible), restated by the
+    // oracle from raw orders. ZOrderRewriteSpec pins the
+    // majority-skip fractions.
+    "q166_dml_zorder_rewrite" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q166_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.zord")
+      s.sql("CREATE TABLE graft_dml.ns.zord " +
+        "(k BIGINT, p BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      for (r <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_dml.ns.zord
+          SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q166_orders WHERE o_orderkey % 3 = $r""")
+      val b = s.sql("SELECT CAST(max(o_orderkey) AS BIGINT), " +
+        "CAST(max(o_custkey) AS BIGINT) FROM q166_orders").head()
+      val (mxK, mxP) = (b.getLong(0), b.getLong(1))
+      def banded(c: String, mx: Long) =
+        s"""SELECT
+               CAST(${if (c == "k") 1 else 2} AS INT) AS dim, status,
+               COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.zord
+        WHERE $c >= ${mx / 3}L AND $c < ${2 * mx / 3}L
+        GROUP BY status"""
+      def skippedAfter(q: String): Int = {
+        s.sql(q).collect(); RowStore.lastSkippedBaseFiles.get()
+      }
+      RowStoreOps.compact(s, "graft_dml.ns.zord") // plain bin-pack
+      val plainK = skippedAfter(banded("k", mxK))
+      val plainP = skippedAfter(banded("p", mxP))
+      s.sql("CALL graft_dml.system.rewrite_data_files_sorted(" +
+        "'ns.zord', 'zorder(k,p)')").collect()
+      val zK = skippedAfter(banded("k", mxK))
+      val zP = skippedAfter(banded("p", mxP))
+      import org.apache.spark.sql.functions.lit
+      s.sql(banded("k", mxK) + " UNION ALL " + banded("p", mxP) +
+          " ORDER BY dim, status")
+        .withColumn("plain_skipped_none", lit(plainK == 0 && plainP == 0))
+        .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
+    }),
+
     // ── q165: REWRITE POSITION DELETES — the delete-only maintenance
     // op (Iceberg's rewrite_position_deletes) q162 built the decision
     // input for: a record-mode MOR table takes two DELETE commits with
@@ -289,6 +343,31 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both bands restated from raw orders (the three churn inserts
+    // partition o_orderkey % 3 — together they are the full table);
+    // skip pins TRUE by the rewrite contract
+    "q166_dml_zorder_rewrite" ->
+      """WITH z AS (SELECT o_orderkey AS k, o_custkey AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders)
+        |SELECT dim, status, n, sum_cents,
+        |  TRUE AS plain_skipped_none, TRUE AS z_skips_both FROM (
+        |  SELECT 1 AS dim, status, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM z
+        |  WHERE k >= (SELECT MAX(k) FROM z) // 3
+        |    AND k < 2 * (SELECT MAX(k) FROM z) // 3
+        |  GROUP BY status
+        |  UNION ALL
+        |  SELECT 2, status, COUNT(*),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM z
+        |  WHERE p >= (SELECT MAX(p) FROM z) // 3
+        |    AND p < 2 * (SELECT MAX(p) FROM z) // 3
+        |  GROUP BY status)
+        |ORDER BY dim, status""".stripMargin,
+
     // survivors = seed minus both delete slices; the between-deletes
     // UPDATE bumped exactly the k%11 rows alive at its commit (all
     // survivors qualify — the %97 slice was already gone, the %5 slice
