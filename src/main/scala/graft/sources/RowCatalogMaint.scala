@@ -117,25 +117,42 @@ object RowCatalogMaintQueries {
     // string parses ONCE at write; every later read touches typed
     // flattened leaves with zone maps instead of re-parsing JSON),
     // then aggregate over the shredded nested field under a
-    // nested-field predicate. The oracle re-shreds with DuckDB's JSON
-    // operators — a parse drift, a lost leaf, or a wrong nested
-    // filter breaks the hash.
+    // nested-field predicate. Round 14 adds the ARRAY leaf: the
+    // payload is enriched with a VARIABLE-LENGTH JSON array (the tags
+    // / token-list shape), shredded into an ARRAY<STRING> struct
+    // field (stored as one blob per row — RowNested.Arr), and the
+    // aggregate reads the array CONTENTS back (element count, total
+    // element chars, membership) — a lossy array round-trip, a parse
+    // drift, or a lost leaf breaks the hash. The oracle re-shreds
+    // with DuckDB's JSON operators and restates the array
+    // relationally.
     "q163_dml_json_shred" -> ((s, d) => {
       s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
       graft.Tables(s, d, "events").createOrReplaceTempView("q163_events")
       s.sql("DROP TABLE IF EXISTS graft_dml.ns.shred")
       s.sql("CREATE TABLE graft_dml.ns.shred " +
-        "(event_id BIGINT, etype STRING, props STRUCT<k: BIGINT, vc: BIGINT>) " +
+        "(event_id BIGINT, etype STRING, " +
+        "props STRUCT<k: BIGINT, vc: BIGINT, tags: ARRAY<STRING>>) " +
         "PARTITIONED BY (bucket(4, event_id))")
       s.sql("""INSERT INTO graft_dml.ns.shred
         SELECT event_id, event_type,
                named_struct(
                  'k', CAST(get_json_object(props, '$.k') AS BIGINT),
-                 'vc', CAST(round(value * 100) AS BIGINT))
+                 'vc', CAST(round(value * 100) AS BIGINT),
+                 'tags', from_json(
+                   concat('["x', CAST(event_id % 7 AS STRING), '"',
+                     CASE WHEN event_id % 3 = 0 THEN ',"y"' ELSE '' END,
+                     ']'), 'ARRAY<STRING>'))
         FROM q163_events""")
       s.sql("""SELECT etype, COUNT(*) AS n,
                CAST(SUM(props.k) AS BIGINT) AS sum_k,
-               CAST(SUM(props.vc) AS BIGINT) AS sum_vc
+               CAST(SUM(props.vc) AS BIGINT) AS sum_vc,
+               CAST(SUM(size(props.tags)) AS BIGINT) AS n_tags,
+               CAST(SUM(aggregate(transform(props.tags,
+                 t -> CAST(length(t) AS BIGINT)), 0L, (a, v) -> a + v))
+                 AS BIGINT) AS tag_chars,
+               COUNT(CASE WHEN array_contains(props.tags, 'y') THEN 1 END)
+                 AS n_y
         FROM graft_dml.ns.shred
         WHERE props.k % 5 = 0
         GROUP BY etype ORDER BY etype""")
@@ -422,12 +439,20 @@ object RowCatalogMaintQueries {
         |ORDER BY stage""".stripMargin,
 
     // the shredded aggregate re-shredded with DuckDB's JSON operators
-    // over the raw events table
+    // over the raw events table; the enriched array restated
+    // relationally (tags = ['x<id%7>'] plus 'y' on the id%3=0 slice)
     "q163_dml_json_shred" ->
       """SELECT event_type AS etype, COUNT(*) AS n,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS sum_vc
+        |    AS sum_vc,
+        |  CAST(SUM(1 + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tags,
+        |  CAST(SUM(1 + length(CAST(event_id % 7 AS VARCHAR))
+        |    + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tag_chars,
+        |  CAST(COUNT(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_y
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) % 5 = 0
         |GROUP BY 1 ORDER BY etype""".stripMargin,
