@@ -54,7 +54,9 @@ object Explain {
         "q158_dml_column_stats_table", "q159_dml_compute_stats",
         "q160_dml_nested_types", "q161_dml_sorted_rewrite",
         "q162_dml_files_dv", "s02_ann_lsh", "s03_ann_ivf",
-        "q163_dml_json_shred")
+        "q163_dml_json_shred", "q164_dml_embedding_table",
+        "q165_dml_rewrite_deletes", "q166_dml_zorder_rewrite",
+        "s17_ann_catalog_served")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
