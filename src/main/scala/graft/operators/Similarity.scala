@@ -161,6 +161,25 @@ object Similarity {
     ivfCache.getOrElseUpdate(s, s"$d#int")(
       ivfIntFit(s, Tables(s, d, "embeddings")))
 
+  /** The integer-exact IVF fit over an ARBITRARY (vec_id, embedding)
+    * source — the catalog-served consumers (s17, st40): same fit, same
+    * cache, caller-chosen source and cache key. */
+  private[graft] def ivfIntIndexFor(s: SparkSession, cacheKey: String,
+      source: => DataFrame): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s, cacheKey)(ivfIntFit(s, source))
+
+  /** s03's probe over a fitted integer index: the NQ query vectors,
+    * 3-cell integer routing, exact double-cosine rescore — the one
+    * probe shape every s03-oracle consumer replays. */
+  private[graft] def ivfIntProbe(assigned: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val q = assigned.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sv").as("qsv"))
+    rescore(probeCellsInt(q, cents, nProbe = 3), assigned)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Cell routing in the integer index's own exact metric: rank cells
     * per query by int64 ‖qsv − cent‖², ties to the lowest cell. */
   private def probeCellsInt(q: DataFrame, cents: DataFrame,
@@ -720,11 +739,7 @@ object Similarity {
     "s03_ann_ivf" -> ((s, d) => {
       VectorFunctions.register(s)
       val (assigned, cents) = ivfIntIndex(s, d)
-      val q = assigned.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("sv").as("qsv"))
-      rescore(probeCellsInt(q, cents, nProbe = 3), assigned)
-        .orderBy(col("q_id"), col("rank"))
+      ivfIntProbe(assigned, cents)
     }),
 
     // ── s17: IVF SERVED FROM THE LAKE CATALOG — the round-14 bridge:
@@ -755,15 +770,10 @@ object Similarity {
         ON t.vec_id = m.vec_id
         WHEN MATCHED THEN UPDATE SET
           embedding = transform(t.embedding, x -> -x)""")
-      val src = s.sql("SELECT vec_id, embedding " +
-        "FROM graft_dml.ns.embsrv VERSION AS OF 1")
-      val (assigned, cents) = ivfCache.getOrElseUpdate(s, s"$d#dml-int")(
-        ivfIntFit(s, src))
-      val q = assigned.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("sv").as("qsv"))
-      rescore(probeCellsInt(q, cents, nProbe = 3), assigned)
-        .orderBy(col("q_id"), col("rank"))
+      val (assigned, cents) = ivfIntIndexFor(s, s"$d#dml-int",
+        s.sql("SELECT vec_id, embedding " +
+          "FROM graft_dml.ns.embsrv VERSION AS OF 1"))
+      ivfIntProbe(assigned, cents)
     }),
 
     // ── s06: PERSISTED IVF index — the build/save/serve split every

@@ -406,6 +406,70 @@ private[streaming] object StreamDmlQueries {
         .withColumn("multi_batch", lit(nBatches.get >= 2))
     }),
 
+    // ── st40: STREAMING EMBEDDINGS INTO THE LAKE TABLE + catalog-
+    // served ANN — the streaming side of round-14's bridge between
+    // the catalog and the embedding operators: st35 upserts into a
+    // bespoke parquet layout BESIDE the catalog; here the embeddings
+    // stream lands in the versioned DML table ITSELF — ARRAY<FLOAT>
+    // rows through the native engine-driven StreamingWrite (st36's
+    // epoch-per-manifest exactly-once; the blob codec on the
+    // streaming writer's path), four mtime-ordered chunks at 2
+    // files/trigger forcing a genuinely multi-epoch drain — and the
+    // integer IVF index is then fit FROM the drained catalog table.
+    // The result must be BIT-IDENTICAL to s03 over plain parquet
+    // (shared oracle): a float-lossy blob round trip, a dropped or
+    // double-committed epoch, or a catalog-read drift all break the
+    // hash. The multi-epoch contract is a loud require (the output
+    // shape is pinned to the oracle's four columns).
+    "st40_stream_embedding_table" -> ((s, d) => withStatePartitions(s, StateParts) {
+      import graft.operators.Similarity
+      graft.functions.VectorFunctions.register(s)
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.Scratch.dir(s, "graft_st40_src", tag)
+      val e = graft.Tables(s, d, "embeddings")
+      graft.Scratch.materializeOnce(src) {
+        val t0 = System.currentTimeMillis() - 3600000L
+        for (c <- 0 to 3) {
+          val dir = s"$src/c$c"
+          e.filter(pmod(col("vec_id"), lit(4)) === c)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          new java.io.File(dir).listFiles().foreach { f =>
+            require(f.setLastModified(t0 + c * 60000L),
+              s"setLastModified failed for $f: this filesystem cannot " +
+                "set mtimes, so st40's deterministic file->batch " +
+                "mapping does not hold")
+          }
+        }
+      }
+      // fresh table + cleared fixed checkpoint per invocation (the
+      // st36 discipline: DROP clears the epoch high-water mark with
+      // the table dir; a UUID-fresh checkpoint would accumulate
+      // orphan trees across bench min-of-2 + verify runs)
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.semb")
+      s.sql("CREATE TABLE graft_dml.ns.semb (vec_id BIGINT, " +
+        "embedding ARRAY<FLOAT>, label INT) " +
+        "PARTITIONED BY (bucket(4, vec_id))")
+      val ckpt = graft.Scratch.dir(s, "graft_st40_ckpt", tag)
+      graft.Scratch.deleteTree(ckpt)
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$src/c*")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_dml.ns.semb")
+      q.awaitTermination()
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      require(lastBatch >= 1L,
+        s"st40 must drain in >= 2 epochs, saw last batch $lastBatch")
+      val (assigned, cents) = Similarity.ivfIntIndexFor(s,
+        s"$d#dml-stream", s.table("graft_dml.ns.semb")
+          .select(col("vec_id"), col("embedding")))
+      Similarity.ivfIntProbe(assigned, cents)
+    }),
+
     // ── st36: NATIVE STREAMING WRITE into the DML catalog —
     // `writeStream.toTable` (Delta's shape), the missing quadrant of
     // the streaming×DML matrix next to st34's table read, st33's CDF
@@ -702,6 +766,13 @@ private[streaming] object StreamDmlQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  o_orderstatus AS status, TRUE AS multi_batch
         |FROM orders WHERE o_orderkey % 6 = 0 ORDER BY k""".stripMargin,
+
+    // the catalog-served probe over the fully-drained stream must be
+    // BIT-IDENTICAL to s03 over plain parquet — the oracle is s03's,
+    // verbatim (the streamed table IS the fixture when every epoch
+    // lands exactly once and every float round-trips the blob codec)
+    "st40_stream_embedding_table" ->
+      graft.operators.SimilarityOracles.oracles("s03_ann_ivf"),
 
     // silver restated straight from raw events: the two-hop chain
     // (stream→bronze commits→change feed→MERGE) must be lossless and
