@@ -621,6 +621,37 @@ object RowStoreOps {
       results.count(_._4.contains(None)))
   }
 
+  /** CLUSTERING QUALITY of a column at the current snapshot — the
+    * decision input for `rewrite_data_files_sorted` (the q162
+    * discipline: surface the maintenance op's trigger from metadata
+    * alone, zero data files opened): the mean over base files of each
+    * file's zone-map extent as a fraction of the table-wide extent.
+    * ≈1.0 means every file spans the whole domain (churn — a banded
+    * read on the column opens everything; rewrite advised);
+    * ≈1/slices after a sorted or z-order rewrite. Defined only when
+    * EVERY base file carries numeric bounds for the column (the
+    * colMinMax refusal rule — a statless or legacy file would make
+    * the mean silently wrong). Returns (base files, quality). */
+  def clusteringQuality(table: String, col: String): (Int, Double) = {
+    val meta = RowStore.readMeta(table)
+    val man = RowStore.readManifest(table, RowStore.currentVersion(table))
+    val base = man.filter(_.kind == "base")
+    require(base.nonEmpty, s"$table has no base files")
+    val storage = meta.storageOf(col)
+    val bounds = base.flatMap(_.colsN.get(storage))
+    require(bounds.size == base.size,
+      s"$table: only ${bounds.size} of ${base.size} base files carry " +
+        s"numeric zone-map bounds for $col — clustering quality is " +
+        "undefined (string/statless column, or files predating " +
+        "per-column stats)")
+    val lo = bounds.map(_._1).min
+    val hi = bounds.map(_._2).max
+    // single-value domain: every file trivially spans it — quality 1
+    val dom = math.max(1L, hi - lo).toDouble
+    (base.size,
+      bounds.map { case (a, b) => (b - a).toDouble / dom }.sum / bounds.size)
+  }
+
   /** VACUUM: retain the newest `keepLast` versions; delete expired
     * manifests and every data file no retained manifest references.
     * Time travel to a retained version keeps working (files are

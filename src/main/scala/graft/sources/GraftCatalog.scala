@@ -140,6 +140,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(gs.size, before, after)
       }
     },
+    new Proc("clustering_quality",
+      "mean per-file zone-map extent of a column as a fraction of the " +
+        "table-wide extent, from the manifest alone (zero data files " +
+        "opened) — ~1.0 means churned (banded reads open everything; " +
+        "sorted/zorder rewrite advised), ~1/slices after a rewrite",
+      Seq(("table", StringType), ("column", StringType)),
+      Seq(("base_files", IntegerType),
+        ("quality", org.apache.spark.sql.types.DoubleType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (n, q) = RowStoreOps.clusteringQuality(
+          tkey(a.getUTF8String(0)), a.getUTF8String(1).toString)
+        Array(n, Double.box(q))
+      }
+    },
     new Proc("rewrite_position_deletes",
       "fold positional delete records and existing deletion vectors " +
         "into one terminal vector per touched data file WITHOUT " +

@@ -158,6 +158,45 @@ object RowCatalogMaintQueries {
         GROUP BY etype ORDER BY etype""")
     }),
 
+    // ── q167: CLUSTERING QUALITY — the decision input for
+    // `rewrite_data_files_sorted`, completing the q162 symmetry
+    // (q162 surfaces rewrite_position_deletes' trigger; this surfaces
+    // the sorted/zorder rewrite's): `CALL clustering_quality(t, col)`
+    // folds the manifest's per-file zone maps into the mean per-file
+    // extent fraction — ~1.0 on a churned table (every file spans the
+    // domain; banded reads open everything), ~1/slices after the
+    // sorted rewrite — ZERO data files opened (spec pins the
+    // filesOpened counter). Pinned in-plan: quality reads high before
+    // and collapses after the rewrite it advises; the content
+    // aggregate anchors the oracle.
+    "q167_dml_clustering_quality" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q167_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cq")
+      s.sql("CREATE TABLE graft_dml.ns.cq " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      for (r <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_dml.ns.cq
+          SELECT CAST(o_orderkey AS BIGINT),
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q167_orders WHERE o_orderkey % 3 = $r""")
+      def quality(): Double = s.sql(
+        "CALL graft_dml.system.clustering_quality('ns.cq', 'k')")
+        .head().getDouble(1)
+      val before = quality()
+      s.sql("CALL graft_dml.system.rewrite_data_files_sorted(" +
+        "'ns.cq', 'k')").collect()
+      val after = quality()
+      import org.apache.spark.sql.functions.lit
+      s.sql("""SELECT status, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.cq GROUP BY status ORDER BY status""")
+        .withColumn("churned_reads_high", lit(before > 0.8))
+        .withColumn("clustered_reads_low", lit(after < 0.5 &&
+          after < before))
+    }),
+
     // ── q166: Z-ORDER REWRITE — the multi-dimension half of q161
     // (Delta's OPTIMIZE ZORDER BY / Iceberg's zorder rewrite
     // strategy): the lexicographic rewrite biases skipping toward the
@@ -360,6 +399,15 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the three churn inserts partition o_orderkey % 3, so content is
+    // the whole table; quality pins TRUE by the metric's contract
+    "q167_dml_clustering_quality" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  TRUE AS churned_reads_high, TRUE AS clustered_reads_low
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
     // both bands restated from raw orders (the three churn inserts
     // partition o_orderkey % 3 — together they are the full table);
     // skip pins TRUE by the rewrite contract

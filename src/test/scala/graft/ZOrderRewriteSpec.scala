@@ -68,6 +68,37 @@ class ZOrderRewriteSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("clustering_quality is manifest-only and tracks the rewrite") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    import graft.sources.RowFiles
+    val t = "graft_dml.spec.cq"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cat STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    for (r <- 0 until 2)
+      s.sql(s"INSERT INTO $t VALUES " +
+        (0 until 200).filter(_ % 2 == r)
+          .map(i => s"($i, 'c', $i)").mkString(", "))
+    val opened0 = RowFiles.filesOpened.get()
+    val (nf, qBefore) = RowStoreOps.clusteringQuality(t, "k")
+    // zero data files opened: the metric folds manifest zone maps only
+    assert(RowFiles.filesOpened.get() == opened0,
+      "clustering_quality must not open data files")
+    assert(nf >= 2 && qBefore > 0.8,
+      s"churned layout must read ~1.0: files=$nf q=$qBefore")
+    RowStoreOps.compact(s, t, sortCols = Seq("k"))
+    val (_, qAfter) = RowStoreOps.clusteringQuality(t, "k")
+    assert(qAfter < qBefore && qAfter < 0.5,
+      s"sorted rewrite must collapse quality: $qBefore -> $qAfter")
+    // statless column refuses instead of answering wrong
+    val e = intercept[Exception] {
+      RowStoreOps.clusteringQuality(t, "cat")
+    }
+    assert(e.getMessage.contains("undefined"), e.getMessage)
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("zorder spec validation refuses loudly") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
