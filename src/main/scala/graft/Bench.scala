@@ -28,11 +28,26 @@ object Bench {
     val loadStart = loadavg()
     def load1(): Double =
       try loadavg().split(" ").head.toDouble catch { case NonFatal(_) => 0.0 }
-    // the 1-min loadavg above which a reading on this 32-cpu box is
-    // treated as contention-poisoned (round-13 verdict: st14 read 3×
-    // its band under a 6.06 stamp with untouched code) — readings
-    // taken under it get a third, load-gated run below
-    val LoadGate = 4.0
+    // AMBIENT contention, not raw loadavg: a continuous local[32]
+    // bench keeps 1-min loadavg above any fixed threshold by ITSELF
+    // (measured: gating on loadavg > 4 flagged 200+ of 285 entries —
+    // all self-load), so the poisoning signal must subtract our own
+    // JVM: ambient cores = (system CPU − this process's CPU) × ncpus
+    // via com.sun.management.OperatingSystemMXBean. Ambient > 4 cores
+    // on this 32-cpu box means OTHER processes are genuinely
+    // competing (the round-13 st14 band's signature); self-load never
+    // trips it.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val nCores = Runtime.getRuntime.availableProcessors
+    def ambientCores(): Double = {
+      val sys = osBean.getCpuLoad
+      val self = osBean.getProcessCpuLoad
+      if (sys < 0 || self < 0) 0.0
+      else math.max(0.0, sys - self) * nCores
+    }
+    val AmbientGate = 4.0
     // warm-up + shared-fixture pre-warm are timed OUTSIDE any query's
     // bucket, and each pre-warm entry is timed INDIVIDUALLY in the
     // output's `fixtures` map (round-8 advisor: one opaque number hid
@@ -142,6 +157,7 @@ object Bench {
       (acc, name)
     }
     val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val perQueryAmbient = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val loadPoisoned = scala.collection.mutable.Buffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(p => orderKey(p._1))
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
@@ -149,8 +165,9 @@ object Bench {
         // 1-min loadavg sampled at this query's start: with run pairs
         // and the interleaved order this pins WHICH queries a
         // contention band covered, from the artifact alone.
-        val l0 = load1()
-        perQueryLoad(name) = l0.toString
+        perQueryLoad(name) = load1().toString
+        val a0 = ambientCores()
+        perQueryAmbient(name) = a0
         // A query that throws must not masquerade as a fast query: report
         // the failure on stderr and time it as the -1 sentinel (min() then
         // keeps the sentinel, so one failed run marks the whole entry).
@@ -177,22 +194,23 @@ object Bench {
         // artifact; sub-2× spread is ordinary warm-run jitter and a
         // third run there buys nothing.
         //
-        // LOAD-GATED retry (round-14, acting on round-13's load map):
-        // a pair that STARTED under ambient load > LoadGate is suspect
-        // even when its spread is small — both runs may sit inside the
-        // same band (r13 st14: 9.10/8.60 s under a 6.06 stamp, 3× its
-        // band, zero code changes). Take the third run regardless; if
-        // the box is STILL loaded when it starts, mark the entry
+        // AMBIENT-GATED retry (round-14, acting on round-13's load
+        // map): a pair that STARTED under > AmbientGate cores of
+        // OTHER-process CPU is suspect even when its spread is small —
+        // both runs may sit inside the same band (r13 st14: 9.10/
+        // 8.60 s under a 6.06 loadavg stamp, 3× its band, zero code
+        // changes). Take the third run regardless; if the box is
+        // STILL ambiently busy when it starts, mark the entry
         // `load_poisoned` — the artifact then says "this number was
-        // never observed on a quiet box" instead of leaving the reader
-        // to infer it.
+        // never observed on a quiet box" instead of leaving the
+        // reader to infer it.
         val spreadBad = r1 >= 0 && r2 >= 0 &&
           math.max(r1, r2) > 2 * math.min(r1, r2)
         val runs =
-          if (r1 >= 0 && r2 >= 0 && (spreadBad || l0 > LoadGate)) {
-            val l3 = load1()
+          if (r1 >= 0 && r2 >= 0 && (spreadBad || a0 > AmbientGate)) {
+            val a3 = ambientCores()
             val r3 = once()
-            if (l0 > LoadGate && l3 > LoadGate) loadPoisoned += name
+            if (a0 > AmbientGate && a3 > AmbientGate) loadPoisoned += name
             Seq(r1, r2, r3)
           } else Seq(r1, r2)
         name -> runs
@@ -223,9 +241,13 @@ object Bench {
     // bands from code regressions without re-running anything
     val loads = perQueryLoad.map { case (k, v) =>
       s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // per-query AMBIENT cores (other-process CPU) at query start —
+    // the poisoning gate's own input, self-load already subtracted
+    val ambients = perQueryAmbient.map { case (k, v) =>
+      s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_poisoned":$poisonedJson,"load_start":"$loadStart","load_end":"$loadEnd","load":$loads,"fixtures_total":$fixturesSec,"fixtures":$fxs,"fixture_loads":$fxLoads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_poisoned":$poisonedJson,"load_start":"$loadStart","load_end":"$loadEnd","load":$loads,"ambient":$ambients,"fixtures_total":$fixturesSec,"fixtures":$fxs,"fixture_loads":$fxLoads,"sf":"$sfDir"}"""
     // The driver captures a tail of stdout; a noisy shutdown once pushed
     // the JSON line past the capture window and BENCH_r03 recorded
     // "parsed": null with ~21 of 83 entries lost. Belt and braces:
