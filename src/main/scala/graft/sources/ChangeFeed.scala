@@ -148,7 +148,8 @@ class ChangesScan(baseKey: String, meta: RowStore.Meta, out: StructType,
     // way out for internalize). Applied only when such a column exists.
     val hasByteCols = storageFields.exists(f =>
       f.dataType == org.apache.spark.sql.types.BinaryType ||
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
     new PartitionReaderFactory {
       private val dataFields = storageFields
       private val keyIdx = keyPos
@@ -330,6 +331,14 @@ class OffsetRow(row: InternalRow, off: Int) extends GenericInternalRow(0) {
     row.getDecimal(i + off, precision, scale)
   override def getStruct(i: Int, numFields: Int): InternalRow =
     row.getStruct(i + off, numFields)
+  override def getDouble(i: Int): Double = row.getDouble(i + off)
+  override def getFloat(i: Int): Float = row.getFloat(i + off)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i + off)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(i + off)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(i + off)
 }
 
 /** Table-maintenance procedures — the OPTIMIZE / VACUUM half of the

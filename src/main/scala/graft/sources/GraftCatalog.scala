@@ -476,6 +476,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           org.apache.spark.sql.types.FloatType |
           org.apache.spark.sql.types.BinaryType => true
         case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.MapType => true
         case _ => false
       }
       require(!bad, s"first column ${f.name} of type " +

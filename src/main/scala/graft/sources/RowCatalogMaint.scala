@@ -298,6 +298,61 @@ object RowCatalogMaintQueries {
         .withColumn("updates_survive", lit(post.exists(_.kind == "delta")))
     }),
 
+    // ── q168: MAP COLUMN TYPE IN THE LAKE TABLE — the dynamic-key
+    // companion to q164's ARRAY/DOUBLE/BINARY: an attribute bag whose
+    // keys VARY PER ROW (the shape JSON shredding can't give a fixed
+    // struct leaf) lives in the versioned store as MAP<STRING,BIGINT>,
+    // stored as ONE canonically-ordered blob per row (RowNested.Mp —
+    // entries sort by key at encode, so maps built in different entry
+    // orders still diff as equal in the change feed). Full lifecycle:
+    // CREATE, INSERT with a per-row-varying key set, one MERGE wave
+    // that map_concat-extends a slice and deletes another, then both
+    // snapshots read back through integer-exact checksums over keys
+    // (map_keys), values (map_values), and COMPUTED-key lookups
+    // (element_at with a key derived from another column — proves the
+    // decoded MapData serves real lookups, not just aggregates).
+    // Stage 1 is a time-travel read of the pre-MERGE version; the
+    // oracle restates both stages from raw orders relationally (no
+    // DuckDB map machinery needed — the key set per row is known).
+    // MapTypesSpec pins the storage half (canonical blob equality,
+    // MOR deltas, change-feed cancellation, DDL refusals).
+    "q168_dml_map_table" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q168_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.mapt")
+      s.sql("CREATE TABLE graft_dml.ns.mapt (k BIGINT, status STRING, " +
+        "attrs MAP<STRING, BIGINT>) PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.mapt
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+               map(concat('s_', o_orderstatus),
+                   CAST(round(o_totalprice * 100) AS BIGINT),
+                   'ck', CAST(o_custkey AS BIGINT))
+        FROM q168_orders""")
+      s.sql("""MERGE INTO graft_dml.ns.mapt t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k FROM q168_orders
+               WHERE o_orderkey % 4 = 0) m
+        ON t.k = m.k
+        WHEN MATCHED AND t.k % 8 = 0 THEN UPDATE SET
+          attrs = map_concat(t.attrs, map('bump', t.k % 100))
+        WHEN MATCHED THEN DELETE""")
+      val sums = """COUNT(*) AS n,
+        CAST(SUM(size(attrs)) AS BIGINT) AS n_entries,
+        CAST(SUM(aggregate(map_keys(attrs), 0L,
+          (a, x) -> a + length(x))) AS BIGINT) AS key_chars,
+        CAST(SUM(aggregate(map_values(attrs), 0L,
+          (a, x) -> a + x)) AS BIGINT) AS vsum,
+        CAST(SUM(element_at(attrs, concat('s_', status))) AS BIGINT)
+          AS s_sum,
+        CAST(SUM(element_at(attrs, 'ck')) AS BIGINT) AS ck_sum"""
+      s.sql(s"""
+        SELECT 1 AS stage, $sums
+        FROM graft_dml.ns.mapt VERSION AS OF 1
+        UNION ALL
+        SELECT 2, $sums
+        FROM graft_dml.ns.mapt
+        ORDER BY stage""")
+    }),
+
     // ── q164: EMBEDDING/PAYLOAD COLUMN TYPES IN THE LAKE TABLE — the
     // round-14 bridge between the repo's two halves: an LLM-pipeline
     // state table holds ARRAY<FLOAT> embeddings, DOUBLE scores, and
@@ -448,6 +503,35 @@ object RowCatalogMaintQueries {
         |WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0
         |  AND o_orderkey % 5 <> 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // both stages restated from raw orders relationally — every row's
+    // key set is known ({'s_'+status, 'ck'}, plus 'bump' on the merged
+    // slice), so the map checksums collapse to arithmetic: per row
+    // n_entries = 2+b, key_chars = 5+4b, vsum = cents+ck+b*(k%100)
+    "q168_dml_map_table" ->
+      """WITH seed AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_custkey AS BIGINT) AS ck
+        |  FROM orders),
+        |merged AS (SELECT k, cents, ck,
+        |    CASE WHEN k % 8 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM seed WHERE NOT (k % 4 = 0 AND k % 8 <> 0))
+        |SELECT 1 AS stage, COUNT(*) AS n,
+        |  CAST(SUM(2) AS BIGINT) AS n_entries,
+        |  CAST(SUM(5) AS BIGINT) AS key_chars,
+        |  CAST(SUM(cents + ck) AS BIGINT) AS vsum,
+        |  CAST(SUM(cents) AS BIGINT) AS s_sum,
+        |  CAST(SUM(ck) AS BIGINT) AS ck_sum
+        |FROM seed
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(2 + b) AS BIGINT),
+        |  CAST(SUM(5 + 4 * b) AS BIGINT),
+        |  CAST(SUM(cents + ck + b * (k % 100)) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT),
+        |  CAST(SUM(ck) AS BIGINT)
+        |FROM merged
+        |ORDER BY stage""".stripMargin,
 
     // both lifecycle stages restated from raw embeddings: seed = the
     // fixture verbatim; merged = the wave applied relationally (the

@@ -71,6 +71,8 @@ object RowNested {
       case FloatType     => Float.box(row.getFloat(i))
       case BinaryType    => row.getBinary(i)
       case at: ArrayType => Arr.enc(at.elementType, row.getArray(i))
+      case mt: MapType   =>
+        Mp.enc(mt.keyType, mt.valueType, row.getMap(i))
       case other         => sys.error(s"unsupported type $other")
     }
 
@@ -142,11 +144,14 @@ object RowNested {
     case l: java.lang.Long if dt.isInstanceOf[DecimalType] =>
       val d = dt.asInstanceOf[DecimalType]
       Decimal(l.longValue, d.precision, d.scale)
-    // an ARRAY column's blob decodes back to engine ArrayData; a
-    // BinaryType column's bytes pass through verbatim (Spark's
-    // internal binary form IS Array[Byte])
+    // an ARRAY/MAP column's blob decodes back to engine
+    // ArrayData/MapData; a BinaryType column's bytes pass through
+    // verbatim (Spark's internal binary form IS Array[Byte])
     case b: Array[Byte] if dt.isInstanceOf[ArrayType] =>
       Arr.dec(dt.asInstanceOf[ArrayType].elementType, b)
+    case b: Array[Byte] if dt.isInstanceOf[MapType] =>
+      val mt = dt.asInstanceOf[MapType]
+      Mp.dec(mt.keyType, mt.valueType, b)
     case other     => other
   }
 
@@ -285,6 +290,140 @@ object RowNested {
         j += 1
       }
       new GenericArrayData(out)
+    }
+  }
+
+  /** MAP-column blob codec — the [[Arr]] discipline extended to
+    * key/value pairs: a MAP<prim, prim> value externalizes to ONE
+    * deterministic byte blob (stored as a parquet BINARY), so delta
+    * records, COW rewrites, and the change-feed multiset diff handle
+    * map columns as flat scalars. Statless like arrays.
+    *
+    * Determinism needs one extra step arrays don't: Spark's MapData
+    * carries entries in INSERTION order, and two maps with the same
+    * key→value set built in different orders must still encode to
+    * equal bytes (the change feed diffs rows by blob equality), so
+    * entries are CANONICALIZED — sorted by key (numeric order for
+    * numeric keys, UTF-8 byte order for strings; map keys are never
+    * null in Spark). Duplicate keys keep insertion order (stable
+    * sort), matching `element_at`'s first-match lookup.
+    *
+    * Layout (big-endian): 'M', key tag, value tag, int32 n, then the
+    * sorted entries — key bytes (fixed width for numerics,
+    * int32-length-prefixed UTF-8 for strings), one value-presence
+    * byte, value bytes if present. */
+  object Mp {
+    import org.apache.spark.sql.catalyst.util.{
+      ArrayBasedMapData, GenericArrayData, MapData}
+
+    private def tag(et: DataType): Byte = et match {
+      case FloatType   => 'F'
+      case DoubleType  => 'D'
+      case LongType    => 'L'
+      case IntegerType => 'I'
+      case StringType  => 'S'
+      case other => sys.error(s"unsupported map key/value type $other")
+    }
+
+    def supported(kt: DataType, vt: DataType): Boolean =
+      Arr.supportedElem(kt) && Arr.supportedElem(vt)
+
+    private def width(et: DataType): Int = et match {
+      case FloatType | IntegerType => 4
+      case _                       => 8 // strings sized separately
+    }
+
+    private def put(bb: java.nio.ByteBuffer, et: DataType, v: Any,
+        sb: Array[Byte]): Unit = {
+      et match {
+        case FloatType   => bb.putFloat(v.asInstanceOf[Float])
+        case DoubleType  => bb.putDouble(v.asInstanceOf[Double])
+        case LongType    => bb.putLong(v.asInstanceOf[Long])
+        case IntegerType => bb.putInt(v.asInstanceOf[Int])
+        case StringType  => bb.putInt(sb.length).put(sb)
+        case other => sys.error(s"unsupported map key/value type $other")
+      }
+      ()
+    }
+
+    def enc(kt: DataType, vt: DataType, m: MapData): Array[Byte] = {
+      val n = m.numElements()
+      val ks = m.keyArray()
+      val vs = m.valueArray()
+      // canonical key order: stable sort of entry indices
+      val idx = Array.range(0, n)
+      val ord: Ordering[Int] = kt match {
+        case LongType    => Ordering.by(ks.getLong)
+        case IntegerType => Ordering.by(ks.getInt)
+        case FloatType   => Ordering.by(ks.getFloat)
+        case DoubleType  => Ordering.by(ks.getDouble)
+        case StringType  =>
+          Ordering.fromLessThan((a, b) =>
+            ks.getUTF8String(a).compareTo(ks.getUTF8String(b)) < 0)
+        case other => sys.error(s"unsupported map key type $other")
+      }
+      scala.util.Sorting.stableSort(idx)(ord)
+      val kStr: Array[Array[Byte]] =
+        if (kt == StringType)
+          Array.tabulate(n)(j => ks.getUTF8String(j).getBytes)
+        else null
+      val vStr: Array[Array[Byte]] =
+        if (vt == StringType)
+          Array.tabulate(n)(j =>
+            if (vs.isNullAt(j)) null else vs.getUTF8String(j).getBytes)
+        else null
+      val kBytes =
+        if (kt == StringType) kStr.iterator.map(_.length + 4).sum
+        else n * width(kt)
+      val vBytes = vt match {
+        case StringType =>
+          vStr.iterator.filter(_ != null).map(_.length + 4).sum
+        case et => (0 until n).count(!vs.isNullAt(_)) * width(et)
+      }
+      val bb = java.nio.ByteBuffer.allocate(3 + 4 + kBytes + n + vBytes)
+      bb.put('M'.toByte).put(tag(kt)).put(tag(vt)).putInt(n)
+      idx.foreach { j =>
+        put(bb, kt, ks.get(j, kt), if (kStr == null) null else kStr(j))
+        if (vs.isNullAt(j)) bb.put(0: Byte)
+        else {
+          bb.put(1: Byte)
+          put(bb, vt, vs.get(j, vt), if (vStr == null) null else vStr(j))
+        }
+      }
+      bb.array()
+    }
+
+    private def get(bb: java.nio.ByteBuffer, et: DataType): Any =
+      et match {
+        case FloatType   => Float.box(bb.getFloat())
+        case DoubleType  => Double.box(bb.getDouble())
+        case LongType    => Long.box(bb.getLong())
+        case IntegerType => Int.box(bb.getInt())
+        case StringType  =>
+          val len = bb.getInt()
+          val sb = new Array[Byte](len)
+          bb.get(sb)
+          UTF8String.fromBytes(sb)
+        case other => sys.error(s"unsupported map key/value type $other")
+      }
+
+    def dec(kt: DataType, vt: DataType, bytes: Array[Byte]): MapData = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val (t, k, v) = (bb.get(), bb.get(), bb.get())
+      require(t == 'M'.toByte && k == tag(kt) && v == tag(vt),
+        s"map blob tags '${t.toChar}${k.toChar}${v.toChar}' do not " +
+          s"match MAP<$kt, $vt>")
+      val n = bb.getInt()
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        keys(j) = get(bb, kt)
+        if (bb.get() == (1: Byte)) vals(j) = get(bb, vt)
+        j += 1
+      }
+      new ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
     }
   }
 }

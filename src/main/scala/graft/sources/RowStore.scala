@@ -482,7 +482,9 @@ object RowStore {
     * apply), the STATLESS scalars (double/float/binary — stored
     * natively, never skipped by stats), ARRAY of a primitive element
     * ([[RowNested.Arr]]'s blob encoding — the `ARRAY<FLOAT>` embedding
-    * column an LLM-pipeline lake table holds on day one), and STRUCT
+    * column an LLM-pipeline lake table holds on day one), MAP of
+    * primitives ([[RowNested.Mp]]'s canonically-ordered blob — the
+    * dynamic-key attribute bag JSON shredding spills into), and STRUCT
     * of storable fields (validated recursively). Checked at CREATE and
     * ADD COLUMN so an unstorable type fails at DDL time, not at the
     * first write. */
@@ -493,6 +495,8 @@ object RowStore {
       org.apache.spark.sql.types.BinaryType => true
     case at: org.apache.spark.sql.types.ArrayType =>
       graft.sources.RowNested.Arr.supportedElem(at.elementType)
+    case mt: org.apache.spark.sql.types.MapType =>
+      graft.sources.RowNested.Mp.supported(mt.keyType, mt.valueType)
     case _: StructType => true // fields validated recursively below
     case _ => false
   }
@@ -511,7 +515,8 @@ object RowStore {
       require(storable(f.dataType),
         s"column ${f.name} has unstorable type ${f.dataType.simpleString}" +
           " — storable: BIGINT/INT/STRING/TIMESTAMP/DATE/DECIMAL(<=18)/" +
-          "DOUBLE/FLOAT/BINARY/ARRAY<primitive>/STRUCT of those")
+          "DOUBLE/FLOAT/BINARY/ARRAY<primitive>/MAP<primitive, " +
+          "primitive>/STRUCT of those")
       f.dataType match {
         case st: StructType => validateFieldNames(st.fields.toSeq)
         case _              => ()
@@ -1229,7 +1234,8 @@ object RowFiles {
         case org.apache.spark.sql.types.FloatType =>
           b.addField(Types.optional(PrimitiveTypeName.FLOAT).named(f.name))
         case org.apache.spark.sql.types.BinaryType |
-          _: org.apache.spark.sql.types.ArrayType =>
+          _: org.apache.spark.sql.types.ArrayType |
+          _: org.apache.spark.sql.types.MapType =>
           b.addField(Types.optional(PrimitiveTypeName.BINARY).named(f.name))
         case other => sys.error(s"RowStore: unsupported column type $other")
       }
@@ -1345,10 +1351,11 @@ object RowFiles {
                 Double.box(g.getDouble(f.name, 0))
               case org.apache.spark.sql.types.FloatType =>
                 Float.box(g.getFloat(f.name, 0))
-              // both read back as the externalized byte form; ARRAY
+              // all read back as the externalized byte form; ARRAY/MAP
               // blobs decode at the internalize boundary (RowNested)
               case org.apache.spark.sql.types.BinaryType |
-                _: org.apache.spark.sql.types.ArrayType =>
+                _: org.apache.spark.sql.types.ArrayType |
+                _: org.apache.spark.sql.types.MapType =>
                 g.getBinary(f.name, 0).getBytes
               case other => sys.error(s"unsupported $other")
             }
