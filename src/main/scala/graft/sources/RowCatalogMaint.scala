@@ -298,6 +298,54 @@ object RowCatalogMaintQueries {
         .withColumn("updates_survive", lit(post.exists(_.kind == "delta")))
     }),
 
+    // ── q169: SHREDDING WITH A MAP OVERFLOW — the variant-shredding
+    // fallback q163 lacked: shredding can type only the keys it KNOWS
+    // (the `k` leaf); a real event payload carries keys whose NAMES
+    // vary per row ("exp_<n>" flags, optional "ua"/"ref") which no
+    // fixed struct leaf can hold. Parse the JSON ONCE at ingest into
+    // MAP<STRING,STRING>, lift the known key into its typed column,
+    // and spill the rest into a MAP overflow column (parquet variant
+    // shredding's typed_value + fallback split). Reads then mix both:
+    // a typed-leaf predicate plus computed-key lookups into the
+    // overflow (element_at with a PER-ROW key name — the access
+    // pattern that proves dynamic keys survived storage). The oracle
+    // re-derives every row's key set from event_id arithmetic.
+    "q169_dml_map_shred" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "events").createOrReplaceTempView("q169_events")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.shredm")
+      s.sql("CREATE TABLE graft_dml.ns.shredm (event_id BIGINT, " +
+        "etype STRING, k BIGINT, extra MAP<STRING, STRING>) " +
+        "PARTITIONED BY (bucket(4, event_id))")
+      s.sql("""INSERT INTO graft_dml.ns.shredm
+        SELECT event_id, event_type,
+               CAST(element_at(m, 'k') AS BIGINT),
+               map_filter(m, (x, v) -> x <> 'k')
+        FROM (SELECT event_id, event_type, from_json(concat(
+            '{"k": ', get_json_object(props, '$.k'),
+            ', "exp_', CAST(event_id % 3 AS STRING), '": "',
+            CAST(event_id % 7 AS STRING), '"',
+            CASE WHEN event_id % 2 = 0 THEN concat(', "ua": "agent',
+              CAST(event_id % 4 AS STRING), '"') ELSE '' END,
+            CASE WHEN event_id % 5 = 0 THEN ', "ref": "r"' ELSE '' END,
+            '}'), 'MAP<STRING, STRING>') AS m
+          FROM q169_events)""")
+      s.sql("""SELECT etype, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(SUM(size(extra)) AS BIGINT) AS n_extra,
+               CAST(SUM(aggregate(map_keys(extra), 0L,
+                   (a, x) -> a + length(x))
+                 + aggregate(map_values(extra), 0L,
+                   (a, x) -> a + length(x))) AS BIGINT) AS extra_chars,
+               CAST(SUM(CAST(element_at(extra,
+                 concat('exp_', CAST(event_id % 3 AS STRING)))
+                 AS BIGINT)) AS BIGINT) AS exp_sum,
+               COUNT(element_at(extra, 'ua')) AS n_ua
+        FROM graft_dml.ns.shredm
+        WHERE k % 5 = 0
+        GROUP BY etype ORDER BY etype""")
+    }),
+
     // ── q168: MAP COLUMN TYPE IN THE LAKE TABLE — the dynamic-key
     // companion to q164's ARRAY/DOUBLE/BINARY: an attribute bag whose
     // keys VARY PER ROW (the shape JSON shredding can't give a fixed
@@ -503,6 +551,24 @@ object RowCatalogMaintQueries {
         |WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0
         |  AND o_orderkey % 5 <> 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // every row's overflow key set re-derived from event_id
+    // arithmetic: exp_<id%3> always (key 5 chars, value 1), ua on the
+    // id%2=0 slice (2 + 'agent'+digit = 8), ref on id%5=0 (3 + 1)
+    "q169_dml_map_shred" ->
+      """SELECT event_type AS etype, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(1 + CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extra,
+        |  CAST(SUM(6 + CASE WHEN event_id % 2 = 0 THEN 8 ELSE 0 END
+        |    + CASE WHEN event_id % 5 = 0 THEN 4 ELSE 0 END) AS BIGINT)
+        |    AS extra_chars,
+        |  CAST(SUM(event_id % 7) AS BIGINT) AS exp_sum,
+        |  COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_ua
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) % 5 = 0
+        |GROUP BY 1 ORDER BY etype""".stripMargin,
 
     // both stages restated from raw orders relationally — every row's
     // key set is known ({'s_'+status, 'ck'}, plus 'bump' on the merged
