@@ -99,6 +99,49 @@ class MapTypesSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("OPTIMIZE and sorted rewrite carry map blobs unchanged") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.mto"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (id BIGINT, attrs MAP<STRING, BIGINT>) " +
+      "PARTITIONED BY (bucket(2, id))")
+    // two inserts fragment every group; compaction must rewrite the
+    // blobs byte-identically (content checksum pins it)
+    for (r <- 0 until 2)
+      s.sql(s"INSERT INTO $t SELECT CAST(id AS BIGINT), " +
+        s"map('v', id * 10, concat('t_', CAST(id % 3 AS STRING)), id) " +
+        s"FROM range(${r * 50}, ${r * 50 + 50})")
+    val checksum = () => s.sql(s"""SELECT COUNT(*),
+        SUM(aggregate(map_values(attrs), 0L, (a, x) -> a + x)),
+        SUM(aggregate(map_keys(attrs), 0L, (a, x) -> a + length(x))),
+        SUM(element_at(attrs, 'v'))
+      FROM $t""").head()
+    val before = checksum()
+    s.sql(s"CALL graft_dml.system.rewrite_data_files('spec.mto')")
+      .collect()
+    assert(checksum() == before)
+    s.sql(s"CALL graft_dml.system.rewrite_data_files_sorted(" +
+      "'spec.mto', 'id')").collect()
+    assert(checksum() == before)
+    s.sql(s"DROP TABLE $t")
+  }
+
+  test("ADD COLUMN map: files predating the column read NULL") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.mte"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (id BIGINT, tag STRING)")
+    s.sql(s"INSERT INTO $t VALUES (1, 'old')")
+    s.sql(s"ALTER TABLE $t ADD COLUMN attrs MAP<STRING, BIGINT>")
+    s.sql(s"INSERT INTO $t VALUES (2, 'new', map('a', 1L))")
+    val rows = s.sql(s"SELECT id, attrs FROM $t ORDER BY id").collect()
+    assert(rows(0).isNullAt(1)) // pre-evolution file, no rewrite
+    assert(rows(1).getMap[String, Any](1) == Map("a" -> 1L))
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("stats machinery and key guard refuse map columns loudly") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
