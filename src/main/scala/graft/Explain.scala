@@ -56,7 +56,8 @@ object Explain {
         "q162_dml_files_dv", "s02_ann_lsh", "s03_ann_ivf",
         "q163_dml_json_shred", "q164_dml_embedding_table",
         "q165_dml_rewrite_deletes", "q166_dml_zorder_rewrite",
-        "q167_dml_clustering_quality", "s17_ann_catalog_served")
+        "q167_dml_clustering_quality", "s17_ann_catalog_served",
+        "q168_dml_map_table", "q169_dml_map_shred")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
