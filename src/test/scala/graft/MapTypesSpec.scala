@@ -142,6 +142,33 @@ class MapTypesSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("map leaf inside a struct flattens and round-trips") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.mts"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (id BIGINT, " +
+      "props STRUCT<n: BIGINT, bag: MAP<STRING, BIGINT>>)")
+    s.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('n', 7L, 'bag', map('a', 1L))), " +
+      "(2, named_struct('n', 8L, 'bag', CAST(NULL AS MAP<STRING, BIGINT>))), " +
+      "(3, NULL)")
+    val rows = s.sql(s"SELECT id, props.n, props.bag FROM $t ORDER BY id")
+      .collect()
+    assert(rows(0).getLong(1) == 7L &&
+      rows(0).getMap[String, Any](2) == Map("a" -> 1L))
+    assert(rows(1).getLong(1) == 8L && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // NULL struct
+    // the struct's map leaf stores as a flat BINARY column "props.bag"
+    val dir = sources.RowStore.dataDir(t)
+    val f = entries(t).filter(_.kind == "base").head.name
+    val (_, msg) = sources.RowFiles.footerMeta(s"$dir/$f")
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    assert(msg.getType(Seq("props.bag"): _*).asPrimitiveType()
+      .getPrimitiveTypeName == PrimitiveTypeName.BINARY)
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("stats machinery and key guard refuse map columns loudly") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
