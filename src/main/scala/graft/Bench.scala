@@ -242,9 +242,12 @@ object Bench {
     val loads = perQueryLoad.map { case (k, v) =>
       s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // per-query AMBIENT cores (other-process CPU) at query start —
-    // the poisoning gate's own input, self-load already subtracted
+    // the poisoning gate's own input, self-load already subtracted.
+    // Locale.ROOT: the default-locale f-interpolator renders 4.06 as
+    // "4,06" under comma-decimal locales — malformed JSON
     val ambients = perQueryAmbient.map { case (k, v) =>
-      s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(v)) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_poisoned":$poisonedJson,"load_start":"$loadStart","load_end":"$loadEnd","load":$loads,"ambient":$ambients,"fixtures_total":$fixturesSec,"fixtures":$fxs,"fixture_loads":$fxLoads,"sf":"$sfDir"}"""

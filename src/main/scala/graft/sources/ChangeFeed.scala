@@ -439,21 +439,29 @@ object RowStoreOps {
         }
         // 12-bit normalized Morton interleave across n dims (q54's
         // layout — Partitioned.zValue generalized to n columns); the
-        // whole key is codegen'd shift/mask ops, no UDF
+        // whole key is codegen'd shift/mask ops, no UDF.
+        // Normalization is computed in DOUBLE and clamped to
+        // [0, 2^bits): the bounds fold only BASE files' zone maps, so
+        // a MOR delta-resident value outside every base file's range
+        // would otherwise normalize negative / past the top and alias
+        // across the key space under shiftright's sign extension
+        // (clamped rows cluster at the edge cells — sound); the
+        // double form also survives domains wider than 2^51, where
+        // the integer (k - lo) << bits product overflows Long
         val bits = 12
-        def norm(c: String, lo: Long, hi: Long) =
-          (col(c).cast("long") - lit(lo)) * lit(1L << bits) /
-            lit(hi - lo + 1L)
+        import org.apache.spark.sql.functions.{greatest, least}
+        def norm(c: String, lo: Long, hi: Long) = least(
+          greatest(
+            ((col(c).cast("double") - lit(lo.toDouble)) *
+              lit((1L << bits).toDouble) /
+              lit(hi.toDouble - lo.toDouble + 1.0)).cast("long"),
+            lit(0L)),
+          lit((1L << bits) - 1L))
         val dims = zorderCols.zip(bounds).map { case (c, (lo, hi)) =>
           norm(c, lo, hi) }
-        val n = dims.length
-        val zv = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-          dims.zipWithIndex.foldLeft(acc) { case (a, (d, k)) =>
-            a.bitwiseOR(shiftleft(
-              shiftright(d, i).bitwiseAND(lit(1L)), n * i + k))
-          }
-        }
-        val hs = s"$base:" + dirty.toSeq.sorted.mkString(",") + ":zorder"
+        val zv = Partitioned.mortonInterleave(dims, bits)
+        val hs =
+          s"$base:" + dirty.toSeq.sorted.mkString(",") + ":layout=preserve"
         val src = s.read.option("compact", hs).table(table)
         // explicit partition count: AQE never coalesces a
         // user-specified repartitionByRange, so the slice count (=
@@ -472,7 +480,7 @@ object RowStoreOps {
           .writeTo(table).option("compact", hs).append()
       } else {
         val hs = s"$base:" + dirty.toSeq.sorted.mkString(",") +
-          (if (sortCols.nonEmpty) ":" + sortCols.mkString(",") else "")
+          (if (sortCols.nonEmpty) ":sort=" + sortCols.mkString(",") else "")
         s.read.option("compact", hs).table(table)
           .writeTo(table).option("compact", hs).append()
       }
@@ -534,9 +542,10 @@ object RowStoreOps {
       .map(f => f.copy(name = meta.storageOf(f.name)))
     val fileSchema = RowResolve.DeltaMetaFields ++ storageFields
     /** (entry name, folded deletes, target→positions, replacement:
-      * None=untouched, Some(None)=drop entry, Some(Some(n))=new file). */
+      * None=untouched, Some(None)=drop entry, Some(Some((n, rows)))=
+      * new file with its surviving record count). */
     val results: Array[(String, Long, Map[String, Array[Long]],
-        Option[Option[String]])] =
+        Option[Option[(String, Long)]])] =
       s.sparkContext.parallelize(tasks, math.min(tasks.size, 32)).map {
         case (name, path, _, newName) =>
           val ops = RowFiles.readRows(path,
@@ -573,7 +582,8 @@ object RowStoreOps {
               try full.zipWithIndex.foreach { case (rec, i) =>
                 if (!delIdx(i)) w.write(rec)
               } finally w.close()
-              (name, delIdx.size.toLong, bitmaps, Some(Some(newName)))
+              (name, delIdx.size.toLong, bitmaps,
+                Some(Some((newName, (ops.length - delIdx.size).toLong))))
             }
           }
       }.collect()
@@ -597,7 +607,7 @@ object RowStoreOps {
     val groupOfLeaf = man.collect { case e if e.kind == "base" ||
       e.kind == "delta" =>
       e.name.substring(e.name.lastIndexOf('/') + 1) -> e.group }.toMap
-    val replace: Map[String, Option[String]] = results.collect {
+    val replace: Map[String, Option[(String, Long)]] = results.collect {
       case (name, _, _, Some(rep)) => name -> rep }.toMap
     val dvAdded = merged.toSeq.sortBy(_._1).map { case (t, w) =>
       val g = groupOfLeaf.getOrElse(t, sys.error(
@@ -616,10 +626,16 @@ object RowStoreOps {
             s"but the table is now at $cur — retry")
       // filtered files replace their entries IN PLACE (replay order =
       // manifest order, which eq-delete semantics key on); merged
-      // vectors land TERMINAL (sound by rid-delete confluence)
+      // vectors land TERMINAL (sound by rid-delete confluence).
+      // The replacement entry records the SURVIVING row count (the
+      // .files audit surface would otherwise report the pre-filter
+      // count); zone maps / blooms / ndv stay as-is — wider-than-
+      // actual bounds and superset sketches are conservative, never
+      // wrong
       val next = man.flatMap {
         case e if e.kind == "delta" && replace.contains(e.name) =>
-          replace(e.name).map(n => e.copy(name = n))
+          replace(e.name).map { case (n, survivors) =>
+            e.copy(name = n, rows = Some(survivors)) }
         case e if e.kind == "dv" && replacedDvNames(e.name) => None
         case e => Some(e)
       } ++ dvAdded
@@ -656,9 +672,15 @@ object RowStoreOps {
     val lo = bounds.map(_._1).min
     val hi = bounds.map(_._2).max
     // single-value domain: every file trivially spans it — quality 1
-    val dom = math.max(1L, hi - lo).toDouble
-    (base.size,
-      bounds.map { case (a, b) => (b - a).toDouble / dom }.sum / bounds.size)
+    // (returned directly: the ratio formula would yield 0/1 = 0 and
+    // assert "perfectly clustered" by arithmetic accident)
+    if (hi == lo) (base.size, 1.0)
+    else {
+      val dom = (hi - lo).toDouble
+      (base.size,
+        bounds.map { case (a, b) => (b - a).toDouble / dom }
+          .sum / bounds.size)
+    }
   }
 
   /** VACUUM: retain the newest `keepLast` versions; delete expired

@@ -125,12 +125,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           "rewrite_data_files_sorted: sort_col must name at least one " +
             "column (use rewrite_data_files for the plain bin-pack)")
         val (gs, before, after) =
-          if (spec.startsWith("zorder(") && spec.endsWith(")"))
+          if (spec.startsWith("zorder(") && spec.endsWith(")")) {
+            val zcols = spec.stripPrefix("zorder(").stripSuffix(")")
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // 'zorder( )' / 'zorder(,)' parse to zero columns and
+            // would slip past the literal 'zorder()' check above
+            require(zcols.nonEmpty, "rewrite_data_files_sorted: " +
+              "zorder spec must name at least one column")
             RowStoreOps.compact(SparkSession.active,
-              tkey(a.getUTF8String(0)), zorderCols =
-                spec.stripPrefix("zorder(").stripSuffix(")").split(",")
-                  .map(_.trim).filter(_.nonEmpty).toSeq)
-          else {
+              tkey(a.getUTF8String(0)), zorderCols = zcols)
+          } else {
             val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             require(cols.nonEmpty, "rewrite_data_files_sorted: sort_col " +
               "must name at least one column")

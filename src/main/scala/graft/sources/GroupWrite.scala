@@ -41,26 +41,35 @@ object GroupWrite {
   case class Compact(base: Int, groups: Set[Int]) extends Mode
 
   /** Option value codec for the compact handshake:
-    * `<ver>:<g1>,<g2>[:<sortCol>[,<sortCol>…]]` — the optional third
-    * segment asks for the SORT-ORDERED rewrite (Iceberg's
-    * rewrite_data_files with a sort order; several columns = the
-    * lexicographic multi-column sort spec). The literal segment
-    * `zorder` instead asks for LAYOUT-PRESERVING mode: the incoming
-    * partitioning (a Morton-key range shuffle built by
-    * [[RowStoreOps.compact]] upstream) IS the clustering, so the
-    * write must not impose its own distribution. One option value
-    * carries the whole handshake because Spark's V2Writes asserts
-    * scan and write options agree. Returns (base version, groups,
-    * sort columns, preserve-layout). */
+    * `<ver>:<g1>,<g2>[:sort=<col>[,<col>…] | :layout=preserve]` — the
+    * optional third segment asks for the SORT-ORDERED rewrite
+    * (Iceberg's rewrite_data_files with a sort order; several columns
+    * = the lexicographic multi-column sort spec), or for
+    * LAYOUT-PRESERVING mode: the incoming partitioning (a Morton-key
+    * range shuffle built by [[RowStoreOps.compact]] upstream) IS the
+    * clustering, so the write must not impose its own distribution.
+    * Both segment forms carry '=', a character RowStore's metadata
+    * layout reserves out of column names — so neither can collide
+    * with a user column (a bare sentinel like "zorder" could: a
+    * column literally named zorder would silently flip the sorted
+    * rewrite into an unsorted bin-pack). One option value carries the
+    * whole handshake because Spark's V2Writes asserts scan and write
+    * options agree. Returns (base version, groups, sort columns,
+    * preserve-layout). */
   def parseCompact(v: String): (Int, Set[Int], Seq[String], Boolean) = {
     val parts = v.split(":", 3)
     val seg3 = parts.lift(2).getOrElse("")
-    if (seg3 == "zorder")
-      (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
-        Seq.empty, true)
-    else
-      (parts(0).toInt, parts(1).split(",").map(_.trim.toInt).toSet,
-        seg3.split(",").map(_.trim).filter(_.nonEmpty).toSeq, false)
+    val groups = parts(1).split(",").map(_.trim.toInt).toSet
+    if (seg3 == "layout=preserve")
+      (parts(0).toInt, groups, Seq.empty, true)
+    else if (seg3.startsWith("sort="))
+      (parts(0).toInt, groups, seg3.stripPrefix("sort=")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq, false)
+    else {
+      require(seg3.isEmpty,
+        s"compact handshake: unrecognized third segment '$seg3'")
+      (parts(0).toInt, groups, Seq.empty, false)
+    }
   }
 }
 

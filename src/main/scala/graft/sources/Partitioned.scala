@@ -182,13 +182,27 @@ object Partitioned {
     * a sort by the key clusters rows that are close in BOTH dimensions.
     * Unrolled to 2·bits codegen'd shift/mask ops — stays inside
     * whole-stage codegen, no UDF. */
+  /** n-dimensional Morton interleave of pre-normalized [0, 2^bits)
+    * long columns — bit i of dimension k lands at output position
+    * n*i + k. ONE implementation for both z-order sites (this file's
+    * at-rest layout below and the catalog's zorder rewrite in
+    * RowStoreOps.compact) so a bit-layout fix reaches both. Pure
+    * codegen'd shift/mask ops, no UDF. */
+  private[sources] def mortonInterleave(
+      dims: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    val n = dims.length
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, k)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(d, i).bitwiseAND(lit(1L)), n * i + k))
+      }
+    }
+  }
+
   private def zValue(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    mortonInterleave(Seq(a, b), bits)
 
   /** Once per session: a Z-ORDERED copy of lineitem on
     * (l_shipdate, l_partkey) — the multi-dimensional extension of q52's

@@ -85,7 +85,7 @@ object RowStore {
 
   /** Column names reserved for metadata / delta-record bookkeeping. */
   private[sources] val Reserved =
-    Set("_group", "_rid", "_change", "_op", "_grp")
+    Set("_group", "_rid", "_change", "_op", "_grp", "_zv")
 
   /** Test seam: invoked at the top of every batch-write commit BEFORE
     * the lock is taken. The concurrency spec points it at a latch so
