@@ -33,6 +33,17 @@ class RewriteDeletesSpec extends AnyFunSuite {
     s.sql(s"DELETE FROM $t WHERE k % 9 = 0")
     s.sql(s"UPDATE $t SET v = v + 1 WHERE k % 4 = 0")
     s.sql(s"DELETE FROM $t WHERE k % 7 = 0")
+    // a MERGE mixing UPDATE and DELETE ops writes BOTH into one delta
+    // file per touched group — the shape that exercises the
+    // filtered-replacement path (statement-pure files are either
+    // dropped whole or left intact). The split is on k % 3, not
+    // parity: the bucket hash routes even/odd k to disjoint groups
+    // here, and a parity split would keep every file statement-pure
+    s.sql(s"""MERGE INTO $t x
+      USING (SELECT id AS k FROM range(0, 200) WHERE id % 11 = 0) m
+      ON x.k = m.k
+      WHEN MATCHED AND x.k % 3 = 0 THEN UPDATE SET v = x.v + 100
+      WHEN MATCHED THEN DELETE""")
     val pre = entries(t)
     val preBase = pre.filter(_.kind == "base").map(_.name).toSet
     val preContent = s.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
@@ -56,6 +67,16 @@ class RewriteDeletesSpec extends AnyFunSuite {
       .flatMap(e => opsOf(t, e.name))
     assert(!deltaOps.contains(RowResolve.DeleteOp), deltaOps.toString)
     assert(deltaOps.contains(RowResolve.UpdateOp))
+    // replacement entries record the SURVIVING row count (the .files
+    // audit surface — a stale pre-filter count misreports the op)
+    post.filter(e => e.kind == "delta" && e.name.contains("-pd-"))
+      .foreach { e =>
+        assert(e.rows.contains(opsOf(t, e.name).length.toLong),
+          s"${e.name}: manifest rows=${e.rows} vs actual " +
+            s"${opsOf(t, e.name).length}")
+      }
+    assert(post.exists(e => e.kind == "delta" && e.name.contains("-pd-")),
+      "fixture must produce at least one filtered replacement file")
     // read invariant at the head...
     val postContent = s.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

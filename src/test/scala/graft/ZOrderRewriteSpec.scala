@@ -128,6 +128,74 @@ class ZOrderRewriteSpec extends AnyFunSuite {
         "('spec.zrwv', 'zorder()')").collect()
     }
     assert(e4.getMessage.contains("sort_col"), e4.getMessage)
+    // whitespace/comma variants parse to zero columns — same refusal
+    val e5 = intercept[Exception] {
+      s.sql("CALL graft_dml.system.rewrite_data_files_sorted" +
+        "('spec.zrwv', 'zorder( , )')").collect()
+    }
+    assert(e5.getMessage.contains("at least one column"), e5.getMessage)
+    s.sql(s"DROP TABLE $t")
+  }
+
+  test("a column literally named zorder sorts, not silently bin-packs") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.zrname"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // 'zorder' was the handshake's preserve-layout sentinel before the
+    // prefix-typed segment codec ('sort=' / 'layout=preserve'); a sort
+    // column of that name silently degraded to an unsorted bin-pack
+    s.sql(s"CREATE TABLE $t (k BIGINT, zorder BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    for (r <- 0 until 2)
+      s.sql(s"INSERT INTO $t SELECT id, id * 3 FROM range(0, 200) " +
+        s"WHERE id % 2 = $r")
+    val (_, qBefore) = RowStoreOps.clusteringQuality(t, "zorder")
+    RowStoreOps.compact(s, t, sortCols = Seq("zorder"))
+    val (_, qAfter) = RowStoreOps.clusteringQuality(t, "zorder")
+    assert(qBefore > 0.8 && qAfter < 0.5,
+      s"sorted rewrite on a column named zorder must cluster: " +
+        s"$qBefore -> $qAfter")
+    s.sql(s"DROP TABLE $t")
+  }
+
+  test("clustering_quality reads 1.0 on a single-value domain") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.cqone"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, c BIGINT)")
+    s.sql(s"INSERT INTO $t SELECT id, 42 FROM range(0, 50)")
+    // every file trivially spans the degenerate domain — by the
+    // metric's contract that is maximal extent (1.0), not the 0.0 the
+    // ratio formula yields by arithmetic accident
+    val (_, q) = RowStoreOps.clusteringQuality(t, "c")
+    assert(q == 1.0, s"single-value domain quality was $q")
+    s.sql(s"DROP TABLE $t")
+  }
+
+  test("zorder rewrite clamps delta rows outside the base-file bounds") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.zrclamp"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('format'='mor')")
+    s.sql(s"INSERT INTO $t SELECT id, id * 2, id FROM range(0, 100)")
+    // MOR merge-inserts land as DELTA records — their values never
+    // enter the base files' zone maps the normalization folds, so
+    // they normalize out of [0, 2^bits) and must CLAMP to the edge
+    // cells, not alias across the curve
+    s.sql(s"""MERGE INTO $t x
+      USING (SELECT * FROM VALUES (5000L, -3000L, 1L), (9000L, 7000L, 2L)
+        AS m(k, p, v)) m ON x.k = m.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    val pre = s.sql(s"SELECT k, p, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    RowStoreOps.compact(s, t, zorderCols = Seq("k", "p"))
+    val post = s.sql(s"SELECT k, p, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(post == pre, "zorder rewrite must preserve content exactly")
     s.sql(s"DROP TABLE $t")
   }
 }
