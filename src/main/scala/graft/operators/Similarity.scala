@@ -659,6 +659,33 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── s18: RANGE SEARCH (radius query) — the fixed-threshold dual
+    // of s01's top-k: every corpus vector within cosine ≥ 0.25 of each
+    // query vector, however many there are (the retrieval shape dedup
+    // and hard-negative mining actually want — "all near X", not
+    // "exactly k"). Same 100 TB plan as s01/s05: queries broadcast
+    // (bounded build side), the corpus streams one pass, the radius
+    // predicate filters map-side so the shuffle carries only members —
+    // for unbroadcastable query batches the d05 block decomposition
+    // applies unchanged. Unrounded double threshold compare is the
+    // PROVEN d05 discipline (hash-green at 0.35 since round 6); the
+    // nearest cos sits ≥ 3e-5 from 0.25 at every SF, 10 decades above
+    // double noise.
+    "s18_ann_range_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("nv")))
+        .filter(col("cos") >= 0.25)
+        .select(col("q_id"), col("n_id"),
+          (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
     // ── s05: batch kNN JOIN — same exact semantics as s01 but at query
     // BATCH scale (100 queries) and with per-query top-k computed by
     // the custom bounded TopKByAggregate instead of a ranking window.

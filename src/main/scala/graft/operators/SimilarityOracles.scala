@@ -47,6 +47,18 @@ object SimilarityOracles {
         |  UNION ALL SELECT 4, n_id, mmr FROM s4)
         |ORDER BY pick""".stripMargin,
 
+    // the radius membership restated with the same unrounded-threshold
+    // compare as d05 (proven cross-engine); output rounds for display
+    "s18_ann_range_search" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) + 0.0 AS cos
+        |FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |WHERE list_cosine_similarity(q.v, c.v) >= 0.25
+        |ORDER BY q_id, n_id""".stripMargin,
+
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1253,5 +1253,47 @@ object RowStoreOps {
       RowStore.dropBranch(table, name)
       cur + 1
     }
+
+  /** CHERRY-PICK a staged branch onto a main that MOVED past its fork
+    * base (Iceberg's cherrypick_snapshot, the resolution publishBranch
+    * deliberately refuses): replay the branch's manifest DELTA — the
+    * entries it added and the base entries it replaced/removed — on
+    * top of the CURRENT manifest instead of overwriting it. Appends
+    * (the only mutation branch writes stage, see GroupWrite's WAP
+    * guard) always replay cleanly; a removal replays only while every
+    * removed entry still sits untouched on main — if an interleaved
+    * main commit rewrote or dropped one (compaction, DELETE), replaying
+    * the removal would silently undo that commit's work, so refuse
+    * under the same OCC contract as publish. A branch whose base IS
+    * the current version degenerates to the plain fast-forward.
+    * Returns the published version. */
+  def cherrypickBranch(table: String, name: String): Int =
+    RowStore.commitLock.synchronized {
+      val (base, entries) = RowStore.readBranchManifest(table, name)
+      val cur = RowStore.currentVersion(table)
+      val next =
+        if (cur == base) entries // nothing interleaved: fast-forward
+        else {
+          val baseNames = RowStore.readManifest(table, base)
+            .map(_.name).toSet
+          val branchNames = entries.map(_.name).toSet
+          val added = entries.filterNot(e => baseNames(e.name))
+          val removed = baseNames -- branchNames
+          val curEntries = RowStore.readManifest(table, cur)
+          val curNames = curEntries.map(_.name).toSet
+          val conflicts = removed.filterNot(curNames)
+          if (conflicts.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$table: branch $name removed ${conflicts.size} base " +
+                s"file(s) the table no longer carries at version $cur " +
+                s"(e.g. ${conflicts.head}) — an interleaved commit " +
+                "already rewrote them; replaying the removal would " +
+                "undo it. Re-stage against the current snapshot")
+          curEntries.filterNot(e => removed(e.name)) ++ added
+        }
+      RowStore.writeManifest(table, cur + 1, next)
+      RowStore.dropBranch(table, name)
+      cur + 1
+    }
 }
 

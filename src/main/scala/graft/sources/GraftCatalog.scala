@@ -238,6 +238,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       override def run(a: InternalRow): Array[Any] =
         Array(RowStoreOps.publishBranch(tkey(a.getUTF8String(0)),
           a.getUTF8String(1).toString))
+    },
+    new Proc("cherrypick_branch",
+      "replay a staged WAP branch's delta onto a main that moved past " +
+        "its fork base (Iceberg's cherrypick_snapshot); refuses when an " +
+        "interleaved commit rewrote files the branch removed",
+      Seq(("table", StringType), ("branch", StringType)),
+      Seq(("published_version", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] =
+        Array(RowStoreOps.cherrypickBranch(tkey(a.getUTF8String(0)),
+          a.getUTF8String(1).toString))
     }
   ).map(p => p.name() -> p).toMap
 

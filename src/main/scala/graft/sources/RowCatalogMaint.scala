@@ -251,6 +251,131 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q171: INCREMENTAL VIEW MAINTENANCE OVER THE CHANGE FEED —
+    // the workload the CDF exists FOR: an aggregate view (n, sum per
+    // category) materialized as its own catalog table stays current by
+    // folding ONLY the churn delta, never re-scanning the base table.
+    // Lifecycle: seed insert (v1) → CTAS the view → one mixed MERGE
+    // wave on the base (updates/deletes/inserts, v2) → read `.changes`
+    // from=1 to=2, group the per-row deltas to per-category
+    // (±1 row, ±cents; an update surfaces as delete+insert and folds
+    // to dn=0, dc=+bump) → MERGE the deltas into the view (the
+    // count-to-zero arm deletes the category row). At 100 TB the
+    // delta read touches only CHANGED groups (identical file sets are
+    // never resolved — the ChangesTable contract) and the view MERGE
+    // is category-cardinality-sized, while the recompute it replaces
+    // is a full corpus scan. Pinned in-plan: the incrementally
+    // maintained view equals a full recompute bit-for-bit
+    // (full-outer-join mismatch count = 0). The oracle restates the
+    // final view from raw orders with the wave applied relationally.
+    "q171_dml_incremental_view" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q171_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ivm")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.ivmv")
+      s.sql("CREATE TABLE graft_dml.ns.ivm " +
+        "(k BIGINT, cat STRING, cents BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.ivm
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q171_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("""CREATE TABLE graft_dml.ns.ivmv AS
+        SELECT cat, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM graft_dml.ns.ivm GROUP BY cat""")
+      s.sql("""MERGE INTO graft_dml.ns.ivm t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                      o_orderstatus AS cat,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM q171_orders WHERE o_orderkey % 5 = 0) m
+        ON t.k = m.k
+        WHEN MATCHED AND t.k % 10 = 0 THEN UPDATE SET cents = t.cents + 7
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, cat, cents)
+          VALUES (m.k, m.cat, m.cents)""")
+      s.read.option("from", "1").option("to", "2")
+        .table("graft_dml.ns.ivm.changes")
+        .createOrReplaceTempView("q171_changes")
+      s.sql("""SELECT * FROM (
+          SELECT cat,
+            CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
+              THEN 1 ELSE -1 END) AS BIGINT) AS dn,
+            CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
+              THEN cents ELSE -cents END) AS BIGINT) AS dc
+          FROM q171_changes GROUP BY cat)
+        WHERE dn <> 0 OR dc <> 0""").createOrReplaceTempView("q171_deltas")
+      s.sql("""MERGE INTO graft_dml.ns.ivmv v
+        USING q171_deltas d
+        ON v.cat = d.cat
+        WHEN MATCHED AND v.n + d.dn = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          n = v.n + d.dn, sum_cents = v.sum_cents + d.dc
+        WHEN NOT MATCHED THEN INSERT (cat, n, sum_cents)
+          VALUES (d.cat, d.dn, d.dc)""")
+      val mismatches = s.sql("""
+        SELECT COUNT(*) FROM (SELECT cat, n, sum_cents
+            FROM graft_dml.ns.ivmv) i
+          FULL OUTER JOIN (SELECT cat, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM graft_dml.ns.ivm GROUP BY cat) f
+          ON i.cat = f.cat AND i.n = f.n AND i.sum_cents = f.sum_cents
+        WHERE i.cat IS NULL OR f.cat IS NULL""").head().getLong(0)
+      import org.apache.spark.sql.functions.lit
+      s.table("graft_dml.ns.ivmv")
+        .withColumn("matches_recompute", lit(mismatches == 0L))
+        .orderBy(col("cat"))
+    }),
+
+    // ── q170: CHERRY-PICK A STAGED BRANCH ONTO A MOVED MAIN —
+    // Iceberg's cherrypick_snapshot, the concurrency resolution
+    // q128's strict publish deliberately refuses: stage an audit
+    // slice on a WAP branch (fork base v1), interleave a hotfix
+    // commit on main (v2), and the fast-forward publish must now
+    // REFUSE (overwriting would drop the hotfix — pinned). CALL
+    // cherrypick_branch replays the branch's manifest DELTA (its
+    // appended files; branches stage appends only) on top of the
+    // CURRENT manifest instead — main keeps the hotfix AND gains the
+    // audited slice, as version 3, and the branch ref is consumed.
+    // The oracle restates all three slices from raw orders; the
+    // removal-conflict refusal half (a branch that replaced files an
+    // interleaved commit also rewrote) is pinned in CherrypickSpec.
+    "q170_dml_cherrypick" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q170_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cp")
+      s.sql("CREATE TABLE graft_dml.ns.cp " +
+        "(k BIGINT, cents BIGINT, src STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      s.sql("""INSERT INTO graft_dml.ns.cp
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), 'seed'
+        FROM q170_orders WHERE o_orderkey % 8 = 0""")
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               'staged' AS src
+        FROM q170_orders WHERE o_orderkey % 8 = 3""")
+        .writeTo("graft_dml.ns.cp").option("branch", "audit").append()
+      s.sql("""INSERT INTO graft_dml.ns.cp
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), 'hotfix'
+        FROM q170_orders WHERE o_orderkey % 8 = 5""")
+      // the strict fast-forward must refuse: main is at v2, the
+      // branch forked at v1 — publishing would drop the hotfix
+      val refused =
+        try { RowStoreOps.publishBranch("graft_dml.ns.cp", "audit"); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      val v = s.sql(
+        "CALL graft_dml.system.cherrypick_branch('ns.cp', 'audit')")
+        .head().getInt(0)
+      val branchGone = RowStore.listBranches("graft_dml.ns.cp").isEmpty
+      import org.apache.spark.sql.functions.lit
+      s.table("graft_dml.ns.cp")
+        .withColumn("strict_publish_refused", lit(refused))
+        .withColumn("cherrypicked", lit(v == 3))
+        .withColumn("branch_dropped", lit(branchGone))
+        .orderBy(col("k"))
+    }),
+
     // ── q165: REWRITE POSITION DELETES — the delete-only maintenance
     // op (Iceberg's rewrite_position_deletes) q162 built the decision
     // input for: a record-mode MOR table takes two DELETE commits with
@@ -502,6 +627,36 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the final view restated from raw orders with the wave applied
+    // relationally: survivors = seed minus the matched-delete slice
+    // (k%35=0 with k%70<>0), +7 on the matched-update slice (k%70=0),
+    // plus the inserted slice (k%5=0, k%7<>0); the equality pin is
+    // TRUE by the maintenance contract
+    "q171_dml_incremental_view" ->
+      """WITH fin AS (SELECT o_orderstatus AS cat,
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 70 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 7 = 0
+        |         AND NOT (o_orderkey % 35 = 0 AND o_orderkey % 70 <> 0))
+        |     OR (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0))
+        |SELECT cat, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS matches_recompute
+        |FROM fin GROUP BY cat ORDER BY cat""".stripMargin,
+
+    // main keeps the seed and the interleaved hotfix; the cherry-pick
+    // adds the staged audit slice; the refusal/consumption pins are
+    // TRUE by the op's contract
+    "q170_dml_cherrypick" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE o_orderkey % 8 WHEN 0 THEN 'seed' WHEN 3 THEN 'staged'
+        |    ELSE 'hotfix' END AS src,
+        |  TRUE AS strict_publish_refused, TRUE AS cherrypicked,
+        |  TRUE AS branch_dropped
+        |FROM orders WHERE o_orderkey % 8 IN (0, 3, 5)
+        |ORDER BY k""".stripMargin,
+
     // the three churn inserts partition o_orderkey % 3, so content is
     // the whole table; quality pins TRUE by the metric's contract
     "q167_dml_clustering_quality" ->
