@@ -686,6 +686,41 @@ object Similarity {
         .orderBy(col("q_id"), col("n_id"))
     }),
 
+    // ── s19: IVF-PROBED RANGE SEARCH — s18's sublinear sibling (the
+    // d05↔d12 pairing applied to radius queries): route each query to
+    // its 6 nearest IVF cells in the index's own metric (Euclid, the
+    // s06 discipline), rescore ONLY the probed cells' members with
+    // exact cosine at the s18 threshold. The rescore is exact, so
+    // false positives are structurally zero — counted in-plan by an
+    // anti-join (the d12 discipline), not assumed — and the traded
+    // quantity is recall alone, gated in-plan vs the exact member set
+    // (the s04 contract). At 100 TB the probe reads 6/16 of the
+    // corpus per query batch instead of all of it, and cell routing
+    // is centroid-sized plan metadata.
+    "s19_ann_range_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val (assigned, cents) = ivfIndex(s, d)
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val exact = assigned
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .filter(VectorFunctions.cosineSim(col("qv"), col("nv")) >= 0.25)
+        .select(col("q_id"), col("n_id"))
+      val probed = probeCellsEuclid(q, cents, nProbe = 6)
+      val members = assigned
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+          col("cell"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .filter(VectorFunctions.cosineSim(col("qv"), col("nv")) >= 0.25)
+        .select(col("q_id"), col("n_id"))
+      val fp = members.join(exact, Seq("q_id", "n_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("zero_false_pos"))
+      recallGate(exact, members, 0.7, "range_ivf_recall_ok")
+        .crossJoin(fp)
+    }),
+
     // ── s05: batch kNN JOIN — same exact semantics as s01 but at query
     // BATCH scale (100 queries) and with per-query top-k computed by
     // the custom bounded TopKByAggregate instead of a ranking window.

@@ -59,6 +59,17 @@ object SimilarityOracles {
         |WHERE list_cosine_similarity(q.v, c.v) >= 0.25
         |ORDER BY q_id, n_id""".stripMargin,
 
+    // the exact member count at the s18 radius; the recall and
+    // zero-false-positive pins are TRUE by the probe's contract
+    "s19_ann_range_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT COUNT(*) AS n_pairs, TRUE AS range_ivf_recall_ok,
+        |  TRUE AS zero_false_pos
+        |FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |WHERE list_cosine_similarity(q.v, c.v) >= 0.25""".stripMargin,
+
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -164,6 +164,77 @@ private[streaming] object StreamDmlQueries {
     // (two commits folded into one batch, or a diff attributed to the
     // wrong version) breaks the hash, not just a count. multi_batch
     // pins the per-version stepping really happened.
+    // ── st41: STREAMING INCREMENTAL VIEW MAINTENANCE — q171's batch
+    // fold run CONTINUOUSLY: the aggregate view table starts EMPTY and
+    // is built entirely by streaming the base table's change feed from
+    // version 0 — the view never reads the base table at all. Each
+    // micro-batch (= one commit's diff, the st33 batch contract) folds
+    // its per-category delta (±rows, ±cents; updates arrive as
+    // delete+insert and cancel to the value diff) into the view with a
+    // MERGE, so after the drain the view has replayed INSERT → MERGE →
+    // DELETE commit by commit. At 100 TB this is the always-fresh
+    // dashboard pattern: per-trigger work is the CHANGED groups' diff
+    // plus a category-cardinality MERGE, never a corpus scan. Pinned
+    // in-plan: the streamed view equals a full recompute (mismatch
+    // count 0) and the per-commit stepping really happened
+    // (multi_batch, ≥3 batches). The oracle restates the final view
+    // from raw orders with the lifecycle applied relationally.
+    "st41_stream_ivm" -> ((s, d) => withStatePartitions(s, StateParts) {
+      val lifecycleTable =
+        graft.sources.RowCatalogQueries.sharedLifecycle(s, d, mor = false)
+      val preV = graft.sources.RowStore.currentVersion(lifecycleTable)
+      require(preV == 3, s"st41 expects the lifecycle at version 3, " +
+        s"found $preV — a statement's write was elided at this scale")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.sivmv")
+      s.sql("CREATE TABLE graft_dml.ns.sivmv " +
+        "(cat STRING, n BIGINT, sum_cents BIGINT)")
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.option("from", "0")
+        .table(s"$lifecycleTable.changes")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          val ss = batch.sparkSession
+          batch.createOrReplaceTempView("st41_batch")
+          ss.sql("""SELECT * FROM (
+              SELECT status AS cat,
+                CAST(SUM(CASE WHEN _change IN ('insert',
+                  'update_postimage') THEN 1 ELSE -1 END) AS BIGINT)
+                  AS dn,
+                CAST(SUM(CASE WHEN _change IN ('insert',
+                  'update_postimage') THEN cents ELSE -cents END)
+                  AS BIGINT) AS dc
+              FROM st41_batch GROUP BY status)
+            WHERE dn <> 0 OR dc <> 0""")
+            .createOrReplaceTempView("st41_deltas")
+          ss.sql("""MERGE INTO graft_dml.ns.sivmv v
+            USING st41_deltas d
+            ON v.cat = d.cat
+            WHEN MATCHED AND v.n + d.dn = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              n = v.n + d.dn, sum_cents = v.sum_cents + d.dc
+            WHEN NOT MATCHED THEN INSERT (cat, n, sum_cents)
+              VALUES (d.cat, d.dn, d.dc)""")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val mismatches = s.sql(s"""
+        SELECT COUNT(*) FROM (SELECT cat, n, sum_cents
+            FROM graft_dml.ns.sivmv) i
+          FULL OUTER JOIN (SELECT status AS cat, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM $lifecycleTable GROUP BY status) f
+          ON i.cat = f.cat AND i.n = f.n AND i.sum_cents = f.sum_cents
+        WHERE i.cat IS NULL OR f.cat IS NULL""").head().getLong(0)
+      s.table("graft_dml.ns.sivmv")
+        .withColumn("matches_recompute", lit(mismatches == 0L))
+        .withColumn("multi_batch", lit(nBatches.get >= 3))
+        .orderBy(col("cat"))
+    }),
+
     "st33_stream_changes" -> ((s, d) => withStatePartitions(s, StateParts) {
       val lifecycleTable =
         graft.sources.RowCatalogQueries.sharedLifecycle(s, d, mor = false)
@@ -680,6 +751,17 @@ private[streaming] object StreamDmlQueries {
         |    AS last_event_id,
         |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the streamed view restated from raw orders at the lifecycle's
+    // final state (post-merge content minus the deleted slice); the
+    // equality/stepping pins are TRUE by the maintenance contract
+    "st41_stream_ivm" ->
+      s"""${graft.sources.RowCatalogOracles.lifecycleCtes}
+        |SELECT status AS cat, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS matches_recompute, TRUE AS multi_batch
+        |FROM merged WHERE k % 97 <> 0
+        |GROUP BY status ORDER BY cat""".stripMargin,
 
     // the three per-commit diffs restated from raw orders, each tagged
     // with its version: v1 = the seed (all inserts), v2 = the MERGE's
