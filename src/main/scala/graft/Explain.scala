@@ -57,7 +57,10 @@ object Explain {
         "q163_dml_json_shred", "q164_dml_embedding_table",
         "q165_dml_rewrite_deletes", "q166_dml_zorder_rewrite",
         "q167_dml_clustering_quality", "s17_ann_catalog_served",
-        "q168_dml_map_table", "q169_dml_map_shred")
+        "q168_dml_map_table", "q169_dml_map_shred",
+        "q170_dml_cherrypick", "q171_dml_incremental_view",
+        "s18_ann_range_search", "s19_ann_range_ivf",
+        "q172_dml_shallow_clone")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

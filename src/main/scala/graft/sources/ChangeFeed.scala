@@ -1295,5 +1295,36 @@ object RowStoreOps {
       RowStore.dropBranch(table, name)
       cur + 1
     }
+
+  /** ZERO-COPY TABLE CLONE (Delta's SHALLOW CLONE / Iceberg's
+    * snapshot procedure): create `dst` with `src`'s exact metadata and
+    * a v0 manifest whose entries REFERENCE src's current files by
+    * absolute path — the add_files contract (leading-'/' names are
+    * external: read through [[RowStore.entryPath]] verbatim, never
+    * owned — dst's VACUUM and orphan cleanup sweep only its OWN data
+    * dir listing, so no maintenance on the clone can delete source
+    * bytes). Zero data bytes move; per-entry stats/zone-maps/blooms/
+    * NDV/dv-targets carry over verbatim (dv targets absolutized WITH
+    * their base entries so the pairing survives). The tables then
+    * diverge independently: a write on either side rewrites into its
+    * own data dir and drops only its own references. Same-manifest
+    * group routing stays consistent because dst shares src's Meta
+    * (numGroups/transform/renames). Returns the referenced entry
+    * count. */
+  def snapshotTable(src: String, dst: String): Int =
+    RowStore.commitLock.synchronized {
+      require(RowStore.exists(src), s"snapshot_table: $src does not exist")
+      require(!RowStore.exists(dst),
+        s"snapshot_table: $dst already exists (clones never overwrite)")
+      val meta = RowStore.readMeta(src)
+      val entries = RowStore.readManifest(src, RowStore.currentVersion(src))
+      val srcData = RowStore.dataDir(src)
+      def abs(n: String) = RowStore.entryPath(srcData, n)
+      val cloned = entries.map(e =>
+        e.copy(name = abs(e.name), dvTarget = e.dvTarget.map(abs)))
+      RowStore.writeMeta(dst, meta)
+      RowStore.writeManifest(dst, 0, cloned)
+      cloned.size
+    }
 }
 

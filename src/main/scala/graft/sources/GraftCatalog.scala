@@ -248,6 +248,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       override def run(a: InternalRow): Array[Any] =
         Array(RowStoreOps.cherrypickBranch(tkey(a.getUTF8String(0)),
           a.getUTF8String(1).toString))
+    },
+    new Proc("snapshot_table",
+      "zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg " +
+        "snapshot): the new table's v0 manifest references the " +
+        "source's current files by absolute path; no data bytes move " +
+        "and the tables diverge independently",
+      Seq(("source", StringType), ("dest", StringType)),
+      Seq(("referenced_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] =
+        Array(RowStoreOps.snapshotTable(tkey(a.getUTF8String(0)),
+          tkey(a.getUTF8String(1))))
     }
   ).map(p => p.name() -> p).toMap
 

@@ -251,6 +251,62 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q172: ZERO-COPY SHALLOW CLONE — Delta's SHALLOW CLONE /
+    // Iceberg's snapshot procedure, the dev/test-against-production
+    // primitive: `CALL snapshot_table(src, dst)` creates dst with
+    // src's exact metadata and a v0 manifest REFERENCING src's
+    // current files by absolute path (the add_files external-entry
+    // contract — read verbatim, never owned by dst's maintenance).
+    // Zero data bytes move — pinned in-plan: every clone entry is
+    // external AND the clone's own data dir is empty at snapshot.
+    // The tables then diverge independently: the clone takes a
+    // DELETE + UPDATE wave (COW rewrites land in the CLONE's dir),
+    // the source takes a post-clone INSERT the clone must never see,
+    // and the output reads BOTH tables — the oracle restates each
+    // side from raw orders, so isolation failure in either direction
+    // breaks the hash. SnapshotCloneSpec pins the storage half
+    // (reference-aliveness under single-group churn, maintenance
+    // never deleting source bytes, the no-overwrite refusal).
+    "q172_dml_shallow_clone" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q172_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.snapcln")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.snapsrc")
+      s.sql("CREATE TABLE graft_dml.ns.snapsrc " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      for (r <- Seq(0, 3))
+        s.sql(s"""INSERT INTO graft_dml.ns.snapsrc
+          SELECT CAST(o_orderkey AS BIGINT),
+                 CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q172_orders WHERE o_orderkey % 8 = $r""")
+      val refs = s.sql("CALL graft_dml.system.snapshot_table(" +
+        "'ns.snapsrc', 'ns.snapcln')").head().getInt(0)
+      val clnEntries = RowStore.readManifest("graft_dml.ns.snapcln", 0)
+      val ownFiles = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(
+          RowStore.dataDir("graft_dml.ns.snapcln")))
+        try st.count() finally st.close()
+      }
+      val zeroCopy = refs > 0 && clnEntries.nonEmpty &&
+        clnEntries.forall(_.name.startsWith("/")) && ownFiles == 0L
+      // diverge: churn the clone, append to the source
+      s.sql("DELETE FROM graft_dml.ns.snapcln WHERE k % 6 = 0")
+      s.sql("UPDATE graft_dml.ns.snapcln SET cents = cents + 5 " +
+        "WHERE k % 7 = 0")
+      s.sql("""INSERT INTO graft_dml.ns.snapsrc
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q172_orders WHERE o_orderkey % 8 = 5""")
+      import org.apache.spark.sql.functions.lit
+      s.sql("""SELECT 'clone' AS side, k, cents, status
+          FROM graft_dml.ns.snapcln
+        UNION ALL
+        SELECT 'src', k, cents, status FROM graft_dml.ns.snapsrc""")
+        .withColumn("zero_copy", lit(zeroCopy))
+        .orderBy(col("side"), col("k"))
+    }),
+
     // ── q171: INCREMENTAL VIEW MAINTENANCE OVER THE CHANGE FEED —
     // the workload the CDF exists FOR: an aggregate view (n, sum per
     // category) materialized as its own catalog table stays current by
@@ -627,6 +683,28 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both sides restated from raw orders: the clone = the two seed
+    // slices with its own churn applied (delete k%6=0, then +5 on the
+    // k%7=0 survivors); the source = the seed slices plus the
+    // post-clone insert, its values untouched by the clone's churn;
+    // the zero-copy pin is TRUE by the procedure's contract
+    "q172_dml_shallow_clone" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 8 IN (0, 3))
+        |SELECT 'clone' AS side, k,
+        |  cents + CASE WHEN k % 7 = 0 THEN 5 ELSE 0 END AS cents,
+        |  status, TRUE AS zero_copy
+        |FROM base WHERE k % 6 <> 0
+        |UNION ALL
+        |SELECT 'src', k, cents, status, TRUE FROM base
+        |UNION ALL
+        |SELECT 'src', CAST(o_orderkey AS BIGINT),
+        |  CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus, TRUE
+        |FROM orders WHERE o_orderkey % 8 = 5
+        |ORDER BY side, k""".stripMargin,
+
     // the final view restated from raw orders with the wave applied
     // relationally: survivors = seed minus the matched-delete slice
     // (k%35=0 with k%70<>0), +7 on the matched-update slice (k%70=0),
