@@ -557,11 +557,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val dv = delProp.contains("dv")
     require(!dv || mor, "deletion vectors ('deletes'='dv') are a " +
       "merge-on-read construct — create the table with 'format'='mor'")
+    // opt-in CHECK constraint (TBLPROPERTIES('check'='<bool expr>')):
+    // validated HERE — binding errors surface at DDL, never as a
+    // confusing write-task failure later
+    val check = Option(properties.get("check")).map(_.trim)
+      .filter(_.nonEmpty).getOrElse("")
+    if (check.nonEmpty) RowCheck.validate(check, schema)
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
       tparam = spec.map(_._2).getOrElse(0L),
-      bloomCols = bloomCols, dv = dv, ndvCols = ndvCols))
+      bloomCols = bloomCols, dv = dv, ndvCols = ndvCols, check = check))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }
@@ -822,6 +828,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           numGroups = if (n > 0) n else m2.numGroups,
           specId = m2.specId + 1)
       }
+      // a CHECK constraint must keep binding against the evolved
+      // schema: dropping or renaming a constrained column would turn
+      // every later write into a confusing task failure — refuse the
+      // ALTER instead (Delta's rule; widening keeps bindings valid)
+      if (m2.check.nonEmpty)
+        try RowCheck.validate(m2.check, m2.schema)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"this ALTER would break the table's CHECK constraint " +
+              s"(${m2.check}): ${e.getMessage}")
+        }
       RowStore.writeMeta(k, m2)
       // schema/spec evolution COMMITS a version (same file entries,
       // new `#schema` header): time travel to any pre-ALTER version

@@ -144,7 +144,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
       meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
-      meta.renames, meta.bloomCols, meta.ndvCols)
+      meta.renames, meta.bloomCols, meta.ndvCols, meta.check)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -163,7 +163,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
             meta.numGroups, meta.transform, meta.tparam, meta.renames,
-            meta.bloomCols, meta.ndvCols)
+            meta.bloomCols, meta.ndvCols, meta.check)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -309,11 +309,21 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
     transform: String = "bucket", tparam: Long = 0L,
     renames: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    ndvCols: Seq[String] = Seq.empty)
+    ndvCols: Seq[String] = Seq.empty,
+    check: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fields = writeSchema.fields.toSeq
+      // CHECK constraint, compiled executor-side from the string (the
+      // factory ships only `check`); evaluated on the LOGICAL row
+      // before externalization, so the error names user-facing values
+      private val violation: InternalRow => Boolean =
+        if (check.isEmpty) null else RowCheck.compile(check, writeSchema)
+      private def enforce(r: InternalRow): Unit =
+        if (violation != null && violation(r))
+          sys.error(s"CHECK constraint ($check) violated by a written " +
+            s"row — the statement is aborted, nothing was committed")
       // struct columns store as FLATTENED leaves (RowNested): every
       // per-column structure below (stats, blooms, sketches, the file
       // schema itself) is indexed by FLAT position and keyed by flat
@@ -458,15 +468,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         // DataAndMetadataWritingSparkTask strips it before us, so an
         // unexpected width fails LOUDLY rather than corrupting rows.
         val vals =
-          if (row.numFields == fields.length) externalize(row)
-          else if (row.numFields == fields.length + 1) {
+          if (row.numFields == fields.length) {
+            enforce(row); externalize(row)
+          } else if (row.numFields == fields.length + 1) {
             val opc = row.getInt(0)
             require(opc == RowDeltaUtils.WRITE_OPERATION ||
               opc == RowDeltaUtils.DELETE_OPERATION ||
               opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
               s"unexpected op code $opc in op-prefixed write row")
             if (opc == RowDeltaUtils.DELETE_OPERATION) return
-            externalize(new OffsetRow(row, 1))
+            val logical = new OffsetRow(row, 1)
+            enforce(logical); externalize(logical)
           } else sys.error(s"write row has ${row.numFields} fields, " +
             s"schema has ${fields.length}")
         val g =
@@ -573,7 +585,7 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
-      meta.keyCol, meta.numGroups, meta.dv)
+      meta.keyCol, meta.numGroups, meta.dv, meta.check)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[FilesMessage])
     val added = msgs.flatMap(_.files)
@@ -636,10 +648,19 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
 
 class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
     bucketCol: String, numGroups: Int,
-    dvMode: Boolean = false) extends DeltaWriterFactory {
+    dvMode: Boolean = false, check: String = "")
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val fields = rowSchema.fields.toSeq
+      // CHECK constraint on the MOR record path: update postimages and
+      // inserts are validated; deletes carry no data to check
+      private val violation: InternalRow => Boolean =
+        if (check.isEmpty) null else RowCheck.compile(check, rowSchema)
+      private def enforce(r: InternalRow): Unit =
+        if (violation != null && violation(r))
+          sys.error(s"CHECK constraint ($check) violated by a written " +
+            s"row — the statement is aborted, nothing was committed")
       // delta records carry the FLATTENED leaf layout like base files
       // (RowNested) — the reader's projection machinery is shared
       private val flatFields = RowNested.flatLeaves(fields)
@@ -687,10 +708,13 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
         } else rec(RowResolve.DeleteOp, rid, metadata.getInt(0), null)
       }
       override def update(metadata: InternalRow, id: InternalRow,
-          row: InternalRow): Unit =
+          row: InternalRow): Unit = {
+        enforce(row)
         rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
           metadata.getInt(0), row)
+      }
       override def insert(row: InternalRow): Unit = {
+        enforce(row)
         val vals = dataVals(row)
         val g = if (bucketIdx < 0) 0
           else RowStore.groupOf(vals(bucketIdx), numGroups)

@@ -251,6 +251,76 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q173: CHECK CONSTRAINTS — Delta's table CHECK constraints,
+    // the write-path data-quality gate an ingest pipeline wants ON THE
+    // TABLE rather than in every writer's code: declared at CREATE
+    // (TBLPROPERTIES('check'='…'), validated at DDL — binding errors
+    // never surface as write-task failures), enforced on EVERY row
+    // every writer path accepts (batch INSERT, COW MERGE rewrites,
+    // MOR delta records, streaming — one shared factory). SQL
+    // semantics: only FALSE violates; NULL passes. A violating
+    // statement aborts BEFORE any manifest commit, so the table is
+    // untouched — pinned here twice: a violating INSERT and a
+    // violating MERGE UPDATE both refuse (error-chain-matched pins)
+    // and the final content equals the clean lifecycle's, which the
+    // oracle restates from raw orders. CheckConstraintSpec pins the
+    // DDL refusals (unknown column, non-boolean, function calls,
+    // constrained-column DROP/RENAME), version-unchanged-on-refusal,
+    // NULL-passes, and the MOR record path.
+    "q173_dml_check_constraint" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q173_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.chk")
+      s.sql("CREATE TABLE graft_dml.ns.chk " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('check'='cents >= 0 AND status IS NOT NULL')")
+      s.sql("""INSERT INTO graft_dml.ns.chk
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+        FROM q173_orders WHERE o_orderkey % 7 = 0""")
+      def refused(body: => Unit): Boolean =
+        try { body; false }
+        catch { case e: Throwable =>
+          var t: Throwable = e; var found = false
+          while (t != null && !found) {
+            if (t.getMessage != null &&
+              t.getMessage.contains("CHECK constraint")) found = true
+            t = t.getCause
+          }
+          found
+        }
+      val insRefused = refused {
+        s.sql("""INSERT INTO graft_dml.ns.chk
+          SELECT CAST(o_orderkey AS BIGINT),
+                 -CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus
+          FROM q173_orders WHERE o_orderkey % 11 = 0""")
+      }
+      val updRefused = refused {
+        s.sql("""MERGE INTO graft_dml.ns.chk t
+          USING (SELECT CAST(o_orderkey AS BIGINT) AS k FROM q173_orders
+                 WHERE o_orderkey % 3 = 0) m
+          ON t.k = m.k
+          WHEN MATCHED THEN UPDATE SET cents = -1""")
+      }
+      // the clean wave commits: +3 on the matched slice, inserts on
+      // the rest (all rows satisfy the constraint)
+      s.sql("""MERGE INTO graft_dml.ns.chk t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderstatus AS status
+               FROM q173_orders WHERE o_orderkey % 5 = 0) m
+        ON t.k = m.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + 3
+        WHEN NOT MATCHED THEN INSERT (k, cents, status)
+          VALUES (m.k, m.cents, m.status)""")
+      import org.apache.spark.sql.functions.lit
+      s.table("graft_dml.ns.chk")
+        .withColumn("insert_refused", lit(insRefused))
+        .withColumn("update_refused", lit(updRefused))
+        .orderBy(col("k"))
+    }),
+
     // ── q172: ZERO-COPY SHALLOW CLONE — Delta's SHALLOW CLONE /
     // Iceberg's snapshot procedure, the dev/test-against-production
     // primitive: `CALL snapshot_table(src, dst)` creates dst with
@@ -683,6 +753,20 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the clean lifecycle restated from raw orders (both violating
+    // statements committed NOTHING): seed slice with +3 on the
+    // matched k%35=0 rows, plus the inserted k%5 slice; the refusal
+    // pins are TRUE by the constraint's contract
+    "q173_dml_check_constraint" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 35 = 0 THEN 3 ELSE 0 END AS cents,
+        |  o_orderstatus AS status,
+        |  TRUE AS insert_refused, TRUE AS update_refused
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+        |ORDER BY k""".stripMargin,
+
     // both sides restated from raw orders: the clone = the two seed
     // slices with its own churn applied (delete k%6=0, then +5 on the
     // k%7=0 survivors); the source = the seed slices plus the

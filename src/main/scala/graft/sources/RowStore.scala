@@ -131,7 +131,7 @@ object RowStore {
       transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
       renames: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty, dv: Boolean = false,
-      ndvCols: Seq[String] = Seq.empty) {
+      ndvCols: Seq[String] = Seq.empty, check: String = "") {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -534,7 +534,8 @@ object RowStore {
         s"dropped=${m.dropped.mkString(",")}\n" +
         s"renames=${renderRenames(m.renames)}\n" +
         s"bloom=${m.bloomCols.mkString(",")}\ndv=${m.dv}\n" +
-        s"ndv=${m.ndvCols.mkString(",")}\nschema=${m.schema.json}\n")
+        s"ndv=${m.ndvCols.mkString(",")}\ncheck=${m.check}\n" +
+        s"schema=${m.schema.json}\n")
   }
 
   def readMeta(key: String): Meta = {
@@ -551,7 +552,8 @@ object RowStore {
       parseRenames(kv.getOrElse("renames", "")),
       kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq,
       kv.getOrElse("dv", "false").toBoolean,
-      kv.getOrElse("ndv", "").split(",").filter(_.nonEmpty).toSeq)
+      kv.getOrElse("ndv", "").split(",").filter(_.nonEmpty).toSeq,
+      kv.getOrElse("check", ""))
   }
 
   def listTableKeys(): Seq[String] = {

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CHECK constraints (q173) — the halves the query row can't see:
+  * DDL-time validation refusals (unknown column, non-boolean,
+  * function calls the session-free writer can't evaluate, multi-line),
+  * version-unchanged after a refused write, SQL NULL-passes
+  * semantics, enforcement on the MOR delta record path, and the
+  * ALTER guard (dropping/renaming a constrained column refuses;
+  * unrelated evolution passes). */
+class CheckConstraintSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import graft.sources.RowStore
+
+  private def conf(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      "graft.sources.GraftCatalog")
+
+  test("DDL validation refuses bad constraints at CREATE") {
+    val s = spark; conf()
+    def createWith(check: String): Unit = {
+      s.sql("DROP TABLE IF EXISTS graft_dml.spec.chk_ddl")
+      s.sql("CREATE TABLE graft_dml.spec.chk_ddl (k BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ('check'='$check')")
+    }
+    intercept[Exception] { createWith("nope > 0") }          // unknown col
+    intercept[Exception] { createWith("v + 1") }             // non-boolean
+    intercept[Exception] { createWith("length(CAST(v AS STRING)) > 1") }
+    createWith("v >= 0 AND k > 0") // the supported shape binds fine
+    s.sql("DROP TABLE IF EXISTS graft_dml.spec.chk_ddl")
+  }
+
+  test("a refused write commits nothing; NULL passes") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.chk_w"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v < 10')")
+    s.sql(s"INSERT INTO $t SELECT id, id % 10 FROM range(0, 50)")
+    val v1 = RowStore.currentVersion(t)
+    intercept[Exception] {
+      s.sql(s"INSERT INTO $t SELECT id, 99 FROM range(0, 5)")
+    }
+    assert(RowStore.currentVersion(t) == v1,
+      "a refused write must not commit a version")
+    assert(s.table(t).count() == 50)
+    // SQL CHECK semantics: NULL (unknown) passes, only FALSE violates
+    s.sql(s"INSERT INTO $t VALUES (1000L, CAST(NULL AS BIGINT))")
+    assert(s.table(t).count() == 51)
+  }
+
+  test("the MOR delta record path enforces too") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.chk_mor"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor', 'check'='v >= 0')")
+    s.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 50)")
+    val v1 = RowStore.currentVersion(t)
+    intercept[Exception] {
+      s.sql(s"UPDATE $t SET v = -1 WHERE k % 9 = 0")
+    }
+    assert(RowStore.currentVersion(t) == v1)
+    s.sql(s"UPDATE $t SET v = v + 1 WHERE k % 9 = 0") // clean one lands
+    assert(s.sql(s"SELECT SUM(v) FROM $t").head().getLong(0) ==
+      (0L until 50).sum + 6)
+  }
+
+  test("ALTER refuses breaking a constrained column; else evolves") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.chk_alt"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, note STRING) " +
+      "TBLPROPERTIES ('check'='v >= 0')")
+    intercept[Exception] { s.sql(s"ALTER TABLE $t DROP COLUMN v") }
+    intercept[Exception] { s.sql(s"ALTER TABLE $t RENAME COLUMN v TO w") }
+    // unrelated evolution keeps working under the constraint
+    s.sql(s"ALTER TABLE $t DROP COLUMN note")
+    s.sql(s"ALTER TABLE $t ADD COLUMN extra BIGINT")
+    s.sql(s"INSERT INTO $t VALUES (1L, 2L, 3L)")
+    assert(s.table(t).count() == 1)
+  }
+}
