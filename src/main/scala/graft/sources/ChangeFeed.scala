@@ -1061,7 +1061,28 @@ object RowStoreOps {
     * COW tables only: MOR delta replay keys on the bucket layout,
     * which imported files don't follow. Returns
     * (files registered, rows registered). */
+  /** The add_files listing rule, shared with copy_into: every
+    * non-hidden *.parquet under the dir, absolute, sorted. */
+  private def listParquet(sourceDir: String): Seq[String] = {
+    val root = Paths.get(sourceDir)
+    require(Files.isDirectory(root),
+      s"add_files: $sourceDir is not a directory")
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    finally walk.close()
+  }
+
   def addFiles(table: String, sourceDir: String): (Int, Long) = {
+    val files = listParquet(sourceDir)
+    require(files.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    addFilesCore(table, files)
+  }
+
+  private def addFilesCore(table: String, files: Seq[String]): (Int, Long) = {
     import org.apache.spark.sql.types.{DateType, DecimalType}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val meta = RowStore.readMeta(table)
@@ -1075,17 +1096,6 @@ object RowStoreOps {
       s"$table: add_files into a table with STRUCT columns is not " +
         "supported (imported files store nested groups; this catalog " +
         "stores flattened leaves)")
-    val root = Paths.get(sourceDir)
-    require(Files.isDirectory(root),
-      s"add_files: $sourceDir is not a directory")
-    val walk = Files.walk(root)
-    val files = try walk.iterator().asScala.filter(p =>
-        Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
-        !p.getFileName.toString.startsWith("."))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
-    finally walk.close()
-    require(files.nonEmpty, s"add_files: no parquet files under $sourceDir")
     // validate every footer against the table schema UP FRONT: a file
     // whose physical type the reader can't decode must refuse at
     // registration, not crash the first scan
@@ -1151,6 +1161,37 @@ object RowStoreOps {
     }
     (files.size, totalRows)
   }
+
+  /** IDEMPOTENT BATCH INGEST (Delta's COPY INTO / Auto Loader's
+    * batch shape): register every *.parquet under `sourceDir` that
+    * has NOT been loaded before, skip the rest, and remember what
+    * loaded. The load history is its own sidecar (`ingest.log`, one
+    * absolute path per line, atomic-move rewritten) rather than the
+    * manifest, deliberately: a later OPTIMIZE may rewrite an imported
+    * file out of the manifest, and a re-run of the same COPY must
+    * STILL skip it — "loaded" is a fact about the load, not about the
+    * current file layout. Returns (new files, new rows, skipped). */
+  def copyInto(table: String, sourceDir: String): (Int, Long, Int) =
+    RowStore.commitLock.synchronized {
+      val logP = Paths.get(RowStore.tableDir(table), "ingest.log")
+      val seen: Set[String] =
+        if (Files.exists(logP)) Files.readAllLines(logP).asScala.toSet
+        else Set.empty
+      val all = listParquet(sourceDir)
+      val fresh = all.filterNot(seen)
+      val (n, rows) =
+        if (fresh.isEmpty) (0, 0L) else addFilesCore(table, fresh)
+      if (fresh.nonEmpty) {
+        // torn-write-safe (the round-11 metadata rule): temp + move
+        val tmp = Paths.get(RowStore.tableDir(table), ".ingest.log.tmp")
+        Files.writeString(tmp, (seen.toSeq.sorted ++ fresh)
+          .mkString("", "\n", "\n"))
+        Files.move(tmp, logP,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      (n, rows, all.size - fresh.size)
+    }
 
   /** MERGE WITH SCHEMA EVOLUTION — Delta's `mergeSchema` behavior:
     * top-level columns present in the SOURCE but not the target are

@@ -249,6 +249,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(RowStoreOps.cherrypickBranch(tkey(a.getUTF8String(0)),
           a.getUTF8String(1).toString))
     },
+    new Proc("copy_into",
+      "idempotent batch ingest (Delta's COPY INTO): register the " +
+        "source dir's parquet files that were never loaded before, " +
+        "skip the rest — safe to re-run after partial loads or on a " +
+        "growing directory",
+      Seq(("table", StringType), ("source_dir", StringType)),
+      Seq(("new_files", IntegerType), ("new_rows", LongType),
+        ("skipped_files", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (n, rows, skipped) = RowStoreOps.copyInto(
+          tkey(a.getUTF8String(0)), a.getUTF8String(1).toString)
+        Array(n, Long.box(rows), skipped)
+      }
+    },
     new Proc("snapshot_table",
       "zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg " +
         "snapshot): the new table's v0 manifest references the " +

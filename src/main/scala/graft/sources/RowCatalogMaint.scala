@@ -251,6 +251,52 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q174: IDEMPOTENT COPY INTO — Delta's COPY INTO / the batch
+    // half of Auto Loader, the ingest shape a landing-zone pipeline
+    // runs hourly: load every file in a GROWING directory exactly
+    // once, however many times the job runs or crashes mid-way. The
+    // load history is a sidecar (`ingest.log`), deliberately not the
+    // manifest: OPTIMIZE may rewrite an imported file out of the
+    // manifest and a re-run must STILL skip it — "loaded" is a fact
+    // about the load. Pinned in-plan: the immediate re-run is a
+    // complete no-op (0 new, all skipped), and after the directory
+    // grows the third call ingests ONLY the new file. Content = both
+    // slices exactly once, restated from raw orders by the oracle (a
+    // double-load would double rows and break the hash). CopyIntoSpec
+    // pins skip-survives-OPTIMIZE and the MOR refusal.
+    "q174_dml_copy_into" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q174_orders")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.cpy")
+      s.sql("CREATE TABLE graft_dml.ns.cpy " +
+        "(k BIGINT, cents BIGINT, status STRING)")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Scratch.dir(s, "graft_q174_src", tag)
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM q174_orders WHERE o_orderkey % 9 = 1""")
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      def call() = {
+        val r = s.sql(
+          s"CALL graft_dml.system.copy_into('ns.cpy', '$dir')").head()
+        (r.getInt(0), r.getInt(2))
+      }
+      val (n1, _) = call()
+      val (n2, sk2) = call() // immediate re-run: a complete no-op
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM q174_orders WHERE o_orderkey % 9 = 4""")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val (n3, sk3) = call() // only the grown file loads
+      import org.apache.spark.sql.functions.lit
+      s.table("graft_dml.ns.cpy")
+        .withColumn("rerun_noop", lit(n2 == 0 && sk2 == n1))
+        .withColumn("growth_incremental", lit(n3 > 0 && sk3 == n1))
+        .orderBy(col("k"))
+    }),
+
     // ── q173: CHECK CONSTRAINTS — Delta's table CHECK constraints,
     // the write-path data-quality gate an ingest pipeline wants ON THE
     // TABLE rather than in every writer's code: declared at CREATE
@@ -753,6 +799,16 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both slices exactly once (a double-load doubles rows and breaks
+    // the hash); the idempotence pins are TRUE by COPY INTO's contract
+    "q174_dml_copy_into" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderstatus AS status,
+        |  TRUE AS rerun_noop, TRUE AS growth_incremental
+        |FROM orders WHERE o_orderkey % 9 IN (1, 4)
+        |ORDER BY k""".stripMargin,
+
     // the clean lifecycle restated from raw orders (both violating
     // statements committed NOTHING): seed slice with +3 on the
     // matched k%35=0 rows, plus the inserted k%5 slice; the refusal
