@@ -67,6 +67,43 @@ class CheckConstraintSpec extends AnyFunSuite {
       (0L until 50).sum + 6)
   }
 
+  test("streaming writes enforce the constraint too") {
+    val s = spark; conf()
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val t = "graft_dml.spec.chk_st"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v < 100')")
+    val src = graft.Scratch.dir(s, "graft_chkst_src", "a")
+    import s.implicits._
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    def drain(rows: Seq[(Long, Long)], ckptTag: String): Unit = {
+      rows.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      val ckpt = graft.Scratch.dir(s, "graft_chkst_ckpt", ckptTag)
+      graft.Scratch.deleteTree(ckpt)
+      val q = s.readStream.schema(sch).parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    drain((0L until 10L).map(i => (i, i)), "ok") // clean batch lands
+    assert(s.table(t).count() == 10)
+    val e = intercept[Exception] {
+      drain(Seq((100L, 500L)), "bad") // violating batch fails the query
+    }
+    def chain(x: Throwable): Boolean = x != null && (
+      (x.getMessage != null && x.getMessage.contains("CHECK constraint"))
+        || chain(x.getCause))
+    assert(chain(e), e.toString)
+    assert(s.table(t).count() == 10, "the failed epoch must commit nothing")
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("ALTER refuses breaking a constrained column; else evolves") {
     val s = spark; conf()
     val t = "graft_dml.spec.chk_alt"
