@@ -1096,6 +1096,15 @@ object RowStoreOps {
       s"$table: add_files into a table with STRUCT columns is not " +
         "supported (imported files store nested groups; this catalog " +
         "stores flattened leaves)")
+    // registration never reads rows, so it cannot evaluate the CHECK
+    // constraint — admitting unvalidated rows would both break the
+    // constraint's every-writer-path contract and wedge later COW
+    // rewrites (which replay every retained row through the enforcing
+    // writer). Refuse loudly, like the MOR and STRUCT rules.
+    require(meta.check.isEmpty,
+      s"$table: add_files/copy_into cannot validate imported rows " +
+        s"against the CHECK constraint (${meta.check}) — import into " +
+        "an unconstrained table")
     // validate every footer against the table schema UP FRONT: a file
     // whose physical type the reader can't decode must refuse at
     // registration, not crash the first scan
@@ -1165,18 +1174,35 @@ object RowStoreOps {
   /** IDEMPOTENT BATCH INGEST (Delta's COPY INTO / Auto Loader's
     * batch shape): register every *.parquet under `sourceDir` that
     * has NOT been loaded before, skip the rest, and remember what
-    * loaded. The load history is its own sidecar (`ingest.log`, one
-    * absolute path per line, atomic-move rewritten) rather than the
-    * manifest, deliberately: a later OPTIMIZE may rewrite an imported
-    * file out of the manifest, and a re-run of the same COPY must
-    * STILL skip it — "loaded" is a fact about the load, not about the
-    * current file layout. Returns (new files, new rows, skipped). */
+    * loaded. The load history is a sidecar (`ingest.log`, one
+    * absolute path per line, atomic-move rewritten) UNIONED with the
+    * retained manifest history's absolute references: the sidecar is
+    * what survives an OPTIMIZE rewriting imports out of the manifest
+    * ("loaded" is a fact about the load, not the current layout), and
+    * the manifest history is what survives a crash between the
+    * manifest commit and the log write (the next run derives the
+    * loaded set and heals it back into the log). Returns
+    * (new files, new rows, skipped). */
   def copyInto(table: String, sourceDir: String): (Int, Long, Int) =
     RowStore.commitLock.synchronized {
       val logP = Paths.get(RowStore.tableDir(table), "ingest.log")
-      val seen: Set[String] =
+      val logged: Set[String] =
         if (Files.exists(logP)) Files.readAllLines(logP).asScala.toSet
         else Set.empty
+      // crash recovery: the manifest commit lands BEFORE the log
+      // write, so a crash between the two would leave loaded files
+      // unlogged — "loaded" is therefore the log UNION every absolute
+      // path any RETAINED manifest version references (metadata-sized:
+      // version count × manifest read). The next successful run heals
+      // the union back into the log (below), so the window only stays
+      // open until one copy_into completes — the residual hazard
+      // (crash, then VACUUM expires every referencing version before
+      // any re-run) requires deliberately racing retention against
+      // recovery.
+      val manifestLoaded = RowStore.versions(table)
+        .flatMap(v => RowStore.readManifest(table, v))
+        .map(_.name).filter(_.startsWith("/")).toSet
+      val seen = logged ++ manifestLoaded
       val all = listParquet(sourceDir)
       val fresh = all.filterNot(seen)
       val (n, rows) =

@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions.col
   * untouched). */
 object RowCatalogMaintQueries {
 
+  /** The CDF→aggregate-view fold shared by q171 (batch) and st41
+    * (streaming — "q171's fold run continuously"): group the change
+    * rows' ±row/±cents deltas per category (an update arrives as
+    * delete+insert and cancels to the value diff) and MERGE them
+    * into the `(cat, n, sum_cents)` view table, deleting a category
+    * whose count reaches zero. ONE contract, two cadences — a fold
+    * semantics change lands in both paths by construction. */
+  private[graft] def foldCdfIntoView(s: SparkSession, changesView: String,
+      catCol: String, viewTable: String): Unit = {
+    s.sql(s"""SELECT * FROM (
+        SELECT $catCol AS cat,
+          CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
+            THEN 1 ELSE -1 END) AS BIGINT) AS dn,
+          CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
+            THEN cents ELSE -cents END) AS BIGINT) AS dc
+        FROM $changesView GROUP BY $catCol)
+      WHERE dn <> 0 OR dc <> 0""")
+      .createOrReplaceTempView(changesView + "_deltas")
+    s.sql(s"""MERGE INTO $viewTable v
+      USING ${changesView}_deltas d
+      ON v.cat = d.cat
+      WHEN MATCHED AND v.n + d.dn = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET
+        n = v.n + d.dn, sum_cents = v.sum_cents + d.dc
+      WHEN NOT MATCHED THEN INSERT (cat, n, sum_cents)
+        VALUES (d.cat, d.dn, d.dc)""")
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── q160: NESTED (STRUCT) COLUMN TYPES — the schema surface
     // events-shaped data hits on day one (the reference's `props`
@@ -468,22 +497,7 @@ object RowCatalogMaintQueries {
       s.read.option("from", "1").option("to", "2")
         .table("graft_dml.ns.ivm.changes")
         .createOrReplaceTempView("q171_changes")
-      s.sql("""SELECT * FROM (
-          SELECT cat,
-            CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
-              THEN 1 ELSE -1 END) AS BIGINT) AS dn,
-            CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
-              THEN cents ELSE -cents END) AS BIGINT) AS dc
-          FROM q171_changes GROUP BY cat)
-        WHERE dn <> 0 OR dc <> 0""").createOrReplaceTempView("q171_deltas")
-      s.sql("""MERGE INTO graft_dml.ns.ivmv v
-        USING q171_deltas d
-        ON v.cat = d.cat
-        WHEN MATCHED AND v.n + d.dn = 0 THEN DELETE
-        WHEN MATCHED THEN UPDATE SET
-          n = v.n + d.dn, sum_cents = v.sum_cents + d.dc
-        WHEN NOT MATCHED THEN INSERT (cat, n, sum_cents)
-          VALUES (d.cat, d.dn, d.dc)""")
+      foldCdfIntoView(s, "q171_changes", "cat", "graft_dml.ns.ivmv")
       val mismatches = s.sql("""
         SELECT COUNT(*) FROM (SELECT cat, n, sum_cents
             FROM graft_dml.ns.ivmv) i

@@ -63,10 +63,23 @@ object RowCheck {
     import org.apache.spark.sql.types._
     val ladder: Seq[DataType] =
       Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    // integral↔decimal must widen to a decimal that can hold BOTH
+    // sides: casting a BIGINT column to the LITERAL's precision
+    // (`cents <= 99.5` → DECIMAL(3,1)) would overflow real values to
+    // NULL and silently PASS violating rows (NULL passes by the SQL
+    // rule below) — the constraint would be unenforced outside the
+    // literal's range
+    val intDigits = Map[DataType, Int](ByteType -> 3, ShortType -> 5,
+      IntegerType -> 10, LongType -> 19)
+    def holdsBoth(d: DecimalType, i: DataType): Option[DataType] = {
+      val digits = math.max(intDigits(i), d.precision - d.scale)
+      val p = digits + d.scale
+      if (p <= 38) Some(DecimalType(p, d.scale)) else None
+    }
     def wider(a: DataType, b: DataType): Option[DataType] = (a, b) match {
       case (x, y) if x == y => Some(x)
-      case (d: DecimalType, i) if ladder.take(4).contains(i) => Some(d)
-      case (i, d: DecimalType) if ladder.take(4).contains(i) => Some(d)
+      case (d: DecimalType, i) if intDigits.contains(i) => holdsBoth(d, i)
+      case (i, d: DecimalType) if intDigits.contains(i) => holdsBoth(d, i)
       case (x, y) if ladder.contains(x) && ladder.contains(y) =>
         Some(ladder(math.max(ladder.indexOf(x), ladder.indexOf(y))))
       case _ => None

@@ -196,27 +196,11 @@ private[streaming] object StreamDmlQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           nBatches.incrementAndGet()
-          val ss = batch.sparkSession
           batch.createOrReplaceTempView("st41_batch")
-          ss.sql("""SELECT * FROM (
-              SELECT status AS cat,
-                CAST(SUM(CASE WHEN _change IN ('insert',
-                  'update_postimage') THEN 1 ELSE -1 END) AS BIGINT)
-                  AS dn,
-                CAST(SUM(CASE WHEN _change IN ('insert',
-                  'update_postimage') THEN cents ELSE -cents END)
-                  AS BIGINT) AS dc
-              FROM st41_batch GROUP BY status)
-            WHERE dn <> 0 OR dc <> 0""")
-            .createOrReplaceTempView("st41_deltas")
-          ss.sql("""MERGE INTO graft_dml.ns.sivmv v
-            USING st41_deltas d
-            ON v.cat = d.cat
-            WHEN MATCHED AND v.n + d.dn = 0 THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              n = v.n + d.dn, sum_cents = v.sum_cents + d.dc
-            WHEN NOT MATCHED THEN INSERT (cat, n, sum_cents)
-              VALUES (d.cat, d.dn, d.dc)""")
+          // the SHARED q171 fold — one contract, two cadences
+          graft.sources.RowCatalogMaintQueries.foldCdfIntoView(
+            batch.sparkSession, "st41_batch", "status",
+            "graft_dml.ns.sivmv")
           ()
         }
         .start()

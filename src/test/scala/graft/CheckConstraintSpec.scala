@@ -50,6 +50,23 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(s.table(t).count() == 51)
   }
 
+  test("decimal literals widen to hold the column, not the literal") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.chk_dec"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // the trap: 99.5 parses as DECIMAL(3,1); casting the BIGINT
+    // column to THAT would overflow 100000 to NULL and silently PASS
+    // the violating row (NULL passes) — the coercion must widen to a
+    // decimal wide enough for the column
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('check'='cents <= 99.5')")
+    s.sql(s"INSERT INTO $t VALUES (1L, 50L)") // within bounds
+    intercept[Exception] {
+      s.sql(s"INSERT INTO $t VALUES (2L, 100000L)")
+    }
+    assert(s.table(t).count() == 1)
+  }
+
   test("the MOR delta record path enforces too") {
     val s = spark; conf()
     val t = "graft_dml.spec.chk_mor"

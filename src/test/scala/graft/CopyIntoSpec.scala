@@ -39,6 +39,40 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(s.table(t).count() == 85)
   }
 
+  test("a crash between manifest commit and log write cannot double-load") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.cpy3"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    val dir = graft.Scratch.dir(s, "graft_copyinto_spec", "c")
+    s.range(0, 40).selectExpr("id AS k", "id AS v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    RowStoreOps.copyInto(t, dir)
+    // simulate the crash window: the manifest committed but the log
+    // write never happened
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      graft.sources.RowStore.dataDir(t)).getParent.resolve("ingest.log"))
+    val (n2, _, sk2) = RowStoreOps.copyInto(t, dir)
+    assert(n2 == 0 && sk2 == 2,
+      s"manifest history must stand in for the lost log: new=$n2")
+    assert(s.table(t).count() == 40)
+  }
+
+  test("refuses CHECK-constrained targets (imports skip validation)") {
+    val s = spark; conf()
+    val t = "graft_dml.spec.cpy4"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check'='v >= 0')")
+    val dir = graft.Scratch.dir(s, "graft_copyinto_spec", "d")
+    s.range(0, 10).selectExpr("id AS k", "id AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      RowStoreOps.copyInto(t, dir)
+    }
+    assert(e.getMessage.contains("CHECK"), e.getMessage)
+  }
+
   test("refuses MOR targets like add_files") {
     val s = spark; conf()
     val t = "graft_dml.spec.cpy2"
