@@ -948,6 +948,22 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
   override def name(): String = tableKey
   override def schema(): StructType = meta.schema
 
+  /** The declared table options, surfaced the way SQL asks for them
+    * (`SHOW TBLPROPERTIES` / DESCRIBE EXTENDED) — the SAME keys
+    * CREATE accepted, so a user can read a table's contract (format,
+    * CHECK constraint, bloom/ndv opt-ins, group count) back out of
+    * the catalog instead of out of tribal knowledge. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", if (meta.mor) "mor" else "cow")
+    m.put("groups", meta.numGroups.toString)
+    if (meta.dv) m.put("deletes", "dv")
+    if (meta.bloomCols.nonEmpty) m.put("bloom", meta.bloomCols.mkString(","))
+    if (meta.ndvCols.nonEmpty) m.put("ndv", meta.ndvCols.mkString(","))
+    if (meta.check.nonEmpty) m.put("check", meta.check)
+    m
+  }
+
   /** Metadata delete for the UNCONDITIONAL case only: `DELETE FROM t`
     * (no WHERE, or one folded to true) optimizes the row-level
     * rewrite's scan into an empty relation — the scan is never

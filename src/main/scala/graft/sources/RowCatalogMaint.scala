@@ -280,6 +280,23 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q175: SHOW TBLPROPERTIES — the table's declared contract read
+    // back through Spark's NATIVE SQL surface (no custom reader: the
+    // DSv2 `Table.properties()` override feeds SHOW TBLPROPERTIES and
+    // DESCRIBE EXTENDED): format, group count, deletion-vector mode,
+    // bloom/ndv opt-ins, and the CHECK constraint all round-trip with
+    // the SAME keys CREATE accepted. The oracle restates the declared
+    // values verbatim — a lost or renamed property breaks the hash.
+    "q175_dml_show_properties" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_dml.ns.props")
+      s.sql("CREATE TABLE graft_dml.ns.props " +
+        "(k BIGINT, cents BIGINT, status STRING) " +
+        "TBLPROPERTIES ('format'='mor', 'deletes'='dv', " +
+        "'bloom'='cents', 'ndv'='status', 'check'='cents >= 0')")
+      s.sql("SHOW TBLPROPERTIES graft_dml.ns.props").orderBy(col("key"))
+    }),
+
     // ── q174: IDEMPOTENT COPY INTO — Delta's COPY INTO / the batch
     // half of Auto Loader, the ingest shape a landing-zone pipeline
     // runs hourly: load every file in a GROWING directory exactly
@@ -813,6 +830,14 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the declared contract verbatim (groups defaults to 4)
+    "q175_dml_show_properties" ->
+      """SELECT * FROM (VALUES
+        |  ('bloom', 'cents'), ('check', 'cents >= 0'),
+        |  ('deletes', 'dv'), ('format', 'mor'), ('groups', '4'),
+        |  ('ndv', 'status')) AS t(key, value)
+        |ORDER BY key""".stripMargin,
+
     // both slices exactly once (a double-load doubles rows and breaks
     // the hash); the idempotence pins are TRUE by COPY INTO's contract
     "q174_dml_copy_into" ->
