@@ -1321,6 +1321,42 @@ object RowStoreOps {
       cur + 1
     }
 
+  /** ATOMIC MULTI-TABLE PUBLISH — the all-or-nothing WAP commit
+    * across TABLES (the cross-table transaction single-table formats
+    * push to an external catalog service): validate EVERY branch's
+    * OCC precondition first (each must fast-forward cleanly from its
+    * table's current head), and only then commit them all under the
+    * one lock nothing can interleave with. If ANY table moved past
+    * its branch's fork base, NOTHING publishes — every branch stays
+    * staged for re-staging or cherry-pick. The staged audit pattern
+    * this serves: a pipeline lands bronze+silver+gold (or data +
+    * index) as branches, audits them TOGETHER, and downstream readers
+    * never observe one without the other. Returns the published
+    * version per table, in input order. */
+  def publishBranches(pairs: Seq[(String, String)]): Seq[Int] =
+    RowStore.commitLock.synchronized {
+      require(pairs.nonEmpty, "publish_branches: no (table, branch) pairs")
+      require(pairs.map(_._1).distinct.size == pairs.size,
+        "publish_branches: a table may appear once per call")
+      // phase 1 — validate ALL, commit NONE
+      val staged = pairs.map { case (t, b) =>
+        val (base, entries) = RowStore.readBranchManifest(t, b)
+        val cur = RowStore.currentVersion(t)
+        if (cur != base)
+          throw new java.util.ConcurrentModificationException(
+            s"$t: branch $b forked at version $base but the table is " +
+              s"now at $cur — NOTHING was published (all-or-nothing); " +
+              "re-stage or cherry-pick that branch and retry")
+        (t, b, cur, entries)
+      }
+      // phase 2 — commit all; the shared lock means no interleaving
+      staged.map { case (t, b, cur, entries) =>
+        RowStore.writeManifest(t, cur + 1, entries)
+        RowStore.dropBranch(t, b)
+        cur + 1
+      }
+    }
+
   /** CHERRY-PICK a staged branch onto a main that MOVED past its fork
     * base (Iceberg's cherrypick_snapshot, the resolution publishBranch
     * deliberately refuses): replay the branch's manifest DELTA — the

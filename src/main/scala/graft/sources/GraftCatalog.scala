@@ -239,6 +239,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(RowStoreOps.publishBranch(tkey(a.getUTF8String(0)),
           a.getUTF8String(1).toString))
     },
+    new Proc("publish_branches",
+      "atomically fast-forward one staged WAP branch on EACH of " +
+        "several tables — all-or-nothing: if any table moved past its " +
+        "branch's fork base, nothing publishes (comma-separate tables " +
+        "and their branches positionally)",
+      Seq(("tables", StringType), ("branches", StringType)),
+      Seq(("published_tables", IntegerType),
+        ("published_versions", StringType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val ts = a.getUTF8String(0).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val bs = a.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(ts.size == bs.size && ts.nonEmpty,
+          "publish_branches: tables and branches must pair positionally")
+        val vs = RowStoreOps.publishBranches(
+          ts.map(t => tkey(UTF8String.fromString(t))).zip(bs))
+        Array(vs.size, UTF8String.fromString(vs.mkString(",")))
+      }
+    },
     new Proc("cherrypick_branch",
       "replay a staged WAP branch's delta onto a main that moved past " +
         "its fork base (Iceberg's cherrypick_snapshot); refuses when an " +

@@ -280,6 +280,73 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q176: ATOMIC MULTI-TABLE PUBLISH — the cross-table WAP commit
+    // single-table formats can't express (their transaction boundary
+    // is one table's metadata pointer): a pipeline stages one audit
+    // branch on EACH of two tables (data + its derived sibling),
+    // `publish_branches` validates every branch's OCC precondition
+    // FIRST and only then commits them all under the one lock — so
+    // readers never observe one table's wave without the other's.
+    // Exercised both ways: the clean pair publishes together
+    // (versions "2,2" pinned), then a second wave with an interleaved
+    // commit on table B refuses ALL-OR-NOTHING — table A's untouched
+    // branch stays staged too (pinned: both branch refs survive, A's
+    // version unchanged, neither staged slice visible). The oracle
+    // restates both tables' final content from raw orders.
+    "q176_dml_atomic_publish" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q176_orders")
+      def slice(t: String, r: Int, branch: Option[String]): Unit = {
+        val df = s.sql(s"""SELECT CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM q176_orders WHERE o_orderkey % 8 = $r""")
+        branch match {
+          case Some(b) => df.writeTo(t).option("branch", b).append()
+          case None => df.writeTo(t).append()
+        }
+      }
+      for (t <- Seq("graft_dml.ns.ap1", "graft_dml.ns.ap2")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (bucket(4, k))")
+      }
+      slice("graft_dml.ns.ap1", 0, None) // v1 seeds
+      slice("graft_dml.ns.ap2", 1, None)
+      slice("graft_dml.ns.ap1", 2, Some("audit")) // wave 1, staged
+      slice("graft_dml.ns.ap2", 3, Some("audit"))
+      val pub = s.sql("CALL graft_dml.system.publish_branches(" +
+        "'ns.ap1,ns.ap2', 'audit,audit')").head()
+      val bothPublished = pub.getInt(0) == 2 && pub.getString(1) == "2,2"
+      // wave 2: stage on both, then interleave a commit on B only
+      slice("graft_dml.ns.ap1", 4, Some("audit"))
+      slice("graft_dml.ns.ap2", 6, Some("audit"))
+      slice("graft_dml.ns.ap2", 5, None) // B moves to v3
+      val refused =
+        try {
+          s.sql("CALL graft_dml.system.publish_branches(" +
+            "'ns.ap1,ns.ap2', 'audit,audit')").collect(); false
+        } catch { case e: Throwable =>
+          var t: Throwable = e; var f = false
+          while (t != null && !f) {
+            if (t.isInstanceOf[java.util.ConcurrentModificationException])
+              f = true
+            t = t.getCause
+          }
+          f
+        }
+      val allOrNothing = refused &&
+        RowStore.currentVersion("graft_dml.ns.ap1") == 2 &&
+        RowStore.branchExists("graft_dml.ns.ap1", "audit") &&
+        RowStore.branchExists("graft_dml.ns.ap2", "audit")
+      import org.apache.spark.sql.functions.lit
+      s.sql("""SELECT 'a' AS side, k, cents FROM graft_dml.ns.ap1
+        UNION ALL
+        SELECT 'b', k, cents FROM graft_dml.ns.ap2""")
+        .withColumn("both_published", lit(bothPublished))
+        .withColumn("all_or_nothing", lit(allOrNothing))
+        .orderBy(col("side"), col("k"))
+    }),
+
     // ── q175: SHOW TBLPROPERTIES — the table's declared contract read
     // back through Spark's NATIVE SQL surface (no custom reader: the
     // DSv2 `Table.properties()` override feeds SHOW TBLPROPERTIES and
@@ -830,6 +897,20 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // table A = seed + the atomically-published wave-1 slice; table B
+    // = seed + wave 1 + the interleaved commit; wave 2 stays staged on
+    // BOTH (the refusal was all-or-nothing); pins TRUE by contract
+    "q176_dml_atomic_publish" ->
+      """SELECT 'a' AS side, CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS both_published, TRUE AS all_or_nothing
+        |FROM orders WHERE o_orderkey % 8 IN (0, 2)
+        |UNION ALL
+        |SELECT 'b', CAST(o_orderkey AS BIGINT),
+        |  CAST(round(o_totalprice * 100) AS BIGINT), TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 8 IN (1, 3, 5)
+        |ORDER BY side, k""".stripMargin,
+
     // the declared contract verbatim (groups defaults to 4)
     "q175_dml_show_properties" ->
       """SELECT * FROM (VALUES

@@ -83,6 +83,35 @@ class CherrypickSpec extends AnyFunSuite {
     assert(s.table(t).count() == 100 + 20 - victim.rows.get)
   }
 
+  test("publishBranches validates all before committing any") {
+    val s = spark
+    val t1 = fresh("pb1")
+    val t2 = fresh("pb2")
+    s.sql(s"SELECT id + 1000 AS k, id AS v FROM range(0, 10)")
+      .writeTo(t1).option("branch", "b").append()
+    s.sql(s"SELECT id + 1000 AS k, id AS v FROM range(0, 10)")
+      .writeTo(t2).option("branch", "b").append()
+    s.sql(s"INSERT INTO $t2 SELECT id + 2000, id FROM range(0, 5)") // t2→v2
+    intercept[java.util.ConcurrentModificationException] {
+      RowStoreOps.publishBranches(Seq(t1 -> "b", t2 -> "b"))
+    }
+    // all-or-nothing: t1 (whose branch WAS publishable) committed
+    // nothing, both refs survive
+    assert(RowStore.currentVersion(t1) == 1)
+    assert(RowStore.branchExists(t1, "b") && RowStore.branchExists(t2, "b"))
+    // a table may appear once per call
+    intercept[IllegalArgumentException] {
+      RowStoreOps.publishBranches(Seq(t1 -> "b", t1 -> "b"))
+    }
+    // recovery: cherry-pick t2's moved branch, then the pair is gone —
+    // t1 publishes alone through the same entry point
+    RowStoreOps.cherrypickBranch(t2, "b")
+    val vs = RowStoreOps.publishBranches(Seq(t1 -> "b"))
+    assert(vs == Seq(2))
+    assert(s.table(t1).count() == 110)
+    assert(s.table(t2).count() == 115)
+  }
+
   test("refuses when an interleaved commit rewrote a removed entry") {
     val s = spark
     val t = fresh("cp4")
