@@ -61,7 +61,7 @@ object Explain {
         "q170_dml_cherrypick", "q171_dml_incremental_view",
         "s18_ann_range_search", "s19_ann_range_ivf",
         "q172_dml_shallow_clone", "q173_dml_check_constraint",
-        "q174_dml_copy_into")
+        "q174_dml_copy_into", "q176_dml_atomic_publish")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
