@@ -1207,7 +1207,12 @@ object RowStoreOps {
       val fresh = all.filterNot(seen)
       val (n, rows) =
         if (fresh.isEmpty) (0, 0L) else addFilesCore(table, fresh)
-      if (fresh.nonEmpty) {
+      // rewrite the log whenever it is INCOMPLETE (manifest recovery
+      // found unlogged files), not only when new files ingested — a
+      // re-run after a crash-between-commit-and-log that finds no new
+      // files must still heal, or the VACUUM-expires-history
+      // double-load hazard stays open indefinitely (r14 advisor)
+      if (fresh.nonEmpty || seen != logged) {
         // torn-write-safe (the round-11 metadata rule): temp + move
         val tmp = Paths.get(RowStore.tableDir(table), ".ingest.log.tmp")
         Files.writeString(tmp, (seen.toSeq.sorted ++ fresh)
@@ -1338,7 +1343,12 @@ object RowStoreOps {
       require(pairs.nonEmpty, "publish_branches: no (table, branch) pairs")
       require(pairs.map(_._1).distinct.size == pairs.size,
         "publish_branches: a table may appear once per call")
-      // phase 1 — validate ALL, commit NONE
+      // phase 1 — validate ALL, STAGE all, commit NONE: every table's
+      // new manifest is fully rendered to a temp file before any
+      // becomes visible, so the crash window for a partial publish is
+      // the bare atomic links of phase 2 (microseconds, no rendering
+      // or IO-proportional work between them — r14 advisor). Residual
+      // window documented below.
       val staged = pairs.map { case (t, b) =>
         val (base, entries) = RowStore.readBranchManifest(t, b)
         val cur = RowStore.currentVersion(t)
@@ -1347,14 +1357,22 @@ object RowStoreOps {
             s"$t: branch $b forked at version $base but the table is " +
               s"now at $cur — NOTHING was published (all-or-nothing); " +
               "re-stage or cherry-pick that branch and retry")
-        (t, b, cur, entries)
+        (t, b, cur, RowStore.stageManifest(t, cur + 1, entries))
       }
-      // phase 2 — commit all; the shared lock means no interleaving
-      staged.map { case (t, b, cur, entries) =>
-        RowStore.writeManifest(t, cur + 1, entries)
+      // phase 2 — link all, then drop the branches. Against concurrent
+      // COMMITS this is fully atomic (the shared lock in-process; a
+      // cross-process interloper makes a link fail loudly via
+      // CommitConflictException before any behavioral divergence).
+      // Against a CRASH between two links, the already-linked tables
+      // stay published and the rest stay staged as branches — the
+      // recovery is re-running publish_branches on the survivors
+      // (same terminal state; nothing is lost or torn).
+      try staged.map { case (t, b, cur, tmp) =>
+        RowStore.publishStaged(t, cur + 1, tmp)
         RowStore.dropBranch(t, b)
         cur + 1
-      }
+      } finally staged.foreach { case (_, _, _, tmp) =>
+        java.nio.file.Files.deleteIfExists(tmp) }
     }
 
   /** CHERRY-PICK a staged branch onto a main that MOVED past its fork
@@ -1392,6 +1410,19 @@ object RowStoreOps {
                 s"(e.g. ${conflicts.head}) — an interleaved commit " +
                 "already rewrote them; replaying the removal would " +
                 "undo it. Re-stage against the current snapshot")
+          // addition conflict, the removal check's mirror (r14
+          // advisor): an entry NAME the branch added that is already
+          // present on current main (the same external file
+          // add_files-registered on both sides) would duplicate the
+          // entry and double-count its rows — refuse, matching
+          // add_files' own duplicate-registration guard
+          val dupAdds = added.map(_.name).filter(curNames)
+          if (dupAdds.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$table: branch $name added ${dupAdds.size} file(s) an " +
+                s"interleaved commit already registered (e.g. " +
+                s"${dupAdds.head}) — replaying the add would double " +
+                "its rows. Re-stage against the current snapshot")
           curEntries.filterNot(e => removed(e.name)) ++ added
         }
       RowStore.writeManifest(table, cur + 1, next)

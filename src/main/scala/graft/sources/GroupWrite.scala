@@ -198,13 +198,13 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
       .toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
-      val cur = RowStore.currentVersion(tableKey)
-      val old = RowStore.readManifest(tableKey, cur)
       mode match {
         case GroupWrite.StageBranch(name) =>
           // WAP staging: fold into the branch manifest (stacked audit
           // appends compose); NO table version commits. Fork base is
           // recorded on first stage — publish validates against it.
+          val cur = RowStore.currentVersion(tableKey)
+          val old = RowStore.readManifest(tableKey, cur)
           val (base, existing) =
             if (RowStore.branchExists(tableKey, name))
               RowStore.readBranchManifest(tableKey, name)
@@ -214,6 +214,20 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           return
         case _ => ()
       }
+      // CROSS-PROCESS OCC retry loop: compute `next` against the
+      // current head, publish via the atomic create-if-absent. The
+      // in-JVM lock serializes same-process writers, so a publish
+      // loss means another PROCESS committed the version in the
+      // window — re-read the head and re-run this mode's own
+      // validation (ReplaceGroups' per-group signature check and
+      // Compact's base check re-fire naturally against the new cur;
+      // a REAL conflict still surfaces as
+      // ConcurrentModificationException, never a silent clobber).
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+      val cur = RowStore.currentVersion(tableKey)
+      val old = RowStore.readManifest(tableKey, cur)
       val next = mode match {
         case GroupWrite.StageBranch(_) =>
           sys.error("unreachable: staged above")
@@ -284,7 +298,16 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
             s"$tableKey has untagged delta files — cannot compact")
           old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++ added
       }
-      RowStore.writeManifest(tableKey, cur + 1, next)
+      RowStore.prePublishHook()
+      try { RowStore.writeManifest(tableKey, cur + 1, next); committed = true }
+      catch {
+        case e: RowStore.CommitConflictException =>
+          attempts += 1
+          // a bound, not a policy: 16 consecutive cross-process losses
+          // means a pathologically hot table — surface it
+          if (attempts >= 16) throw e
+      }
+      }
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -11,19 +11,23 @@ object RowCatalogMaintQueries {
 
   /** The CDF→aggregate-view fold shared by q171 (batch) and st41
     * (streaming — "q171's fold run continuously"): group the change
-    * rows' ±row/±cents deltas per category (an update arrives as
+    * rows' ±row/±value deltas per group column (an update arrives as
     * delete+insert and cancels to the value diff) and MERGE them
     * into the `(cat, n, sum_cents)` view table, deleting a category
     * whose count reaches zero. ONE contract, two cadences — a fold
-    * semantics change lands in both paths by construction. */
+    * semantics change lands in both paths by construction. Both the
+    * grouping column (`catCol`) and the summed value column
+    * (`valCol`) are parameters; the VIEW table's schema is the fixed
+    * `(cat, n, sum_cents)` contract (r14 advisor: the helper's
+    * generality now matches its signature). */
   private[graft] def foldCdfIntoView(s: SparkSession, changesView: String,
-      catCol: String, viewTable: String): Unit = {
+      catCol: String, valCol: String, viewTable: String): Unit = {
     s.sql(s"""SELECT * FROM (
         SELECT $catCol AS cat,
           CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
             THEN 1 ELSE -1 END) AS BIGINT) AS dn,
           CAST(SUM(CASE WHEN _change IN ('insert', 'update_postimage')
-            THEN cents ELSE -cents END) AS BIGINT) AS dc
+            THEN $valCol ELSE -$valCol END) AS BIGINT) AS dc
         FROM $changesView GROUP BY $catCol)
       WHERE dn <> 0 OR dc <> 0""")
       .createOrReplaceTempView(changesView + "_deltas")
@@ -581,7 +585,8 @@ object RowCatalogMaintQueries {
       s.read.option("from", "1").option("to", "2")
         .table("graft_dml.ns.ivm.changes")
         .createOrReplaceTempView("q171_changes")
-      foldCdfIntoView(s, "q171_changes", "cat", "graft_dml.ns.ivmv")
+      foldCdfIntoView(s, "q171_changes", "cat", "cents",
+        "graft_dml.ns.ivmv")
       val mismatches = s.sql("""
         SELECT COUNT(*) FROM (SELECT cat, n, sum_cents
             FROM graft_dml.ns.ivmv) i

@@ -73,9 +73,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * format adds a type bridge, not new plumbing).
   */
 object RowStore {
-  /** Driver-side commit lock: manifests advance atomically per JVM
-    * (a real format uses an atomic rename / metastore swap here). */
+  /** Driver-side commit lock: the FAST PATH for same-JVM commit
+    * ordering. Cross-process atomicity does NOT rest on it — every
+    * manifest publishes via [[publishStaged]]'s atomic
+    * create-if-absent (write the rendered manifest to a temp file,
+    * then hard-link it to `v<N>.manifest`, which FAILS if another
+    * process already committed that version). A loser gets
+    * [[CommitConflictException]] and re-validates against the new
+    * head — the atomic-rename / metastore-swap commit rule every
+    * real lake format uses, so two driver processes against one
+    * warehouse can never interleave half-written manifests or
+    * silently clobber each other's commits
+    * (CrossProcessCommitSpec forks a second JVM to prove it). */
   private[sources] val commitLock = new Object
+
+  /** Thrown when a manifest publish loses the cross-process
+    * create-if-absent race: another writer committed the same version
+    * number first. The in-JVM [[commitLock]] makes this unreachable
+    * for same-process contention; callers with rebase logic
+    * (GroupWrite's OCC validation) catch it, re-read the head,
+    * re-validate, and retry — everyone else surfaces it as a loud
+    * retry-the-statement error. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   /** Plan-time observability for the spec (the SeqSourceSpec
     * emission-counter discipline): base files planned / skipped by
@@ -93,6 +113,14 @@ object RowStore {
     * before either commits — the interleaving the OCC validation
     * exists for, made deterministic. Production value is a no-op. */
   @volatile private[graft] var preCommitHook: () => Unit = () => ()
+
+  /** Test seam: invoked after a batch-write commit has computed its
+    * next manifest from the head it read, immediately BEFORE the
+    * atomic publish. The cross-process spec points it at a wait so a
+    * SECOND PROCESS can commit inside the window — forcing the
+    * create-if-absent loss and the rebase-retry deterministically.
+    * Production value is a no-op. */
+  @volatile private[graft] var prePublishHook: () => Unit = () => ()
 
   /** `bucketCol` is the declared partition column (`PARTITIONED BY
     * (bucket(n, col))` — Iceberg's bucket transform); empty = the
@@ -435,9 +463,16 @@ object RowStore {
 
   /** Per-session table root (Scratch semantics: per-applicationId,
     * deleted on JVM exit). All catalog/commit calls run on the driver;
-    * executors only ever see absolute file paths. */
+    * executors only ever see absolute file paths.
+    *
+    * `-Dgraft.warehouse.root=<dir>` overrides the per-application
+    * scratch with a SHARED warehouse — the deploy shape where several
+    * driver processes commit against the same lake (what the atomic
+    * create-if-absent publish exists for). The override directory is
+    * caller-owned: nothing deletes it on exit. */
   private def root(): String =
-    graft.Scratch.dir(SparkSession.active, "graft_rowcat", "tables")
+    sys.props.get("graft.warehouse.root").getOrElse(
+      graft.Scratch.dir(SparkSession.active, "graft_rowcat", "tables"))
 
   private[sources] def tableDir(key: String): String = s"${root()}/$key"
   private[graft] def dataDir(key: String): String = {
@@ -913,8 +948,15 @@ object RowStore {
     }.getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
-  def writeManifest(key: String, v: Int, entries: Seq[FileEntry],
-      extraHeader: Seq[String] = Seq.empty): Unit = {
+  /** Render + stage version `v`'s manifest to a uniquely-named temp
+    * file in the table dir (same filesystem as the target — the
+    * precondition for an atomic link/rename), WITHOUT publishing it.
+    * [[publishStaged]] makes it the committed version; the split
+    * exists so multi-table publish (publish_branches) can stage
+    * EVERY table's manifest before linking ANY of them, shrinking
+    * the partial-publish crash window to the links alone. */
+  def stageManifest(key: String, v: Int, entries: Seq[FileEntry],
+      extraHeader: Seq[String] = Seq.empty): Path = {
     // STRICTLY monotonic commit times per table: two sub-millisecond
     // commits must never share a timestamp, or TIMESTAMP AS OF the
     // earlier one would silently resolve to the later
@@ -971,10 +1013,55 @@ object RowStore {
         else renderEntries(entries)
       }
     }
-    Files.writeString(Paths.get(tableDir(key), s"v$v.manifest"),
+    val tmp = Files.createTempFile(
+      Paths.get(tableDir(key)), s".v$v.manifest.", ".tmp")
+    Files.writeString(tmp,
       s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
         body)
+    tmp
   }
+
+  /** PUBLISH a staged manifest: atomically create `v<N>.manifest`
+    * from the staged temp via a hard link — on POSIX, link(2) FAILS
+    * if the target exists, so exactly ONE writer (in this process or
+    * any other) can ever commit a given version, and a reader can
+    * never observe a torn manifest (the link appears with its full
+    * content or not at all). A loser's staged file is cleaned up and
+    * [[CommitConflictException]] tells it to re-validate against the
+    * new head. Filesystems without hard links fall back to
+    * exists-check + ATOMIC_MOVE (atomic against torn reads, weaker
+    * against a sub-millisecond cross-process tie — the POSIX link
+    * path is the contract; the fallback keeps exotic mounts usable). */
+  def publishStaged(key: String, v: Int, staged: Path): Unit = {
+    val target = Paths.get(tableDir(key), s"v$v.manifest")
+    try {
+      try Files.createLink(target, staged)
+      catch {
+        case _: UnsupportedOperationException =>
+          if (Files.exists(target))
+            throw new java.nio.file.FileAlreadyExistsException(
+              target.toString)
+          Files.move(staged, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"$key: version $v was committed by another writer while " +
+            s"this commit was staging (${e.getMessage}) — re-read the " +
+            "head, re-validate, and retry")
+    } finally {
+      Files.deleteIfExists(staged); ()
+    }
+  }
+
+  /** Commit version `v`: stage + atomically publish. Throws
+    * [[CommitConflictException]] if another writer (any process) won
+    * version `v` first — unreachable for in-JVM contention (callers
+    * hold [[commitLock]]). */
+  def writeManifest(key: String, v: Int, entries: Seq[FileEntry],
+      extraHeader: Seq[String] = Seq.empty): Unit =
+    publishStaged(key, v, stageManifest(key, v, entries, extraHeader))
 
   // ── BRANCHES (Iceberg's write-audit-publish surface): a branch
   // manifest is a STAGED next snapshot — full entry list plus the
@@ -993,9 +1080,19 @@ object RowStore {
     Files.exists(branchPath(key, name))
 
   def writeBranchManifest(key: String, name: String, base: Int,
-      entries: Seq[FileEntry]): Unit =
-    Files.writeString(branchPath(key, name),
-      s"#base\t$base\n" + renderEntries(entries))
+      entries: Seq[FileEntry]): Unit = {
+    // branches are MUTABLE refs (stacked stages overwrite), so no
+    // create-if-absent — but the overwrite is still temp + ATOMIC_MOVE
+    // so a concurrent branch read (another process planning from
+    // `branch=<name>`) can never see a torn file
+    val tmp = Files.createTempFile(
+      Paths.get(tableDir(key)), s".branch-$name.", ".tmp")
+    Files.writeString(tmp, s"#base\t$base\n" + renderEntries(entries))
+    Files.move(tmp, branchPath(key, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** (fork-base version, staged entries). */
   def readBranchManifest(key: String, name: String): (Int, Seq[FileEntry]) = {

@@ -199,7 +199,7 @@ private[streaming] object StreamDmlQueries {
           batch.createOrReplaceTempView("st41_batch")
           // the SHARED q171 fold — one contract, two cadences
           graft.sources.RowCatalogMaintQueries.foldCdfIntoView(
-            batch.sparkSession, "st41_batch", "status",
+            batch.sparkSession, "st41_batch", "status", "cents",
             "graft_dml.ns.sivmv")
           ()
         }
