@@ -333,7 +333,7 @@ object Similarity {
     * 11 of 15 exact pairs inside the top-5 cells at every SF
     * (measured) — the FAISS discipline of routing in the index's own
     * metric. */
-  private def probeCellsEuclid(queryVecs: DataFrame, centsDf: DataFrame,
+  private[operators] def probeCellsEuclid(queryVecs: DataFrame, centsDf: DataFrame,
       nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
