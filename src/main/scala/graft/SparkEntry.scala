@@ -25,11 +25,13 @@ object SparkEntry {
       operators.HigherOrder.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.SimilarityGraph.queries ++
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
       operators.ChangeCapture.queries ++
       operators.Graph.queries ++
       operators.Geo.queries ++
+      operators.Fuzz.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
@@ -52,11 +54,13 @@ object SparkEntry {
       operators.HigherOrder.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.SimilarityGraph.oracles ++
       operators.TextOps.oracles ++
       operators.Multimodal.oracles ++
       operators.ChangeCapture.oracles ++
       operators.Graph.oracles ++
       operators.Geo.oracles ++
+      operators.Fuzz.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Fuzz
+
+/** The randomized differential sweep (r14 verdict item 3): 220 fixed
+  * seeds, each drawn plan executed through TWO independent front-ends
+  * — the DataFrame-DSL rendering and the generated SQL text — and the
+  * row SETS compared. A mismatch names its seed, so a failure is
+  * reproducible by number and can be pinned as a new fz* row (ten
+  * seeds already ship as DuckDB-hash-gated SparkEntry rows — the
+  * cross-ENGINE leg of the same generator).
+  *
+  * The sweep also asserts its own coverage: a generator drift that
+  * stopped drawing joins or aggregates would pass vacuously without
+  * the distribution floor.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  private val Seeds: Range = 1 to 220
+
+  test("220 seeded plans: DataFrame rendering == SQL rendering") {
+    val s = SparkSuite.spark
+    for (t <- Seq("nation", "customer", "orders"))
+      graft.Tables(s, SparkSuite.sf, t).createOrReplaceTempView(s"fz_$t")
+    var joins = 0; var lefts = 0; var aggs = 0; var grouped = 0
+    var distincts = 0; var preds = 0; var nonEmpty = 0
+    for (seed <- Seeds) {
+      val p = Fuzz.plan(seed.toLong)
+      if (p.join.nonEmpty) joins += 1
+      if (p.join.exists(_.left)) lefts += 1
+      if (p.aggs.nonEmpty) aggs += 1
+      if (p.groupBy.nonEmpty) grouped += 1
+      if (p.distinct) distincts += 1
+      if (p.preds.nonEmpty) preds += 1
+      val viaDf = p.frame(s, SparkSuite.sf).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      val viaSql = s.sql(p.sql("fz_")).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      assert(viaDf == viaSql,
+        s"seed $seed diverged between the DataFrame and SQL renderings" +
+          s"\n  sql: ${p.sql("fz_")}" +
+          s"\n  df rows: ${viaDf.take(5)}\n  sql rows: ${viaSql.take(5)}")
+      if (viaDf.nonEmpty) nonEmpty += 1
+    }
+    // distribution floor: the sweep must keep exercising every shape
+    assert(joins >= Seeds.size / 3, s"joins underdrawn: $joins")
+    assert(lefts >= 10, s"left joins underdrawn: $lefts")
+    assert(aggs >= Seeds.size / 3, s"aggregates underdrawn: $aggs")
+    assert(grouped >= 20, s"grouped aggregates underdrawn: $grouped")
+    assert(distincts >= 10, s"DISTINCT underdrawn: $distincts")
+    assert(preds >= Seeds.size / 2, s"filters underdrawn: $preds")
+    assert(nonEmpty >= Seeds.size / 2,
+      s"too many vacuous (empty-result) plans: ${Seeds.size - nonEmpty}")
+  }
+
+  test("pinned fz* rows: plan text is stable and the grammar is total") {
+    // the ten DuckDB-gated seeds must keep drawing the same plans
+    // forever (a generator change that re-draws them invalidates the
+    // committed oracle hashes — this trips BEFORE the driver does)
+    val texts = Fuzz.PinnedSeeds.map(sd => Fuzz.plan(sd).sql(""))
+    assert(texts == Seq(
+      "SELECT j.n_regionkey AS g0, b.c_nationkey AS g1, " +
+        "CAST(SUM(CAST(b.c_nationkey AS BIGINT)) AS BIGINT) AS a0 " +
+        "FROM customer b LEFT JOIN nation j ON b.c_nationkey = " +
+        "j.n_nationkey WHERE j.n_regionkey <> 1 AND b.c_custkey % 4 " +
+        "= 0 GROUP BY j.n_regionkey, b.c_nationkey",
+      "SELECT DISTINCT CAST(b.c_custkey AS BIGINT) * 3 + 9 AS p0 " +
+        "FROM customer b WHERE b.c_nationkey % 6 = 1 AND " +
+        "b.c_nationkey <> 9",
+      "SELECT b.o_orderpriority AS g0, CAST(COUNT(*) AS BIGINT) AS " +
+        "a0, CAST(SUM(CAST(j.c_custkey AS BIGINT)) AS BIGINT) AS a1, " +
+        "CAST(SUM(CAST(j.c_nationkey AS BIGINT)) AS BIGINT) AS a2 " +
+        "FROM orders b JOIN customer j ON b.o_custkey = j.c_custkey " +
+        "WHERE j.c_custkey <> 77 AND j.c_custkey % 7 = 0 GROUP BY " +
+        "b.o_orderpriority",
+      "SELECT j.n_name AS p0, b.c_nationkey AS p1 FROM customer b " +
+        "JOIN nation j ON b.c_nationkey = j.n_nationkey WHERE " +
+        "b.c_custkey % 6 = 0",
+      "SELECT j.n_name AS g0, MIN(j.n_regionkey) AS a0 FROM " +
+        "customer b JOIN nation j ON b.c_nationkey = j.n_nationkey " +
+        "WHERE b.c_nationkey < 4 GROUP BY j.n_name",
+      "SELECT CAST(b.c_nationkey AS BIGINT) * 5 + 7 AS p0, " +
+        "b.c_custkey AS p1, b.c_mktsegment AS p2 FROM customer b",
+      "SELECT j.c_nationkey AS p0 FROM orders b LEFT JOIN customer " +
+        "j ON b.o_custkey = j.c_custkey",
+      "SELECT MAX(b.o_custkey) AS a0, CAST(COUNT(*) AS BIGINT) AS " +
+        "a1 FROM orders b JOIN customer j ON b.o_custkey = " +
+        "j.c_custkey WHERE b.o_custkey > 60 AND b.o_orderpriority " +
+        "IN ('1-URGENT', '3-MEDIUM')",
+      "SELECT j.c_nationkey AS g0, MAX(b.o_orderkey) AS a0, " +
+        "CAST(COUNT(*) AS BIGINT) AS a1, " +
+        "CAST(SUM(CAST(j.c_nationkey AS BIGINT)) AS BIGINT) AS a2 " +
+        "FROM orders b JOIN customer j ON b.o_custkey = j.c_custkey " +
+        "GROUP BY j.c_nationkey",
+      "SELECT CAST(b.c_nationkey AS BIGINT) * 2 + 6 AS p0, " +
+        "j.n_nationkey AS p1, b.c_nationkey AS p2 FROM customer b " +
+        "JOIN nation j ON b.c_nationkey = j.n_nationkey WHERE " +
+        "b.c_mktsegment = 'BUILDING' OR j.n_regionkey <> 3"),
+      "pinned fuzz plans re-drew differently — the committed oracle " +
+        "hashes no longer describe these rows; re-pin deliberately:\n" +
+        texts.mkString("\n"))
+  }
+}
