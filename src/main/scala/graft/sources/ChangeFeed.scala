@@ -1370,10 +1370,20 @@ object RowStoreOps {
       try staged.map { case (t, b, cur, tmp) =>
         RowStore.publishStaged(t, cur + 1, tmp)
         RowStore.dropBranch(t, b)
+        postPublishLinkHook(t)
         cur + 1
       } finally staged.foreach { case (_, _, _, tmp) =>
         java.nio.file.Files.deleteIfExists(tmp) }
     }
+
+  /** Test seam: invoked after EACH table's link + branch drop inside
+    * publish_branches' phase 2. The crash spec throws from it after
+    * the first table to pin the documented partial-publish recovery
+    * (published tables stay published, the rest stay staged, and
+    * re-running publish_branches on the survivors reaches the same
+    * terminal state). No-op in production. */
+  @volatile private[graft] var postPublishLinkHook: String => Unit =
+    _ => ()
 
   /** CHERRY-PICK a staged branch onto a main that MOVED past its fork
     * base (Iceberg's cherrypick_snapshot, the resolution publishBranch

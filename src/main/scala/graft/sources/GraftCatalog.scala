@@ -144,6 +144,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Array(gs.size, before, after)
       }
     },
+    new Proc("rewrite_data_files_binpack",
+      "size-aware binpack (Iceberg's binpack strategy): rewrite ONLY " +
+        "base files outside [0.75, 1.8]×target_bytes toward the " +
+        "target; well-sized files keep their entries and stats " +
+        "verbatim, and a well-compacted table is a no-op (zero files " +
+        "rewritten, no version committed)",
+      Seq(("table", StringType), ("target_bytes", LongType)),
+      Seq(("rewritten_files", IntegerType), ("written_files", IntegerType),
+        ("skipped_well_sized", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (rw, wr, sk) = BinpackOps.binpack(SparkSession.active,
+          tkey(a.getUTF8String(0)), a.getLong(1))
+        Array(rw, wr, sk)
+      }
+    },
     new Proc("clustering_quality",
       "mean per-file zone-map extent of a column as a fraction of the " +
         "table-wide extent, from the manifest alone (zero data files " +
@@ -258,6 +273,42 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           ts.map(t => tkey(UTF8String.fromString(t))).zip(bs))
         Array(vs.size, UTF8String.fromString(vs.mkString(",")))
       }
+    },
+    new Proc("begin_transaction",
+      "open a multi-statement cross-table transaction: zero-copy " +
+        "clone each comma-separated table to <table>__txn<id>; run " +
+        "ANY DML against the clones, then commit_transaction / " +
+        "rollback_transaction (snapshot-isolated, all-or-nothing)",
+      Seq(("tables", StringType)),
+      Seq(("txn_id", LongType), ("clones", StringType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val ts = a.getUTF8String(0).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+          .map(t => tkey(UTF8String.fromString(t)))
+        val txn = Transact.begin(ts)
+        Array(txn.id, UTF8String.fromString(
+          ts.map(t => Transact.cloneKey(t, txn.id)).mkString(",")))
+      }
+    },
+    new Proc("commit_transaction",
+      "atomically publish every clone's snapshot onto its base table " +
+        "(all-or-nothing OCC: refuses if ANY base advanced since " +
+        "begin_transaction) and drop the clones",
+      Seq(("txn_id", LongType)),
+      Seq(("committed_tables", IntegerType),
+        ("committed_versions", StringType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val vs = Transact.commit(a.getLong(0))
+        Array(vs.size, UTF8String.fromString(vs.mkString(",")))
+      }
+    },
+    new Proc("rollback_transaction",
+      "abandon an open transaction: drop its clones; the base tables " +
+        "were never touched",
+      Seq(("txn_id", LongType)),
+      Seq(("dropped_clones", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] =
+        Array(Transact.rollback(a.getLong(0)))
     },
     new Proc("cherrypick_branch",
       "replay a staged WAP branch's delta onto a main that moved past " +
@@ -1037,6 +1088,8 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
         .map(_.split(",").map(_.trim.toInt).toSet)
         .orElse(Option(options.get("compact"))
           .map(v => GroupWrite.parseCompact(v)._2)),
+      staticFiles = Option(options.get("compact"))
+        .flatMap(v => GroupWrite.parseCompact(v)._5),
       // streaming start version (readStream.option("from", v))
       streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0),
       // `branch=<name>` reads the STAGED snapshot (WAP audit read);
@@ -1051,9 +1104,9 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     Option(info.options().get("compact"))
       .map(GroupWrite.parseCompact) match {
-      case Some((base, gs, sort, preserve)) =>
+      case Some((base, gs, sort, preserve, files)) =>
         new GroupWrite(tableKey, meta, info.schema(),
-          GroupWrite.Compact(base, gs), sortCols = sort,
+          GroupWrite.Compact(base, gs, files), sortCols = sort,
           preserveLayout = preserve)
       case None =>
         Option(info.options().get("branch")) match {

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     op: Option[GroupRowLevelOp], staticGroups: Option[Set[Int]] = None,
-    streamFrom: Int = 0, branch: Option[String] = None)
+    streamFrom: Int = 0, branch: Option[String] = None,
+    staticFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -365,7 +366,7 @@ class GroupScanBuilder(tableKey: String, meta: RowStore.Meta, version: Int,
     required, op, staticGroups,
     if (keyLo == Long.MinValue && keyHi == Long.MaxValue) None
     else Some((keyLo, keyHi)), streamFrom, branch, (strLo, strHi),
-    colWinN.toMap, colWinS.toMap, colEqCons.toSeq)
+    colWinN.toMap, colWinS.toMap, colEqCons.toSeq, staticFiles)
 }
 
 /** Manifest-planned scan: one partition per surviving group, carrying
@@ -382,7 +383,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     strRange: (Option[String], Option[String]) = (None, None),
     colWinN: Map[String, (Long, Long)] = Map.empty,
     colWinS: Map[String, (Option[String], Option[String])] = Map.empty,
-    colEq: Seq[(String, Seq[Long])] = Seq.empty)
+    colEq: Seq[(String, Seq[Long])] = Seq.empty,
+    staticFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -664,7 +666,18 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     var planned, skipped = 0
     val parts = kept.map { case (sp, g) =>
       val groupDeltas = deltas.filter(e => e.group == g || e.group < 0)
+      // BINPACK restriction (files= handshake segment): plan ONLY the
+      // named base files — the size-aware rewrite reads exactly the
+      // under/oversized files and the commit replaces exactly them.
+      // Sound only on delta-free groups (a delta replays against rids
+      // the subset rewrite renumbers) — the planner guarantees it and
+      // this refuses loudly if the manifest disagrees.
+      if (staticFiles.nonEmpty)
+        require(groupDeltas.isEmpty,
+          s"$tableKey: file-subset (binpack) scan over a delta-bearing " +
+            "group — run rewrite_data_files first")
       val base = baseEntries.filter(e => e.spec == sp && e.group == g)
+        .filter(e => staticFiles.forall(_.contains(e.name)))
       // FILE SKIPPING by manifest stats — only when provably sound:
       // plain reads (a COW rewrite replaces whole groups with what it
       // read, so a skipped file's rows would vanish) of CLEAN groups

@@ -38,38 +38,55 @@ object GroupWrite {
     * base+delta entries — a group that resolved to zero visible rows
     * writes no file but still sheds its old entries. `base` is the
     * version the compaction read, for the OCC commit check. */
-  case class Compact(base: Int, groups: Set[Int]) extends Mode
+  /** OPTIMIZE: the incoming files replace entries of EXACTLY these
+    * groups — the WHOLE groups' base+delta entries by default, or
+    * (binpack mode, `files` defined) only the NAMED base files within
+    * them, leaving well-sized group-mates untouched. `base` is the
+    * version the rewrite read, for the OCC commit check. */
+  case class Compact(base: Int, groups: Set[Int],
+    files: Option[Set[String]] = None) extends Mode
 
   /** Option value codec for the compact handshake:
-    * `<ver>:<g1>,<g2>[:sort=<col>[,<col>…] | :layout=preserve]` — the
-    * optional third segment asks for the SORT-ORDERED rewrite
-    * (Iceberg's rewrite_data_files with a sort order; several columns
-    * = the lexicographic multi-column sort spec), or for
-    * LAYOUT-PRESERVING mode: the incoming partitioning (a Morton-key
-    * range shuffle built by [[RowStoreOps.compact]] upstream) IS the
-    * clustering, so the write must not impose its own distribution.
-    * Both segment forms carry '=', a character RowStore's metadata
-    * layout reserves out of column names — so neither can collide
-    * with a user column (a bare sentinel like "zorder" could: a
-    * column literally named zorder would silently flip the sorted
-    * rewrite into an unsorted bin-pack). One option value carries the
-    * whole handshake because Spark's V2Writes asserts scan and write
+    * `<ver>:<g1>,<g2>[:sort=<col>[,<col>…] | :layout=preserve
+    * [:files=<leaf>[,<leaf>…]]]` — the optional third segment asks
+    * for the SORT-ORDERED rewrite (Iceberg's rewrite_data_files with
+    * a sort order; several columns = the lexicographic multi-column
+    * sort spec), or for LAYOUT-PRESERVING mode: the incoming
+    * partitioning (a Morton-key range shuffle built by
+    * [[RowStoreOps.compact]], or the binpack slicing built by
+    * [[RowStoreOps.binpack]]) IS the clustering, so the write must
+    * not impose its own distribution. A `files=` segment restricts
+    * the rewrite to the NAMED base files (size-aware binpack: the
+    * scan plans only them, the commit replaces only them). Every
+    * segment form carries '=', a character RowStore's metadata
+    * layout reserves out of column names — so none can collide with
+    * a user column (a bare sentinel like "zorder" could: a column
+    * literally named zorder would silently flip the sorted rewrite
+    * into an unsorted bin-pack). One option value carries the whole
+    * handshake because Spark's V2Writes asserts scan and write
     * options agree. Returns (base version, groups, sort columns,
-    * preserve-layout). */
-  def parseCompact(v: String): (Int, Set[Int], Seq[String], Boolean) = {
-    val parts = v.split(":", 3)
-    val seg3 = parts.lift(2).getOrElse("")
+    * preserve-layout, file subset). */
+  def parseCompact(v: String)
+      : (Int, Set[Int], Seq[String], Boolean, Option[Set[String]]) = {
+    val parts = v.split(":")
     val groups = parts(1).split(",").map(_.trim.toInt).toSet
-    if (seg3 == "layout=preserve")
-      (parts(0).toInt, groups, Seq.empty, true)
-    else if (seg3.startsWith("sort="))
-      (parts(0).toInt, groups, seg3.stripPrefix("sort=")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq, false)
-    else {
-      require(seg3.isEmpty,
-        s"compact handshake: unrecognized third segment '$seg3'")
-      (parts(0).toInt, groups, Seq.empty, false)
+    var sort = Seq.empty[String]
+    var preserve = false
+    var files: Option[Set[String]] = None
+    parts.drop(2).foreach {
+      case "layout=preserve" => preserve = true
+      case seg if seg.startsWith("sort=") =>
+        sort = seg.stripPrefix("sort=")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case seg if seg.startsWith("files=") =>
+        files = Some(seg.stripPrefix("files=")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      case seg => sys.error(
+        s"compact handshake: unrecognized segment '$seg'")
     }
+    require(sort.isEmpty || !preserve,
+      "compact handshake: sort= and layout=preserve are exclusive")
+    (parts(0).toInt, groups, sort, preserve, files)
   }
 }
 
@@ -285,7 +302,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           // the groups it touched and leaves the rest in place
           old.filterNot(e => e.kind == "base" &&
             replaced((e.spec, e.group))) ++ added
-        case GroupWrite.Compact(base, gs) =>
+        case GroupWrite.Compact(base, gs, fileSubset) =>
           if (base != cur)
             throw new java.util.ConcurrentModificationException(
               s"$tableKey: compaction planned at version $base but the " +
@@ -296,7 +313,23 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           // resolved base rows)
           require(old.forall(e => e.kind == "base" || e.group >= 0),
             s"$tableKey has untagged delta files — cannot compact")
-          old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++ added
+          fileSubset match {
+            case Some(fs) =>
+              // BINPACK swap: replace ONLY the named base files;
+              // well-sized group-mates keep their entries (and their
+              // stats) verbatim. Sound only while the touched groups
+              // carry no deltas — a delta replays against rids the
+              // subset rewrite would renumber — which the planner
+              // guarantees and this re-checks against the head.
+              require(!old.exists(e => e.kind != "base" && gs(e.group)),
+                s"$tableKey: binpack over delta-bearing groups — " +
+                  "run rewrite_data_files first")
+              old.filterNot(e => e.kind == "base" &&
+                e.spec == meta.specId && fs(e.name)) ++ added
+            case None =>
+              old.filterNot(e => e.spec == meta.specId && gs(e.group)) ++
+                added
+          }
       }
       RowStore.prePublishHook()
       try { RowStore.writeManifest(tableKey, cur + 1, next); committed = true }
@@ -661,6 +694,10 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
       }
       val replacedDv = touched
         .flatMap(t => existing.get(t).map(_._1.name))
+      // same pre-publish seam as the COW commit: the crash spec halts
+      // here to pin that landed-but-uncommitted delta/dv files stay
+      // invisible and sweep as orphans
+      RowStore.prePublishHook()
       RowStore.writeManifest(tableKey, cur + 1,
         man.filterNot(e => e.kind == "dv" && replacedDv(e.name)) ++
           added ++ dvAdded)

@@ -284,6 +284,140 @@ object RowCatalogMaintQueries {
         .withColumn("z_skips_both", lit(zK > 0 && zP > 0))
     }),
 
+    // ── q178: SIZE-AWARE BINPACK — Iceberg's rewrite_data_files
+    // binpack strategy (r14 item 8): rewrite ONLY base files outside
+    // the [0.75, 1.8]×target band; well-sized files keep their
+    // entries byte-verbatim, and a packed table is a provable NO-OP.
+    // The row builds the classic smallfile pathology (one well-sized
+    // seed file per group + 8 single-row fragment commits), binpacks
+    // with target = the largest current file (so every seed file sits
+    // in band), and pins: all 8 fragments rewrote into one packed
+    // file per group, every seed entry survived UNTOUCHED (same
+    // manifest name — stats never recomputed), and a second binpack
+    // plans NOTHING (rewritten = 0, no version committed). Content is
+    // observationally invariant throughout. BinpackSpec pins the
+    // file-count/size half.
+    "q178_dml_binpack" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q178_orders")
+      val t = "graft_dml.ns.bp"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+      s.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q178_orders WHERE o_orderkey % 3 = 0""")
+      // 8 separate single-row commits = 2 fragment files per group
+      // (keys 1000000..1000007 mod the 4 default buckets)
+      for (i <- 0 until 8)
+        s.sql(s"INSERT INTO $t VALUES (${1000000 + i}, ${11 * i})")
+      val dir = RowStore.dataDir(t)
+      val man0 = RowStore.readManifest(t, RowStore.currentVersion(t))
+      val preNames = man0.map(_.name).toSet
+      def sz(n: String) =
+        new java.io.File(RowStore.entryPath(dir, n)).length()
+      val target = man0.map(e => sz(e.name)).max
+      // expectations derive from the OBSERVED layout (robust to the
+      // session's write parallelism): in-band files must survive
+      // verbatim, every under-band fragment must pack — one output
+      // file per fragment-bearing group
+      val frags = man0.filter(e => sz(e.name) < (target * 3) / 4)
+      val inBand = man0.filterNot(e => frags.exists(_.name == e.name))
+      val r1 = s.sql("CALL graft_dml.system.rewrite_data_files_binpack(" +
+        s"'ns.bp', ${target}L)").head()
+      val packed = frags.size == 8 && r1.getInt(0) == frags.size &&
+        r1.getInt(1) == frags.map(_.group).distinct.size
+      val man1Names = RowStore
+        .readManifest(t, RowStore.currentVersion(t)).map(_.name).toSet
+      // every in-band (seed) entry survived with its NAME — its stats
+      // were never recomputed, its bytes never read — and exactly the
+      // fragments left the manifest
+      val preserved = inBand.size == 4 &&
+        inBand.forall(e => man1Names(e.name)) &&
+        (preNames -- man1Names).size == frags.size
+      val v1 = RowStore.currentVersion(t)
+      val r2 = s.sql("CALL graft_dml.system.rewrite_data_files_binpack(" +
+        s"'ns.bp', ${target}L)").head()
+      val noop = r2.getInt(0) == 0 &&
+        RowStore.currentVersion(t) == v1
+      import org.apache.spark.sql.functions.lit
+      s.table(t).select("k", "cents")
+        .withColumn("packed", lit(packed))
+        .withColumn("preserved", lit(preserved))
+        .withColumn("noop", lit(noop))
+    }),
+
+    // ── q177: MULTI-STATEMENT CROSS-TABLE TRANSACTION — BEGIN … any
+    // DML over several tables … COMMIT, the general form q176's
+    // branch publish only approximates (branches stage appends; a
+    // transaction gets full MERGE/UPDATE/DELETE generality via
+    // snapshot-isolated working clones — Transact.scala). The row
+    // drives the whole lifecycle: begin over (accounts, journal),
+    // UPDATE the accounts clone + INSERT the journal clone from the
+    // updated state, pin mid-txn ISOLATION (base tables unchanged
+    // while the txn is open), commit atomically; then a second txn
+    // that an interleaved direct write invalidates — commit REFUSES
+    // all-or-nothing (CME), rollback drops the clones. TransactSpec
+    // pins the storage half (file moves not copies, clone teardown,
+    // dv pairing across adoption).
+    "q177_dml_transaction" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q177_orders")
+      for (t <- Seq("txa", "txb"))
+        s.sql(s"DROP TABLE IF EXISTS graft_dml.ns.$t")
+      s.sql("CREATE TABLE graft_dml.ns.txa (k BIGINT, cents BIGINT)")
+      s.sql("CREATE TABLE graft_dml.ns.txb (k BIGINT, cents BIGINT)")
+      s.sql("""INSERT INTO graft_dml.ns.txa
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q177_orders WHERE o_orderkey % 8 = 0""")
+      val preSum = s.sql("SELECT CAST(SUM(cents) AS BIGINT) " +
+        "FROM graft_dml.ns.txa").head().getLong(0)
+      // txn 1: UPDATE accounts, journal the updated rows — commits
+      val b = s.sql("CALL graft_dml.system.begin_transaction(" +
+        "'ns.txa,ns.txb')").head()
+      val (id, clones) = (b.getLong(0), b.getString(1).split(","))
+      s.sql(s"UPDATE ${clones(0)} SET cents = cents + 5 WHERE k % 3 = 0")
+      s.sql(s"""INSERT INTO ${clones(1)}
+        SELECT k, cents FROM ${clones(0)} WHERE k % 3 = 0""")
+      // isolation: the OPEN transaction is invisible on the bases
+      val isolated = s.sql("SELECT CAST(SUM(cents) AS BIGINT) " +
+          "FROM graft_dml.ns.txa").head().getLong(0) == preSum &&
+        s.table("graft_dml.ns.txb").count() == 0L
+      s.sql(s"CALL graft_dml.system.commit_transaction(${id}L)").collect()
+      // txn 2: an interleaved direct commit on txa invalidates it —
+      // commit refuses ALL tables (the journal write publishes
+      // nothing either), rollback reclaims the clones
+      val b2 = s.sql("CALL graft_dml.system.begin_transaction(" +
+        "'ns.txa,ns.txb')").head()
+      val (id2, clones2) = (b2.getLong(0), b2.getString(1).split(","))
+      s.sql(s"INSERT INTO ${clones2(1)} VALUES (-1, 1)")
+      s.sql("INSERT INTO graft_dml.ns.txa VALUES (-2, 2)") // interloper
+      val refused =
+        try {
+          s.sql(s"CALL graft_dml.system.commit_transaction(${id2}L)")
+            .collect(); false
+        } catch { case e: Throwable =>
+          var t: Throwable = e; var f = false
+          while (t != null && !f) {
+            if (t.isInstanceOf[java.util.ConcurrentModificationException])
+              f = true
+            t = t.getCause
+          }
+          f
+        }
+      s.sql(s"CALL graft_dml.system.rollback_transaction(${id2}L)")
+        .collect()
+      val cleaned = refused && clones2.forall(c => !RowStore.exists(c)) &&
+        s.table("graft_dml.ns.txb").where("k = -1").count() == 0L
+      import org.apache.spark.sql.functions.lit
+      s.sql("""SELECT 'a' AS side, k, cents FROM graft_dml.ns.txa
+        UNION ALL
+        SELECT 'b', k, cents FROM graft_dml.ns.txb""")
+        .withColumn("isolated", lit(isolated))
+        .withColumn("refused_clean", lit(cleaned))
+    }),
+
     // ── q176: ATOMIC MULTI-TABLE PUBLISH — the cross-table WAP commit
     // single-table formats can't express (their transaction boundary
     // is one table's metadata pointer): a pipeline stages one audit
@@ -905,6 +1039,34 @@ object RowCatalogMaintQueries {
     // table A = seed + the atomically-published wave-1 slice; table B
     // = seed + wave 1 + the interleaved commit; wave 2 stays staged on
     // BOTH (the refusal was all-or-nothing); pins TRUE by contract
+    // content is binpack-invariant: seed slice + the 8 fragment rows;
+    // the packed/preserved/noop pins are TRUE by the op's contract
+    "q178_dml_binpack" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS packed, TRUE AS preserved, TRUE AS noop
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 1000000 + i, 11 * i, TRUE, TRUE, TRUE
+        |FROM UNNEST(generate_series(0, 7)) AS t(i)
+        |ORDER BY k""".stripMargin,
+
+    // the committed transaction restated: accounts slice with +5 on
+    // the k%3=0 rows (txn 1's UPDATE), plus the interloper row (-2, 2)
+    // that refused txn 2 — whose own writes committed NOTHING; the
+    // journal holds exactly txn 1's updated rows
+    "q177_dml_transaction" ->
+      """WITH seed AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 8 = 0)
+        |SELECT 'a' AS side, k,
+        |  CASE WHEN k % 3 = 0 THEN cents + 5 ELSE cents END AS cents,
+        |  TRUE AS isolated, TRUE AS refused_clean FROM seed
+        |UNION ALL SELECT 'a', -2, 2, TRUE, TRUE
+        |UNION ALL SELECT 'b', k, cents + 5, TRUE, TRUE
+        |FROM seed WHERE k % 3 = 0
+        |ORDER BY side, k""".stripMargin,
+
     "q176_dml_atomic_publish" ->
       """SELECT 'a' AS side, CAST(o_orderkey AS BIGINT) AS k,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.Files
-import java.util.concurrent.TimeUnit
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -30,30 +29,10 @@ import graft.sources.RowStore
   */
 class CrossProcessCommitSpec extends AnyFunSuite {
 
-  private def forkWorker(root: String, sqls: Seq[String]): Process = {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g",
-      s"-Dgraft.warehouse.root=$root",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.CrossProcessWorker") ++ sqls
-    new ProcessBuilder(cmd: _*).inheritIO().start()
-  }
+  private def forkWorker(root: String, sqls: Seq[String]): Process =
+    XProc.fork(root, sqls)
 
-  private def awaitOk(p: Process): Unit = {
-    assert(p.waitFor(300, TimeUnit.SECONDS), "worker JVM timed out")
-    assert(p.exitValue() == 0, s"worker JVM exited ${p.exitValue()}")
-  }
+  private def awaitOk(p: Process): Unit = XProc.await(p)
 
   test("two processes share one warehouse; versions stay linear") {
     val s = SparkSuite.spark

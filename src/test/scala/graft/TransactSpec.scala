@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{RowStore, Transact}
+
+/** Storage-half pins for the multi-statement transaction (q177 drives
+  * the SQL lifecycle; this spec pins what the query row can't see):
+  * adoption MOVES files instead of copying, clones tear down on both
+  * commit and rollback, a refused commit leaves the transaction open
+  * and nothing moved, and MOR delta/dv state survives adoption with
+  * its rid pairing intact. */
+class TransactSpec extends AnyFunSuite {
+
+  private def conf(): Unit = SparkSuite.spark.conf
+    .set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+
+  private def listData(key: String): Set[String] = {
+    val d = Paths.get(RowStore.dataDir(key))
+    val stream = Files.list(d)
+    try stream.iterator().asScala.map(_.getFileName.toString)
+      .filter(!_.startsWith(".")).toSet
+    finally stream.close()
+  }
+
+  test("commit MOVES txn-written files; clones drop; versions advance") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.a"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    val baseFilesBefore = listData(t)
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"INSERT INTO $ck VALUES (3, 30)")
+    s.sql(s"UPDATE $ck SET v = v + 1 WHERE k = 1")
+    val txnWritten = listData(ck) // files only the txn wrote
+    assert(txnWritten.nonEmpty)
+    val vs = Transact.commit(txn.id)
+    assert(vs == Seq(RowStore.currentVersion(t)))
+    // clone gone; every file its final manifest referenced from its
+    // own dir now lives in the base's dir (MOVED — the clone dir was
+    // dropped, so a copy would have been deleted with it)
+    assert(!RowStore.exists(ck), "clone must drop at commit")
+    val baseFilesAfter = listData(t)
+    val manifest = RowStore.readManifest(t, RowStore.currentVersion(t))
+      .map(_.name).toSet
+    assert(manifest.forall(n => n.startsWith("/") || baseFilesAfter(n)),
+      s"adopted manifest references a missing file: $manifest")
+    assert((baseFilesAfter -- baseFilesBefore).nonEmpty,
+      "txn-written files must land in the base data dir")
+    assert(s.table(t).orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("rollback drops clones and leaves bases byte-identical") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.b"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val v0 = RowStore.currentVersion(t)
+    val files0 = listData(t)
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"DELETE FROM $ck WHERE k = 1")
+    s.sql(s"INSERT INTO $ck VALUES (9, 90)")
+    assert(Transact.rollback(txn.id) == 1)
+    assert(!RowStore.exists(ck))
+    assert(RowStore.currentVersion(t) == v0 && listData(t) == files0,
+      "rollback must not touch the base: no version, no file")
+    assert(s.table(t).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // double rollback is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] { Transact.rollback(txn.id) }
+  }
+
+  test("refused commit leaves the txn open, nothing moved; retry works") {
+    val s = SparkSuite.spark; conf()
+    val (ta, tb) = ("graft_dml.tx.c", "graft_dml.tx.d")
+    for (t <- Seq(ta, tb)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    }
+    val txn = Transact.begin(Seq(ta, tb))
+    val (ca, cb) = (Transact.cloneKey(ta, txn.id),
+      Transact.cloneKey(tb, txn.id))
+    s.sql(s"INSERT INTO $ca VALUES (2, 20)")
+    s.sql(s"INSERT INTO $cb VALUES (3, 30)")
+    val cloneFiles = listData(ca)
+    s.sql(s"INSERT INTO $ta VALUES (99, 990)") // interloper on A
+    intercept[java.util.ConcurrentModificationException] {
+      Transact.commit(txn.id)
+    }
+    // ALL-or-nothing: neither table advanced past its own state, the
+    // clones (including untouched B's) survive with every file in
+    // place — the txn can be inspected, rolled back, or re-begun
+    assert(RowStore.exists(ca) && RowStore.exists(cb),
+      "a refused commit must keep the transaction open")
+    assert(listData(ca) == cloneFiles, "refusal must move nothing")
+    assert(s.table(tb).count() == 1,
+      "the non-conflicting table must not publish either")
+    assert(Transact.rollback(txn.id) == 2)
+  }
+
+  test("MOR dv table: delta and vector state survives adoption") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.m"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('format'='mor', 'deletes'='dv')")
+    s.sql(s"INSERT INTO $t VALUES " +
+      (0 until 8).map(i => s"($i, ${i * 10})").mkString(", "))
+    // pre-txn MOR churn so the clone carries existing deltas + dvs
+    s.sql(s"DELETE FROM $t WHERE k = 7")
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"""MERGE INTO $ck c USING (SELECT 1 AS k UNION ALL
+      SELECT 2 AS k) x ON c.k = x.k
+      WHEN MATCHED AND c.k = 1 THEN UPDATE SET v = 999
+      WHEN MATCHED THEN DELETE""")
+    Transact.commit(txn.id)
+    // the adopted snapshot replays deltas + vectors over the base
+    // files exactly as the clone did (leaf-rid pairing intact)
+    assert(s.table(t).orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 999L)) ++ (3 until 7).map(i =>
+        (i.toLong, i * 10L)))
+    // and the table keeps working post-adoption: further MOR churn
+    s.sql(s"DELETE FROM $t WHERE k = 0")
+    assert(s.table(t).count() == 5)
+  }
+
+  test("DDL inside a transaction refuses at commit") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.e"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"ALTER TABLE $ck ADD COLUMN extra BIGINT")
+    val e = intercept[IllegalArgumentException] { Transact.commit(txn.id) }
+    assert(e.getMessage.contains("DDL"), e.getMessage)
+    assert(Transact.rollback(txn.id) == 1)
+    assert(s.table(t).columns.toSeq == Seq("k", "v"))
+  }
+}
