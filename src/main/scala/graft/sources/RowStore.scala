@@ -1280,307 +1280,3 @@ object RowStore {
   }
 }
 
-/** Executor-side parquet IO for group/delta files, via the public
-  * parquet-hadoop example Group API — real columnar files (DuckDB
-  * could read them), with column projection pushed into the read. */
-object RowFiles {
-  import org.apache.hadoop.conf.Configuration
-  import org.apache.hadoop.fs.{Path => HPath}
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
-  import org.apache.parquet.hadoop.api.ReadSupport
-  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
-  import org.apache.parquet.hadoop.util.HadoopInputFile
-  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
-  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-
-  def messageType(schema: Seq[StructField]): MessageType = {
-    val b = Types.buildMessage()
-    schema.foreach { f =>
-      f.dataType match {
-        case LongType =>
-          b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
-        case IntegerType =>
-          b.addField(Types.optional(PrimitiveTypeName.INT32).named(f.name))
-        case TimestampType =>
-          // Spark's internal representation (micros since epoch, UTC)
-          // stored verbatim — the annotation keeps the file honest for
-          // external readers
-          b.addField(Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.timestampType(true,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case org.apache.spark.sql.types.DateType =>
-          // epoch days (Spark's internal form) as annotated INT32
-          b.addField(Types.optional(PrimitiveTypeName.INT32)
-            .as(LogicalTypeAnnotation.dateType()).named(f.name))
-        case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
-          // unscaled long at the declared scale — the canonical long
-          // form the zone maps and blooms hash/compare (parquet's
-          // standard INT64 decimal encoding)
-          b.addField(Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name))
-        case StringType =>
-          b.addField(Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        // statless physical types (no zone maps/blooms/NDV — files
-        // carrying only these columns' predicates are never skipped):
-        // native DOUBLE/FLOAT, raw BINARY, and ARRAY columns as one
-        // binary blob per row ([[RowNested.Arr]]'s codec)
-        case org.apache.spark.sql.types.DoubleType =>
-          b.addField(Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
-        case org.apache.spark.sql.types.FloatType =>
-          b.addField(Types.optional(PrimitiveTypeName.FLOAT).named(f.name))
-        case org.apache.spark.sql.types.BinaryType |
-          _: org.apache.spark.sql.types.ArrayType |
-          _: org.apache.spark.sql.types.MapType =>
-          b.addField(Types.optional(PrimitiveTypeName.BINARY).named(f.name))
-        case other => sys.error(s"RowStore: unsupported column type $other")
-      }
-    }
-    b.named("row")
-  }
-
-  /** Open one parquet writer; caller feeds externalized values aligned
-    * to `schema` and closes. */
-  final class FileWriter(file: String, schema: Seq[StructField]) {
-    private val msg = messageType(schema)
-    private val factory = new SimpleGroupFactory(msg)
-    private val w: ParquetWriter[Group] =
-      ExampleParquetWriter.builder(new HPath(file))
-        .withConf(new Configuration()).withType(msg).build()
-    var rows = 0
-    def write(vals: Array[Any]): Unit = {
-      val g = factory.newGroup()
-      schema.zipWithIndex.foreach { case (f, i) =>
-        vals(i) match {
-          case null              => ()
-          case l: java.lang.Long => g.add(f.name, l.longValue)
-          case n: java.lang.Integer => g.add(f.name, n.intValue)
-          case s: String         => g.add(f.name, s)
-          case u: UTF8String     => g.add(f.name, u.toString)
-          case d: java.lang.Double => g.add(f.name, d.doubleValue)
-          case fl: java.lang.Float => g.add(f.name, fl.floatValue)
-          case b: Array[Byte] => g.add(f.name,
-            org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
-          case other => sys.error(s"RowStore: unsupported value $other")
-        }
-      }
-      w.write(g)
-      rows += 1
-    }
-    def close(): Unit = w.close()
-  }
-
-  /** Read one file, projected to `wanted` (null-padded for columns the
-    * file predates — additive schema evolution without rewrites). The
-    * result is group/bucket-sized by construction, so an eager read is
-    * the honest cost model; `wanted`-empty reads touch only the footer
-    * (row counts), no data pages. */
-  /** Files opened across this JVM's readers (test observability — the
-    * SeqSource.rowsEmitted discipline: proves the manifest-count path
-    * opened NOTHING, not merely that the answer matched). */
-  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Footer-only metadata of one parquet file: (row count, file
-    * schema). The add_files registration pass — O(files) metadata
-    * reads, no data pages (Iceberg's add_files does the same footer
-    * walk to fill its manifest). Not counted in [[filesOpened]]:
-    * that counter proves QUERY paths opened nothing; registration is
-    * a one-time import cost by contract. */
-  def footerMeta(file: String): (Long, MessageType) = {
-    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
-    val footer = ParquetFileReader.open(in)
-    try (footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
-      footer.getFooter.getFileMetaData.getSchema)
-    finally footer.close()
-  }
-
-  def readRows(file: String, wanted: Seq[StructField]): Array[Array[Any]] = {
-    filesOpened.incrementAndGet()
-    val conf = new Configuration()
-    val in = HadoopInputFile.fromPath(new HPath(file), conf)
-    val footer = ParquetFileReader.open(in)
-    val (fileSchema, rowCount) =
-      try (footer.getFooter.getFileMetaData.getSchema,
-        footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-      finally footer.close()
-    val present = wanted.filter(f => fileSchema.containsField(f.name))
-    if (present.isEmpty) {
-      Array.fill(rowCount.toInt)(new Array[Any](wanted.length))
-    } else {
-      // project by the FILE's own types, not the requested ones: after
-      // ALTER COLUMN int→long (type widening) the wanted type is INT64
-      // while files committed earlier keep the narrow INT32 physical
-      // type — Iceberg's promotion rule: files never rewrite, readers
-      // widen at the parquet boundary (extraction below)
-      def fileType(n: String): org.apache.parquet.schema.Type =
-        fileSchema.getType(Seq(n): _*)
-      val projection = new MessageType("row",
-        present.map(f => fileType(f.name)): _*)
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      val int32 = present.filter { f =>
-        fileType(f.name).asPrimitiveType()
-          .getPrimitiveTypeName == PrimitiveTypeName.INT32
-      }.map(_.name).toSet
-      val r = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
-        .withConf(conf).build()
-      val out = Array.newBuilder[Array[Any]]
-      try {
-        var g = r.read()
-        while (g != null) {
-          out += wanted.map { f =>
-            if (!fileSchema.containsField(f.name) ||
-              g.getFieldRepetitionCount(f.name) == 0) null
-            else f.dataType match {
-              case LongType if int32(f.name) =>
-                Long.box(g.getInteger(f.name, 0).toLong) // widened read
-              case LongType      => Long.box(g.getLong(f.name, 0))
-              case TimestampType => Long.box(g.getLong(f.name, 0))
-              case IntegerType   => Int.box(g.getInteger(f.name, 0))
-              // externalized forms match the writer's: date = epoch-day
-              // int, decimal = unscaled long at the declared scale
-              case org.apache.spark.sql.types.DateType =>
-                Int.box(g.getInteger(f.name, 0))
-              case _: org.apache.spark.sql.types.DecimalType =>
-                Long.box(g.getLong(f.name, 0))
-              case StringType    => g.getString(f.name, 0)
-              case org.apache.spark.sql.types.DoubleType =>
-                Double.box(g.getDouble(f.name, 0))
-              case org.apache.spark.sql.types.FloatType =>
-                Float.box(g.getFloat(f.name, 0))
-              // all read back as the externalized byte form; ARRAY/MAP
-              // blobs decode at the internalize boundary (RowNested)
-              case org.apache.spark.sql.types.BinaryType |
-                _: org.apache.spark.sql.types.ArrayType |
-                _: org.apache.spark.sql.types.MapType =>
-                g.getBinary(f.name, 0).getBytes
-              case other => sys.error(s"unsupported $other")
-            }
-          }.toArray
-          g = r.read()
-        }
-      } finally r.close()
-      out.result()
-    }
-  }
-}
-
-/** Group-state resolution shared by the table scan, the row-level
-  * operation scans, and the change feed: base files in manifest order,
-  * then delta records (MOR) replayed in commit order. Row identity is
-  * `file#pos` — Iceberg's position-delete model. */
-object RowResolve {
-  val DeleteOp = 1
-  val UpdateOp = 2
-  val InsertOp = 3
-  /** EQUALITY delete (Iceberg's second delete-file kind): the record
-    * carries a KEY VALUE (in the key column's slot, no `_rid`), and
-    * replay removes every row visible AT THAT POINT in commit order
-    * whose key equals it — later inserts resurrect the key, exactly
-    * Iceberg's sequence-number semantics expressed in replay order. */
-  val EqDeleteOp = 4
-
-  val DeltaMetaFields: Seq[StructField] = Seq(
-    StructField("_op", IntegerType), StructField("_rid", StringType),
-    StructField("_grp", IntegerType))
-
-  private def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-
-  /** Visible (rid, values) of one group at one version — the
-    * two-list form (all bases, then all deltas): correct whenever no
-    * EQUALITY delete can appear, because positional records address
-    * rids (a later base file's rids are never referenced by an
-    * earlier delta). */
-  def resolve(group: Int, baseFiles: Seq[String], deltaFiles: Seq[String],
-      wanted: Seq[StructField], keyIdx: Int = -1): Seq[(String, Array[Any])] =
-    resolveOrdered(group,
-      baseFiles.map(("base", _)) ++ deltaFiles.map(("delta", _)),
-      wanted, keyIdx)
-
-  /** Visible (rid, values) of one group, replaying `items` (kind,
-    * path) in MANIFEST ORDER — which is commit order, because every
-    * commit appends its new entries after the carried-over ones. The
-    * order is what gives EQUALITY deletes Iceberg's sequence-number
-    * semantics: a value-addressed delete removes only rows from files
-    * committed BEFORE it, and a later insert of the same key
-    * resurrects. `wanted` is the projected DATA columns; `keyIdx` is
-    * the key column's index within it (readers facing possible
-    * equality deletes must include the key; -1 is valid only when no
-    * eq-delete record can appear). */
-  def resolveOrdered(group: Int, items: Seq[(String, String)],
-      wanted: Seq[StructField], keyIdx: Int = -1): Seq[(String, Array[Any])] = {
-    if (items.forall(_._1 == "base")) {
-      // clean group: no delta can touch it, stream the files directly
-      items.flatMap { case (_, f) =>
-        val n = leaf(f)
-        RowFiles.readRows(f, wanted).iterator.zipWithIndex
-          .map { case (v, i) => (s"$n#$i", v) }
-      }
-    } else {
-      // LinkedHashMap keeps a row's original position across updates,
-      // so resolution order is deterministic (commit order + insert
-      // order)
-      val m = new java.util.LinkedHashMap[String, Array[Any]]()
-      items.foreach {
-        case ("base", f) =>
-          val n = leaf(f)
-          RowFiles.readRows(f, wanted).iterator.zipWithIndex
-            .foreach { case (v, i) => m.put(s"$n#$i", v) }
-        // DELETION VECTOR: one bitmap of deleted positions for ONE
-        // target file — remove exactly those rids. Equivalent to a run
-        // of positional DeleteOp records at this commit point (and,
-        // because rid-deletes are terminal, to the same deletes at any
-        // EARLIER point — the confluence the commit-time union-merge
-        // relies on). No eq-delete state can be pending here: vectors
-        // are whole files, and the per-file eq batch flushes at file
-        // end.
-        case ("dv", f) =>
-          val (target, words) = RowStore.Dv.read(f)
-          RowStore.Dv.foreachSet(words)(pos => { m.remove(s"$target#$pos"); () })
-        case (_, f) =>
-          val n = leaf(f)
-          // CONSECUTIVE eq-delete records batch into one key set and
-          // apply in a single sweep over the visible rows: records in
-          // one file share a commit point, so a run of eq-deletes is
-          // order-free among themselves — semantically identical to
-          // per-record sweeps, but O(rows + keys) instead of
-          // O(rows × keys) for CDC-sized delete files. The set flushes
-          // before any non-eq record for this group (an interleaved
-          // insert of a deleted key must still resurrect it).
-          val pendingEq = new java.util.HashSet[Any]()
-          def flushEq(): Unit = if (!pendingEq.isEmpty) {
-            val it = m.entrySet().iterator()
-            while (it.hasNext) {
-              if (pendingEq.contains(it.next().getValue()(keyIdx)))
-                it.remove()
-            }
-            pendingEq.clear()
-          }
-          RowFiles.readRows(f, DeltaMetaFields ++ wanted).zipWithIndex
-            .foreach { case (rec, i) =>
-              val grp = rec(2).asInstanceOf[java.lang.Integer]
-              if (grp != null && grp.intValue == group) {
-                val rid = rec(1).asInstanceOf[String]
-                val data = rec.drop(DeltaMetaFields.length)
-                rec(0).asInstanceOf[java.lang.Integer].intValue match {
-                  case DeleteOp => flushEq(); m.remove(rid); ()
-                  case UpdateOp =>
-                    flushEq(); if (m.containsKey(rid)) m.put(rid, data); ()
-                  case InsertOp => flushEq(); m.put(s"$n#$i", data); ()
-                  case EqDeleteOp =>
-                    require(keyIdx >= 0, "equality-delete replay needs " +
-                      "the key column in the resolved projection")
-                    pendingEq.add(data(keyIdx)); ()
-                  case other => sys.error(s"corrupt delta record op=$other")
-                }
-              }
-            }
-          flushEq()
-      }
-      m.asScala.toSeq
-    }
-  }
-}
-
