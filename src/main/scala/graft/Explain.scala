@@ -61,7 +61,9 @@ object Explain {
         "q170_dml_cherrypick", "q171_dml_incremental_view",
         "s18_ann_range_search", "s19_ann_range_ivf",
         "q172_dml_shallow_clone", "q173_dml_check_constraint",
-        "q174_dml_copy_into", "q176_dml_atomic_publish")
+        "q174_dml_copy_into", "q176_dml_atomic_publish",
+        "q177_dml_transaction", "q178_dml_binpack", "s20_ann_graph",
+        "fz01_fuzz_s1", "fz03_fuzz_s9")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
