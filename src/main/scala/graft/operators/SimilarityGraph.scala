@@ -217,8 +217,9 @@ object SimilarityGraph {
     // expand → beam inside the probed cells, recall-gated in-plan
     // against the exact baseline (the s04 discipline). The gate is
     // the CONTRACT: the graph traversal must recover ≥ 0.6 of the
-    // exact top-K through a Degree-8, 3-hop, Beam-16 walk seeded at
-    // one entry point per probed cell.
+    // exact top-K through a degree-(8 NN + 4 long-link) graph under
+    // a Beam×Hops expansion budget, seeded at two entry points per
+    // probed cell (the constants above are the binding values).
     "s20_ann_graph" -> ((s, d) => {
       val exact = Similarity.queries("s01_ann_bruteforce")(s, d)
       Similarity.recallGate(exact, graphTopK(s, d), 0.6, "graph_recall_ok")

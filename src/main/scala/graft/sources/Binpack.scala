@@ -62,8 +62,10 @@ object BinpackOps {
           else Seq.empty
         if (selected.isEmpty) None else Some(g -> selected)
       }
-    val skipped = man.count(_.kind == "base") -
-      plans.map(_._2.size).sum
+    // well-sized = ELIGIBLE files the size band kept — files in
+    // delta-bearing groups were never size-checked and must not be
+    // reported as well-sized (review finding)
+    val skipped = eligible.size - plans.map(_._2.size).sum
     if (plans.isEmpty) return (0, 0, skipped)
 
     // per-group output slice count from the selected byte total —

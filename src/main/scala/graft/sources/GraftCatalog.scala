@@ -1082,19 +1082,20 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
     * Spark's V2Writes asserts the (deduplicated) relation options and
     * the write options agree — two different keys on the same table
     * trip it. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val handshake =
+      Option(options.get("compact")).map(GroupWrite.parseCompact)
     new GroupScanBuilder(tableKey, meta, version, None,
       Option(options.get("groups"))
         .map(_.split(",").map(_.trim.toInt).toSet)
-        .orElse(Option(options.get("compact"))
-          .map(v => GroupWrite.parseCompact(v)._2)),
-      staticFiles = Option(options.get("compact"))
-        .flatMap(v => GroupWrite.parseCompact(v)._5),
+        .orElse(handshake.map(_._2)),
+      staticFiles = handshake.flatMap(_._5),
       // streaming start version (readStream.option("from", v))
       streamFrom = Option(options.get("from")).map(_.toInt).getOrElse(0),
       // `branch=<name>` reads the STAGED snapshot (WAP audit read);
       // a `VERSION AS OF '<branch>'` table arrives branch-pinned
       branch = forceBranch.orElse(Option(options.get("branch"))))
+  }
 
   /** INSERT INTO path: append; INSERT OVERWRITE arrives as
     * `truncate()` on the same builder and flips it to replace-all.

@@ -1037,7 +1037,14 @@ object RowStore {
     try {
       try Files.createLink(target, staged)
       catch {
-        case _: UnsupportedOperationException =>
+        // no-hardlink mounts surface as UnsupportedOperationException
+        // OR a generic FileSystemException ("Operation not permitted"
+        // on CIFS/FAT/some NFS) — both route to the fallback; the
+        // FileAlreadyExists subtype must NOT (it is the commit-race
+        // signal, re-thrown below)
+        case e @ (_: UnsupportedOperationException |
+          _: java.nio.file.FileSystemException)
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
           if (Files.exists(target))
             throw new java.nio.file.FileAlreadyExistsException(
               target.toString)

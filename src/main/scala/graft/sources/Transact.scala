@@ -54,14 +54,24 @@ object Transact {
   final case class Txn(id: Long, tables: Seq[String],
     bases: Map[String, Int])
 
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(1L)
+  /** Ids seed from the JVM start time (ms, shifted to leave counter
+    * room) rather than 1: clone names land on SHARED disk, so two
+    * driver processes — or a restart after a crash that left
+    * `<table>__txnN` debris — must never draw an id a sibling or a
+    * corpse already used (the review finding: per-JVM `1` collided
+    * both ways). */
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() << 12)
   private val live =
     new java.util.concurrent.ConcurrentHashMap[Long, Txn]()
 
   def cloneKey(table: String, id: Long): String = s"${table}__txn$id"
 
   /** Start a transaction over `tables` (store keys). Returns the txn
-    * whose clones (`cloneKey(t, id)`) statements should target. */
+    * whose clones (`cloneKey(t, id)`) statements should target. A
+    * begin that fails mid-way (e.g. a clone-name collision on table
+    * 3 of 4) drops the clones it already made — no leaked debris
+    * without a rollback handle. */
   def begin(tables: Seq[String]): Txn = RowStore.commitLock.synchronized {
     require(tables.nonEmpty, "begin_transaction: no tables")
     require(tables.distinct.size == tables.size,
@@ -70,27 +80,42 @@ object Transact {
       s"begin_transaction: $t does not exist"))
     val id = nextId.getAndIncrement()
     val bases = tables.map(t => t -> RowStore.currentVersion(t)).toMap
-    tables.foreach(t => RowStoreOps.snapshotTable(t, cloneKey(t, id)))
+    val made = scala.collection.mutable.ListBuffer.empty[String]
+    try tables.foreach { t =>
+      RowStoreOps.snapshotTable(t, cloneKey(t, id)); made += t
+    } catch { case e: Throwable =>
+      made.foreach(t => RowStore.drop(cloneKey(t, id)))
+      throw e
+    }
     val txn = Txn(id, tables, bases)
     live.put(id, txn)
     txn
   }
 
-  /** Abandon the transaction: drop the clones, bases untouched. */
-  def rollback(id: Long): Int = {
+  /** Abandon the transaction: drop the clones, bases untouched. Runs
+    * under the commit lock and atomically claims the id, so a
+    * rollback can never race a concurrent commit on the same
+    * transaction into deleting clone files mid-adoption. */
+  def rollback(id: Long): Int = RowStore.commitLock.synchronized {
     val txn = live.remove(id)
     require(txn != null, s"rollback_transaction: no open transaction $id")
     txn.tables.count(t => RowStore.drop(cloneKey(t, id)))
   }
 
   /** Publish every clone's snapshot onto its base, all-or-nothing.
-    * Returns the new version per table (input order). On an OCC
-    * refusal the transaction STAYS OPEN (nothing adopted, no file
-    * moved) — the caller rolls back or retries after inspecting. */
+    * Returns the new version per table (input order). On a PHASE-0
+    * (OCC/schema) refusal the transaction STAYS OPEN — nothing
+    * adopted, no file moved — and the caller rolls back or re-begins.
+    * A failure AFTER phase 0 (an IO error mid-adoption, or the
+    * cross-process window below) CLOSES the transaction instead:
+    * retrying would re-move already-moved files, so the clones drop,
+    * the id dies, and the error says so — already-published tables
+    * are durable, unpublished bases are untouched, and any moved-but-
+    * unreferenced files are debris `remove_orphan_files` reclaims. */
   def commit(id: Long): Seq[Int] = {
-    val txn = live.get(id)
-    require(txn != null, s"commit_transaction: no open transaction $id")
     RowStore.commitLock.synchronized {
+      val txn = live.get(id)
+      require(txn != null, s"commit_transaction: no open transaction $id")
       // phase 0 — OCC + schema validation, ALL before ANY mutation
       txn.tables.foreach { t =>
         val cur = RowStore.currentVersion(t)
@@ -104,6 +129,25 @@ object Transact {
           s"$t: schema/metadata evolved inside transaction $id — DDL " +
             "in transactions is not supported; rollback")
       }
+      // phases 1+2 mutate (file moves, links): any failure past this
+      // point CLOSES the transaction — see the scaladoc contract
+      try commitAdopt(txn)
+      catch { case e: Throwable =>
+        txn.tables.foreach(t => RowStore.drop(cloneKey(t, id)))
+        live.remove(id)
+        throw new IllegalStateException(
+          s"transaction $id failed mid-adoption and was CLOSED " +
+            "(already-published tables are durable, unpublished bases " +
+            "untouched, moved-but-unreferenced files reclaim via " +
+            "remove_orphan_files); re-begin to retry", e)
+      }
+    }
+  }
+
+  /** Phases 1+2 of [[commit]] (caller holds the lock and owns the
+    * failure contract). */
+  private def commitAdopt(txn: Txn): Seq[Int] = {
+    val id = txn.id
       // phase 1 — adopt + stage every table's next manifest
       val staged = txn.tables.map { t =>
         val ck = cloneKey(t, id)
@@ -134,7 +178,19 @@ object Transact {
       }
       // phase 2 — link all (atomic create-if-absent per table; the
       // lock + phase-0 validation make an in-flight loss impossible
-      // in-process, and a cross-process interloper fails loudly)
+      // in-process, and a cross-process interloper fails loudly).
+      // KNOWN WINDOW (the copy_into/publish_branches documentation
+      // discipline): a cross-process writer that commits a version
+      // number between phase 0 and a later table's link makes that
+      // link throw CommitConflictException with EARLIER tables
+      // already published and the remaining clones' txn-written files
+      // already moved — the already-published tables are correct and
+      // durable, the unpublished tables are untouched, and the moved
+      // files are unreferenced debris remove_orphan_files reclaims;
+      // the residual transaction should be rolled back, not retried.
+      // Single-writer-per-table deployments (this harness) never hit
+      // it; a real format closes it with a catalog-service CAS over
+      // the whole table set.
       val versions =
         try staged.map { case (t, cur, tmp) =>
           RowStore.publishStaged(t, cur + 1, tmp)
@@ -145,6 +201,5 @@ object Transact {
       txn.tables.foreach(t => RowStore.drop(cloneKey(t, id)))
       live.remove(id)
       versions
-    }
   }
 }
