@@ -136,6 +136,32 @@ class TransactSpec extends AnyFunSuite {
     assert(s.table(t).count() == 5)
   }
 
+  test("a commit that fails mid-adoption CLOSES the transaction") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.f"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val v0 = RowStore.currentVersion(t)
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"INSERT INTO $ck VALUES (2, 20)")
+    // inject a phase-1 IO failure: delete one txn-written file out
+    // from under the adoption's Files.move
+    val cloneDir = Paths.get(RowStore.dataDir(ck))
+    val victim = Files.list(cloneDir).iterator().asScala
+      .filter(!_.getFileName.toString.startsWith(".")).toSeq.head
+    Files.delete(victim)
+    val e = intercept[IllegalStateException] { Transact.commit(txn.id) }
+    assert(e.getMessage.contains("CLOSED"), e.getMessage)
+    // the contract: base untouched, clones dropped, id dead — a
+    // retry-poisoned transaction must not stay claimable
+    assert(RowStore.currentVersion(t) == v0 && s.table(t).count() == 1)
+    assert(!RowStore.exists(ck), "a closed txn's clones must drop")
+    intercept[IllegalArgumentException] { Transact.commit(txn.id) }
+    intercept[IllegalArgumentException] { Transact.rollback(txn.id) }
+  }
+
   test("DDL inside a transaction refuses at commit") {
     val s = SparkSuite.spark; conf()
     val t = "graft_dml.tx.e"
