@@ -1105,6 +1105,18 @@ object RowStoreOps {
       s"$table: add_files/copy_into cannot validate imported rows " +
         s"against the CHECK constraint (${meta.check}) — import into " +
         "an unconstrained table")
+    // handshake-reserved characters: binpack packs selected entry
+    // names into GroupWrite.parseCompact's ':'-segmented,
+    // ','-separated option value — an imported absolute path carrying
+    // either would silently mis-parse the handshake and select the
+    // wrong files (r15 advisor finding). Native UUID leaves never
+    // contain them, so only imports can smuggle them in: refuse at
+    // registration.
+    files.find(f => f.contains(":") || f.contains(","))
+      .foreach(f => sys.error(
+        s"add_files: path $f contains ':' or ',' — both are reserved " +
+          "by the rewrite-handshake encoding; rename the file to " +
+          "import it"))
     // validate every footer against the table schema UP FRONT: a file
     // whose physical type the reader can't decode must refuse at
     // registration, not crash the first scan

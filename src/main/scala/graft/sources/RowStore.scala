@@ -1048,8 +1048,24 @@ object RowStore {
           if (Files.exists(target))
             throw new java.nio.file.FileAlreadyExistsException(
               target.toString)
+          // POSIX rename() REPLACES an existing target, so a
+          // cross-process tie inside the exists→move window would
+          // silently clobber the winner's manifest. Verify after the
+          // move: re-read the published file and require it to be
+          // EXACTLY what this writer staged — a mismatch means the
+          // window was hit, and the loud CommitConflictException
+          // below replaces what would otherwise be silent data loss
+          // (r15 advisor finding). The winner whose content survived
+          // proceeds; the clobbered party re-validates and retries.
+          val stagedBytes = Files.readAllBytes(staged)
           Files.move(staged, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          if (!java.util.Arrays.equals(
+              Files.readAllBytes(target), stagedBytes))
+            throw new java.nio.file.FileAlreadyExistsException(
+              s"$target (fallback publish verify: the published " +
+                "content is not this writer's staged content — a " +
+                "concurrent writer tied inside the move window)")
       }
     } catch {
       case e: java.nio.file.FileAlreadyExistsException =>

@@ -148,6 +148,14 @@ object Transact {
     * failure contract). */
   private def commitAdopt(txn: Txn): Seq[Int] = {
     val id = txn.id
+      // staged-temp ledger spanning BOTH phases: a phase-1 failure on
+      // table N (adopt IO error, stageManifest throw) must still
+      // reclaim tables 1..N-1's already-staged temps — the phase-2
+      // finally alone only covers a fully-built `staged` collection
+      // (r15 advisor finding). deleteIfExists is idempotent against
+      // publishStaged's own cleanup.
+      val stagedTmps = scala.collection.mutable.ListBuffer.empty[Path]
+      try {
       // phase 1 — adopt + stage every table's next manifest
       val staged = txn.tables.map { t =>
         val ck = cloneKey(t, id)
@@ -174,7 +182,9 @@ object Transact {
           .map(e => e.copy(name = adopt(e.name),
             dvTarget = e.dvTarget.map(readdress)))
         val cur = RowStore.currentVersion(t)
-        (t, cur, RowStore.stageManifest(t, cur + 1, entries))
+        val tmp = RowStore.stageManifest(t, cur + 1, entries)
+        stagedTmps += tmp
+        (t, cur, tmp)
       }
       // phase 2 — link all (atomic create-if-absent per table; the
       // lock + phase-0 validation make an in-flight loss impossible
@@ -191,15 +201,15 @@ object Transact {
       // Single-writer-per-table deployments (this harness) never hit
       // it; a real format closes it with a catalog-service CAS over
       // the whole table set.
-      val versions =
-        try staged.map { case (t, cur, tmp) =>
-          RowStore.publishStaged(t, cur + 1, tmp)
-          cur + 1
-        } finally staged.foreach { case (_, _, tmp) =>
-          Files.deleteIfExists(tmp); ()
-        }
+      val versions = staged.map { case (t, cur, tmp) =>
+        RowStore.publishStaged(t, cur + 1, tmp)
+        cur + 1
+      }
       txn.tables.foreach(t => RowStore.drop(cloneKey(t, id)))
       live.remove(id)
       versions
+      } finally stagedTmps.foreach { tmp =>
+        Files.deleteIfExists(tmp); ()
+      }
   }
 }

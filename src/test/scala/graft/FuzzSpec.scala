@@ -34,10 +34,15 @@ class FuzzSpec extends AnyFunSuite {
       if (p.groupBy.nonEmpty) grouped += 1
       if (p.distinct) distincts += 1
       if (p.preds.nonEmpty) preds += 1
+      // non-printable separator + a DISTINCT null marker: the bare
+      // String.valueOf renders null as the string "null", so a real
+      // null-vs-'null' divergence would compare equal (r15 advisor)
+      def cell(v: Any): String =
+        if (v == null) "\u0000" else String.valueOf(v)
       val viaDf = p.frame(s, SparkSuite.sf).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+        .map(_.toSeq.map(cell).mkString("\u0001")).sorted.toSeq
       val viaSql = s.sql(p.sql("fz_")).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+        .map(_.toSeq.map(cell).mkString("\u0001")).sorted.toSeq
       assert(viaDf == viaSql,
         s"seed $seed diverged between the DataFrame and SQL renderings" +
           s"\n  sql: ${p.sql("fz_")}" +
