@@ -514,12 +514,15 @@ object RowStoreOps {
     *    because filtered files replace their entries IN PLACE.
     *
     * Distribution: one executor pass over the delta files (each
-    * change-sized by construction) filters delete records out and
-    * returns per-target position BITMAPS — file-level metadata, never
-    * rows (rows/8 bytes per touched file, the DV commit path's own
-    * economics); the driver unions them with existing vectors and
-    * commits under the OCC rule. Returns (folded delete records,
-    * deletion vectors at the new head, delta entries dropped). */
+    * change-sized by construction) filters delete records out, writes
+    * each target's position bitmap as a dv blob IN PLACE (executor-
+    * side), and returns only (target, blob name) handles; the driver
+    * resolves handles against existing vectors through [[DvMerge]]
+    * (unions, when needed, run as a second executor pass) and commits
+    * under the OCC rule — nothing row-proportional ever transits the
+    * driver, the DV commit path's own economics. Returns (folded
+    * delete records, deletion vectors at the new head, delta entries
+    * dropped). */
   def rewritePositionDeletes(s: SparkSession, table: String)
       : (Long, Int, Int) = {
     val meta = RowStore.readMeta(table)
@@ -541,13 +544,15 @@ object RowStoreOps {
     val storageFields = RowNested.flatLeaves(meta.schema.fields.toSeq)
       .map(f => f.copy(name = meta.storageOf(f.name)))
     val fileSchema = RowResolve.DeltaMetaFields ++ storageFields
-    /** (entry name, folded deletes, target→positions, replacement:
-      * None=untouched, Some(None)=drop entry, Some(Some((n, rows)))=
-      * new file with its surviving record count). */
-    val results: Array[(String, Long, Map[String, Array[Long]],
+    /** (entry name, folded deletes, target→written dv blob name,
+      * replacement: None=untouched, Some(None)=drop entry,
+      * Some(Some((n, rows)))=new file with its surviving record
+      * count). The blob is written by THIS task — only its name
+      * returns to the driver. */
+    val results: Array[(String, Long, Map[String, String],
         Option[Option[(String, Long)]])] =
       s.sparkContext.parallelize(tasks, math.min(tasks.size, 32)).map {
-        case (name, path, _, newName) =>
+        case (name, path, grp, newName) =>
           val ops = RowFiles.readRows(path,
             RowResolve.DeltaMetaFields.take(2))
           val hasInsert = ops.exists(
@@ -559,7 +564,7 @@ object RowStoreOps {
           }.toSet
           if (delIdx.isEmpty || hasInsert)
             // nothing to fold, or rid-minting file — keep intact
-            (name, 0L, Map.empty[String, Array[Long]], None)
+            (name, 0L, Map.empty[String, String], None)
           else {
             val words = scala.collection.mutable
               .Map.empty[String, scala.collection.mutable.BitSet]
@@ -571,8 +576,13 @@ object RowStoreOps {
                 scala.collection.mutable.BitSet.empty) +=
                 rid.substring(cut + 1).toInt
             }
+            // write each target's bitmap as a dv blob HERE — the
+            // driver sees names, never words (a delta file's records
+            // are all group `grp`, so its targets are too)
             val bitmaps = words.map { case (t, b) =>
-              t -> b.toBitMask }.toMap
+              val dvName = s"dv$grp-pd-${UUID.randomUUID()}.bin"
+              RowStore.Dv.write(s"$dir/$dvName", t, b.toBitMask)
+              t -> dvName }.toMap
             if (delIdx.size == ops.length)
               (name, delIdx.size.toLong, bitmaps, Some(None)) // all deletes
             else {
@@ -589,19 +599,6 @@ object RowStoreOps {
       }.collect()
     val folded = results.map(_._2).sum
     if (folded == 0L) return (0L, man.count(_.kind == "dv"), 0)
-    // union folded bitmaps per target, then fold in each touched
-    // target's EXISTING vector (manifest-resident dvTarget lookup —
-    // commit IO proportional to touched files, as in the DV writer)
-    val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
-    results.foreach(_._3.foreach { case (t, w) =>
-      merged(t) = merged.get(t).map(RowStore.Dv.union(_, w)).getOrElse(w)
-    })
-    val replacedDv = man.filter(e => e.kind == "dv" &&
-      e.dvTarget.exists(merged.contains))
-    replacedDv.foreach { e =>
-      val (t, w) = RowStore.Dv.read(s"$dir/${e.name}")
-      merged(t) = RowStore.Dv.union(merged(t), w)
-    }
     // target leaf → owning group (rids address leaf names; add_files
     // entries' absolute paths reduce to their leaf for the lookup)
     val groupOfLeaf = man.collect { case e if e.kind == "base" ||
@@ -609,15 +606,19 @@ object RowStoreOps {
       e.name.substring(e.name.lastIndexOf('/') + 1) -> e.group }.toMap
     val replace: Map[String, Option[(String, Long)]] = results.collect {
       case (name, _, _, Some(rep)) => name -> rep }.toMap
-    val dvAdded = merged.toSeq.sortBy(_._1).map { case (t, w) =>
-      val g = groupOfLeaf.getOrElse(t, sys.error(
-        s"$table: deletion target $t is not in the manifest"))
-      val name = s"dv$g-pd-${UUID.randomUUID()}.bin"
-      RowStore.Dv.write(s"$dir/$name", t, w)
-      RowStore.FileEntry("dv", g, name, spec = meta.specId,
-        dvTarget = Some(t))
-    }
-    val replacedDvNames = replacedDv.map(_.name).toSet
+    // resolve the executor-written blob handles against each touched
+    // target's EXISTING vector (manifest-resident dvTarget lookup —
+    // commit IO proportional to touched files, as in the DV writer);
+    // unions, when a target needs one, run as a second executor pass
+    val handles: Seq[(Int, String, String)] =
+      results.toSeq.flatMap(r => r._3.map { case (t, dvName) =>
+        val g = groupOfLeaf.getOrElse(t, sys.error(
+          s"$table: deletion target $t is not in the manifest"))
+        (g, t, dvName)
+      })
+    val existing = DvMerge.existingVectors(man, handles.map(_._2).toSet)
+    val (dvAdded, replacedDvNames, consumed) =
+      DvMerge.resolve(dir, meta.specId, handles, existing)
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(table)
       if (cur != base)
@@ -640,6 +641,13 @@ object RowStoreOps {
         case e => Some(e)
       } ++ dvAdded
       RowStore.writeManifest(table, cur + 1, next)
+      // merged-away partial blobs were never referenced — reclaim
+      // now that the publish landed (failure above leaves orphans,
+      // never dangling references)
+      consumed.foreach { n =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, n)); ()
+      }
     }
     (folded, dvAdded.size +
       man.count(e => e.kind == "dv" && !replacedDvNames(e.name)),
@@ -1460,8 +1468,13 @@ object RowStoreOps {
     * owned — dst's VACUUM and orphan cleanup sweep only its OWN data
     * dir listing, so no maintenance on the clone can delete source
     * bytes). Zero data bytes move; per-entry stats/zone-maps/blooms/
-    * NDV/dv-targets carry over verbatim (dv targets absolutized WITH
-    * their base entries so the pairing survives). The tables then
+    * NDV carry over verbatim, and dv TARGETS stay in LEAF form: a
+    * target is an address into rid space (rids are always
+    * `leaf#pos`, and the dv blob's own content records the leaf),
+    * not a file reference — absolutizing it broke the existing-vector
+    * lookup on a clone, so a dv-mode DELETE against an
+    * already-vectored file stacked a second vector instead of
+    * replacing (r15 advisor's invariant break). The tables then
     * diverge independently: a write on either side rewrites into its
     * own data dir and drops only its own references. Same-manifest
     * group routing stays consistent because dst shares src's Meta
@@ -1476,8 +1489,7 @@ object RowStoreOps {
       val entries = RowStore.readManifest(src, RowStore.currentVersion(src))
       val srcData = RowStore.dataDir(src)
       def abs(n: String) = RowStore.entryPath(srcData, n)
-      val cloned = entries.map(e =>
-        e.copy(name = abs(e.name), dvTarget = e.dvTarget.map(abs)))
+      val cloned = entries.map(e => e.copy(name = abs(e.name)))
       RowStore.writeMeta(dst, meta)
       RowStore.writeManifest(dst, 0, cloned)
       cloned.size

@@ -122,6 +122,30 @@ object RowStore {
     * Production value is a no-op. */
   @volatile private[graft] var prePublishHook: () => Unit = () => ()
 
+  /** Test seam: observes the java-serialized byte size of each MOR
+    * delta commit's WriterCommitMessage array. DeletionVectorSpec
+    * pins through it that the dv payload transiting the driver is
+    * O(touched files) — a regression back to bitmap words in the
+    * message (rows/8 bytes per file) shows up as message bytes
+    * scaling with deleted-row count. Production value is null. */
+  @volatile private[graft] var commitBytesProbe: Long => Unit = null
+
+  /** Java-serialized size of `o`, counted without buffering the
+    * bytes (the probe's measuring stick). */
+  private[graft] def serializedSize(o: AnyRef): Long = {
+    class Counter extends java.io.OutputStream {
+      var n = 0L
+      override def write(b: Int): Unit = n += 1
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        n += len
+    }
+    val c = new Counter
+    val oos = new java.io.ObjectOutputStream(c)
+    oos.writeObject(o)
+    oos.close()
+    c.n
+  }
+
   /** `bucketCol` is the declared partition column (`PARTITIONED BY
     * (bucket(n, col))` — Iceberg's bucket transform); empty = the
     * pre-transform default, first column. [[keyCol]] is the single

@@ -171,9 +171,11 @@ object Transact {
           } else if (n.startsWith(baseData + "/"))
             n.stripPrefix(baseData + "/") // untouched shallow-clone ref
           else n // genuine external reference (add_files import)
-        // a dv TARGET is an address, never an owned file — rewrite its
-        // form (absolute base ref back to the leaf) without moving
-        // anything; relative targets are already canonical leaf names
+        // a dv TARGET is an address, never an owned file — clones now
+        // keep it in canonical leaf form (snapshotTable), so this is
+        // normally the identity; it still strips a base-absolute form
+        // defensively so a legacy-shaped manifest can never leak an
+        // absolutized target into the base
         def readdress(n: String): String =
           if (n.startsWith(baseData + "/")) n.stripPrefix(baseData + "/")
           else n

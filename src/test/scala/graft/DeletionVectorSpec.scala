@@ -185,6 +185,51 @@ class DeletionVectorSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
   }
 
+  test("commit-message payload is O(touched files), not O(deleted rows)") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    // two single-file tables, same file count, 64× the rows: the dv
+    // blobs are written EXECUTOR-SIDE and only fixed-size handles ride
+    // the commit messages, so the serialized message bytes must be
+    // ~flat in deleted-row count (the r15 payload — bitmap words —
+    // grew by rows/8 per file and would trip the 2× ceiling here)
+    def measuredDelete(t: String, rows: Int): (Long, Int) = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // bucket(1, k): every row co-locates into ONE group → one base
+      // file and one touched target, so the two measurements differ
+      // ONLY in deleted-row count
+      s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(1, k)) " +
+        "TBLPROPERTIES ('format'='mor','deletes'='dv')")
+      s.range(rows).selectExpr("id AS k", "id * 10 AS v")
+        .writeTo(t).append()
+      var bytes = -1L
+      RowStore.commitBytesProbe = b => bytes = b
+      try s.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+      finally RowStore.commitBytesProbe = null
+      assert(bytes > 0, "the delete commit must report its payload")
+      val e = entries(t)
+      val nBase = e.count(_.kind == "base")
+      assert(e.count(_.kind == "dv") == nBase,
+        "one vector per touched base file")
+      assert(!e.exists(_.kind == "delta"))
+      assert(s.table(t).count() == rows / 2)
+      (bytes, nBase)
+    }
+    val (small, nb1) = measuredDelete("graft_dml.spec.dvp1", 512)
+    val (large, nb2) = measuredDelete("graft_dml.spec.dvp2", 512 * 64)
+    assert(nb1 == nb2,
+      s"comparability: both tables must land the same file count " +
+        s"($nb1 vs $nb2) — the distribution shuffles to session " +
+        "parallelism either way")
+    assert(large < small * 2,
+      s"dv commit payload must not scale with deleted rows: " +
+        s"$small bytes for ${512 / 2} deletes vs $large bytes for " +
+        s"${512 * 64 / 2}")
+    s.sql("DROP TABLE graft_dml.spec.dvp1")
+    s.sql("DROP TABLE graft_dml.spec.dvp2")
+  }
+
   test("refusals: dv without mor, unknown deletes value") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")

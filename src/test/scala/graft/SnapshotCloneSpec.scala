@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * that group (the other groups keep their live references), no
   * maintenance on the clone (VACUUM, orphan cleanup) can delete
   * source bytes, a MOR source's delta records and deletion vectors
-  * survive the absolutization (dv target pairing included), and
-  * cloning onto an existing table refuses. */
+  * survive the absolutization (dv targets staying in leaf form — rid
+  * addresses, not file references), and cloning onto an existing
+  * table refuses. */
 class SnapshotCloneSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   import graft.sources.{RowStore, RowStoreOps}
@@ -90,11 +91,19 @@ class SnapshotCloneSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE IF EXISTS $dst")
     RowStoreOps.snapshotTable(src, dst)
     val e0 = RowStore.readManifest(dst, 0)
-    // dv targets absolutized WITH their base entries: pairing intact
-    val baseNames = e0.filter(_.kind == "base").map(_.name).toSet
-    e0.filter(_.kind == "dv").foreach(e =>
-      assert(baseNames(e.dvTarget.get), s"dv target ${e.dvTarget} must " +
-        "resolve against the absolutized base entries"))
+    // dv targets stay in LEAF form (rid-space addresses — r15 advisor:
+    // absolutizing them broke the existing-vector lookup on clones);
+    // each must pair with the leaf of an absolutized base entry
+    val baseLeaves = e0.filter(_.kind == "base")
+      .map(e => e.name.substring(e.name.lastIndexOf('/') + 1)).toSet
+    val dvs = e0.filter(_.kind == "dv")
+    assert(dvs.nonEmpty, "fixture must clone at least one vector")
+    dvs.foreach { e =>
+      assert(!e.dvTarget.get.startsWith("/"),
+        s"dv target ${e.dvTarget} must stay leaf-form in the clone")
+      assert(baseLeaves(e.dvTarget.get), s"dv target ${e.dvTarget} " +
+        "must pair with a cloned base entry's leaf")
+    }
     val a = s.sql(s"SELECT k, v FROM $src ORDER BY k").collect().toSeq
     val b = s.sql(s"SELECT k, v FROM $dst ORDER BY k").collect().toSeq
     assert(a == b, "MOR clone must read identically to its source")

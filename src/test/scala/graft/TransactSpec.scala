@@ -131,6 +131,20 @@ class TransactSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 0L), (1L, 999L)) ++ (3 until 7).map(i =>
         (i.toLong, i * 10L)))
+    // the clone's MERGE deleted from a file that ALREADY carried a
+    // vector (the pre-txn k=7 delete): the clone-side lookup must
+    // find the existing vector through the clone manifest — a missed
+    // lookup (r15 advisor: snapshotTable absolutized dvTargets out
+    // of leaf form) stacks a second vector on the same target, which
+    // the union keeps observationally correct but breaks the
+    // at-most-one-vector-per-file invariant forever
+    val dvs = RowStore.readManifest(t, RowStore.currentVersion(t))
+      .filter(_.kind == "dv")
+    assert(dvs.nonEmpty && dvs.groupBy(_.dvTarget).forall(_._2.size == 1),
+      s"adoption must preserve at-most-one-vector-per-file: " +
+        dvs.map(e => (e.name, e.dvTarget)).mkString("; "))
+    assert(dvs.flatMap(_.dvTarget).forall(!_.startsWith("/")),
+      s"dv targets must stay in leaf form through clone+adoption: $dvs")
     // and the table keeps working post-adoption: further MOR churn
     s.sql(s"DELETE FROM $t WHERE k = 0")
     assert(s.table(t).count() == 5)
