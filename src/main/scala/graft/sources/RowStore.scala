@@ -1045,60 +1045,129 @@ object RowStore {
     tmp
   }
 
-  /** PUBLISH a staged manifest: atomically create `v<N>.manifest`
-    * from the staged temp via a hard link — on POSIX, link(2) FAILS
-    * if the target exists, so exactly ONE writer (in this process or
-    * any other) can ever commit a given version, and a reader can
-    * never observe a torn manifest (the link appears with its full
-    * content or not at all). A loser's staged file is cleaned up and
-    * [[CommitConflictException]] tells it to re-validate against the
-    * new head. Filesystems without hard links fall back to
-    * exists-check + ATOMIC_MOVE (atomic against torn reads, weaker
-    * against a sub-millisecond cross-process tie — the POSIX link
-    * path is the contract; the fallback keeps exotic mounts usable). */
+  // ── OBJECT-STORE COMMIT SEAM ──────────────────────────────────────
+  // The commit protocol is three named steps — STAGE (write the next
+  // manifest's full content to a private temp), CONDITIONAL-PUBLISH
+  // (make it the version file iff no one else already did), READ-HEAD
+  // (losers re-read, re-validate, retry) — and only the middle step
+  // touches storage-specific atomicity. [[ManifestPublisher]] is that
+  // step's seam. The local-fs instance uses link(2); on an object
+  // store, where a 100 TB deployment actually lives, the SAME protocol
+  // maps to the stores' native conditional writes:
+  //   - S3:   PUT v<N>.manifest with `If-None-Match: *` (supported
+  //           since 2024-08) — 412 Precondition Failed = conflict;
+  //   - GCS:  upload with `x-goog-if-generation-match: 0` — 412;
+  //   - ADLS: create with `If-None-Match: *` — 409/412.
+  // Nothing else in the engine changes: staging is a plain object
+  // write under a unique key, and reads are plain GETs (every
+  // manifest is immutable once published). [[CasPublisher]] is a
+  // second, in-memory instance of the seam modeling exactly that
+  // compare-and-swap shape, exercised by the commit-seam spec.
+
+  /** The conditional-publish step: make `target` exist with
+    * `staged`'s content IFF `target` does not already exist, atomically
+    * against concurrent publishers AND concurrent readers (a reader
+    * sees the full content or no file — never a torn prefix). Must
+    * throw [[java.nio.file.FileAlreadyExistsException]] when another
+    * writer won (the condition-failed signal — S3's 412). `staged` is
+    * consumed: deleted on every path. */
+  trait ManifestPublisher {
+    def publishIfAbsent(target: Path, staged: Path): Unit
+  }
+
+  /** Local-filesystem instance: on POSIX, link(2) FAILS if the target
+    * exists, so exactly ONE writer (in this process or any other) can
+    * ever publish a given version, and the link appears with its full
+    * content or not at all. Filesystems without hard links fall back
+    * to exists-check + ATOMIC_MOVE + content verify (atomic against
+    * torn reads; the verify turns a sub-millisecond cross-process tie
+    * from a silent clobber into a loud conflict — the POSIX link path
+    * is the contract, the fallback keeps exotic mounts usable). */
+  object HardLinkPublisher extends ManifestPublisher {
+    def publishIfAbsent(target: Path, staged: Path): Unit =
+      try {
+        try Files.createLink(target, staged)
+        catch {
+          // no-hardlink mounts surface as UnsupportedOperationException
+          // OR a generic FileSystemException ("Operation not permitted"
+          // on CIFS/FAT/some NFS) — both route to the fallback; the
+          // FileAlreadyExists subtype must NOT (it is the commit-race
+          // signal, propagated)
+          case e @ (_: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException)
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+            if (Files.exists(target))
+              throw new java.nio.file.FileAlreadyExistsException(
+                target.toString)
+            // POSIX rename() REPLACES an existing target, so a
+            // cross-process tie inside the exists→move window would
+            // silently clobber the winner's manifest. Verify after the
+            // move: re-read the published file and require it to be
+            // EXACTLY what this writer staged — a mismatch means the
+            // window was hit, and the loud conflict below replaces
+            // what would otherwise be silent data loss (r15 advisor
+            // finding). The winner whose content survived proceeds;
+            // the clobbered party re-validates and retries.
+            val stagedBytes = Files.readAllBytes(staged)
+            Files.move(staged, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            if (!java.util.Arrays.equals(
+                Files.readAllBytes(target), stagedBytes))
+              throw new java.nio.file.FileAlreadyExistsException(
+                s"$target (fallback publish verify: the published " +
+                  "content is not this writer's staged content — a " +
+                  "concurrent writer tied inside the move window)")
+        }
+      } finally {
+        Files.deleteIfExists(staged); ()
+      }
+  }
+
+  /** In-memory conditional-PUT instance (test-only by construction,
+    * but a REAL second implementation of the seam): a process-wide
+    * `putIfAbsent` on the target key decides the winner — exactly the
+    * compare-and-swap an S3 `If-None-Match: *` PUT performs — and the
+    * winner alone materializes the file so readers (which read the
+    * filesystem) observe the same world. A key another publisher
+    * already materialized (pre-existing versions) also refuses. */
+  final class CasPublisher extends ManifestPublisher {
+    private val published =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    def publishIfAbsent(target: Path, staged: Path): Unit =
+      try {
+        if (published.putIfAbsent(target.toString,
+            java.lang.Boolean.TRUE) != null || Files.exists(target))
+          throw new java.nio.file.FileAlreadyExistsException(
+            s"$target (conditional PUT: precondition failed)")
+        // only the CAS winner reaches here — the move can never race
+        // another publisher of this key, and ATOMIC_MOVE keeps
+        // concurrent readers un-torn
+        Files.move(staged, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } finally {
+        Files.deleteIfExists(staged); ()
+      }
+  }
+
+  /** The active publisher — swapped by the commit-seam spec; every
+    * production path uses the local-fs instance. */
+  @volatile private[graft] var publisher: ManifestPublisher =
+    HardLinkPublisher
+
+  /** PUBLISH a staged manifest as version `v` through the
+    * [[ManifestPublisher]] seam. A loser's staged file is cleaned up
+    * and [[CommitConflictException]] tells it to re-validate against
+    * the new head. */
   def publishStaged(key: String, v: Int, staged: Path): Unit = {
     val target = Paths.get(tableDir(key), s"v$v.manifest")
-    try {
-      try Files.createLink(target, staged)
-      catch {
-        // no-hardlink mounts surface as UnsupportedOperationException
-        // OR a generic FileSystemException ("Operation not permitted"
-        // on CIFS/FAT/some NFS) — both route to the fallback; the
-        // FileAlreadyExists subtype must NOT (it is the commit-race
-        // signal, re-thrown below)
-        case e @ (_: UnsupportedOperationException |
-          _: java.nio.file.FileSystemException)
-          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
-          if (Files.exists(target))
-            throw new java.nio.file.FileAlreadyExistsException(
-              target.toString)
-          // POSIX rename() REPLACES an existing target, so a
-          // cross-process tie inside the exists→move window would
-          // silently clobber the winner's manifest. Verify after the
-          // move: re-read the published file and require it to be
-          // EXACTLY what this writer staged — a mismatch means the
-          // window was hit, and the loud CommitConflictException
-          // below replaces what would otherwise be silent data loss
-          // (r15 advisor finding). The winner whose content survived
-          // proceeds; the clobbered party re-validates and retries.
-          val stagedBytes = Files.readAllBytes(staged)
-          Files.move(staged, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          if (!java.util.Arrays.equals(
-              Files.readAllBytes(target), stagedBytes))
-            throw new java.nio.file.FileAlreadyExistsException(
-              s"$target (fallback publish verify: the published " +
-                "content is not this writer's staged content — a " +
-                "concurrent writer tied inside the move window)")
-      }
-    } catch {
+    try publisher.publishIfAbsent(target, staged)
+    catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
           s"$key: version $v was committed by another writer while " +
             s"this commit was staging (${e.getMessage}) — re-read the " +
             "head, re-validate, and retry")
-    } finally {
-      Files.deleteIfExists(staged); ()
     }
   }
 
