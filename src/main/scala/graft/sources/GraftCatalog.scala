@@ -310,6 +310,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       override def run(a: InternalRow): Array[Any] =
         Array(Transact.rollback(a.getLong(0)))
     },
+    new Proc("gc_transactions",
+      "reclaim transactions older than ttl_ms (a crashed owner's " +
+        "debris): drop their clones and registry records; base tables " +
+        "are untouched by construction — any process may run it",
+      Seq(("ttl_ms", LongType)),
+      Seq(("reclaimed", IntegerType), ("still_open", IntegerType))) {
+      override def run(a: InternalRow): Array[Any] = {
+        val (reclaimed, open) = Transact.gcTransactions(a.getLong(0))
+        Array(reclaimed, open)
+      }
+    },
     new Proc("cherrypick_branch",
       "replay a staged WAP branch's delta onto a main that moved past " +
         "its fork base (Iceberg's cherrypick_snapshot); refuses when an " +

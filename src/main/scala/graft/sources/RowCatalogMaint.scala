@@ -385,12 +385,18 @@ object RowCatalogMaintQueries {
           "FROM graft_dml.ns.txa").head().getLong(0) == preSum &&
         s.table("graft_dml.ns.txb").count() == 0L
       s.sql(s"CALL graft_dml.system.commit_transaction(${id}L)").collect()
-      // txn 2: an interleaved direct commit on txa invalidates it —
-      // commit refuses ALL tables (the journal write publishes
-      // nothing either), rollback reclaims the clones
+      // txn 2: an interleaved direct commit on txa lands in the SAME
+      // group the transaction's own txa write touched (k=-6 and k=-2
+      // share bucket floorMod(k, 4) = 2) — a genuine write-write
+      // conflict, so the group-level OCC refuses ALL tables (the
+      // journal write publishes nothing either) and rollback reclaims
+      // the clones. (A group-DISJOINT interloper would legitimately
+      // commit under the rebase — TransactSpec pins that both-land
+      // case.)
       val b2 = s.sql("CALL graft_dml.system.begin_transaction(" +
         "'ns.txa,ns.txb')").head()
       val (id2, clones2) = (b2.getLong(0), b2.getString(1).split(","))
+      s.sql(s"INSERT INTO ${clones2(0)} VALUES (-6, 6)")
       s.sql(s"INSERT INTO ${clones2(1)} VALUES (-1, 1)")
       s.sql("INSERT INTO graft_dml.ns.txa VALUES (-2, 2)") // interloper
       val refused =

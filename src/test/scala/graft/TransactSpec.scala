@@ -93,7 +93,11 @@ class TransactSpec extends AnyFunSuite {
     s.sql(s"INSERT INTO $ca VALUES (2, 20)")
     s.sql(s"INSERT INTO $cb VALUES (3, 30)")
     val cloneFiles = listData(ca)
-    s.sql(s"INSERT INTO $ta VALUES (99, 990)") // interloper on A
+    // interloper on A in the SAME group the txn touched (2 and 6
+    // share bucket k % 4 = 2): a genuine write-write conflict the
+    // group-level OCC must refuse (a disjoint interloper lands — the
+    // next test)
+    s.sql(s"INSERT INTO $ta VALUES (6, 60)")
     intercept[java.util.ConcurrentModificationException] {
       Transact.commit(txn.id)
     }
@@ -106,6 +110,95 @@ class TransactSpec extends AnyFunSuite {
     assert(s.table(tb).count() == 1,
       "the non-conflicting table must not publish either")
     assert(Transact.rollback(txn.id) == 2)
+  }
+
+  test("group-DISJOINT interloper and transaction BOTH land (rebase)") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.g"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"INSERT INTO $ck VALUES (2, 20)")   // txn touches group 2
+    s.sql(s"INSERT INTO $t VALUES (7, 70)")    // interloper: group 3
+    val curBefore = RowStore.currentVersion(t)
+    val vs = Transact.commit(txn.id)
+    // the commit REBASED onto the interloper's head instead of
+    // refusing: both writes are visible, nothing lost, version linear
+    assert(vs == Seq(curBefore + 1))
+    assert(s.table(t).orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (7L, 70L)),
+      "group-disjoint concurrent writer and transaction must BOTH land")
+    // overlapping refusal still holds on the same machinery: pinned
+    // by 'refused commit leaves the txn open' above
+  }
+
+  test("registry: open txns are observable; GC reclaims expired ones") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.r"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val v0 = RowStore.currentVersion(t)
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"INSERT INTO $ck VALUES (2, 20)")
+    // observable from the registry (any process could run this scan)
+    val rec = Transact.scan().find(_.id == txn.id)
+    assert(rec.isDefined && rec.get.tables == Seq(t) &&
+      rec.get.bases(t) == v0 && rec.get.ownedByThisProcess,
+      s"open txn must be on the registry: ${Transact.scan()}")
+    // a generous TTL keeps it; ttl 0 reclaims it: clones + record
+    // gone, base untouched
+    val (e0, k0) = Transact.gcTransactions(3600 * 1000L)
+    assert(e0 == 0 && k0 >= 1, s"($e0, $k0)")
+    assert(RowStore.exists(ck))
+    val (e1, _) = Transact.gcTransactions(0L)
+    assert(e1 >= 1)
+    assert(!RowStore.exists(ck), "GC must drop the expired clone")
+    assert(Transact.scan().forall(_.id != txn.id))
+    assert(RowStore.currentVersion(t) == v0 && s.table(t).count() == 1,
+      "GC must never touch the base")
+    // the reclaimed id is dead for commit and rollback alike
+    intercept[IllegalArgumentException] { Transact.commit(txn.id) }
+    intercept[IllegalArgumentException] { Transact.rollback(txn.id) }
+  }
+
+  test("a foreign process's txn: observed, commit refused, GC'd") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.x"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val v0 = RowStore.currentVersion(t)
+    // P1: a SECOND JVM opens a transaction and exits WITHOUT
+    // committing — the crashed-owner shape; its record and clones
+    // survive it on the shared warehouse (this process's scratch
+    // root, handed to the worker via -Dgraft.warehouse.root)
+    val sharedRoot = graft.sources.RowStore.dataDir(t)
+      .stripSuffix(s"/$t/data")
+    val before = Transact.scan().map(_.id).toSet
+    XProc.await(XProc.fork(sharedRoot, Seq(
+      "CALL graft_dml.system.begin_transaction('tx.x')")))
+    val foreign = Transact.scan().filterNot(o => before(o.id))
+    assert(foreign.size == 1, s"worker's txn must be observable: " +
+      s"${Transact.scan()}")
+    val o = foreign.head
+    assert(!o.ownedByThisProcess && o.tables == Seq(t))
+    assert(RowStore.exists(Transact.cloneKey(t, o.id)),
+      "the foreign clone is visible debris")
+    // this process may neither commit nor roll back the foreign txn
+    val e1 = intercept[IllegalArgumentException] { Transact.commit(o.id) }
+    assert(e1.getMessage.contains("owned by process"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { Transact.rollback(o.id) }
+    assert(e2.getMessage.contains("owned by process"), e2.getMessage)
+    // the owner is dead: GC reclaims its debris, base untouched
+    val (reclaimed, _) = Transact.gcTransactions(0L)
+    assert(reclaimed >= 1)
+    assert(!RowStore.exists(Transact.cloneKey(t, o.id)))
+    assert(RowStore.currentVersion(t) == v0 && s.table(t).count() == 1)
   }
 
   test("MOR dv table: delta and vector state survives adoption") {
