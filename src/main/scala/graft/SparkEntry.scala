@@ -41,6 +41,7 @@ object SparkEntry {
       sources.AggSinkQueries.queries ++
       sources.AvroQueries.queries ++
       sources.SpjQueries.queries ++
+      sources.DmlFuzz.queries ++
       plans.Adaptive.queries ++
       plans.RuntimeFilter.queries ++
       streaming.StreamingOps.queries
@@ -70,6 +71,7 @@ object SparkEntry {
       sources.AggSinkQueries.oracles ++
       sources.AvroQueries.oracles ++
       sources.SpjQueries.oracles ++
+      sources.DmlFuzz.oracles ++
       plans.Adaptive.oracles ++
       plans.RuntimeFilter.oracles ++
       streaming.StreamingOps.oracles

@@ -81,7 +81,7 @@ object Fuzz {
   private def refCol(r: Ref): Column =
     org.apache.spark.sql.functions.col(s"${r.alias}.${r.col.name}")
 
-  sealed trait Pred { def sql: String; def dfc: Column }
+  sealed trait Pred { def sql: String; def dfc: Column; def r: Ref }
   final case class Cmp(r: Ref, op: String, lit: String) extends Pred {
     def sql = s"${r.sql} $op $lit"
     def dfc = {
@@ -261,6 +261,88 @@ object Fuzz {
       Plan(base, join, preds, conjAnd, Seq.empty, Seq.empty, projs,
         distinct = rng.chance(30))
     }
+  }
+
+  /** STRUCTURAL SHRINKING (r15 verdict item 6 — "seeded, shrinking"):
+    * a failing plan pins by seed, but a 6-operator repro hides which
+    * operator matters. `shrink` walks simplification candidates —
+    * drop the join (pruning every j-side reference with it), drop a
+    * predicate, a group column, an aggregate, a projection, the
+    * DISTINCT, or simplify an arithmetic projection / a composite
+    * aggregate to its plain form — keeping a candidate only while the
+    * failure predicate STILL fails, until no candidate fails. Greedy
+    * first-failing with the most aggressive candidates first; every
+    * candidate is a valid plan (the grammar's totality is preserved:
+    * an emptied output list backfills a minimal column/count), so the
+    * loop can never shrink into nonsense. The result is the smallest
+    * still-failing plan along this lattice — typically the one
+    * triggering operator plus a minimal output. */
+  def shrink(p0: Plan, fails: Plan => Boolean): Plan = {
+    require(fails(p0), "shrink needs a failing plan to start from")
+    var cur = p0
+    var progress = true
+    while (progress) {
+      shrinks(cur).find(fails) match {
+        case Some(c) => cur = c
+        case None => progress = false
+      }
+    }
+    cur
+  }
+
+  /** One-step simplification candidates of `p`, most aggressive
+    * first. All valid plans by construction. */
+  def shrinks(p: Plan): Seq[Plan] = {
+    def bOnly(r: Ref) = r.alias == "b"
+    val minimalProj = PCol("p0", Ref("b", p.base.cols.head))
+    // drop the join, and with it every j-side reference; backfill the
+    // output if that empties it
+    val dropJoin: Seq[Plan] = p.join.toSeq.map { _ =>
+      val aggs2 = p.aggs.filter {
+        case ACnt(_) => true
+        case ASum(_, r) => bOnly(r)
+        case AMin(_, r, _) => bOnly(r)
+        case ACntD(_, r) => bOnly(r)
+      }
+      val isAgg = p.aggs.nonEmpty
+      p.copy(join = None,
+        preds = p.preds.filter(pr => bOnly(pr.r)),
+        groupBy = p.groupBy.filter(g => bOnly(g.r)),
+        aggs = if (isAgg && aggs2.isEmpty) Seq(ACnt("a0")) else aggs2,
+        projs = {
+          val ps = p.projs.filter {
+            case PCol(_, r) => bOnly(r)
+            case PArith(_, r, _, _) => bOnly(r)
+          }
+          if (!isAgg && ps.isEmpty) Seq(minimalProj) else ps
+        })
+    }
+    val dropPreds = p.preds.indices.map(i =>
+      p.copy(preds = p.preds.patch(i, Nil, 1)))
+    val dropGroups = p.groupBy.indices.map(i =>
+      p.copy(groupBy = p.groupBy.patch(i, Nil, 1)))
+    val dropAggs =
+      if (p.aggs.size > 1) p.aggs.indices.map(i =>
+        p.copy(aggs = p.aggs.patch(i, Nil, 1)))
+      else Seq.empty
+    val dropProjs =
+      if (p.projs.size > 1) p.projs.indices.map(i =>
+        p.copy(projs = p.projs.patch(i, Nil, 1)))
+      else Seq.empty
+    val dropDistinct =
+      if (p.distinct) Seq(p.copy(distinct = false)) else Seq.empty
+    // simplify-in-place: arithmetic projection → plain column,
+    // composite aggregate → COUNT(*)
+    val simplifyProjs = p.projs.zipWithIndex.collect {
+      case (PArith(n, r, _, _), i) =>
+        p.copy(projs = p.projs.updated(i, PCol(n, r)))
+    }
+    val simplifyAggs = p.aggs.zipWithIndex.collect {
+      case (a, i) if !a.isInstanceOf[ACnt] =>
+        p.copy(aggs = p.aggs.updated(i, ACnt(a.name)))
+    }
+    dropJoin ++ dropPreds ++ dropGroups ++ dropAggs ++ dropProjs ++
+      dropDistinct ++ simplifyProjs ++ simplifyAggs
   }
 
   /** Ten pinned seeds promoted to first-class rows: the full
