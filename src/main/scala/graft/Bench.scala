@@ -251,11 +251,16 @@ object Bench {
     val total = results.map(_._2.min).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runPairs,"retried":$retried,"load_poisoned":$poisonedJson,"load_start":"$loadStart","load_end":"$loadEnd","load":$loads,"ambient":$ambients,"fixtures_total":$fixturesSec,"fixtures":$fxs,"fixture_loads":$fxLoads,"sf":"$sfDir"}"""
-    // The driver captures a tail of stdout; a noisy shutdown once pushed
-    // the JSON line past the capture window and BENCH_r03 recorded
-    // "parsed": null with ~21 of 83 entries lost. Belt and braces:
-    // print the line first, flush, AND persist a copy the driver (or a
-    // human) can always read whole.
+    // The driver captures only a ~2000-char TAIL of stdout, and at 310+
+    // queries the full JSON line is ~50 KB — it can NEVER fit, which is
+    // exactly why BENCH_r15 recorded "parsed": null (the line's head was
+    // cut). Three-part output, each with one job:
+    //   1. the FULL json printed once (humans reading the whole log),
+    //   2. the FULL json persisted to bench_out.json (the committed
+    //      BENCH_full artifact and bench_diff's input),
+    //   3. a COMPACT line printed LAST — total + the slowest rows +
+    //      a pointer to the full artifact — sized to survive the tail
+    //      window so the driver artifact always parses.
     println(json)
     Console.out.flush()
     try java.nio.file.Files.write(
@@ -263,8 +268,14 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // best-effort copy only
     spark.stop()
-    // repeat after teardown so the LAST lines of stdout also carry the
-    // full JSON even if Spark's stop() logs flooded the tail capture.
-    println(json)
+    val slow = results.map { case (k, rs) => k -> rs.min }
+      .sortBy { case (k, v) => (-v, k) }.take(20)
+    val slowJson = slow.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${
+        results.size},"queries":$slowJson,"queries_elided":${
+        results.size - slow.size},"full":"bench_out.json","load_start":"$loadStart","load_end":"$loadEnd","load_poisoned":$poisonedJson,"fixtures_total":$fixturesSec,"sf":"$sfDir"}"""
+    println(compact)
   }
 }

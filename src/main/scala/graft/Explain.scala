@@ -63,7 +63,9 @@ object Explain {
         "q172_dml_shallow_clone", "q173_dml_check_constraint",
         "q174_dml_copy_into", "q176_dml_atomic_publish",
         "q177_dml_transaction", "q178_dml_binpack", "s20_ann_graph",
-        "fz01_fuzz_s1", "fz03_fuzz_s9")
+        "fz01_fuzz_s1", "fz03_fuzz_s9",
+        "dm01_dml_fuzz_cow", "dm02_dml_fuzz_mordv",
+        "fw01_fuzz_setop", "fw02_fuzz_window")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

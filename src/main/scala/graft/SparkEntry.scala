@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Geo.queries ++
       operators.Fuzz.queries ++
+      operators.FuzzExt.queries ++
       sources.Bucketing.queries ++
       sources.Formats.queries ++
       sources.Partitioned.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Geo.oracles ++
       operators.Fuzz.oracles ++
+      operators.FuzzExt.oracles ++
       sources.Bucketing.oracles ++
       sources.Formats.oracles ++
       sources.Partitioned.oracles ++

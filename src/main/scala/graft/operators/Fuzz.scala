@@ -57,16 +57,16 @@ object Fuzz {
   final case class Col(name: String, kind: Kind, lits: Seq[String])
   final case class Tbl(name: String, cols: Seq[Col])
 
-  private val Nation = Tbl("nation", Seq(
+  private[operators] val Nation = Tbl("nation", Seq(
     Col("n_nationkey", IntK, Seq("5", "12", "20")),
     Col("n_regionkey", IntK, Seq("1", "2", "3")),
     Col("n_name", StrK, Seq("'NATION_3'", "'NATION_11'", "'NATION_17'"))))
-  private val Customer = Tbl("customer", Seq(
+  private[operators] val Customer = Tbl("customer", Seq(
     Col("c_custkey", IntK, Seq("40", "77", "120")),
     Col("c_nationkey", IntK, Seq("4", "9", "19")),
     Col("c_mktsegment", StrK,
       Seq("'BUILDING'", "'MACHINERY'", "'AUTOMOBILE'"))))
-  private val Orders = Tbl("orders", Seq(
+  private[operators] val Orders = Tbl("orders", Seq(
     Col("o_orderkey", IntK, Seq("100", "333", "512")),
     Col("o_custkey", IntK, Seq("15", "60", "140")),
     Col("o_orderstatus", StrK, Seq("'F'", "'O'", "'P'")),

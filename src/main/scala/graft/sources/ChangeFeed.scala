@@ -544,12 +544,12 @@ object RowStoreOps {
     val storageFields = RowNested.flatLeaves(meta.schema.fields.toSeq)
       .map(f => f.copy(name = meta.storageOf(f.name)))
     val fileSchema = RowResolve.DeltaMetaFields ++ storageFields
-    /** (entry name, folded deletes, target→written dv blob name,
-      * replacement: None=untouched, Some(None)=drop entry,
+    /** (entry name, folded deletes, target→(written dv blob name,
+      * popcount), replacement: None=untouched, Some(None)=drop entry,
       * Some(Some((n, rows)))=new file with its surviving record
-      * count). The blob is written by THIS task — only its name
-      * returns to the driver. */
-    val results: Array[(String, Long, Map[String, String],
+      * count). The blob is written by THIS task — only its name and
+      * popcount return to the driver. */
+    val results: Array[(String, Long, Map[String, (String, Long)],
         Option[Option[(String, Long)]])] =
       s.sparkContext.parallelize(tasks, math.min(tasks.size, 32)).map {
         case (name, path, grp, newName) =>
@@ -564,7 +564,7 @@ object RowStoreOps {
           }.toSet
           if (delIdx.isEmpty || hasInsert)
             // nothing to fold, or rid-minting file — keep intact
-            (name, 0L, Map.empty[String, String], None)
+            (name, 0L, Map.empty[String, (String, Long)], None)
           else {
             val words = scala.collection.mutable
               .Map.empty[String, scala.collection.mutable.BitSet]
@@ -582,7 +582,7 @@ object RowStoreOps {
             val bitmaps = words.map { case (t, b) =>
               val dvName = s"dv$grp-pd-${UUID.randomUUID()}.bin"
               RowStore.Dv.write(s"$dir/$dvName", t, b.toBitMask)
-              t -> dvName }.toMap
+              t -> ((dvName, b.size.toLong)) }.toMap
             if (delIdx.size == ops.length)
               (name, delIdx.size.toLong, bitmaps, Some(None)) // all deletes
             else {
@@ -610,11 +610,11 @@ object RowStoreOps {
     // target's EXISTING vector (manifest-resident dvTarget lookup —
     // commit IO proportional to touched files, as in the DV writer);
     // unions, when a target needs one, run as a second executor pass
-    val handles: Seq[(Int, String, String)] =
-      results.toSeq.flatMap(r => r._3.map { case (t, dvName) =>
+    val handles: Seq[(Int, String, String, Long)] =
+      results.toSeq.flatMap(r => r._3.map { case (t, (dvName, card)) =>
         val g = groupOfLeaf.getOrElse(t, sys.error(
           s"$table: deletion target $t is not in the manifest"))
-        (g, t, dvName)
+        (g, t, dvName, card)
       })
     val existing = DvMerge.existingVectors(man, handles.map(_._2).toSet)
     val (dvAdded, replacedDvNames, consumed) =

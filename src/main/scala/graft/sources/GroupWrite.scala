@@ -377,14 +377,17 @@ case class FilesMessage(files: Seq[FileMeta],
   * invariant by construction: every touched target resolves to
   * exactly one new entry and its replaced predecessor is dropped. */
 object DvMerge {
-  /** `handles` = (group, target leaf, blob leaf name) written this
-    * commit; `existing` = target leaf → manifest entry of the
-    * target's current vector (only touched targets need be present).
-    * Returns (new dv entries sorted by (group, target), replaced
-    * existing entry names, consumed partial blob leaf names — the
-    * merged-away inputs the caller deletes AFTER its publish). */
+  /** `handles` = (group, target leaf, blob leaf name, popcount)
+    * written this commit; `existing` = target leaf → manifest entry
+    * of the target's current vector (only touched targets need be
+    * present). Returns (new dv entries sorted by (group, target),
+    * replaced existing entry names, consumed partial blob leaf names
+    * — the merged-away inputs the caller deletes AFTER its publish).
+    * Every produced entry carries its vector's POPCOUNT in `rows`, so
+    * the `.files`/`.partitions` metadata tables report deleted-row
+    * counts from the manifest alone — zero blob opens at plan time. */
   def resolve(dir: String, specId: Int,
-      handles: Seq[(Int, String, String)],
+      handles: Seq[(Int, String, String, Long)],
       existing: Map[String, RowStore.FileEntry])
       : (Seq[RowStore.FileEntry], Set[String], Seq[String]) = {
     val byTarget = handles.groupBy(h => (h._1, h._2)).toSeq
@@ -392,13 +395,14 @@ object DvMerge {
     val (direct, needMerge) = byTarget.partition { case ((_, t), hs) =>
       hs.size == 1 && !existing.contains(t) }
     val directEntries = direct.map { case ((g, t), hs) =>
-      RowStore.FileEntry("dv", g, hs.head._3, spec = specId,
-        dvTarget = Some(t)) }
+      RowStore.FileEntry("dv", g, hs.head._3, rows = Some(hs.head._4),
+        spec = specId, dvTarget = Some(t)) }
     val tasks = needMerge.map { case ((g, t), hs) =>
       (g, t, hs.map(h => s"$dir/${h._3}") ++
         existing.get(t).map(e => RowStore.entryPath(dir, e.name)).toSeq) }
-    val mergedEntries = run(dir, tasks).map { case (g, t, n) =>
-      RowStore.FileEntry("dv", g, n, spec = specId, dvTarget = Some(t)) }
+    val mergedEntries = run(dir, tasks).map { case (g, t, n, card) =>
+      RowStore.FileEntry("dv", g, n, rows = Some(card), spec = specId,
+        dvTarget = Some(t)) }
     val replaced = needMerge
       .flatMap { case ((_, t), _) => existing.get(t).map(_.name) }.toSet
     val consumed = needMerge.flatMap(_._2).map(_._3)
@@ -409,9 +413,9 @@ object DvMerge {
   /** The distributed union: one task per target reads the named blobs
     * (absolute paths), unions them, and writes `dv<g>-<uuid>.bin`
     * under `dir` — executor IO ∝ its own target's bitmap, driver
-    * traffic O(targets). */
-  private def run(dir: String,
-      tasks: Seq[(Int, String, Seq[String])]): Seq[(Int, String, String)] = {
+    * traffic O(targets). Returns (group, target, name, popcount). */
+  private def run(dir: String, tasks: Seq[(Int, String, Seq[String])])
+      : Seq[(Int, String, String, Long)] = {
     if (tasks.isEmpty) return Seq.empty
     SparkSession.active.sparkContext
       .parallelize(tasks, math.min(tasks.size, 32)).map {
@@ -425,7 +429,7 @@ object DvMerge {
           }
           val name = s"dv$g-${UUID.randomUUID()}.bin"
           RowStore.Dv.write(s"$dir/$name", target, w)
-          (g, target, name)
+          (g, target, name, RowStore.Dv.cardinality(w).toLong)
       }.collect().toSeq
   }
 
@@ -746,8 +750,8 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
     // blob verbatim; a target needing a union merges in one
     // distributed pass ([[DvMerge]]) — the driver handles names and
     // popcounts only, never bitmap words.
-    val handles: Seq[(Int, String, String)] = msgs.flatMap(_.dvs)
-      .map(d => (d.group, d.target, d.name)).toSeq
+    val handles: Seq[(Int, String, String, Long)] = msgs.flatMap(_.dvs)
+      .map(d => (d.group, d.target, d.name, d.card)).toSeq
     RowStore.preCommitHook()
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)

@@ -112,11 +112,13 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
         val man = RowStore.readManifest(baseKey,
           RowStore.currentVersion(baseKey))
         val dir = RowStore.dataDir(baseKey)
-        // vector popcounts read on the driver at plan time: one blob
-        // per vector, each rows-per-file/8 bytes — manifest-scale IO
+        // vector popcounts ride the manifest since r16 (the dv
+        // entry's `rows` field, stamped by the executor-side writer)
+        // — zero blob opens at plan time; a legacy entry without one
+        // falls back to reading its blob (rows-per-file/8 bytes)
         val cards = man.filter(_.kind == "dv").map { e =>
-          e.name -> RowStore.Dv.cardinality(
-            RowStore.Dv.read(RowStore.entryPath(dir, e.name))._2).toLong
+          e.name -> e.rows.getOrElse(RowStore.Dv.cardinality(
+            RowStore.Dv.read(RowStore.entryPath(dir, e.name))._2).toLong)
         }.toMap
         Array(FilesPartition(man, cards))
       }
@@ -192,9 +194,11 @@ class PartitionsTable(baseKey: String) extends Table with SupportsRead {
           .map { case ((sp, g), fs) =>
             val base = fs.filter(_.kind == "base")
             val nDelta = fs.count(_.kind != "base")
+            // manifest-resident popcounts (r16); blob-read fallback
+            // for a legacy entry only
             val dvDel = fs.filter(_.kind == "dv").map(e =>
-              RowStore.Dv.cardinality(RowStore.Dv.read(
-                RowStore.entryPath(dir, e.name))._2).toLong).sum
+              e.rows.getOrElse(RowStore.Dv.cardinality(RowStore.Dv.read(
+                RowStore.entryPath(dir, e.name))._2).toLong)).sum
             val recordDeltas = fs.exists(e =>
               e.kind != "base" && e.kind != "dv")
             val nRows: Option[Long] =
