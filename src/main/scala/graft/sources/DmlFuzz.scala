@@ -191,10 +191,18 @@ object DmlFuzz {
     ("dm01_dml_fuzz_cow", 11L, Cow),
     ("dm02_dml_fuzz_mordv", 17L, MorDv))
 
-  private def valuesSql(rows: Seq[(Long, Long)]): String =
+  private def valuesSql(rows: Seq[(Long, Long)]): String = {
+    // an empty final state would render the unparseable "(VALUES )" —
+    // and an always-empty hash gate checks nothing anyway: refuse at
+    // generation so a re-pin to a bag-draining seed fails loudly here
+    // instead of as a DuckDB parse error in the driver
+    require(rows.nonEmpty,
+      "pinned DML-fuzz oracle: the model's final state is empty — " +
+        "pick a seed whose sequence leaves rows behind")
     "SELECT CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v FROM " +
       "(VALUES " + rows.map(r => s"(${r._1}, ${r._2})").mkString(", ") +
       ") AS t(k, v)"
+  }
 
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] =

@@ -752,7 +752,28 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
     // popcounts only, never bitmap words.
     val handles: Seq[(Int, String, String, Long)] = msgs.flatMap(_.dvs)
       .map(d => (d.group, d.target, d.name, d.card)).toSeq
+    val dir = RowStore.dataDir(tableKey)
+    // existing vector per TOUCHED target only: the target rides the
+    // manifest entry (`dvTarget`), so commit IO is proportional to
+    // this commit's touched files — never to the table's total
+    // vector count (the economics the feature exists for)
+    def resolveAt(v: Int): (Seq[RowStore.FileEntry],
+        (Seq[RowStore.FileEntry], Set[String], Seq[String])) = {
+      val man = RowStore.readManifest(tableKey, v)
+      val existing =
+        if (handles.isEmpty) Map.empty[String, RowStore.FileEntry]
+        else DvMerge.existingVectors(man, handles.map(_._2).toSet)
+      (man, DvMerge.resolve(dir, meta.specId, handles, existing))
+    }
     RowStore.preCommitHook()
+    // resolve OUTSIDE the commit lock: DvMerge's union pass is a
+    // (small) distributed job, and running it under the process-wide
+    // lock would stall every other table's commit for its duration.
+    // The lock section below re-validates the head and re-resolves in
+    // the rare case it moved (the first pass's merged blobs then
+    // become unreferenced orphans — swept, never dangling).
+    val preCur = RowStore.currentVersion(tableKey)
+    val preResolved = resolveAt(preCur)
     RowStore.commitLock.synchronized {
       val cur = RowStore.currentVersion(tableKey)
       op.flatMap(_.baseVersion).filter(_ != cur).foreach { v =>
@@ -760,17 +781,8 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
           s"$tableKey: delta operation read version $v but the table " +
             s"is now at $cur — its _rids may no longer resolve; retry")
       }
-      val man = RowStore.readManifest(tableKey, cur)
-      val dir = RowStore.dataDir(tableKey)
-      // existing vector per TOUCHED target only: the target rides the
-      // manifest entry (`dvTarget`), so commit IO is proportional to
-      // this commit's touched files — never to the table's total
-      // vector count (the economics the feature exists for)
-      val existing =
-        if (handles.isEmpty) Map.empty[String, RowStore.FileEntry]
-        else DvMerge.existingVectors(man, handles.map(_._2).toSet)
-      val (dvAdded, replacedDv, consumed) =
-        DvMerge.resolve(dir, meta.specId, handles, existing)
+      val (man, (dvAdded, replacedDv, consumed)) =
+        if (cur == preCur) preResolved else resolveAt(cur)
       // same pre-publish seam as the COW commit: the crash spec halts
       // here to pin that landed-but-uncommitted delta/dv files stay
       // invisible and sweep as orphans

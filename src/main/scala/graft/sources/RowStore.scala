@@ -1103,11 +1103,19 @@ object RowStore {
             // cross-process tie inside the exists→move window would
             // silently clobber the winner's manifest. Verify after the
             // move: re-read the published file and require it to be
-            // EXACTLY what this writer staged — a mismatch means the
-            // window was hit, and the loud conflict below replaces
-            // what would otherwise be silent data loss (r15 advisor
-            // finding). The winner whose content survived proceeds;
-            // the clobbered party re-validates and retries.
+            // EXACTLY what this writer staged — a mismatch means a
+            // rival landed between this writer's move and its re-read,
+            // and the loud conflict below replaces what would
+            // otherwise be silent data loss (r15 advisor finding).
+            // PRECISELY what this buys: the silent-loss window shrinks
+            // from the whole exists→move gap to the sub-millisecond
+            // move→re-read gap — a rival that lands AFTER this
+            // writer's verify still clobbers it with both sides
+            // reporting success. That residue is why this path is the
+            // FALLBACK: link(2) (above) and an object store's
+            // conditional PUT ([[CasPublisher]]'s model) are the
+            // closed-window instances of the seam; a no-hardlink
+            // mount narrows the race but does not close it.
             val stagedBytes = Files.readAllBytes(staged)
             Files.move(staged, target,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)

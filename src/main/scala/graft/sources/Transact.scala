@@ -70,7 +70,7 @@ import scala.jdk.CollectionConverters._
 object Transact {
 
   final case class Txn(id: Long, tables: Seq[String],
-    bases: Map[String, Int])
+    bases: Map[String, Int], metas: Map[String, RowStore.Meta])
 
   /** One table's validated commit plan: `carried` entries come from
     * the CURRENT head (the interloper's world, kept verbatim on a
@@ -192,8 +192,9 @@ object Transact {
       s"begin_transaction: $t does not exist"))
     val id = nextId.getAndIncrement()
     val bases = tables.map(t => t -> RowStore.currentVersion(t)).toMap
+    val metas = tables.map(t => t -> RowStore.readMeta(t)).toMap
     val made = scala.collection.mutable.ListBuffer.empty[String]
-    val txn = Txn(id, tables, bases)
+    val txn = Txn(id, tables, bases, metas)
     try {
       tables.foreach { t =>
         RowStoreOps.snapshotTable(t, cloneKey(t, id)); made += t
@@ -260,7 +261,16 @@ object Transact {
   private def validate(txn: Txn, t: String): TablePlan = {
     val id = txn.id
     val ck = cloneKey(t, id)
-    require(RowStore.readMeta(ck) == RowStore.readMeta(t),
+    // diagnose against the BEGIN-time meta snapshot, so a concurrent
+    // DDL on the base reads as the retryable conflict it is instead
+    // of being blamed on the transaction (r16 review finding)
+    val m0 = txn.metas(t)
+    if (RowStore.readMeta(t) != m0)
+      throw new java.util.ConcurrentModificationException(
+        s"$t: table metadata evolved concurrently since transaction " +
+          s"$id began — NOTHING was committed (all-or-nothing); " +
+          "re-begin against the new schema")
+    require(RowStore.readMeta(ck) == m0,
       s"$t: schema/metadata evolved inside transaction $id — DDL " +
         "in transactions is not supported; rollback")
     val cur = RowStore.currentVersion(t)

@@ -48,23 +48,27 @@ class CommitSeamSpec extends AnyFunSuite {
     s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
     s.sql(s"INSERT INTO $t VALUES (1, 10)")
     val key = t
-    val cur = RowStore.currentVersion(key)
-    val entries = RowStore.readManifest(key, cur)
+    val entries = RowStore.readManifest(key, RowStore.currentVersion(key))
     for (publisher <- Seq[RowStore.ManifestPublisher](
         RowStore.HardLinkPublisher, new RowStore.CasPublisher)) {
       RowStore.publisher = publisher
       try {
+        // each round publishes a FRESH version number (no file
+        // deletion between rounds — a deleted-then-reread version
+        // would serve the first round's manifest CACHE and make the
+        // second round's content assertion vacuous)
+        val v = RowStore.currentVersion(key) + 1
         // two writers stage the same next version, then race the
         // publish from two threads: the seam's contract is exactly
         // one success and one CommitConflictException — on EITHER
         // implementation
-        val s1 = RowStore.stageManifest(key, cur + 1, entries)
-        val s2 = RowStore.stageManifest(key, cur + 1, entries)
+        val s1 = RowStore.stageManifest(key, v, entries)
+        val s2 = RowStore.stageManifest(key, v, entries)
         assert(s1 != s2, "staging must be private per writer")
         val outcomes =
           new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val threads = Seq(s1, s2).map(st => new Thread(() =>
-          try { RowStore.publishStaged(key, cur + 1, st); outcomes.add("ok") }
+          try { RowStore.publishStaged(key, v, st); outcomes.add("ok") }
           catch {
             case _: RowStore.CommitConflictException =>
               outcomes.add("conflict")
@@ -80,11 +84,9 @@ class CommitSeamSpec extends AnyFunSuite {
         assert(!java.nio.file.Files.exists(s1) &&
           !java.nio.file.Files.exists(s2),
           "publish must consume the staged temp on both paths")
-        assert(RowStore.readManifest(key, cur + 1) == entries)
-        // reset for the second implementation's round: drop the
-        // just-published version file so cur + 1 is free again
-        java.nio.file.Files.delete(java.nio.file.Paths.get(
-          s"${RowStore.dataDir(key)}/../v${cur + 1}.manifest").normalize())
+        assert(RowStore.readManifest(key, v) == entries,
+          s"${publisher.getClass.getSimpleName}: published v$v must " +
+            "read back as the staged content")
       } finally RowStore.publisher = RowStore.HardLinkPublisher
     }
     s.sql(s"DROP TABLE IF EXISTS $t")

@@ -283,4 +283,25 @@ class TransactSpec extends AnyFunSuite {
     assert(Transact.rollback(txn.id) == 1)
     assert(s.table(t).columns.toSeq == Seq("k", "v"))
   }
+
+  test("concurrent DDL on the BASE reads as a retryable conflict") {
+    val s = SparkSuite.spark; conf()
+    val t = "graft_dml.tx.h"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    s.sql(s"INSERT INTO $t VALUES (1, 10)")
+    val txn = Transact.begin(Seq(t))
+    val ck = Transact.cloneKey(t, txn.id)
+    s.sql(s"INSERT INTO $ck VALUES (2, 20)")
+    // the interloper evolves the BASE's schema — the transaction did
+    // no DDL, so the refusal must be the ConcurrentModification retry
+    // signal, not the 'DDL in transactions' misdiagnosis (r16 review)
+    s.sql(s"ALTER TABLE $t ADD COLUMN extra BIGINT")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Transact.commit(txn.id)
+    }
+    assert(e.getMessage.contains("evolved concurrently"), e.getMessage)
+    assert(Transact.rollback(txn.id) == 1)
+    assert(s.table(t).columns.toSeq == Seq("k", "v", "extra"))
+  }
 }
