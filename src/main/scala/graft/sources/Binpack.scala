@@ -110,11 +110,18 @@ object BinpackOps {
             pmod(rowHash, lit(997L)).cast("double") / 997.0
         when(col("_group") === g, slice).otherwise(acc)
     }
-    src.select(dataCols :+ col("_group"): _*)
+    // ROW LINEAGE: rowids tables carry `_row_id` through the slicing
+    // shuffle into the `.rewrite` sink, which materializes it
+    val outCols = dataCols ++
+      (if (meta.rowids) Seq(col("_row_id")) else Seq.empty)
+    val outNames = src.columns.toIndexedSeq ++
+      (if (meta.rowids) Seq("_row_id") else Seq.empty)
+    val sink = if (meta.rowids) s"$table.rewrite" else table
+    src.select(outCols :+ col("_group"): _*)
       .withColumn("_pid", pid)
       .repartitionByRange(totalSlices, col("_pid"))
-      .select(dataCols: _*)
-      .writeTo(table).option("compact", hs).append()
+      .select(outNames.map(col): _*)
+      .writeTo(sink).option("compact", hs).append()
 
     val after = RowStore.readManifest(table, RowStore.currentVersion(table))
     val written = after.map(_.name).toSet -- man.map(_.name).toSet

@@ -463,6 +463,13 @@ object RowStoreOps {
         val hs =
           s"$base:" + dirty.toSeq.sorted.mkString(",") + ":layout=preserve"
         val src = s.read.option("compact", hs).table(table)
+        // ROW LINEAGE: a rewrite relocates rows, so rowids tables
+        // carry each row's `_row_id` (scan metadata column) as a
+        // trailing column into the `.rewrite` sink, which
+        // materializes it — ids survive the clustering rewrite
+        val outCols = src.columns.map(col).toIndexedSeq ++
+          (if (tblMeta.rowids) Seq(col("_row_id")) else Seq.empty)
+        val sink = if (tblMeta.rowids) s"$table.rewrite" else table
         // explicit partition count: AQE never coalesces a
         // user-specified repartitionByRange, so the slice count (=
         // file granularity per group) is pinned like the sorted
@@ -471,18 +478,25 @@ object RowStoreOps {
         // per dimension, and below 2 bits per dimension a band that
         // straddles a domain midpoint degenerates to a full scan
         // (measured at the 4-slice test config)
-        src.withColumn("_zv", zv)
+        val outNames = src.columns.toIndexedSeq ++
+          (if (tblMeta.rowids) Seq("_row_id") else Seq.empty)
+        src.select(outCols :+ zv.as("_zv"): _*)
           .repartitionByRange(
             math.max(s.sessionState.conf.numShufflePartitions, 16),
             col("_zv"))
           .sortWithinPartitions(col("_zv"))
-          .select(src.columns.map(col).toIndexedSeq: _*)
-          .writeTo(table).option("compact", hs).append()
+          .select(outNames.map(col): _*)
+          .writeTo(sink).option("compact", hs).append()
       } else {
+        import org.apache.spark.sql.functions.col
         val hs = s"$base:" + dirty.toSeq.sorted.mkString(",") +
           (if (sortCols.nonEmpty) ":sort=" + sortCols.mkString(",") else "")
-        s.read.option("compact", hs).table(table)
-          .writeTo(table).option("compact", hs).append()
+        val src = s.read.option("compact", hs).table(table)
+        val outCols = src.columns.map(col).toIndexedSeq ++
+          (if (tblMeta.rowids) Seq(col("_row_id")) else Seq.empty)
+        val sink = if (tblMeta.rowids) s"$table.rewrite" else table
+        src.select(outCols: _*)
+          .writeTo(sink).option("compact", hs).append()
       }
     }
     val after = RowStore.readManifest(table, RowStore.currentVersion(table))
@@ -543,7 +557,14 @@ object RowStoreOps {
     // every other delta writer emits; name-mapped reads handle both)
     val storageFields = RowNested.flatLeaves(meta.schema.fields.toSeq)
       .map(f => f.copy(name = meta.storageOf(f.name)))
-    val fileSchema = RowResolve.DeltaMetaFields ++ storageFields
+    // rowids tables: survivor records (updates/eq-deletes) must keep
+    // their lineage-id stamps — include the trailing `_rowid` column
+    // the delta writer records (null-padded for files that predate it)
+    val fileSchema = RowResolve.DeltaMetaFields ++ storageFields ++
+      (if (meta.rowids)
+        Seq(org.apache.spark.sql.types.StructField("_rowid",
+          org.apache.spark.sql.types.LongType))
+      else Seq.empty)
     /** (entry name, folded deletes, target→(written dv blob name,
       * popcount), replacement: None=untouched, Some(None)=drop entry,
       * Some(Some((n, rows)))=new file with its surviving record

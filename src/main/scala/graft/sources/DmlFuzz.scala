@@ -134,19 +134,38 @@ object DmlFuzz {
     * of statements run. Throws with the seed, statement, and both
     * sides on any divergence. */
   def run(s: SparkSession, seed: Long, variant: Variant,
-      table: String, keep: Boolean = false): Int = {
+      table: String, keep: Boolean = false,
+      rowids: Boolean = false): Int = {
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // ROW-LINEAGE sweep variant: same grammar, same differential —
+    // plus the lineage INVARIANTS after every statement (uniqueness,
+    // counter-boundedness, per-statement-kind id-set relations,
+    // maintenance id invariance). Content semantics are unchanged by
+    // the property, so the model fold needs no lineage awareness.
+    val props =
+      if (!rowids) variant.props
+      else if (variant.props.isEmpty) " TBLPROPERTIES ('rowids'='on')"
+      else variant.props.stripSuffix(")") + ",'rowids'='on')"
     s.sql(s"CREATE TABLE $table (k BIGINT, v BIGINT) " +
-      s"PARTITIONED BY (bucket(4, k))${variant.props}")
+      s"PARTITIONED BY (bucket(4, k))$props")
     var bag = Vector.empty[(Long, Long)]
     val byVersion = scala.collection.mutable.Buffer.empty[
       (Int, Seq[(Long, Long)])]
     def read(extra: String = ""): Seq[(Long, Long)] =
       s.sql(s"SELECT k, v FROM $table$extra").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def idTriples(): Seq[(Long, Long, Long)] =
+      s.sql(s"SELECT k, v, _row_id FROM $table").collect().map { r =>
+        assert(!r.isNullAt(2), s"seed $seed/$variant: null _row_id " +
+          s"on a committed row (${r.getLong(0)}, ${r.getLong(1)})")
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toSeq
+    var liveIds: Set[Long] = Set.empty
     val stmts = statements(seed, variant)
     stmts.zipWithIndex.foreach { case (st, i) =>
+      val preMaint =
+        if (rowids && st.maint.isDefined) idTriples().sorted else Seq.empty
       st.maint match {
         case None => s.sql(st.sql.replace("%t", table)).collect()
         case Some("compact") => RowStoreOps.compact(s, table)
@@ -160,6 +179,32 @@ object DmlFuzz {
         s"seed $seed/$variant diverged after statement $i " +
           s"(${st.label}: ${st.sql.replace("%t", table)})\n" +
           s"  table: $got\n  model: $want")
+      if (rowids) {
+        val triples = idTriples()
+        val ids = triples.map(_._3).toSet
+        assert(ids.size == triples.size,
+          s"seed $seed/$variant ${st.label}: duplicate row ids")
+        val next = RowStore.nextRowId(table,
+          RowStore.currentVersion(table))
+        assert(ids.forall(id => id >= 0 && id < next),
+          s"seed $seed/$variant ${st.label}: id outside [0, $next)")
+        if (st.maint.isDefined)
+          assert(triples.sorted == preMaint,
+            s"seed $seed/$variant ${st.label}: maintenance changed " +
+              "the (k, v, _row_id) content")
+        else if (st.label.startsWith("update"))
+          assert(ids == liveIds,
+            s"seed $seed/$variant ${st.label}: UPDATE changed the " +
+              "live id set")
+        else if (st.label.startsWith("delete"))
+          assert(ids.subsetOf(liveIds),
+            s"seed $seed/$variant ${st.label}: DELETE minted an id")
+        else if (st.label.startsWith("insert"))
+          assert(liveIds.subsetOf(ids),
+            s"seed $seed/$variant ${st.label}: INSERT dropped a " +
+              "live id")
+        liveIds = ids
+      }
       byVersion += ((RowStore.currentVersion(table), want))
     }
     // whole-history re-read: every commit's snapshot must still

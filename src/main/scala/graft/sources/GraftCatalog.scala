@@ -427,7 +427,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     "refs" -> (b => new RefsTable(b)),
     "manifests" -> (b => new ManifestsTable(b)),
     "snapshots" -> (b => new SnapshotsTable(b)),
-    "column_stats" -> (b => new ColumnStatsTable(b)))
+    "column_stats" -> (b => new ColumnStatsTable(b)),
+    // write-only: the row-lineage maintenance-rewrite sink
+    "rewrite" -> (b => new RewriteSinkTable(b, RowStore.readMeta(b))))
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
@@ -659,11 +661,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val check = Option(properties.get("check")).map(_.trim)
       .filter(_.nonEmpty).getOrElse("")
     if (check.nonEmpty) RowCheck.validate(check, schema)
+    // opt-in ROW LINEAGE (TBLPROPERTIES('rowids'='on')): Iceberg v3's
+    // row-lineage / Delta's row-tracking surface — see
+    // [[RowStore.Meta.rowids]]. CREATE-time only: enabling on an
+    // existing table would leave every already-committed entry without
+    // an id range (Iceberg gates it the same way, on format v3).
+    val ridProp = Option(properties.get("rowids"))
+    require(ridProp.forall(_ == "on"),
+      s"unknown 'rowids' property value ${ridProp.get} (only 'on')")
+    val rowids = ridProp.contains("on")
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
       tparam = spec.map(_._2).getOrElse(0L),
-      bloomCols = bloomCols, dv = dv, ndvCols = ndvCols, check = check))
+      bloomCols = bloomCols, dv = dv, ndvCols = ndvCols, check = check,
+      rowids = rowids))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }
@@ -1021,6 +1033,15 @@ private object RidMetaCol extends MetadataColumn {
   override def dataType(): DataType = StringType
   override def isNullable: Boolean = false
 }
+/** `_row_id` (rowids tables only): the row's STABLE lineage id —
+  * Iceberg v3's `_row_id` / Delta row tracking's `_metadata.row_id`.
+  * Nullable: rows in a branch-staged (not yet committed) file have no
+  * id until publish assigns the file's range. */
+private object RowIdMetaCol extends MetadataColumn {
+  override def name(): String = "_row_id"
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = true
+}
 
 class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
     forceBranch: Option[String] = None)
@@ -1043,6 +1064,7 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
     if (meta.bloomCols.nonEmpty) m.put("bloom", meta.bloomCols.mkString(","))
     if (meta.ndvCols.nonEmpty) m.put("ndv", meta.ndvCols.mkString(","))
     if (meta.check.nonEmpty) m.put("check", meta.check)
+    if (meta.rowids) m.put("rowids", "on")
     m
   }
 
@@ -1069,7 +1091,8 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GroupMetaCol, RidMetaCol)
+    if (meta.rowids) Array(GroupMetaCol, RidMetaCol, RowIdMetaCol)
+    else Array(GroupMetaCol, RidMetaCol)
   /** Surface the declared layout (DESCRIBE, storage-partitioned-join
     * eligibility): the ACTIVE spec's transform — bucket by the
     * declared (or default first) column, or the temporal/range
@@ -1164,8 +1187,15 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
   @volatile private[sources] var baseVersion: Option[Int] = None
 
   override def command(): RowLevelOperation.Command = cmd
+  /** rowids tables additionally declare `_row_id`, so Spark's
+    * ReplaceData carries each surviving row's lineage id to the
+    * writer (the WRITE_WITH_METADATA path) and the COW rewrite can
+    * MATERIALIZE it — carried-over rows keep their ids across the
+    * group swap. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_group"))
+    if (meta.rowids)
+      Array(Expressions.column("_group"), Expressions.column("_row_id"))
+    else Array(Expressions.column("_group"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = RowStore.currentVersion(tableKey)
     baseVersion = Some(v)
@@ -1174,5 +1204,37 @@ class GroupRowLevelOp(tableKey: String, meta: RowStore.Meta,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GroupWrite(tableKey, meta, info.schema(),
       GroupWrite.ReplaceGroups(this))
+}
+
+/** `<table>.rewrite` — the MAINTENANCE-REWRITE WRITE SURFACE for
+  * rowids tables. A maintenance rewrite (OPTIMIZE / sorted / zorder /
+  * binpack) relocates rows, so it must MATERIALIZE each row's lineage
+  * id into the files it writes — but `writeTo(table)` validates the
+  * incoming frame against the USER schema, which `_row_id` is not
+  * part of. This sink is the same table with the id as one trailing
+  * writable column: [[RowStoreOps]] selects the scan's `_row_id`
+  * metadata column alongside the data and appends here; the writer
+  * runs in trailing-id mode and the commit is the ordinary compact
+  * handshake swap. Write-only (reads go through the real table). */
+class RewriteSinkTable(tableKey: String, meta: RowStore.Meta)
+    extends Table with SupportsWrite {
+  override def name(): String = s"$tableKey.rewrite"
+  override def schema(): StructType =
+    StructType(meta.schema.fields :+ StructField("_row_id", LongType))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(meta.rowids,
+      s"$tableKey.rewrite is the row-lineage rewrite sink — " +
+        "non-rowids tables rewrite through the table itself")
+    Option(info.options().get("compact")).map(GroupWrite.parseCompact) match {
+      case Some((base, gs, sort, preserve, files)) =>
+        new GroupWrite(tableKey, meta, meta.schema,
+          GroupWrite.Compact(base, gs, files), sortCols = sort,
+          preserveLayout = preserve)
+      case None => sys.error(
+        s"$tableKey.rewrite accepts only compact-handshake writes")
+    }
+  }
 }
 

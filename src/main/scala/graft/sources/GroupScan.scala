@@ -757,10 +757,21 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
         case e if e.kind != "base" && (e.group == g || e.group < 0) =>
           (e.kind, RowStore.entryPath(dir, e.name))
       }
+      // ROW LINEAGE: the group's leaf→firstRowId map, shipped only
+      // when the projection actually asks for `_row_id` (O(files)
+      // longs per partition; nothing rides otherwise). Keyed by LEAF
+      // name — the rid address space (`leaf#pos`) the ids inherit
+      // from.
+      val rowIdBase: Map[String, Long] =
+        if (!required.fieldNames.contains("_row_id")) Map.empty
+        else (visible ++ groupDeltas).flatMap(e =>
+          e.firstRowId.map(f =>
+            e.name.substring(e.name.lastIndexOf('/') + 1) -> f)).toMap
       GroupFilesPartition(g, visible.map(e => RowStore.entryPath(dir, e.name)),
         // group-tagged delta files: only this group's records can be
         // inside (records re-check, so an untagged file stays sound)
-        groupDeltas.map(e => RowStore.entryPath(dir, e.name)), ordered): InputPartition
+        groupDeltas.map(e => RowStore.entryPath(dir, e.name)), ordered,
+        rowIdBase): InputPartition
     }.toArray
     RowStore.lastPlannedBaseFiles.set(planned)
     RowStore.lastSkippedBaseFiles.set(skipped)
@@ -778,7 +789,8 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
   * shape the append-stream planner emits). */
 case class GroupFilesPartition(group: Int, baseFiles: Seq[String],
     deltaFiles: Seq[String],
-    ordered: Seq[(String, String)] = Seq.empty) extends InputPartition
+    ordered: Seq[(String, String)] = Seq.empty,
+    rowIdBase: Map[String, Long] = Map.empty) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The partition's bucket value — must type-match the reported
     * KeyGroupedPartitioning expression's result (bucket → INT). */
@@ -838,12 +850,24 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
         !projected.exists(_.name == keyCol))
         projected ++ dataSchema.fields.find(_.name == keyCol)
       else projected
+    // ROW LINEAGE: when `_row_id` is asked for, also read the
+    // reserved MATERIALIZED id column (`_rowid` — present only in
+    // rewrite-written files; everything else null-pads), appended
+    // LAST so every data offset below stays put. A row's id is the
+    // materialized value when one exists, else firstRowId + position
+    // — Iceberg v3's inheritance rule.
+    val wantRowId = required.fieldNames.contains("_row_id")
+    val wantedRid =
+      if (wantRowId)
+        wanted :+ StructField("_rowid", org.apache.spark.sql.types.LongType)
+      else wanted
     // resolve over the FLATTENED leaf layout (RowNested): structs
     // read back from their marker + dotted-path leaf columns and
     // reassemble at emit; files store a renamed leaf under its
     // STORAGE name — project by that, emit under the display name
-    val wantedFlat = RowNested.flatLeaves(wanted)
+    val wantedFlat = RowNested.flatLeaves(wantedRid)
     val keyIdx = wantedFlat.indexWhere(_.name == keyCol)
+    val matIdx = if (wantRowId) wantedFlat.length - 1 else -1
     val wantedOff = RowNested.offsets(wanted)
     val wantedByName = wanted.map(f => f.name -> f).toMap
     val wantedStorage = wantedFlat.map(f =>
@@ -863,6 +887,20 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
           f.name match {
             case "_group" => Int.box(part.group)
             case "_rid"   => UTF8String.fromString(cur._1)
+            // _row_id = materialized `_rowid` when the row's file
+            // stores one (rewrite outputs), else the entry's
+            // firstRowId + the row's position in its ORIGINAL file
+            // (the rid address, which MOR updates preserve). Null for
+            // files no commit has assigned yet (staged branches).
+            case "_row_id" =>
+              cur._2(matIdx) match {
+                case l: java.lang.Long => l
+                case _ =>
+                  val rid = cur._1
+                  val cut = rid.lastIndexOf('#')
+                  part.rowIdBase.get(rid.substring(0, cut)).map(b =>
+                    Long.box(b + rid.substring(cut + 1).toLong)).orNull
+              }
             // a PRUNED struct in `required` flows through as-is: its
             // pruned field list shaped both the flat projection and
             // these offsets, so only the asked-for leaves were read

@@ -161,7 +161,14 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GroupWriterFactory(RowStore.dataDir(tableKey), writeSchema,
       meta.keyCol, meta.numGroups, meta.transform, meta.tparam,
-      meta.renames, meta.bloomCols, meta.ndvCols, meta.check)
+      meta.renames, meta.bloomCols, meta.ndvCols, meta.check,
+      // ROW LINEAGE: only the row-RELOCATING writes materialize ids —
+      // COW group swaps (carried ids ride Spark's metadata
+      // projection) and maintenance rewrites (trailing-column carry
+      // via the `t.rewrite` surface). Plain appends stay virtual.
+      matRowIds = meta.rowids && (mode.isInstanceOf[GroupWrite.ReplaceGroups]
+        || mode.isInstanceOf[GroupWrite.Compact]),
+      trailingRowId = meta.rowids && mode.isInstanceOf[GroupWrite.Compact])
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -447,13 +454,24 @@ object DvMerge {
   }
 }
 
+/** `matRowIds` (row lineage, rewrite paths only): the writer appends
+  * the reserved MATERIALIZED `_rowid` column to every file it writes —
+  * carried rows store their lineage id, fresh rows store null (and
+  * inherit from the file's committed range). `trailingRowId`
+  * additionally interprets a width-plus-one row as DATA + trailing id
+  * (the maintenance-rewrite handshake, which cannot ride Spark's
+  * metadata projection); exclusive with the op-prefixed ReplaceData
+  * layout by construction — compact writes never go through
+  * ReplaceData. */
 class GroupWriterFactory(dir: String, writeSchema: StructType,
     bucketCol: String, numGroups: Int,
     transform: String = "bucket", tparam: Long = 0L,
     renames: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     ndvCols: Seq[String] = Seq.empty,
-    check: String = "")
+    check: String = "",
+    matRowIds: Boolean = false,
+    trailingRowId: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -477,6 +495,11 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       // leaves rename by their dotted display path)
       private val fileFields = flatFields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name)))
+      // rewrite outputs carry the materialized lineage-id column LAST
+      // (reserved name — never renamed, never user-visible)
+      private val outFields =
+        if (matRowIds) fileFields :+ StructField("_rowid", LongType)
+        else fileFields
       private val bucketIdx = flatFields.indexWhere(_.name == bucketCol)
       private val writers =
         scala.collection.mutable.Map.empty[Int, (String, RowFiles.FileWriter)]
@@ -605,45 +628,68 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       private val externalize: InternalRow => Array[Any] =
         RowNested.externalizer(fields)
 
-      override def write(row: InternalRow): Unit = {
-        // Defense for the no-metadata ReplaceData layout (op-code int
-        // prefixed): with requiredMetadataAttributes declared Spark's
-        // DataAndMetadataWritingSparkTask strips it before us, so an
-        // unexpected width fails LOUDLY rather than corrupting rows.
-        val vals =
-          if (row.numFields == fields.length) {
-            enforce(row); externalize(row)
-          } else if (row.numFields == fields.length + 1) {
-            val opc = row.getInt(0)
-            require(opc == RowDeltaUtils.WRITE_OPERATION ||
-              opc == RowDeltaUtils.DELETE_OPERATION ||
-              opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
-              s"unexpected op code $opc in op-prefixed write row")
-            if (opc == RowDeltaUtils.DELETE_OPERATION) return
-            val logical = new OffsetRow(row, 1)
-            enforce(logical); externalize(logical)
-          } else sys.error(s"write row has ${row.numFields} fields, " +
-            s"schema has ${fields.length}")
+      // group-route, track stats, and write one externalized row;
+      // `stamp` is the row's carried lineage id (rewrite paths only —
+      // null = fresh row, inherits from the file's committed range).
+      // Stats/blooms/sketches see the DATA values only: the id column
+      // is addressing, not data.
+      private def emit(vals: Array[Any], stamp: java.lang.Long): Unit = {
         val g =
           if (bucketIdx < 0) 0
           else RowStore.partValueOf(transform, tparam, numGroups,
             vals(bucketIdx))
         val (_, w) = writers.getOrElseUpdate(g, {
           val name = s"g$g-${UUID.randomUUID()}.parquet"
-          (name, new RowFiles.FileWriter(s"$dir/$name", fileFields))
+          (name, new RowFiles.FileWriter(s"$dir/$name", outFields))
         })
         if (bucketIdx >= 0) trackStats(g, vals(bucketIdx)) else statless += g
         trackColStats(g, vals)
         trackBlooms(g, vals)
         trackNdv(g, vals)
-        w.write(vals)
+        w.write(if (matRowIds) vals :+ (stamp: Any) else vals)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        // Defense for the no-metadata ReplaceData layout (op-code int
+        // prefixed): with requiredMetadataAttributes declared Spark's
+        // DataAndMetadataWritingSparkTask strips it before us, so an
+        // unexpected width fails LOUDLY rather than corrupting rows.
+        if (row.numFields == fields.length) {
+          enforce(row); emit(externalize(row), null)
+        } else if (row.numFields == fields.length + 1 && trailingRowId) {
+          // maintenance-rewrite carry: DATA columns + trailing lineage
+          // id (the `t.rewrite` write surface — never op-prefixed)
+          enforce(row)
+          val stamp: java.lang.Long =
+            if (row.isNullAt(fields.length)) null
+            else Long.box(row.getLong(fields.length))
+          emit(externalize(row), stamp)
+        } else if (row.numFields == fields.length + 1) {
+          val opc = row.getInt(0)
+          require(opc == RowDeltaUtils.WRITE_OPERATION ||
+            opc == RowDeltaUtils.DELETE_OPERATION ||
+            opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+            s"unexpected op code $opc in op-prefixed write row")
+          if (opc == RowDeltaUtils.DELETE_OPERATION) return
+          val logical = new OffsetRow(row, 1)
+          enforce(logical); emit(externalize(logical), null)
+        } else sys.error(s"write row has ${row.numFields} fields, " +
+          s"schema has ${fields.length}")
       }
 
       // metadata-carrying form (WRITE_WITH_METADATA rows): the source
       // group rides `metadata`, but this writer re-buckets by content,
-      // so the metadata is advisory only
-      override def write(metadata: InternalRow, record: InternalRow): Unit =
-        write(record)
+      // so the group slot is advisory only. The SECOND metadata slot —
+      // `_row_id`, declared only by rowids tables' row-level ops — is
+      // the carried lineage id the rewrite materializes.
+      override def write(metadata: InternalRow, record: InternalRow): Unit = {
+        enforce(record)
+        val stamp: java.lang.Long =
+          if (matRowIds && metadata.numFields > 1 && !metadata.isNullAt(1))
+            Long.box(metadata.getLong(1))
+          else null
+        emit(externalize(record), stamp)
+      }
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
@@ -709,8 +755,15 @@ class DeltaRowLevelOp(tableKey: String, meta: RowStore.Meta,
   override def command(): RowLevelOperation.Command = cmd
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_rid"))
+  /** rowids tables additionally declare `_row_id`: the delta writer
+    * stamps an UPDATE record with its target row's lineage id, so the
+    * id survives even when the target file stores MATERIALIZED ids
+    * (a rewrite output) that position inheritance could not recover
+    * after the update replaced the row's data. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_group"))
+    if (meta.rowids)
+      Array(Expressions.column("_group"), Expressions.column("_row_id"))
+    else Array(Expressions.column("_group"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = RowStore.currentVersion(tableKey)
     baseVersion = Some(v)
@@ -728,16 +781,20 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
-      meta.keyCol, meta.numGroups, meta.dv, meta.check)
+      meta.keyCol, meta.numGroups, meta.dv, meta.check, meta.rowids)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[FilesMessage])
     // test seam: DeletionVectorSpec pins that the serialized message
     // payload is O(touched files), not O(deleted rows)
     if (RowStore.commitBytesProbe != null)
       RowStore.commitBytesProbe(RowStore.serializedSize(messages))
+    // rowids tables record each delta file's RECORD count (`rows`),
+    // so row-lineage assignment can reserve the file's id range —
+    // insert records inherit firstRowId + record index. Other tables
+    // keep rows=None, the shape every metadata consumer expects.
     val added = msgs.flatMap(_.files)
       .map(f => RowStore.FileEntry("delta", f.group, f.name,
-        spec = meta.specId)).toSeq
+        rows = f.rows, spec = meta.specId)).toSeq
     // DV MODE: the bitmap blobs were written EXECUTOR-SIDE (one per
     // (task, target)); this commit only RESOLVES their handles — the
     // Delta/Iceberg-v3 invariant: AT MOST ONE deletion vector per
@@ -803,7 +860,8 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
 
 class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
     bucketCol: String, numGroups: Int,
-    dvMode: Boolean = false, check: String = "")
+    dvMode: Boolean = false, check: String = "",
+    rowids: Boolean = false)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -820,7 +878,11 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       // (RowNested) — the reader's projection machinery is shared
       private val flatFields = RowNested.flatLeaves(fields)
       private val bucketIdx = flatFields.indexWhere(_.name == bucketCol)
-      private val fileSchema = RowResolve.DeltaMetaFields ++ flatFields
+      // rowids tables carry the lineage-id stamp as a trailing record
+      // column: UPDATE records store their target's id (reads prefer
+      // it over position inheritance), insert/delete records null-pad
+      private val fileSchema = RowResolve.DeltaMetaFields ++ flatFields ++
+        (if (rowids) Seq(StructField("_rowid", LongType)) else Seq.empty)
       // one delta file per (task, touched group): group-tagged in the
       // manifest, so reads replay only the deltas that can affect the
       // group they're resolving
@@ -840,9 +902,11 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       private val dataVals: InternalRow => Array[Any] =
         RowNested.externalizer(fields)
 
-      private def rec(op: Int, rid: String, grp: Int, row: InternalRow): Unit =
+      private def rec(op: Int, rid: String, grp: Int, row: InternalRow,
+          stamp: java.lang.Long = null): Unit =
         writer(grp).write(
-          Array[Any](Int.box(op), rid, Int.box(grp)) ++ dataVals(row))
+          Array[Any](Int.box(op), rid, Int.box(grp)) ++ dataVals(row) ++
+            (if (rowids) Seq[Any](stamp) else Seq.empty))
 
       /** metadata = [_group] (the row's RESIDENT group — where the rid
         * lives, not where the new values would hash; MOR never
@@ -865,8 +929,14 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
         enforce(row)
+        // second metadata slot = the target row's lineage id (rowids
+        // tables declare [_group, _row_id]) — stamped into the record
+        val stamp: java.lang.Long =
+          if (rowids && metadata.numFields > 1 && !metadata.isNullAt(1))
+            Long.box(metadata.getLong(1))
+          else null
         rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
-          metadata.getInt(0), row)
+          metadata.getInt(0), row, stamp)
       }
       override def insert(row: InternalRow): Unit = {
         enforce(row)
@@ -874,13 +944,15 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
         val g = if (bucketIdx < 0) 0
           else RowStore.groupOf(vals(bucketIdx), numGroups)
         writer(g).write(Array[Any](Int.box(RowResolve.InsertOp), null,
-          Int.box(g)) ++ vals)
+          Int.box(g)) ++ vals ++
+          (if (rowids) Seq[Any](null) else Seq.empty))
       }
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._2.close())
-        FilesMessage(writers.map { case (g, (n, _)) =>
-          FileMeta(g, n, None, None) }.toSeq,
+        FilesMessage(writers.map { case (g, (n, w)) =>
+          FileMeta(g, n, None, None,
+            if (rowids) Some(w.rows.toLong) else None) }.toSeq,
           // the blob is written HERE, executor-side — the message
           // carries only its (group, target, name, popcount) handle,
           // so driver commit traffic is O(touched files) however many

@@ -43,6 +43,57 @@ object RowCatalogMaintQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── q179: ROW LINEAGE (Iceberg v3's row lineage / Delta's row
+    // tracking; TBLPROPERTIES('rowids'='on')): every committed row
+    // carries a STABLE unique `_row_id`, assigned once at commit from
+    // the table's monotone `#nextrowid` counter — VIRTUAL on the
+    // append path (firstRowId + position, zero bytes per row),
+    // MATERIALIZED by everything that relocates rows (COW swaps,
+    // OPTIMIZE, sorted/binpack rewrites), so ids survive the whole
+    // maintenance lifecycle. The row drives two appends, a COW
+    // DELETE, a COW UPDATE, and OPTIMIZE, then emits per surviving
+    // row whether its CURRENT id equals its id at the version that
+    // created it (cross-version self-join computed in-plan — any
+    // re-mint flips the flag) plus the order-free dense-range pins:
+    // at birth the ids are exactly {0..N-1}, and the live set stays
+    // duplicate-free. RowLineageSpec pins the storage half (virtual
+    // appends, MOR stamps, dv survivors, materializing rewrites).
+    "q179_dml_row_lineage" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q179_orders")
+      val t = "graft_dml.ns.rl"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on')")
+      s.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q179_orders WHERE o_orderkey % 7 = 0""")
+      s.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q179_orders WHERE o_orderkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE k % 3 = 0")
+      s.sql(s"UPDATE $t SET cents = cents + 7 WHERE k % 5 = 0")
+      RowStoreOps.compact(s, t)
+      s.sql(s"""
+        WITH now AS (SELECT k, cents, _row_id FROM $t),
+        born AS (SELECT k, _row_id FROM $t VERSION AS OF 2),
+        ba AS (SELECT CAST(MIN(_row_id) AS BIGINT) AS born_min,
+                      CAST(MAX(_row_id) AS BIGINT) AS born_max,
+                      COUNT(DISTINCT _row_id) = COUNT(*) AS born_unique
+               FROM $t VERSION AS OF 2),
+        na AS (SELECT COUNT(DISTINCT _row_id) = COUNT(*) AS ids_unique
+               FROM $t)
+        SELECT n.k, n.cents,
+               CAST(CASE WHEN n._row_id = b._row_id THEN 1 ELSE 0 END
+                 AS INT) AS id_kept,
+               ba.born_min, ba.born_max, ba.born_unique, na.ids_unique
+        FROM now n JOIN born b ON n.k = b.k
+        CROSS JOIN ba CROSS JOIN na
+        ORDER BY n.k""")
+    }),
+
     // ── q160: NESTED (STRUCT) COLUMN TYPES — the schema surface
     // events-shaped data hits on day one (the reference's `props`
     // JSON column is the domain hint): a STRUCT column through the
@@ -1042,6 +1093,23 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the lifecycle's live set restated (two slices, k%3 deleted,
+    // k%5 bumped); id_kept = 1 for EVERY survivor (all were born by
+    // v2 and lineage preserves ids through delete/update/OPTIMIZE),
+    // and at birth the ids are exactly the dense range {0..N-1}
+    "q179_dml_row_lineage" ->
+      """WITH t0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 IN (0, 3)),
+        |live AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM t0 WHERE k % 3 <> 0)
+        |SELECT l.k, l.cents, CAST(1 AS INTEGER) AS id_kept,
+        |  CAST(0 AS BIGINT) AS born_min,
+        |  CAST((SELECT COUNT(*) FROM t0) - 1 AS BIGINT) AS born_max,
+        |  TRUE AS born_unique, TRUE AS ids_unique
+        |FROM live l ORDER BY l.k""".stripMargin,
+
     // table A = seed + the atomically-published wave-1 slice; table B
     // = seed + wave 1 + the interleaved commit; wave 2 stays staged on
     // BOTH (the refusal was all-or-nothing); pins TRUE by contract

@@ -105,7 +105,8 @@ object RowStore {
 
   /** Column names reserved for metadata / delta-record bookkeeping. */
   private[sources] val Reserved =
-    Set("_group", "_rid", "_change", "_op", "_grp", "_zv")
+    Set("_group", "_rid", "_change", "_op", "_grp", "_zv",
+      "_row_id", "_rowid")
 
   /** Test seam: invoked at the top of every batch-write commit BEFORE
     * the lock is taken. The concurrency spec points it at a latch so
@@ -178,12 +179,27 @@ object RowStore {
     * high-churn MOR readable at 100 TB: a file has AT MOST ONE vector
     * regardless of how many delete commits touched it, so replay cost
     * tracks touched-file count, never deleted-row count. */
+  /** `rowids` (TBLPROPERTIES('rowids'='on'), CREATE-time only): ROW
+    * LINEAGE — Iceberg v3's row-lineage / Delta's row-tracking model.
+    * Every committed row gets a STABLE unique `_row_id`, assigned at
+    * manifest-commit time from a per-table monotone counter
+    * (`#nextrowid` manifest header): each new row-bearing entry
+    * receives a contiguous id range `[firstRowId, firstRowId+rows)`
+    * and a row's id is VIRTUALLY inherited as firstRowId + its
+    * position — zero bytes stored per row on the append path. Writers
+    * that RELOCATE rows (COW rewrites, OPTIMIZE/clustering/binpack)
+    * MATERIALIZE the carried id into a reserved `_rowid` file column,
+    * which the reader prefers over inheritance — so ids survive every
+    * rewrite. Assignment lives in [[stageManifest]] (the one funnel
+    * every version commit passes through), so concurrent rebased
+    * commits re-assign from the new head and ids can never collide. */
   case class Meta(schema: StructType, numGroups: Int, mor: Boolean,
       bucketCol: String = "", dropped: Seq[String] = Seq.empty,
       transform: String = "bucket", tparam: Long = 0L, specId: Int = 0,
       renames: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty, dv: Boolean = false,
-      ndvCols: Seq[String] = Seq.empty, check: String = "") {
+      ndvCols: Seq[String] = Seq.empty, check: String = "",
+      rowids: Boolean = false) {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -215,6 +231,14 @@ object RowStore {
     * per-file sketches fold to a table-level distinct count at plan
     * time, feeding CBO join-cardinality estimation, without any
     * full-column scan. ≤ K longs per (file, column). */
+  /** `firstRowId` (rowids tables): the first id of this entry's
+    * contiguous row-id range — a row's inherited id is
+    * firstRowId + its position (base files) / record index (delta
+    * files). Assigned exactly once, at the entry's first version
+    * commit, and carried verbatim through every later manifest
+    * (rollback, branch publish, clone, transaction adoption), which
+    * is what makes the ids stable. None on non-rowids tables, dv
+    * entries, and rows staged-but-not-yet-committed. */
   case class FileEntry(kind: String, group: Int, name: String,
       minK: Option[Long] = None, maxK: Option[Long] = None,
       rows: Option[Long] = None, spec: Int = 0,
@@ -223,7 +247,8 @@ object RowStore {
       colsS: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       ndv: Map[String, (Long, Seq[Long])] = Map.empty,
-      dvTarget: Option[String] = None)
+      dvTarget: Option[String] = None,
+      firstRowId: Option[Long] = None)
 
   /** TRUNCATED string bounds — Iceberg's string zone-map model
     * (iceberg UnicodeUtil.truncateStringMax): bounds are capped at
@@ -594,6 +619,7 @@ object RowStore {
         s"renames=${renderRenames(m.renames)}\n" +
         s"bloom=${m.bloomCols.mkString(",")}\ndv=${m.dv}\n" +
         s"ndv=${m.ndvCols.mkString(",")}\ncheck=${m.check}\n" +
+        s"rowids=${m.rowids}\n" +
         s"schema=${m.schema.json}\n")
   }
 
@@ -612,7 +638,8 @@ object RowStore {
       kv.getOrElse("bloom", "").split(",").filter(_.nonEmpty).toSeq,
       kv.getOrElse("dv", "false").toBoolean,
       kv.getOrElse("ndv", "").split(",").filter(_.nonEmpty).toSeq,
-      kv.getOrElse("check", ""))
+      kv.getOrElse("check", ""),
+      kv.getOrElse("rowids", "false").toBoolean)
   }
 
   def listTableKeys(): Seq[String] = {
@@ -797,9 +824,13 @@ object RowStore {
         var blooms = Map.empty[String, String]
         var ndv = Map.empty[String, (Long, Seq[Long])]
         var dvTarget: Option[String] = None
+        var firstRowId: Option[Long] = None
         toks.drop(3).foreach { t =>
           if (t.startsWith("r") && t.tail.nonEmpty &&
             t.tail.forall(_.isDigit)) rows = Some(t.tail.toLong)
+          // `R<id>` = first row id of the entry's lineage range
+          else if (t.startsWith("R") && t.tail.nonEmpty &&
+            t.tail.forall(_.isDigit)) firstRowId = Some(t.tail.toLong)
           else if (t.startsWith("s") && t.tail.nonEmpty &&
             // import specs are NEGATIVE ids ("s-1") — see addFiles
             t.tail.forall(c => c.isDigit || c == '-')) spec = t.tail.toInt
@@ -847,7 +878,7 @@ object RowStore {
         require(minS.isDefined == maxS.isDefined,
           s"corrupt manifest line (unpaired string stats): $l")
         FileEntry(toks(0), toks(1).toInt, toks(2), minK, maxK, rows, spec,
-          minS, maxS, colsN, colsS, blooms, ndv, dvTarget)
+          minS, maxS, colsN, colsS, blooms, ndv, dvTarget, firstRowId)
       }
 
   private def renderEntries(entries: Seq[FileEntry]): String =
@@ -873,7 +904,10 @@ object RowStore {
       val nd = e.ndv.toSeq.sortBy(_._1).map { case (n, (nu, sk)) =>
         s"\tN${StrBounds.enc(n)}~$nu~${Kmv.enc(sk)}" }.mkString
       val dvt = e.dvTarget.map(t => s"\tD${StrBounds.enc(t)}").getOrElse("")
-      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl$nd$dvt"
+      // `R<id>` = the entry's first row id (row lineage; uppercase R
+      // is distinct from the lowercase `r<count>` row-count token)
+      val frid = e.firstRowId.map(r => s"\tR$r").getOrElse("")
+      s"${e.kind}\t${e.group}\t${e.name}$stats$sstats$rows$spec$cn$cs$bl$nd$dvt$frid"
     }.mkString("", "\n", "\n")
 
   /** Streaming-append high-water mark for ONE streaming query: the
@@ -979,8 +1013,52 @@ object RowStore {
     * exists so multi-table publish (publish_branches) can stage
     * EVERY table's manifest before linking ANY of them, shrinking
     * the partial-publish crash window to the links alone. */
-  def stageManifest(key: String, v: Int, entries: Seq[FileEntry],
+  /** The row-id high-water mark after version `v`'s commit (rowids
+    * tables; `#nextrowid` manifest header). 0 for manifests that
+    * predate row lineage — safe, because the assignment fold below
+    * also maxes over the entries actually present. */
+  def nextRowId(key: String, v: Int): Long = {
+    val p = Paths.get(tableDir(key), s"v$v.manifest")
+    if (!Files.exists(p)) 0L
+    else Files.readAllLines(p).asScala.collectFirst {
+      case l if l.startsWith("#nextrowid\t") =>
+        l.stripPrefix("#nextrowid\t").toLong
+    }.getOrElse(0L)
+  }
+
+  def stageManifest(key: String, v: Int, entries0: Seq[FileEntry],
       extraHeader: Seq[String] = Seq.empty): Path = {
+    // ── ROW-LINEAGE ASSIGNMENT (rowids tables) — the one funnel every
+    // version commit passes through (appends, COW swaps, MOR deltas,
+    // streaming epochs, rollback, branch publish, cherry-pick,
+    // transaction adoption), so ids are assigned exactly once per
+    // entry and a rebased retry re-assigns from the head it actually
+    // publishes onto. Each row-bearing entry WITHOUT an id gets the
+    // next contiguous range [ctr, ctr + rows); entries that already
+    // carry one (carried forward, cloned, adopted — possibly from a
+    // clone whose counter ran ahead of ours) keep it, and the new
+    // high-water mark maxes over BOTH sources so no later assignment
+    // can ever overlap an adopted range. O(entries) driver work, zero
+    // per-row cost — the ids themselves are virtual (firstRowId +
+    // position) until a rewrite materializes them.
+    val rowIdState: Option[(Seq[FileEntry], Long)] =
+      if (!Files.exists(metaPath(key)) || !readMeta(key).rowids) None
+      else {
+        val parentNext = if (v <= 0) 0L else nextRowId(key, v - 1)
+        var ctr = math.max(parentNext, entries0.flatMap(e =>
+          e.firstRowId.map(_ + e.rows.getOrElse(0L))).maxOption
+          .getOrElse(0L))
+        val assigned = entries0.map { e =>
+          if (e.kind == "dv" || e.firstRowId.isDefined) e
+          else e.rows match {
+            case Some(r) => val f = ctr; ctr += r
+              e.copy(firstRowId = Some(f))
+            case None => e
+          }
+        }
+        Some((assigned, ctr))
+      }
+    val entries = rowIdState.map(_._1).getOrElse(entries0)
     // STRICTLY monotonic commit times per table: two sub-millisecond
     // commits must never share a timestamp, or TIMESTAMP AS OF the
     // earlier one would silently resolve to the later
@@ -1039,8 +1117,11 @@ object RowStore {
     }
     val tmp = Files.createTempFile(
       Paths.get(tableDir(key)), s".v$v.manifest.", ".tmp")
+    val rowIdHeader =
+      rowIdState.map { case (_, ctr) => s"#nextrowid\t$ctr" }.toSeq
     Files.writeString(tmp,
-      s"#ms\t$ms\n" + (schemaHeader ++ extraHeader).map(_ + "\n").mkString +
+      s"#ms\t$ms\n" +
+        (schemaHeader ++ rowIdHeader ++ extraHeader).map(_ + "\n").mkString +
         body)
     tmp
   }

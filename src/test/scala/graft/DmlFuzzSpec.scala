@@ -31,7 +31,12 @@ class DmlFuzzSpec extends AnyFunSuite {
       updates += stmts.count(_.label.startsWith("update"))
       deletes += stmts.count(_.label.startsWith("delete"))
       maints += stmts.count(_.maint.nonEmpty)
-      stmtsTotal += DmlFuzz.run(s, seed.toLong, variant, "graft_dml.fz.sweep")
+      // every third seed runs with ROW LINEAGE on: the same grammar
+      // and differential, plus the per-statement lineage invariants
+      // (unique ids, counter-bounded, UPDATE id-set invariance,
+      // maintenance (k, v, id) invariance) asserted inside run()
+      stmtsTotal += DmlFuzz.run(s, seed.toLong, variant,
+        "graft_dml.fz.sweep", rowids = seed % 3 == 0)
     }
     // coverage floor: the sweep must keep exercising every shape
     assert(DmlFuzz.Variants.forall(v => byVariant(v) >= 25),
