@@ -670,12 +670,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     require(ridProp.forall(_ == "on"),
       s"unknown 'rowids' property value ${ridProp.get} (only 'on')")
     val rowids = ridProp.contains("on")
+    // opt-in GENERATED COLUMNS (TBLPROPERTIES('generated'='col: expr
+    // [; col: expr…]')) — Delta's GENERATED ALWAYS AS: validated HERE
+    // so binding/type errors surface at DDL ([[RowGen]])
+    val gen = Option(properties.get("generated")).map(_.trim)
+      .filter(_.nonEmpty).getOrElse("")
+    if (gen.nonEmpty) RowGen.validate(gen, schema)
     RowStore.writeMeta(k, RowStore.Meta(schema, numGroups, mor,
       spec.map(_._3).getOrElse(""),
       transform = spec.map(_._1).getOrElse("bucket"),
       tparam = spec.map(_._2).getOrElse(0L),
       bloomCols = bloomCols, dv = dv, ndvCols = ndvCols, check = check,
-      rowids = rowids))
+      rowids = rowids, gen = gen))
     RowStore.writeManifest(k, 0, Seq.empty) // v0 = empty table at CREATE
     new RowTable(k, RowStore.readMeta(k), 0)
   }
@@ -947,6 +953,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"this ALTER would break the table's CHECK constraint " +
               s"(${m2.check}): ${e.getMessage}")
         }
+      // generated columns must keep binding too — dropping/renaming a
+      // SOURCE column (or the generated column itself) refuses, same
+      // rule as the CHECK constraint above
+      if (m2.gen.nonEmpty)
+        try RowGen.validate(m2.gen, m2.schema)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"this ALTER would break a generated-column definition " +
+              s"(${m2.gen}): ${e.getMessage}")
+        }
       RowStore.writeMeta(k, m2)
       // schema/spec evolution COMMITS a version (same file entries,
       // new `#schema` header): time travel to any pre-ALTER version
@@ -1065,6 +1081,7 @@ class RowTable(tableKey: String, meta: RowStore.Meta, version: Int,
     if (meta.ndvCols.nonEmpty) m.put("ndv", meta.ndvCols.mkString(","))
     if (meta.check.nonEmpty) m.put("check", meta.check)
     if (meta.rowids) m.put("rowids", "on")
+    if (meta.gen.nonEmpty) m.put("generated", meta.gen)
     m
   }
 

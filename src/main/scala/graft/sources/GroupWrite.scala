@@ -168,7 +168,8 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
       // via the `t.rewrite` surface). Plain appends stay virtual.
       matRowIds = meta.rowids && (mode.isInstanceOf[GroupWrite.ReplaceGroups]
         || mode.isInstanceOf[GroupWrite.Compact]),
-      trailingRowId = meta.rowids && mode.isInstanceOf[GroupWrite.Compact])
+      trailingRowId = meta.rowids && mode.isInstanceOf[GroupWrite.Compact],
+      gen = meta.gen)
 
   /** `writeStream.toTable` — the native streaming APPEND (Delta's
     * shape): each epoch commits one manifest version, and a
@@ -187,7 +188,7 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
           private val inner = new GroupWriterFactory(
             RowStore.dataDir(tableKey), writeSchema, meta.keyCol,
             meta.numGroups, meta.transform, meta.tparam, meta.renames,
-            meta.bloomCols, meta.ndvCols, meta.check)
+            meta.bloomCols, meta.ndvCols, meta.check, gen = meta.gen)
           override def createWriter(partitionId: Int, taskId: Long,
               epochId: Long): DataWriter[InternalRow] =
             inner.createWriter(partitionId, taskId)
@@ -471,11 +472,18 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
     ndvCols: Seq[String] = Seq.empty,
     check: String = "",
     matRowIds: Boolean = false,
-    trailingRowId: Boolean = false)
+    trailingRowId: Boolean = false,
+    gen: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fields = writeSchema.fields.toSeq
+      // GENERATED columns, compiled executor-side like the CHECK
+      // constraint ([[RowGen]]): fills/validates BEFORE the check
+      // runs, so a constraint over a generated column sees the
+      // computed value
+      private val genFill: (InternalRow, Boolean) => InternalRow =
+        if (gen.isEmpty) null else RowGen.compile(gen, writeSchema)
       // CHECK constraint, compiled executor-side from the string (the
       // factory ships only `check`); evaluated on the LOGICAL row
       // before externalization, so the error names user-facing values
@@ -655,15 +663,21 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
         // DataAndMetadataWritingSparkTask strips it before us, so an
         // unexpected width fails LOUDLY rather than corrupting rows.
         if (row.numFields == fields.length) {
-          enforce(row); emit(externalize(row), null)
+          // exact-width one-arg rows are USER data (plain INSERT,
+          // streaming, a MERGE's not-matched inserts) → strict fill
+          val r = if (genFill == null) row else genFill(row, true)
+          enforce(r); emit(externalize(r), null)
         } else if (row.numFields == fields.length + 1 && trailingRowId) {
           // maintenance-rewrite carry: DATA columns + trailing lineage
-          // id (the `t.rewrite` write surface — never op-prefixed)
-          enforce(row)
+          // id (the `t.rewrite` write surface — never op-prefixed).
+          // The fill reads only the schema-width prefix; the stamp
+          // comes off the ORIGINAL wide row.
+          val r = if (genFill == null) row else genFill(row, false)
+          enforce(r)
           val stamp: java.lang.Long =
             if (row.isNullAt(fields.length)) null
             else Long.box(row.getLong(fields.length))
-          emit(externalize(row), stamp)
+          emit(externalize(r), stamp)
         } else if (row.numFields == fields.length + 1) {
           val opc = row.getInt(0)
           require(opc == RowDeltaUtils.WRITE_OPERATION ||
@@ -671,7 +685,9 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
             opc == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
             s"unexpected op code $opc in op-prefixed write row")
           if (opc == RowDeltaUtils.DELETE_OPERATION) return
-          val logical = new OffsetRow(row, 1)
+          val logical0 = new OffsetRow(row, 1)
+          val logical =
+            if (genFill == null) logical0 else genFill(logical0, false)
           enforce(logical); emit(externalize(logical), null)
         } else sys.error(s"write row has ${row.numFields} fields, " +
           s"schema has ${fields.length}")
@@ -682,13 +698,17 @@ class GroupWriterFactory(dir: String, writeSchema: StructType,
       // so the group slot is advisory only. The SECOND metadata slot —
       // `_row_id`, declared only by rowids tables' row-level ops — is
       // the carried lineage id the rewrite materializes.
+      // two-arg rows are the engine's own (carried/updated rows of
+      // the COW swap) → recompute, never refuse: the incoming value
+      // is the PRE-statement one when an UPDATE changed a source
       override def write(metadata: InternalRow, record: InternalRow): Unit = {
-        enforce(record)
+        val r = if (genFill == null) record else genFill(record, false)
+        enforce(r)
         val stamp: java.lang.Long =
           if (matRowIds && metadata.numFields > 1 && !metadata.isNullAt(1))
             Long.box(metadata.getLong(1))
           else null
-        emit(externalize(record), stamp)
+        emit(externalize(r), stamp)
       }
 
       override def commit(): WriterCommitMessage = {
@@ -781,7 +801,8 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new RowDeltaWriterFactory(RowStore.dataDir(tableKey), rowSchema,
-      meta.keyCol, meta.numGroups, meta.dv, meta.check, meta.rowids)
+      meta.keyCol, meta.numGroups, meta.dv, meta.check, meta.rowids,
+      meta.gen)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[FilesMessage])
     // test seam: DeletionVectorSpec pins that the serialized message
@@ -861,11 +882,15 @@ class RowDeltaWrite(tableKey: String, meta: RowStore.Meta,
 class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
     bucketCol: String, numGroups: Int,
     dvMode: Boolean = false, check: String = "",
-    rowids: Boolean = false)
+    rowids: Boolean = false, gen: String = "")
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val fields = rowSchema.fields.toSeq
+      // GENERATED columns on the MOR record path: update postimages
+      // and inserts fill/validate like the COW writer
+      private val genFill: (InternalRow, Boolean) => InternalRow =
+        if (gen.isEmpty) null else RowGen.compile(gen, rowSchema)
       // CHECK constraint on the MOR record path: update postimages and
       // inserts are validated; deletes carry no data to check
       private val violation: InternalRow => Boolean =
@@ -928,7 +953,10 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
       }
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
-        enforce(row)
+        // update postimages recompute (non-strict): the generated
+        // slot carries the PRE-update value when a source changed
+        val r = if (genFill == null) row else genFill(row, false)
+        enforce(r)
         // second metadata slot = the target row's lineage id (rowids
         // tables declare [_group, _row_id]) — stamped into the record
         val stamp: java.lang.Long =
@@ -936,11 +964,12 @@ class RowDeltaWriterFactory(dir: String, rowSchema: StructType,
             Long.box(metadata.getLong(1))
           else null
         rec(RowResolve.UpdateOp, id.getUTF8String(0).toString,
-          metadata.getInt(0), row, stamp)
+          metadata.getInt(0), r, stamp)
       }
       override def insert(row: InternalRow): Unit = {
-        enforce(row)
-        val vals = dataVals(row)
+        val r = if (genFill == null) row else genFill(row, true)
+        enforce(r)
+        val vals = dataVals(r)
         val g = if (bucketIdx < 0) 0
           else RowStore.groupOf(vals(bucketIdx), numGroups)
         writer(g).write(Array[Any](Int.box(RowResolve.InsertOp), null,

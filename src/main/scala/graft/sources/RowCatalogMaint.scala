@@ -94,6 +94,41 @@ object RowCatalogMaintQueries {
         ORDER BY n.k""")
     }),
 
+    // ── q180: GENERATED COLUMNS (Delta's GENERATED ALWAYS AS;
+    // TBLPROPERTIES('generated'='col: expr')): the column's value is
+    // COMPUTED from the row's other columns on every write path — an
+    // omitted/NULL incoming value fills, an explicit user value must
+    // match the definition or the statement refuses, and a COW/MOR
+    // UPDATE that changes a source column REFRESHES the generated
+    // value (the engine's own carried/updated rows recompute, so the
+    // column can never go stale). The row drives a column-list INSERT
+    // (fill), a COW UPDATE that moves cents across a bucket boundary
+    // (refresh), and a MERGE whose not-matched arm omits the column
+    // (fill through MergeRows). GeneratedColumnsSpec pins the refusal
+    // and DDL halves.
+    "q180_dml_generated_cols" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q180_orders")
+      val t = "graft_dml.ns.gc"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT, " +
+        "cents_bucket BIGINT) TBLPROPERTIES " +
+        "('generated'='cents_bucket: cents - (cents % 1000)')")
+      s.sql(s"""INSERT INTO $t (k, cents)
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q180_orders WHERE o_orderkey % 6 = 0""")
+      s.sql(s"UPDATE $t SET cents = cents + 1500 WHERE k % 4 = 0")
+      s.sql(s"""MERGE INTO $t x USING (
+          SELECT CAST(o_orderkey AS BIGINT) AS mk,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS mc
+          FROM q180_orders WHERE o_orderkey % 3 = 0) m
+        ON x.k = m.mk
+        WHEN MATCHED AND m.mk % 12 = 0 THEN UPDATE SET cents = m.mc + 10
+        WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (m.mk, m.mc)""")
+      s.table(t).orderBy("k")
+    }),
+
     // ── q160: NESTED (STRUCT) COLUMN TYPES — the schema surface
     // events-shaped data hits on day one (the reference's `props`
     // JSON column is the domain hint): a STRUCT column through the
@@ -1093,6 +1128,30 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the lifecycle restated: %6=0 slice (bumped where k%4=0), the
+    // merge's matched overwrite and not-matched %6=3 inserts; the
+    // generated bucket is recomputed from the FINAL cents everywhere
+    "q180_dml_generated_cols" ->
+      """WITH t0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |upd AS (SELECT k,
+        |    CASE WHEN k % 4 = 0 THEN cents + 1500 ELSE cents END AS cents
+        |  FROM t0),
+        |src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |fin AS (
+        |  SELECT u.k,
+        |    CASE WHEN s.k IS NOT NULL AND s.k % 12 = 0 THEN s.cents + 10
+        |         ELSE u.cents END AS cents
+        |  FROM upd u LEFT JOIN src s ON u.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.cents FROM src s LEFT JOIN upd u ON u.k = s.k
+        |  WHERE u.k IS NULL)
+        |SELECT k, cents, cents - (cents % 1000) AS cents_bucket
+        |FROM fin ORDER BY k""".stripMargin,
+
     // the lifecycle's live set restated (two slices, k%3 deleted,
     // k%5 bumped); id_kept = 1 for EVERY survivor (all were born by
     // v2 and lineage preserves ids through delete/update/OPTIMIZE),

@@ -29,25 +29,29 @@ import org.apache.spark.sql.types.{BooleanType, StructType}
   * at write time. */
 object RowCheck {
 
-  /** Parse + bind `checkSql` against `schema`, or fail loudly. The
-    * returned expression is the VIOLATION test (true = reject). */
-  private[sources] def bind(checkSql: String,
-      schema: StructType): Expression = {
+  /** Parse + bind an arbitrary session-free SQL expression against
+    * `schema`, or fail loudly — the shared front half of the CHECK
+    * compiler, also reused by [[RowGen]] (generated columns): parse,
+    * bind column references to BoundReferences, minimal numeric
+    * coercion, and the resolved/deterministic requirements. `what`
+    * names the surface in error messages. */
+  private[sources] def bindExpr(checkSql: String, schema: StructType,
+      what: String = "check constraint"): Expression = {
     require(!checkSql.exists(c => c == '\n' || c == '\r'),
-      "check constraint must be a single line (the catalog's metadata " +
+      s"$what must be a single line (the catalog's metadata " +
         "layout is line-oriented)")
     val parsed =
       try CatalystSqlParser.parseExpression(checkSql)
       catch { case e: Exception =>
         throw new IllegalArgumentException(
-          s"check constraint does not parse: $checkSql (${e.getMessage})")
+          s"$what does not parse: $checkSql (${e.getMessage})")
       }
     val resolver: (String, String) => Boolean = _ equalsIgnoreCase _
     val bound = parsed.transformUp {
       case u: UnresolvedAttribute =>
         val head = u.nameParts.head
         val idx = schema.fields.indexWhere(f => resolver(f.name, head))
-        require(idx >= 0, s"check constraint references unknown column " +
+        require(idx >= 0, s"$what references unknown column " +
           s"'${u.name}' (schema: ${schema.fieldNames.mkString(", ")})")
         val base: Expression =
           BoundReference(idx, schema.fields(idx).dataType,
@@ -100,18 +104,26 @@ object RowCheck {
           In(v, list.map(recast(_, v.dataType)))
         else in
     }
-    require(coerced.resolved, s"check constraint '$checkSql' uses " +
+    require(coerced.resolved, s"$what '$checkSql' uses " +
       "constructs the writers cannot evaluate session-free " +
       s"(unresolved: ${coerced.collect {
         case e if !e.childrenResolved || !e.resolved => e.sql
       }.headOption.getOrElse(coerced.sql)}); use column references, " +
       "literals, comparisons, boolean/arithmetic operators, IN, " +
       "IS NULL, CASE, CAST, LIKE")
+    require(coerced.deterministic,
+      s"$what must be deterministic: $checkSql")
+    coerced
+  }
+
+  /** Parse + bind `checkSql` against `schema`, or fail loudly. The
+    * returned expression is the VIOLATION test (true = reject). */
+  private[sources] def bind(checkSql: String,
+      schema: StructType): Expression = {
+    val coerced = bindExpr(checkSql, schema)
     require(coerced.dataType == BooleanType,
       s"check constraint must be boolean, got ${coerced.dataType.sql}: " +
         checkSql)
-    require(coerced.deterministic,
-      s"check constraint must be deterministic: $checkSql")
     Not(Coalesce(Seq(coerced, Literal(true))))
   }
 

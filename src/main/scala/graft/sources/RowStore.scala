@@ -199,7 +199,7 @@ object RowStore {
       renames: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty, dv: Boolean = false,
       ndvCols: Seq[String] = Seq.empty, check: String = "",
-      rowids: Boolean = false) {
+      rowids: Boolean = false, gen: String = "") {
     def keyCol: String = if (bucketCol.nonEmpty) bucketCol else schema.head.name
     /** The name column `n`'s values are stored under in data files. */
     def storageOf(n: String): String = renames.getOrElse(n, n)
@@ -619,7 +619,7 @@ object RowStore {
         s"renames=${renderRenames(m.renames)}\n" +
         s"bloom=${m.bloomCols.mkString(",")}\ndv=${m.dv}\n" +
         s"ndv=${m.ndvCols.mkString(",")}\ncheck=${m.check}\n" +
-        s"rowids=${m.rowids}\n" +
+        s"rowids=${m.rowids}\ngen=${m.gen}\n" +
         s"schema=${m.schema.json}\n")
   }
 
@@ -639,7 +639,8 @@ object RowStore {
       kv.getOrElse("dv", "false").toBoolean,
       kv.getOrElse("ndv", "").split(",").filter(_.nonEmpty).toSeq,
       kv.getOrElse("check", ""),
-      kv.getOrElse("rowids", "false").toBoolean)
+      kv.getOrElse("rowids", "false").toBoolean,
+      kv.getOrElse("gen", ""))
   }
 
   def listTableKeys(): Seq[String] = {
