@@ -101,7 +101,10 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
     StructField("min_k", LongType, nullable = true),
     StructField("max_k", LongType, nullable = true),
     StructField("dv_target", StringType, nullable = true),
-    StructField("dv_deleted_rows", LongType, nullable = true)))
+    StructField("dv_deleted_rows", LongType, nullable = true),
+    // row lineage: the file's assigned id range starts here (NULL on
+    // non-rowids tables and dv entries)
+    StructField("first_row_id", LongType, nullable = true)))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -138,7 +141,8 @@ class FilesTable(baseKey: String) extends Table with SupportsRead {
                   cur.minK.map(Long.box).orNull,
                   cur.maxK.map(Long.box).orNull,
                   cur.dvTarget.map(UTF8String.fromString).orNull,
-                  fp.dvCards.get(cur.name).map(Long.box).orNull))
+                  fp.dvCards.get(cur.name).map(Long.box).orNull,
+                  cur.firstRowId.map(Long.box).orNull))
               override def close(): Unit = ()
             }
           }

@@ -302,9 +302,17 @@ object StreamingOps {
     * one file); SparkEntry consumes these unchanged. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     StreamCoreQueries.queries ++ StreamJoinQueries.queries ++
-      StreamDmlQueries.queries
+      StreamDmlQueries.queries ++
+      StreamFuzz.Pinned.map { case (name, seed) =>
+        name -> ((s: SparkSession, d: String) =>
+          StreamFuzz.pinnedResult(s, seed,
+            d.replaceAll("[^A-Za-z0-9]", "_")))
+      }.toMap
 
   val oracles: Map[String, String] =
     StreamCoreQueries.oracles ++ StreamJoinQueries.oracles ++
-      StreamDmlQueries.oracles
+      StreamDmlQueries.oracles ++
+      StreamFuzz.Pinned.map { case (name, seed) =>
+        name -> StreamFuzz.pinnedOracle(seed)
+      }.toMap
 }

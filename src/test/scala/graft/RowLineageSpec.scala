@@ -43,6 +43,10 @@ class RowLineageSpec extends AnyFunSuite {
     val man1 = RowStore.readManifest(key, RowStore.currentVersion(key))
     assert(man1.forall(_.firstRowId.isDefined),
       "every committed entry carries its assigned range")
+    // `.files` surfaces the assigned range starts (zero data opens)
+    val fr = s.sql(s"SELECT first_row_id FROM $t.files").collect()
+      .map(_.getLong(0)).toSet
+    assert(fr == Set(0L), s"the one committed file starts range 0, $fr")
 
     // second append continues the counter: 6..8
     s.sql(s"INSERT INTO $t VALUES (6, 60), (7, 70), (8, 80)")
