@@ -1512,7 +1512,14 @@ object RowStoreOps {
       def abs(n: String) = RowStore.entryPath(srcData, n)
       val cloned = entries.map(e => e.copy(name = abs(e.name)))
       RowStore.writeMeta(dst, meta)
-      RowStore.writeManifest(dst, 0, cloned)
+      // ROW LINEAGE: the clone inherits the source's COUNTER, not just
+      // its live entries' max range end — the source counter can run
+      // ahead of every live entry (INSERT OVERWRITE retires ranges),
+      // and a clone that re-minted a retired id would break
+      // cross-version id uniqueness when a transaction adopts it back
+      val floor = if (!meta.rowids) 0L
+        else RowStore.nextRowId(src, RowStore.currentVersion(src))
+      RowStore.writeManifest(dst, 0, cloned, rowIdFloor = floor)
       cloned.size
     }
 }

@@ -1028,7 +1028,8 @@ object RowStore {
   }
 
   def stageManifest(key: String, v: Int, entries0: Seq[FileEntry],
-      extraHeader: Seq[String] = Seq.empty): Path = {
+      extraHeader: Seq[String] = Seq.empty,
+      rowIdFloor: Long = 0L): Path = {
     // ── ROW-LINEAGE ASSIGNMENT (rowids tables) — the one funnel every
     // version commit passes through (appends, COW swaps, MOR deltas,
     // streaming epochs, rollback, branch publish, cherry-pick,
@@ -1046,9 +1047,13 @@ object RowStore {
       if (!Files.exists(metaPath(key)) || !readMeta(key).rowids) None
       else {
         val parentNext = if (v <= 0) 0L else nextRowId(key, v - 1)
-        var ctr = math.max(parentNext, entries0.flatMap(e =>
-          e.firstRowId.map(_ + e.rows.getOrElse(0L))).maxOption
-          .getOrElse(0L))
+        // `rowIdFloor`: an external counter seed — snapshot_table
+        // passes the SOURCE table's counter so a clone can never
+        // re-mint an id the source already retired
+        var ctr = math.max(math.max(parentNext, rowIdFloor),
+          entries0.flatMap(e =>
+            e.firstRowId.map(_ + e.rows.getOrElse(0L))).maxOption
+            .getOrElse(0L))
         val assigned = entries0.map { e =>
           if (e.kind == "dv" || e.firstRowId.isDefined) e
           else e.rows match {
@@ -1266,8 +1271,10 @@ object RowStore {
     * version `v` first — unreachable for in-JVM contention (callers
     * hold [[commitLock]]). */
   def writeManifest(key: String, v: Int, entries: Seq[FileEntry],
-      extraHeader: Seq[String] = Seq.empty): Unit =
-    publishStaged(key, v, stageManifest(key, v, entries, extraHeader))
+      extraHeader: Seq[String] = Seq.empty,
+      rowIdFloor: Long = 0L): Unit =
+    publishStaged(key, v,
+      stageManifest(key, v, entries, extraHeader, rowIdFloor))
 
   // ── BRANCHES (Iceberg's write-audit-publish surface): a branch
   // manifest is a STAGED next snapshot — full entry list plus the

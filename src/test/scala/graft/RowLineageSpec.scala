@@ -271,4 +271,57 @@ class RowLineageSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t")
     s.sql(s"DROP TABLE $plain")
   }
+
+  test("clone inherits the counter; ids never re-mint retired ranges") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.lineage_src"
+    val c = "graft_dml.spec.lineage_cln"
+    s.sql(s"DROP TABLE IF EXISTS $t"); s.sql(s"DROP TABLE IF EXISTS $c")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on')")
+    s.sql(s"INSERT INTO $t VALUES (0, 0), (1, 1), (2, 2)")
+    // retire ids 0..2: the live max range end drops to 5, but the
+    // counter stays at 5 — and so must a clone's
+    s.sql(s"INSERT OVERWRITE $t VALUES (10, 0), (11, 1)")
+    val srcNext = RowStore.nextRowId(t, RowStore.currentVersion(t))
+    assert(srcNext == 5L)
+    s.sql(s"CALL graft_dml.system.snapshot_table(" +
+      s"'spec.lineage_src', 'spec.lineage_cln')")
+    assert(RowStore.nextRowId(c, RowStore.currentVersion(c)) == srcNext,
+      "the clone must inherit the source COUNTER, not its live max")
+    s.sql(s"INSERT INTO $c VALUES (20, 0)")
+    val cloneIds = ids(c)
+    assert(cloneIds(20L) >= 5L,
+      s"clone insert re-minted a retired id: ${cloneIds(20L)}")
+    s.sql(s"DROP TABLE $t"); s.sql(s"DROP TABLE $c")
+  }
+
+  test("rowids compose with generated columns through rewrites") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.lineage_gen"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on'," +
+      "'generated'='b: v - (v % 100)')")
+    s.sql(s"INSERT INTO $t (k, v) VALUES (0, 150), (1, 250), (2, 350)")
+    assert(ids(t) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // COW update refreshes the generated value AND preserves the id
+    s.sql(s"UPDATE $t SET v = v + 75 WHERE k = 1")
+    assert(ids(t) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    val r = s.sql(s"SELECT v, b FROM $t WHERE k = 1").head()
+    assert((r.getLong(0), r.getLong(1)) == ((325L, 300L)))
+    // maintenance rewrite: both the materialized id and the
+    // recomputed generated value survive. (The COW update above
+    // reserved a fresh range for its rewritten file — counter 3→6 —
+    // so the new row mints 6: ids are unique and monotone, not dense
+    // after rewrites.)
+    s.sql(s"INSERT INTO $t (k, v) VALUES (3, 450)")
+    RowStoreOps.compact(s, t)
+    assert(ids(t) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 6L))
+    assert(s.sql(s"SELECT b FROM $t WHERE k = 3").head().getLong(0)
+      == 400L)
+    s.sql(s"DROP TABLE $t")
+  }
 }
