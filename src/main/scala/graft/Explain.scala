@@ -63,6 +63,8 @@ object Explain {
         "q172_dml_shallow_clone", "q173_dml_check_constraint",
         "q174_dml_copy_into", "q176_dml_atomic_publish",
         "q177_dml_transaction", "q178_dml_binpack", "s20_ann_graph",
+        "q179_dml_row_lineage", "q180_dml_generated_cols",
+        "st42_stream_fuzz_agg", "st43_stream_fuzz_stateless",
         "fz01_fuzz_s1", "fz03_fuzz_s9",
         "dm01_dml_fuzz_cow", "dm02_dml_fuzz_mordv",
         "fw01_fuzz_setop", "fw02_fuzz_window")
