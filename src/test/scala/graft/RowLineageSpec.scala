@@ -272,6 +272,34 @@ class RowLineageSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $plain")
   }
 
+  test("branch-staged files have no ids until publish assigns them") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.lineage_br"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on')")
+    s.sql(s"INSERT INTO $t VALUES (0, 0), (1, 1)")
+    import s.implicits._
+    Seq((2L, 2L), (3L, 3L)).toDF("k", "v")
+      .writeTo(t).option("branch", "audit").append()
+    // the audit read sees the staged rows with NULL ids — assignment
+    // happens at VERSION commit, which staging deliberately is not
+    val staged = s.read.option("branch", "audit").table(t)
+      .select("k", "_row_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(staged(0L) == 0L && staged(1L) == 1L,
+      "committed files keep their ids in the branch read")
+    assert(staged(2L) == -1L && staged(3L) == -1L,
+      "staged files must read NULL ids before publish")
+    graft.sources.RowStoreOps.publishBranch(t, "audit")
+    assertUnique(t)
+    assert(ids(t) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      "publish assigns the staged file's range")
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("clone inherits the counter; ids never re-mint retired ranges") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
