@@ -279,8 +279,13 @@ class AppendTableStream(tableKey: String, meta: RowStore.Meta,
         "stream is append-only; use the .changes feed")
     val dir = RowStore.dataDir(tableKey)
     added.groupBy(_.group).map { case (g, fs) =>
+      // ROW LINEAGE: ship the batch's leaf→firstRowId map so the
+      // streaming layout's `_row_id` ordinal serves committed rows'
+      // ids like the batch scan (O(files-in-batch) longs)
+      val rowIdBase = fs.flatMap(x => x.firstRowId.map(f =>
+        x.name.substring(x.name.lastIndexOf('/') + 1) -> f)).toMap
       GroupFilesPartition(g, fs.map(x => RowStore.entryPath(dir, x.name)),
-        Seq.empty): InputPartition
+        Seq.empty, rowIdBase = rowIdBase): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = factory

@@ -550,8 +550,21 @@ class GroupScan(tableKey: String, meta: RowStore.Meta, version: Int,
     require(branch.isEmpty,
       s"$tableKey: streaming reads of a WAP branch are not supported " +
         "— audit a staged branch with a batch read")
+    // Spark's STREAMING relation resolves to the FULL metadata-
+    // extended output — [data ++ metadataColumns()] — and the
+    // streaming execution path skips the batch pruning rewrite, so
+    // the executed plan reads ORDINALS in that layout whatever the
+    // projection was. Serve exactly that layout (each metadata column
+    // is cheap reader-side arithmetic); a width-pruned reader here
+    // crashes codegen on the first metadata reference.
+    val streamOut = StructType(meta.schema.fields ++
+      Seq(StructField("_group", IntegerType, nullable = false),
+        StructField("_rid", StringType, nullable = false)) ++
+      (if (meta.rowids) Seq(StructField("_row_id", LongType))
+      else Seq.empty))
     new AppendTableStream(tableKey, meta, streamFrom,
-      createReaderFactory())
+      new GroupReaderFactory(streamOut, meta.schema, meta.renames,
+        meta.keyCol))
   }
 
   override def filter(predicates: Array[Predicate]): Unit =

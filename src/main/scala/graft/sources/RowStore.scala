@@ -1021,10 +1021,26 @@ object RowStore {
   def nextRowId(key: String, v: Int): Long = {
     val p = Paths.get(tableDir(key), s"v$v.manifest")
     if (!Files.exists(p)) 0L
-    else Files.readAllLines(p).asScala.collectFirst {
-      case l if l.startsWith("#nextrowid\t") =>
-        l.stripPrefix("#nextrowid\t").toLong
-    }.getOrElse(0L)
+    else {
+      // header-block scan only: `#nextrowid` is written in the header
+      // region, which always precedes the body (`#parent` for
+      // incremental manifests, a plain entry line for full ones) — so
+      // this reads a handful of lines, never O(entries)
+      val r = Files.newBufferedReader(p)
+      try {
+        var line = r.readLine()
+        var out = 0L
+        var done = false
+        while (!done && line != null) {
+          if (line.startsWith("#nextrowid\t")) {
+            out = line.stripPrefix("#nextrowid\t").toLong; done = true
+          } else if (!line.startsWith("#") ||
+            line.startsWith("#parent\t")) done = true
+          else line = r.readLine()
+        }
+        out
+      } finally r.close()
+    }
   }
 
   def stageManifest(key: String, v: Int, entries0: Seq[FileEntry],
@@ -1043,8 +1059,12 @@ object RowStore {
     // can ever overlap an adopted range. O(entries) driver work, zero
     // per-row cost — the ids themselves are virtual (firstRowId +
     // position) until a rewrite materializes them.
+    // one meta read per stage, shared by the row-id assignment and
+    // the schema header (the commit funnel is hot — review finding)
+    val metaOpt: Option[Meta] =
+      if (Files.exists(metaPath(key))) Some(readMeta(key)) else None
     val rowIdState: Option[(Seq[FileEntry], Long)] =
-      if (!Files.exists(metaPath(key)) || !readMeta(key).rowids) None
+      if (!metaOpt.exists(_.rowids)) None
       else {
         val parentNext = if (v <= 0) 0L else nextRowId(key, v - 1)
         // `rowIdFloor`: an external counter seed — snapshot_table
@@ -1079,17 +1099,15 @@ object RowStore {
     // current meta, so DROP COLUMN can't silently lose a column from
     // historical reads. Schema JSON is single-line (column names are
     // validated against layout characters at writeMeta).
-    val schemaHeader =
-      if (Files.exists(metaPath(key))) {
-        val m = readMeta(key)
-        Seq(s"#schema\t${m.schema.json}") ++
-          // the era's display→storage mapping rides with its schema,
-          // so a time-travel read of a post-RENAME version projects
-          // files by the right stored names
-          (if (m.renames.nonEmpty)
-            Seq(s"#renames\t${renderRenames(m.renames)}")
-          else Seq.empty)
-      } else Seq.empty
+    val schemaHeader = metaOpt.map { m =>
+      Seq(s"#schema\t${m.schema.json}") ++
+        // the era's display→storage mapping rides with its schema,
+        // so a time-travel read of a post-RENAME version projects
+        // files by the right stored names
+        (if (m.renames.nonEmpty)
+          Seq(s"#renames\t${renderRenames(m.renames)}")
+        else Seq.empty)
+    }.getOrElse(Seq.empty)
     // INCREMENTAL encoding (the Delta-log commit model): when the new
     // entry list is the parent's with some names removed and new
     // entries appended — which every append/rewrite/compact commit is —

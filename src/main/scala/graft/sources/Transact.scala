@@ -289,6 +289,26 @@ object Transact {
           "(cannot validate at group level)")
       }
     val curMan = RowStore.readManifest(t, cur)
+    // ROW LINEAGE: clone-minted id ranges start at the BEGIN-time
+    // counter (the clone's v0 `#nextrowid` floor). If the advanced
+    // base — or an already-adopted sibling transaction — ALSO minted
+    // past that floor, the two ranges overlap and adoption would
+    // publish duplicate `_row_id`s; clone-minted ids can be
+    // MATERIALIZED inside the clone's rewrite-written files, so they
+    // cannot be reassigned at adoption. Refuse — the id-space twin
+    // of a write-write conflict, and deliberately NARROWER than the
+    // old table-level OCC: it fires only when BOTH sides assigned
+    // ids, so a group-disjoint interloper that merely rewrote
+    // existing rows still rebases cleanly on non-rowids semantics.
+    if (m0.rowids) {
+      val floor = RowStore.nextRowId(ck, 0)
+      val cloneNow = RowStore.nextRowId(ck, RowStore.currentVersion(ck))
+      val baseNow = RowStore.nextRowId(t, cur)
+      if (cloneNow > floor && baseNow > floor)
+        refuse("both the transaction and the base assigned row-id " +
+          "ranges past the begin-time counter — adoption would " +
+          "publish duplicate _row_ids")
+    }
     // clone entry names normalized to the BASE's addressing, so they
     // compare against baseMan: an untouched shallow-clone reference
     // (absolute into the base's data dir) strips back to its leaf;

@@ -40,6 +40,16 @@ object StreamFuzz {
       shape: String, mode: String, m: Long, filterC: Option[Long]) {
     def desc: String = s"$shape/$mode m=$m filter=$filterC " +
       s"rows=${rows.size} chunks=$chunks"
+    /** Output column names, in [[StreamFuzz.build]]/[[model]] order —
+      * the ONE place the shape→columns mapping lives (the pinned
+      * rows' frame and their DuckDB oracle both read it, so they can
+      * never drift apart). */
+    def cols: Seq[String] = shape match {
+      case "agg"       => Seq("g", "s_v", "n", "mx")
+      case "stateless" => Seq("k", "v", "w")
+      case "join"      => Seq("k", "v", "label")
+      case "dedup"     => Seq("k")
+    }
   }
 
   /** Independent RNG stream (the FuzzExt discipline: new draws must
@@ -194,12 +204,7 @@ object StreamFuzz {
     // engine==batch==model differential asserts live inside run();
     // the DuckDB oracle below is the independent model fold
     val (_, streamed) = run(s, seed, tag)
-    val cols = p.shape match {
-      case "agg"       => Seq("g", "s_v", "n", "mx")
-      case "stateless" => Seq("k", "v", "w")
-      case "join"      => Seq("k", "v", "label")
-      case "dedup"     => Seq("k")
-    }
+    val cols = p.cols
     import s.implicits._
     streamed.map(r => (r.lift(0).getOrElse(0L), r.lift(1).getOrElse(0L),
       r.lift(2).getOrElse(0L), r.lift(3).getOrElse(0L)))
@@ -210,12 +215,7 @@ object StreamFuzz {
 
   def pinnedOracle(seed: Long): String = {
     val p = draw(seed)
-    val cols = p.shape match {
-      case "agg"       => Seq("g", "s_v", "n", "mx")
-      case "stateless" => Seq("k", "v", "w")
-      case "join"      => Seq("k", "v", "label")
-      case "dedup"     => Seq("k")
-    }
+    val cols = p.cols
     implicit val ord: Ordering[Seq[Long]] =
       Ordering.Implicits.seqOrdering[Seq, Long]
     val rows = model(p).sorted

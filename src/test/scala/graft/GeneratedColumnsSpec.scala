@@ -50,6 +50,16 @@ class GeneratedColumnsSpec extends AnyFunSuite {
       "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (m.mk, m.mc)")
     assert(rows(t).find(_._1 == 2L).get == ((2L, 5000L, 5000L)))
     assert(rows(t).find(_._1 == 9L).get == ((9L, 8888L, 8800L)))
+    // a MERGE's not-matched insert with an explicit DIVERGENT value
+    // refuses like a plain INSERT (merge-inserts arrive on the strict
+    // one-arg write path, not the engine's metadata path — pinned so
+    // a Spark plumbing change cannot silently relax the contract)
+    intercept[Exception] {
+      s.sql(s"MERGE INTO $t x USING (SELECT 77L AS mk, 250L AS mc) m " +
+        "ON x.k = m.mk WHEN NOT MATCHED THEN " +
+        "INSERT (k, cents, b) VALUES (m.mk, m.mc, 999)")
+    }
+    assert(!rows(t).exists(_._1 == 77L), "refused merge-insert landed")
     // OPTIMIZE recomputes identically — content invariant
     val before = rows(t)
     RowStoreOps.compact(s, t)

@@ -253,6 +253,26 @@ class RowLineageSpec extends AnyFunSuite {
     val got = ids(t)
     assert(got.size == 10 && got.values.toSet == (0L until 10L).toSet,
       s"streamed rows must hold the dense birth range, got $got")
+    // a STREAMING READ serves `_row_id` too: the streaming relation
+    // resolves to the full metadata-extended layout and execution
+    // skips the batch pruning rewrite, so the stream reader emits
+    // exactly [data ++ metadata] and any projection's ordinals
+    // resolve (review finding — a width-pruned reader crashed here)
+    val ck2 = graft.Scratch.dir(s, "graft_lin_ckpt2", "a")
+    graft.Scratch.deleteTree(ck2)
+    val q2 = s.readStream.table(t).select("k", "_row_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck2)
+      .format("memory").queryName("lin_st_read")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val streamedIds = s.table("lin_st_read").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(streamedIds == got,
+      s"streaming read must serve committed ids, got $streamedIds")
+    s.catalog.dropTempView("lin_st_read")
 
     // row lineage is CREATE-time only (Iceberg gates it on the v3
     // upgrade the same way): retrofitting would leave committed
@@ -323,6 +343,42 @@ class RowLineageSpec extends AnyFunSuite {
     assert(cloneIds(20L) >= 5L,
       s"clone insert re-minted a retired id: ${cloneIds(20L)}")
     s.sql(s"DROP TABLE $t"); s.sql(s"DROP TABLE $c")
+  }
+
+  test("transaction adoption refuses overlapping id ranges") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.lineage_tx"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('rowids'='on')")
+    s.sql(s"INSERT INTO $t VALUES (0, 0), (1, 1)")
+    // txn mints into group 0; a concurrent base insert mints into
+    // group 1 — group-DISJOINT (the old OCC would both-land), but the
+    // two id ranges start at the same begin-time counter: adoption
+    // must refuse rather than publish duplicate _row_ids
+    val b = s.sql("CALL graft_dml.system.begin_transaction(" +
+      "'spec.lineage_tx')").head()
+    val (id, clone) = (b.getLong(0), b.getString(1))
+    s.sql(s"INSERT INTO $clone VALUES (4, 40)")
+    s.sql(s"INSERT INTO $t VALUES (5, 50)")
+    val e = intercept[Exception] {
+      s.sql(s"CALL graft_dml.system.commit_transaction(${id}L)").collect()
+    }
+    assert(e.getMessage.contains("row-id") ||
+      Option(e.getCause).exists(_.getMessage.contains("row-id")),
+      s"expected the id-overlap refusal, got: ${e.getMessage}")
+    s.sql(s"CALL graft_dml.system.rollback_transaction(${id}L)").collect()
+    // without the interloper's mint, the same shape lands and ids
+    // stay unique
+    val b2 = s.sql("CALL graft_dml.system.begin_transaction(" +
+      "'spec.lineage_tx')").head()
+    val (id2, clone2) = (b2.getLong(0), b2.getString(1))
+    s.sql(s"INSERT INTO $clone2 VALUES (6, 60)")
+    s.sql(s"CALL graft_dml.system.commit_transaction(${id2}L)").collect()
+    assertUnique(t)
+    assert(ids(t).keySet == Set(0L, 1L, 5L, 6L))
+    s.sql(s"DROP TABLE $t")
   }
 
   test("rowids compose with generated columns through rewrites") {
