@@ -64,6 +64,7 @@ object Explain {
         "q174_dml_copy_into", "q176_dml_atomic_publish",
         "q177_dml_transaction", "q178_dml_binpack", "s20_ann_graph",
         "q179_dml_row_lineage", "q180_dml_generated_cols",
+        "q181_dml_lineage_diff",
         "st42_stream_fuzz_agg", "st43_stream_fuzz_stateless",
         "fz01_fuzz_s1", "fz03_fuzz_s9",
         "dm01_dml_fuzz_cow", "dm02_dml_fuzz_mordv",

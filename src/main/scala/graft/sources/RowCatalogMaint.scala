@@ -129,6 +129,52 @@ object RowCatalogMaintQueries {
       s.table(t).orderBy("k")
     }),
 
+    // ── q181: ROW-ID-KEYED CROSS-VERSION DIFF — what row lineage is
+    // FOR: with stable `_row_id`s, "what happened to each ROW between
+    // v1 and v2" is one outer join on the id — no value heuristics
+    // (q152's CDC update pairing must guess from one-delete+one-insert
+    // per key; id-keyed pairing is exact even when the KEY COLUMN
+    // ITSELF changes, which value-based CDC classifies as
+    // delete+insert). The row updates a key column, deletes, inserts,
+    // then classifies every row across the two snapshots by id:
+    // kept/updated (same id — even under the key change)/deleted/
+    // inserted. OPTIMIZE between the versions is invisible (ids
+    // survive rewrites). The oracle restates the classification
+    // relationally from the raw slice.
+    "q181_dml_lineage_diff" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      graft.Tables(s, d, "orders").createOrReplaceTempView("q181_orders")
+      val t = "graft_dml.ns.ld"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on')")
+      s.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q181_orders WHERE o_orderkey % 9 = 0""")
+      val v1 = 1
+      // the KEY column itself changes — value-based CDC sees
+      // delete+insert; the id sees one updated row
+      s.sql(s"UPDATE $t SET k = k + 1000000 WHERE k % 4 = 0")
+      s.sql(s"DELETE FROM $t WHERE k % 9 = 0 AND k % 5 = 3")
+      s.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT) + 2000000,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM q181_orders WHERE o_orderkey % 9 = 4""")
+      RowStoreOps.compact(s, t)
+      s.sql(s"""
+        WITH a AS (SELECT k, cents, _row_id FROM $t VERSION AS OF $v1),
+        b AS (SELECT k, cents, _row_id FROM $t)
+        SELECT coalesce(b.k, a.k) AS k,
+               coalesce(b.cents, a.cents) AS cents,
+               CASE WHEN a._row_id IS NULL THEN 'inserted'
+                    WHEN b._row_id IS NULL THEN 'deleted'
+                    WHEN a.k != b.k THEN 'updated'
+                    ELSE 'kept' END AS change
+        FROM a FULL OUTER JOIN b ON a._row_id = b._row_id
+        ORDER BY k, change""")
+    }),
+
     // ── q160: NESTED (STRUCT) COLUMN TYPES — the schema surface
     // events-shaped data hits on day one (the reference's `props`
     // JSON column is the domain hint): a STRUCT column through the
@@ -1128,6 +1174,29 @@ object RowCatalogMaintQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the id-keyed classification restated relationally: the %9=0
+    // slice splits into updated (k%4=0 — the key-change update, which
+    // value-based CDC could only call delete+insert), deleted
+    // (k%5=3 of the rest), kept (the remainder); the %9=4 slice
+    // inserts under shifted keys. OPTIMIZE between the versions is
+    // invisible because ids survive rewrites.
+    "q181_dml_lineage_diff" ->
+      """WITH t0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 = 0),
+        |ins AS (SELECT CAST(o_orderkey AS BIGINT) + 2000000 AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 = 4)
+        |SELECT k + 1000000 AS k, cents, 'updated' AS change
+        |  FROM t0 WHERE k % 4 = 0
+        |UNION ALL
+        |SELECT k, cents, 'deleted' FROM t0 WHERE k % 4 <> 0 AND k % 5 = 3
+        |UNION ALL
+        |SELECT k, cents, 'kept' FROM t0 WHERE k % 4 <> 0 AND k % 5 <> 3
+        |UNION ALL
+        |SELECT k, cents, 'inserted' FROM ins
+        |ORDER BY k, change""".stripMargin,
+
     // the lifecycle restated: %6=0 slice (bumped where k%4=0), the
     // merge's matched overwrite and not-matched %6=3 inserts; the
     // generated bucket is recomputed from the FINAL cents everywhere
