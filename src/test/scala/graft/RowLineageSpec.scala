@@ -345,6 +345,33 @@ class RowLineageSpec extends AnyFunSuite {
     s.sql(s"DROP TABLE $t"); s.sql(s"DROP TABLE $c")
   }
 
+  test("cherry-pick assigns staged ranges from the landing head") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    val t = "graft_dml.spec.lineage_cp"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(1, k)) TBLPROPERTIES ('rowids'='on')")
+    s.sql(s"INSERT INTO $t VALUES (0, 0), (1, 1)")
+    import s.implicits._
+    // stage on a branch (no ids yet), then main moves past the fork
+    // base with its own mint — the strict publish would refuse, but
+    // cherry-pick replays the delta; its files are UNASSIGNED, so
+    // assignment at the landing commit draws from the MOVED head's
+    // counter and can never overlap the interloper's range
+    Seq((2L, 2L)).toDF("k", "v")
+      .writeTo(t).option("branch", "wave").append()
+    s.sql(s"INSERT INTO $t VALUES (3, 3)")
+    graft.sources.RowStoreOps.cherrypickBranch(t, "wave")
+    assertUnique(t)
+    val got = ids(t)
+    assert(got(0L) == 0L && got(1L) == 1L && got(3L) == 2L,
+      s"pre-existing ids stay, $got")
+    assert(got(2L) == 3L,
+      s"the cherry-picked file assigns AFTER the interloper, $got")
+    s.sql(s"DROP TABLE $t")
+  }
+
   test("transaction adoption refuses overlapping id ranges") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
