@@ -511,13 +511,82 @@ object HigherOrder {
       val c = Tables(s, d, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
           .as("cents"))
-      // ONE percentile aggregate with an array of fractions — three
-      // separate percentile() calls each build their own full value
-      // buffer (measured 3× the aggregate cost at sf0.1)
-      val bounds = c.agg(
-          expr("percentile(cents, array(0.25D, 0.50D, 0.75D))").as("bs"))
-        .select(expr("bs[0]").as("b1"), expr("bs[1]").as("b2"),
-          expr("bs[2]").as("b3"))
+      // DISTRIBUTED ORDER STATISTICS replace the exact-`percentile`
+      // aggregate (optimization round 16, guide §2.4/§5): percentile's
+      // partial buffers serialize EVERY value into the shuffle and its
+      // single final-merge task sorts and cumulates the whole column
+      // (measured: 1.5 s of map-side buffer serialization + a 2.3 s
+      // one-task finalization at sf0.1 — and at 100 TB that one task
+      // holds every distinct value, a scale-killer). Here the column
+      // is range-partitioned (session parallelism — scale-adaptive),
+      // per-partition counts give each partition's global offset, a
+      // per-partition window numbers rows globally, and the quartile
+      // boundaries come from six conditional-min aggregates over the
+      // positioned rows. Arithmetic replicates PercentileBase
+      // .getPercentile BIT-FOR-BIT (verified against the bytecode):
+      //   pos = (n-1).toDouble * p; lo = floor(pos); hi = ceil(pos)
+      //   v(k) = first value with cumulative count >= k  (k = lo+1/hi+1)
+      //   b = if (hi == lo || v_lo == v_hi) v_lo.toDouble
+      //       else (hi.toDouble - pos) * v_lo + (pos - lo.toDouble) * v_hi
+      // so the binning — and the hash-checked output — is unchanged.
+      val parts = s.sessionState.conf.numShufflePartitions
+      val positioned = c.repartitionByRange(parts, col("cents"))
+        .sortWithinPartitions(col("cents"))
+        .withColumn("pid", spark_partition_id())
+      val pidTotals = positioned.groupBy(col("pid"))
+        .agg(count(lit(1)).as("pn"))
+      // P rows: the cumulative offset before each partition + total n
+      val offsets = pidTotals
+        .withColumn("off",
+          coalesce(sum(col("pn")).over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("pn")).over())
+        .select(col("pid"), col("off"), col("n"))
+      // the six target indices (+ position/floor/ceil per quartile),
+      // computed once from n — a 1-row frame
+      val kframe = offsets.agg(max(col("n")).as("n")).select(
+        (Seq(col("n")) ++ Seq(0.25, 0.50, 0.75).zipWithIndex.flatMap {
+          case (p, i) =>
+            val pos = expr(s"CAST(n - 1 AS DOUBLE) * ${p}D")
+            Seq(pos.as(s"pos$i"),
+              expr(s"CAST(floor(CAST(n - 1 AS DOUBLE) * ${p}D) AS BIGINT)")
+                .as(s"lo$i"),
+              expr(s"CAST(ceil(CAST(n - 1 AS DOUBLE) * ${p}D) AS BIGINT)")
+                .as(s"hi$i"))
+        }): _*)
+      // global position = partition offset + within-partition number;
+      // the window groups by pid (session-parallel tasks, never one
+      // global sort task)
+      val pos = positioned
+        .join(broadcast(offsets), "pid")
+        .withColumn("cum", col("off") +
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pid")).orderBy(col("cents"))))
+      // v(k) = min value whose global position >= k — exact because
+      // values weakly increase with position; ties collapse to the
+      // same value either way
+      val pickAggs = (0 to 2).flatMap { i =>
+        Seq(min(when(col("cum") >= col(s"lo$i") + 1, col("cents")))
+          .as(s"vlo$i"),
+          min(when(col("cum") >= col(s"hi$i") + 1, col("cents")))
+            .as(s"vhi$i"))
+      }
+      val picked = pos.crossJoin(broadcast(kframe))
+        .agg(pickAggs.head, pickAggs.tail: _*)
+      val bounds = picked.crossJoin(broadcast(kframe)).select(
+        (0 to 2).map { i =>
+          when(col(s"hi$i") === col(s"lo$i") ||
+              col(s"vlo$i") === col(s"vhi$i"),
+            col(s"vlo$i").cast("double"))
+            .otherwise(
+              (col(s"hi$i").cast("double") - col(s"pos$i")) *
+                col(s"vlo$i").cast("double") +
+                (col(s"pos$i") - col(s"lo$i").cast("double")) *
+                  col(s"vhi$i").cast("double"))
+            .as(s"b${i + 1}")
+        }: _*)
       c.crossJoin(broadcast(bounds)) // 1-row build: the allowed class
         .withColumn("bin",
           when(col("cents") <= col("b1"), 0)

@@ -891,21 +891,49 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
         part.deltaFiles.map(("delta", _))
     val rows = RowResolve.resolveOrdered(part.group, items,
       wantedStorage, keyIdx)
+    // per-field emit plan, compiled ONCE per reader (optimization
+    // round 16, guide §1.2 step 2): the old per-row loop re-matched
+    // every field NAME and did two hash-map lookups per cell; rows
+    // here are group-sized, so that dispatch sat on every DML read's
+    // hot path. Kinds: 0=_group (constant), 1=_rid, 2=_row_id,
+    // 3=data field (internalize via precomputed field+offset).
+    val nOut = required.fields.length
+    val kinds = new Array[Int](nOut)
+    val emitFields = new Array[StructField](nOut)
+    val emitOffs = new Array[Int](nOut)
+    val groupBox: Any = Int.box(part.group)
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      f.name match {
+        case "_group"  => kinds(i) = 0
+        case "_rid"    => kinds(i) = 1
+        case "_row_id" => kinds(i) = 2
+        // a PRUNED struct in `required` flows through as-is: its
+        // pruned field list shaped both the flat projection and
+        // these offsets, so only the asked-for leaves were read
+        // and exactly they reassemble
+        case n =>
+          kinds(i) = 3
+          emitFields(i) = wantedByName(n)
+          emitOffs(i) = wantedOff(n)
+      }
+    }
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
       private var cur: (String, Array[Any]) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = new GenericInternalRow(
-        required.fields.map { f =>
-          f.name match {
-            case "_group" => Int.box(part.group)
-            case "_rid"   => UTF8String.fromString(cur._1)
+      override def get(): InternalRow = {
+        val out = new Array[Any](nOut)
+        var i = 0
+        while (i < nOut) {
+          out(i) = kinds(i) match {
+            case 0 => groupBox
+            case 1 => UTF8String.fromString(cur._1)
             // _row_id = materialized `_rowid` when the row's file
             // stores one (rewrite outputs), else the entry's
             // firstRowId + the row's position in its ORIGINAL file
             // (the rid address, which MOR updates preserve). Null for
             // files no commit has assigned yet (staged branches).
-            case "_row_id" =>
+            case 2 =>
               cur._2(matIdx) match {
                 case l: java.lang.Long => l
                 case _ =>
@@ -914,14 +942,13 @@ class GroupReaderFactory(required: StructType, dataSchema: StructType,
                   part.rowIdBase.get(rid.substring(0, cut)).map(b =>
                     Long.box(b + rid.substring(cut + 1).toLong)).orNull
               }
-            // a PRUNED struct in `required` flows through as-is: its
-            // pruned field list shaped both the flat projection and
-            // these offsets, so only the asked-for leaves were read
-            // and exactly they reassemble
-            case n =>
-              RowNested.internalize(wantedByName(n), cur._2, wantedOff(n))
+            case _ =>
+              RowNested.internalize(emitFields(i), cur._2, emitOffs(i))
           }
-        }.asInstanceOf[Array[Any]])
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
       override def close(): Unit = ()
     }
   }
