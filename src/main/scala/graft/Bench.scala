@@ -10,6 +10,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Bypass Hadoop's checksum layer on the FILECONTEXT route
+      // (guide §6 / OPTIMIZATION_r16.md): streaming checkpoint IO —
+      // offset log, commit log, and one HDFS-backed state-store delta
+      // per partition per batch — goes through CheckpointFileManager's
+      // FileContext, whose default local impl wraps ChecksumFs: a
+      // second buffered stream plus a .crc sidecar written AND
+      // re-verified per tiny file, pure overhead this deployment
+      // doesn't need (at 100 TB checkpoints live on an object store
+      // whose FS impl has no such layer). Measured at sf0.1/32:
+      // st14 2.73→2.13 s, st03 1.48→1.25 s, batch rows neutral;
+      // results byte-identical — Verify runs under the SAME config
+      // and stays 319/319 oracle-exact. The FileSystem-route knob
+      // (fs.file.impl=RawLocalFileSystem) is deliberately NOT set:
+      // RocksDB's checkpoint file manager aborts commits under it
+      // (19 task aborts on st07 in the A/B), and its marginal win on
+      // top of this knob measured ~4%.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import scala.util.control.NonFatal

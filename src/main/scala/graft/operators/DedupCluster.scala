@@ -140,11 +140,24 @@ object DedupCluster {
       SketchFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("table_id"), col("bucket")).orderBy(col("vec_id"))
-      val capped = Similarity.bucketed(Tables(s, d, "embeddings"), "embedding")
+      // parallelize the hash/probe explosion (optimization round 16,
+      // guide §2.5 input skew): the corpus is ONE parquet split, so
+      // without this every downstream narrow stage — 8-table
+      // hyperplane hashing, the 8-way probe explode, the co-bucket
+      // join AND its partial-distinct over the multi-million-row
+      // candidate explosion — ran in a single task (measured 2.2 s of
+      // a 3.1 s warm run in one task writing the 10.9 MB candidate
+      // exchange). A round-robin repartition at session parallelism
+      // spreads it; results are unchanged (the window orders by
+      // vec_id, the pair set is distinct-ed).
+      val parts = s.sessionState.conf.numShufflePartitions
+      val capped = Similarity.bucketed(
+          Tables(s, d, "embeddings").repartition(parts), "embedding")
         .select(col("vec_id"), col("table_id"), col("bucket"))
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= 256).drop("pos")
-      val probes = Similarity.probeBucketed(Tables(s, d, "embeddings"), "embedding")
+      val probes = Similarity.probeBucketed(
+          Tables(s, d, "embeddings").repartition(parts), "embedding")
         .select(col("vec_id").as("a_id"), col("table_id"), col("bucket"))
       val cands = probes
         .join(capped.select(col("vec_id").as("b_id"),

@@ -58,8 +58,14 @@ object StreamingOps {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  /** 8 state partitions suit the harness's 10³–10⁴ key cardinality. */
-  private[streaming] val StateParts = 8
+  /** State-partition count: sized to KEY VOLUME, not core count (the
+    * withStatePartitions scale note above) — 8 suits the harness's
+    * 10³–10⁴ key cardinality; a production deployment overrides via
+    * SPARK_GRAFT_STATE_PARTS when it first starts a query (the
+    * partitioning freezes into the checkpoint thereafter). Env-
+    * parameterized for the A/B measurements in OPTIMIZATION_r16.md. */
+  private[streaming] val StateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8").toInt
 
   /** st13 invocation counter — each run gets its own checkpoint dir. */
   private[streaming] val st13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
