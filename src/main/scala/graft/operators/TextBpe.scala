@@ -38,9 +38,20 @@ object TextBpe {
     * re-segment), shared with t14's encode: returns the final vocab
     * state (w, seg, f) and the per-round chosen merges tagged with
     * their step. Corpus touched once; vocabulary-sized with
-    * localCheckpoint per round; the chosen pair re-enters as a
-    * broadcast 1-row crossJoin (d08's cutoff pattern — no driver-side
-    * value). */
+    * localCheckpoint per round.
+    *
+    * The chosen pair comes back as a ONE-ROW collect (optimization
+    * round 16, guide §1.2): the previous broadcast-1-row-crossJoin
+    * rendering (d08's cutoff pattern) cost TWO extra jobs per round —
+    * the argmax frame's own localCheckpoint plus the broadcast build —
+    * 16 jobs across the 8 rounds, and t13/t14 each pay the loop.
+    * A 1-row bounded fetch is the q113/st35 planning-fetch class, not
+    * a driver-data flow, and at any corpus scale it stays exactly one
+    * row. Values re-enter as literals, so the merge expression, the
+    * merge SEQUENCE, and the hash-gated output are unchanged (pa/pb
+    * are [a-z]+ substrings — safe as SQL string literals). An empty
+    * argmax (vocabulary fully merged) reproduces the old crossJoin
+    * semantics: the vocab empties and remaining rounds emit nothing. */
   private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val words = docs(s, d)
       .select(explode(regexp_extract_all(lower(col("text")),
@@ -52,15 +63,25 @@ object TextBpe {
         .as("seg"),
       col("f")).localCheckpoint()
     val rounds = (1 to BpeRounds).map { r =>
-      val b = bpePairCounts(vocab)
+      val best = bpePairCounts(vocab)
         .orderBy(col("weight").desc, col("pa"), col("pb")).limit(1)
-        .localCheckpoint()
-      vocab = vocab.crossJoin(broadcast(b.select(col("pa"), col("pb"))))
-        .select(col("w"),
-          expr("replace(seg, '|' || pa || '||' || pb || '|', " +
-            "'|' || pa || pb || '|')").as("seg"), col("f"))
-        .localCheckpoint()
-      b.withColumn("step", lit(r))
+        .collect()
+      best.headOption match {
+        case Some(row) =>
+          val (pa, pb) = (row.getString(0), row.getString(1))
+          vocab = vocab.select(col("w"),
+            expr(s"replace(seg, '|$pa||$pb|', '|$pa$pb|')").as("seg"),
+            col("f"))
+            .localCheckpoint()
+          s.range(1).select(lit(pa).as("pa"), lit(pb).as("pb"),
+            lit(row.getLong(2)).as("weight"),
+            lit(row.getLong(3)).as("n_words"), lit(r).as("step"))
+        case None =>
+          vocab = vocab.filter(lit(false))
+          s.range(0).select(lit("").as("pa"), lit("").as("pb"),
+            lit(0L).as("weight"), lit(0L).as("n_words"),
+            lit(r).as("step"))
+      }
     }
     (vocab, rounds)
   }
