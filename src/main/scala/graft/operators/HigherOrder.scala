@@ -530,9 +530,18 @@ object HigherOrder {
       //       else (hi.toDouble - pos) * v_lo + (pos - lo.toDouble) * v_hi
       // so the binning — and the hash-checked output — is unchanged.
       val parts = s.sessionState.conf.numShufflePartitions
+      // materialized ONCE (optimization round 17, guide §2.4): four
+      // consuming subtrees (pidTotals→offsets→kframe, and pos) each
+      // re-instantiated the scan + range shuffle — the r16 after-plan
+      // carried rangepartitioning(cents) four times with no exchange
+      // reuse (plan_ids 148/153/166/181), i.e. four full passes over
+      // the column where one suffices. localCheckpoint truncates the
+      // lineage so every consumer reads the one shuffled, sorted copy
+      // (the d10/d12 multi-consumer discipline).
       val positioned = c.repartitionByRange(parts, col("cents"))
         .sortWithinPartitions(col("cents"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
       val pidTotals = positioned.groupBy(col("pid"))
         .agg(count(lit(1)).as("pn"))
       // P rows: the cumulative offset before each partition + total n

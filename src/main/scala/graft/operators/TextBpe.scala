@@ -37,8 +37,8 @@ object TextBpe {
   /** The t13 training loop (BpeRounds rounds of pick-best-pair →
     * re-segment), shared with t14's encode: returns the final vocab
     * state (w, seg, f) and the per-round chosen merges tagged with
-    * their step. Corpus touched once; vocabulary-sized with
-    * localCheckpoint per round.
+    * their step. Corpus touched once (the word-frequency aggregate,
+    * checkpointed); every later round is vocabulary-sized.
     *
     * The chosen pair comes back as a ONE-ROW collect (optimization
     * round 16, guide §1.2): the previous broadcast-1-row-crossJoin
@@ -69,10 +69,18 @@ object TextBpe {
       best.headOption match {
         case Some(row) =>
           val (pa, pb) = (row.getString(0), row.getString(1))
+          // NO per-round localCheckpoint (optimization round 17): the
+          // merge is ONE narrow codegen'd replace over the vocabulary,
+          // so letting rounds chain (round k's plan = the round-0
+          // checkpoint + k nested replaces) costs k extra string
+          // scans of a vocabulary-sized frame inside round k's single
+          // aggregation job — far cheaper than the checkpoint job each
+          // round used to pay (8 jobs per query, t13 AND t14 both pay
+          // the loop). Round 0 stays checkpointed: it holds the only
+          // corpus-scale work.
           vocab = vocab.select(col("w"),
             expr(s"replace(seg, '|$pa||$pb|', '|$pa$pb|')").as("seg"),
             col("f"))
-            .localCheckpoint()
           s.range(1).select(lit(pa).as("pa"), lit(pb).as("pb"),
             lit(row.getLong(2)).as("weight"),
             lit(row.getLong(3)).as("n_words"), lit(r).as("step"))
@@ -121,11 +129,13 @@ object TextBpe {
     // tokenizer training LOOPS pick-best-pair → re-segment toward a
     // vocabulary-size target. BpeRounds (8) merge rounds here, d06's
     // iteration discipline: the corpus is touched
-    // exactly ONCE (the word-frequency aggregate); every round after
-    // that runs over the VOCABULARY (distinct words), localCheckpoint
-    // per round so round k's plan doesn't re-derive rounds 1..k-1.
-    // The chosen pair re-enters the plan as a broadcast 1-row
-    // crossJoin (d08's cutoff pattern — no driver-side value).
+    // exactly ONCE (the word-frequency aggregate, localCheckpointed);
+    // every round after that runs over the VOCABULARY (distinct
+    // words) as a chain of narrow replace projections — round k's
+    // single aggregation job re-applies k codegen'd replaces over the
+    // vocabulary, which is cheaper than a checkpoint job per round.
+    // The chosen pair re-enters the plan as literals from a 1-row
+    // bounded collect (the q113/st35 planning-fetch class).
     //
     // Segmentations are strings of '|'-wrapped symbols ("|t||h||e|"):
     // merging pair (a,b) is then `replace(seg, '|a||b|', '|ab|')`,

@@ -493,8 +493,17 @@ object SeqSourceQueries {
         .load()
       val agg = stream.groupBy((col("bucket") % 10).as("b10"))
         .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
-      val q = agg.writeStream.format("memory").queryName("st27_out")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      // state partitions scoped like every pinned st row (optimization
+      // round 17, guide §2): unscoped, this complete-mode aggregate
+      // committed core-count state partitions per micro-batch × 4
+      // batches — 2.47 s at 32 cores vs 1.07 s at 8 driver-side, pure
+      // per-partition state-store overhead on 10 keys. The totals are
+      // batch- and partition-count-invariant.
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.StateParts) {
+        agg.writeStream.format("memory").queryName("st27_out")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
       q.awaitTermination()
       val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       s.table("st27_out")

@@ -165,10 +165,19 @@ object StreamFuzz {
     val p = draw(seed)
     val glob = writeChunks(s, p, tag)
     val qn = s"sfz_${tag.replaceAll("[^A-Za-z0-9]", "_")}_$seed"
-    val q = build(p, s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(glob), dim(s))
-      .writeStream.outputMode(p.mode).format("memory").queryName(qn)
-      .trigger(Trigger.AvailableNow()).start()
+    // state partitions scoped like every pinned st row (optimization
+    // round 17, guide §2 right-size shuffles): unscoped, the drain
+    // inherited the session's core-count partitioning — 32 state
+    // partitions × stores × micro-batches of tiny per-batch files at
+    // local[32], which made st42 cost 2× MORE at 32 cores than 8
+    // (3.17 vs 1.67 s driver-side). Results are partition-count
+    // independent (the in-run batch/model differentials stay live).
+    val q = StreamingOps.withStatePartitions(s, StreamingOps.StateParts) {
+      build(p, s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(glob), dim(s))
+        .writeStream.outputMode(p.mode).format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val batches = q.lastProgress.batchId + 1
     def collect(df: DataFrame): Seq[Seq[Long]] =

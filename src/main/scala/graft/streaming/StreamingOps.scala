@@ -52,7 +52,7 @@ object StreamingOps {
     * 32 partitions 16.2s vs 8 partitions 4.0s for ~1500 keys at sf0.1.
     * A production deployment sizes this once at first start (the
     * partitioning is frozen into the checkpoint thereafter). */
-  private[streaming] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
@@ -64,7 +64,7 @@ object StreamingOps {
     * SPARK_GRAFT_STATE_PARTS when it first starts a query (the
     * partitioning freezes into the checkpoint thereafter). Env-
     * parameterized for the A/B measurements in OPTIMIZATION_r16.md. */
-  private[streaming] val StateParts =
+  private[graft] val StateParts =
     sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8").toInt
 
   /** st13 invocation counter — each run gets its own checkpoint dir. */
