@@ -140,28 +140,45 @@ object DedupCluster {
       SketchFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("table_id"), col("bucket")).orderBy(col("vec_id"))
-      // parallelize the hash/probe explosion (optimization round 16,
-      // guide §2.5 input skew): the corpus is ONE parquet split, so
-      // without this every downstream narrow stage — 8-table
-      // hyperplane hashing, the 8-way probe explode, the co-bucket
-      // join AND its partial-distinct over the multi-million-row
-      // candidate explosion — ran in a single task (measured 2.2 s of
-      // a 3.1 s warm run in one task writing the 10.9 MB candidate
-      // exchange). A round-robin repartition at session parallelism
-      // spreads it; results are unchanged (the window orders by
-      // vec_id, the pair set is distinct-ed).
+      // parallelize the hash/probe explosion (optimization rounds
+      // 16/17, guide §2.5 input skew): the corpus is ONE parquet
+      // split, so unspread, the 8-table hyperplane hashing and the
+      // 8-way probe explode ran in a single task. Round 16's
+      // round-robin repartition fixed the HASHING stages but left the
+      // JOIN single-task: the co-bucket join's shuffle inputs are
+      // tiny (520/263 KB at sf0.1), so AQE coalesced its reader to
+      // ONE partition — and the multi-million-row candidate
+      // explosion plus its partial-distinct run in the join stage,
+      // AFTER the exchange whose size AQE measured (profiled: 1.8 s
+      // of a 3.4 s warm run in one task writing the 12.7 MB distinct
+      // exchange). Two changes:
+      //  - spread the corpus by HASH of vec_id (deterministic — the
+      //    §2.5 retry rule — and exempt from sortBeforeRepartition's
+      //    local sort, unlike round-robin);
+      //  - USER-specified (table_id, bucket) repartitions on both
+      //    join inputs: AQE never coalesces user repartitions and the
+      //    matching counts satisfy the join requirement, so the
+      //    explosion stage keeps session parallelism at any scale.
+      // Results unchanged (the cap window orders by vec_id, the pair
+      // set is distinct-ed; repartitioning moves rows, never makes
+      // them).
       val parts = s.sessionState.conf.numShufflePartitions
       val capped = Similarity.bucketed(
-          Tables(s, d, "embeddings").repartition(parts), "embedding")
+          Tables(s, d, "embeddings").repartition(parts, col("vec_id")),
+          "embedding")
         .select(col("vec_id"), col("table_id"), col("bucket"))
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= 256).drop("pos")
       val probes = Similarity.probeBucketed(
-          Tables(s, d, "embeddings").repartition(parts), "embedding")
+          Tables(s, d, "embeddings").repartition(parts, col("vec_id")),
+          "embedding")
         .select(col("vec_id").as("a_id"), col("table_id"), col("bucket"))
       val cands = probes
+        .repartition(parts, col("table_id"), col("bucket"))
         .join(capped.select(col("vec_id").as("b_id"),
-          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+            col("table_id"), col("bucket"))
+          .repartition(parts, col("table_id"), col("bucket")),
+          Seq("table_id", "bucket"))
         .filter(col("a_id") =!= col("b_id"))
         .select(least(col("a_id"), col("b_id")).as("a_id"),
           greatest(col("a_id"), col("b_id")).as("b_id"))
