@@ -478,16 +478,17 @@ object RowStoreOps {
         // explicit partition count: AQE never coalesces a
         // user-specified repartitionByRange, so the slice count (=
         // file granularity per group) is pinned like the sorted
-        // rewrite's requiredNumPartitions — with a FLOOR of 16: a
-        // z-layout's banded-read resolution is slices^(1/dims) strips
-        // per dimension, and below 2 bits per dimension a band that
+        // rewrite's requiredNumPartitions. DATA-derived (rows /
+        // target-file-rows — RowStore.rewriteSlices) instead of the
+        // session's core count, with a FLOOR of 16: a z-layout's
+        // banded-read resolution is slices^(1/dims) strips per
+        // dimension, and below 2 bits per dimension a band that
         // straddles a domain midpoint degenerates to a full scan
         // (measured at the 4-slice test config)
         val outNames = src.columns.toIndexedSeq ++
           (if (tblMeta.rowids) Seq("_row_id") else Seq.empty)
         src.select(outCols :+ zv.as("_zv"): _*)
-          .repartitionByRange(
-            math.max(s.sessionState.conf.numShufflePartitions, 16),
+          .repartitionByRange(RowStore.rewriteSlices(table, 16),
             col("_zv"))
           .sortWithinPartitions(col("_zv"))
           .select(outNames.map(col): _*)

@@ -148,14 +148,16 @@ class GroupWrite(tableKey: String, meta: RowStore.Meta,
   override def requiredOrdering(): Array[SortOrder] =
     sortCols.toArray.map(c => Expressions.sort(Expressions.identity(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-  // pin the sorted rewrite's range-partition count to the session's
-  // shuffle parallelism (what a deployment sizes for its data): an
-  // unpinned count lets AQE coalesce a small rewrite to ONE slice,
-  // which silently recreates the group-wide files the rewrite exists
-  // to split
+  // pin the sorted rewrite's range-partition count: an unpinned count
+  // lets AQE coalesce a small rewrite to ONE slice, which silently
+  // recreates the group-wide files the rewrite exists to split. The
+  // count is DATA-derived (rows / target-file-rows, floor 8 — see
+  // RowStore.rewriteSlices), not core-count-derived: the session's
+  // shuffle parallelism made the same rewrite write 4× more files at
+  // local[32] than local[8] for a table whose right slicing is a
+  // property of its size.
   override def requiredNumPartitions(): Int =
-    if (sortCols.nonEmpty)
-      SparkSession.active.sessionState.conf.numShufflePartitions
+    if (sortCols.nonEmpty) RowStore.rewriteSlices(tableKey, 8)
     else 0
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

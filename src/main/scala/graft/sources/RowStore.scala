@@ -704,6 +704,30 @@ object RowStore {
       entries.exists(_.rows.isEmpty)) None
     else Some(entries.map(_.rows.get).sum)
 
+  /** Range-slice count for a clustering rewrite (sorted / z-order),
+    * derived from the TABLE'S OWN SIZE instead of the session's core
+    * count (optimization round 17, guide §2 — scale-adaptive
+    * partitioning): slices = ceil(current base rows / target rows per
+    * file), floored at `floor` so a small table still splits into
+    * enough range-disjoint files for zone-map skipping (the rewrite's
+    * whole point — AQE would coalesce an unpinned count to ONE slice
+    * and silently recreate the group-wide files). Core-count-derived
+    * counts made the SAME rewrite write 4× more files at local[32]
+    * than local[8] (q161 2.0 s @32c vs 1.56 @8c) while the slice
+    * count is a property of the data, not the box. The target is the
+    * deployment's file-sizing knob (`spark.graft.rewrite.targetFileRows`,
+    * default 4M rows ≈ a few hundred MB for typical lake rows — the
+    * guide §6 output-file band); manifest row counts are plan-time
+    * metadata, so this opens zero data files. */
+  def rewriteSlices(tableKey: String, floor: Int): Int = {
+    val target = org.apache.spark.sql.SparkSession.active.sessionState
+      .conf.getConfString("spark.graft.rewrite.targetFileRows", "4000000")
+      .toLong
+    val rows = readManifest(tableKey, currentVersion(tableKey))
+      .iterator.filter(_.kind == "base").flatMap(_.rows).sum
+    math.max(floor, math.ceil(rows.toDouble / target.toDouble).toInt)
+  }
+
   /** One version's manifest FILE shape (not its resolved snapshot):
     * (parent version if incremental, own entry-line count, removal
     * count) — what the `.manifests` metadata table surfaces so an
