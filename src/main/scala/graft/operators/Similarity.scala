@@ -359,13 +359,30 @@ object Similarity {
     * them). 16 candidate rows per vector against the broadcast
     * centroid table, integer window argmin — narrow at any scale. */
   private[graft] def assignToCells(batch: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2").asc, col("cell").asc)
-    batch.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2", euclidDist2("embedding"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // the centroid table is collected once at plan time (NCells rows —
+    // the same planning-fetch class as the probe router's cell
+    // collect; the old crossJoin(broadcast(cents)) materialized it
+    // per batch anyway), then the argmin folds per ROW as one narrow
+    // codegen'd projection: array_min over (dist², cell) structs
+    // replicates the crossJoin+window's (dist2 asc, cell asc) pick
+    // EXACTLY — the per-pair distance keeps euclidDist2's
+    // zip_with/aggregate double arithmetic in the same fold order
+    // (CAST(float AS DOUBLE) is exact widening, so centroid literals
+    // are the same doubles the cast produced), and struct ordering is
+    // (d asc, c asc), the same tie rule — with NO 16× row
+    // multiplication, NO exchange and NO sort (optimization round 17,
+    // guide §2.4: the window exchange + its sort were one of the two
+    // jobs every st35 micro-batch paid).
+    val cs = cents.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    def d2(cv: Seq[Float]) = aggregate(
+      zip_with(col("embedding"), array(cv.map(v => lit(v.toDouble)): _*),
+        (x, y) => x.cast("double") - y),
+      lit(0d), (a, v) => a + v * v)
+    val best = array_min(array(cs.map { case (cell, cv) =>
+      struct(d2(cv).as("d"), lit(cell).as("c")) }: _*))
+    batch.select(col("vec_id"), col("embedding"),
+      best.getField("c").as("cell"))
   }
 
   /** Exact top-K baseline over an arbitrary (vec_id, embedding)

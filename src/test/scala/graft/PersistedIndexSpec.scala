@@ -49,4 +49,35 @@ class PersistedIndexSpec extends AnyFunSuite {
       assert(read <= 10, s"expected ≤10 of 16 cell partitions read, got $read")
     }
   }
+
+  test("assignToCells argmin fold equals the windowed argmin exactly") {
+    // round-17 rewrite seam: the narrow array_min fold replaced the
+    // crossJoin(broadcast)+window formulation; assignment must be
+    // BIT-identical (same per-pair double arithmetic, same
+    // (dist2 asc, cell asc) tie rule) or persisted segments drift
+    // from the quantizer's residency and recall gates go data-
+    // dependent. Differential: fold vs the reference window
+    // formulation over the full sf embeddings corpus.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    val e = graft.Tables(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (_, cents) = graft.operators.Similarity
+      .ivfIndexFor(s, s"$sf#assignSeam", e.filter(col("vec_id") % 5 =!= 0))
+    val fold = graft.operators.Similarity.assignToCells(e, cents)
+      .select(col("vec_id"), col("cell"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    val ref = e.crossJoin(broadcast(cents))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(embedding, centroid, " +
+          "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 0D, " +
+          "(a, v) -> a + v * v)"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"))
+    assert(fold.exceptAll(ref).isEmpty && ref.exceptAll(fold).isEmpty,
+      "fold argmin must assign every vector to the same cell as the " +
+        "windowed reference")
+  }
 }
