@@ -58,6 +58,24 @@ object Geo {
   private[graft] def pointsForSpec(s: SparkSession, d: String): DataFrame =
     points(s, d)
 
+  /** Spread a narrow key frame to session parallelism when its scan
+    * arrives in fewer splits than half the session's (guide §2.5 input
+    * skew — the d12 pathology): the harness fixture is ONE parquet
+    * split, so without this the per-point polyHash placement plus
+    * everything fused after it (q113's 9× probe explode + 30 MB
+    * exchange write, q114's ×25 facility cross + argmin partials) runs
+    * in a single task (profiled: 1.7–2.9 s single-task stages at
+    * sf0.1/32c). Hash-of-key repartition — deterministic under retry
+    * (§2.5's rule) and exempt from sortBeforeRepartition's local sort —
+    * and USER-specified, so AQE never coalesces it. The exchange
+    * carries only the 8-byte key; at scale the scan already has ≥
+    * parallelism splits and no exchange is added at all. */
+  private def spreadNarrowScan(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < parts) df.repartition(parts, col(key))
+    else df
+  }
+
   /** The facility dimension: one "station" per nation row, placed by
     * the same portable hash machinery (distinct prefixes). */
   private def facilities(s: SparkSession, d: String): DataFrame = {
@@ -72,10 +90,17 @@ object Geo {
       fAxis("flon:", 1779033703L, LonExtent).as("flon"))
   }
 
-  /** One point per order, poly-hash-placed. */
-  private def points(s: SparkSession, d: String): DataFrame = {
+  /** One point per order, poly-hash-placed. `spread` repartitions the
+    * key scan (when it is narrower than the session) BEFORE the hash
+    * placement so the per-point compute parallelizes — q113/q114 opt
+    * in (their per-point work is multiplied ×9/×25 downstream); q112
+    * stays a single map-side-combined aggregate with no extra
+    * exchange. */
+  private def points(s: SparkSession, d: String, spread: Boolean = false): DataFrame = {
     graft.functions.PortableHashFunctions.register(s)
-    Tables(s, d, "orders").select(
+    val keys = Tables(s, d, "orders").select(col("o_orderkey"))
+    val src = if (spread) spreadNarrowScan(s, keys, "o_orderkey") else keys
+    src.select(
       col("o_orderkey").as("id"),
       pmod(axis("lat:", 2654435761L), lit(LatExtent)).as("latu"),
       pmod(axis("lon:", 1779033703L), lit(LonExtent)).as("lonu"))
@@ -129,7 +154,7 @@ object Geo {
     // (an all-pairs restatement would be 2·10¹⁰ DuckDB pairs at
     // sf0.1 — the oracle must scale too).
     "q113_geo_radius_join" -> ((s, d) => {
-      val base = points(s, d)
+      val base = points(s, d, spread = true)
       val cdf = base.agg(expr(
         s"CAST($LatExtent AS BIGINT) div " +
           "(CAST(floor(sqrt(CAST(count(1) AS DOUBLE))) AS BIGINT) + 1)")
@@ -172,7 +197,7 @@ object Geo {
     // facility rollup is a second tiny aggregate. At 100 TB: one
     // corpus pass, two map-side-combined aggregations.
     "q114_geo_nearest_facility" -> ((s, d) => {
-      val pts = points(s, d)
+      val pts = points(s, d, spread = true)
       val assigned = pts.crossJoin(broadcast(facilities(s, d)))
         .withColumn("d2",
           (col("latu") - col("flat")) * (col("latu") - col("flat")) +
