@@ -64,6 +64,23 @@ object Tables {
     }
   }
 
+  /** Spread a scan to session parallelism when it arrives in fewer
+    * splits than half the session's (optimization guide §2.5 input
+    * skew): the harness tables are ONE parquet split at small SFs, so
+    * CPU-heavy per-row derivation fused after the scan (JSON
+    * build/parse at ingest, hash placement + explode) otherwise runs
+    * in a single task. Hash-of-key repartition — deterministic under
+    * retry (the §2.5 rule) and exempt from sortBeforeRepartition's
+    * local sort — and USER-specified, so AQE never coalesces it. At
+    * 100 TB the scan already has more splits than the session has
+    * cores and no exchange is added at all. */
+  def spreadNarrowScan(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < parts)
+      df.repartition(parts, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -541,6 +541,16 @@ object Dedup {
         .select(col("doc_id"), substring(col("norm"), 1, 80).as("head"),
           substring(col("norm"), 1, 12).as("skey"),
           substring(col("norm"), 1, 4).as("blk"))
+        // USER-specified block repartition (guide §2.5, the d12 AQE
+        // lesson): the window exchange's bytes are tiny, so AQE
+        // coalesced its reader to ONE partition — and the w·n lag
+        // explode plus the levenshtein rescore run in the window's
+        // stage, AFTER the exchange AQE measured (profiled: 1.07 s
+        // single-task at sf0.1/32c). A user repartition on the same
+        // key satisfies the window's clustering requirement (no second
+        // exchange) and AQE never coalesces it, so the rescore keeps
+        // session parallelism at any scale.
+        .repartition(s.sessionState.conf.numShufflePartitions, col("blk"))
       val lagged = (1 to 3).foldLeft(keyed) { (df, k) =>
         df.withColumn(s"id$k", lag(col("doc_id"), k).over(win))
           .withColumn(s"h$k", lag(col("head"), k).over(win))

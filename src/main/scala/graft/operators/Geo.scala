@@ -70,11 +70,8 @@ object Geo {
     * and USER-specified, so AQE never coalesces it. The exchange
     * carries only the 8-byte key; at scale the scan already has ≥
     * parallelism splits and no exchange is added at all. */
-  private def spreadNarrowScan(s: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val parts = s.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < parts) df.repartition(parts, col(key))
-    else df
-  }
+  private def spreadNarrowScan(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    Tables.spreadNarrowScan(s, df, key)
 
   /** The facility dimension: one "station" per nation row, placed by
     * the same portable hash machinery (distinct prefixes). */
